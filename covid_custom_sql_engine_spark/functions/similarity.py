@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k via built-in higher-order functions
+(``zip_with`` + ``aggregate`` — JVM-side, no Python in the loop).
+Scale path: LSH bucketing via random-hyperplane signs so candidate
+generation is an equi-join on a bucket key instead of a cross product.
+
+All arithmetic is done in double after casting the float arrays, with
+sequential left-to-right summation — deterministic and mirrorable by a
+SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def as_double(vec: str | Column) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL when either norm is zero."""
+    d = dot(a, b)
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, d / denom)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The (broadcast) query side crosses the corpus once — a
+    BroadcastNestedLoopJoin scanning the corpus a single time for ALL
+    queries, then a per-query top-k window. Self-matches excluded.
+    Deterministic tie-break on neighbor id.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), as_double(vec_col).alias("_qv")
+        )
+    )
+    c = embeddings.select(F.col(id_col), as_double(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("_rn").alias("rank"))
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: sign-bit string of dot products against fixed
+    hyperplanes. With p planes, keys land in 2^p buckets — candidate
+    search joins on the bucket key (equi-join) instead of crossing."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's hyperplane
+    bucket are scored. Recall grows with fewer planes / multiple tables;
+    this single-table variant is the scale skeleton."""
+    from pyspark.sql import Window
+
+    c = embeddings.select(
+        F.col(id_col),
+        as_double(vec_col).alias("_cv"),
+    ).withColumn("_bucket", hyperplane_bucket(F.col("_cv"), planes))
+    q = queries.select(
+        F.col(query_id_col),
+        as_double(vec_col).alias("_qv"),
+    ).withColumn("_bucket", hyperplane_bucket(F.col("_qv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("_rn").alias("rank"))
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Scale posture: everything here is built-in-expression only (regexp /
+split / aggregate — JVM-side, whole-stage codegen); no Python UDFs in
+any hot path. All transforms are deterministic so a DuckDB oracle can
+mirror them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny deterministic stopword lists for the language-ID heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "por", "que", "con"],
+}
+
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text_col: str | Column) -> Column:
+    """Whitespace token count; empty/blank text → 0."""
+    return F.size(tokens(text_col))
+
+
+def char_count(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.length(c)
+
+
+def punct_ratio(text_col: str | Column) -> Column:
+    """Fraction of characters in a fixed punctuation class; 0 for empty."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.length(c)
+    n_punct = n - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text_col: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are in the language's stopword list."""
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Composite heuristic quality score in [0, 1]:
+    mean of (length component, 1 - punct ratio, stopword component).
+    Deterministic arithmetic → oracle-mirrorable."""
+    n = char_count(text_col)
+    len_component = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_component = 1.0 - punct_ratio(text_col)
+    sw_component = F.least(stopword_ratio(text_col, "en") * 5.0, F.lit(1.0))
+    return (len_component + punct_component + sw_component) / 3.0
+
+
+def lang_scores(text_col: str | Column) -> list[Column]:
+    """Per-language stopword-hit fraction columns (``score_{lang}``)."""
+    return [
+        stopword_ratio(text_col, lang).alias(f"score_{lang}")
+        for lang in LANG_STOPWORDS
+    ]
+
+
+def lang_id(text_col: str | Column) -> Column:
+    """Argmax-language over the stopword-ratio scores; ties break by
+    language-code order; all-zero → 'und' (undetermined)."""
+    pairs = [
+        F.struct(stopword_ratio(text_col, lang).alias("s"), F.lit(lang).alias("l"))
+        for lang in sorted(LANG_STOPWORDS)
+    ]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (The cheap exact-dup key; near-dup fingerprints live in dedup.py.)"""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass per-document text profile (tokens, chars, punct ratio,
+    stopword ratio, quality, language, fingerprint)."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        char_count(text_col).alias("n_chars_measured"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

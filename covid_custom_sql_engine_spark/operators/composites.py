@@ -1,0 +1,189 @@
+"""Composite dataflow operators (SURVEY §2.2, A1-A20).
+
+The reference app hand-rolls these in Python loops over column lists;
+each is re-expressed here as a single declarative Spark idiom. These are
+first-class engine capabilities, not app code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def latest_per_group(df: DataFrame, key: str, metrics: Sequence[str]) -> DataFrame:
+    """A3 — latest (max) value per group for many metrics in ONE pass.
+
+    Reference builds ``LATEST_TBL`` with one groupby per metric
+    (app.py:129-158, 303-337); Spark does all metrics in a single hash
+    aggregate, sorted by group key (app sorts countries).
+    """
+    return (
+        df.groupBy(key)
+        .agg(*[F.max(m).alias(m) for m in metrics])
+        .orderBy(key)
+    )
+
+
+def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
+    """A4 — ``sorted(list(set(col)))`` (app.py:143, 225, 324)."""
+    return df.select(col).distinct().orderBy(col)
+
+
+def argmax_latest(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    require_not_null: Sequence[str] = (),
+) -> DataFrame:
+    """A8/A9 — per-group row with the max ``order_col``.
+
+    Reference scans forward keeping the max-date row with non-null data
+    (app.py:712-729) / reverse-scan first-hit (app.py:812-828) — both
+    collapse to one window idiom: row_number over desc order, keep rank 1.
+    ``tiebreak`` makes the choice deterministic when order_col ties.
+    """
+    out = df
+    if require_not_null:
+        cond = None
+        for c in require_not_null:
+            cur = F.col(c).isNotNull()
+            cond = cur if cond is None else (cond | cur)
+        out = out.filter(cond)
+    w = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc_nulls_last(), F.col(tiebreak).desc()
+    )
+    return out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def pivot_wide(
+    df: DataFrame,
+    index: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    metric: str,
+    agg: str = "max",
+) -> DataFrame:
+    """A10 — long→wide pivot with max tie-break.
+
+    Reference builds ``{date: {country: value}}`` row-by-row with max
+    tie-break (app.py:1013-1024, 1123-1133). Passing explicit
+    ``pivot_values`` avoids the extra distinct-collection job — at scale,
+    an unbounded pivot is a driver-side collect; bound it.
+    """
+    agg_expr = {"max": F.max, "sum": F.sum, "avg": F.avg}[agg](metric)
+    return df.groupBy(index).pivot(pivot_col, list(pivot_values)).agg(agg_expr)
+
+
+def locf(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    out_col: str | None = None,
+    initial: float | None = 0.0,
+) -> DataFrame:
+    """A11 — forward fill / last-observation-carried-forward.
+
+    Reference carries ``last_val`` across sorted dates, starting at 0
+    (app.py:1038-1046). Spark: ``last(ignorenulls)`` over an unbounded
+    preceding window per group. This is a single sort-within-partition —
+    no extra shuffle beyond partitioning by key.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last(value_col, ignorenulls=True).over(w)
+    if initial is not None:
+        filled = F.coalesce(filled, F.lit(initial))
+    return df.withColumn(out_col or f"{value_col}_filled", filled)
+
+
+def rolling_avg(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+    window_rows: int = 7,
+    out_col: str | None = None,
+) -> DataFrame:
+    """A19 — trailing k-row rolling mean (the OWID 7-day smoothing).
+
+    ``avg over rowsBetween(-(k-1), 0)`` partitioned by series key
+    (SURVEY A19 mapping).
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.withColumn(out_col or f"{value_col}_smoothed", F.avg(value_col).over(w))
+
+
+def stat_summary(df: DataFrame, metrics: Sequence[str]) -> DataFrame:
+    """A14 — multi-metric 7-fn statistical summary, one row per metric.
+
+    Reference loops metrics × {count,sum,avg,min,max,median,std}
+    (app.py:1343-1379). Here: one global aggregate computing all
+    metric×fn cells, then an unpivot to the display shape (metric rows).
+    The aggregate is a single pass; the unpivot is free (no shuffle).
+    """
+    from covid_custom_sql_engine_spark.operators.core import _agg_exprs
+
+    exprs: list[Column] = []
+    for m in metrics:
+        exprs.extend(_agg_exprs(m, ("count", "sum", "avg", "min", "max", "median", "std")))
+    wide = df.agg(*exprs)
+    structs = [
+        F.struct(
+            F.lit(m).alias("metric"),
+            *[F.col(f"{fn}_{m}").cast("double").alias(fn) for fn in ("count", "sum", "avg", "min", "max", "median", "std")],
+        )
+        for m in metrics
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def rename_pretty(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """A15 — display-name projection (app.py:160-167)."""
+    return df.select([F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
+def lagged_corr_best(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int,
+    min_pairs: int = 3,
+) -> DataFrame:
+    """A20 — best-lag correlation search (the implied vaccination-effect
+    analysis; primitive at dataframe.py:250-273, names at app.py:63-69).
+
+    For each lag k in [0, max_lag]: corr(x, y lagged k rows within each
+    key series), with the reference's safe-corr guards. Returns one row
+    per lag with the pair count and correlation; callers pick the argmax.
+    All lags compute in one pass over a single window sort.
+    """
+    w = Window.partitionBy(key).orderBy(order_col)
+    lagged = df.select(
+        F.col(x_col),
+        *[F.lag(y_col, k).over(w).alias(f"_y_lag_{k}") for k in range(max_lag + 1)],
+    )
+    rows = []
+    for k in range(max_lag + 1):
+        yk = F.col(f"_y_lag_{k}")
+        pairs = F.count(F.when(F.col(x_col).isNotNull() & yk.isNotNull(), 1))
+        raw = F.corr(F.col(x_col), yk)
+        corr = F.when(pairs < min_pairs, F.lit(None)).otherwise(
+            F.coalesce(F.nanvl(raw, F.lit(0.0)), F.lit(0.0))
+        )
+        rows.append(
+            F.struct(F.lit(k).alias("lag"), pairs.alias("n_pairs"), corr.alias("corr"))
+        )
+    return lagged.agg(F.array(*rows).alias("a")).select(F.explode("a").alias("s")).select("s.*")

@@ -1,0 +1,93 @@
+"""Extended join family beyond the reference (SURVEY §7 phase 3).
+
+The reference implements inner/left hash join only (dataframe.py:214-248).
+A complete engine needs semi/anti (built-in join types), plus as-of and
+range joins, which Spark lacks as primitives — implemented here as
+shuffle-friendly compositions (no cartesian products, no driver loops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` (backward) within the same ``key``.
+
+    Scale design: instead of an O(n·m) inequality join, union both sides
+    tagged, sort within each key partition by time, and carry the last
+    right values forward with ``last(ignorenulls)`` — one shuffle on
+    ``key``, one window sort, linear in n+m. This is the merge-scan
+    formulation of as-of used by time-series engines, expressed with
+    Spark windows so Catalyst/Tungsten execute it.
+
+    Ties (right_ts == left_ts) match, right rows sort first at equal
+    timestamps (side ordering 0 < 1).
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_tagged.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "_side",
+        "_lrow",
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"r_{c}") for c in value_cols],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"r_{c}") for c in value_cols],
+    )
+
+
+def range_join(
+    events: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    range_start: str,
+    range_end: str,
+    broadcast_ranges: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval) join: event point ∈ [start, end).
+
+    With a small ranges side, broadcast turns this into a
+    BroadcastNestedLoopJoin with the band predicate evaluated in codegen
+    — no shuffle at all. For two large sides, pre-bucket both on a
+    time-bucket key first (bucketed variant in streaming/windows.py keeps
+    the same semantics with an equi-join on the bucket).
+    """
+    r = F.broadcast(ranges) if broadcast_ranges else ranges
+    cond = (F.col(point_col) >= F.col(range_start)) & (F.col(point_col) < F.col(range_end))
+    return events.join(r, cond, how)

@@ -1,0 +1,15 @@
+from covid_custom_sql_engine_spark.streaming.windows import (
+    tumbling_counts,
+    sliding_counts,
+    session_windows,
+    stream_events,
+    dedup_within_watermark,
+)
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "session_windows",
+    "stream_events",
+    "dedup_within_watermark",
+]

@@ -1,0 +1,88 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference has no streaming (SURVEY §2.3); this is the
+beyond-reference scope. Every builder takes a DataFrame so the SAME
+transformation runs in batch mode (for the DuckDB oracle, where
+expressible) and in streaming mode (``readStream`` + watermark, tested
+with an availableNow file stream in tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (availableNow-friendly)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+) -> DataFrame:
+    """Tumbling event-time windows per event_type: count + sum(value).
+
+    In streaming mode the watermark bounds state: windows older than the
+    watermark close and evict. Window boundaries are epoch-aligned.
+    """
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+) -> DataFrame:
+    """Sliding windows — each event lands in window/slide buckets."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "15 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+) -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events are within ``gap``. Batch mode runs the same expression."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
