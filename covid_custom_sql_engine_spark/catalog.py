@@ -35,8 +35,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan — Catalyst pushes filters/pruning into it."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Lazy parquet scan — Catalyst pushes filters/pruning into it.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet; Spark reads it as
+    long (``spark.sql.legacy.parquet.nanosAsLong``) and we floor-divide
+    to microseconds — the same truncation DuckDB applies, so both
+    engines see identical timestamps.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -73,14 +73,25 @@ def pivot_wide(
     ``pivot_values`` avoids the extra distinct-collection job — at scale,
     an unbounded pivot is a driver-side collect; bound it.
     """
-    agg_expr = {"max": F.max, "sum": F.sum, "avg": F.avg}[agg](metric)
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    agg_expr = {
+        "max": F.max,
+        "sum": F.sum,
+        "avg": F.avg,
+        "sum_det": lambda c: dsum(F.col(c)),  # order-independent sum
+    }[agg](metric)
     return df.groupBy(index).pivot(pivot_col, list(pivot_values)).agg(agg_expr)
+
+
+def _order_cols(order_col: str | Sequence[str]) -> list[str]:
+    return [order_col] if isinstance(order_col, str) else list(order_col)
 
 
 def locf(
     df: DataFrame,
     key: str,
-    order_col: str,
+    order_col: str | Sequence[str],
     value_col: str,
     out_col: str | None = None,
     initial: float | None = 0.0,
@@ -90,11 +101,12 @@ def locf(
     Reference carries ``last_val`` across sorted dates, starting at 0
     (app.py:1038-1046). Spark: ``last(ignorenulls)`` over an unbounded
     preceding window per group. This is a single sort-within-partition —
-    no extra shuffle beyond partitioning by key.
+    no extra shuffle beyond partitioning by key. Pass multiple order
+    columns to make the fill deterministic under timestamp ties.
     """
     w = (
         Window.partitionBy(key)
-        .orderBy(order_col)
+        .orderBy(*_order_cols(order_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = F.last(value_col, ignorenulls=True).over(w)
@@ -106,7 +118,7 @@ def locf(
 def rolling_avg(
     df: DataFrame,
     key: str,
-    order_col: str,
+    order_col: str | Sequence[str],
     value_col: str,
     window_rows: int = 7,
     out_col: str | None = None,
@@ -118,13 +130,13 @@ def rolling_avg(
     """
     w = (
         Window.partitionBy(key)
-        .orderBy(order_col)
+        .orderBy(*_order_cols(order_col))
         .rowsBetween(-(window_rows - 1), 0)
     )
     return df.withColumn(out_col or f"{value_col}_smoothed", F.avg(value_col).over(w))
 
 
-def stat_summary(df: DataFrame, metrics: Sequence[str]) -> DataFrame:
+def stat_summary(df: DataFrame, metrics: Sequence[str], deterministic: bool = False) -> DataFrame:
     """A14 — multi-metric 7-fn statistical summary, one row per metric.
 
     Reference loops metrics × {count,sum,avg,min,max,median,std}
@@ -136,7 +148,9 @@ def stat_summary(df: DataFrame, metrics: Sequence[str]) -> DataFrame:
 
     exprs: list[Column] = []
     for m in metrics:
-        exprs.extend(_agg_exprs(m, ("count", "sum", "avg", "min", "max", "median", "std")))
+        exprs.extend(
+            _agg_exprs(m, ("count", "sum", "avg", "min", "max", "median", "std"), deterministic)
+        )
     wide = df.agg(*exprs)
     structs = [
         F.struct(
@@ -156,7 +170,7 @@ def rename_pretty(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
 def lagged_corr_best(
     df: DataFrame,
     key: str,
-    order_col: str,
+    order_col: str | Sequence[str],
     x_col: str,
     y_col: str,
     max_lag: int,
@@ -165,25 +179,27 @@ def lagged_corr_best(
     """A20 — best-lag correlation search (the implied vaccination-effect
     analysis; primitive at dataframe.py:250-273, names at app.py:63-69).
 
-    For each lag k in [0, max_lag]: corr(x, y lagged k rows within each
-    key series), with the reference's safe-corr guards. Returns one row
-    per lag with the pair count and correlation; callers pick the argmax.
-    All lags compute in one pass over a single window sort.
+    For each lag k in [0, max_lag]: safe-corr(x, y lagged k rows within
+    each key series) with the reference's guards (min-pairs → NULL, zero
+    denominator → 0.0), deterministic fixed-point sums. Returns one row
+    per lag; callers pick the argmax. All lags compute in one pass over
+    a single window sort.
     """
-    w = Window.partitionBy(key).orderBy(order_col)
+    from covid_custom_sql_engine_spark.operators.core import det_corr_exprs
+
+    w = Window.partitionBy(key).orderBy(*_order_cols(order_col))
     lagged = df.select(
         F.col(x_col),
         *[F.lag(y_col, k).over(w).alias(f"_y_lag_{k}") for k in range(max_lag + 1)],
     )
     rows = []
     for k in range(max_lag + 1):
-        yk = F.col(f"_y_lag_{k}")
-        pairs = F.count(F.when(F.col(x_col).isNotNull() & yk.isNotNull(), 1))
-        raw = F.corr(F.col(x_col), yk)
-        corr = F.when(pairs < min_pairs, F.lit(None)).otherwise(
-            F.coalesce(F.nanvl(raw, F.lit(0.0)), F.lit(0.0))
-        )
+        n, corr = det_corr_exprs(F.col(x_col), F.col(f"_y_lag_{k}"), min_pairs)
         rows.append(
-            F.struct(F.lit(k).alias("lag"), pairs.alias("n_pairs"), corr.alias("corr"))
+            F.struct(
+                F.lit(k).alias("lag"),
+                n.alias("n_pairs"),
+                F.round(corr, 6).alias("corr"),
+            )
         )
     return lagged.agg(F.array(*rows).alias("a")).select(F.explode("a").alias("s")).select("s.*")

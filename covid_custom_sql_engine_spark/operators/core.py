@@ -193,6 +193,26 @@ def ref_join(
     return left.join(r, F.col(lk) == F.col(f"r_{rk}"), how)
 
 
+def det_corr_exprs(x: Column, y: Column, min_pairs: int = 3) -> tuple[Column, Column]:
+    """(n_pairs, corr) aggregate expressions: pairwise-complete Pearson r
+    via the reference's computational formula (dataframe.py:261-271) with
+    deterministic fixed-point sums. Reusable for plain and lagged corr."""
+    both = x.isNotNull() & y.isNotNull()
+    xx, yy = F.when(both, x), F.when(both, y)
+    n = F.count(xx)
+    sx, sy = dsum(xx), dsum(yy)
+    sxx, syy, sxy = dsum(xx * xx), dsum(yy * yy), dsum(xx * yy)
+    num = n * sxy - sx * sy
+    dx = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+    dy = F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0)))
+    denom = dx * dy
+    corr = (
+        F.when(n < min_pairs, F.lit(None))
+        .otherwise(F.when(denom == 0, F.lit(0.0)).otherwise(num / denom))
+    )
+    return n, corr
+
+
 def safe_corr(df: DataFrame, col1: str, col2: str, min_pairs: int = 3) -> DataFrame:
     """Pairwise-complete Pearson correlation with reference guards.
 
@@ -206,19 +226,5 @@ def safe_corr(df: DataFrame, col1: str, col2: str, min_pairs: int = 3) -> DataFr
     bit-identical across partitionings and engines. One-row result,
     column ``corr``.
     """
-    x0, y0 = F.col(col1), F.col(col2)
-    both = x0.isNotNull() & y0.isNotNull()
-    x, y = F.when(both, x0), F.when(both, y0)
-    n = F.count(x)
-    sx, sy = dsum(x), dsum(y)
-    sxx, syy, sxy = dsum(x * x), dsum(y * y), dsum(x * y)
-    num = n * sxy - sx * sy
-    dx = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
-    dy = F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0)))
-    denom = dx * dy
-    corr = (
-        F.when(n < min_pairs, F.lit(None))
-        .otherwise(F.when(denom == 0, F.lit(0.0)).otherwise(num / denom))
-        .alias("corr")
-    )
-    return df.agg(corr)
+    _, corr = det_corr_exprs(F.col(col1), F.col(col2), min_pairs)
+    return df.agg(corr.alias("corr"))

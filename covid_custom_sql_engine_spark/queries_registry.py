@@ -62,6 +62,28 @@ def _sql_dstd(x: str) -> str:
     return f"(CASE WHEN {n} < 2 THEN NULL ELSE round(sqrt(greatest({var}, 0.0)), 6) END)"
 
 
+def _sql_safe_corr(x: str, y: str, min_pairs: int = 3) -> str:
+    """Reference safe-corr (dataframe.py:250-273) as a SQL aggregate
+    expression: pairwise-complete, min-pairs → NULL, zero denom → 0.0."""
+    mx = f"(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS NOT NULL THEN ({x}) END)"
+    my = f"(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS NOT NULL THEN ({y}) END)"
+    n = f"count({mx})"
+    sx, sy = _sql_dsum(mx), _sql_dsum(my)
+    sxx, syy, sxy = (
+        _sql_dsum(f"{mx} * {mx}"),
+        _sql_dsum(f"{my} * {my}"),
+        _sql_dsum(f"{mx} * {my}"),
+    )
+    dx = f"sqrt(greatest({n} * {sxx} - {sx} * {sx}, 0.0))"
+    dy = f"sqrt(greatest({n} * {syy} - {sy} * {sy}, 0.0))"
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    return (
+        f"(CASE WHEN {n} < {min_pairs} THEN NULL"
+        f" WHEN ({dx} * {dy}) = 0 THEN 0.0"
+        f" ELSE {num} / ({dx} * {dy}) END)"
+    )
+
+
 def _sql_ref7(x: str) -> str:
     """The reference 7-fn aggregate block with {fn}_{col} aliases."""
     return f"""
@@ -202,27 +224,10 @@ def join_ref_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("c_custkey", "c_name", "r_n_name", "r_n_regionkey")
 
 
-_CORR_X = "(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN l_quantity END)"
-_CORR_Y = "(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN l_extendedprice END)"
-
-
 @query(
     "safe_corr_qty_price",
     oracle=f"""
-    SELECT CASE
-             WHEN count({_CORR_X}) < 3 THEN NULL
-             WHEN (sqrt(greatest(count({_CORR_X}) * {_sql_dsum(_CORR_X + '*' + _CORR_X)}
-                                 - {_sql_dsum(_CORR_X)} * {_sql_dsum(_CORR_X)}, 0.0))
-                   * sqrt(greatest(count({_CORR_Y}) * {_sql_dsum(_CORR_Y + '*' + _CORR_Y)}
-                                   - {_sql_dsum(_CORR_Y)} * {_sql_dsum(_CORR_Y)}, 0.0))) = 0
-               THEN 0.0
-             ELSE (count({_CORR_X}) * {_sql_dsum(_CORR_X + '*' + _CORR_Y)}
-                   - {_sql_dsum(_CORR_X)} * {_sql_dsum(_CORR_Y)})
-                  / (sqrt(greatest(count({_CORR_X}) * {_sql_dsum(_CORR_X + '*' + _CORR_X)}
-                                   - {_sql_dsum(_CORR_X)} * {_sql_dsum(_CORR_X)}, 0.0))
-                     * sqrt(greatest(count({_CORR_Y}) * {_sql_dsum(_CORR_Y + '*' + _CORR_Y)}
-                                     - {_sql_dsum(_CORR_Y)} * {_sql_dsum(_CORR_Y)}, 0.0)))
-           END AS corr
+    SELECT {_sql_safe_corr('l_quantity', 'l_extendedprice')} AS corr
     FROM lineitem
     """,
 )
@@ -365,3 +370,328 @@ def minmax_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 composites, continued
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_wide",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {_sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: long→wide pivot (app.py:1013-1024) with explicit pivot values
+    (unbounded pivot = a driver-side distinct collect; bound it at scale)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = comp.pivot_wide(l, "l_returnflag", "l_linestatus", ["O", "F"], "l_quantity", agg="sum_det")
+    return out.select("l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
+
+
+@query(
+    "locf_fill",
+    oracle="""
+    SELECT event_id,
+           coalesce(
+             last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             0.0) AS value_filled
+    FROM events
+    """,
+)
+def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: forward-fill / LOCF with initial 0 (app.py:1038-1046) — the
+    reference's only window-shaped computation. Nulls are synthesized by
+    blanking 'click' values so the fill path is actually exercised."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "_v", F.when(F.col("event_type") == "click", F.lit(None)).otherwise(F.col("value"))
+    )
+    out = comp.locf(e, "user_id", ["ts", "event_id"], "_v", out_col="value_filled")
+    return out.select("event_id", "value_filled")
+
+
+@query(
+    "rolling_avg_7",
+    oracle="""
+    SELECT event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS value_smoothed
+    FROM events
+    """,
+)
+def rolling_avg_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: trailing 7-row rolling mean (the OWID smoothing, derived)."""
+    e = load_table(spark, sf_dir, "events")
+    out = comp.rolling_avg(e, "user_id", ["ts", "event_id"], "value", 7, out_col="value_smoothed")
+    return out.select("event_id", F.round("value_smoothed", 6).alias("value_smoothed"))
+
+
+@query(
+    "stat_summary",
+    oracle=f"""
+    SELECT 'l_quantity' AS metric, CAST(count(*) AS DOUBLE) AS count,
+           {_sql_dsum('l_quantity')} AS sum, {_sql_davg('l_quantity')} AS avg,
+           min(l_quantity) AS min, max(l_quantity) AS max,
+           median(l_quantity) AS median, {_sql_dstd('l_quantity')} AS std
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS DOUBLE),
+           {_sql_dsum('l_extendedprice')}, {_sql_davg('l_extendedprice')},
+           min(l_extendedprice), max(l_extendedprice),
+           median(l_extendedprice), {_sql_dstd('l_extendedprice')}
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(count(*) AS DOUBLE),
+           {_sql_dsum('l_discount')}, {_sql_davg('l_discount')},
+           min(l_discount), max(l_discount),
+           median(l_discount), {_sql_dstd('l_discount')}
+    FROM lineitem
+    """,
+)
+def stat_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: multi-metric 7-fn statistical summary, one aggregation pass
+    then unpivot (app.py:1343-1379 loops metrics)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return comp.stat_summary(
+        l, ["l_quantity", "l_extendedprice", "l_discount"], deterministic=True
+    )
+
+
+@query(
+    "rename_pretty",
+    oracle="""
+    SELECT n_nationkey AS nation_key, n_name AS nation_name, n_regionkey AS region_key
+    FROM nation
+    """,
+)
+def rename_pretty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: display-name projection (PRETTY map, app.py:160-167)."""
+    n = load_table(spark, sf_dir, "nation")
+    return comp.rename_pretty(
+        n,
+        {"n_nationkey": "nation_key", "n_name": "nation_name", "n_regionkey": "region_key"},
+    )
+
+
+def _sql_lag_corr(k: int) -> str:
+    return f"""
+    SELECT {k} AS lag,
+           count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n_pairs,
+           round({_sql_safe_corr('x', 'y')}, 6) AS corr
+    FROM (SELECT value AS x,
+                 lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+          FROM events)"""
+
+
+@query(
+    "lagged_corr_best",
+    oracle=" UNION ALL ".join(_sql_lag_corr(k) for k in range(6)),
+)
+def lagged_corr_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: best-lag correlation search over per-user series (the implied
+    lagged vaccination-effect analysis; corr primitive dataframe.py:250-273)."""
+    e = load_table(spark, sf_dir, "events")
+    return comp.lagged_corr_best(e, "user_id", ["ts", "event_id"], "value", "value", max_lag=5)
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — extended join family / set ops / multi-dim aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = EXISTS (out-of-reference-scope join family)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "setop_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) set semantics."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)
+
+
+@query(
+    "rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {_sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (out-of-reference multi-dim aggregate)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        ops.dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {_sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE cross-totals."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        ops.dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer total — general window-function surface."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    SELECT l.event_id,
+           r.value AS r_value,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS r_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each click matched to the user's latest
+    prior purchase. Merge-scan formulation (union + window carry-forward)
+    — linear, one shuffle on the key, no inequality join blow-up."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    out = xjoins.asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts", "value"],
+    )
+    return out.select(
+        "event_id",
+        F.col("r_value"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("r_ts"),
+    )
+
+
+@query(
+    "range_join_bands",
+    oracle="""
+    SELECT e.event_id, b.band
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1e12))
+         AS b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: point-in-band, broadcast nested-loop with the
+    band predicate in codegen (small ranges side)."""
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    out = xjoins.range_join(e, bands, "value", "lo", "hi")
+    return out.select("event_id", "band")

@@ -36,6 +36,9 @@ def get_spark(app_name: str = "covid_custom_sql_engine_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
+        # convert in the catalog (Spark has no nanos timestamp type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
