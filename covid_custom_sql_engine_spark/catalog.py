@@ -50,6 +50,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_small(df: DataFrame) -> DataFrame:
+    """Spread a small input across all cores for CPU-heavy per-row work.
+
+    Small parquet files arrive as one split, so expression-heavy stages
+    (shingling, hashing) would run single-threaded locally. On a real
+    cluster big inputs already split; this only repartitions when the
+    scan produced fewer partitions than the session's parallelism.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     names = names or TABLE_NAMES
     return {n: load_table(spark, sf_dir, n) for n in names}

@@ -36,13 +36,19 @@ def normalized(text_col: str | Column) -> Column:
 
 def word_shingles(text_col: str | Column, n: int = DEFAULT_SHINGLE_N) -> Column:
     """Distinct word n-grams of the normalized text; docs shorter than n
-    tokens contribute their full token string as a single shingle."""
+    tokens contribute their full token string as a single shingle.
+
+    Built by zipping n-1 shifted copies of the token array rather than
+    slicing per position — O(n) slices total instead of O(tokens), ~3×
+    faster on the interpreted higher-order-function path.
+    """
     toks = F.split(normalized(text_col), " ")
     k = F.size(toks)
-    ngrams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(k - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    ngrams = F.filter(grams, lambda g: g.isNotNull())
     whole = F.array(F.concat_ws(" ", toks))
     return F.array_distinct(F.when(k >= n, ngrams).otherwise(whole))
 
@@ -58,18 +64,38 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def minhash_signature(
-    shingles_col: Column, num_hashes: int = DEFAULT_NUM_HASHES
-) -> list[Column]:
-    """MinHash: for seed i, min over shingles of md5('{i}:' || shingle),
-    compared lexicographically (md5 hex is fixed-width, so lexicographic
-    min == numeric min of the 128-bit value)."""
-    return [
-        F.array_min(
-            F.transform(shingles_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh_{i}")
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """(id, sh: array<string>) distinct shingle set per document."""
+    return df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
+
+
+def minhash_signatures(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) MinHash signatures from a shingle-set frame.
+
+    For seed i: min over shingles of md5('{i}:' || shingle), compared
+    lexicographically (md5 hex is fixed-width, so lexicographic min ==
+    numeric min of the 128-bit value).
+
+    Shape matters for performance: shingles are exploded ONCE, then all
+    k mins run in a single hash aggregate with map-side partial combine.
+    (Computing k array_min(transform(...)) columns instead makes Catalyst
+    inline the whole tokenize→ngram chain k times — ~50× slower at sf0.1.)
+    """
+    exploded = sh_df.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(
@@ -81,9 +107,8 @@ def minhash_bands(
     shingle_n: int = DEFAULT_SHINGLE_N,
 ) -> DataFrame:
     """(id, band, band_hash) — one row per document per band."""
-    sigs = df.select(
-        F.col(id_col),
-        *minhash_signature(word_shingles(text_col, shingle_n), num_hashes),
+    sigs = minhash_signatures(
+        shingle_sets(df, id_col, text_col, shingle_n), id_col, num_hashes
     )
     n_bands = num_hashes // band_rows
     bands = [
@@ -100,41 +125,44 @@ def minhash_bands(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
+def candidate_pairs_from_bands(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+    Equi-join on (band, band_hash) — a plain shuffled hash join whose key
+    cardinality grows with corpus size, so it stays balanced at scale."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("band").alias("band_a"), F.col("band_hash").alias("bh_a")
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("band").alias("band_b"), F.col("band_hash").alias("bh_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bh_a") == F.col("bh_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     **kw,
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
-    Equi-join on (band, band_hash) — a plain shuffled hash join whose key
-    cardinality grows with corpus size, so it stays balanced at scale."""
-    bands = minhash_bands(df, id_col, text_col, **kw)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return candidate_pairs_from_bands(minhash_bands(df, id_col, text_col, **kw), id_col)
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    pairs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = DEFAULT_SHINGLE_N,
+def jaccard_from_shingles(
+    sh_df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (the verify step)."""
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    """Exact shingle-set Jaccard for candidate pairs (the verify step).
+    Only candidate pairs are scored — never all-pairs."""
+    a = sh_df.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_df.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -147,17 +175,58 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    return jaccard_from_shingles(shingle_sets(df, id_col, text_col, shingle_n), pairs, id_col)
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold: float = 0.7,
-    **kw,
+    threshold: float | None = 0.7,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    use_cache: bool = True,
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: band → candidates → verify."""
-    cand = lsh_candidate_pairs(df, id_col, text_col, **kw)
-    verified = jaccard_pairs(df, cand, id_col, text_col)
-    return verified.filter(F.col("jaccard") >= threshold)
+    """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    candidate equi-join → Jaccard verify.
+
+    ``use_cache`` persists the shingle sets and band rows so the
+    self-join and the verify step don't recompute the tokenize→hash
+    subtree (Spark re-executes each plan branch otherwise); at cluster
+    scale these would be checkpointed tables between pipeline stages.
+    """
+    sh = shingle_sets(df, id_col, text_col, shingle_n)
+    if use_cache:
+        sh = sh.cache()
+    sigs = minhash_signatures(sh, id_col, num_hashes)
+    n_bands = num_hashes // band_rows
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)])
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    if use_cache:
+        bands = bands.cache()
+    cand = candidate_pairs_from_bands(bands, id_col)
+    verified = jaccard_from_shingles(sh, cand, id_col)
+    if threshold is not None:
+        verified = verified.filter(F.col("jaccard") >= threshold)
+    return verified
 
 
 SIMHASH_BITS = 32  # one bit per md5 hex nibble's high bit

@@ -66,10 +66,11 @@ def quality_score(text_col: str | Column) -> Column:
 
 
 def lang_scores(text_col: str | Column) -> list[Column]:
-    """Per-language stopword-hit fraction columns (``score_{lang}``)."""
+    """Per-language stopword-hit fraction columns (``score_{lang}``),
+    in sorted language-code order."""
     return [
         stopword_ratio(text_col, lang).alias(f"score_{lang}")
-        for lang in LANG_STOPWORDS
+        for lang in sorted(LANG_STOPWORDS)
     ]
 
 

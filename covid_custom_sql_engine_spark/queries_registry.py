@@ -17,7 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from covid_custom_sql_engine_spark.catalog import load_table
+from covid_custom_sql_engine_spark.catalog import load_table, parallelize_small
 from covid_custom_sql_engine_spark.operators import core as ops
 from covid_custom_sql_engine_spark.operators import composites as comp
 from covid_custom_sql_engine_spark.operators import joins as xjoins
@@ -272,7 +272,7 @@ def sort_nulls_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_v", F.when(F.col("o_orderstatus") == "O", F.lit(None)).otherwise(F.col("o_totalprice"))
     )
     w = Window.orderBy(F.col("_v").asc_nulls_last(), F.col("o_orderkey").asc())
-    return o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+    return o.select("o_orderkey", F.row_number().over(w).cast("bigint").alias("rn"))
 
 
 # ---------------------------------------------------------------------------
@@ -695,3 +695,368 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = xjoins.range_join(e, bands, "value", "lo", "hi")
     return out.select("event_id", "band")
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_SQL_SW_EN = "['the','and','of','to','in','is','that','it','for','was']"
+
+
+@query(
+    "text_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks, length(text) AS n FROM documents),
+    m AS (
+      SELECT doc_id, n,
+             len(toks) AS n_tokens,
+             (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS n_punct,
+             len(list_filter(toks, t -> list_contains({_SQL_SW_EN}, t))) AS n_sw,
+             md5({_SQL_NORM}) AS fp
+      FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n AS BIGINT) AS n_chars_measured,
+           CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN n_sw / n_tokens ELSE 0.0 END AS stopword_ratio,
+           (least(n / 500.0, 1.0)
+            + (1.0 - CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END)
+            + least((CASE WHEN n_tokens > 0 THEN n_sw / n_tokens ELSE 0.0 END) * 5.0, 1.0)
+           ) / 3.0 AS quality,
+           fp
+    FROM m
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality profile: token/char counts, punctuation ratio,
+    stopword ratio, composite quality score, exact-dup fingerprint —
+    all built-in expressions (codegen), zero Python in the hot path."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    out = tx.text_profile(d)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars_measured").cast("bigint").alias("n_chars_measured"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "fp",
+    )
+
+
+_SQL_LANG_SCORES = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit','sich','auf']",
+    "en": _SQL_SW_EN,
+    "es": "['el','la','los','y','es','no','una','por','que','con']",
+    "fr": "['le','la','les','et','est','pas','une','pour','que','dans']",
+}
+_SQL_LANG_CTE = ", ".join(
+    f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains({lst}, t))) / len(toks) ELSE 0.0 END AS s_{lang}"
+    for lang, lst in _SQL_LANG_SCORES.items()
+)
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {_SQL_LANG_CTE} FROM t)
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+                WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+                WHEN s_en >= s_de THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           s_de AS score_de, s_en AS score_en, s_es AS score_es, s_fr AS score_fr
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: per-language stopword hit
+    ratio, argmax wins (ties → lexicographically last code), all-zero →
+    'und'. Pure expression — langid at 100 TB is a codegen'd map stage."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        tx.lang_id("text").alias("lang_pred"),
+        *[s.alias(f"score_{lang}") for s, lang in zip(tx.lang_scores("text"), sorted(tx.LANG_STOPWORDS))],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — deduplication over `documents`
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id + 1000000, text FROM documents)
+    SELECT md5({_SQL_NORM}) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM u GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via fingerprint hash-groupBy (min-id representative).
+    Input is the corpus unioned with a shifted copy of itself so the
+    dup-collapse path actually collapses (testdata texts are unique)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return dd.exact_dedup(doubled)
+
+
+def _sql_minhash_cte() -> str:
+    """Shared CTE chain: tokens → shingles → 12 minhashes → 4 bands."""
+    mh = ",\n             ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh_{i}"
+        for i in range(12)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh_{3*b} || mh_{3*b+1} || mh_{3*b+2}) AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(0, len(toks) - 2),
+                                        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS sh
+           FROM toks),
+    sigs AS (SELECT doc_id, {mh} FROM sh),
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+    """
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    {_sql_minhash_cte()}
+    SELECT c.id_a, c.id_b,
+           CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+                THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.sh, y.sh)))
+                ELSE 0.0 END AS jaccard
+    FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with exact Jaccard verify.
+
+    Pipeline: word 3-gram shingles → 12 md5-minhashes → 4 bands × 3 rows
+    → equi-join on (band, band_hash) for candidates (never all-pairs) →
+    shingle-set Jaccard on candidates only. All hashes are md5-derived →
+    portable and deterministic."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return dd.minhash_near_dups(d, threshold=None)
+
+
+def _sql_simhash() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(32)
+    )
+    bits = " || ".join(
+        f"CASE WHEN v_{j} > 0 THEN '1' ELSE '0' END" for j in range(32)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents),
+    f AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+    v AS (SELECT doc_id, {votes} FROM f GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash FROM v
+    """
+
+
+@query("simhash", oracle=_sql_simhash())
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprint: 32-bit per-token-md5 majority vote,
+    emitted as a bitstring (hamming distance = simhash distance).
+    One explode + one hash aggregate — shuffle on doc_id only."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return dd.simhash(d)
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-math warm-up: L2 norm via zip_with/aggregate fold (JVM
+    higher-order functions, no UDF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = sim.as_double("embedding")
+    return e.select("vec_id", F.round(F.sqrt(sim.dot(v, v)), 6).alias("norm"))
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id <= 4),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (SELECT query_id, vec_id,
+                      list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+               FROM q CROSS JOIN c WHERE vec_id != query_id)
+    SELECT query_id, vec_id, round(cos, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): broadcast the
+    query set, scan the corpus once for all queries, per-query top-k
+    window. Self-matches excluded, ties break on neighbor id."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(e, q, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — event-time windows (batch form of the streaming builders;
+# the same builders run under readStream+watermark in tests/)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tumbling_window",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {_sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    from covid_custom_sql_engine_spark.streaming import tumbling_counts
+
+    out = tumbling_counts(e, det=True)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "sliding_window",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS w, event_type FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes'), event_type FROM events)
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n_events
+    FROM b GROUP BY 1, 2
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes (each event in 2)."""
+    e = load_table(spark, sf_dir, "events")
+    from covid_custom_sql_engine_spark.streaming import sliding_counts
+
+    out = sliding_counts(e)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@query(
+    "session_window",
+    oracle=f"""
+    WITH o AS (SELECT user_id, ts, value,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+               FROM events),
+    m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '15 minutes' THEN 1 ELSE 0 END AS new_s FROM o),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           user_id, count(*) AS n_events, {_sql_dsum('value')} AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (15-minute inactivity gap): session =
+    [first event, last event + gap). The oracle reproduces gaps-and-
+    islands in SQL; Spark uses the native session_window expression."""
+    e = load_table(spark, sf_dir, "events")
+    from covid_custom_sql_engine_spark.streaming import session_windows
+
+    out = session_windows(e, det=True)
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — UDAF surface + approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udaf_geometric_mean",
+    oracle="""
+    SELECT o_orderpriority,
+           round(exp(avg(ln(o_totalprice))), 6) AS gmean_o_totalprice
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 UDAF surface: arbitrary-callable aggregation as a grouped-agg
+    Pandas UDF (Arrow-batched — the reference's DataFrame.agg(callable),
+    dataframe.py:207-212, distributed)."""
+    from covid_custom_sql_engine_spark.functions.udafs import grouped_geometric_mean
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    out = grouped_geometric_mean(o, "o_orderpriority", "o_totalprice")
+    return out.select(
+        "o_orderpriority", F.round("gmean_o_totalprice", 6).alias("gmean_o_totalprice")
+    )
+
+
+@query("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — approximate by design, so
+    no value oracle (driver records rows-only). The scale path for
+    COUNT(DISTINCT) without a global shuffle of all distinct values."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -18,23 +18,33 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
 
 
+def _sum_value(det: bool):
+    if det:
+        from covid_custom_sql_engine_spark.operators.core import dsum
+
+        return dsum(F.col("value")).alias("sum_value")
+    return F.sum("value").alias("sum_value")
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "10 minutes",
     watermark: str = "30 minutes",
     streaming: bool = False,
+    det: bool = False,
 ) -> DataFrame:
     """Tumbling event-time windows per event_type: count + sum(value).
 
     In streaming mode the watermark bounds state: windows older than the
     watermark close and evict. Window boundaries are epoch-aligned.
+    ``det`` switches to the order-independent fixed-point sum.
     """
     src = events.withWatermark("ts", watermark) if streaming else events
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            _sum_value(det),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -66,13 +76,14 @@ def session_windows(
     gap: str = "15 minutes",
     watermark: str = "30 minutes",
     streaming: bool = False,
+    det: bool = False,
 ) -> DataFrame:
     """Session windows per user: a session extends while consecutive
     events are within ``gap``. Batch mode runs the same expression."""
     src = events.withWatermark("ts", watermark) if streaming else events
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value(det))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),

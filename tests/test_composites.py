@@ -1,0 +1,98 @@
+"""Composite operators (SURVEY §2.2) semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_custom_sql_engine_spark.operators import (
+    argmax_latest,
+    distinct_sorted,
+    lagged_corr_best,
+    latest_per_group,
+    locf,
+    pivot_wide,
+    rolling_avg,
+    stat_summary,
+)
+
+
+def test_locf_fills_gaps_with_initial_zero(spark):
+    # app.py:1038-1046: carry last value, initial 0
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5.0), ("a", 3, None), ("a", 4, 7.0), ("b", 1, None)],
+        "k string, t int, v double",
+    )
+    out = {(r.k, r.t): r.v_filled for r in locf(df, "k", "t", "v").collect()}
+    assert out[("a", 1)] == 0.0  # initial
+    assert out[("a", 3)] == 5.0  # carried
+    assert out[("a", 4)] == 7.0
+    assert out[("b", 1)] == 0.0
+
+
+def test_locf_no_initial(spark):
+    df = spark.createDataFrame([("a", 1, None), ("a", 2, 5.0)], "k string, t int, v double")
+    out = {r.t: r.v_filled for r in locf(df, "k", "t", "v", initial=None).collect()}
+    assert out[1] is None
+
+
+def test_argmax_latest_picks_max_order_col(spark):
+    # app.py:712-729: latest row per group with non-null data
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 3, None), ("a", 2, 20.0), ("b", 1, 5.0)],
+        "k string, t int, v double",
+    )
+    rows = {r.k: r for r in argmax_latest(df, "k", "t", "t", require_not_null=["v"]).collect()}
+    assert rows["a"].t == 2  # t=3 filtered (null v), t=2 wins
+    assert rows["b"].t == 1
+
+
+def test_rolling_avg_trailing_window(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 6)], "k string, t int, v double"
+    )
+    out = {r.t: r.v_smoothed for r in rolling_avg(df, "k", "t", "v", window_rows=3).collect()}
+    assert out[1] == 1.0
+    assert out[2] == 1.5
+    assert out[5] == 4.0  # (3+4+5)/3
+
+
+def test_pivot_wide_max_tiebreak(spark):
+    # app.py:1132-1133: ties broken by max
+    df = spark.createDataFrame(
+        [("d1", "x", 1.0), ("d1", "x", 9.0), ("d1", "y", 2.0)], "d string, c string, v double"
+    )
+    (r,) = pivot_wide(df, "d", "c", ["x", "y"], "v", agg="max").collect()
+    assert r.x == 9.0 and r.y == 2.0
+
+
+def test_latest_per_group_single_pass(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 10.0), ("a", 3.0, 5.0), ("b", 2.0, 2.0)], "k string, m1 double, m2 double"
+    )
+    rows = {r.k: r for r in latest_per_group(df, "k", ["m1", "m2"]).collect()}
+    assert rows["a"].m1 == 3.0 and rows["a"].m2 == 10.0
+
+
+def test_distinct_sorted(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("b",)], "v string")
+    assert [r.v for r in distinct_sorted(df, "v").collect()] == ["a", "b"]
+
+
+def test_lagged_corr_self_lag0_is_one(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i) + (i % 3)) for i in range(1, 20)], "k string, t int, v double"
+    )
+    rows = {r.lag: r for r in lagged_corr_best(df, "k", "t", "v", "v", max_lag=2).collect()}
+    assert rows[0].corr == pytest.approx(1.0)
+    assert rows[0].n_pairs == 19
+    assert rows[1].n_pairs == 18  # one fewer pair per lag step
+
+
+def test_stat_summary_shape(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], "a double, b double")
+    out = stat_summary(df, ["a", "b"]).collect()
+    assert {r.metric for r in out} == {"a", "b"}
+    row_a = next(r for r in out if r.metric == "a")
+    # Row.count is a method; index by name
+    assert row_a["count"] == 2.0 and row_a["sum"] == 4.0 and row_a["median"] == 2.0

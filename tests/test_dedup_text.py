@@ -1,0 +1,127 @@
+"""Dedup family, text analysis, and similarity search semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid_custom_sql_engine_spark.functions import dedup as dd
+from covid_custom_sql_engine_spark.functions import similarity as sim
+from covid_custom_sql_engine_spark.functions import text as tx
+
+
+def test_word_shingles_trigram(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    (r,) = df.select(dd.word_shingles("text").alias("sh")).collect()
+    assert r.sh == ["a b c", "b c d"]
+
+
+def test_word_shingles_short_doc_fallback(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    (r,) = df.select(dd.word_shingles("text").alias("sh")).collect()
+    assert r.sh == ["a b"]
+
+
+def test_word_shingles_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([("  A   b\tC d ",)], "text string")
+    (r,) = df.select(dd.word_shingles("text").alias("sh")).collect()
+    assert r.sh == ["a b c", "b c d"]
+
+
+def test_exact_dedup_collapses(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.n_copies for r in dd.exact_dedup(df).collect()}
+    assert rows == {1: 2, 3: 1}  # min-id representative, case/ws-insensitive
+
+
+def test_minhash_identical_docs_are_candidates_with_jaccard_one(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different words entirely unrelated content here")],
+        "doc_id long, text string",
+    )
+    out = dd.minhash_near_dups(df, threshold=None, use_cache=False).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert pairs.get((1, 2)) == 1.0
+    assert all(k == (1, 2) for k in pairs)  # disjoint docs share no band
+
+
+def test_simhash_identical_docs_equal_bits(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha  BETA gamma delta"), (3, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in dd.simhash(df).collect()}
+    assert rows[1] == rows[2]
+    assert len(rows[1]) == 32 and set(rows[1]) <= {"0", "1"}
+    assert rows[1] != rows[3]
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat in the hat and it was good for the dog"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "xyzzy plugh"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.lang for r in df.select("doc_id", tx.lang_id("text").alias("lang")).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "de"
+    assert rows[3] == "und"
+    assert rows[4] == "und"
+
+
+def test_token_count_empty_text(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("one two",)], "text string")
+    got = [r.n for r in df.select(tx.token_count("text").alias("n")).collect()]
+    assert got == [0, 0, 2]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame([("the and of to in is that it for was " * 20,), ("",)], "text string")
+    rows = df.select(tx.quality_score("text").alias("q")).collect()
+    assert 0.0 <= rows[1].q <= rows[0].q <= 1.0
+
+
+def test_cosine_topk_hand_checked(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.brute_force_topk(emb, q, k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.vec_id for r in rows] == [1, 2, 3]  # by cosine desc
+    assert rows[0].cos_sim == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5)
+
+
+def test_lsh_topk_same_bucket_found(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [1.0, 0.2]), (2, [-1.0, -0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    planes = [[1.0, 0.0]]
+    out = sim.lsh_topk(emb, q, planes, k=5)
+    ids = {r.vec_id for r in out.collect()}
+    assert ids == {1}  # vec 2 lands in the other half-space bucket
+
+
+def test_jaccard_verify_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    (r,) = dd.jaccard_pairs(df, pairs).collect()
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: inter 2, union 4
+    assert r.jaccard == pytest.approx(0.5)

@@ -1,0 +1,57 @@
+"""Extended join family: as-of and range joins."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from covid_custom_sql_engine_spark.operators import asof_join, range_join
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00")), (2, "u", _ts("2024-01-01 12:00:00"))],
+        "id int, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-01 09:00:00"), 1.0), ("u", _ts("2024-01-01 11:00:00"), 2.0)],
+        "k string, t timestamp, v double",
+    )
+    out = {r.id: r.r_v for r in asof_join(left, right, "k", "t", "t", ["v"]).collect()}
+    assert out[1] == 1.0  # 10:00 → latest right ≤ 10:00 is 09:00
+    assert out[2] == 2.0  # 12:00 → 11:00
+
+
+def test_asof_equal_ts_matches(spark):
+    left = spark.createDataFrame([(1, "u", _ts("2024-01-01 10:00:00"))], "id int, k string, t timestamp")
+    right = spark.createDataFrame([("u", _ts("2024-01-01 10:00:00"), 42.0)], "k string, t timestamp, v double")
+    (r,) = asof_join(left, right, "k", "t", "t", ["v"]).collect()
+    assert r.r_v == 42.0
+
+
+def test_asof_no_earlier_right_gives_null(spark):
+    left = spark.createDataFrame([(1, "u", _ts("2024-01-01 08:00:00"))], "id int, k string, t timestamp")
+    right = spark.createDataFrame([("u", _ts("2024-01-01 09:00:00"), 1.0)], "k string, t timestamp, v double")
+    (r,) = asof_join(left, right, "k", "t", "t", ["v"]).collect()
+    assert r.r_v is None
+
+
+def test_asof_keys_isolated(spark):
+    left = spark.createDataFrame([(1, "a", _ts("2024-01-01 10:00:00"))], "id int, k string, t timestamp")
+    right = spark.createDataFrame([("b", _ts("2024-01-01 09:00:00"), 9.0)], "k string, t timestamp, v double")
+    (r,) = asof_join(left, right, "k", "t", "t", ["v"]).collect()
+    assert r.r_v is None  # other key's rows never leak
+
+
+def test_range_join_half_open(spark):
+    events = spark.createDataFrame([(1, 0.0), (2, 50.0), (3, 199.9)], "id int, v double")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0)], "band string, lo double, hi double"
+    )
+    out = {r.id: r.band for r in range_join(events, bands, "v", "lo", "hi").collect()}
+    assert out == {1: "low", 2: "mid", 3: "mid"}  # hi exclusive, lo inclusive
