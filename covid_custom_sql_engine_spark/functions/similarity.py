@@ -92,6 +92,98 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-LSH bucket equi-join, then
+    exact cosine on candidates only (id_a < id_b). The all-pairs product
+    never materializes — candidates are bucket-local, so the join stays
+    an equi-join on the bucket key at any corpus size."""
+    c = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    ).withColumn("_bucket", hyperplane_bucket(F.col("_v"), planes))
+    a = c.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+    b = c.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-flat ANN skeleton: centroids = per-``label`` mean vectors
+    (standing in for k-means cells), every corpus vector assigned to its
+    nearest centroid, queries probe the ``n_probe`` nearest cells and
+    scan only those inverted lists.
+
+    Scale shape: the centroid table is tiny → broadcast everywhere; the
+    corpus pass is one scan to assign cells (persisted in practice), and
+    each query touches |corpus|·(n_probe/n_cells) vectors.
+    """
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    cents = (
+        embeddings.select(F.col(label_col).alias("cell"), as_double(vec_col).alias("_v"))
+        .groupBy("cell")
+        .agg(
+            F.array(
+                *[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)]
+            ).alias("_cv")
+        )
+    )
+    cents = F.broadcast(cents)
+
+    def nearest_cells(df, vcol, n):
+        w = Window.partitionBy("_rid").orderBy(F.col("_d").asc(), F.col("cell").asc())
+        return (
+            df.crossJoin(cents)
+            .withColumn("_d", -cosine(F.col(vcol), F.col("_cv")))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_cv", "_d", "_rn")
+        )
+
+    corpus = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("_cvec")
+    ).withColumn("_rid", F.col(id_col))
+    corpus_cells = nearest_cells(corpus, "_cvec", 1).drop("_rid")
+
+    q = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("_qv")
+    ).withColumn("_rid", F.col(query_id_col))
+    probe = nearest_cells(q, "_qv", n_probe).drop("_rid")
+
+    scored = (
+        corpus_cells.join(F.broadcast(probe), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, cosine(F.col("_qv"), F.col("_cvec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("_rn").alias("rank"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

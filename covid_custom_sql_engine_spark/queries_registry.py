@@ -1060,3 +1060,253 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 — scalar function library, full window surface, grouping sets,
+# percentiles, embedding near-dups, IVF ANN, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(substring(p_name, 1, 8)) AS name_head,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(p_brand, '/', p_type) AS brand_type,
+           abs(p_retailprice - 1000.0) AS price_dev,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           round(sqrt(p_retailprice), 6) AS price_sqrt,
+           round(ln(p_retailprice + 1.0), 6) AS price_ln,
+           round(pow(p_size, 2.0), 6) AS size_sq
+    FROM part
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math function library passthrough (SURVEY §2.1
+    'not implemented by the reference, in-Spark-scope'). libm-sensitive
+    fns (sqrt/ln/pow) round(6) on both sides."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower(F.substring("p_name", 1, 8)).alias("name_head"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1.0), 6).alias("price_ln"),
+        F.round(F.pow("p_size", F.lit(2.0)), 6).alias("size_sq"),
+    )
+
+
+@query(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+           CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+           CAST(extract(day FROM o_orderdate) AS BIGINT) AS d,
+           CAST(extract(hour FROM o_orderdate) AS BIGINT) AS h,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL '90 days', '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function passthrough: extract/trunc/interval arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        F.hour("o_orderdate").cast("bigint").alias("h"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    )
+
+
+@query(
+    "window_functions",
+    oracle="""
+    SELECT o_orderkey,
+           rank() OVER wp AS rnk,
+           dense_rank() OVER wp AS drnk,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders,
+           lead(o_orderkey) OVER wu AS next_key,
+           lag(o_orderkey) OVER wu AS prev_key,
+           first_value(o_orderkey) OVER wu AS first_key
+    FROM orders
+    WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+           wu AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking/navigation window surface: rank/dense_rank over a
+    tying order (tie-stable), lead/lag/first_value over a unique order
+    (deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    wu = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(wp).cast("bigint").alias("rnk"),
+        F.dense_rank().over(wp).cast("bigint").alias("drnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+        F.lead("o_orderkey").over(wu).alias("next_key"),
+        F.lag("o_orderkey").over(wu).alias("prev_key"),
+        F.first("o_orderkey").over(wu).alias("first_key"),
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+           count(*) AS n_rows, {_sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() flags (distinguishes NULL
+    key values from subtotal rows)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (the exact
+    counterpart of approx_percentile; both exist in the engine)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+def _plane_subquery(i: int) -> str:
+    return f"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {i})"
+
+
+_SQL_BUCKET = " || ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_subquery(i)}) >= 0 THEN '1' ELSE '0' END)"
+    for i in range(5)
+)
+
+
+@query(
+    "cosine_near_dups",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM c)
+    SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+           round(list_dot_product(a.v, x.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))), 6)
+             AS cos_sim
+    FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+    WHERE list_dot_product(a.v, x.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))) >= 0.35
+    """,
+)
+def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH bucket equi-join +
+    exact cosine verify on bucket-mates only (approximate by design;
+    deterministic given the fixed planes = corpus vectors 0-4)."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    planes = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") <= 4).orderBy("vec_id").collect()
+    ]
+    out = sim.cosine_near_dup_pairs(e, planes, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@query("ivf_topk")
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: label-mean centroids, n_probe=2 cells per query.
+    Approximate by design → rows-only driver check; tests assert recall
+    vs the exact brute-force baseline."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") <= 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.ivf_topk(e, q, k=5, n_probe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substring(lower(hex(encode(text))), 1, 16) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + typed metadata →
+    mapInPandas feature extraction (Arrow batches). Codec is the
+    deterministic byte-stat stub; real decode is the NotImplementedError
+    integration point (no image/audio libs in this container)."""
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    media = mm.documents_as_media(d)
+    feats = mm.extract_features(media)
+    return feats.select("media_id", "media_type", "n_bytes", "head_hex")
+
+
+@query(
+    "frame_sample_plan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, greatest(CAST(floor((n_chars * 40) / 1000) AS BIGINT), 1))) * 1000 AS BIGINT)
+             AS frame_ts_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out: one row per frame timestamp from
+    metadata (the per-frame decode is the stubbed step)."""
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    out = mm.frame_sample_plan(mm.documents_as_media(d))
+    return out.select("media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))

@@ -1,0 +1,32 @@
+"""ANN quality: IVF recall against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid_custom_sql_engine_spark.catalog import load_table
+from covid_custom_sql_engine_spark.functions import similarity as sim
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 9).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = sim.brute_force_topk(e, q, k=5)
+    approx = sim.ivf_topk(e, q, k=5, n_probe=3)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(ex[k] & ap.get(k, set())) / len(ex[k]) for k in ex]
+    assert sum(recalls) / len(recalls) >= 0.4  # n_probe=3 of 10 cells
+
+
+def test_ivf_rank_ordering(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = sorted(sim.ivf_topk(e, q, k=5, n_probe=2).collect(), key=lambda r: r.rank)
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.vec_id != 0 for r in rows)  # self excluded
