@@ -185,6 +185,54 @@ def jaccard_pairs(
     return jaccard_from_shingles(shingle_sets(df, id_col, text_col, shingle_n), pairs, id_col)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    threshold: float | None = None,
+    max_df: int = 50,
+    use_cache: bool = True,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via an inverted shingle index
+    (the non-MinHash member of the dedup family).
+
+    Pipeline: shingle sets → explode to (shingle, doc) postings →
+    drop *stop shingles* (document frequency > ``max_df``, the standard
+    prefix/frequency filter that bounds the posting self-join at corpus
+    scale) → self-join postings on shingle for candidate pairs →
+    exact Jaccard verify on candidates only.
+
+    Scale shape: both the DF-count and the candidate join are
+    equi-shuffles on the shingle string; the ``max_df`` cap bounds each
+    posting list's pair fan-out to max_df², so the join never degrades
+    into an all-pairs product on a hot shingle.
+    """
+    sh = shingle_sets(df, id_col, text_col, shingle_n)
+    if use_cache:
+        sh = sh.cache()
+    postings = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    rare = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_ct"))
+        .filter(F.col("df_ct") <= max_df)
+        .select("shingle")
+    )
+    postings = postings.join(rare, "shingle")
+    a = postings.select(F.col("shingle"), F.col(id_col).alias("id_a"))
+    b = postings.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = jaccard_from_shingles(sh, cand, id_col)
+    if threshold is not None:
+        verified = verified.filter(F.col("jaccard") >= threshold)
+    return verified
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",

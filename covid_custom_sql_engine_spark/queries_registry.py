@@ -1310,3 +1310,143 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out = mm.frame_sample_plan(mm.documents_as_media(d))
     return out.select("media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 5 — n-gram Jaccard dedup, LSH top-k ANN, custom stateful operator,
+# JSON property extraction
+# ---------------------------------------------------------------------------
+
+
+def _sql_shingle_cte(shingle_n: int = 2) -> str:
+    """tokens → distinct word n-gram shingle sets (mirrors
+    dedup.word_shingles for arbitrary n)."""
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) >= {shingle_n}
+                    THEN list_transform(range(0, len(toks) - {shingle_n - 1}),
+                                        i -> array_to_string(list_slice(toks, i + 1, i + {shingle_n}), ' '))
+                    ELSE [array_to_string(toks, ' ')] END) AS sh
+           FROM toks)
+    """
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    {_sql_shingle_cte(2)},
+    postings AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    rare AS (SELECT shingle FROM postings GROUP BY shingle HAVING count(*) <= 50),
+    p AS (SELECT postings.doc_id, postings.shingle FROM postings JOIN rare USING (shingle)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+                THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(x.sh, y.sh)))
+                ELSE 0.0 END AS jaccard
+    FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+    WHERE CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+               THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(x.sh, y.sh)))
+               ELSE 0.0 END >= 0.05
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard dedup via inverted shingle index: postings
+    self-join on rare shingles (doc-frequency cap bounds fan-out) →
+    exact shingle-set Jaccard on candidates only. The non-MinHash
+    member of the dedup family (2-gram shingles here so the sparse
+    testdata corpus actually yields candidates)."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return dd.ngram_jaccard_pairs(d, shingle_n=2, threshold=0.05, max_df=50)
+
+
+@query(
+    "lsh_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM c),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id <= 4),
+    scored AS (SELECT q.query_id, b.vec_id,
+                      list_dot_product(qv, b.v)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+               FROM q JOIN b USING (bucket) WHERE b.vec_id != q.query_id)
+    SELECT query_id, vec_id, round(cos, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5
+    """,
+)
+def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k ANN (the bucketed scale path next to the
+    brute-force baseline): queries only score corpus vectors in their
+    own bucket. Deterministic given the fixed planes (= corpus vectors
+    0-4), so the DuckDB oracle reproduces it exactly."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    planes = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") <= 4).orderBy("vec_id").collect()
+    ]
+    q = e.filter(F.col("vec_id") <= 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = sim.lsh_topk(e, q, planes, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "stateful_running_total",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS seq,
+           round(sum(coalesce(value, 0.0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandas grouped-map; the
+    applyInPandasWithState twin runs the same arithmetic under
+    readStream in tests/): per-user event-ordered running (count, sum).
+    Oracle = SQL running-window sum, proving the custom operator
+    preserves declarative semantics."""
+    from covid_custom_sql_engine_spark.streaming import running_totals_batch
+
+    e = load_table(spark, sf_dir, "events")
+    out = running_totals_batch(e)
+    return out.select(
+        "user_id", "event_id", "seq", F.round("running_total", 6).alias("running_total")
+    )
+
+
+@query(
+    "json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property column: parse `props` with an
+    explicit schema (from_json — JVM-side Jackson, no Python), then
+    aggregate the extracted field per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -5,6 +5,10 @@ from covid_custom_sql_engine_spark.streaming.windows import (
     stream_events,
     dedup_within_watermark,
 )
+from covid_custom_sql_engine_spark.streaming.stateful import (
+    running_totals_batch,
+    running_totals_stream,
+)
 
 __all__ = [
     "tumbling_counts",
@@ -12,4 +16,6 @@ __all__ = [
     "session_windows",
     "stream_events",
     "dedup_within_watermark",
+    "running_totals_batch",
+    "running_totals_stream",
 ]

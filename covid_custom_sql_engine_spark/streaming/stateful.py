@@ -1,0 +1,87 @@
+"""Custom stateful operator: per-user running totals.
+
+The reference has no streaming (SURVEY §2.3); this is the
+beyond-reference scope's ``applyInPandasWithState`` surface — an
+arbitrary-state operator Spark's built-in windowed aggregations can't
+express (state = a running (count, sum) carried across micro-batches
+per user, emitted per event).
+
+Two twins over the same semantics:
+
+- ``running_totals_batch``: ``applyInPandas`` grouped-map — sorts each
+  user's events by (ts, event_id) and emits cumulative count/sum per
+  event. Batch-mode, so it is DuckDB-oracle-checkable against a SQL
+  running-window sum.
+- ``running_totals_stream``: ``applyInPandasWithState`` — identical
+  arithmetic, with the (count, sum) accumulator held in ``GroupState``
+  between micro-batches. Tested against the batch twin under an
+  availableNow file stream.
+
+Scale shape: both are a single shuffle on ``user_id``; state per group
+is two scalars, so executor state stores stay O(#users), not O(#events).
+Within-batch arithmetic is pandas-vectorized over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+OUT_SCHEMA = "user_id long, event_id long, seq long, running_total double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _cumulate(pdf: pd.DataFrame, n0: int = 0, total0: float = 0.0) -> pd.DataFrame:
+    """Vectorized cumulative (count, sum) in (ts, event_id) order,
+    seeded with carried-in state."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    vals = pdf["value"].fillna(0.0)
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "event_id": pdf["event_id"],
+            "seq": range(n0 + 1, n0 + 1 + len(pdf)),
+            "running_total": total0 + vals.cumsum(),
+        }
+    )
+
+
+def running_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: grouped-map cumulative totals per user."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _cumulate(pdf)
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fn, OUT_SCHEMA)
+    )
+
+
+def running_totals_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming form: GroupState carries (n, total) across batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n0, total0 = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            out = _cumulate(pdf, n0, total0)
+            if len(out):
+                n0 = int(out["seq"].iloc[-1])
+                total0 = float(out["running_total"].iloc[-1])
+            yield out
+        state.update((n0, total0))
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -125,3 +125,32 @@ def test_jaccard_verify_values(spark):
     (r,) = dd.jaccard_pairs(df, pairs).collect()
     # shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: inter 2, union 4
     assert r.jaccard == pytest.approx(0.5)
+
+
+def test_ngram_jaccard_inverted_index(spark):
+    """Near-dup docs share rare shingles → paired; the df cap drops
+    ubiquitous shingles; jaccard is exact on the shingle sets."""
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely unrelated words entirely different text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dd.ngram_jaccard_pairs(df, shingle_n=2, threshold=0.3, max_df=10, use_cache=False)
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert set(got) == {(1, 2)}
+    # 8 bigrams each, 7 shared -> 7/9
+    assert got[(1, 2)] == pytest.approx(7 / 9)
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    """With max_df=1 every shared shingle is a stop shingle → no pairs."""
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dd.ngram_jaccard_pairs(df, shingle_n=2, max_df=1, use_cache=False)
+    assert out.count() == 0

@@ -87,3 +87,36 @@ def test_dedup_within_watermark(spark, events_dir):
     got = spark.read.parquet(os.path.join(out_dir, "data"))
     assert got.count() == 100
     assert got.select("event_id").distinct().count() == 100
+
+
+def test_stateful_running_totals_stream_matches_batch(spark, events_dir):
+    """applyInPandasWithState twin reproduces the batch grouped-map
+    cumulative totals (single availableNow micro-batch)."""
+    from covid_custom_sql_engine_spark.streaming import (
+        running_totals_batch,
+        running_totals_stream,
+    )
+
+    src = spark.read.parquet(events_dir)
+    batch = {
+        (r.user_id, r.event_id): (r.seq, r.running_total)
+        for r in running_totals_batch(src).collect()
+    }
+    stream_src = spark.readStream.schema(src.schema).parquet(events_dir)
+    sdf = running_totals_stream(stream_src)
+    out_dir = tempfile.mkdtemp(prefix="state_out_")
+    sq = (
+        sdf.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", os.path.join(out_dir, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    assert len(got) == len(batch)
+    for r in got:
+        seq, total = batch[(r.user_id, r.event_id)]
+        assert r.seq == seq
+        assert r.running_total == pytest.approx(total)
