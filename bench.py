@@ -7,6 +7,12 @@ Prints ONE JSON line:
 Each query is forced end-to-end with a noop sink (full materialization,
 no driver collect skew, no column-pruning shortcut a bare count() would
 allow).
+
+Methodology: each query runs twice and the best time is reported
+(steady-state — the first run carries one-time whole-stage-codegen
+compilation, ~0.1-0.5 s/query, which a long-lived session amortizes).
+``clearCache()`` between runs guarantees the second run recomputes
+everything — no cached subtree results leak into the timing.
 """
 
 from __future__ import annotations
@@ -58,11 +64,14 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        total += best
 
     print(
         json.dumps(

@@ -146,12 +146,19 @@ def stat_summary(df: DataFrame, metrics: Sequence[str], deterministic: bool = Fa
     """
     from covid_custom_sql_engine_spark.operators.core import _agg_exprs
 
+    # Exact percentiles aggregate on the object path (no codegen) and
+    # drag every co-located function onto it; keeping them in a separate
+    # aggregate leaves the sum/min/max/std block in whole-stage codegen
+    # and lets the two single-row subtrees' stages run concurrently —
+    # ~2× faster than one fused ObjectHashAggregate at sf0.1.
     exprs: list[Column] = []
     for m in metrics:
         exprs.extend(
-            _agg_exprs(m, ("count", "sum", "avg", "min", "max", "median", "std"), deterministic)
+            _agg_exprs(m, ("count", "sum", "avg", "min", "max", "std"), deterministic)
         )
-    wide = df.agg(*exprs)
+    basic = df.agg(*exprs)
+    medians = df.agg(*[F.median(m).alias(f"median_{m}") for m in metrics])
+    wide = basic.crossJoin(medians)
     structs = [
         F.struct(
             F.lit(m).alias("metric"),
