@@ -1450,3 +1450,208 @@ def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6 — full SQL surface widening: outer join, array/map functions,
+# unpivot, subqueries/CTE, deterministic sampling, BPE-ish token counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+    sc AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT coalesce(cc.nk, sc.nk) AS nationkey, cc.n_cust, sc.n_supp
+    FROM cc FULL OUTER JOIN sc ON cc.nk = sc.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (completes the inner/left/semi/anti/asof/range
+    family): customer counts ⋈ supplier counts per nation, keys present
+    on either side survive."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    WITH a AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys FROM lineitem GROUP BY 1)
+    SELECT l_orderkey,
+           CAST(len(qtys) AS INTEGER) AS n_items,
+           qtys[1] AS min_qty,
+           qtys[-1] AS max_qty,
+           list_contains(qtys, 50.0) AS has_50,
+           array_to_string(list_transform(qtys[1:3], x -> CAST(CAST(x AS INTEGER) AS VARCHAR)), ',') AS head_csv
+    FROM a
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface: collect_list → array_sort, element_at (both
+    ends), array_contains, slice + transform. One shuffle (the groupBy);
+    every array op is a codegen expression."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qtys = F.array_sort(F.collect_list("l_quantity"))
+    return (
+        l.groupBy("l_orderkey")
+        .agg(qtys.alias("qtys"))
+        .select(
+            "l_orderkey",
+            F.size("qtys").alias("n_items"),
+            F.element_at("qtys", 1).alias("min_qty"),
+            F.element_at("qtys", -1).alias("max_qty"),
+            F.array_contains("qtys", 50.0).alias("has_50"),
+            F.concat_ws(
+                ",", F.transform(F.slice("qtys", 1, 3), lambda x: x.cast("int").cast("string"))
+            ).alias("head_csv"),
+        )
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_id, k.key AS key,
+           CAST(json_extract(props, '$.' || k.key) AS BIGINT) AS val
+    FROM events, unnest(json_keys(props)) AS k(key)
+    WHERE props IS NOT NULL
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column surface: parse the JSON props into map<string,bigint>
+    and explode to (key, value) rows — the generic shape for arbitrary
+    property bags (JVM-side Jackson parse + generator, no Python)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .select("event_id", F.explode(m).alias("key", "val"))
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle=f"""
+    WITH w AS (SELECT l_returnflag, {_sql_dsum('l_quantity')} AS qty,
+                      {_sql_dsum('l_discount')} AS disc
+               FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w
+    UNION ALL SELECT l_returnflag, 'disc', disc FROM w
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of A10's pivot): per-flag metric
+    sums melted to (flag, metric, value) rows via df.unpivot."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        ops.dsum(F.col("l_quantity")).alias("qty"),
+        ops.dsum(F.col("l_discount")).alias("disc"),
+    )
+    return wide.unpivot("l_returnflag", ["qty", "disc"], "metric", "value")
+
+
+@query(
+    "subquery_exists_cte",
+    oracle="""
+    WITH big AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) >= 10)
+    SELECT c.c_custkey, c.c_name, b.n AS n_orders
+    FROM customer c JOIN big b ON b.o_custkey = c.c_custkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def subquery_exists_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface query: CTE + correlated EXISTS + scalar subquery.
+    Catalyst rewrites EXISTS to a left-semi join and the scalar subquery
+    to a broadcast one-row join — no per-row re-execution."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_sq_{t}")
+    return spark.sql(
+        """
+        WITH big AS (SELECT o_custkey, count(*) AS n FROM _sq_orders GROUP BY 1 HAVING count(*) >= 10)
+        SELECT c.c_custkey, c.c_name, b.n AS n_orders
+        FROM _sq_customer c JOIN big b ON b.o_custkey = c.c_custkey
+        WHERE EXISTS (SELECT 1 FROM _sq_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          AND c.c_acctbal > (SELECT avg(c_acctbal) FROM _sq_customer)
+        """
+    )
+
+
+@query(
+    "hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
+    """,
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content hash (md5 of the key), the
+    reproducible alternative to TABLESAMPLE for training-data pipelines:
+    stable across runs, engines, and partitionings; no shuffle at all."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "19"
+    ).select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) <= 100
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 100 rows per stratum,
+    chosen by content-hash order (reproducible, unbiased w.r.t. any
+    data ordering). One shuffle on the stratum key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 100)
+        .select("o_orderpriority", "o_orderkey")
+    )
+
+
+@query(
+    "token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS INTEGER)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS INTEGER)
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace tokens and the BPE-style
+    pre-tokenizer regex (letter runs / single digits / punct runs) —
+    the cost estimator for LLM training pipelines."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("ws_tokens"),
+        tx.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    )

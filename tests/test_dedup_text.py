@@ -154,3 +154,24 @@ def test_ngram_jaccard_max_df_cap(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = dd.ngram_jaccard_pairs(df, shingle_n=2, max_df=1, use_cache=False)
     assert out.count() == 0
+
+
+def test_bpe_ish_token_count(spark):
+    from covid_custom_sql_engine_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42"), (2, ""), (3, "a.b.c")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.ws, r.bpe)
+        for r in df.select(
+            "doc_id",
+            tx.token_count("text").alias("ws"),
+            tx.bpe_ish_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    # "Hello" "," "world" "!" "4" "2" -> 6 ; "a" "." "b" "." "c" -> 5
+    assert got[1] == (3, 6)
+    assert got[2] == (0, 0)
+    assert got[3] == (1, 5)
