@@ -1,0 +1,112 @@
+"""Property-based differential tests (SURVEY §5): hypothesis-generated
+small tables run through the engine's parity operators and through
+DuckDB on the same data; results must agree.
+
+Covers the parity-sensitive semantics: grouped aggregation (COUNT(*) vs
+COUNT(col), exact median interpolation, sample std n<2 → NULL), null
+join keys never matching, and reference null ordering in sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from covid_custom_sql_engine_spark.operators import core as ops
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Small value domain: ints, round floats, and NULLs — exercises null
+# handling without float-noise flakiness.
+vals = st.one_of(st.none(), st.integers(-5, 5).map(float))
+keys = st.one_of(st.none(), st.integers(0, 2))
+rows = st.lists(st.tuples(keys, vals), min_size=1, max_size=30)
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ]
+)
+
+
+def _duck(rows_list):
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame(rows_list, columns=["k", "v"]).astype({"k": "Int64", "v": "float64"})
+    )
+    return con
+
+
+@given(rows=rows)
+@settings(**SETTINGS)
+def test_grouped_agg_matches_duckdb(spark, rows):
+    df = spark.createDataFrame(rows, ROW_SCHEMA)
+    got = {
+        r.k: r
+        for r in ops.ref_group_agg(df, ["k"], {"v": ["count", "sum", "avg", "min", "max", "median", "std"]}).collect()
+    }
+    con = _duck(rows)
+    exp = con.sql(
+        """
+        SELECT k, count(*) AS c, sum(v) AS s, avg(v) AS a, min(v) AS mn, max(v) AS mx,
+               median(v) AS md, stddev_samp(v) AS sd
+        FROM t GROUP BY k
+        """
+    ).fetchall()
+    assert len(exp) == len(got)
+    for k, c, s, a, mn, mx, md, sd in exp:
+        r = got[k]
+        assert r.count_v == c  # COUNT(*): nulls included
+        for ours, theirs in [
+            (r.sum_v, s), (r.avg_v, a), (r.min_v, mn), (r.max_v, mx), (r.median_v, md), (r.std_v, sd),
+        ]:
+            if theirs is None or (isinstance(theirs, float) and math.isnan(theirs)):
+                assert ours is None or (isinstance(ours, float) and math.isnan(ours))
+            else:
+                assert ours == pytest.approx(theirs, abs=1e-9)
+
+
+@given(rows=rows)
+@settings(**SETTINGS)
+def test_join_null_keys_never_match(spark, rows):
+    df = spark.createDataFrame(rows, ROW_SCHEMA)
+    dim_rows = [(0, "a"), (1, "b"), (None, "null-row")]
+    dim = spark.createDataFrame(dim_rows, T.StructType([
+        T.StructField("k", T.IntegerType(), True),
+        T.StructField("name", T.StringType(), True),
+    ]))
+    inner = ops.ref_join(df, dim, on=("k", "k"), how="inner")
+    left = ops.ref_join(df, dim, on=("k", "k"), how="left")
+    con = _duck(rows)
+    con.register("d", pd.DataFrame(dim_rows, columns=["k", "name"]).astype({"k": "Int64"}))
+    n_inner = con.sql("SELECT count(*) FROM t JOIN d ON t.k = d.k").fetchone()[0]
+    n_left = con.sql("SELECT count(*) FROM t LEFT JOIN d ON t.k = d.k").fetchone()[0]
+    assert inner.count() == n_inner
+    assert left.count() == n_left
+    # right columns arrive r_-prefixed; unmatched left rows carry nulls
+    assert {"k", "v", "r_k", "r_name"} == set(left.columns)
+    assert left.filter(F.col("k").isNull() & F.col("r_name").isNotNull()).count() == 0
+
+
+@given(rows=rows, ascending=st.booleans())
+@settings(**SETTINGS)
+def test_ref_sort_null_placement(spark, rows, ascending):
+    """Reference semantics (dataframe.py:180): ascending → nulls LAST,
+    descending → nulls FIRST — the opposite of Spark defaults."""
+    df = spark.createDataFrame(rows, ROW_SCHEMA)
+    got = [r.v for r in ops.ref_sort(df, "v", ascending=ascending).collect()]
+    non_null = sorted([v for v, in [(r[1],) for r in rows] if v is not None], reverse=not ascending)
+    nulls = [None] * (len(rows) - len(non_null))
+    exp = non_null + nulls if ascending else nulls + non_null
+    assert got == exp
