@@ -1,0 +1,56 @@
+"""Write paths (sinks) for the engine's outputs.
+
+The reference's only sink is interactive display (SURVEY §3); these are
+the production write paths a Spark pipeline needs:
+
+- ``write_partitioned``: hive-style directory partitioning — partition
+  pruning makes `WHERE pcol = x` skip whole directories at read time.
+- ``write_bucketed``: hash-bucketed, sorted managed table — two tables
+  bucketed on the same key join WITHOUT a shuffle (the Spark analogue of
+  co-located joins; at 100 TB this turns the biggest repeated join cost
+  into a one-time write cost).
+- ``write_single_csv``: display/export edge (the reference's CSV shape),
+  coalesced to one file — never used in engine paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite"
+) -> None:
+    """Parquet partitioned by the given columns (partition pruning path).
+
+    Partition columns should be low-cardinality (dates, categories); a
+    high-cardinality partition column creates a small-files problem at
+    scale — prefer bucketing for keys.
+    """
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed (and optionally sorted) managed table.
+
+    Joins/aggregations between tables bucketed on the same keys with the
+    same bucket count need no exchange — Catalyst recognizes the
+    co-partitioning from the catalog. ``sort_by`` additionally enables
+    shuffle-AND-sort-free sort-merge joins.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """One-file CSV export (display edge only — single-writer bottleneck)."""
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)
