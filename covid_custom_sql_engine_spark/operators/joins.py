@@ -91,3 +91,38 @@ def range_join(
     r = F.broadcast(ranges) if broadcast_ranges else ranges
     cond = (F.col(point_col) >= F.col(range_start)) & (F.col(point_col) < F.col(range_end))
     return events.join(r, cond, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: explode each RIGHT row into ``salt``
+    copies tagged 0..salt-1, tag each LEFT row with a deterministic
+    pseudo-random salt from its key's hash, and join on (key, salt).
+
+    A hot key's rows — which would all land in one shuffle partition and
+    make one task run ``salt×`` longer than the rest — spread across
+    ``salt`` partitions; the right side pays a ``salt×`` duplication of
+    (typically dim-sized) rows. AQE's skew-join split handles moderate
+    skew automatically; this is the explicit tool for extreme, known-hot
+    keys. Results are identical to the plain join (salting is physical,
+    not semantic).
+    """
+    l_salted = left.withColumn(
+        "_lsalt", F.pmod(F.xxhash64(F.col(left_key)), F.lit(salt))
+    )
+    r_salted = right.withColumn(
+        "_rsalt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l_salted.join(
+        r_salted,
+        (l_salted[left_key] == r_salted[right_key])
+        & (l_salted["_lsalt"] == r_salted["_rsalt"]),
+        how,
+    )
+    return out.drop("_lsalt", "_rsalt")

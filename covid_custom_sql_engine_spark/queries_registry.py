@@ -1655,3 +1655,27 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.token_count("text").alias("ws_tokens"),
         tx.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
     )
+
+
+@query(
+    "udtf_tokens",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+               FROM documents WHERE doc_id < 100)
+    SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos, unnest(toks) AS token
+    FROM t
+    """,
+)
+def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: one (pos, token) row per token per
+    document. API-surface demo of table-valued functions — the hot-path
+    twin is the codegen expression in text.tokens."""
+    from covid_custom_sql_engine_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    d.filter(F.col("doc_id") < 100).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, pos, token FROM _udtf_docs, LATERAL tokenize_udtf(text)"
+    )

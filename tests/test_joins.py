@@ -55,3 +55,21 @@ def test_range_join_half_open(spark):
     )
     out = {r.id: r.band for r in range_join(events, bands, "v", "lo", "hi").collect()}
     assert out == {1: "low", 2: "mid", 3: "mid"}  # hi exclusive, lo inclusive
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    """Salting is physical only: same rows as the unsalted join, hot key
+    spread across salt partitions."""
+    from covid_custom_sql_engine_spark.operators.joins import salted_join
+    from covid_custom_sql_engine_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    # manufacture skew: 90% of rows share one key
+    skewed = o.withColumn(
+        "k", F.when(F.col("o_orderkey") % 10 < 9, F.lit(1)).otherwise(F.col("o_orderkey"))
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold")], ["k", "label"])
+    plain = skewed.join(dim, "k").select("o_orderkey", "label")
+    salted = salted_join(skewed, dim, "k", "k").select("o_orderkey", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
