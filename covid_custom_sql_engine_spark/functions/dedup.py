@@ -306,3 +306,81 @@ def simhash(
         *[F.when(F.col(f"v_{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
     )
     return agg.select(F.col(id_col), bits.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph by iterative
+    min-label propagation: every vertex starts labeled with itself; each
+    round every vertex takes the min label in its neighborhood; stop
+    when no label changes. Returns (id, component) with component = min
+    vertex id in the component.
+
+    Scale shape: each round is one equi-join (edges ⋈ labels) + one
+    hash aggregate — all shuffles on the vertex id. Rounds needed =
+    graph diameter (near-dup clusters are small and dense, so 3-5
+    rounds in practice; ``max_iter`` bounds pathological chains).
+    ``localCheckpoint`` truncates the growing lineage each round, the
+    standard Spark idiom for iterative algorithms.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", "component")
+
+
+def near_dup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus minus near-duplicates: cluster the pair graph, keep the
+    min-id representative of each cluster plus all unpaired documents.
+    Output: (id, keep, component) for every input document."""
+    comp = connected_components(pairs, id_a, id_b)
+    out = df.select(F.col(id_col).alias("id")).join(comp, "id", "left")
+    return out.select(
+        "id",
+        F.coalesce(F.col("component"), F.col("id")).alias("component"),
+    ).withColumn("keep", F.col("id") == F.col("component"))

@@ -1679,3 +1679,34 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, pos, token FROM _udtf_docs, LATERAL tokenize_udtf(text)"
     )
+
+
+_MINHASH_RECURSIVE_CTE = _sql_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+
+
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    {_MINHASH_RECURSIVE_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id AS id,
+           coalesce(c.component, d.doc_id) AS component,
+           d.doc_id = coalesce(c.component, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash+LSH candidate pairs →
+    connected components (iterative min-label propagation) → keep the
+    min-id representative per cluster. The oracle reproduces the
+    components with a recursive CTE — same fixpoint, declarative form."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    pairs = dd.lsh_candidate_pairs(d)
+    return dd.near_dup_keep(d, pairs)

@@ -175,3 +175,27 @@ def test_bpe_ish_token_count(spark):
     assert got[1] == (3, 6)
     assert got[2] == (0, 0)
     assert got[3] == (1, 5)
+
+
+def test_connected_components_chain_and_clique(spark):
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+
+    #  chain 1-2-3-4, clique 10-11-12, isolated edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.component for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_keep_representatives(spark):
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], ["id_a", "id_b"])
+    out = {r.id: (r.keep, r.component) for r in dd.near_dup_keep(docs, pairs).collect()}
+    assert out[0] == (True, 0) and out[3] == (False, 0) and out[5] == (False, 0)
+    # unpaired docs keep themselves
+    assert out[1] == (True, 1) and out[2] == (True, 2) and out[4] == (True, 4)
