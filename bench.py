@@ -43,6 +43,11 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "stat_summary",
+    "ngram_jaccard_pairs",
+    "near_dup_clusters",
+    "stateful_running_total",
+    "lsh_topk",
+    "token_counts",
 ]
 
 
