@@ -1710,3 +1710,78 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize_small(load_table(spark, sf_dir, "documents"))
     pairs = dd.lsh_candidate_pairs(d)
     return dd.near_dup_keep(d, pairs)
+
+
+@query(
+    "hourly_spine_zero_fill",
+    oracle="""
+    WITH b AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
+               FROM events GROUP BY 1, 2),
+    bounds AS (SELECT min(time_bucket(INTERVAL '1 hour', ts)) AS lo,
+                      max(time_bucket(INTERVAL '1 hour', ts)) AS hi FROM events),
+    spine AS (SELECT et.event_type, g.h
+              FROM (SELECT DISTINCT event_type FROM events) et
+              CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+                          FROM bounds) g)
+    SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           coalesce(b.n, 0) AS n_events
+    FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h
+    """,
+)
+def hourly_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time grid: hourly spine per event_type (sequence + explode
+    — no driver loop) left-joined to actual counts, gaps zero-filled.
+    The resample-to-grid op charting/feature pipelines need; the spine
+    side is tiny (groups × hours) so it broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    hours = e.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+    counts = hours.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = hours.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+        )
+        .crossJoin(e.select("event_type").distinct())
+    )
+    return (
+        F.broadcast(spine)
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "hourly_change",
+    oracle="""
+    WITH b AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n AS n_events,
+           n - lag(n) OVER (PARTITION BY event_type ORDER BY h) AS delta,
+           round((n - lag(n) OVER (PARTITION BY event_type ORDER BY h))
+                 / lag(n) OVER (PARTITION BY event_type ORDER BY h) * 100, 6) AS pct_change
+    FROM b
+    """,
+)
+def hourly_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group period-over-period deltas (lag window): absolute and
+    percent change of hourly event counts — the derived-metric pattern
+    behind the reference's new_cases columns (README.md:123-131)."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    prev = F.lag("n").over(w)
+    return b.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").alias("n_events"),
+        (F.col("n") - prev).alias("delta"),
+        F.round((F.col("n") - prev) / prev * 100, 6).alias("pct_change"),
+    )
