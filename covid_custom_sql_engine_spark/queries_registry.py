@@ -1785,3 +1785,59 @@ def hourly_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - prev).alias("delta"),
         F.round((F.col("n") - prev) / prev * 100, 6).alias("pct_change"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER wu AS BIGINT) AS quartile,
+           round(percent_rank() OVER wu, 6) AS pr,
+           round(cume_dist() OVER wu, 6) AS cd
+    FROM orders
+    WINDOW wu AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank,
+    cume_dist over a deterministic (tie-broken) order."""
+    o = load_table(spark, sf_dir, "orders")
+    wu = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(wu).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(wu), 6).alias("pr"),
+        F.round(F.cume_dist().over(wu), 6).alias("cd"),
+    )
+
+
+@query(
+    "levenshtein_pairs",
+    oracle=f"""
+    {_sql_minhash_cte()}
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(substring(x.t, 1, 80), substring(y.t, 1, 80)) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN (SELECT doc_id, lower(trim(text)) AS t FROM documents) x ON c.id_a = x.doc_id
+    JOIN (SELECT doc_id, lower(trim(text)) AS t FROM documents) y ON c.id_b = y.doc_id
+    """,
+)
+def levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify on LSH candidates (the character-level
+    near-dup check next to shingle Jaccard). Prefix-bounded (80 chars)
+    so the O(len²) DP stays constant-cost per pair at corpus scale."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    cand = dd.lsh_candidate_pairs(d)
+    t = d.select(
+        "doc_id", F.lower(F.trim(F.col("text"))).substr(1, 80).alias("t")
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("t").alias("t_a"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("t").alias("t_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("t_a", "t_b").cast("bigint").alias("edit_dist"),
+        )
+    )
