@@ -1841,3 +1841,69 @@ def levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("t_a", "t_b").cast("bigint").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "embedding_normalize",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT vec_id,
+           round(CASE WHEN nrm > 0 THEN list_dot_product(
+                     list_transform(v, x -> x / nrm),
+                     list_transform(v, x -> x / nrm)) ELSE 0.0 END, 6) AS unit_dot,
+           round(nrm, 6) AS norm
+    FROM n
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embedding vectors with pure array expressions
+    (transform / aggregate — JVM, no Python): emits the unit vector's
+    self-dot (≡1, proves normalization) and the original norm."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = sim.as_double("embedding")
+    nrm = F.sqrt(sim.dot(v, v))
+    unit = F.transform(v, lambda x: x / nrm)
+    return e.select(
+        "vec_id",
+        F.round(
+            F.when(nrm > 0, sim.dot(unit, unit)).otherwise(F.lit(0.0)), 6
+        ).alias("unit_dot"),
+        F.round(nrm, 6).alias("norm"),
+    )
+
+
+@query(
+    "session_ids",
+    oracle="""
+    WITH o AS (SELECT event_id, user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+               FROM events),
+    m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '15 minutes'
+                         THEN 1 ELSE 0 END AS new_s FROM o)
+    SELECT event_id, user_id,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM m
+    """,
+)
+def session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (gaps-and-islands): a new session
+    starts after 15 idle minutes; session_id = running count of starts.
+    The row-level complement of the session_window aggregate — one
+    shuffle on user_id, two window passes over the same sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 15 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(new_s).over(run).cast("bigint").alias("session_id"),
+    )

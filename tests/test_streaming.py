@@ -120,3 +120,34 @@ def test_stateful_running_totals_stream_matches_batch(spark, events_dir):
         seq, total = batch[(r.user_id, r.event_id)]
         assert r.seq == seq
         assert r.running_total == pytest.approx(total)
+
+
+def test_foreach_batch_sink(spark, events_dir):
+    """foreachBatch: arbitrary batch logic per micro-batch — aggregate
+    each batch and append to a parquet target (the escape hatch for
+    sinks Structured Streaming lacks natively)."""
+    src = spark.read.parquet(events_dir)
+    stream_src = spark.readStream.schema(src.schema).parquet(events_dir)
+    out_dir = tempfile.mkdtemp(prefix="feb_out_")
+    target = os.path.join(out_dir, "data")
+
+    def handle(batch_df, batch_id):
+        (
+            batch_df.groupBy("event_type")
+            .count()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(target)
+        )
+
+    sq = (
+        stream_src.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(out_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = spark.read.parquet(target)
+    batch_totals = {r.event_type: r.n for r in got.groupBy("event_type").agg(F.sum("count").alias("n")).collect()}
+    exp = {r.event_type: r.n for r in src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert batch_totals == exp
