@@ -1907,3 +1907,30 @@ def session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(new_s).over(run).cast("bigint").alias("session_id"),
     )
+
+
+@query(
+    "range_window_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based, not row-based): per event, how
+    many of the same user's events fall in the trailing hour. Epoch
+    seconds give both engines the identical numeric range frame."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+    )

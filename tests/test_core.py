@@ -163,3 +163,20 @@ def test_dsum_partition_independence(spark):
     a = df.repartition(1).agg(dsum(F.col("v")).alias("s")).collect()[0].s
     b = df.repartition(17).agg(dsum(F.col("v")).alias("s")).collect()[0].s
     assert a == b  # bit-identical, not just approx
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    """approx_percentile accuracy parameter bounds rank error vs the
+    exact percentile (the approximate-aggregates scale path)."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_dir, "lineitem")
+    r = l.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+        F.count("l_extendedprice").alias("n"),
+    ).collect()[0]
+    # rank error ≤ n/accuracy ⇒ value within the local value spread;
+    # for a sanity bound assert within 1% of the exact median's value
+    assert abs(r.approx - r.exact) <= abs(r.exact) * 0.01
