@@ -1934,3 +1934,55 @@ def range_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_prev_hour"),
     )
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, lang,
+                      {_SQL_TOKS} AS toks, length(text) AS n FROM documents),
+    m AS (SELECT doc_id, text, lang, len(toks) AS n_tokens, n,
+                 (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS n_punct,
+                 len(list_filter(toks, x -> list_contains({_SQL_SW_EN}, x))) AS n_sw
+          FROM t),
+    q AS (SELECT doc_id, text, lang, n_tokens,
+                 (least(n / 500.0, 1.0)
+                  + (1.0 - CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END)
+                  + least((CASE WHEN n_tokens > 0 THEN n_sw / n_tokens ELSE 0.0 END) * 5.0, 1.0)
+                 ) / 3.0 AS quality
+          FROM m),
+    f AS (SELECT * FROM q WHERE lang = 'en' AND n_tokens BETWEEN 5 AND 10000 AND quality >= 0.5),
+    d AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                 min(doc_id) AS doc_id FROM f GROUP BY 1)
+    SELECT f.doc_id, f.n_tokens AS n_tokens, round(f.quality, 6) AS quality
+    FROM f JOIN d ON f.doc_id = d.doc_id
+    """,
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM training-data preprocessing chain as one lazy
+    plan: language filter → token-length bounds → quality threshold →
+    exact dedup keeping min-id representatives. One scan feeds every
+    predicate (conjunctions fuse); the only shuffle is the dedup
+    fingerprint group-by."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        tx.token_count("text").alias("n_tokens"),
+        tx.quality_score("text").alias("quality"),
+    ).filter(
+        (F.col("lang") == "en")
+        & F.col("n_tokens").between(5, 10000)
+        & (F.col("quality") >= 0.5)
+    )
+    keep = (
+        scored.groupBy(tx.fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return scored.join(keep, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("quality", 6).alias("quality"),
+    )
