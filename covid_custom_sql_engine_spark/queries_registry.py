@@ -1915,7 +1915,7 @@ def session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS n_prev_hour
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
