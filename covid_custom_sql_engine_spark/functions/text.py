@@ -119,3 +119,36 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+# PII patterns (RE2-compatible: portable to the SQL oracle engines).
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "IPV4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(text_col: str | Column) -> Column:
+    """Replace emails/phones/IPv4s with <TYPE> tokens (order: email,
+    phone, ip — all JVM regexp_replace, chained in one projection)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{name}>")
+    return c
+
+
+def repetition_ratio(text_col: str | Column, n: int = 3) -> Column:
+    """Intra-document boilerplate score: 1 - distinct/total word
+    n-grams (0 = no repetition). The gopher-style repetition filter."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+    k = F.size(toks)
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(k - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    grams = F.filter(grams, lambda g: g.isNotNull())
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0, 1.0 - distinct.cast("double") / total).otherwise(F.lit(0.0))

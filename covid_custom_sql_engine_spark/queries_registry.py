@@ -1986,3 +1986,53 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.round("quality", 6).alias("quality"),
     )
+
+
+@query(
+    "redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g')
+             AS redacted
+    FROM documents
+    """,
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails → phones → IPv4, chained JVM regexes) —
+    the scrub step of a training-data pipeline; one projection, no
+    shuffle, pushes through any downstream operator."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", tx.redact_pii("text").alias("redacted"))
+
+
+@query(
+    "repetition_ratio",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
+               FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(0, len(toks) - 2),
+                                          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                      ELSE [] END AS grams
+          FROM t)
+    SELECT doc_id,
+           round(CASE WHEN len(grams) > 0
+                      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                      ELSE 0.0 END, 6) AS rep_ratio
+    FROM g
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (boilerplate) ratio over word 3-grams —
+    the gopher-style repetition quality filter."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", F.round(tx.repetition_ratio("text"), 6).alias("rep_ratio")
+    )

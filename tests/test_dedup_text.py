@@ -199,3 +199,40 @@ def test_near_dup_keep_representatives(spark):
     assert out[0] == (True, 0) and out[3] == (False, 0) and out[5] == (False, 0)
     # unpaired docs keep themselves
     assert out[1] == (True, 1) and out[2] == (True, 2) and out[4] == (True, 4)
+
+
+def test_redact_pii_patterns_fire(spark):
+    from covid_custom_sql_engine_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk today"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "server at 192.168.0.1 responded"),
+            (4, "clean text stays clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.red for r in df.select("doc_id", tx.redact_pii("text").alias("red")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "server at <IPV4> responded"
+    assert got[4] == "clean text stays clean"
+
+
+def test_repetition_ratio_detects_boilerplate(spark):
+    from covid_custom_sql_engine_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # 4 identical 3-grams
+            (2, "all words here are fully unique"),
+            (3, "ab"),  # < 3 tokens -> no grams -> 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.rr for r in df.select("doc_id", tx.repetition_ratio("text").alias("rr")).collect()}
+    assert got[1] == 0.75  # 1 distinct / 4 total
+    assert got[2] == 0.0
+    assert got[3] == 0.0
