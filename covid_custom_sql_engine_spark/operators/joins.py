@@ -21,22 +21,27 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` (backward) within the same ``key``.
+    ``right_ts <= left_ts`` (backward) or the earliest with
+    ``right_ts >= left_ts`` (forward), within the same ``key``;
+    ``tolerance_seconds`` nulls matches farther than the tolerance
+    (pandas ``merge_asof`` semantics).
 
     Scale design: instead of an O(n·m) inequality join, union both sides
     tagged, sort within each key partition by time, and carry the last
     right values forward with ``last(ignorenulls)`` — one shuffle on
     ``key``, one window sort, linear in n+m. This is the merge-scan
     formulation of as-of used by time-series engines, expressed with
-    Spark windows so Catalyst/Tungsten execute it.
+    Spark windows so Catalyst/Tungsten execute it. ``forward`` is the
+    same scan in reverse time order.
 
     Ties (right_ts == left_ts) match, right rows sort first at equal
     timestamps (side ordering 0 < 1).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise NotImplementedError(f"unsupported as-of direction: {direction}")
     lcols = left.columns
     l_tagged = left.select(
         F.col(key).alias("_k"),
@@ -55,16 +60,29 @@ def asof_join(
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
     )
     unioned = l_tagged.unionByName(r_tagged)
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
         "_side",
         "_lrow",
+        "_ts",
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("_matched_ts"),
         *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"r_{c}") for c in value_cols],
     )
+    if tolerance_seconds is not None:
+        gap = F.abs(F.col("_ts").cast("double") - F.col("_matched_ts").cast("double"))
+        within = F.col("_matched_ts").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        carried = carried.select(
+            "_side",
+            "_lrow",
+            *[F.when(within, F.col(f"r_{c}")).alias(f"r_{c}") for c in value_cols],
+        )
     return carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
         *[F.col(f"r_{c}") for c in value_cols],

@@ -2036,3 +2036,35 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.round(tx.repetition_ratio("text"), 6).alias("rep_ratio")
     )
+
+
+@query(
+    "asof_join_forward_tol",
+    oracle="""
+    SELECT l.event_id,
+           CASE WHEN r.ts IS NOT NULL AND epoch(r.ts) - epoch(l.ts) <= 600.0
+                THEN r.value END AS r_value,
+           CASE WHEN r.ts IS NOT NULL AND epoch(r.ts) - epoch(l.ts) <= 600.0
+                THEN strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') END AS r_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def asof_join_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each click matched to the user's
+    NEXT purchase only if within 10 minutes (pandas merge_asof
+    direction='forward' semantics). Same linear merge-scan, reversed
+    time order."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    out = xjoins.asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["ts", "value"], direction="forward", tolerance_seconds=600,
+    )
+    return out.select(
+        "event_id",
+        F.col("r_value"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("r_ts"),
+    )
