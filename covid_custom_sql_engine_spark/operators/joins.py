@@ -144,3 +144,48 @@ def salted_join(
         how,
     )
     return out.drop("_lsalt", "_rsalt")
+
+
+def interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval-overlap join (half-open [start, end) semantics) between
+    two interval tables, scale-correct for big×big inputs.
+
+    A naive theta join (``a.start < b.end AND b.start < a.end``) is a
+    nested-loop product. Instead both sides explode into the time
+    buckets each interval covers, equi-join on the bucket (a plain
+    shuffled hash join), verify the exact overlap predicate, and
+    de-duplicate pairs that co-occur in several buckets. Cost is
+    |rows| × avg buckets-per-interval — tune ``bucket`` to the typical
+    interval length.
+    """
+
+    unit = bucket.split()[-1].rstrip("s")  # "1 hour" -> truncate to hour
+
+    def buckets(df: DataFrame, start: str, end: str, alias: str) -> DataFrame:
+        return df.withColumn(
+            alias,
+            F.explode(
+                F.sequence(
+                    F.date_trunc(unit, F.col(start)),
+                    F.date_trunc(unit, F.col(end)),
+                    F.expr(f"INTERVAL {bucket}"),
+                )
+            ),
+        )
+
+    ab = buckets(a, a_start, a_end, "_bkt")
+    bb = buckets(b, b_start, b_end, "_bkt")
+    return (
+        ab.join(bb, "_bkt")
+        .filter((F.col(a_start) < F.col(b_end)) & (F.col(b_start) < F.col(a_end)))
+        .drop("_bkt")
+        .distinct()
+    )

@@ -2068,3 +2068,51 @@ def asof_join_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_value"),
         F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("r_ts"),
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle=f"""
+    WITH o AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+               FROM events),
+    m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '15 minutes' THEN 1 ELSE 0 END AS new_s FROM o),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+    sessions AS (SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL '15 minutes' AS s_end
+                 FROM s GROUP BY user_id, sid),
+    incidents AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS i_start,
+                         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS i_end
+                  FROM events WHERE event_type = 'error'
+                  GROUP BY 1 HAVING count(*) >= 3)
+    SELECT sess.user_id,
+           strftime(sess.s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(i.i_start, '%Y-%m-%d %H:%M:%S') AS incident_hour
+    FROM sessions sess JOIN incidents i
+      ON sess.s_start < i.i_end AND i.i_start < sess.s_end
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join via time-bucketing: user sessions
+    (15-min gap) × incident hours (≥3 error events). The oracle is the
+    direct theta join; the engine runs the bucketed equi-join + exact
+    verify (no nested-loop product at scale)."""
+    e = load_table(spark, sf_dir, "events")
+    from covid_custom_sql_engine_spark.streaming import session_windows
+
+    sessions = session_windows(e).select(
+        "user_id", F.col("session_start").alias("s_start"), F.col("session_end").alias("s_end")
+    )
+    incidents = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("i_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("i_start", (F.col("i_start") + F.expr("INTERVAL 1 HOUR")).alias("i_end"))
+    )
+    out = xjoins.interval_join(sessions, incidents, "s_start", "s_end", "i_start", "i_end")
+    return out.select(
+        "user_id",
+        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("i_start", "yyyy-MM-dd HH:mm:ss").alias("incident_hour"),
+    )
