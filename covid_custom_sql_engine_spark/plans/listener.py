@@ -61,3 +61,22 @@ def timed_action(log: ExecutionLog, op: str):
     t0 = time.perf_counter()
     yield
     log.record(op, None, (time.perf_counter() - t0) * 1000)
+
+
+def observe_metrics(df: DataFrame, name: str, **metrics):
+    """Attach zero-cost pipeline metrics to a plan (``df.observe``): the
+    aggregates compute during the NEXT action with no extra pass — the
+    scale-correct replacement for ``timed_count``'s second job. Returns
+    ``(df, Observation)``; read ``observation.get`` after any action.
+
+    Example::
+
+        df, obs = observe_metrics(df, "ingest", rows=F.count(F.lit(1)))
+        df.write.parquet(...)   # any action
+        obs.get                 # {"rows": ...}
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    exprs = [v.alias(k) for k, v in metrics.items()]
+    return df.observe(obs, *exprs), obs

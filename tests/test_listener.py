@@ -29,3 +29,24 @@ def test_timed_action_context(spark):
     with timed_action(log, "collect"):
         spark.range(10).collect()
     assert log.entries[0].op == "collect" and log.entries[0].ms > 0
+
+
+def test_observe_metrics_piggyback(spark, sf_dir):
+    """df.observe computes pipeline metrics during the action itself —
+    no second job (the scale-correct form of timed_count)."""
+    from pyspark.sql import functions as F
+
+    from covid_custom_sql_engine_spark.catalog import load_table
+    from covid_custom_sql_engine_spark.plans.listener import observe_metrics
+
+    o = load_table(spark, sf_dir, "orders")
+    df, obs = observe_metrics(
+        o.filter(F.col("o_totalprice") > 0),
+        "ingest",
+        rows=F.count(F.lit(1)),
+        total=F.sum("o_totalprice"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["rows"] == o.filter(F.col("o_totalprice") > 0).count()
+    assert m["total"] > 0
