@@ -151,3 +151,41 @@ def test_foreach_batch_sink(spark, events_dir):
     batch_totals = {r.event_type: r.n for r in got.groupBy("event_type").agg(F.sum("count").alias("n")).collect()}
     exp = {r.event_type: r.n for r in src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert batch_totals == exp
+
+
+def test_checkpoint_restart_no_reprocess(spark, events_dir):
+    """Restarting a checkpointed stream over a grown source processes
+    only the new files — exactly-once per input file."""
+    src = spark.read.parquet(events_dir)
+    grow_dir = tempfile.mkdtemp(prefix="grow_src_")
+    out_dir = tempfile.mkdtemp(prefix="grow_out_")
+    target, chk = os.path.join(out_dir, "data"), os.path.join(out_dir, "chk")
+
+    first = src.limit(500)
+    first.coalesce(1).write.mode("overwrite").parquet(grow_dir)
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(src.schema)
+            .parquet(grow_dir)
+            .select("event_id", "user_id", "value")
+        )
+        sq = (
+            sdf.writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(target).count()
+    assert n1 == 500
+    # grow the source with 300 more rows in a new file; restart from chk
+    src.limit(800).exceptAll(first).coalesce(1).write.mode("append").parquet(grow_dir)
+    run_once()
+    got = spark.read.parquet(target)
+    assert got.count() == 800            # no reprocessing of file 1
+    assert got.select("event_id").distinct().count() == 800
