@@ -79,3 +79,14 @@ def validate_required_columns(df: DataFrame, required: set[str]) -> None:
     missing = sorted(required - set(df.columns))
     if missing:
         raise ValueError(f"missing required columns: {missing}")
+
+
+def read_jsonl(spark, path: str, schema=None):
+    """JSON-lines source (one object per line — the interchange format
+    of text-pipeline corpora). With an explicit schema the reader skips
+    the inference pass entirely (schema inference = a full extra scan at
+    100 TB; always pass one in production)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

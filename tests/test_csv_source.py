@@ -88,3 +88,26 @@ def test_validate_required_columns(spark):
     validate_required_columns(df, {"a"})
     with pytest.raises(ValueError, match=r"\['c', 'd'\]"):
         validate_required_columns(df, {"a", "c", "d"})
+
+
+def test_jsonl_roundtrip_and_corrupt_line(spark):
+    """JSONL: explicit schema, null for missing fields, corrupt lines
+    land in _corrupt_record instead of failing the read (PERMISSIVE)."""
+    from covid_custom_sql_engine_spark.sources.csv_source import read_jsonl
+
+    path = _write(
+        '{"doc_id": 1, "text": "hello", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "welt"}\n'
+        "this is not json\n",
+        suffix=".jsonl",
+    )
+    schema = "doc_id LONG, text STRING, lang STRING, _corrupt_record STRING"
+    df = read_jsonl(spark, path, schema).cache()
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        assert good.count() == 2
+        rows = {r.doc_id: r for r in good.collect()}
+        assert rows[2].lang is None
+        assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    finally:
+        df.unpersist()
