@@ -30,3 +30,28 @@ def test_ivf_rank_ordering(spark, sf_dir):
     sims = [r.cos_sim for r in rows]
     assert sims == sorted(sims, reverse=True)
     assert all(r.vec_id != 0 for r in rows)  # self excluded
+
+
+def test_cosine_zero_vector_yields_null(spark):
+    from covid_custom_sql_engine_spark.functions import similarity as sim
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], ["id", "v"]
+    )
+    a = df.filter(F.col("id") == 1).select(sim.as_double("v").alias("a"))
+    out = a.crossJoin(
+        df.filter(F.col("id") == 2).select(sim.as_double("v").alias("b"))
+    ).select(sim.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    assert out is None  # zero-norm guard: NULL, not NaN/error
+
+
+def test_hyperplane_bucket_deterministic(spark):
+    from covid_custom_sql_engine_spark.functions import similarity as sim
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, -1.0])], ["id", "v"])
+    planes = [[1.0, 0.0, 0.0], [0.0, -1.0, 0.0]]
+    b1 = df.select(sim.hyperplane_bucket(sim.as_double("v"), planes).alias("b")).collect()[0].b
+    b2 = df.select(sim.hyperplane_bucket(sim.as_double("v"), planes).alias("b")).collect()[0].b
+    assert b1 == b2 == "10"  # dot>=0 → '1', dot<0 → '0'

@@ -37,6 +37,10 @@ EXPECT = {
     "stat_summary": (3, False, True),  # crossJoin of two 1-row aggregates: intended
     "session_ids": (3, False, False),
     "hourly_change": (2, False, False),
+    "interval_overlap_join": (3, True, False),
+    "corpus_filter_pipeline": (3, True, False),
+    "asof_join_forward_tol": (6, True, False),
+    "redact_pii": (2, False, False),
 }
 
 
