@@ -2116,3 +2116,46 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("s_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
         F.date_format("i_start", "yyyy-MM-dd HH:mm:ss").alias("incident_hour"),
     )
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics — per-row multiplicity
+    subtraction, unlike the distinct EXCEPT): urgent-order customers
+    minus low-order customers, duplicates preserved."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.exceptAll(low)
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN l_extendedprice < 0 THEN 0
+                     WHEN l_extendedprice >= 110000.0 THEN 23
+                     ELSE floor(l_extendedprice / 5000.0) + 1 END AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM lineitem GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — one codegen hash
+    aggregate, the building block of the distributed median/selection
+    operator (operators/selection.py)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    b = F.width_bucket("l_extendedprice", F.lit(0.0), F.lit(110000.0), F.lit(22))
+    return l.groupBy(b.cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
