@@ -2159,3 +2159,155 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (text-analysis / feature step of
+    an LLM-data pipeline).
+
+    Rank key is integer-only (tf DESC, df ASC, term ASC) — monotone in
+    tf·idf for fixed tf and cross-engine deterministic, unlike ordering
+    by the double score itself. The doc-frequency table is a grouped
+    count of the tf table (no second tokenize pass); at real scale the
+    vocab side stays a shuffle join and AQE broadcasts it when it fits
+    — locally it is a few thousand terms.
+    """
+    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+@query(
+    "zscore_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             count(value) AS n,
+             {_sql_dsum('value')} AS sx,
+             {_sql_dsum('value * value')} AS sxx
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - sx / n)
+               / sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS zs
+      FROM events e JOIN stats USING (event_type)
+      WHERE e.value IS NOT NULL
+    )
+    SELECT event_id, event_type, value, round(zs, 6) AS z
+    FROM z WHERE abs(zs) > 2.0
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (data-quality filter): events
+    whose value is >2σ from their event_type mean.
+
+    Two-pass shape: tiny grouped-stats aggregate (5 rows) broadcast back
+    onto the fact scan — no window, no second shuffle, scales as one
+    scan + one map-side join. Stats use the deterministic decimal-sum
+    mode (ops.dsum) so both engines compute bit-identical doubles;
+    sqrt/division are IEEE-exact, so the >2.0 cut is cross-engine safe.
+    """
+    e = load_table(spark, sf_dir, "events")
+    n = F.count("value")
+    stats = e.groupBy("event_type").agg(
+        n.alias("n"),
+        ops.dsum(F.col("value")).alias("sx"),
+        ops.dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    z = (
+        F.col("value") - F.col("sx") / F.col("n")
+    ) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    return (
+        e.filter(F.col("value").isNotNull())
+        .join(F.broadcast(stats), "event_type")
+        .withColumn("zs", z)
+        .filter(F.abs(F.col("zs")) > 2.0)
+        .select(
+            "event_id", "event_type", "value", F.round("zs", 6).alias("z")
+        )
+    )
+
+
+@query(
+    "column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(*) - count(l_quantity) AS n_nulls,
+           count(DISTINCT l_quantity) AS n_distinct FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice) FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag) FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*) - count(l_linestatus),
+           count(DISTINCT l_linestatus) FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate) FROM lineitem
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (null count + exact distinct cardinality per
+    column) — the health-check step before a training-data pipeline run.
+
+    One pass: stack() unpivots k columns in the scan stage (values cast
+    to string — injective, so cardinality is preserved), then a single
+    hash aggregate by column name. The oracle's k scans express the same
+    result; ours reads the parquet once regardless of k.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate"]
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    stacked = l.select(F.expr(f"stack({len(cols)}, {pairs}) AS (col, val)"))
+    return stacked.groupBy("col").agg(
+        (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+    )
