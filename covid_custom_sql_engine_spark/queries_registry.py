@@ -2311,3 +2311,29 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
         F.countDistinct("val").alias("n_distinct"),
     )
+
+
+@query("synth_source_agg")  # rows-only: the generator isn't expressible in SQL
+def synth_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (sources/python_datasource.py): generate
+    100k deterministic events, push an event_id range into the source
+    (pushFilters prunes the generated range itself — the scan only
+    produces 50k ids), then aggregate. Deterministic output but no
+    DuckDB analogue, so the driver's rows-only check applies; the full
+    contract (Arrow batches, partition invariance, stream/batch
+    equality) is pinned by tests/test_python_datasource.py."""
+    from covid_custom_sql_engine_spark.sources import register_synth_events
+
+    register_synth_events(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("n_rows", 100_000)
+        .option("n_partitions", 16)
+        .load()
+        .filter(F.col("event_id") < 50_000)
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(ops.dsum(F.col("value")), 6).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -39,6 +39,9 @@ def get_spark(app_name: str = "covid_custom_sql_engine_spark") -> SparkSession:
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert in the catalog (Spark has no nanos timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let custom Python data sources (sources/python_datasource.py)
+        # receive pushFilters() during planning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,207 @@
+"""Custom Spark source via the Python Data Source API (Spark 4).
+
+``synth_events`` — a deterministic, partitioned synthetic event
+generator with the same schema as the testdata ``events`` table. The
+reference has no pluggable-source surface at all (its only ingress is
+the CSV parser, csv_parser.py:49-79), so this is beyond-reference
+scope: the ``rate``-source idiom done through the public
+``pyspark.sql.datasource`` API, the standard way to load-test a
+pipeline at an arbitrary scale factor without storing the input.
+
+Design points (the parts that matter at cluster scale):
+
+- **Counter-mode RNG**: row ``i`` is a pure function of ``(seed, i)``
+  via the splitmix64 finalizer (public-domain mixing constants), so the
+  produced data is identical for ANY partition count — repartition-
+  invariant, resumable, and exactly reproducible across batch and
+  streaming reads of the same options.
+- **Arrow batches, not rows**: the batch reader yields pyarrow
+  ``RecordBatch`` chunks built from vectorized numpy ops — no per-row
+  Python in the hot path (the row-tuple path is ~100x slower).
+- **Source-level predicate pushdown**: ``pushFilters`` consumes
+  range/equality predicates on ``event_id`` and narrows the generated
+  id range itself — the generator's analogue of parquet row-group
+  pruning. A filtered scan generates only the matching ids.
+- **Streaming with replayable offsets**: a
+  ``SimpleDataSourceStreamReader`` serves the same deterministic rows
+  in rate-limited micro-batches; ``readBetweenOffsets`` regenerates any
+  offset range on replay, which is what makes checkpoint recovery
+  exactly-once for this source.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+
+EVENT_TYPES = ("view", "click", "signup", "purchase", "error")
+_BASE_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, one event per second
+_SCHEMA_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, wraps mod 2^64)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _gen_arrays(seed: int, start: int, end: int) -> dict[str, np.ndarray]:
+    """Columns for id range [start, end) — pure function of (seed, id)."""
+    ids = np.arange(start, end, dtype=np.uint64)
+    r = _mix(ids ^ _mix(np.uint64(seed) + np.zeros(1, dtype=np.uint64)))
+    return {
+        "event_id": ids.astype(np.int64),
+        "ts_us": (np.int64(_BASE_US) + ids.astype(np.int64) * 1_000_000),
+        "user_id": (r % np.uint64(1000)).astype(np.int64),
+        "etype_idx": ((r >> np.uint64(16)) % np.uint64(len(EVENT_TYPES))).astype(np.int64),
+        "value": (r >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 100.0,
+        "props_n": (r % np.uint64(10)).astype(np.int64),
+    }
+
+
+def _arrow_batch(seed: int, start: int, end: int) -> pa.RecordBatch:
+    a = _gen_arrays(seed, start, end)
+    etypes = np.asarray(EVENT_TYPES, dtype=object)[a["etype_idx"]]
+    props = np.char.add(
+        np.char.add('{"n": ', a["props_n"].astype(np.str_)), "}"
+    ).astype(object)
+    return pa.record_batch(
+        [
+            pa.array(a["event_id"], type=pa.int64()),
+            pa.array(a["ts_us"], type=pa.int64()).cast(pa.timestamp("us")),
+            pa.array(a["user_id"], type=pa.int64()),
+            pa.array(etypes, type=pa.string()),
+            pa.array(a["value"], type=pa.float64()),
+            pa.array(props, type=pa.string()),
+        ],
+        names=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+def _tuples(seed: int, start: int, end: int) -> list[tuple]:
+    """Row-tuple form for the (driver-side, rate-limited) stream reader."""
+    a = _gen_arrays(seed, start, end)
+    epoch = _dt.datetime(1970, 1, 1)
+    return [
+        (
+            int(a["event_id"][i]),
+            epoch + _dt.timedelta(microseconds=int(a["ts_us"][i])),
+            int(a["user_id"][i]),
+            EVENT_TYPES[a["etype_idx"][i]],
+            float(a["value"][i]),
+            '{"n": %d}' % a["props_n"][i],
+        )
+        for i in range(end - start)
+    ]
+
+
+class SynthEventsBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 100_000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.seed = int(options.get("seed", 42))
+        self.arrow_batch = int(options.get("arrow_batch", 65_536))
+        self.lo, self.hi = 0, self.n_rows  # generated id range [lo, hi)
+
+    def pushFilters(self, filters):
+        """Consume event_id range predicates by narrowing [lo, hi) —
+        exact pruning, so consumed filters need no re-check by Spark;
+        everything else is returned for Spark to evaluate. Returns an
+        eager list — mutating self from a lazy generator would race
+        with partitions()."""
+        remaining = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            v = getattr(f, "value", None)
+            if attr == ("event_id",) and isinstance(v, int):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, v + 1)
+                elif isinstance(f, EqualTo):
+                    self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+                else:
+                    remaining.append(f)
+            else:
+                remaining.append(f)
+        return remaining
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, self.n_partitions)
+        step = max(1, -(-(hi - lo) // n)) if hi > lo else 1
+        parts = [
+            InputPartition((s, min(s + step, hi)))
+            for s in range(lo, hi, step)
+        ]
+        return parts or [InputPartition((lo, lo))]
+
+    def read(self, partition):
+        start, end = partition.value
+        for s in range(start, end, self.arrow_batch):
+            yield _arrow_batch(self.seed, s, min(s + self.arrow_batch, end))
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Rate-limited stream over the same deterministic rows. Offsets are
+    generator indices, so any offset range replays bit-identically —
+    the property checkpoint recovery needs for exactly-once."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 1_000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def read(self, start):
+        s = int(start["index"])
+        e = min(s + self.rows_per_batch, self.n_rows)
+        return iter(_tuples(self.seed, s, e)), {"index": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(_tuples(self.seed, int(start["index"]), int(end["index"])))
+
+
+class SynthEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema) -> SynthEventsBatchReader:
+        return SynthEventsBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthEventsStreamReader:
+        return SynthEventsStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: spark.read.format('synth_events')."""
+    spark.dataSource.register(SynthEventsDataSource)

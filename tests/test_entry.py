@@ -18,7 +18,7 @@ def test_oracles_subset_of_queries():
     assert set(os_) <= set(qs)
     # every query is either oracled or explicitly rows-only
     rows_only = set(qs) - set(os_)
-    assert rows_only <= {"approx_distinct_parts", "ivf_topk"}
+    assert rows_only <= {"approx_distinct_parts", "ivf_topk", "synth_source_agg"}
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
