@@ -8,6 +8,7 @@ from covid_custom_sql_engine_spark.streaming.windows import (
 from covid_custom_sql_engine_spark.streaming.stateful import (
     running_totals_batch,
     running_totals_stream,
+    running_totals_tws,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "dedup_within_watermark",
     "running_totals_batch",
     "running_totals_stream",
+    "running_totals_tws",
 ]

@@ -6,7 +6,7 @@ arbitrary-state operator Spark's built-in windowed aggregations can't
 express (state = a running (count, sum) carried across micro-batches
 per user, emitted per event).
 
-Two twins over the same semantics:
+Three twins over the same semantics:
 
 - ``running_totals_batch``: ``applyInPandas`` grouped-map — sorts each
   user's events by (ts, event_id) and emits cumulative count/sum per
@@ -16,6 +16,8 @@ Two twins over the same semantics:
   arithmetic, with the (count, sum) accumulator held in ``GroupState``
   between micro-batches. Tested against the batch twin under an
   availableNow file stream.
+- ``running_totals_tws``: the same operator on Spark 4's
+  ``transformWithStateInPandas`` (named ValueState, timer/TTL-capable).
 
 Scale shape: both are a single shuffle on ``user_id``; state per group
 is two scalars, so executor state stores stay O(#users), not O(#events).
@@ -83,5 +85,53 @@ def running_totals_stream(events: DataFrame, watermark: str = "30 minutes") -> D
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def running_totals_tws(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Same semantics on ``transformWithStateInPandas`` (Spark 4's
+    successor state API — RocksDB-backed named state, timers, TTL).
+
+    The accumulator lives in a named ``ValueState``; unlike
+    ``GroupState`` it composes (an operator can hold several value/list/
+    map states) and supports per-state TTL — at 100 TB that is what
+    bounds the state store for keys that go quiet. Here one ValueState
+    of two scalars keeps parity with the twins above, so all three
+    implementations are cross-checked against each other in tests.
+
+    Runtime dependency: the TWS driver worker speaks protobuf to the
+    JVM state server, so ``google.protobuf`` must be installed
+    (standard on a real cluster; absent in minimal test containers —
+    the parity test skips itself when it is missing).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n0, total0 = self._acc.get() if self._acc.exists() else (0, 0.0)
+            for pdf in rows:
+                out = _cumulate(pdf, n0, total0)
+                if len(out):
+                    n0 = int(out["seq"].iloc[-1])
+                    total0 = float(out["running_total"].iloc[-1])
+                yield out
+            self._acc.update((n0, total0))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(), OUT_SCHEMA, outputMode="append", timeMode="none"
         )
     )

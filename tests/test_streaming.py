@@ -189,3 +189,49 @@ def test_checkpoint_restart_no_reprocess(spark, events_dir):
     got = spark.read.parquet(target)
     assert got.count() == 800            # no reprocessing of file 1
     assert got.select("event_id").distinct().count() == 800
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState driver worker requires google.protobuf",
+)
+def test_transform_with_state_matches_batch(spark, events_dir):
+    """transformWithStateInPandas twin (named ValueState) reproduces the
+    batch grouped-map cumulative totals."""
+    from covid_custom_sql_engine_spark.streaming import (
+        running_totals_batch,
+        running_totals_tws,
+    )
+
+    src = spark.read.parquet(events_dir)
+    batch = {
+        (r.user_id, r.event_id): (r.seq, r.running_total)
+        for r in running_totals_batch(src).collect()
+    }
+    stream_src = spark.readStream.schema(src.schema).parquet(events_dir)
+    sdf = running_totals_tws(stream_src)
+    out_dir = tempfile.mkdtemp(prefix="tws_out_")
+    sq = (
+        sdf.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", os.path.join(out_dir, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+    got = spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    assert len(got) == len(batch)
+    for r in got:
+        seq, total = batch[(r.user_id, r.event_id)]
+        assert r.seq == seq
+        assert r.running_total == pytest.approx(total)
