@@ -458,11 +458,17 @@ def rolling_avg_7(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stat_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14: multi-metric 7-fn statistical summary, one aggregation pass
-    then unpivot (app.py:1343-1379 loops metrics)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return comp.stat_summary(
-        l, ["l_quantity", "l_extendedprice", "l_discount"], deterministic=True
-    )
+    then unpivot (app.py:1343-1379 loops metrics).
+
+    The testdata parquet is a single row group (1-split scan), so the
+    exact-median object aggregate would run its partial phase on one
+    core; parallelize_small spreads the 3 projected columns across the
+    cluster first — measured ~20% faster at sf0.1 despite the extra
+    exchange. On a many-row-group production table the scan itself is
+    parallel and the repartition is unnecessary."""
+    metrics = ["l_quantity", "l_extendedprice", "l_discount"]
+    l = parallelize_small(load_table(spark, sf_dir, "lineitem").select(*metrics))
+    return comp.stat_summary(l, metrics, deterministic=True)
 
 
 @query(
@@ -1417,7 +1423,9 @@ def stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid_custom_sql_engine_spark.streaming import running_totals_batch
 
     e = load_table(spark, sf_dir, "events")
-    out = running_totals_batch(e)
+    # pin the grouped-map stage width (see running_totals_batch docstring)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = running_totals_batch(e, num_partitions=n_parts)
     return out.select(
         "user_id", "event_id", "seq", F.round("running_total", 6).alias("running_total")
     )

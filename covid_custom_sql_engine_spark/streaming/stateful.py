@@ -50,17 +50,23 @@ def _cumulate(pdf: pd.DataFrame, n0: int = 0, total0: float = 0.0) -> pd.DataFra
     )
 
 
-def running_totals_batch(events: DataFrame) -> DataFrame:
-    """Batch twin: grouped-map cumulative totals per user."""
+def running_totals_batch(events: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Batch twin: grouped-map cumulative totals per user.
+
+    ``num_partitions``: AQE coalesces the grouped-map's shuffle by byte
+    size, which underestimates Python-UDF stages (few MB of input can
+    be seconds of per-group Python) — measured 3× slower at sf0.1 when
+    the stage coalesced to 2 tasks. An explicit ``repartition(n, key)``
+    is exempt from AQE coalescing and already satisfies the grouped-
+    map's clustering requirement, so no second exchange is added."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _cumulate(pdf)
 
-    return (
-        events.select("user_id", "event_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(fn, OUT_SCHEMA)
-    )
+    src = events.select("user_id", "event_id", "ts", "value")
+    if num_partitions:
+        src = src.repartition(num_partitions, "user_id")
+    return src.groupBy("user_id").applyInPandas(fn, OUT_SCHEMA)
 
 
 def running_totals_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
