@@ -106,6 +106,58 @@ def fingerprint(text_col: str | Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+# Winnowing (Schleimer et al., SIGMOD'03) rolling-hash parameters.
+# B/M chosen so the unrolled k-gram polynomial stays far below int64
+# overflow (126 * B^(k-1) * k ≈ 3e13) before the mod.
+WINNOW_K = 8
+WINNOW_W = 4
+_WINNOW_B = 31
+_WINNOW_M = 1_000_003
+
+
+def winnow_fingerprints(text_expr: str, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+    """Winnowing document fingerprints: polynomial rolling hash over
+    character ``k``-grams, then the min hash of each ``w``-window of
+    consecutive gram hashes, deduped and sorted (``array<bigint>``).
+
+    Guarantees any shared substring of length >= k+w-1 between two
+    documents yields a shared fingerprint — the local near-dup property
+    the md5 ``fingerprint`` (exact-dup key) lacks. All JVM-side
+    expression code (transform/sequence/slice) — no Python in the path;
+    per-row cost O(len * k) regardless of partitioning, so it scales
+    linearly and needs no shuffle.
+
+    Each stage binds the previous one as a higher-order-function lambda
+    variable (``transform(array(prev), v -> ...)``) so normalization and
+    gram hashing are each evaluated once per row, not once per term.
+
+    ``text_expr``: column name or SQL expression for the text.
+    """
+    norm = (
+        f"regexp_replace(regexp_replace(lower(trim(coalesce({text_expr}, ''))),"
+        f" '[^ -~]', ''), ' +', ' ')"
+    )
+    # Unrolled k-term polynomial at 1-based gram position i.
+    poly = " + ".join(
+        f"ascii(substring(t, i + {j}, 1)) * {_WINNOW_B ** j}L" for j in range(k)
+    )
+    grams = (
+        f"CASE WHEN length(t) < {k} THEN array() "
+        f"ELSE transform(sequence(1, length(t) - {k} + 1), "
+        f"i -> ({poly}) % {_WINNOW_M}L) END"
+    )
+    wins = (
+        f"CASE WHEN size(g) = 0 THEN array() "
+        f"ELSE transform(sequence(1, greatest(size(g) - {w} + 1, 1)), "
+        f"i -> array_min(slice(g, i, {w}))) END"
+    )
+    return F.expr(
+        f"element_at(transform(array({norm}), t -> "
+        f"  element_at(transform(array({grams}), g -> "
+        f"    array_sort(array_distinct({wins}))), 1)), 1)"
+    )
+
+
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass per-document text profile (tokens, chars, punct ratio,
     stopword ratio, quality, language, fingerprint)."""

@@ -2345,3 +2345,81 @@ def synth_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ops.dsum(F.col("value")), 6).alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+           l.l_extendedprice * (1 - l.l_discount) AS net
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defeating salted equi-join (operators/joins.py:salted_join):
+    right rows exploded into ``salt`` tagged copies, left rows tagged by
+    key-hash, joined on (key, salt) so a hot key spreads over ``salt``
+    shuffle partitions. Semantically identical to the plain join — the
+    oracle IS the plain join. The explicit tool for extreme known-hot
+    keys; AQE's skew-split covers the moderate case."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    out = xjoins.salted_join(l, o, "l_orderkey", "o_orderkey", salt=4)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+
+
+_WINNOW_POLY_SQL = " + ".join(
+    f"ord(substr(t, i + {j}, 1))::BIGINT * {tx._WINNOW_B ** j}" for j in range(tx.WINNOW_K)
+)
+
+
+@query(
+    "winnow_fingerprint",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(trim(coalesce(text, ''))),
+                            '[^ -~]', '', 'g'), ' +', ' ', 'g') AS t
+      FROM documents
+    ),
+    g0 AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < {tx.WINNOW_K} THEN []
+                  ELSE list_transform(range(1, length(t) - {tx.WINNOW_K} + 2),
+                                      i -> ({_WINNOW_POLY_SQL}) % {tx._WINNOW_M})
+             END AS g
+      FROM t0
+    )
+    SELECT doc_id,
+           array_to_string(
+             CASE WHEN len(g) = 0 THEN []
+                  ELSE list_sort(list_distinct(
+                    list_transform(range(1, greatest(len(g) - {tx.WINNOW_W} + 1, 1) + 1),
+                                   i -> list_min(list_slice(g, i, i + {tx.WINNOW_W} - 1)))))
+             END, ',') AS fps,
+           CASE WHEN len(g) = 0 THEN 0
+                ELSE len(list_distinct(
+                  list_transform(range(1, greatest(len(g) - {tx.WINNOW_W} + 1, 1) + 1),
+                                 i -> list_min(list_slice(g, i, i + {tx.WINNOW_W} - 1)))))
+           END AS n_fps
+    FROM g0
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (functions/text.py) — the
+    SIGMOD'03 local document fingerprint: any shared substring of length
+    >= k+w-1 between two docs yields a shared fingerprint. One narrow
+    projection, zero shuffles; emitted as a comma-joined string for the
+    cross-engine hash compare."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = tx.winnow_fingerprints("text")
+    return d.select(
+        "doc_id",
+        F.array_join(F.transform(fps, lambda x: x.cast("string")), ",").alias("fps"),
+        F.size(fps).alias("n_fps"),
+    )

@@ -236,3 +236,68 @@ def test_repetition_ratio_detects_boilerplate(spark):
     assert got[1] == 0.75  # 1 distinct / 4 total
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: a shared substring of length >= k+w-1 (11
+    chars at k=8,w=4) yields at least one shared fingerprint."""
+    from covid_custom_sql_engine_spark.functions import text as tx
+
+    shared = "identical plagiarized passage kept verbatim"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro alpha {shared} outro one"),
+            (2, f"completely different framing. {shared} and a new tail"),
+            (3, "nothing in common with the others at all, truly"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", tx.winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert got[1] & got[2], "docs sharing an 11+ char substring must overlap"
+    assert len(got[1] & got[3]) <= 1  # unrelated docs: at most chance overlap
+
+
+def test_winnow_edges(spark):
+    from covid_custom_sql_engine_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "short"), (4, "exactly8!"), (5, "Ünïcödé only ööö")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.fps
+        for r in df.select(
+            "doc_id", tx.winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert len(got[4]) >= 1  # length-9 text -> 2 grams -> 1+ fingerprints
+    # unicode stripped -> "only" + spaces remain (< k after normalize... or not) — just no nulls
+    assert all(v is not None for v in got[5])
+
+
+def test_winnow_normalization_invariance(spark):
+    """Case / extra whitespace / non-ASCII don't change fingerprints."""
+    from covid_custom_sql_engine_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (1, "The Quick brown fox jumps over it"),
+            (2, "  the   quick BROWN fox jumps over it  "),
+            (3, "the quick brown fôx jumps over it"),  # ô stripped -> differs
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.fps
+        for r in df.select(
+            "doc_id", tx.winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert got[1] == got[2]
+    assert got[1] != got[3]
