@@ -2377,11 +2377,11 @@ _WINNOW_POLY_SQL = " + ".join(
     f"ord(substr(t, i + {j}, 1))::BIGINT * {tx._WINNOW_B ** j}" for j in range(tx.WINNOW_K)
 )
 
-
-@query(
-    "winnow_fingerprint",
-    oracle=f"""
-    WITH t0 AS (
+# Shared DuckDB CTEs mirroring functions/text.py::winnow_fingerprints —
+# t0 = normalized text, g0 = k-gram rolling hashes, _WINNOW_WINS_SQL =
+# the deduped window-min fingerprint list over a g0 row's `g`.
+_WINNOW_CTES_SQL = f"""
+    t0 AS (
       SELECT doc_id,
              regexp_replace(regexp_replace(lower(trim(coalesce(text, ''))),
                             '[^ -~]', '', 'g'), ' +', ' ', 'g') AS t
@@ -2394,18 +2394,24 @@ _WINNOW_POLY_SQL = " + ".join(
                                       i -> ({_WINNOW_POLY_SQL}) % {tx._WINNOW_M})
              END AS g
       FROM t0
-    )
+    )"""
+
+_WINNOW_WINS_SQL = f"""list_distinct(
+                    list_transform(range(1, greatest(len(g) - {tx.WINNOW_W} + 1, 1) + 1),
+                                   i -> list_min(list_slice(g, i, i + {tx.WINNOW_W} - 1))))"""
+
+
+@query(
+    "winnow_fingerprint",
+    oracle=f"""
+    WITH {_WINNOW_CTES_SQL}
     SELECT doc_id,
            array_to_string(
              CASE WHEN len(g) = 0 THEN []
-                  ELSE list_sort(list_distinct(
-                    list_transform(range(1, greatest(len(g) - {tx.WINNOW_W} + 1, 1) + 1),
-                                   i -> list_min(list_slice(g, i, i + {tx.WINNOW_W} - 1)))))
+                  ELSE list_sort({_WINNOW_WINS_SQL})
              END, ',') AS fps,
            CASE WHEN len(g) = 0 THEN 0
-                ELSE len(list_distinct(
-                  list_transform(range(1, greatest(len(g) - {tx.WINNOW_W} + 1, 1) + 1),
-                                 i -> list_min(list_slice(g, i, i + {tx.WINNOW_W} - 1)))))
+                ELSE len({_WINNOW_WINS_SQL})
            END AS n_fps
     FROM g0
     """,
@@ -2422,4 +2428,61 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(F.transform(fps, lambda x: x.cast("string")), ",").alias("fps"),
         F.size(fps).alias("n_fps"),
+    )
+
+
+_WINNOW_MAX_DF = 50  # stop-gram cap: a fingerprint in > this many docs is boilerplate
+_WINNOW_MIN_SHARED = 10
+
+
+@query(
+    "winnow_pairs",
+    oracle=f"""
+    WITH {_WINNOW_CTES_SQL},
+    f AS (
+      SELECT doc_id, unnest({_WINNOW_WINS_SQL}) AS fp
+      FROM g0 WHERE len(g) > 0
+    ),
+    rare AS (
+      SELECT fp FROM f GROUP BY fp HAVING count(*) <= {_WINNOW_MAX_DF}
+    ),
+    f2 AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints —
+    explode fingerprints, drop boilerplate fingerprints whose document
+    frequency exceeds {MAX_DF} (the stop-gram guard that keeps the
+    fp self-join from going quadratic on a hot bucket at scale), then
+    self-join on fp and keep pairs sharing >= {MIN_SHARED} fingerprints.
+    Both shuffles key on `fp`, so doc-frequency filter and pair join
+    co-partition; the cap bounds any bucket's pair fan-out at
+    MAX_DF^2 regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id", F.explode(tx.winnow_fingerprints("text")).alias("fp")
+    )
+    rare = (
+        f.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _WINNOW_MAX_DF)
+        .select("fp")
+    )
+    f2 = f.join(rare, "fp")
+    a, b = f2.alias("a"), f2.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
     )
