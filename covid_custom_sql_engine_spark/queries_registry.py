@@ -2486,3 +2486,66 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+             END AS scale
+      FROM b
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v,
+               x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))::INT) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale6,
+           array_to_string(qv, ',') AS q_str,
+           round(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - qv[i] * scale))), 6) AS max_err6
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 absmax quantization of the embedding column — the
+    4x storage/bandwidth reduction step a training-data pipeline applies
+    before shipping vectors. Per-vector scale = absmax/127; round via
+    floor(x/scale + 0.5) (identical in Spark and DuckDB, unlike the
+    engines' differing round() tie rules); clamp to [-127, 127];
+    max reconstruction error verified cross-engine. Pure higher-order
+    JVM expressions — one narrow projection, zero shuffles, linear
+    scale-out."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.withColumn(
+        "v", F.expr("transform(embedding, x -> cast(x AS double))")
+    ).withColumn(
+        "scale",
+        F.expr(
+            "CASE WHEN array_max(transform(v, x -> abs(x))) = 0 THEN 1.0D "
+            "ELSE array_max(transform(v, x -> abs(x))) / 127.0D END"
+        ),
+    ).withColumn(
+        "qv",
+        F.expr(
+            "transform(v, x -> cast(greatest(-127.0D, "
+            "least(127.0D, floor(x / scale + 0.5D))) AS int))"
+        ),
+    )
+    return e.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale6"),
+        F.array_join(F.transform("qv", lambda x: x.cast("string")), ",").alias("q_str"),
+        F.round(
+            F.expr("array_max(zip_with(v, qv, (x, qi) -> abs(x - qi * scale)))"), 6
+        ).alias("max_err6"),
+    )
