@@ -42,6 +42,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to microseconds — the same truncation DuckDB applies, so both
     engines see identical timestamps.
     """
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS); without this runtime-settable conf
+        # any session that didn't set it at build time throws
+        # PARQUET_TYPE_ILLEGAL. Set it here so load_table works under ANY
+        # SparkSession (callers may build their own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
