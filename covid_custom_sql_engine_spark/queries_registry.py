@@ -1056,15 +1056,41 @@ def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts")
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           CAST(1 AS BIGINT) AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — approximate by design, so
-    no value oracle (driver records rows-only). The scale path for
-    COUNT(DISTINCT) without a global shuffle of all distinct values."""
+    """approx_count_distinct (HyperLogLog++) — the scale path for
+    COUNT(DISTINCT) without a global shuffle of all distinct values.
+
+    The raw HLL++ estimate is engine-specific, so the checked output is
+    exact: the exact distinct count, plus a ``within_tol`` flag
+    asserting the estimate landed within 3σ of default rsd=0.05 (1 on
+    both sides — the oracle emits the literal, we emit the measured
+    check, so a wildly-off sketch fails the hash)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.15 * F.col("exact_parts")
+            )
+            .cast("bigint")
+            .alias("within_tol"),
+        )
     )
 
 
@@ -1260,11 +1286,51 @@ def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
-@query("ivf_topk")
+@query(
+    "ivf_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    el AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+    ce AS (SELECT label, i, avg(x) AS ax FROM el GROUP BY label, i),
+    cent AS (SELECT label AS cell, list(ax ORDER BY i) AS cv FROM ce GROUP BY label),
+    asn AS (
+      SELECT vec_id, cell, v, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY (list_dot_product(v, cv)
+                  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))))
+                 DESC NULLS FIRST, cell ASC) AS rn
+      FROM c CROSS JOIN cent),
+    corpus AS (SELECT vec_id, cell, v FROM asn WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id <= 4),
+    pr AS (
+      SELECT query_id, cell, qv FROM (
+        SELECT query_id, cell, qv, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY (list_dot_product(qv, cv)
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
+                   DESC NULLS FIRST, cell ASC) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= 2),
+    sc AS (
+      SELECT p.query_id, s.vec_id,
+             list_dot_product(p.qv, s.v)
+             / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v))) AS cs
+      FROM corpus s JOIN pr p ON s.cell = p.cell
+      WHERE s.vec_id <> p.query_id)
+    SELECT query_id, vec_id, round(cs, 6) AS cos_sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT query_id, vec_id, cs,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC NULLS LAST, vec_id ASC) AS rn
+          FROM sc)
+    WHERE rn <= 5
+    """,
+)
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: label-mean centroids, n_probe=2 cells per query.
-    Approximate by design → rows-only driver check; tests assert recall
-    vs the exact brute-force baseline."""
+    Approximate vs brute force but deterministic given the fixed
+    centroid rule, so the oracle reimplements centroid-assignment +
+    probed-cell scan with DuckDB list functions (tests additionally
+    assert recall vs the exact baseline)."""
     e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") <= 4).select(F.col("vec_id").alias("query_id"), "embedding")
     out = sim.ivf_topk(e, q, k=5, n_probe=2)
@@ -2321,15 +2387,55 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("synth_source_agg")  # rows-only: the generator isn't expressible in SQL
+def _splitmix_mulmod_sql(e: str, k: int) -> str:
+    """(e * k) mod 2^64 over UBIGINT operands via 32-bit limbs; each
+    partial product fits UBIGINT, the final carry-sum runs in HUGEINT."""
+    klo, khi = k & 0xFFFFFFFF, k >> 32
+    return (
+        f"CAST((CAST((({e}) % 4294967296) * {klo} AS HUGEINT)"
+        f" + ((CAST((({e}) % 4294967296) * {khi} AS HUGEINT)"
+        f" + CAST((({e}) // 4294967296) * {klo} AS HUGEINT)) % 4294967296)"
+        f" * 4294967296) % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _splitmix_seed_const(seed: int) -> int:
+    z = (seed + 0x9E3779B97F4A7C15) % 2**64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % 2**64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % 2**64
+    return z ^ (z >> 31)
+
+
+_SYNTH_ORACLE = f"""
+    WITH ids AS (SELECT CAST(unnest(range(0, 50000)) AS UBIGINT) AS id),
+    m1 AS (SELECT id, CAST((CAST(xor(id, CAST({_splitmix_seed_const(42)} AS UBIGINT)) AS HUGEINT)
+                            + {0x9E3779B97F4A7C15}) % 18446744073709551616 AS UBIGINT) AS z FROM ids),
+    m2 AS (SELECT id, {_splitmix_mulmod_sql('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM m1),
+    m3 AS (SELECT id, {_splitmix_mulmod_sql('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM m2),
+    r AS (SELECT id, xor(z, z >> 31) AS r FROM m3),
+    ev AS (SELECT id, r % 1000 AS user_id,
+                  list_extract(['view','click','signup','purchase','error'],
+                               CAST((r >> 16) % 5 AS INT) + 1) AS event_type,
+                  CAST(r >> 11 AS DOUBLE) / 9007199254740992.0 * 100.0 AS value
+           FROM r)
+    SELECT event_type, count(*) AS n,
+           round({_sql_dsum('value')}, 6) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM ev GROUP BY event_type
+"""
+
+
+@query("synth_source_agg", oracle=_SYNTH_ORACLE)
 def synth_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python Data Source (sources/python_datasource.py): generate
     100k deterministic events, push an event_id range into the source
     (pushFilters prunes the generated range itself — the scan only
-    produces 50k ids), then aggregate. Deterministic output but no
-    DuckDB analogue, so the driver's rows-only check applies; the full
-    contract (Arrow batches, partition invariance, stream/batch
-    equality) is pinned by tests/test_python_datasource.py."""
+    produces 50k ids), then aggregate. The generator is counter-mode
+    splitmix64, a closed form the oracle re-derives in SQL (64-bit
+    wraparound arithmetic via 32-bit limbs) — bit-identical ids/values
+    on both engines. The full source contract (Arrow batches, partition
+    invariance, stream/batch equality) is pinned by
+    tests/test_python_datasource.py."""
     from covid_custom_sql_engine_spark.sources import register_synth_events
 
     register_synth_events(spark)

@@ -16,9 +16,8 @@ def test_entry_returns_rows(spark):
 def test_oracles_subset_of_queries():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
-    # every query is either oracled or explicitly rows-only
-    rows_only = set(qs) - set(os_)
-    assert rows_only <= {"approx_distinct_parts", "ivf_topk", "synth_source_agg"}
+    # every query has a value oracle (rows-only entries are a driver FAIL)
+    assert set(qs) == set(os_)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
