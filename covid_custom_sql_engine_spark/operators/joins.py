@@ -130,9 +130,20 @@ def salted_join(
     skew automatically; this is the explicit tool for extreme, known-hot
     keys. Results are identical to the plain join (salting is physical,
     not semantic).
+
+    The left salt MUST vary per row, not per key — hashing the key
+    itself would give every row of the hot key the same salt and undo
+    the whole mitigation. A row-unique id feeds the hash so the hot
+    key's rows spread uniformly over the ``salt`` partitions.
+
+    Only ``inner`` and ``left`` joins are supported: the exploded right
+    side would surface ``salt`` copies of unmatched right rows under
+    right/full semantics.
     """
+    if how not in ("inner", "left"):
+        raise NotImplementedError(f"salted_join supports inner/left, got: {how}")
     l_salted = left.withColumn(
-        "_lsalt", F.pmod(F.xxhash64(F.col(left_key)), F.lit(salt))
+        "_lsalt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )
     r_salted = right.withColumn(
         "_rsalt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -161,16 +172,24 @@ def interval_join(
     A naive theta join (``a.start < b.end AND b.start < a.end``) is a
     nested-loop product. Instead both sides explode into the time
     buckets each interval covers, equi-join on the bucket (a plain
-    shuffled hash join), verify the exact overlap predicate, and
-    de-duplicate pairs that co-occur in several buckets. Cost is
-    |rows| × avg buckets-per-interval — tune ``bucket`` to the typical
-    interval length.
+    shuffled hash join), verify the exact overlap predicate, and keep
+    each pair only in its FIRST shared bucket — two overlapping
+    intervals both cover ``greatest(trunc(a_start), trunc(b_start))``,
+    so that bucket emits the pair exactly once. Unlike a ``distinct()``
+    over the output (which would also collapse pairs produced by
+    genuinely duplicate input rows), this preserves the multiset
+    semantics of the theta join it replaces. Cost is |rows| × avg
+    buckets-per-interval — tune ``bucket`` to the typical interval
+    length.
+
+    Rows with ``end < start`` (invalid intervals — ``F.sequence`` would
+    raise on them) are dropped from each side.
     """
 
     unit = bucket.split()[-1].rstrip("s")  # "1 hour" -> truncate to hour
 
     def buckets(df: DataFrame, start: str, end: str, alias: str) -> DataFrame:
-        return df.withColumn(
+        return df.filter(F.col(end) >= F.col(start)).withColumn(
             alias,
             F.explode(
                 F.sequence(
@@ -183,9 +202,12 @@ def interval_join(
 
     ab = buckets(a, a_start, a_end, "_bkt")
     bb = buckets(b, b_start, b_end, "_bkt")
+    first_shared = F.greatest(
+        F.date_trunc(unit, F.col(a_start)), F.date_trunc(unit, F.col(b_start))
+    )
     return (
         ab.join(bb, "_bkt")
         .filter((F.col(a_start) < F.col(b_end)) & (F.col(b_start) < F.col(a_end)))
+        .filter(F.col("_bkt") == first_shared)
         .drop("_bkt")
-        .distinct()
     )
