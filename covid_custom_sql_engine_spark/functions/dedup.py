@@ -28,6 +28,15 @@ DEFAULT_NUM_HASHES = 12
 DEFAULT_BAND_ROWS = 3
 DEFAULT_SHINGLE_N = 3
 
+# Band buckets larger than this are dropped from candidate generation:
+# a (band, band_hash) bucket with B members yields B² /2 pairs, so one
+# mass-duplicated document (thousands of exact copies all landing in one
+# bucket) would make the self-join quadratic. Buckets this hot are
+# exact-duplicate pathology — collapse them with exact_dedup FIRST; the
+# cap is the LSH-side analogue of the ngram path's max_df stop-shingle
+# guard.
+MAX_BAND_BUCKET = 200
+
 
 def normalized(text_col: str | Column) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -125,10 +134,23 @@ def minhash_bands(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def candidate_pairs_from_bands(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def candidate_pairs_from_bands(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = MAX_BAND_BUCKET
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
     Equi-join on (band, band_hash) — a plain shuffled hash join whose key
-    cardinality grows with corpus size, so it stays balanced at scale."""
+    cardinality grows with corpus size. Buckets with more than
+    ``max_bucket`` members are dropped before the self-join (see
+    MAX_BAND_BUCKET) so a mass-duplicated corpus can't turn the join
+    quadratic; ``max_bucket=None`` disables the guard."""
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        bands = bands.join(ok, ["band", "band_hash"])
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("band").alias("band_a"), F.col("band_hash").alias("bh_a")
     )
@@ -313,6 +335,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph by iterative
     min-label propagation: every vertex starts labeled with itself; each
@@ -324,20 +347,31 @@ def connected_components(
     hash aggregate — all shuffles on the vertex id. Rounds needed =
     graph diameter (near-dup clusters are small and dense, so 3-5
     rounds in practice; ``max_iter`` bounds pathological chains).
-    ``localCheckpoint`` truncates the growing lineage each round, the
-    standard Spark idiom for iterative algorithms.
+
+    Lineage is truncated every round — the standard Spark idiom for
+    iterative algorithms. Default is ``localCheckpoint`` (fast; blocks
+    live on executor storage, fine for local mode and short jobs). For
+    a long-running cluster job pass ``checkpoint_dir`` (HDFS/object
+    store): rounds then use reliable ``checkpoint()``, so losing an
+    executor cannot lose a round's labels mid-computation.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _ckpt(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -345,7 +379,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
@@ -353,7 +387,6 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -836,7 +836,10 @@ def _sql_minhash_cte() -> str:
                     ELSE [array_to_string(toks, ' ')] END) AS sh
            FROM toks),
     sigs AS (SELECT doc_id, {mh} FROM sh),
-    bands AS ({bands}),
+    bands0 AS ({bands}),
+    okb AS (SELECT band, band_hash FROM bands0
+            GROUP BY band, band_hash HAVING count(*) <= {dd.MAX_BAND_BUCKET}),
+    bands AS (SELECT bands0.* FROM bands0 JOIN okb USING (band, band_hash)),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)

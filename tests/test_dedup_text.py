@@ -301,3 +301,47 @@ def test_winnow_normalization_invariance(spark):
     }
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_band_bucket_cap_blocks_quadratic_blowup(spark):
+    """5k identical docs land in one (band, band_hash) bucket per band;
+    without the MAX_BAND_BUCKET guard the self-join would emit ~12.5M
+    pairs. With it, the hot buckets are dropped and candidate generation
+    completes with zero pairs (exact_dedup is the right tool for mass
+    duplication — the guard keeps LSH from paying for it)."""
+    n = 5000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id", "'the same boilerplate sentence repeated here' AS text"
+    )
+    pairs = dd.lsh_candidate_pairs(df)
+    assert pairs.count() == 0
+    # uncapped path on a small clone still works (guard is opt-out-able)
+    small = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee")], "doc_id long, text string"
+    )
+    bands = dd.minhash_bands(small)
+    assert dd.candidate_pairs_from_bands(bands, max_bucket=None).count() == 1
+
+
+def test_band_bucket_cap_keeps_normal_buckets(spark):
+    """Buckets at or under the cap still produce their pairs."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"
+    )
+    assert dd.lsh_candidate_pairs(df).count() == 1
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoint() — same fixpoint, files written under the dir."""
+    import os
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    ckdir = str(tmp_path / "ck")
+    got = {
+        r.id: r.component
+        for r in dd.connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert os.path.isdir(ckdir) and len(os.listdir(ckdir)) > 0
