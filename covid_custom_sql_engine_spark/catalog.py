@@ -34,6 +34,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Analyzed-DataFrame memo, keyed per Spark application: repeated
+# load_table calls re-list the path and re-read the parquet footer for
+# schema inference (~50-150 ms of fixed driver-side latency), which
+# dominates trivial queries. DataFrames are immutable logical plans, so
+# reusing one within an application is safe.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan — Catalyst pushes filters/pruning into it.
 
@@ -45,14 +53,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is TIMESTAMP(NANOS); without this runtime-settable conf
         # any session that didn't set it at build time throws
-        # PARQUET_TYPE_ILLEGAL. Set it here so load_table works under ANY
-        # SparkSession (callers may build their own).
+        # PARQUET_TYPE_ILLEGAL (also needed at execution time, so it is set
+        # on cache hits too). Setting it here makes load_table work under
+        # ANY SparkSession — callers may build their own.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _DF_CACHE[key] = df
     return df
 
 
