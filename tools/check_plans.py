@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # query → (max columns any scan may read, expects_pushed_filters,
 #          allow_nested_loop_or_cartesian)
+# Covers EVERY registered query. Widths are the audited current scan
+# widths — a wider scan means column pruning regressed. allow_nlj=True
+# entries are deliberate broadcast crosses of tiny sides (each noted).
 EXPECT = {
     "flagship_revenue_by_nation": (5, True, False),
     "filter_range_project": (7, True, False),
@@ -41,16 +44,90 @@ EXPECT = {
     "corpus_filter_pipeline": (3, True, False),
     "asof_join_forward_tol": (6, True, False),
     "redact_pii": (2, False, False),
+    # --- events family ---
+    "locf_fill": (5, False, False),
+    "rolling_avg_7": (4, False, False),
+    "lagged_corr_best": (4, False, False),
+    "range_join_bands": (2, True, True),  # broadcast range join vs tiny band table: intended
+    "sliding_window": (2, True, False),
+    "stateful_running_total": (4, False, False),
+    "json_props": (2, False, False),
+    "hourly_spine_zero_fill": (2, True, True),  # tiny hour-spine broadcast: intended
+    "window_distribution": (3, False, False),
+    "range_window_rolling": (3, False, False),
+    "value_histogram": (1, False, False),
+    # --- TPC-H relational surface ---
+    "join_ref_left": (3, True, False),
+    "join_full_outer": (1, False, False),
+    "safe_corr_qty_price": (2, False, False),
+    "whole_table_agg": (1, False, False),
+    "sort_nulls_rank": (3, False, False),
+    "distinct_sorted": (1, False, False),
+    "argmax_latest": (4, False, False),
+    "topk_orders": (2, False, False),
+    "minmax_dates": (1, False, False),
+    "pivot_wide": (3, False, False),
+    "rename_pretty": (3, False, False),
+    "semi_join": (2, True, False),
+    "anti_join": (2, True, False),
+    "setop_union": (1, False, False),
+    "setop_intersect": (2, True, False),
+    "setop_except": (2, True, False),
+    "setop_except_all": (2, True, False),
+    "rollup_agg": (3, False, False),
+    "cube_agg": (3, False, False),
+    "grouping_sets": (3, False, False),
+    "percentiles": (2, False, False),
+    "approx_distinct_parts": (2, False, False),
+    "udaf_geometric_mean": (2, True, False),
+    "scalar_functions": (6, False, False),
+    "datetime_functions": (2, False, False),
+    "window_functions": (4, False, False),
+    "unpivot_metrics": (3, False, False),
+    "subquery_exists_cte": (3, True, False),
+    "hash_sample": (3, True, False),
+    "stratified_sample": (2, False, False),
+    "column_profile": (5, False, False),
+    "salted_join": (4, True, False),
+    "zscore_outliers": (3, True, False),
+    "levenshtein_pairs": (2, True, False),
+    "map_functions": (2, True, False),
+    "array_functions": (2, False, False),
+    "udtf_tokens": (2, True, False),
+    "synth_source_agg": (6, True, False),
+    # --- documents / dedup / text ---
+    "ngram_jaccard_pairs": (2, False, False),
+    "text_profile": (2, False, False),
+    "lang_id": (2, False, False),
+    "simhash": (2, False, False),
+    "repetition_ratio": (2, False, False),
+    "winnow_fingerprint": (2, False, False),
+    "winnow_pairs": (2, True, False),
+    "tfidf_top_terms": (2, False, True),  # 1-row corpus-size scalar broadcast: intended
+    "near_dup_clusters": (2, False, False),
+    # --- embeddings / ANN / multimodal ---
+    "embedding_norms": (2, False, False),
+    "embedding_normalize": (2, False, False),
+    "embedding_quantize_int8": (2, False, False),
+    "lsh_topk": (2, True, False),
+    "cosine_near_dups": (2, True, False),
+    "ivf_topk": (2, True, True),  # broadcast centroid/probe cross of tiny sides: intended
+    "multimodal_features": (2, False, False),
+    "frame_sample_plan": (2, False, False),
 }
 
 
-def main() -> int:
+def main(spark=None, sf_dir: str | None = None) -> int:
     from covid_custom_sql_engine_spark import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark("check_plans")
+    spark = spark or get_spark("check_plans")
     qs = entrymod.queries()
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    missing = sorted(set(qs) - set(EXPECT))
+    if missing:
+        print(f"VIOLATION coverage: queries without a plan guard: {missing}")
+        return 1
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     jvm = spark._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
