@@ -114,6 +114,8 @@ EXPECT = {
     "ivf_topk": (2, True, True),  # broadcast centroid/probe cross of tiny sides: intended
     "multimodal_features": (2, False, False),
     "frame_sample_plan": (2, False, False),
+    # --- composed demo (CSV scan side is string-typed parity mode) ---
+    "demo_showcase": (3, False, False),
 }
 
 
