@@ -12,9 +12,10 @@ md5-based and every step is deterministic):
 
 Scale posture: candidate generation is an equi-join on band hashes
 (shuffle on a well-distributed key), never an all-pairs product. The
-verify step only touches candidate pairs. MinHash uses the *lexicographic
-min of md5 hex strings* as the min-hash value — deterministic, portable
-to any SQL engine, and uniform enough for banding.
+verify step only touches candidate pairs. MinHash derives all k hash
+functions from ONE md5 per shingle via Kirsch–Mitzenmacher double
+hashing (h_i = (h1 + i·h2) mod M) — deterministic, portable to any SQL
+engine, and k× cheaper than hashing every shingle k times.
 """
 
 from __future__ import annotations
@@ -27,6 +28,12 @@ from covid_custom_sql_engine_spark.functions.text import fingerprint
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BAND_ROWS = 3
 DEFAULT_SHINGLE_N = 3
+
+# Modulus for Kirsch–Mitzenmacher double hashing: prime just under 2^40,
+# so h1 + i·h2 stays far from int64 overflow for any realistic k
+# (k·2^40 < 2^63 up to k ≈ 8M) while keeping per-minhash collision
+# probability ~2^-40 — negligible bias on Jaccard estimates.
+KM_MODULUS = 1_099_511_627_689
 
 # Band buckets larger than this are dropped from candidate generation:
 # a (band, band_hash) bucket with B members yields B² /2 pairs, so one
@@ -90,9 +97,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) MinHash signatures from a shingle-set frame.
 
-    For seed i: min over shingles of md5('{i}:' || shingle), compared
-    lexicographically (md5 hex is fixed-width, so lexicographic min ==
-    numeric min of the 128-bit value).
+    Hash family: ONE md5 per shingle, split into two 60-bit halves
+    (h1 = hex[1:15], h2 = hex[16:30]), then Kirsch–Mitzenmacher double
+    hashing h_i = (h1 + i·h2) mod KM_MODULUS. Same statistical guarantees
+    as k independent hashes for MinHash/Bloom-style sketches, at 1/k the
+    hashing cost — the md5 dominates, and it now runs once per shingle
+    instead of k times.
 
     Shape matters for performance: shingles are exploded ONCE, then all
     k mins run in a single hash aggregate with map-side partial combine.
@@ -100,11 +110,38 @@ def minhash_signatures(
     inline the whole tokenize→ngram chain k times — ~50× slower at sf0.1.)
     """
     exploded = sh_df.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    hx = F.md5("shingle")
+    m = F.lit(KM_MODULUS)
+    h1 = (F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint") % m).alias("_h1")
+    h2 = (F.conv(F.substring(hx, 16, 15), 16, 10).cast("bigint") % m).alias("_h2")
+    hashed = exploded.select(F.col(id_col), h1, h2)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % m).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def _bands_from_signatures(
+    sigs: DataFrame, id_col: str, num_hashes: int, band_rows: int
+) -> DataFrame:
+    """(id, band, band_hash) — one row per document per band."""
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            # '_' separator: mh values are variable-width decimal strings,
+            # so bare concat would alias ('12','345') with ('123','45')
+            F.md5(
+                F.concat_ws(
+                    "_", *[F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(num_hashes // band_rows)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
 def minhash_bands(
@@ -119,19 +156,7 @@ def minhash_bands(
     sigs = minhash_signatures(
         shingle_sets(df, id_col, text_col, shingle_n), id_col, num_hashes
     )
-    n_bands = num_hashes // band_rows
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(*[F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)])
-            ).alias("band_hash"),
-        )
-        for b in range(n_bands)
-    ]
-    return sigs.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    return _bands_from_signatures(sigs, id_col, num_hashes, band_rows)
 
 
 def candidate_pairs_from_bands(
@@ -173,9 +198,18 @@ def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_cache: bool = True,
     **kw,
 ) -> DataFrame:
-    return candidate_pairs_from_bands(minhash_bands(df, id_col, text_col, **kw), id_col)
+    """Candidate pairs straight from text. ``use_cache`` persists the
+    tiny (id, band, band_hash) frame so the bucket-size guard and the
+    two self-join branches don't each recompute the shingle→signature
+    subtree (4× otherwise; at cluster scale this is a checkpointed
+    intermediate table)."""
+    bands = minhash_bands(df, id_col, text_col, **kw)
+    if use_cache:
+        bands = bands.cache()
+    return candidate_pairs_from_bands(bands, id_col)
 
 
 def jaccard_from_shingles(
@@ -277,19 +311,7 @@ def minhash_near_dups(
     if use_cache:
         sh = sh.cache()
     sigs = minhash_signatures(sh, id_col, num_hashes)
-    n_bands = num_hashes // band_rows
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(*[F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)])
-            ).alias("band_hash"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
-    )
+    bands = _bands_from_signatures(sigs, id_col, num_hashes, band_rows)
     if use_cache:
         bands = bands.cache()
     cand = candidate_pairs_from_bands(bands, id_col)
@@ -363,9 +385,19 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    # both edge directions from ONE scan of the pairs plan (a union of
+    # two selects would execute the upstream candidate-pair pipeline
+    # twice — explode duplicates rows after they're computed instead)
     edges = _ckpt(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     labels = _ckpt(
@@ -379,6 +411,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
+        # carry the previous label through the checkpoint: the
+        # convergence test is then a scan of already-materialized data
+        # (limit-1 short-circuit) instead of a second join per round
         new_labels = _ckpt(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
@@ -386,16 +421,13 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("_prev"),
             )
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("component") != F.col("_prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels.select("id", "component")

@@ -818,13 +818,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_cte() -> str:
-    """Shared CTE chain: tokens → shingles → 12 minhashes → 4 bands."""
+    """Shared CTE chain: tokens → shingles → 12 minhashes → 4 bands.
+
+    Mirrors dedup.minhash_signatures' Kirsch–Mitzenmacher double hashing:
+    one md5 per shingle split into two 60-bit hex halves, h_i =
+    (h1 + i·h2) mod KM_MODULUS, min per i."""
+    m = dd.KM_MODULUS
     mh = ",\n             ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh_{i}"
+        f"list_aggregate(list_transform(hs, h -> (h[1] + {i} * h[2]) % {m}), 'min') AS mh_{i}"
         for i in range(12)
     )
     bands = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(mh_{3*b} || mh_{3*b+1} || mh_{3*b+2}) AS band_hash FROM sigs"
+        f"SELECT doc_id, {b} AS band, md5(mh_{3*b} || '_' || mh_{3*b+1} || '_' || mh_{3*b+2}) AS band_hash FROM sigs"
         for b in range(4)
     )
     return f"""
@@ -835,7 +840,12 @@ def _sql_minhash_cte() -> str:
                                         i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
                     ELSE [array_to_string(toks, ' ')] END) AS sh
            FROM toks),
-    sigs AS (SELECT doc_id, {mh} FROM sh),
+    hsets AS (SELECT doc_id, sh,
+                     list_transform(sh, s ->
+                       [CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {m},
+                        CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % {m}]) AS hs
+              FROM sh),
+    sigs AS (SELECT doc_id, {mh} FROM hsets),
     bands0 AS ({bands}),
     okb AS (SELECT band, band_hash FROM bands0
             GROUP BY band, band_hash HAVING count(*) <= {dd.MAX_BAND_BUCKET}),
