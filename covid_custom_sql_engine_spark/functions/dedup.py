@@ -369,6 +369,10 @@ def connected_components(
     hash aggregate — all shuffles on the vertex id. Rounds needed =
     graph diameter (near-dup clusters are small and dense, so 3-5
     rounds in practice; ``max_iter`` bounds pathological chains).
+    Labels initialize at the 1-hop minimum (``least(src, min(dst))``,
+    one aggregate straight off the materialized edges) — the first
+    propagation round costs an aggregate instead of a join+aggregate
+    and the loop starts one hop ahead.
 
     Lineage is truncated every round — the standard Spark idiom for
     iterative algorithms. Default is ``localCheckpoint`` (fast; blocks
@@ -401,9 +405,9 @@ def connected_components(
         .distinct()
     )
     labels = _ckpt(
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
+        .select(F.col("src").alias("id"), "component")
     )
     for _ in range(max_iter):
         neighbor_min = (
