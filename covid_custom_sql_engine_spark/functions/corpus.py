@@ -1,0 +1,181 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+The three ops a pretraining data pipeline runs between dedup and
+tokenization:
+
+- benchmark decontamination: flag documents sharing any word n-gram
+  with an evaluation set (the GPT-3/Llama-style n-gram overlap check)
+- chunking: split each document into overlapping token windows
+- packing: assign documents to fixed token-budget shards in a stable
+  global order (the batch/shard assignment step before tokenizer runs)
+
+Scale posture: decontamination is an equi-join of corpus n-grams
+against a broadcast eval-gram set (eval sets are small by definition);
+chunking is per-row expression work (no shuffle); packing is a
+two-phase distributed prefix sum — per-partition cumsums plus an
+O(num_partitions) driver-side offset table, never a single-partition
+global window. Everything is built-in-expression only (no Python UDFs)
+and deterministic, so a DuckDB oracle can mirror it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from covid_custom_sql_engine_spark.functions.dedup import shingle_sets
+from covid_custom_sql_engine_spark.functions.text import tokens
+
+# Decontamination n-gram length: 8 words, the overlap window used by
+# published LLM decontamination pipelines (long enough that shared
+# grams indicate copied text, not common phrasing).
+DECONTAM_N = 8
+
+CHUNK_WINDOW = 32
+CHUNK_STRIDE = 24
+
+PACK_BUDGET = 512
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DECONTAM_N,
+) -> DataFrame:
+    """Flag corpus documents that share any word ``n``-gram with the
+    evaluation set. Returns one row per corpus document:
+    (id, n_contaminated_grams, contaminated).
+
+    Shape: distinct eval grams (small — an eval set is thousands of
+    documents at most) broadcast against the exploded corpus grams, one
+    hash aggregate per document. The corpus side is a single scan; no
+    all-pairs document comparison ever happens.
+    """
+    eval_grams = (
+        shingle_sets(eval_docs, id_col, text_col, n)
+        .select(F.explode("sh").alias("gram"))
+        .distinct()
+    )
+    doc_grams = shingle_sets(docs, id_col, text_col, n).select(
+        F.col(id_col), F.explode("sh").alias("gram")
+    )
+    # shingle sets are distinct per document, so count(*) counts
+    # distinct contaminated grams
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    n_hits = F.coalesce("n_contaminated_grams", F.lit(0))
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n_hits.alias("n_contaminated_grams"),
+            (n_hits > 0).alias("contaminated"),
+        )
+    )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into overlapping token windows of ``window``
+    tokens every ``stride`` tokens. Returns (id, chunk_idx, start_token,
+    n_tokens, chunk_fp) — one row per chunk, chunk_fp = md5 of the
+    space-joined chunk text.
+
+    A chunk starts at 1-based token position s ∈ {1, 1+stride, …} while
+    s ≤ n_tokens − (window − stride), so a tail chunk is emitted only
+    when it covers tokens the previous chunk did not (no fully-redundant
+    tail chunks). Documents with no tokens produce no chunks.
+
+    Per-row expression work only (sequence/slice/explode) — chunking
+    adds no shuffle at any corpus size.
+    """
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("_toks") - (window - stride), F.lit(1)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_token"), window)
+    return (
+        toks.select(F.col(id_col), "_toks", F.explode(starts).alias("start_token"))
+        .select(
+            F.col(id_col),
+            F.expr(f"CAST((start_token - 1) DIV {stride} AS BIGINT)").alias("chunk_idx"),
+            F.col("start_token").cast("bigint").alias("start_token"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+        )
+    )
+
+
+def pack_token_budget(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """Assign documents (in ``id`` order) to fixed token-budget shards:
+    shard k holds the documents whose exclusive running token total lies
+    in [k·budget, (k+1)·budget). Returns (id, n_tokens, shard,
+    shard_offset) for every document.
+
+    The running total is a distributed prefix sum, not a global window:
+    range-partition by id, per-partition cumulative sums (parallel),
+    then one O(num_partitions) collect of partition totals joined back
+    as broadcast offsets — the same bounded-driver-state pattern as
+    ``selection.exact_median``. A single-partition global window would
+    serialize the whole corpus through one task at scale.
+    """
+    spark = docs.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    base = (
+        docs.select(F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens"))
+        .repartitionByRange(parallelism, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    base = base.persist()
+    try:
+        # exclusive per-partition prefix sum
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        local = base.withColumn("_local", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        totals = sorted(
+            base.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+        )  # O(num_partitions) rows — bounded driver state
+        offsets, running = [], 0
+        for pid, t in totals:
+            offsets.append((pid, running))
+            running += t
+        off = F.broadcast(
+            spark.createDataFrame(offsets, ["_pid", "_off"]).withColumn(
+                "_off", F.col("_off").cast("bigint")
+            )
+        )
+        cum = F.col("_local") + F.col("_off")
+        out = local.join(off, "_pid").select(
+            F.col(id_col),
+            "n_tokens",
+            F.expr(f"CAST((_local + _off) DIV {budget} AS BIGINT)").alias("shard"),
+            (cum % budget).cast("bigint").alias("shard_offset"),
+        )
+        # materialization happens lazily after unpersist; the persist
+        # only guards the two actions above from recomputing the scan
+        return out
+    finally:
+        base.unpersist(blocking=False)

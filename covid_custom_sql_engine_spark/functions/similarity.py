@@ -184,6 +184,62 @@ def ivf_topk(
     )
 
 
+def kmeans_step(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration of spherical k-means over the embedding
+    column: assign every vector to its most-cosine-similar centroid
+    (deterministic init: the vectors with ``id < k``), then recompute
+    per-dimension centroid means. Returns (cell, dim, centroid,
+    n_members) — k·dim rows.
+
+    Scale shape: the k centroids are collected to the driver (bounded,
+    like the IVF query-vector fetch) and inlined as literals, so
+    assignment is a pure per-row projection — NO join and NO shuffle.
+    The update is one posexplode + hash aggregate with map-side partial
+    combine: the only shuffle moves ≤ k·dim rows per map partition.
+    Iterating = calling this on the previous step's output until
+    movement is small; each pass is one scan of the corpus.
+
+    Deterministic everywhere: ties in assignment break toward the
+    smaller cell id; means use fixed-point sums + round(6) so a SQL
+    oracle reproduces them bit-for-bit.
+    """
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    cents = (
+        embeddings.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cell"), as_double(vec_col).alias("v"))
+        .collect()
+    )  # ≤ k rows — bounded driver state
+    v = F.col("_v")
+    # array_max over (sim, -cell) structs = lexicographic argmax:
+    # highest similarity, ties to the smallest cell id
+    scored = [
+        F.struct(
+            cosine(v, F.array(*[F.lit(x) for x in r.v])).alias("sim"),
+            F.lit(-r.cell).cast("long").alias("neg_cell"),
+        )
+        for r in sorted(cents, key=lambda r: r.cell)
+    ]
+    best = F.array_max(F.array(*scored))
+    assigned = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    ).select((-best["neg_cell"]).alias("cell"), "_v")
+    return (
+        assigned.select("cell", F.posexplode("_v").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.round(dsum(F.col("val")) / F.count(F.lit(1)), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("cell", F.col("dim").cast("bigint").alias("dim"), "centroid", "n_members")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

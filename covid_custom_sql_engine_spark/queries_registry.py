@@ -21,6 +21,7 @@ from covid_custom_sql_engine_spark.catalog import load_table, parallelize_small
 from covid_custom_sql_engine_spark.operators import core as ops
 from covid_custom_sql_engine_spark.operators import composites as comp
 from covid_custom_sql_engine_spark.operators import joins as xjoins
+from covid_custom_sql_engine_spark.functions import corpus as cp
 from covid_custom_sql_engine_spark.functions import dedup as dd
 from covid_custom_sql_engine_spark.functions import similarity as sim
 from covid_custom_sql_engine_spark.functions import text as tx
@@ -2698,6 +2699,124 @@ def demo_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Phase 7 — corpus-preparation operators (decontamination, chunking,
+# packing, k-means step): the stage between dedup and tokenization in a
+# training-data pipeline.
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = "list_filter(string_split(lower(trim(text)), ' '), t -> t <> '')"
+
+
+def _sql_shingles(n: int) -> str:
+    """DuckDB mirror of dedup.word_shingles at gram length ``n``
+    (same shape as _sql_minhash_cte's 3-gram CTE)."""
+    return f"""
+    toks AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= {n}
+             THEN list_transform(range(0, len(toks) - {n - 1}),
+                                 i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM toks)"""
+
+
+@query(
+    "decontaminate_ngrams",
+    oracle=f"""
+    WITH {_sql_shingles(cp.DECONTAM_N)},
+    eg AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 97 = 0),
+    dg AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (SELECT dg.doc_id, count(*) AS n FROM dg JOIN eg USING (gram) GROUP BY dg.doc_id)
+    SELECT d.doc_id, coalesce(h.n, 0) AS n_contaminated_grams,
+           coalesce(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    8-gram with a held-out eval set (here the doc_id % 97 == 0 slice —
+    a stand-in for a benchmark suite). Eval grams broadcast against one
+    exploded corpus scan; no document-pair comparison."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return cp.ngram_decontaminate(corpus, ev)
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    nz AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+    st AS (SELECT doc_id, toks, n,
+                  unnest(generate_series(1, greatest(n - {cp.CHUNK_WINDOW - cp.CHUNK_STRIDE}, 1),
+                                         {cp.CHUNK_STRIDE})) AS s
+           FROM nz)
+    SELECT doc_id,
+           (s - 1) // {cp.CHUNK_STRIDE} AS chunk_idx,
+           s AS start_token,
+           len(list_slice(toks, s, least(s + {cp.CHUNK_WINDOW - 1}, n))) AS n_tokens,
+           md5(array_to_string(list_slice(toks, s, least(s + {cp.CHUNK_WINDOW - 1}, n)), ' ')) AS chunk_fp
+    FROM st
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows every 24):
+    the pre-tokenizer splitting step. Pure per-row sequence/slice
+    expressions — no shuffle at any corpus size."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.chunk_tokens(d)
+
+
+@query(
+    "pack_token_budget",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM t)
+    SELECT doc_id, n_tokens, cum // {cp.PACK_BUDGET} AS shard,
+           cum % {cp.PACK_BUDGET} AS shard_offset
+    FROM c
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment in stable doc_id order via a
+    distributed two-phase prefix sum (per-partition cumsums + an
+    O(num_partitions) broadcast offset table) — never a single-partition
+    global window."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.pack_token_budget(d)
+
+
+@query(
+    "kmeans_step",
+    oracle=f"""
+    WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+    scored AS (SELECT vec_id, vv, cell,
+                      list_dot_product(vv, cv)
+                        / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))) AS sim
+               FROM v CROSS JOIN c),
+    assigned AS (SELECT vec_id, vv, cell FROM scored
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1),
+    expl AS (SELECT cell, generate_subscripts(vv, 1) - 1 AS dim, unnest(vv) AS val FROM assigned)
+    SELECT cell, dim, round({_sql_dsum('val')} / count(*), 6) AS centroid,
+           count(*) AS n_members
+    FROM expl GROUP BY cell, dim
+    """,
+)
+def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical k-means Lloyd iteration over the embeddings table
+    (centroids: vec_id < 8). Assignment is a pure projection against
+    driver-inlined centroid literals (no join, no shuffle); the update
+    is one posexplode + hash aggregate."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    return sim.kmeans_step(e, k=8)
+
+
+# ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is
 # reserved for entries that most need an official record this round —
@@ -2733,7 +2852,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "map_functions",
     "unpivot_metrics",
     "subquery_exists_cte",
-    "hash_sample",
     "stratified_sample",
     "token_counts",
     "udtf_tokens",
@@ -2756,15 +2874,20 @@ _DRIVER_WINDOW_PRIORITY = [
     "zscore_outliers",
     "column_profile",
     "salted_join",
-    "winnow_fingerprint",
     "winnow_pairs",
     "embedding_quantize_int8",
     # new this round: the composed 5-op demo showcase
     "demo_showcase",
-    # high-value r1-green entries re-checked with the spare slots
-    "group_agg_ref7",
-    "stat_summary",
+    # new this round: corpus-preparation operators
+    "decontaminate_ngrams",
+    "chunk_documents",
+    "pack_token_budget",
+    "kmeans_step",
 ]
+# dropped from the 50-slot window vs the first cut (all keep local
+# verification; families stay covered): hash_sample (stratified_sample
+# in-window), winnow_fingerprint (winnow_pairs exercises it),
+# group_agg_ref7 / stat_summary (driver-green in r1).
 
 
 def _reorder_registry() -> None:

@@ -1,0 +1,136 @@
+"""Corpus-preparation operators: decontamination, chunking, packing,
+k-means step."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid_custom_sql_engine_spark.functions import corpus as cp
+from covid_custom_sql_engine_spark.functions import similarity as sim
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_shared_8gram(spark):
+    shared = "one two three four five six seven eight"
+    docs = _docs(
+        spark,
+        [
+            (1, f"prefix words {shared} suffix words here"),
+            (2, "totally different text with no overlapping gram content at all"),
+        ],
+    )
+    ev = _docs(spark, [(100, f"{shared} plus eval only tail")])
+    out = {r.doc_id: r for r in cp.ngram_decontaminate(docs, ev).collect()}
+    assert out[1].contaminated and out[1].n_contaminated_grams == 1
+    assert not out[2].contaminated and out[2].n_contaminated_grams == 0
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    # doc repeating the same shared 8-gram twice still counts it once
+    g = "a b c d e f g h"
+    docs = _docs(spark, [(1, f"{g} x {g}")])
+    ev = _docs(spark, [(9, g)])
+    (r,) = cp.ngram_decontaminate(docs, ev).collect()
+    assert r.n_contaminated_grams == 1
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    toks = " ".join(f"t{i}" for i in range(33))  # 33 tokens
+    out = cp.chunk_tokens(_docs(spark, [(1, toks)])).orderBy("chunk_idx").collect()
+    assert [(r.chunk_idx, r.start_token, r.n_tokens) for r in out] == [
+        (0, 1, 32),
+        (1, 25, 9),
+    ]
+
+
+def test_chunk_tokens_no_redundant_tail(spark):
+    # 25 tokens: a chunk at start 25 would add no new tokens (covered by
+    # chunk 0, which holds all 25) — only one chunk comes out
+    toks = " ".join(f"t{i}" for i in range(25))
+    out = cp.chunk_tokens(_docs(spark, [(1, toks)])).collect()
+    assert [(r.chunk_idx, r.n_tokens) for r in out] == [(0, 25)]
+
+
+def test_chunk_tokens_empty_doc_skipped(spark):
+    out = cp.chunk_tokens(_docs(spark, [(1, "   "), (2, "a b")])).collect()
+    assert {r.doc_id for r in out} == {2}
+
+
+def test_chunk_fp_is_md5_of_chunk_text(spark):
+    import hashlib
+
+    out = cp.chunk_tokens(_docs(spark, [(1, "Alpha beta")])).collect()
+    assert out[0].chunk_fp == hashlib.md5(b"alpha beta").hexdigest()
+
+
+def test_pack_token_budget_exclusive_cumsum(spark):
+    # token counts: 3, 4, 5, 2 -> exclusive cumsums 0, 3, 7, 9
+    rows = [(1, "a b c"), (2, "a b c d"), (3, "a b c d e"), (4, "a b")]
+    out = {
+        r.doc_id: r
+        for r in cp.pack_token_budget(_docs(spark, rows), budget=5).collect()
+    }
+    # exclusive cumsums 0, 3, 7, 12 -> shard = cum // 5, offset = cum % 5
+    assert [(out[i].shard, out[i].shard_offset) for i in (1, 2, 3, 4)] == [
+        (0, 0),
+        (0, 3),
+        (1, 2),
+        (2, 2),
+    ]
+    assert out[3].n_tokens == 5
+
+
+def test_pack_token_budget_matches_global_window(spark, sf_dir):
+    from covid_custom_sql_engine_spark.catalog import load_table
+    from covid_custom_sql_engine_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: (r.shard, r.shard_offset) for r in cp.pack_token_budget(d).collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = (
+        d.select(F.col("doc_id"), F.size(tokens("text")).cast("bigint").alias("n"))
+        .withColumn("cum", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            F.expr(f"CAST(cum DIV {cp.PACK_BUDGET} AS BIGINT)").alias("shard"),
+            (F.col("cum") % cp.PACK_BUDGET).alias("off"),
+        )
+        .collect()
+    )
+    assert got == {r.doc_id: (r.shard, r.off) for r in ref}
+
+
+def test_kmeans_step_assignment_and_update(spark):
+    # centroids: vec 0 = (1,0), vec 1 = (0,1); vec 2 near cell 0, vec 3
+    # near cell 1
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [2.0, 0.1]),
+            (3, [0.1, 3.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.kmeans_step(emb, k=2).collect()
+    cells = {(r.cell, r.dim): r for r in out}
+    assert len(out) == 4  # 2 cells x 2 dims
+    assert all(cells[(c, d)].n_members == 2 for c in (0, 1) for d in (0, 1))
+    # cell 0 mean of (1,0) and (2,0.1); float32 cast wobble -> round
+    assert abs(cells[(0, 0)].centroid - 1.5) < 1e-4
+    assert abs(cells[(1, 1)].centroid - 2.0) < 1e-4
+
+
+def test_kmeans_step_tie_breaks_to_smaller_cell(spark):
+    # identical centroids: every vector ties; all go to cell 0
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [3.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.kmeans_step(emb, k=2).collect()
+    assert {r.cell for r in out} == {0}
+    assert all(r.n_members == 3 for r in out)

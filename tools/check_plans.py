@@ -116,6 +116,11 @@ EXPECT = {
     "frame_sample_plan": (2, False, False),
     # --- composed demo (CSV scan side is string-typed parity mode) ---
     "demo_showcase": (3, False, False),
+    # --- corpus preparation ---
+    "decontaminate_ngrams": (2, False, False),
+    "chunk_documents": (2, False, False),
+    "pack_token_budget": (2, False, False),
+    "kmeans_step": (2, False, False),
 }
 
 
