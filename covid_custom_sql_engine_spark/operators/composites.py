@@ -136,7 +136,12 @@ def rolling_avg(
     return df.withColumn(out_col or f"{value_col}_smoothed", F.avg(value_col).over(w))
 
 
-def stat_summary(df: DataFrame, metrics: Sequence[str], deterministic: bool = False) -> DataFrame:
+def stat_summary(
+    df: DataFrame,
+    metrics: Sequence[str],
+    deterministic: bool = False,
+    median_mode: str = "builtin",
+) -> DataFrame:
     """A14 — multi-metric 7-fn statistical summary, one row per metric.
 
     Reference loops metrics × {count,sum,avg,min,max,median,std}
@@ -151,13 +156,42 @@ def stat_summary(df: DataFrame, metrics: Sequence[str], deterministic: bool = Fa
     # aggregate leaves the sum/min/max/std block in whole-stage codegen
     # and lets the two single-row subtrees' stages run concurrently —
     # ~2× faster than one fused ObjectHashAggregate at sf0.1.
+    #
+    # Scale note: F.median's per-partition value→count maps all merge on
+    # ONE reducer, so its memory grows with the global distinct count —
+    # fine to ~10⁸ distinct values, a wall at a 100 TB scan. For that
+    # regime pass median_mode="selection": exact two-phase bucketed
+    # selection (operators/selection.exact_medians_plan — every phase a
+    # codegen hash agg or a sliver scan, memory O(buckets)). Same values
+    # to the last bit; a few extra stages, so the object path stays the
+    # default at interactive scale.
     exprs: list[Column] = []
     for m in metrics:
         exprs.extend(
             _agg_exprs(m, ("count", "sum", "avg", "min", "max", "std"), deterministic)
         )
+        exprs.append(F.count(F.col(m)).alias(f"_nn_{m}"))
     basic = df.agg(*exprs)
-    medians = df.agg(*[F.median(m).alias(f"median_{m}") for m in metrics])
+    if median_mode == "selection":
+        from covid_custom_sql_engine_spark.operators.selection import exact_medians_plan
+
+        # phase 1 (n/lo/hi) fused into the display aggregate: reference
+        # count is COUNT(*) (dataframe.py:53-54) while the median needs
+        # non-null counts, hence the hidden _nn columns.
+        stats = basic.select(
+            *[
+                e
+                for m in metrics
+                for e in (
+                    F.col(f"_nn_{m}").alias(f"count_{m}"),
+                    F.col(f"min_{m}").alias(f"min_{m}"),
+                    F.col(f"max_{m}").alias(f"max_{m}"),
+                )
+            ]
+        )
+        medians = exact_medians_plan(df, metrics, stats=stats)
+    else:
+        medians = df.agg(*[F.median(m).alias(f"median_{m}") for m in metrics])
     wide = basic.crossJoin(medians)
     structs = [
         F.struct(

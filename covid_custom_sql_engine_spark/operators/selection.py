@@ -27,9 +27,156 @@ Measured at sf0.1 (600k rows, high-cardinality doubles): 0.68 s vs
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_BUCKETS = 4096
+
+
+def exact_medians_plan(
+    df: DataFrame,
+    metrics: Sequence[str],
+    stats: DataFrame | None = None,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact medians of several columns as ONE declarative plan — a
+    1-row DataFrame with a ``median_{m}`` double per metric, no action.
+
+    Same two-phase selection as :func:`exact_median`, but expressed
+    entirely in DataFrame ops so it composes into larger plans (and so
+    nothing is collected to the driver):
+
+    1. ``stats``: one codegen aggregate for (n, lo, hi) per metric —
+       pass the caller's own 1-row aggregate (any extra columns are
+       fine) to fuse this phase into work it already does;
+    2. bucket counts: explode (metric, value) pairs once, assign each
+       to one of ``B`` equi-width buckets against the broadcast stats
+       row, hash-aggregate counts — ≤ ``len(metrics)·B`` groups, with
+       map-side partial combine;
+    3. a tiny (≤B-row-per-metric) cumulative window locates the
+       bucket(s) holding ranks (n+1)//2 and (n+2)//2, then a
+       broadcast semi-join keeps only rows in those buckets (avg n/B
+       per metric) and a per-metric ``row_number`` picks the two middle
+       values exactly.
+
+    Unlike ``F.median`` — whose per-partition value→count maps all
+    merge on a single reducer, so its memory grows with the GLOBAL
+    distinct count — every shuffle here is bounded (bucket counts) or
+    a sliver of the data, which is what lets it survive a 100 TB scan.
+    Degenerate distributions (all mass in one bucket) degrade to
+    sorting that bucket's rows per metric — still correct, never
+    broader than the built-in's single-reducer merge.
+
+    NULL handling matches ``F.median``: nulls ignored, NULL median for
+    an all-null/empty metric.
+    """
+    midx = {m: i for i, m in enumerate(metrics)}
+    if stats is None:
+        stats = df.agg(
+            *[
+                e
+                for m in metrics
+                for e in (
+                    F.count(m).alias(f"count_{m}"),
+                    F.min(m).alias(f"min_{m}"),
+                    F.max(m).alias(f"max_{m}"),
+                )
+            ]
+        )
+    # (metric, value) long form: one pass, nulls dropped per metric
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("m"), F.col(m).cast("double").alias("v")
+                    )
+                    for m, i in midx.items()
+                ]
+            )
+        ).alias("p")
+    ).select("p.m", "p.v").filter(F.col("v").isNotNull())
+
+    # per-metric (n, lo, hi, target ranks) from the broadcast stats row
+    bounds = F.broadcast(
+        stats.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("m"),
+                            F.col(f"count_{m}").cast("long").alias("n"),
+                            F.col(f"min_{m}").cast("double").alias("lo"),
+                            F.col(f"max_{m}").cast("double").alias("hi"),
+                        )
+                        for m, i in midx.items()
+                    ]
+                )
+            ).alias("b")
+        )
+        .select("b.*")
+        .withColumn("k1", (F.col("n") + 1) / F.lit(2))
+        .withColumn("k1", F.floor("k1").cast("long"))
+        .withColumn("k2", F.floor((F.col("n") + 2) / F.lit(2)).cast("long"))
+        .withColumn(
+            "width", (F.col("hi") - F.col("lo")) / F.lit(float(buckets))
+        )
+    )
+    bucket = F.when(
+        (F.col("width") <= 0) | F.col("width").isNull(), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / F.col("width")).cast("int"),
+            F.lit(buckets - 1),
+        )
+    )
+    bucketed = pairs.join(bounds, "m").withColumn("bkt", bucket)
+
+    w = Window.partitionBy("m").orderBy("bkt")
+    cum = (
+        bucketed.groupBy("m", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("base", F.col("cum") - F.col("cnt"))
+    )
+    hits = (
+        cum.join(F.broadcast(bounds.select("m", "k1", "k2")), "m")
+        .filter(
+            ((F.col("base") < F.col("k1")) & (F.col("k1") <= F.col("cum")))
+            | ((F.col("base") < F.col("k2")) & (F.col("k2") <= F.col("cum")))
+        )
+        .groupBy("m")
+        .agg(F.min("base").alias("sub_base"), F.collect_set("bkt").alias("bkts"))
+    )
+    sliver = bucketed.join(
+        F.broadcast(hits), ["m"], "inner"
+    ).filter(F.array_contains(F.col("bkts"), F.col("bkt")))
+    rn = Window.partitionBy("m").orderBy("v")
+    picked = (
+        sliver.withColumn("rn", F.row_number().over(rn) + F.col("sub_base"))
+        .filter((F.col("rn") == F.col("k1")) | (F.col("rn") == F.col("k2")))
+        .groupBy("m")
+        .agg(F.avg("v").alias("med"))
+    )
+    wide = picked.agg(
+        *[
+            F.max(F.when(F.col("m") == i, F.col("med"))).alias(f"median_{m}")
+            for m, i in midx.items()
+        ]
+    )
+    # all-empty metrics → picked has 0 rows → keep the 1-row shape
+    return _one_row(stats, wide, metrics)
+
+
+def _one_row(stats: DataFrame, wide: DataFrame, metrics: Sequence[str]) -> DataFrame:
+    """Left-join the (possibly empty) medians row onto the always-1-row
+    stats aggregate so an all-null input still yields one NULL-median row."""
+    return (
+        stats.select(F.lit(1).alias("_one"))
+        .join(wide.withColumn("_one", F.lit(1)), "_one", "left")
+        .select(*[F.col(f"median_{m}") for m in metrics])
+    )
 
 
 def exact_median(df: DataFrame, col: str, buckets: int = DEFAULT_BUCKETS) -> float | None:

@@ -473,6 +473,31 @@ def stat_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_medians_scalable",
+    oracle="""
+    SELECT median(l_quantity) AS median_l_quantity,
+           median(l_extendedprice) AS median_l_extendedprice,
+           median(l_discount) AS median_l_discount
+    FROM lineitem
+    """,
+)
+def exact_medians_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column medians via declarative two-phase bucketed
+    selection (operators/selection.exact_medians_plan) — the 100 TB path
+    for order statistics. F.median/percentile merge every partition's
+    value→count map on ONE reducer, so memory grows with the global
+    distinct count; this plan's phases are a codegen (n, lo, hi)
+    aggregate, a bounded bucket-count hash aggregate, and a sliver scan
+    touching ~n/buckets rows — memory O(buckets), values identical to
+    the built-in to the last bit (same even-count interpolation)."""
+    metrics = ["l_quantity", "l_extendedprice", "l_discount"]
+    l = parallelize_small(load_table(spark, sf_dir, "lineitem").select(*metrics))
+    from covid_custom_sql_engine_spark.operators.selection import exact_medians_plan
+
+    return exact_medians_plan(l, metrics)
+
+
+@query(
     "rename_pretty",
     oracle="""
     SELECT n_nationkey AS nation_key, n_name AS nation_name, n_regionkey AS region_key

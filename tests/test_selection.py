@@ -7,7 +7,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from covid_custom_sql_engine_spark.operators.selection import exact_median
+from covid_custom_sql_engine_spark.operators.selection import exact_median, exact_medians_plan
 
 
 def _check(spark, values):
@@ -50,3 +50,54 @@ def test_skewed_bucket_distribution(spark):
     # crowded bucket
     vals = [1.0 + i * 1e-9 for i in range(999)] + [1e9]
     _check(spark, vals)
+
+
+# --- exact_medians_plan: the declarative multi-metric form ---------------
+
+
+def _check_plan(spark, cols):
+    """cols: dict name -> list of values (same length, None-padded)."""
+    names = list(cols)
+    n = max(len(v) for v in cols.values())
+    rows = [tuple(cols[c][i] if i < len(cols[c]) else None for c in names) for i in range(n)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} double" for c in names))
+    got = exact_medians_plan(df, names).collect()
+    assert len(got) == 1
+    exp = df.agg(*[F.median(c).alias(f"median_{c}") for c in names]).collect()[0]
+    for c in names:
+        g, e = got[0][f"median_{c}"], exp[f"median_{c}"]
+        if e is None:
+            assert g is None, c
+        else:
+            assert g == pytest.approx(e, abs=1e-12), c
+
+
+def test_plan_multi_metric(spark):
+    rng = random.Random(11)
+    _check_plan(
+        spark,
+        {
+            "hi_card": [rng.uniform(-1e6, 1e6) for _ in range(1001)],
+            "lo_card": [float(rng.randint(0, 3)) for _ in range(1000)],
+            "with_nulls": [None if i % 3 == 0 else float(i) for i in range(1001)],
+        },
+    )
+
+
+def test_plan_all_null_and_all_equal(spark):
+    _check_plan(spark, {"a": [None, None, None], "b": [5.0, 5.0, 5.0], "c": [1.0, 2.0, 3.0, 4.0]})
+
+
+def test_plan_single_row(spark):
+    _check_plan(spark, {"a": [42.0]})
+
+
+def test_plan_caller_supplied_stats(spark):
+    df = spark.createDataFrame([(float(i), float(i * i)) for i in range(100)], "x double, y double")
+    stats = df.agg(
+        F.count("x").alias("count_x"), F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.count("y").alias("count_y"), F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+    )
+    got = exact_medians_plan(df, ["x", "y"], stats=stats).collect()[0]
+    assert got["median_x"] == 49.5
+    assert got["median_y"] == pytest.approx((49.0**2 + 50.0**2) / 2)

@@ -38,6 +38,7 @@ EXPECT = {
     "token_counts": (2, False, False),
     "cosine_topk": (2, True, True),  # broadcast NLJ of 5-row query set: intended
     "stat_summary": (3, False, True),  # crossJoin of two 1-row aggregates: intended
+    "exact_medians_scalable": (3, False, True),  # 1-row stats broadcast onto scans: intended
     "session_ids": (3, False, False),
     "hourly_change": (2, False, False),
     "interval_overlap_join": (3, True, False),
