@@ -179,3 +179,139 @@ def pack_token_budget(
         return out
     finally:
         base.unpersist(blocking=False)
+
+
+# Default split percentages for dataset_split: train/val/test 80/10/10.
+SPLIT_BOUNDS = (80, 90)
+
+# Merge-candidate scan: report the top-K most frequent adjacent pairs.
+BPE_TOP_K = 50
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = BPE_TOP_K,
+) -> DataFrame:
+    """Top-``top_k`` most frequent adjacent token pairs across the
+    corpus — the first merge-candidate scan of BPE vocabulary induction.
+    Returns (token_a, token_b, cnt), ties broken lexicographically.
+
+    Shape: one scan; adjacent pairs come from zipping each token array
+    with its own tail (per-row expression work), then one hash aggregate
+    keyed by pair with map-side partial combine — group count is the
+    number of DISTINCT observed pairs, far below corpus size. The top-k
+    is a TakeOrdered (per-partition heaps merged on the driver), never a
+    global sort shuffle.
+    """
+    toks = docs.select(tokens(text_col).alias("_t")).filter(F.size("_t") >= 2)
+    head = F.expr("slice(_t, 1, size(_t) - 1)")
+    tail = F.expr("slice(_t, 2, size(_t) - 1)")
+    pair = F.zip_with(
+        head, tail, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    )
+    return (
+        toks.select(F.explode(pair).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token_a", "token_b")
+        .limit(top_k)
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average negative log-probability under the corpus's
+    own unigram language model — the classic cheap perplexity-style
+    quality signal (unusually improbable token mixes score high).
+    Returns (id, n_tokens, avg_neg_logprob) for documents with ≥1 token.
+
+    Shape: token occurrences are pre-aggregated to (doc, token, occ)
+    BEFORE joining the unigram table, so a stopword like "the" carries
+    at most one row per document into the join — the hot-key fan-in is
+    capped at n_docs and AQE's skew split handles the rest. The unigram
+    table itself is one hash aggregate; the grand total is a 1-row
+    broadcast. Deterministic: fixed-point sums of occ·(−ln p), round(6)
+    on the final average — ln is computed per-row in doubles on both
+    engines and the decimal cast absorbs any last-ulp libm difference.
+    """
+    occ = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    uni = occ.groupBy("token").agg(F.sum("occ").alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("_total"))
+    nlp = -F.log(F.col("cnt") / F.col("_total"))
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    return (
+        occ.join(uni, "token")
+        .join(F.broadcast(total), F.lit(True), "inner")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_tokens"),
+            F.round(
+                dsum(F.col("occ") * nlp) / F.sum("occ"), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def dataset_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    bounds: tuple[int, int] = SPLIT_BOUNDS,
+) -> DataFrame:
+    """Deterministic 3-way train/val/test assignment with a per-stratum
+    audit. Each document lands in a split by hashing its id (md5, salt
+    'split:') into a percentile bucket — stable under reruns, growing
+    corpora, and any partitioning, unlike rand()-based splits. Returns
+    one row per (split, stratum): (split, stratum, n_docs, tot_chars,
+    frac_of_stratum) so imbalance is visible per language/source.
+
+    Shape: per-row hash + one hash aggregate on (split, stratum) — group
+    count is 3·|strata|; the per-stratum totals come from a window over
+    those few rows, not a second scan.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < bounds[0], F.lit("train"))
+        .when(bucket < bounds[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per = (
+        docs.select(
+            split.alias("split"),
+            F.col(strata_col).alias("stratum"),
+            F.col("n_chars"),
+        )
+        .groupBy("split", "stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("tot_chars"),
+        )
+    )
+    w = Window.partitionBy("stratum")
+    return per.select(
+        "split",
+        "stratum",
+        "n_docs",
+        "tot_chars",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "frac_of_stratum"
+        ),
+    )

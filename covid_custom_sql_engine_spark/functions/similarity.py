@@ -279,3 +279,54 @@ def lsh_topk(
         .filter(F.col("_rn") <= k)
         .select(query_id_col, id_col, "cos_sim", F.col("_rn").alias("rank"))
     )
+
+
+def pca_power_step(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: w' = normalize(Σ_v v·(vᵀw)), starting from the fixed unit
+    vector w = (1/√dim, …). Returns (dim, component, score) — ``dim``
+    rows; ``score`` is the Rayleigh-quotient estimate ‖Σ v(vᵀw)‖ / n,
+    identical on every row. Iterating = feeding the returned component
+    back in until the direction stabilizes.
+
+    Scale shape: the projection vᵀw is a per-row higher-order-function
+    dot product (w is a literal — no join); the update is one posexplode
+    + hash aggregate with map-side combine, shuffling ≤ dim rows per map
+    partition; the normalizer is a 1-row aggregate over dim rows
+    broadcast back. One scan of the corpus per iteration, driver state
+    O(dim) — the same bounded-iteration pattern as ``kmeans_step``.
+
+    Deterministic everywhere: fixed-point sums, round(6) on the final
+    components, so a SQL oracle reproduces them bit-for-bit.
+    """
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    w0 = [1.0 / dim**0.5] * dim
+    wlit = F.array(*[F.lit(x) for x in w0])
+    v = as_double(vec_col)
+    proj = dot(v, wlit)
+    contrib = embeddings.select(
+        F.posexplode(v).alias("dim", "val"), proj.alias("_proj")
+    )
+    s = contrib.groupBy("dim").agg(
+        dsum(F.col("val") * F.col("_proj")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    nrm = s.agg(
+        F.sqrt(dsum(F.col("_s") * F.col("_s"))).alias("_nrm"),
+        F.max("_n").alias("_cnt"),
+    )
+    return (
+        s.join(F.broadcast(nrm), F.lit(True), "inner")
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round(
+                F.when(F.col("_nrm") > 0, F.col("_s") / F.col("_nrm")), 6
+            ).alias("component"),
+            F.round(F.col("_nrm") / F.col("_cnt"), 6).alias("score"),
+        )
+    )

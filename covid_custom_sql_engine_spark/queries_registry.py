@@ -2841,6 +2841,102 @@ def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_step(e, k=8)
 
 
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (SELECT {_SQL_TOKS} AS toks FROM documents)
+    SELECT toks[i] AS token_a, toks[i + 1] AS token_b, count(*) AS cnt
+    FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 2
+    GROUP BY 1, 2
+    ORDER BY cnt DESC, token_a, token_b
+    LIMIT {cp.BPE_TOP_K}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent token pairs — the BPE merge-candidate scan. One
+    explode + hash aggregate keyed by pair (group count = distinct
+    observed pairs), top-k via TakeOrdered, never a global sort."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.bpe_pair_counts(d)
+
+
+@query(
+    "unigram_logprob",
+    oracle=f"""
+    WITH occ0 AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+    o2 AS (SELECT doc_id, token, count(*) AS occ FROM occ0 GROUP BY 1, 2),
+    uni AS (SELECT token, sum(occ) AS cnt FROM o2 GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM uni)
+    SELECT o2.doc_id, CAST(sum(o2.occ) AS BIGINT) AS n_tokens,
+           round({_sql_dsum('o2.occ * (-ln(uni.cnt::DOUBLE / tot.total::DOUBLE))')}
+                 / CAST(sum(o2.occ) AS DOUBLE), 6) AS avg_neg_logprob
+    FROM o2 JOIN uni USING (token) CROSS JOIN tot
+    GROUP BY o2.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average −ln p(token) under the corpus's own unigram
+    LM — the cheap perplexity-style quality filter. Occurrences are
+    pre-aggregated per (doc, token) so stopword hot keys carry ≤1 row
+    per document into the unigram join."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.unigram_logprob(d)
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang AS stratum, n_chars
+      FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h,
+                   lang, n_chars
+            FROM documents)
+    ), per AS (
+      SELECT split, stratum, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS tot_chars
+      FROM b GROUP BY 1, 2
+    )
+    SELECT split, stratum, n_docs, tot_chars,
+           round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY stratum), 6)
+             AS frac_of_stratum
+    FROM per
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split (80/10/10) with a
+    per-language audit row — stable under reruns and any partitioning,
+    unlike rand() splits."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.dataset_split(d)
+
+
+@query(
+    "pca_power_step",
+    oracle=f"""
+    WITH v AS (SELECT embedding::DOUBLE[] AS vv FROM embeddings),
+    w AS (SELECT list_transform(range(64), i -> 1.0 / sqrt(64)) AS ww),
+    pr AS (SELECT vv, list_dot_product(vv, ww) AS proj FROM v CROSS JOIN w),
+    ex AS (SELECT generate_subscripts(vv, 1) - 1 AS dim, unnest(vv) AS val, proj FROM pr),
+    s AS (SELECT dim, {_sql_dsum('val * proj')} AS s, count(*) AS n FROM ex GROUP BY dim),
+    nr AS (SELECT sqrt({_sql_dsum('s * s')}) AS nrm, max(n) AS cnt FROM s)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(CASE WHEN nrm > 0 THEN s / nrm END, 6) AS component,
+           round(nrm / cnt, 6) AS score
+    FROM s CROSS JOIN nr
+    """,
+)
+def pca_power_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the top principal direction of
+    the embedding corpus: per-row literal-vector projection (no join),
+    posexplode + hash aggregate update, 1-row normalizer broadcast —
+    one scan per iteration, driver state O(dim)."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    return sim.pca_power_step(e, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is

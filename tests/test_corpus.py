@@ -134,3 +134,78 @@ def test_kmeans_step_tie_breaks_to_smaller_cell(spark):
     out = sim.kmeans_step(emb, k=2).collect()
     assert {r.cell for r in out} == {0}
     assert all(r.n_members == 3 for r in out)
+
+
+def test_bpe_pair_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b c"),
+            (1, "a b x"),
+            (2, "solo"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.token_a, r.token_b): r.cnt for r in cp.bpe_pair_counts(docs).collect()}
+    assert out[("a", "b")] == 3
+    assert out[("b", "a")] == 1
+    assert out[("b", "c")] == 1
+    assert out[("b", "x")] == 1
+    assert ("solo", "solo") not in out
+
+
+def test_bpe_pair_counts_top_k_deterministic_ties(spark):
+    docs = spark.createDataFrame(
+        [(0, "z y"), (1, "a b"), (2, "m n")], "doc_id long, text string"
+    )
+    rows = cp.bpe_pair_counts(docs, top_k=2).collect()
+    # all cnt=1 → lexicographic tie-break keeps (a,b) and (m,n)
+    assert [(r.token_a, r.token_b) for r in rows] == [("a", "b"), ("m", "n")]
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "the the rare"), (1, "the the the"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cp.unigram_logprob(docs).collect()}
+    # corpus: the×5, rare×1, total 6
+    p_the, p_rare = 5 / 6, 1 / 6
+    exp0 = (2 * -math.log(p_the) + 1 * -math.log(p_rare)) / 3
+    assert rows[0].n_tokens == 3
+    assert abs(rows[0].avg_neg_logprob - round(exp0, 6)) < 1e-9
+    assert abs(rows[1].avg_neg_logprob - round(-math.log(p_the), 6)) < 1e-9
+    assert 2 not in rows  # empty doc → no tokens → no row
+    # the rare-word doc scores strictly higher (lower quality)
+    assert rows[0].avg_neg_logprob > rows[1].avg_neg_logprob
+
+
+def test_dataset_split_fractions_and_stability(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 == 0 else "fr", "s", 10 + i) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = cp.dataset_split(docs).collect()
+    by_stratum: dict = {}
+    for r in rows:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    for stratum, rs in by_stratum.items():
+        assert abs(sum(r.frac_of_stratum for r in rs) - 1.0) < 1e-6
+        assert sum(r.n_docs for r in rs) == 100
+    # deterministic: same input → identical assignment
+    again = {(r.split, r.stratum): r.n_docs for r in cp.dataset_split(docs).collect()}
+    assert again == {(r.split, r.stratum): r.n_docs for r in rows}
+
+
+def test_pca_power_step_recovers_dominant_axis(spark):
+    # variance concentrated on axis 0 → component ≈ ±e0, unit norm
+    rows = [(i, [float(10 * (1 if i % 2 else -1)), 0.1, 0.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r for r in sim.pca_power_step(emb, dim=3).collect()}
+    assert len(out) == 3
+    norm2 = sum(out[d].component ** 2 for d in out)
+    assert abs(norm2 - 1.0) < 1e-3
+    assert abs(abs(out[0].component) - 1.0) < 1e-2
+    assert all(abs(out[1].score - out[d].score) < 1e-9 for d in out)
