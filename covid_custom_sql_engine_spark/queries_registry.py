@@ -1013,6 +1013,35 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '6 hours', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.c_nationkey AS nationkey,
+           count(*) AS n_events,
+           {_sql_dsum('e.value')} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (batch twin): events broadcast-join
+    the customer dimension on user_id, then tumbling 6-hour windows per
+    nation. The same builder runs under readStream in tests/ — the
+    static side re-broadcasts per micro-batch."""
+    from covid_custom_sql_engine_spark.streaming import enriched_window_totals
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    out = enriched_window_totals(e, c, det=True)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "nationkey",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
     "sliding_window",
     oracle="""
     WITH b AS (

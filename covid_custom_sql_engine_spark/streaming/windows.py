@@ -97,3 +97,41 @@ def session_windows(
 def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup on event_id with bounded state."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def enriched_window_totals(
+    events: DataFrame,
+    customers: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+    det: bool = False,
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: events joined to
+    the static customer dimension on user_id, then tumbling event-time
+    windows per customer nation. The SAME builder runs in batch (oracle)
+    and streaming mode; in streaming, Spark re-plans the static side per
+    micro-batch, so a dimension refresh is picked up without restart.
+
+    Scale shape: the dimension projects to 2 columns and broadcasts —
+    the stream side never shuffles for the join; the windowed aggregate
+    shuffles on (window, nation), with watermark-bounded state in
+    streaming mode.
+    """
+    src = events.withWatermark("ts", watermark) if streaming else events
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("_ck"), F.col("c_nationkey").alias("nationkey")
+        )
+    )
+    return (
+        src.join(dim, src["user_id"] == F.col("_ck"))
+        .groupBy(F.window("ts", window).alias("w"), "nationkey")
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_value(det))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "nationkey",
+            "n_events",
+            "sum_value",
+        )
+    )

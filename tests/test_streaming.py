@@ -235,3 +235,20 @@ def test_transform_with_state_matches_batch(spark, events_dir):
         seq, total = batch[(r.user_id, r.event_id)]
         assert r.seq == seq
         assert r.running_total == pytest.approx(total)
+
+
+def test_enriched_window_totals_stream_matches_batch(spark, events_dir, sf_dir):
+    from covid_custom_sql_engine_spark.streaming import enriched_window_totals
+
+    customers = load_table(spark, sf_dir, "customer")
+    batch = enriched_window_totals(spark.read.parquet(events_dir), customers).collect()
+    stream_src = spark.readStream.schema(
+        spark.read.parquet(events_dir).schema
+    ).parquet(events_dir)
+    sdf = enriched_window_totals(stream_src, customers, streaming=True)
+    got = _run_stream(spark, sdf).collect()
+    key = lambda r: (r.window_start, r.nationkey)
+    assert sorted([(key(r), r.n_events, r.sum_value) for r in got]) == sorted(
+        [(key(r), r.n_events, r.sum_value) for r in batch]
+    )
+    assert len(batch) > 0

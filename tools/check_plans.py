@@ -51,6 +51,7 @@ EXPECT = {
     "lagged_corr_best": (4, False, False),
     "range_join_bands": (2, True, True),  # broadcast range join vs tiny band table: intended
     "sliding_window": (2, True, False),
+    "stream_static_join": (3, False, False),
     "stateful_running_total": (4, False, False),
     "json_props": (2, False, False),
     "hourly_spine_zero_fill": (2, True, True),  # tiny hour-spine broadcast: intended
