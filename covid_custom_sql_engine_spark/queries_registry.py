@@ -2996,14 +2996,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_jaccard_pairs",
     "lsh_topk",
     "stateful_running_total",
-    "json_props",
     "join_full_outer",
-    "array_functions",
-    "map_functions",
-    "unpivot_metrics",
-    "subquery_exists_cte",
     "stratified_sample",
-    "token_counts",
     "udtf_tokens",
     "near_dup_clusters",
     "hourly_spine_zero_fill",
@@ -3033,11 +3027,20 @@ _DRIVER_WINDOW_PRIORITY = [
     "chunk_documents",
     "pack_token_budget",
     "kmeans_step",
+    "bpe_pair_counts",
+    "unigram_logprob",
+    "dataset_split",
+    "pca_power_step",
+    "exact_medians_scalable",
+    "stream_static_join",
 ]
-# dropped from the 50-slot window vs the first cut (all keep local
-# verification; families stay covered): hash_sample (stratified_sample
-# in-window), winnow_fingerprint (winnow_pairs exercises it),
-# group_agg_ref7 / stat_summary (driver-green in r1).
+# The window rotates each round so every query eventually earns an
+# official driver row: newest/riskiest plans take slots from simple
+# function passthroughs (json/array/map/unpivot/subquery/token_counts
+# this round) that keep local hash verification via check_oracle /
+# check_bare. Earlier drops for the same reason: hash_sample
+# (stratified_sample in-window), winnow_fingerprint (winnow_pairs
+# exercises it), group_agg_ref7 / stat_summary (driver-green in r1).
 
 
 def _reorder_registry() -> None:
