@@ -1,0 +1,126 @@
+"""Incremental-maintenance operators: MERGE-style upsert and SCD2.
+
+The reference engine is batch-only over immutable CSVs; any production
+deployment of the same pipelines needs the maintenance half — applying
+a change set to a dimension (MERGE INTO semantics) and keeping row
+history (slowly-changing dimension type 2). Both are expressed as pure
+DataFrame plans so they run identically on any table source and stay
+inside whole-stage codegen.
+
+Scale posture: ``merge_upsert`` is ONE full-outer equi-join on the key
+(broadcast when the change set is small — the common case for
+dimension maintenance); ``scd2_intervals`` is one window function pass
+partitioned by the key. Neither collects anything to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """MERGE INTO semantics as a plan: rows matched on ``key`` take the
+    update's non-null column values (partial-column updates — a NULL in
+    the update means "keep the base value"); unmatched update rows are
+    inserts; unmatched base rows pass through. Output schema = base
+    schema; update columns not in the base are ignored.
+
+    Plan shape: Spark cannot broadcast a FULL OUTER hash join, so the
+    naive full-outer formulation sort-merge-shuffles the whole base.
+    With ``broadcast_updates=True`` (default — dimension change sets
+    are small relative to the dimension) the merge decomposes so the
+    base is NEVER shuffled:
+
+    - updated rows: base LEFT OUTER broadcast(updates) — a broadcast
+      hash join, base stays in place;
+    - inserts: updates LEFT ANTI broadcast(matched keys), where the
+      matched keys come from a broadcast semi-join — small by
+      construction (⊆ update keys).
+
+    Two base scans instead of one, but scans are cheap and shuffles are
+    not. Pass ``broadcast_updates=False`` for fact-sized change sets:
+    one full-outer shuffle join on the key (AQE handles skew).
+
+    The change set must be pre-deduplicated to one row per key (use
+    ``composites.latest_per_group`` / ``argmax_latest``) — enforced
+    nowhere here because checking would cost a scan; DuckDB's MERGE has
+    the same contract.
+    """
+    upd_cols = set(updates.columns)
+    u = updates.select(
+        F.col(key).alias("_uk"),
+        *[F.col(c).alias(f"_u_{c}") for c in updates.columns if c != key],
+    )
+    base_types = dict(zip(base.columns, [f.dataType for f in base.schema.fields]))
+
+    if not broadcast_updates:
+        joined = base.join(u, base[key] == u["_uk"], "full_outer")
+        out_cols = []
+        for c in base.columns:
+            if c == key:
+                out_cols.append(F.coalesce(base[key], F.col("_uk")).alias(key))
+            elif c in upd_cols:
+                out_cols.append(F.coalesce(F.col(f"_u_{c}"), base[c]).alias(c))
+            else:
+                out_cols.append(base[c].alias(c))
+        return joined.select(*out_cols)
+
+    matched = base.join(F.broadcast(u), base[key] == u["_uk"], "left").select(
+        *[
+            F.coalesce(F.col(f"_u_{c}"), base[c]).alias(c)
+            if c in upd_cols and c != key
+            else base[c].alias(c)
+            for c in base.columns
+        ]
+    )
+    matched_keys = base.select(F.col(key).alias("_uk")).join(
+        F.broadcast(u.select("_uk")), "_uk", "left_semi"
+    )
+    inserts = u.join(F.broadcast(matched_keys), "_uk", "left_anti").select(
+        *[
+            F.col("_uk").cast(base_types[c]).alias(c)
+            if c == key
+            else (
+                F.col(f"_u_{c}").cast(base_types[c]).alias(c)
+                if c in upd_cols
+                else F.lit(None).cast(base_types[c]).alias(c)
+            )
+            for c in base.columns
+        ]
+    )
+    return matched.unionByName(inserts)
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key: str,
+    order_col: str,
+    attrs: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: one validity
+    interval per change row — ``valid_from`` = the row's ``order_col``,
+    ``valid_to`` = the next change for the same key (NULL while
+    current), ``is_current`` on the last row per key.
+
+    One window pass partitioned by key, ordered by (order_col, and the
+    full attr tuple as a deterministic tiebreak for same-instant
+    changes). No shuffle beyond the window's key partitioning.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(order_col), *[F.col(a) for a in attrs]
+    )
+    nxt = F.lead(order_col).over(w)
+    return changes.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(order_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

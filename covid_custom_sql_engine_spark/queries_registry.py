@@ -2871,6 +2871,86 @@ def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, value FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ), upd AS (
+      SELECT user_id AS k, value FROM latest
+      UNION ALL
+      SELECT user_id + 2000, value FROM latest
+    )
+    SELECT coalesce(c.c_custkey, u.k) AS c_custkey,
+           c.c_name, c.c_nationkey,
+           coalesce(u.value, c.c_acctbal) AS c_acctbal,
+           c.c_mktsegment
+    FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.k
+    """,
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO the customer dimension: each user's latest event value
+    becomes their new account balance (matched → partial-column update);
+    the same change set shifted past the key range exercises the
+    not-matched → insert path. One broadcast full-outer join on the key
+    (operators/merge.merge_upsert)."""
+    from covid_custom_sql_engine_spark.operators.merge import merge_upsert
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "value")
+    )
+    updates = latest.select(
+        F.col("user_id").alias("c_custkey"), F.col("value").alias("c_acctbal")
+    ).unionAll(
+        latest.select(
+            (F.col("user_id") + 2000).alias("c_custkey"),
+            F.col("value").alias("c_acctbal"),
+        )
+    )
+    return merge_upsert(c, updates, "c_custkey")
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type, value),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type, value) IS NULL
+             AS is_current
+    FROM events
+    """,
+)
+def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from the events change log: one
+    validity interval per change (valid_from/valid_to/is_current), one
+    window pass partitioned by user (operators/merge.scd2_intervals)."""
+    from covid_custom_sql_engine_spark.operators.merge import scd2_intervals
+
+    e = load_table(spark, sf_dir, "events")
+    out = scd2_intervals(e, "user_id", "ts", ["event_type", "value"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+@query(
     "bpe_pair_counts",
     oracle=f"""
     WITH toks AS (SELECT {_SQL_TOKS} AS toks FROM documents)

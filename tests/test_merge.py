@@ -1,0 +1,67 @@
+"""MERGE-upsert and SCD2 operators (operators/merge.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid_custom_sql_engine_spark.operators.merge import merge_upsert, scd2_intervals
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "id long, name string, bal double",
+    )
+
+
+def test_merge_updates_and_inserts(spark):
+    upd = spark.createDataFrame(
+        [(2, 99.0), (7, 70.0)], "id long, bal double"
+    )
+    out = {r.id: r for r in merge_upsert(_base(spark), upd, "id").collect()}
+    assert len(out) == 4
+    assert out[2].bal == 99.0 and out[2].name == "bob"  # partial update
+    assert out[1].bal == 10.0  # untouched
+    assert out[7].bal == 70.0 and out[7].name is None  # insert
+    assert out[3].bal == 30.0
+
+
+def test_merge_null_update_keeps_base_value(spark):
+    upd = spark.createDataFrame([(1, None)], "id long, bal double")
+    out = {r.id: r for r in merge_upsert(_base(spark), upd, "id").collect()}
+    assert out[1].bal == 10.0  # NULL in change set = keep
+
+
+def test_merge_broadcast_and_shuffle_modes_agree(spark):
+    upd = spark.createDataFrame(
+        [(1, 11.0), (9, 90.0)], "id long, bal double"
+    )
+    a = sorted(merge_upsert(_base(spark), upd, "id").collect())
+    b = sorted(
+        merge_upsert(_base(spark), upd, "id", broadcast_updates=False).collect()
+    )
+    assert a == b
+
+
+def test_merge_ignores_update_only_columns(spark):
+    upd = spark.createDataFrame(
+        [(1, 50.0, "x")], "id long, bal double, extra string"
+    )
+    out = merge_upsert(_base(spark), upd, "id")
+    assert out.columns == ["id", "name", "bal"]
+    assert {r.bal for r in out.filter(F.col("id") == 1).collect()} == {50.0}
+
+
+def test_scd2_intervals(spark):
+    log = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "z")],
+        "id long, ts long, attr string",
+    )
+    rows = {
+        (r.id, r.valid_from): r
+        for r in scd2_intervals(log, "id", "ts", ["attr"]).collect()
+    }
+    assert rows[(1, 10)].valid_to == 20 and not rows[(1, 10)].is_current
+    assert rows[(1, 20)].valid_to == 30
+    assert rows[(1, 30)].valid_to is None and rows[(1, 30)].is_current
+    assert rows[(2, 5)].is_current

@@ -123,6 +123,8 @@ EXPECT = {
     "chunk_documents": (2, False, False),
     "pack_token_budget": (2, False, False),
     "kmeans_step": (2, False, False),
+    "merge_upsert": (5, False, False),
+    "scd2_intervals": (5, False, False),
     "bpe_pair_counts": (1, False, False),
     "unigram_logprob": (2, False, True),  # 1-row grand-total broadcast: intended
     "dataset_split": (3, False, False),
