@@ -244,3 +244,53 @@ def lagged_corr_best(
             )
         )
     return lagged.agg(F.array(*rows).alias("a")).select(F.explode("a").alias("s")).select("s.*")
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each step i, how many users
+    completed steps 0..i IN ORDER (each step strictly after the
+    previous one's first completion). Returns (step_idx, step, n_users,
+    conversion) with conversion relative to step 0.
+
+    Shape: step i is one equi-join of the step-i events against the
+    survivors of step i−1 plus a hash aggregate — every shuffle is on
+    the user key, so consecutive steps reuse the same partitioning; no
+    window over raw events, no per-user sort. Funnel depth multiplies
+    plan width, not data volume (survivors shrink monotonically).
+    """
+    base = events.select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts"), F.col(type_col).alias("_ty")
+    )
+    counts = []
+    cur: DataFrame | None = None
+    for i, step in enumerate(steps):
+        f = base.filter(F.col("_ty") == step)
+        if cur is None:
+            cur = f.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        else:
+            cur = (
+                f.join(cur, "_u")
+                .filter(F.col("_ts") > F.col("_t"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).cast("bigint").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w = Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding, 0)
+    return out.withColumn(
+        "conversion", F.round(F.col("n_users") / F.first("n_users").over(w), 6)
+    )

@@ -2871,6 +2871,32 @@ def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_steps",
+    oracle="""
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+    c AS (SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users FROM s0
+          UNION ALL SELECT 1, 'click', count(*) FROM s1
+          UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+    SELECT CAST(step_idx AS BIGINT) AS step_idx, step, n_users,
+           round(n_users::DOUBLE / first_value(n_users) OVER (ORDER BY step_idx), 6)
+             AS conversion
+    FROM c
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the events log: users
+    completing each step strictly after their first completion of the
+    previous one, with conversion relative to step 0. Every shuffle is
+    on the user key (operators/composites.funnel_counts)."""
+    e = load_table(spark, sf_dir, "events")
+    return comp.funnel_counts(e, ["view", "click", "purchase"])
+
+
+@query(
     "merge_upsert",
     oracle="""
     WITH latest AS (

@@ -96,3 +96,32 @@ def test_stat_summary_shape(spark):
     row_a = next(r for r in out if r.metric == "a")
     # Row.count is a method; index by name
     assert row_a["count"] == 2.0 and row_a["sum"] == 4.0 and row_a["median"] == 2.0
+
+
+def test_funnel_counts(spark):
+    from covid_custom_sql_engine_spark.operators.composites import funnel_counts
+
+    # u1 completes a->b->c in order; u2 does b before a (never converts
+    # past a); u3 only a
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        (2, 10, "b"), (2, 20, "a"),
+        (3, 5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r.step: r for r in funnel_counts(df, ["a", "b", "c"]).collect()}
+    assert out["a"].n_users == 3
+    assert out["b"].n_users == 1  # only u1 has b after a
+    assert out["c"].n_users == 1
+    assert out["a"].conversion == 1.0
+    assert abs(out["b"].conversion - round(1 / 3, 6)) < 1e-9
+
+
+def test_funnel_strict_order(spark):
+    from covid_custom_sql_engine_spark.operators.composites import funnel_counts
+
+    # same-timestamp step does NOT count (strictly after)
+    rows = [(1, 10, "a"), (1, 10, "b")]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r.step: r for r in funnel_counts(df, ["a", "b"]).collect()}
+    assert out["a"].n_users == 1 and out["b"].n_users == 0

@@ -123,6 +123,7 @@ EXPECT = {
     "chunk_documents": (2, False, False),
     "pack_token_budget": (2, False, False),
     "kmeans_step": (2, False, False),
+    "funnel_steps": (3, True, False),
     "merge_upsert": (5, False, False),
     "scd2_intervals": (5, False, False),
     "bpe_pair_counts": (1, False, False),
