@@ -3102,14 +3102,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_jaccard_pairs",
     "lsh_topk",
     "stateful_running_total",
-    "join_full_outer",
-    "stratified_sample",
     "udtf_tokens",
     "near_dup_clusters",
     "hourly_spine_zero_fill",
     "hourly_change",
     "window_distribution",
-    "levenshtein_pairs",
     "embedding_normalize",
     "session_ids",
     "range_window_rolling",
@@ -3139,14 +3136,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "pca_power_step",
     "exact_medians_scalable",
     "stream_static_join",
+    "merge_upsert",
+    "scd2_intervals",
+    "funnel_steps",
 ]
 # The window rotates each round so every query eventually earns an
 # official driver row: newest/riskiest plans take slots from simple
-# function passthroughs (json/array/map/unpivot/subquery/token_counts
-# this round) that keep local hash verification via check_oracle /
-# check_bare. Earlier drops for the same reason: hash_sample
-# (stratified_sample in-window), winnow_fingerprint (winnow_pairs
-# exercises it), group_agg_ref7 / stat_summary (driver-green in r1).
+# function passthroughs and plain relational ops (json/array/map/
+# unpivot/subquery/token_counts/join_full_outer/stratified_sample this
+# round) that keep local hash verification via check_oracle /
+# check_bare. Earlier drops for the same reason: hash_sample,
+# winnow_fingerprint (winnow_pairs exercises it), group_agg_ref7 /
+# stat_summary (driver-green in r1).
 
 
 def _reorder_registry() -> None:
