@@ -3072,6 +3072,42 @@ def pca_power_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pca_power_step(e, dim=64)
 
 
+@query(
+    "ann_recall",
+    oracle=f"""
+    WITH ex AS ({ORACLES['cosine_topk']}),
+    ap AS ({ORACLES['lsh_topk']}),
+    hits AS (SELECT ex.query_id, count(*) AS n_hits
+             FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+             GROUP BY ex.query_id),
+    per AS (SELECT query_id, count(*) AS k FROM ex GROUP BY query_id)
+    SELECT per.query_id, per.k, coalesce(hits.n_hits, 0) AS n_hits,
+           round(coalesce(hits.n_hits, 0)::DOUBLE / per.k, 6) AS recall
+    FROM per LEFT JOIN hits ON per.query_id = hits.query_id
+    """,
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation as a first-class query: recall@k of the
+    hyperplane-LSH top-k against the exact brute-force baseline, per
+    query vector. The oracle COMPOSES the two queries' own oracle SQL
+    as CTEs, so all three stay in lockstep. Both result sets are k·5
+    rows — the join and aggregate are trivial; the cost is the two
+    top-k pipelines themselves."""
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    ap = QUERIES["lsh_topk"](spark, sf_dir).select("query_id", "vec_id")
+    hits = ex.join(ap, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    n_hits = F.coalesce("n_hits", F.lit(0))
+    return per.join(hits, "query_id", "left").select(
+        "query_id",
+        "k",
+        n_hits.alias("n_hits"),
+        F.round(n_hits / F.col("k"), 6).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is

@@ -124,6 +124,7 @@ EXPECT = {
     "pack_token_budget": (2, False, False),
     "kmeans_step": (2, False, False),
     "funnel_steps": (3, True, False),
+    "ann_recall": (2, True, True),  # composes the two top-k pipelines (brute-force side is the intended broadcast cross)
     "merge_upsert": (5, False, False),
     "scd2_intervals": (5, False, False),
     "bpe_pair_counts": (1, False, False),
