@@ -291,6 +291,9 @@ def funnel_counts(
     for c in counts[1:]:
         out = out.unionByName(c)
     w = Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding, 0)
+    first = F.first("n_users").over(w)
+    # NULL conversion when step 0 matched nobody (ANSI mode raises on /0)
     return out.withColumn(
-        "conversion", F.round(F.col("n_users") / F.first("n_users").over(w), 6)
+        "conversion",
+        F.round(F.when(first > 0, F.col("n_users") / first), 6),
     )

@@ -2882,8 +2882,9 @@ def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL SELECT 1, 'click', count(*) FROM s1
           UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
     SELECT CAST(step_idx AS BIGINT) AS step_idx, step, n_users,
-           round(n_users::DOUBLE / first_value(n_users) OVER (ORDER BY step_idx), 6)
-             AS conversion
+           round(CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+                      THEN n_users::DOUBLE / first_value(n_users) OVER (ORDER BY step_idx)
+                 END, 6) AS conversion
     FROM c
     """,
 )

@@ -110,3 +110,74 @@ def test_ref_sort_null_placement(spark, rows, ascending):
     nulls = [None] * (len(rows) - len(non_null))
     exp = non_null + nulls if ascending else nulls + non_null
     assert got == exp
+
+
+# --- merge_upsert vs DuckDB full-outer merge semantics ------------------
+
+merge_base_rows = st.lists(
+    st.tuples(st.integers(0, 6), st.one_of(st.none(), st.integers(-5, 5).map(float))),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+merge_upd_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.one_of(st.none(), st.integers(-5, 5).map(float))),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(base=merge_base_rows, upd=merge_upd_rows)
+@settings(**SETTINGS)
+def test_merge_upsert_matches_duckdb_full_outer(spark, base, upd):
+    from covid_custom_sql_engine_spark.operators.merge import merge_upsert
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    bdf = spark.createDataFrame([(int(k), v) for k, v in base], schema)
+    udf_ = spark.createDataFrame([(int(k), v) for k, v in upd], schema)
+    for mode in (True, False):
+        got = sorted(
+            [(r.id, r.v) for r in merge_upsert(bdf, udf_, "id", broadcast_updates=mode).collect()]
+        )
+        con = duckdb.connect()
+        con.register("b", pd.DataFrame(base, columns=["id", "v"]).astype({"id": "int64", "v": "float64"}))
+        con.register("u", pd.DataFrame(upd, columns=["id", "v"]).astype({"id": "int64", "v": "float64"}))
+        exp = sorted(
+            [
+                (r[0], r[1] if r[1] is not None and not math.isnan(r[1]) else None)
+                for r in con.execute(
+                    """SELECT coalesce(b.id, u.id), coalesce(u.v, b.v)
+                       FROM b FULL OUTER JOIN u ON b.id = u.id"""
+                ).fetchall()
+            ]
+        )
+        got = [(i, v if v is not None and not math.isnan(v) else None) for i, v in got]
+        assert got == exp, mode
+
+
+# --- funnel monotonicity invariant --------------------------------------
+
+funnel_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.sampled_from(["a", "b", "c"])),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(evs=funnel_rows)
+@settings(**SETTINGS)
+def test_funnel_counts_monotone_nonincreasing(spark, evs):
+    from covid_custom_sql_engine_spark.operators.composites import funnel_counts
+
+    df = spark.createDataFrame(evs, "user_id long, ts long, event_type string")
+    out = sorted(funnel_counts(df, ["a", "b", "c"]).collect(), key=lambda r: r.step_idx)
+    ns = [r.n_users for r in out]
+    assert ns == sorted(ns, reverse=True)
+    n_users_a = df.filter(F.col("event_type") == "a").select("user_id").distinct().count()
+    assert ns[0] == n_users_a
