@@ -240,3 +240,53 @@ def exact_median(df: DataFrame, col: str, buckets: int = DEFAULT_BUCKETS) -> flo
     v1 = vals[ranks[0] - 1].v
     v2 = vals[ranks[1] - 1].v
     return (float(v1) + float(v2)) / 2.0
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "rank",
+) -> DataFrame:
+    """Global 1-based row_number over ``order_cols`` WITHOUT a
+    single-partition window (``Window.orderBy`` with no partition key
+    funnels the whole table through one task — the classic scale trap).
+
+    Two-phase: range-repartition on the order columns, sort within
+    partitions (parallel), then add each partition's broadcast offset —
+    per-partition row counts are the only driver state
+    (O(num_partitions), same pattern as ``corpus.pack_token_budget``).
+    ``order_cols`` must be a total order (include a unique tiebreak);
+    ties would otherwise get an arbitrary, though still consecutive,
+    assignment.
+    """
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    base = (
+        df.repartitionByRange(p, *cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    ).persist()
+    try:
+        w = Window.partitionBy("_pid").orderBy(*order_cols)
+        local = base.withColumn("_lrn", F.row_number().over(w))
+        # range partitioner ⇒ partition id order == global sort order
+        totals = sorted(
+            base.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+        offsets, running = [], 0
+        for pid, c in totals:
+            offsets.append((pid, running))
+            running += c
+        off = F.broadcast(
+            spark.createDataFrame(offsets or [(0, 0)], ["_pid", "_off"]).withColumn(
+                "_off", F.col("_off").cast("bigint")
+            )
+        )
+        return (
+            local.join(off, "_pid")
+            .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
+            .drop("_pid", "_lrn", "_off")
+        )
+    finally:
+        base.unpersist(blocking=False)
