@@ -45,17 +45,22 @@ _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan — Catalyst pushes filters/pruning into it.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet; Spark reads it as
-    long (``spark.sql.legacy.parquet.nanosAsLong``) and we floor-divide
-    to microseconds — the same truncation DuckDB applies, so both
-    engines see identical timestamps.
+    ``events.ts`` has shipped in two parquet encodings across testdata
+    generations: TIMESTAMP(NANOS) and plain timestamp[us] (NTZ). For
+    the nanos encoding Spark reads it as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and we floor-divide to
+    microseconds — the same truncation DuckDB applies; the micros
+    encoding passes through as timestamp_ntz, which DuckDB also reads
+    as a naive TIMESTAMP, so either way both engines see identical
+    timestamp values.
     """
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS); without this runtime-settable conf
-        # any session that didn't set it at build time throws
-        # PARQUET_TYPE_ILLEGAL (also needed at execution time, so it is set
-        # on cache hits too). Setting it here makes load_table work under
-        # ANY SparkSession — callers may build their own.
+        # Harmless on micros-encoded data; without this runtime-settable
+        # conf a nanos-encoded file throws PARQUET_TYPE_ILLEGAL under any
+        # session that didn't set it at build time (also needed at
+        # execution time, so it is set on cache hits too). Setting it here
+        # makes load_table work under ANY SparkSession — callers may build
+        # their own.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     cached = _DF_CACHE.get(key)

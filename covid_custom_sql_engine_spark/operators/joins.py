@@ -76,7 +76,13 @@ def asof_join(
         *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"r_{c}") for c in value_cols],
     )
     if tolerance_seconds is not None:
-        gap = F.abs(F.col("_ts").cast("double") - F.col("_matched_ts").cast("double"))
+        # timestampdiff works uniformly on TIMESTAMP and TIMESTAMP_NTZ
+        # (a double cast is illegal for NTZ), and microsecond units keep
+        # sub-second tolerances exact.
+        gap = (
+            F.abs(F.expr("timestampdiff(MICROSECOND, _matched_ts, _ts)"))
+            / F.lit(1_000_000.0)
+        )
         within = F.col("_matched_ts").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
         carried = carried.select(
             "_side",

@@ -251,42 +251,44 @@ def global_rank(
     single-partition window (``Window.orderBy`` with no partition key
     funnels the whole table through one task — the classic scale trap).
 
-    Two-phase: range-repartition on the order columns, sort within
-    partitions (parallel), then add each partition's broadcast offset —
-    per-partition row counts are the only driver state
-    (O(num_partitions), same pattern as ``corpus.pack_token_budget``).
+    Fully declarative two-phase ranking, one plan and zero driver state:
+    range-repartition on the order columns (partition id order == global
+    sort order), take a per-partition local ``row_number``, and add each
+    partition's starting offset. The offsets come from a per-partition
+    count aggregate cumulated by a window over ≤num_partitions rows
+    (trivially small) and broadcast-joined back — so the only
+    single-task step touches one row per partition, never the data.
+    Column pruning reaches the offsets subtree's scan, so its second
+    pass over the input reads and range-shuffles ONLY the order-key
+    columns (verified in the physical plan) — the full-width rows are
+    shuffled exactly once.
+
     ``order_cols`` must be a total order (include a unique tiebreak);
     ties would otherwise get an arbitrary, though still consecutive,
     assignment.
     """
-    spark = df.sparkSession
-    p = spark.sparkContext.defaultParallelism
+    p = df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
     base = (
         df.repartitionByRange(p, *cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-    ).persist()
-    try:
-        w = Window.partitionBy("_pid").orderBy(*order_cols)
-        local = base.withColumn("_lrn", F.row_number().over(w))
-        # range partitioner ⇒ partition id order == global sort order
-        totals = sorted(
-            base.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
-        )
-        offsets, running = [], 0
-        for pid, c in totals:
-            offsets.append((pid, running))
-            running += c
-        off = F.broadcast(
-            spark.createDataFrame(offsets or [(0, 0)], ["_pid", "_off"]).withColumn(
-                "_off", F.col("_off").cast("bigint")
-            )
-        )
-        return (
-            local.join(off, "_pid")
-            .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
-            .drop("_pid", "_lrn", "_off")
-        )
-    finally:
-        base.unpersist(blocking=False)
+    )
+    local = base.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    )
+    # O(num_partitions) rows: cumulative count of all preceding partitions.
+    off_w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("_pid", F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -498,6 +498,29 @@ def exact_medians_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "global_rank_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
+    FROM orders
+    """,
+)
+def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 1-based ranking of every order by total price WITHOUT a
+    single-partition window (operators/selection.global_rank) — the
+    100 TB path for ROW_NUMBER() OVER (ORDER BY ...). A bare
+    Window.orderBy funnels the whole table through one task; this plan
+    range-partitions, ranks locally in parallel, and broadcast-adds the
+    per-partition offsets (an O(num_partitions)-row cumulative window)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    from covid_custom_sql_engine_spark.operators.selection import global_rank
+
+    return global_rank(o, ["o_totalprice", "o_orderkey"], "rnk").select(
+        "o_orderkey", "o_totalprice", "rnk"
+    )
+
+
+@query(
     "rename_pretty",
     oracle="""
     SELECT n_nationkey AS nation_key, n_name AS nation_name, n_regionkey AS region_key
@@ -3149,7 +3172,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "range_window_rolling",
     "corpus_filter_pipeline",
     "redact_pii",
-    "repetition_ratio",
     "asof_join_forward_tol",
     "interval_overlap_join",
     "setop_except_all",
@@ -3176,12 +3198,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "merge_upsert",
     "scd2_intervals",
     "funnel_steps",
+    # new this round: distributed global ranking
+    "global_rank_orders",
 ]
 # The window rotates each round so every query eventually earns an
 # official driver row: newest/riskiest plans take slots from simple
 # function passthroughs and plain relational ops (json/array/map/
-# unpivot/subquery/token_counts/join_full_outer/stratified_sample this
-# round) that keep local hash verification via check_oracle /
+# unpivot/subquery/token_counts/join_full_outer/stratified_sample/
+# repetition_ratio this round) that keep local hash verification via check_oracle /
 # check_bare. Earlier drops for the same reason: hash_sample,
 # winnow_fingerprint (winnow_pairs exercises it), group_agg_ref7 /
 # stat_summary (driver-green in r1).

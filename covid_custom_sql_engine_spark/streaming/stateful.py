@@ -29,6 +29,9 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from covid_custom_sql_engine_spark.streaming.windows import (
+    with_event_time_watermark,
+)
 from pyspark.sql import DataFrame
 
 OUT_SCHEMA = "user_id long, event_id long, seq long, running_total double"
@@ -86,7 +89,7 @@ def running_totals_stream(events: DataFrame, watermark: str = "30 minutes") -> D
         state.update((n0, total0))
 
     return (
-        events.withWatermark("ts", watermark)
+        with_event_time_watermark(events, "ts", watermark)
         .select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -134,7 +137,7 @@ def running_totals_tws(events: DataFrame, watermark: str = "30 minutes") -> Data
             pass
 
     return (
-        events.withWatermark("ts", watermark)
+        with_event_time_watermark(events, "ts", watermark)
         .select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(

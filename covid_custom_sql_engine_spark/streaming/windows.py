@@ -18,6 +18,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
 
 
+def with_event_time_watermark(df: DataFrame, col: str, delay: str) -> DataFrame:
+    """``withWatermark`` that tolerates TIMESTAMP_NTZ event time.
+
+    Spark's watermark tracking requires TIMESTAMP (LTZ); parquet files
+    written with plain timestamp[us] load as NTZ and would throw
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. The cast interprets the wall
+    time in the session timezone — identical on both the batch and
+    stream side of a parity check, so window boundaries agree.
+    """
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df.withWatermark(col, delay)
+
+
 def _sum_value(det: bool):
     if det:
         from covid_custom_sql_engine_spark.operators.core import dsum
@@ -39,7 +53,7 @@ def tumbling_counts(
     watermark close and evict. Window boundaries are epoch-aligned.
     ``det`` switches to the order-independent fixed-point sum.
     """
-    src = events.withWatermark("ts", watermark) if streaming else events
+    src = with_event_time_watermark(events, "ts", watermark) if streaming else events
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -63,7 +77,7 @@ def sliding_counts(
     streaming: bool = False,
 ) -> DataFrame:
     """Sliding windows — each event lands in window/slide buckets."""
-    src = events.withWatermark("ts", watermark) if streaming else events
+    src = with_event_time_watermark(events, "ts", watermark) if streaming else events
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -80,7 +94,7 @@ def session_windows(
 ) -> DataFrame:
     """Session windows per user: a session extends while consecutive
     events are within ``gap``. Batch mode runs the same expression."""
-    src = events.withWatermark("ts", watermark) if streaming else events
+    src = with_event_time_watermark(events, "ts", watermark) if streaming else events
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), _sum_value(det))
@@ -96,7 +110,7 @@ def session_windows(
 
 def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup on event_id with bounded state."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return with_event_time_watermark(events, "ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
 def enriched_window_totals(
@@ -118,7 +132,7 @@ def enriched_window_totals(
     shuffles on (window, nation), with watermark-bounded state in
     streaming mode.
     """
-    src = events.withWatermark("ts", watermark) if streaming else events
+    src = with_event_time_watermark(events, "ts", watermark) if streaming else events
     dim = F.broadcast(
         customers.select(
             F.col("c_custkey").alias("_ck"), F.col("c_nationkey").alias("nationkey")

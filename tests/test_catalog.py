@@ -1,8 +1,15 @@
 """load_table must work under ANY SparkSession, including one built
 without ``spark.sql.legacy.parquet.nanosAsLong`` (the grading driver
-constructs its own session — round-1 failure mode)."""
+constructs its own session — round-1 failure mode).
+
+The testdata has shipped ``events.ts`` as both TIMESTAMP(NANOS) (read
+as long + floor-div) and plain timestamp[us] (read as timestamp_ntz);
+load_table must yield a usable timestamp column for either encoding.
+"""
 
 from __future__ import annotations
+
+TS_TYPES = {"timestamp", "timestamp_ntz"}
 
 from covid_custom_sql_engine_spark.catalog import load_table
 
@@ -12,7 +19,7 @@ def test_events_load_without_preset_conf(spark, sf_dir):
     spark.conf.unset(key)  # simulate a bare driver-built session
     try:
         df = load_table(spark, sf_dir, "events")
-        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert dict(df.dtypes)["ts"] in TS_TYPES
         assert df.count() > 0
     finally:
         spark.conf.set(key, "true")
@@ -20,4 +27,13 @@ def test_events_load_without_preset_conf(spark, sf_dir):
 
 def test_events_ts_is_timestamp(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
-    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert dict(df.dtypes)["ts"] in TS_TYPES
+
+
+def test_events_ts_usable_in_window_expr(spark, sf_dir):
+    """date_trunc/window-style exprs must work on the loaded ts column."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "events")
+    row = df.select(F.date_trunc("day", "ts").alias("d")).limit(1).collect()
+    assert row and row[0]["d"] is not None

@@ -101,3 +101,51 @@ def test_plan_caller_supplied_stats(spark):
     got = exact_medians_plan(df, ["x", "y"], stats=stats).collect()[0]
     assert got["median_x"] == 49.5
     assert got["median_y"] == pytest.approx((49.0**2 + 50.0**2) / 2)
+
+
+# --- global_rank: distributed ROW_NUMBER() OVER (ORDER BY ...) ---
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from covid_custom_sql_engine_spark.operators.selection import global_rank
+
+    rng = random.Random(7)
+    rows = [(i, rng.uniform(-100, 100)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(16)
+    got = {r.id: r.rnk for r in global_rank(df, ["v", "id"], "rnk").collect()}
+    exp = {
+        r.id: r.rnk
+        for r in df.withColumn(
+            "rnk", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_global_rank_empty_and_single_row(spark):
+    from covid_custom_sql_engine_spark.operators.selection import global_rank
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    assert global_rank(df.filter(F.lit(False)), ["v", "id"]).count() == 0
+    [row] = global_rank(df, ["v", "id"]).collect()
+    assert row["rank"] == 1
+
+
+def test_global_rank_full_width_shuffled_once(spark):
+    """Column pruning must reach the offsets subtree: its scan reads only
+    the order-key columns, so full rows shuffle exactly once."""
+    from covid_custom_sql_engine_spark.operators.selection import global_rank
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="grank_")
+    spark.createDataFrame(
+        [(i, float(i), "x" * 10) for i in range(100)], "id long, v double, payload string"
+    ).write.mode("overwrite").parquet(d)
+    df = spark.read.parquet(d)
+    plan = global_rank(df, ["v", "id"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 2
+    # parquet column pruning: only the ranked-rows subtree reads payload
+    assert sum("payload" in rs for rs in plan.split("ReadSchema:")[1:]) == 1
