@@ -8,12 +8,12 @@ Each query is forced end-to-end with a noop sink (full materialization,
 no driver collect skew, no column-pruning shortcut a bare count() would
 allow).
 
-Methodology: each query runs 2-4 times and the best time is reported
+Methodology: each query runs 3-4 times and the best time is reported
 (steady-state — the first run carries one-time whole-stage-codegen
 compilation plus JIT warm-up, which a long-lived session amortizes).
 Cheap queries (first run < 2 s) get 4 runs: they are JVM-overhead-
 dominated, and the scheduler/codegen floor keeps dropping for the first
-few executions; heavy queries are compute-bound after run 2, so extra
+few executions; heavy queries are compute-bound by run 3, so extra
 runs would only inflate bench wall-time. ``clearCache()`` between runs
 guarantees every timed run recomputes everything — no cached subtree
 results leak into the timing.
@@ -87,7 +87,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        runs, max_runs = 0, 2
+        runs, max_runs = 0, 3
         while runs < max_runs:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
