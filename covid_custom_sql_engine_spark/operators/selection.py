@@ -292,3 +292,35 @@ def global_rank(
         .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def equidepth_buckets(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    num_buckets: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """NTILE(B) without the single-partition window: assign each row to
+    one of ``num_buckets`` equal-depth buckets by global rank over
+    ``order_cols`` (:func:`global_rank`), reproducing SQL NTILE
+    semantics exactly — the first ``n % B`` buckets hold ``⌈n/B⌉`` rows,
+    the rest ``⌊n/B⌋``.
+
+    The total count joins in as a broadcast 1-row aggregate, so bucket
+    assignment is pure per-row arithmetic on top of the distributed
+    rank — no new shuffle beyond global_rank's.
+    """
+    ranked = global_rank(df, order_cols, out_col="_rk")
+    n_row = F.broadcast(df.agg(F.count(F.lit(1)).alias("_n")))
+    b = F.lit(num_buckets)
+    base, rem = F.col("_n") / b, F.col("_n") % b  # integer div below
+    big = (F.floor(base) + 1) * rem  # rows living in the ⌈n/B⌉ buckets
+    r0 = F.col("_rk") - 1
+    bucket = F.when(
+        r0 < big, F.floor(r0 / (F.floor(base) + 1)) + 1
+    ).otherwise(rem + F.floor((r0 - big) / F.greatest(F.floor(base), F.lit(1))) + 1)
+    return (
+        ranked.crossJoin(n_row)
+        .withColumn(out_col, bucket.cast("bigint"))
+        .drop("_rk", "_n")
+    )

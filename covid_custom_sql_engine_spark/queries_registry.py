@@ -521,6 +521,34 @@ def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "equidepth_histogram",
+    oracle="""
+    WITH r AS (SELECT o_totalprice,
+                      ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+               FROM orders)
+    SELECT bucket, count(*) AS n_rows,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM r GROUP BY bucket
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth (NTILE) histogram of order totals WITHOUT the
+    single-partition window NTILE needs
+    (operators/selection.equidepth_buckets over the distributed
+    global_rank): 10 buckets of equal row count, each reporting its
+    value range — the quantile-sketch building block expressed exactly."""
+    from covid_custom_sql_engine_spark.operators.selection import equidepth_buckets
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = equidepth_buckets(o, ["o_totalprice", "o_orderkey"], 10)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@query(
     "rename_pretty",
     oracle="""
     SELECT n_nationkey AS nation_key, n_name AS nation_name, n_regionkey AS region_key
@@ -1032,6 +1060,44 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "sum_value",
+    )
+
+
+@query(
+    "attribution_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.event_id AS purchase_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream attribution join: every click
+    matched to same-user purchases within 1 hour after it
+    (streaming/windows.attribution_join; the identical builder runs
+    under readStream with watermarks on BOTH sides in tests/ — the
+    time bound is what lets streaming evict join state)."""
+    e = load_table(spark, sf_dir, "events")
+    from covid_custom_sql_engine_spark.streaming import attribution_join as aj
+
+    out = aj(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
     )
 
 
@@ -3171,11 +3237,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "session_ids",
     "range_window_rolling",
     "corpus_filter_pipeline",
-    "redact_pii",
     "asof_join_forward_tol",
     "interval_overlap_join",
     "setop_except_all",
-    "value_histogram",
     "tfidf_top_terms",
     "zscore_outliers",
     "column_profile",
@@ -3198,14 +3262,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "merge_upsert",
     "scd2_intervals",
     "funnel_steps",
-    # new this round: distributed global ranking
+    # new this round: distributed global ranking + stream-stream join
     "global_rank_orders",
+    "attribution_join",
+    "equidepth_histogram",
 ]
 # The window rotates each round so every query eventually earns an
 # official driver row: newest/riskiest plans take slots from simple
 # function passthroughs and plain relational ops (json/array/map/
 # unpivot/subquery/token_counts/join_full_outer/stratified_sample/
-# repetition_ratio this round) that keep local hash verification via check_oracle /
+# repetition_ratio/redact_pii/value_histogram this round) that keep local hash verification via check_oracle /
 # check_bare. Earlier drops for the same reason: hash_sample,
 # winnow_fingerprint (winnow_pairs exercises it), group_agg_ref7 /
 # stat_summary (driver-green in r1).

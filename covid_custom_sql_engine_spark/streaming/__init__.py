@@ -5,6 +5,8 @@ from covid_custom_sql_engine_spark.streaming.windows import (
     stream_events,
     dedup_within_watermark,
     enriched_window_totals,
+    attribution_join,
+    with_event_time_watermark,
 )
 from covid_custom_sql_engine_spark.streaming.stateful import (
     running_totals_batch,
@@ -19,6 +21,8 @@ __all__ = [
     "stream_events",
     "dedup_within_watermark",
     "enriched_window_totals",
+    "attribution_join",
+    "with_event_time_watermark",
     "running_totals_batch",
     "running_totals_stream",
     "running_totals_tws",

@@ -113,6 +113,52 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> 
     return with_event_time_watermark(events, "ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to every purchase by
+    the same user within ``max_delay`` after the click (the attribution
+    shape). The SAME builder runs in batch (oracle) and streaming mode.
+
+    In streaming mode BOTH sides carry a watermark and the join
+    condition bounds event time on both sides — that pair is what lets
+    Spark evict join state: a buffered click can be dropped once the
+    purchase-side watermark passes click_ts + max_delay. Without the
+    time bound, stream-stream join state grows forever.
+
+    Scale shape: an equi-join on user_id (one shuffle each side, no
+    broadcast — both sides are unbounded); the time predicate is a
+    post-match filter on the matched pair, not a nested-loop condition.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if streaming:
+        c = with_event_time_watermark(c, "click_ts", watermark)
+        p = with_event_time_watermark(p, "purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay}")),
+    )
+    return joined.select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )
+
+
 def enriched_window_totals(
     events: DataFrame,
     customers: DataFrame,

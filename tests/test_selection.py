@@ -149,3 +149,25 @@ def test_global_rank_full_width_shuffled_once(spark):
     assert plan.count("Exchange rangepartitioning") == 2
     # parquet column pruning: only the ranked-rows subtree reads payload
     assert sum("payload" in rs for rs in plan.split("ReadSchema:")[1:]) == 1
+
+
+def test_equidepth_buckets_matches_ntile(spark):
+    from pyspark.sql import Window
+
+    from covid_custom_sql_engine_spark.operators.selection import equidepth_buckets
+
+    rng = random.Random(3)
+    for n, B in [(997, 10), (100, 7), (5, 10), (64, 8), (1, 3)]:
+        rows = [(i, rng.uniform(0, 1000)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+        got = {
+            r.id: r.bucket
+            for r in equidepth_buckets(df, ["v", "id"], B).collect()
+        }
+        exp = {
+            r.id: r.nt
+            for r in df.withColumn(
+                "nt", F.ntile(B).over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == exp, (n, B)

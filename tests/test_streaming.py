@@ -252,3 +252,34 @@ def test_enriched_window_totals_stream_matches_batch(spark, events_dir, sf_dir):
         [(key(r), r.n_events, r.sum_value) for r in batch]
     )
     assert len(batch) > 0
+
+
+def test_attribution_join_stream_matches_batch(spark, events_dir):
+    """Stream-stream inner join (clicks x purchases within 1 hour per
+    user, watermarks on both sides) reproduces the batch join."""
+    from covid_custom_sql_engine_spark.streaming import attribution_join
+
+    src = spark.read.parquet(events_dir)
+    clicks_b = src.filter(F.col("event_type") == "click")
+    purch_b = src.filter(F.col("event_type") == "purchase")
+    batch = attribution_join(clicks_b, purch_b).collect()
+
+    stream_src = spark.readStream.schema(src.schema).parquet(events_dir)
+    clicks_s = stream_src.filter(F.col("event_type") == "click")
+    purch_s = stream_src.filter(F.col("event_type") == "purchase")
+    sdf = attribution_join(clicks_s, purch_s, streaming=True)
+    assert sdf.isStreaming
+    out_dir = tempfile.mkdtemp(prefix="attr_out_")
+    sq = (
+        sdf.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", os.path.join(out_dir, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    key = lambda r: (r.click_id, r.purchase_id)
+    assert len(batch) > 0
+    assert sorted(key(r) for r in got) == sorted(key(r) for r in batch)

@@ -131,6 +131,10 @@ EXPECT = {
     "unigram_logprob": (2, False, True),  # 1-row grand-total broadcast: intended
     "dataset_split": (3, False, False),
     "pca_power_step": (1, False, True),  # 1-row normalizer broadcast: intended
+    # --- distributed ranking / stream-stream ---
+    "global_rank_orders": (2, False, False),
+    "equidepth_histogram": (2, False, True),  # 1-row total-count broadcast: intended
+    "attribution_join": (5, True, False),
 }
 
 
