@@ -221,6 +221,70 @@ def lsh_candidate_pairs(
     return candidate_pairs_from_bands(minhash_bands(df, id_col, text_col, **kw), id_col)
 
 
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = MAX_BAND_BUCKET,
+    **kw,
+) -> DataFrame:
+    """Incremental dedup: candidate pairs between a NEW document batch
+    and an EXISTING corpus — (new_id, corpus_id) — without ever pairing
+    the corpus against itself. The shape a production ingest pipeline
+    needs: each arriving batch is checked against everything already
+    accepted, and corpus×corpus work (already done on earlier batches)
+    is never repeated.
+
+    Same single-shuffle formulation as
+    :func:`candidate_pairs_from_bands`: band both sides, tag provenance,
+    hash-partition once on (band, band_hash); the bucket-size cap is a
+    window count over the JOINT bucket before any aggregation; each
+    surviving bucket gathers its new and corpus ids into two arrays and
+    emits only the cross pairs. In production the corpus side's bands
+    would be a stored table maintained across batches — banding is
+    per-document, so only the new batch needs hashing per ingest.
+    """
+    bn = minhash_bands(new_df, id_col, text_col, **kw).withColumn("_new", F.lit(True))
+    bo = minhash_bands(corpus_df, id_col, text_col, **kw).withColumn(
+        "_new", F.lit(False)
+    )
+    bands = bn.unionByName(bo)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_hash")
+        bands = (
+            bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.when(F.col("_new"), F.col(id_col)))
+            ).alias("new_ids"),
+            F.array_sort(
+                F.collect_set(F.when(~F.col("_new"), F.col(id_col)))
+            ).alias("corpus_ids"),
+        )
+        .filter((F.size("new_ids") >= 1) & (F.size("corpus_ids") >= 1))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(new_ids, x -> transform(corpus_ids, "
+                        "y -> struct(x AS new_id, y AS corpus_id)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.new_id", "p.corpus_id")
+        .distinct()
+    )
+
+
 def jaccard_from_shingles(
     sh_df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

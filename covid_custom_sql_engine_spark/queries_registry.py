@@ -1944,6 +1944,27 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup_pairs",
+    oracle=f"""
+    {_MINHASH_RECURSIVE_CTE}
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    """,
+)
+def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (functions/dedup.incremental_lsh_pairs):
+    a new batch (even doc_ids) checked against the accepted corpus (odd
+    doc_ids) — band join emits ONLY new×corpus pairs, so corpus-internal
+    work never repeats across batches."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return dd.incremental_lsh_pairs(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+@query(
     "hourly_spine_zero_fill",
     oracle="""
     WITH b AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
@@ -3231,7 +3252,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "udtf_tokens",
     "near_dup_clusters",
     "hourly_spine_zero_fill",
-    "hourly_change",
     "window_distribution",
     "embedding_normalize",
     "session_ids",
@@ -3266,12 +3286,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "global_rank_orders",
     "attribution_join",
     "equidepth_histogram",
+    "incremental_dedup_pairs",
 ]
 # The window rotates each round so every query eventually earns an
 # official driver row: newest/riskiest plans take slots from simple
 # function passthroughs and plain relational ops (json/array/map/
 # unpivot/subquery/token_counts/join_full_outer/stratified_sample/
-# repetition_ratio/redact_pii/value_histogram this round) that keep local hash verification via check_oracle /
+# repetition_ratio/redact_pii/value_histogram/hourly_change this round) that keep local hash verification via check_oracle /
 # check_bare. Earlier drops for the same reason: hash_sample,
 # winnow_fingerprint (winnow_pairs exercises it), group_agg_ref7 /
 # stat_summary (driver-green in r1).

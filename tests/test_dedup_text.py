@@ -345,3 +345,18 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert os.path.isdir(ckdir) and len(os.listdir(ckdir)) > 0
+
+
+def test_incremental_lsh_pairs_only_cross(spark):
+    """New-batch docs pair only against the corpus, never each other."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (3, "completely different text about spark engines")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base), (12, base)],  # near-dups of corpus doc 1 AND of each other
+        "doc_id long, text string",
+    )
+    got = {tuple(r) for r in dd.incremental_lsh_pairs(new, corpus).collect()}
+    assert got == {(10, 1), (12, 1)}  # no (10,12) new-internal pair

@@ -135,6 +135,7 @@ EXPECT = {
     "global_rank_orders": (2, False, False),
     "equidepth_histogram": (2, False, True),  # 1-row total-count broadcast: intended
     "attribution_join": (5, True, False),
+    "incremental_dedup_pairs": (2, True, False),
 }
 
 
