@@ -332,28 +332,39 @@ def ngram_jaccard_pairs(
     scale) → self-join postings on shingle for candidate pairs →
     exact Jaccard verify on candidates only.
 
-    Scale shape: both the DF-count and the candidate join are
-    equi-shuffles on the shingle string; the ``max_df`` cap bounds each
-    posting list's pair fan-out to max_df², so the join never degrades
-    into an all-pairs product on a hot shingle.
+    Scale shape: ONE equi-shuffle of the postings on the shingle
+    string. The ``max_df`` stop-shingle cap is a window count over that
+    same partitioning (applied BEFORE any aggregation, so no hot
+    posting list is ever materialized), then each surviving shingle's
+    ids gather once and emit their sorted combinations — fan-out
+    bounded at max_df² per shingle, no posting self-join.
     """
     sh = shingle_sets(df, id_col, text_col, shingle_n)
     if use_cache:
         sh = sh.cache()
     postings = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    rare = (
-        postings.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_ct"))
-        .filter(F.col("df_ct") <= max_df)
-        .select("shingle")
+    w = Window.partitionBy("shingle")
+    postings = (
+        postings.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
     )
-    postings = postings.join(rare, "shingle")
-    a = postings.select(F.col("shingle"), F.col(id_col).alias("id_a"))
-    b = postings.select(F.col("shingle"), F.col(id_col).alias("id_b"))
     cand = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        postings.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ids, (x, i) -> transform("
+                        "slice(ids, i + 2, size(ids) - i - 1), "
+                        "y -> struct(x AS id_a, y AS id_b)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     verified = jaccard_from_shingles(sh, cand, id_col)
@@ -370,16 +381,19 @@ def minhash_near_dups(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_rows: int = DEFAULT_BAND_ROWS,
     shingle_n: int = DEFAULT_SHINGLE_N,
-    use_cache: bool = True,
+    use_cache: bool = False,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     candidate equi-join → Jaccard verify.
 
-    ``use_cache`` persists the shingle sets: the signature subtree and
-    the Jaccard verify both consume them (Spark re-executes each plan
-    branch otherwise); at cluster scale this is a checkpointed table
-    between pipeline stages. The band rows need no cache — grouped pair
-    generation consumes them once.
+    ``use_cache`` persists the shingle sets, which the signature
+    subtree and the Jaccard verify both consume. Default OFF: within
+    this one query the optimizer's ReuseExchange already dedupes the
+    repeated subtrees, and measured at sf0.1 the cache's materialize +
+    in-memory-scan overhead LOSES to recompute (1.7 s vs 1.4 s).
+    Turn it on when the shingle sets feed several separate actions
+    (cross-query reuse the optimizer can't see); at cluster scale that
+    reuse would be a checkpointed table between pipeline stages.
     """
     sh = shingle_sets(df, id_col, text_col, shingle_n)
     if use_cache:
