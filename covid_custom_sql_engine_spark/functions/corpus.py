@@ -315,3 +315,31 @@ def dataset_split(
             "frac_of_stratum"
         ),
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: at most ``n_per_stratum``
+    rows from each stratum, chosen by md5 hash order of the id — the
+    per-source/per-language cap a corpus-balancing pass applies before
+    training. Hash order makes the sample stable under reruns, growing
+    input, and any partitioning (a rand()-based sample is none of
+    these), and uncorrelated with any data attribute.
+
+    Shape: one shuffle on the strata key; the per-stratum window keeps a
+    top-``n`` heap per group — no global sort, no collect. A skewed
+    stratum costs one fat partition bounded by that stratum's row count;
+    output is bounded by |strata|·n.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.concat(F.lit("quota:"), F.col(id_col).cast("string"))), id_col
+    )
+    return (
+        df.withColumn("_qrn", F.row_number().over(w))
+        .filter(F.col("_qrn") <= n_per_stratum)
+        .drop("_qrn")
+    )

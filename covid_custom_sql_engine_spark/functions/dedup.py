@@ -444,6 +444,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph by iterative
     min-label propagation: every vertex starts labeled with itself; each
@@ -477,19 +478,23 @@ def connected_components(
 
     # both edge directions from ONE scan of the pairs plan (a union of
     # two selects would execute the upstream candidate-pair pipeline
-    # twice — explode duplicates rows after they're computed instead)
-    edges = _ckpt(
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
-                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-    )
+    # twice — explode duplicates rows after they're computed instead).
+    # pairs_distinct=True skips the dedup shuffle: if the input pairs
+    # are distinct with id_a < id_b (every candidate-pair generator in
+    # this package ends with .distinct()), both orientations are
+    # automatically distinct too. Duplicate edges would not change the
+    # fixpoint anyway — only the per-round join fan-out.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    if not pairs_distinct:
+        edges = edges.distinct()
+    edges = _ckpt(edges)
     labels = _ckpt(
         edges.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
@@ -532,8 +537,12 @@ def near_dup_keep(
 ) -> DataFrame:
     """Corpus minus near-duplicates: cluster the pair graph, keep the
     min-id representative of each cluster plus all unpaired documents.
-    Output: (id, keep, component) for every input document."""
-    comp = connected_components(pairs, id_a, id_b)
+    Output: (id, keep, component) for every input document.
+
+    ``pairs`` is expected from a candidate-pair generator in this
+    package (all end with .distinct()), so the edge-dedup shuffle is
+    skipped."""
+    comp = connected_components(pairs, id_a, id_b, pairs_distinct=True)
     out = df.select(F.col(id_col).alias("id")).join(comp, "id", "left")
     return out.select(
         "id",

@@ -3160,6 +3160,28 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quota_sample",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents)
+    SELECT doc_id, lang, n_chars FROM r WHERE rn <= 30
+    """,
+)
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample (functions/corpus.quota_sample): at
+    most 30 documents per lang, chosen by deterministic md5 hash order —
+    the corpus-balancing cap applied before training, stable under
+    reruns and any partitioning."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return cp.quota_sample(d, ["lang"], 30)
+
+
+@query(
     "pca_power_step",
     oracle=f"""
     WITH v AS (SELECT embedding::DOUBLE[] AS vv FROM embeddings),
@@ -3252,7 +3274,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "udtf_tokens",
     "near_dup_clusters",
     "hourly_spine_zero_fill",
-    "window_distribution",
     "embedding_normalize",
     "session_ids",
     "range_window_rolling",
@@ -3287,12 +3308,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "attribution_join",
     "equidepth_histogram",
     "incremental_dedup_pairs",
+    "quota_sample",
 ]
 # The window rotates each round so every query eventually earns an
 # official driver row: newest/riskiest plans take slots from simple
 # function passthroughs and plain relational ops (json/array/map/
 # unpivot/subquery/token_counts/join_full_outer/stratified_sample/
-# repetition_ratio/redact_pii/value_histogram/hourly_change this round) that keep local hash verification via check_oracle /
+# repetition_ratio/redact_pii/value_histogram/hourly_change/
+# window_distribution this round) that keep local hash verification via check_oracle /
 # check_bare. Earlier drops for the same reason: hash_sample,
 # winnow_fingerprint (winnow_pairs exercises it), group_agg_ref7 /
 # stat_summary (driver-green in r1).

@@ -209,3 +209,23 @@ def test_pca_power_step_recovers_dominant_axis(spark):
     assert abs(norm2 - 1.0) < 1e-3
     assert abs(abs(out[0].component) - 1.0) < 1e-2
     assert all(abs(out[1].score - out[d].score) < 1e-9 for d in out)
+
+
+def test_quota_sample_deterministic_and_capped(spark):
+    from covid_custom_sql_engine_spark.functions.corpus import quota_sample
+
+    rows = [(i, f"lang{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = quota_sample(df, ["lang"], 5)
+    got = a.collect()
+    # cap respected per stratum
+    from collections import Counter
+
+    cnt = Counter(r.lang for r in got)
+    assert all(v == 5 for v in cnt.values()) and len(cnt) == 3
+    # deterministic: same rows on rerun and under different partitioning
+    b = quota_sample(df.repartition(13), ["lang"], 5)
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in b.collect())
+    # small stratum: returns all its rows
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, lang string")
+    assert quota_sample(tiny, ["lang"], 5).count() == 2

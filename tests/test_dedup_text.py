@@ -360,3 +360,14 @@ def test_incremental_lsh_pairs_only_cross(spark):
     )
     got = {tuple(r) for r in dd.incremental_lsh_pairs(new, corpus).collect()}
     assert got == {(10, 1), (12, 1)}  # no (10,12) new-internal pair
+
+
+def test_connected_components_pairs_distinct_flag(spark):
+    """Same fixpoint whether or not the edge-dedup shuffle runs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (1, 2)], "id_a long, id_b long"
+    )
+    exp = {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+    a = {tuple(r) for r in dd.connected_components(pairs).collect()}
+    b = {tuple(r) for r in dd.connected_components(pairs, pairs_distinct=True).collect()}
+    assert a == exp and b == exp

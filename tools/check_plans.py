@@ -136,6 +136,7 @@ EXPECT = {
     "equidepth_histogram": (2, False, True),  # 1-row total-count broadcast: intended
     "attribution_join": (5, True, False),
     "incremental_dedup_pairs": (2, True, False),
+    "quota_sample": (3, False, False),
 }
 
 
