@@ -297,3 +297,43 @@ def funnel_counts(
         "conversion",
         F.round(F.when(first > 0, F.col("n_users") / first), 6),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average: each value is held from its event
+    until the next event of the same key; TWA = Σ value·Δt / Σ Δt. The
+    aggregate a metrics/monitoring pipeline wants when samples arrive at
+    irregular intervals (a plain avg over-weights bursts). The last
+    event of each key carries no holding time; keys with one event (or
+    zero elapsed time) yield NULL.
+
+    Shape: one shuffle on the key for the lead() window, then a hash
+    aggregate on the same partitioning (no second exchange). Holding
+    times are exact microsecond integers (``timestampdiff`` — works on
+    both TIMESTAMP and TIMESTAMP_NTZ), and both sums run as fixed-point
+    decimals (core.dsum), so the final division is bit-identical across
+    engines and partitionings.
+    """
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    dt_us = F.expr(f"timestampdiff(MICROSECOND, {ts_col}, _next_ts)")
+    num = dsum(F.col(value_col) * F.col("_dt_us"))
+    den = dsum(F.col("_dt_us"))
+    return (
+        df.withColumn("_next_ts", F.lead(ts_col).over(w))
+        .filter(F.col("_next_ts").isNotNull())
+        .withColumn("_dt_us", dt_us)
+        .groupBy(key)
+        .agg(
+            F.when(den != 0, num / den).alias("twa"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )

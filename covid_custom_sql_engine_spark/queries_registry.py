@@ -436,6 +436,36 @@ def rolling_avg_7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "time_weighted_avg",
+    oracle=f"""
+    WITH x AS (SELECT user_id, value, ts,
+                      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+               FROM events),
+    y AS (SELECT user_id, value,
+                 (epoch_us(nts) - epoch_us(ts)) AS dt_us
+          FROM x WHERE nts IS NOT NULL)
+    SELECT user_id,
+           round(CASE WHEN {_sql_dsum('dt_us')} != 0
+                 THEN {_sql_dsum('value * dt_us')} / {_sql_dsum('dt_us')} END, 6) AS twa,
+           count(*) AS n_intervals
+    FROM y GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value
+    (operators/composites.time_weighted_avg): each value held until the
+    user's next event, Σ value·Δt / Σ Δt — the irregular-sampling
+    aggregate a plain avg gets wrong. Exact µs holding times +
+    fixed-point sums → bit-identical across engines."""
+    e = load_table(spark, sf_dir, "events")
+    out = comp.time_weighted_avg(e, "user_id", "ts", "value", tiebreak="event_id")
+    # ~1e13-magnitude value*µs products round differently at the
+    # decimal cast's 6th fractional digit between engines — round the
+    # quotient (convention: computed doubles rounded on both sides).
+    return out.withColumn("twa", F.round("twa", 6))
+
+
+@query(
     "stat_summary",
     oracle=f"""
     SELECT 'l_quantity' AS metric, CAST(count(*) AS DOUBLE) AS count,
@@ -3274,7 +3304,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "udtf_tokens",
     "near_dup_clusters",
     "hourly_spine_zero_fill",
-    "embedding_normalize",
     "session_ids",
     "range_window_rolling",
     "corpus_filter_pipeline",
@@ -3309,13 +3338,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "equidepth_histogram",
     "incremental_dedup_pairs",
     "quota_sample",
+    "time_weighted_avg",
 ]
 # The window rotates each round so every query eventually earns an
 # official driver row: newest/riskiest plans take slots from simple
 # function passthroughs and plain relational ops (json/array/map/
 # unpivot/subquery/token_counts/join_full_outer/stratified_sample/
 # repetition_ratio/redact_pii/value_histogram/hourly_change/
-# window_distribution this round) that keep local hash verification via check_oracle /
+# window_distribution/embedding_normalize this round) that keep local hash verification via check_oracle /
 # check_bare. Earlier drops for the same reason: hash_sample,
 # winnow_fingerprint (winnow_pairs exercises it), group_agg_ref7 /
 # stat_summary (driver-green in r1).

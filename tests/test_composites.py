@@ -125,3 +125,27 @@ def test_funnel_strict_order(spark):
     df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
     out = {r.step: r for r in funnel_counts(df, ["a", "b"]).collect()}
     assert out["a"].n_users == 1 and out["b"].n_users == 0
+
+
+def test_time_weighted_avg_hand_case(spark):
+    """value 10 held 1s then 20 held 3s -> TWA 17.5; single-event and
+    zero-elapsed keys -> NULL."""
+    import datetime as dt
+
+    from covid_custom_sql_engine_spark.operators.composites import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0, 10.0),
+        (1, 2, t0 + dt.timedelta(seconds=1), 20.0),
+        (1, 3, t0 + dt.timedelta(seconds=4), 99.0),  # last: no holding time
+        (2, 4, t0, 5.0),                              # single event: dropped
+        (3, 5, t0, 1.0),
+        (3, 6, t0, 2.0),                              # zero elapsed: NULL twa
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    got = {r.user_id: (r.twa, r.n_intervals) for r in
+           time_weighted_avg(df, "user_id", "ts", "value", tiebreak="event_id").collect()}
+    assert got[1][0] == pytest.approx((10.0 * 1 + 20.0 * 3) / 4) and got[1][1] == 2
+    assert 2 not in got
+    assert got[3][0] is None and got[3][1] == 1

@@ -137,6 +137,7 @@ EXPECT = {
     "attribution_join": (5, True, False),
     "incremental_dedup_pairs": (2, True, False),
     "quota_sample": (3, False, False),
+    "time_weighted_avg": (4, False, False),
 }
 
 
