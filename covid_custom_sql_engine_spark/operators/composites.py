@@ -337,3 +337,57 @@ def time_weighted_avg(
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key: str,
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order transition counts: for each key's event sequence,
+    count (state → next_state) bigrams — the Markov-chain / user-path
+    building block. One shuffle on the key for the lead() window, then
+    a hash aggregate on the tiny (state, next_state) domain.
+    """
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return (
+        df.withColumn("_next", F.lead(state_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(F.col(state_col).alias("from_state"), F.col("_next").alias("to_state"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    granularity: str = "week",
+) -> DataFrame:
+    """Retention triangle: users bucketed by first-activity period
+    (cohort), counted distinct per (cohort, periods-since-cohort).
+
+    Shape: one aggregate keyed on the entity for first-seen (shuffle on
+    the key), broadcast-joined back onto the activity scan (the cohort
+    frame is one row per entity — at extreme entity counts swap the
+    broadcast for a shuffle join, semantics unchanged), then a
+    count_distinct on the small (cohort, offset) grid.
+    """
+    period = F.date_trunc(granularity, F.col(ts_col))
+    first = df.groupBy(key).agg(F.min(period).alias("_cohort"))
+    return (
+        df.join(first, key)
+        .select(
+            F.col("_cohort").alias("cohort"),
+            F.floor(
+                F.expr(
+                    f"timestampdiff({'WEEK' if granularity == 'week' else 'DAY'}, "
+                    f"_cohort, date_trunc('{granularity}', {ts_col}))"
+                )
+            ).cast("bigint").alias("period_offset"),
+            F.col(key).alias("_k"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct("_k").alias("n_active"))
+    )

@@ -466,6 +466,51 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_transitions",
+    oracle="""
+    WITH x AS (SELECT event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS nxt
+               FROM events)
+    SELECT event_type AS from_state, nxt AS to_state,
+           count(*) AS n_transitions
+    FROM x WHERE nxt IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition bigrams
+    (operators/composites.event_transitions) — the Markov-chain /
+    user-path matrix over the events log."""
+    e = load_table(spark, sf_dir, "events")
+    return comp.event_transitions(e, "user_id", ["ts", "event_id"], "event_type")
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+               FROM events GROUP BY 1)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+           date_diff('week', f.cohort, date_trunc('week', e.ts)) AS period_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle
+    (operators/composites.retention_cohorts): users bucketed by
+    first-active week, distinct-counted per week offset."""
+    e = load_table(spark, sf_dir, "events")
+    out = comp.retention_cohorts(e, "user_id", "ts", "week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "period_offset",
+        "n_active",
+    )
+
+
+@query(
     "stat_summary",
     oracle=f"""
     SELECT 'l_quantity' AS metric, CAST(count(*) AS DOUBLE) AS count,
@@ -3309,9 +3354,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_filter_pipeline",
     "asof_join_forward_tol",
     "interval_overlap_join",
-    "setop_except_all",
     "tfidf_top_terms",
-    "zscore_outliers",
     "column_profile",
     "salted_join",
     "winnow_pairs",
@@ -3339,13 +3382,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "incremental_dedup_pairs",
     "quota_sample",
     "time_weighted_avg",
+    "event_transitions",
+    "retention_cohorts",
 ]
 # The window rotates each round so every query eventually earns an
 # official driver row: newest/riskiest plans take slots from simple
 # function passthroughs and plain relational ops (json/array/map/
 # unpivot/subquery/token_counts/join_full_outer/stratified_sample/
 # repetition_ratio/redact_pii/value_histogram/hourly_change/
-# window_distribution/embedding_normalize this round) that keep local hash verification via check_oracle /
+# window_distribution/embedding_normalize/setop_except_all/zscore_outliers
+# this round) that keep local hash verification via check_oracle /
 # check_bare. Earlier drops for the same reason: hash_sample,
 # winnow_fingerprint (winnow_pairs exercises it), group_agg_ref7 /
 # stat_summary (driver-green in r1).

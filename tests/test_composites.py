@@ -149,3 +149,38 @@ def test_time_weighted_avg_hand_case(spark):
     assert got[1][0] == pytest.approx((10.0 * 1 + 20.0 * 3) / 4) and got[1][1] == 2
     assert 2 not in got
     assert got[3][0] is None and got[3][1] == 1
+
+
+def test_event_transitions_hand_case(spark):
+    import datetime as dt
+
+    from covid_custom_sql_engine_spark.operators.composites import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "a"), (1, 2, t0 + dt.timedelta(1), "b"),
+        (1, 3, t0 + dt.timedelta(2), "a"),
+        (2, 4, t0, "a"), (2, 5, t0 + dt.timedelta(1), "b"),
+        (3, 6, t0, "c"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    got = {(r.from_state, r.to_state): r.n_transitions
+           for r in event_transitions(df, "user_id", ["ts", "event_id"], "event_type").collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_retention_cohorts_hand_case(spark):
+    import datetime as dt
+
+    from covid_custom_sql_engine_spark.operators.composites import retention_cohorts
+
+    monday = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, monday), (1, monday + dt.timedelta(days=8)),   # wk0 and wk1
+        (2, monday + dt.timedelta(days=1)),                # wk0 only
+        (3, monday + dt.timedelta(days=7)),                # cohort wk1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort.strftime("%Y-%m-%d"), r.period_offset): r.n_active
+           for r in retention_cohorts(df, "user_id", "ts", "week").collect()}
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-08", 0): 1}

@@ -138,6 +138,8 @@ EXPECT = {
     "incremental_dedup_pairs": (2, True, False),
     "quota_sample": (3, False, False),
     "time_weighted_avg": (4, False, False),
+    "event_transitions": (4, False, False),
+    "retention_cohorts": (2, False, False),
 }
 
 
