@@ -54,3 +54,15 @@ def write_bucketed(
 def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """One-file CSV export (display edge only — single-writer bottleneck)."""
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """ORC sink (Spark-native columnar alternative to parquet — some
+    warehouses standardize on it). Same pruning/pushdown properties:
+    Catalyst pushes filters and column selection into the ORC scan."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -63,3 +63,22 @@ def test_single_csv_roundtrip(spark, sf_dir):
     back = spark.read.option("header", True).csv(d)
     assert back.count() == n.count()
     assert set(back.columns) == set(n.columns)
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir):
+    from covid_custom_sql_engine_spark.sources.sinks import write_orc
+
+    d = tempfile.mkdtemp(prefix="sink_orc_") + "/data"
+    o = load_table(spark, sf_dir, "orders")
+    write_orc(o, d)
+    back = spark.read.orc(d)
+    assert back.count() == o.count()
+    # values identical (orc preserves types incl. timestamps)
+    a = sorted(map(tuple, o.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    # filter pushdown + column pruning reach the ORC scan
+    q = back.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    assert "o_totalprice" not in plan.split("ReadSchema:")[1]
