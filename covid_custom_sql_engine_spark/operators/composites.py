@@ -359,6 +359,43 @@ def event_transitions(
     )
 
 
+def debounce_events(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    ts_col: str,
+    gap: str = "5 minutes",
+) -> DataFrame:
+    """Keep the FIRST event of each rapid burst: events of the same key
+    within ``gap`` of the previous kept-or-dropped event chain collapse
+    to their first row (gaps-and-islands, chained proximity — the
+    debounce a clickstream cleaning pass applies to double-fires and
+    retry storms).
+
+    One shuffle on the key; burst membership is a lag comparison plus a
+    running sum over the same sort (no second exchange), then the
+    burst's first row wins by row_number.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    brk = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | (F.col(ts_col) >= F.lag(ts_col).over(w) + F.expr(f"INTERVAL {gap}")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        df.withColumn("_brk", brk)
+        .withColumn("_burst", F.sum("_brk").over(run))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols, "_burst").orderBy(*order_cols)
+            ),
+        )
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_brk", "_burst", "_rn")
+
+
 def retention_cohorts(
     df: DataFrame,
     key: str,

@@ -466,6 +466,47 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "debounce_events",
+    oracle="""
+    WITH x AS (SELECT event_id, user_id, event_type, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR ts >= lag(ts) OVER w + INTERVAL '5 minutes'
+                           THEN 1 ELSE 0 END AS brk
+               FROM events
+               WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+    y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS burst
+          FROM x),
+    z AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst
+                                       ORDER BY ts, event_id) AS rn
+          FROM y)
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value
+    FROM z WHERE rn = 1
+    """,
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debounce (operators/composites.debounce_events): collapse
+    each rapid same-user same-type chain (successive events < 5 min
+    apart) to its first row — the clickstream double-fire/retry-storm
+    cleaner."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    out = comp.debounce_events(
+        e, ["user_id", "event_type"], ["ts", "event_id"], "ts", "5 minutes"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "value",
+    )
+
+
+@query(
     "event_transitions",
     oracle="""
     WITH x AS (SELECT event_type,
@@ -3355,7 +3396,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "asof_join_forward_tol",
     "interval_overlap_join",
     "tfidf_top_terms",
-    "column_profile",
     "salted_join",
     "winnow_pairs",
     "embedding_quantize_int8",
@@ -3384,14 +3424,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "time_weighted_avg",
     "event_transitions",
     "retention_cohorts",
+    "debounce_events",
 ]
 # The window rotates each round so every query eventually earns an
 # official driver row: newest/riskiest plans take slots from simple
 # function passthroughs and plain relational ops (json/array/map/
 # unpivot/subquery/token_counts/join_full_outer/stratified_sample/
 # repetition_ratio/redact_pii/value_histogram/hourly_change/
-# window_distribution/embedding_normalize/setop_except_all/zscore_outliers
-# this round) that keep local hash verification via check_oracle /
+# window_distribution/embedding_normalize/setop_except_all/zscore_outliers/
+# column_profile this round) that keep local hash verification via check_oracle /
 # check_bare. Earlier drops for the same reason: hash_sample,
 # winnow_fingerprint (winnow_pairs exercises it), group_agg_ref7 /
 # stat_summary (driver-green in r1).

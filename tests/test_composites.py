@@ -184,3 +184,28 @@ def test_retention_cohorts_hand_case(spark):
     got = {(r.cohort.strftime("%Y-%m-%d"), r.period_offset): r.n_active
            for r in retention_cohorts(df, "user_id", "ts", "week").collect()}
     assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-08", 0): 1}
+
+
+def test_debounce_events_hand_case(spark):
+    import datetime as dt
+
+    from covid_custom_sql_engine_spark.operators.composites import debounce_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda n: t0 + dt.timedelta(seconds=n)
+    rows = [
+        (1, 1, s(0), "a"),    # burst 1 start -> kept
+        (2, 1, s(10), "a"),   # within 30s of prev -> dropped
+        (3, 1, s(25), "a"),   # chains off event 2 -> dropped
+        (4, 1, s(120), "a"),  # new burst -> kept
+        (5, 1, s(0), "b"),    # different type -> kept
+        (6, 2, s(5), "a"),    # different user -> kept
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    kept = sorted(
+        r.event_id
+        for r in debounce_events(
+            df, ["user_id", "event_type"], ["ts", "event_id"], "ts", "30 seconds"
+        ).collect()
+    )
+    assert kept == [1, 4, 5, 6]

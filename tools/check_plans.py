@@ -140,6 +140,7 @@ EXPECT = {
     "time_weighted_avg": (4, False, False),
     "event_transitions": (4, False, False),
     "retention_cohorts": (2, False, False),
+    "debounce_events": (5, False, False),
 }
 
 
