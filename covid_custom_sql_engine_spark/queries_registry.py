@@ -466,6 +466,35 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "topn_per_group",
+    oracle="""
+    WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders)
+    SELECT o_orderkey, o_orderpriority, o_totalprice, rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority — the N>1 complement
+    of latest-per-group. Per-group window row_number: one shuffle on
+    the group key, and the rank predicate becomes a per-partition
+    top-N heap (WindowGroupLimit) rather than a full sort+filter."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "rn")
+    )
+
+
+@query(
     "debounce_events",
     oracle="""
     WITH x AS (SELECT event_id, user_id, event_type, ts, value,

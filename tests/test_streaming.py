@@ -283,3 +283,59 @@ def test_attribution_join_stream_matches_batch(spark, events_dir):
     key = lambda r: (r.click_id, r.purchase_id)
     assert len(batch) > 0
     assert sorted(key(r) for r in got) == sorted(key(r) for r in batch)
+
+
+def test_watermark_drops_late_data(spark):
+    """An event arriving in a later micro-batch with event time far
+    behind the watermark must NOT change its (already finalized)
+    window — the state-eviction contract that bounds memory."""
+    import datetime as dt
+
+    from covid_custom_sql_engine_spark.streaming import tumbling_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src_dir = tempfile.mkdtemp(prefix="late_src_")
+    out_dir = tempfile.mkdtemp(prefix="late_out_")
+    target, chk = os.path.join(out_dir, "data"), os.path.join(out_dir, "chk")
+
+    # batch 1: 3 events in window W1 [00:00, 00:10) + an anchor 2h later
+    # that pushes the watermark far past W1
+    b1 = [
+        (1, t0 + dt.timedelta(minutes=1), 1, "click", 1.0),
+        (2, t0 + dt.timedelta(minutes=2), 1, "click", 1.0),
+        (3, t0 + dt.timedelta(minutes=3), 1, "click", 1.0),
+        (4, t0 + dt.timedelta(hours=2), 1, "click", 1.0),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        sdf = tumbling_counts(
+            spark.readStream.schema(
+                spark.read.parquet(src_dir).schema
+            ).parquet(src_dir),
+            window="10 minutes",
+            watermark="30 minutes",
+            streaming=True,
+        )
+        sq = (
+            sdf.writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(120)
+
+    run_once()
+    # batch 2: a LATE event with event time inside W1, hours behind the
+    # persisted watermark — must be dropped, not re-open W1
+    b2 = [(5, t0 + dt.timedelta(minutes=4), 1, "click", 99.0)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+
+    got = spark.read.parquet(target).collect()
+    w1 = [r for r in got if r.window_start == t0]
+    assert len(w1) == 1, got  # W1 finalized exactly once
+    assert w1[0].n_events == 3 and w1[0].sum_value == 3.0  # late event excluded

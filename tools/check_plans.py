@@ -141,6 +141,7 @@ EXPECT = {
     "event_transitions": (4, False, False),
     "retention_cohorts": (2, False, False),
     "debounce_events": (5, False, False),
+    "topn_per_group": (3, False, False),
 }
 
 
