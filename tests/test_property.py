@@ -181,3 +181,40 @@ def test_funnel_counts_monotone_nonincreasing(spark, evs):
     assert ns == sorted(ns, reverse=True)
     n_users_a = df.filter(F.col("event_type") == "a").select("user_id").distinct().count()
     assert ns[0] == n_users_a
+
+
+# --- global_rank / equidepth_buckets vs DuckDB window functions --------
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    buckets=st.integers(min_value=1, max_value=9),
+)
+@settings(**SETTINGS)
+def test_global_rank_and_ntile_match_duckdb(spark, vals, buckets):
+    from covid_custom_sql_engine_spark.operators.selection import (
+        equidepth_buckets,
+        global_rank,
+    )
+
+    pdf = pd.DataFrame({"id": range(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf).repartition(5)
+    got_rank = {
+        r.id: r.rank for r in global_rank(df, ["v", "id"]).collect()
+    }
+    got_bucket = {
+        r.id: r.bucket
+        for r in equidepth_buckets(df, ["v", "id"], buckets).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        f"""SELECT id,
+                   row_number() OVER (ORDER BY v, id) AS rnk,
+                   ntile({buckets}) OVER (ORDER BY v, id) AS nt
+            FROM t"""
+    ).fetchall()
+    assert got_rank == {i: r for i, r, _ in exp}
+    assert got_bucket == {i: n for i, _, n in exp}
