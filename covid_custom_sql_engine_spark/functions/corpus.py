@@ -343,3 +343,60 @@ def quota_sample(
         .filter(F.col("_qrn") <= n_per_stratum)
         .drop("_qrn")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """k deterministic pseudo-random negative partners per document —
+    the contrastive-training baseline (uniform negatives; harder mining
+    composes on top). Output: (id, sample_idx, neg_id), neg_id never
+    the document itself.
+
+    Every sample is pure hash arithmetic on a dense 1..n rank index
+    (selection.global_rank — no single-partition window), so the
+    pairing is reproducible under reruns, any partitioning, and corpus
+    growth-by-append of the SAME prefix. neg_rank = 1 + (rank + h) mod
+    n with h ∈ [0, n-2] hashed from (id, i) — a uniform draw over the
+    other n-1 documents. One rank pass + an equi-join of the exploded
+    samples back to the narrow (rank, id) frame.
+    """
+    from covid_custom_sql_engine_spark.operators.selection import global_rank
+
+    ranked = global_rank(df.select(id_col), [id_col], out_col="_rnk")
+    n_row = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("_n")))
+    with_n = ranked.crossJoin(n_row).filter(F.col("_n") >= 2)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.col("sample_idx").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % (F.col("_n") - 1)
+    )
+    sampled = (
+        with_n.select(
+            F.col(id_col),
+            F.col("_rnk"),
+            F.col("_n"),
+            F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("sample_idx"),
+        )
+        .withColumn("_neg_rnk", F.lit(1) + (F.col("_rnk") + h) % F.col("_n"))
+    )
+    lookup = ranked.select(
+        F.col("_rnk").alias("_neg_rnk"), F.col(id_col).alias("neg_id")
+    )
+    return sampled.join(lookup, "_neg_rnk").select(id_col, "sample_idx", "neg_id")

@@ -3305,6 +3305,37 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "negative_samples",
+    oracle="""
+    WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk
+               FROM documents),
+    n AS (SELECT count(*) AS n FROM documents),
+    s AS (SELECT r.doc_id, r.rnk, n.n, i.sample_idx
+          FROM r CROSS JOIN n
+          CROSS JOIN (SELECT unnest(range(3)) AS sample_idx) i
+          WHERE n.n >= 2),
+    h AS (SELECT *, ('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)
+                       || ':' || CAST(sample_idx AS VARCHAR)), 1, 15))::BIGINT
+                    % (n - 1) AS hv
+          FROM s),
+    x AS (SELECT doc_id, sample_idx, 1 + (rnk + hv) % n AS neg_rnk FROM h)
+    SELECT x.doc_id, x.sample_idx, r2.doc_id AS neg_id
+    FROM x JOIN r r2 ON r2.rnk = x.neg_rnk
+    """,
+)
+def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 deterministic uniform negative partners per document
+    (functions/corpus.negative_samples) — contrastive-training pairing
+    as pure hash arithmetic over a distributed dense rank, reproducible
+    under any partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    out = cp.negative_samples(d, "doc_id", 3)
+    return out.select(
+        "doc_id", F.col("sample_idx").cast("bigint").alias("sample_idx"), "neg_id"
+    )
+
+
+@query(
     "quota_sample",
     oracle="""
     WITH r AS (

@@ -229,3 +229,21 @@ def test_quota_sample_deterministic_and_capped(spark):
     # small stratum: returns all its rows
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, lang string")
     assert quota_sample(tiny, ["lang"], 5).count() == 2
+
+
+def test_negative_samples_properties(spark):
+    from covid_custom_sql_engine_spark.functions.corpus import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    out = negative_samples(df, "doc_id", k=4).collect()
+    assert len(out) == 40 * 4
+    # never self, always a real doc
+    ids = set(range(40))
+    for r in out:
+        assert r.neg_id != r.doc_id and r.neg_id in ids
+    # deterministic under different partitioning
+    out2 = negative_samples(df.repartition(7), "doc_id", k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # degenerate: single doc -> empty (no partner exists)
+    single = spark.createDataFrame([(1,)], "doc_id long")
+    assert negative_samples(single, "doc_id", k=2).count() == 0

@@ -142,6 +142,7 @@ EXPECT = {
     "retention_cohorts": (2, False, False),
     "debounce_events": (5, False, False),
     "topn_per_group": (3, False, False),
+    "negative_samples": (1, False, True),  # 1-row corpus-count broadcast: intended
 }
 
 
