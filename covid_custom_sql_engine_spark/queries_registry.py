@@ -1247,6 +1247,39 @@ def attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distinct_users",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly active-user counts per event type: count + COUNT(DISTINCT
+    user_id) in one tumbling-window aggregate. Spark plans the distinct
+    via expand + two-phase aggregation (partial per partition, merge on
+    the (window, type) key) — no per-group set materialization. For
+    sketch-sized memory at extreme cardinality, approx_count_distinct
+    swaps in (see approx_distinct_parts)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@query(
     "stream_static_join",
     oracle=f"""
     SELECT strftime(time_bucket(INTERVAL '6 hours', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,

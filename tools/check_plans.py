@@ -143,6 +143,7 @@ EXPECT = {
     "debounce_events": (5, False, False),
     "topn_per_group": (3, False, False),
     "negative_samples": (1, False, True),  # 1-row corpus-count broadcast: intended
+    "window_distinct_users": (3, False, False),
 }
 
 
