@@ -1280,6 +1280,44 @@ def window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "attribution_left",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.event_id AS purchase_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    """,
+)
+def attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer attribution: every click, converted or not (purchase
+    columns NULL for unconverted). The same builder's streaming mode
+    emits an unmatched click only once the watermark proves no match
+    can arrive (tests/test_streaming.py)."""
+    e = load_table(spark, sf_dir, "events")
+    from covid_custom_sql_engine_spark.streaming import attribution_join as aj
+
+    out = aj(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "purchase_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+@query(
     "stream_static_join",
     oracle=f"""
     SELECT strftime(time_bucket(INTERVAL '6 hours', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,

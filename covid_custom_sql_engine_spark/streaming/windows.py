@@ -119,16 +119,22 @@ def attribution_join(
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
     streaming: bool = False,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each click matched to every purchase by
+    """Stream-stream join: each click matched to every purchase by
     the same user within ``max_delay`` after the click (the attribution
     shape). The SAME builder runs in batch (oracle) and streaming mode.
+    ``how="left_outer"`` also emits unconverted clicks (purchase columns
+    NULL) — in streaming, an unmatched click emits only once the
+    watermark passes its match window, i.e. when a match is provably
+    impossible.
 
     In streaming mode BOTH sides carry a watermark and the join
     condition bounds event time on both sides — that pair is what lets
     Spark evict join state: a buffered click can be dropped once the
     purchase-side watermark passes click_ts + max_delay. Without the
-    time bound, stream-stream join state grows forever.
+    time bound, stream-stream join state grows forever (and outer
+    results could never be declared final).
 
     Scale shape: an equi-join on user_id (one shuffle each side, no
     broadcast — both sides are unbounded); the time predicate is a
@@ -153,6 +159,7 @@ def attribution_join(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_delay}")),
+        how,
     )
     return joined.select(
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"

@@ -339,3 +339,83 @@ def test_watermark_drops_late_data(spark):
     w1 = [r for r in got if r.window_start == t0]
     assert len(w1) == 1, got  # W1 finalized exactly once
     assert w1[0].n_events == 3 and w1[0].sum_value == 3.0  # late event excluded
+
+
+def test_attribution_left_outer_emits_unmatched_after_watermark(spark):
+    """Stream-stream LEFT OUTER: an unconverted click emits with NULL
+    purchase columns only once the watermark proves no match can
+    arrive; batch left join over the same data agrees."""
+    import datetime as dt
+
+    from covid_custom_sql_engine_spark.streaming import attribution_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src_dir = tempfile.mkdtemp(prefix="lo_src_")
+    out_dir = tempfile.mkdtemp(prefix="lo_out_")
+    target, chk = os.path.join(out_dir, "data"), os.path.join(out_dir, "chk")
+
+    # user 1: click converts in 10 min; user 2: click never converts
+    b1 = [
+        (1, t0, 1, "click", 0.0),
+        (2, t0 + dt.timedelta(minutes=10), 1, "purchase", 5.0),
+        (3, t0, 2, "click", 0.0),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        src = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        sdf = attribution_join(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "purchase"),
+            max_delay="1 hour",
+            watermark="30 minutes",
+            streaming=True,
+            how="left_outer",
+        )
+        sq = (
+            sdf.writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(120)
+
+    run_once()
+    # batches 2-3: far-future events on BOTH sides (the global watermark
+    # is the MIN across the two inputs, so both must advance); the
+    # watermark moves at batch END, so batch 3 is what emits the
+    # now-provably-unmatched click 3
+    b2 = [
+        (4, t0 + dt.timedelta(hours=6), 3, "purchase", 1.0),
+        (6, t0 + dt.timedelta(hours=6), 98, "click", 0.0),
+    ]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+    b3 = [
+        (5, t0 + dt.timedelta(hours=7), 3, "purchase", 1.0),
+        (7, t0 + dt.timedelta(hours=7), 99, "click", 0.0),
+    ]
+    spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+
+    got = {(r.click_id, r.purchase_id) for r in spark.read.parquet(target).collect()}
+    batch_src = spark.read.parquet(src_dir)
+    exp = {
+        (r.click_id, r.purchase_id)
+        for r in attribution_join(
+            batch_src.filter(F.col("event_type") == "click"),
+            batch_src.filter(F.col("event_type") == "purchase"),
+            max_delay="1 hour",
+            how="left_outer",
+        ).collect()
+    }
+    assert (1, 2) in got          # converted pair
+    assert (3, None) in got       # unconverted click emitted as outer
+    # the far-future clicks are still buffered (watermark hasn't passed
+    # THEIR windows), so the stream output is a prefix of the batch join
+    assert got <= exp

@@ -144,6 +144,7 @@ EXPECT = {
     "topn_per_group": (3, False, False),
     "negative_samples": (1, False, True),  # 1-row corpus-count broadcast: intended
     "window_distinct_users": (3, False, False),
+    "attribution_left": (5, True, False),
 }
 
 
