@@ -419,3 +419,59 @@ def test_attribution_left_outer_emits_unmatched_after_watermark(spark):
     # the far-future clicks are still buffered (watermark hasn't passed
     # THEIR windows), so the stream output is a prefix of the batch join
     assert got <= exp
+
+
+def test_streaming_cdc_apply_via_foreach_batch_merge(spark, events_dir):
+    """The streaming CDC-apply pattern: each micro-batch's changes fold
+    into a materialized base table with MERGE semantics (foreachBatch +
+    operators/merge.merge_upsert). After draining the stream, the base
+    equals the batch latest-row-per-user over the whole log."""
+    from covid_custom_sql_engine_spark.operators.merge import merge_upsert
+
+    src = spark.read.parquet(events_dir)
+    cols = ["user_id", "ts", "event_type", "value"]
+    out_dir = tempfile.mkdtemp(prefix="cdc_out_")
+    base_dir = os.path.join(out_dir, "base")
+
+    # seed an empty base with the target schema
+    src.select(*cols).limit(0).write.mode("overwrite").parquet(base_dir)
+
+    def apply_batch(batch_df, batch_id):
+        from pyspark.sql import Window as W
+
+        # latest row per user WITHIN the batch (merge precondition)
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        changes = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*cols)
+        )
+        base = batch_df.sparkSession.read.parquet(base_dir)
+        merged = merge_upsert(base, changes, "user_id")
+        # write-then-swap would be the production move; overwrite is
+        # fine for the availableNow test (single writer)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(base_dir)
+
+    stream_src = spark.readStream.schema(src.schema).parquet(events_dir)
+    sq = (
+        stream_src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+
+    got = {r.user_id: (r.ts, r.value) for r in spark.read.parquet(base_dir).collect()}
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    exp = {
+        r.user_id: (r.ts, r.value)
+        for r in src.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*cols)
+        .collect()
+    }
+    assert got == exp
