@@ -124,3 +124,48 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two snapshots of the same table: one row per key that was
+    added, removed, or changed (unchanged keys drop out) — the change
+    data feed between versions, and MERGE's inverse: applying the diff
+    to ``old`` reproduces ``new``.
+
+    Output: (key, change_type ∈ {'added','removed','changed'}). One
+    full-outer shuffle join on the key; change detection compares the
+    requested columns null-safely (``<=>``) so NULL→value edits count
+    as changes. At warehouse scale both sides hash-partition on the
+    key — AQE splits skew; no broadcast (snapshots are both large).
+    """
+    cols = compare_cols or [c for c in old.columns if c != key and c in new.columns]
+    o = old.select(
+        F.col(key).alias("_ok"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(key).alias("_nk"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    j = o.join(n, o["_ok"] == n["_nk"], "full_outer")
+    same = None
+    for c in cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (
+        F.when(F.col("_ok").isNull(), F.lit("added"))
+        .when(F.col("_nk").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("_ok"), F.col("_nk")).alias(key),
+            change.alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

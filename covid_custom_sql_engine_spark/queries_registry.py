@@ -1280,6 +1280,52 @@ def window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+                 WHERE o_orderkey % 3 != 0),
+    new AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 5 != 0)
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                          AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                THEN 'changed' END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                          AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                THEN 'changed' END) IS NOT NULL
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two snapshot versions
+    (operators/merge.snapshot_diff): added/removed/changed keys from one
+    full-outer join, null-safe column compare. Snapshots derived
+    deterministically from orders (drop every 3rd / 5th key, double
+    price on every 7th)."""
+    from covid_custom_sql_engine_spark.operators.merge import snapshot_diff as sd
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return sd(old, new, "o_orderkey")
+
+
+@query(
     "attribution_left",
     oracle="""
     SELECT c.user_id,

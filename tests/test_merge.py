@@ -65,3 +65,32 @@ def test_scd2_intervals(spark):
     assert rows[(1, 20)].valid_to == 30
     assert rows[(1, 30)].valid_to is None and rows[(1, 30)].is_current
     assert rows[(2, 5)].is_current
+
+
+def test_snapshot_diff_roundtrip_with_merge(spark):
+    """Applying the diff's adds/changes via merge_upsert and dropping
+    the removes reproduces the new snapshot exactly."""
+    from covid_custom_sql_engine_spark.operators.merge import (
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (4, None, "D")],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0, "B"), (3, 31.0, "C"), (4, 4.0, "D"), (5, 50.0, "E")],
+        "k long, v double, s string",
+    )
+    diff = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+    assert diff == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+    # roundtrip: old + diff -> new
+    upserts = new.join(
+        snapshot_diff(old, new, "k").filter(F.col("change_type") != "removed"),
+        "k",
+    ).select("k", "v", "s")
+    removed = [k for k, t in diff.items() if t == "removed"]
+    rebuilt = merge_upsert(old, upserts, "k").filter(~F.col("k").isin(removed))
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))

@@ -145,6 +145,7 @@ EXPECT = {
     "negative_samples": (1, False, True),  # 1-row corpus-count broadcast: intended
     "window_distinct_users": (3, False, False),
     "attribution_left": (5, True, False),
+    "snapshot_diff": (3, True, False),
 }
 
 
