@@ -66,3 +66,37 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Compact a small-files parquet directory in place: rewrite to
+    ⌈bytes / target⌉ files (streaming sinks and frequent appends leave
+    hundreds of tiny files; scans then pay per-file open/footer cost).
+    Returns the new file count.
+
+    The rewrite stages into a sibling temp dir and swaps via rename, so
+    a failed compaction never corrupts the original. Row order is not
+    preserved (parquet directories are unordered sets anyway).
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    backup = path.rstrip("/") + "._compact_old"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

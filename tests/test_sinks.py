@@ -82,3 +82,17 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "IsNotNull" in plan
     assert "o_totalprice" not in plan.split("ReadSchema:")[1]
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
+    from covid_custom_sql_engine_spark.sources.sinks import compact_parquet
+
+    d = tempfile.mkdtemp(prefix="compact_") + "/data"
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(d)  # 64 tiny files
+    before_files = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert before_files >= 32
+    before = sorted(map(tuple, spark.read.parquet(d).collect()))
+    n_after = compact_parquet(spark, d, target_file_mb=128)
+    assert n_after < before_files
+    assert sorted(map(tuple, spark.read.parquet(d).collect())) == before
