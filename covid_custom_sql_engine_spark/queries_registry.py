@@ -536,6 +536,43 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interevent_gap_percentiles",
+    oracle="""
+    WITH g AS (SELECT event_type,
+                      epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                            ORDER BY ts, event_id)) AS gap_us
+               FROM events)
+    SELECT event_type,
+           count(gap_us) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_s,
+           round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_s,
+           round(quantile_cont(gap_us, 0.99) / 1e6, 6) AS p99_s
+    FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+    """,
+)
+def interevent_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency distribution of the event stream: per event type, exact
+    p50/p90/p99 of the seconds since the same user's previous event —
+    the arrival-process profile capacity planning reads. One shuffle on
+    user_id for the lag window, then the exact percentile aggregate on
+    the small per-type grouping (same interpolation as quantile_cont)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microsecond gaps on both engines (a SECOND-unit
+    # diff truncates in Spark but counts boundary crossings in DuckDB);
+    # divide to seconds only after the percentile.
+    g = e.withColumn(
+        "gap_us", F.expr("timestampdiff(MICROSECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / F.lit(1e6), 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_us, 0.9)") / F.lit(1e6), 6).alias("p90_s"),
+        F.round(F.expr("percentile(gap_us, 0.99)") / F.lit(1e6), 6).alias("p99_s"),
+    )
+
+
+@query(
     "event_transitions",
     oracle="""
     WITH x AS (SELECT event_type,

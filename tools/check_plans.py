@@ -146,6 +146,7 @@ EXPECT = {
     "window_distinct_users": (3, False, False),
     "attribution_left": (5, True, False),
     "snapshot_diff": (3, True, False),
+    "interevent_gap_percentiles": (4, False, False),
 }
 
 
