@@ -536,6 +536,62 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_zscore_anomalies",
+    oracle="""
+    WITH s AS (SELECT event_id, event_type, value,
+                      count(value) OVER w AS n,
+                      CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+                      CAST(sum(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx
+               FROM events
+               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+    z AS (SELECT event_id, event_type, value,
+                 (value - sx / n)
+                 / round(sqrt(greatest((n * sxx - sx * sx) / (n * (n - 1)), 0.0)), 6) AS z
+          FROM s
+          WHERE n >= 30
+            AND round(sqrt(greatest((n * sxx - sx * sx) / (n * (n - 1)), 0.0)), 6) > 0)
+    SELECT event_id, event_type, value, round(z, 6) AS z
+    FROM z WHERE abs(z) > 3
+    """,
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly flags: each event scored against the mean/std of
+    the PREVIOUS 100 same-type events (trailing window excludes the
+    current row so an outlier can't mask itself); |z| > 3 with ≥30
+    history rows flags it. The windowed complement of the global
+    zscore_outliers. Window sums run as fixed-point decimals — exact
+    and order-independent, so both engines derive bit-identical stats;
+    the std carries the same round(6) as the global formula (the n·Σx²
+    cancellation amplifies last-ulp cast differences)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).over(w).cast("double")
+    s = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count("value").over(w).alias("n"),
+        dec(F.col("value")).alias("sx"),
+        dec(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    std = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    z = (F.col("value") - F.col("sx") / F.col("n")) / std
+    return (
+        s.filter((F.col("n") >= 30) & (std > 0))
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+        .filter(F.abs("z") > 3)
+    )
+
+
+@query(
     "interevent_gap_percentiles",
     oracle="""
     WITH g AS (SELECT event_type,

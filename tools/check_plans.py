@@ -147,6 +147,7 @@ EXPECT = {
     "attribution_left": (5, True, False),
     "snapshot_diff": (3, True, False),
     "interevent_gap_percentiles": (4, False, False),
+    "rolling_zscore_anomalies": (4, False, False),
 }
 
 
