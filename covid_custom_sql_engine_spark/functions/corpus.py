@@ -131,54 +131,53 @@ def pack_token_budget(
     in [k·budget, (k+1)·budget). Returns (id, n_tokens, shard,
     shard_offset) for every document.
 
-    The running total is a distributed prefix sum, not a global window:
-    range-partition by id, per-partition cumulative sums (parallel),
-    then one O(num_partitions) collect of partition totals joined back
-    as broadcast offsets — the same bounded-driver-state pattern as
-    ``selection.exact_median``. A single-partition global window would
-    serialize the whole corpus through one task at scale.
+    The running total is a distributed prefix sum, not a global window
+    (a single-partition global window would serialize the whole corpus
+    through one task at scale): range-partition by id, PIN one
+    evaluation of that exchange (``selection.pin_single_evaluation`` —
+    the RangePartitioner samples its boundaries, so an unpinned subtree
+    referenced by two branches can place rows differently per branch;
+    the round-2 driver caught exactly that flake in this function),
+    then per-partition exclusive running sums in parallel plus a
+    ≤num_partitions-row cumulative offsets window broadcast-joined
+    back. Fully declarative: no collect(), no cross-job lineage — the
+    offsets branch and the prefix-sum branch read the same frozen rows.
     """
+    from covid_custom_sql_engine_spark.operators.selection import (
+        pin_single_evaluation,
+    )
+
     spark = docs.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
-    base = (
+    base = pin_single_evaluation(
         docs.select(F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens"))
         .repartitionByRange(parallelism, F.col(id_col))
         .sortWithinPartitions(id_col)
-        .withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id())
+    # exclusive per-partition prefix sum
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    base = base.persist()
-    try:
-        # exclusive per-partition prefix sum
-        w = (
-            Window.partitionBy("_pid")
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, -1)
+    local = base.withColumn("_local", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    # O(num_partitions) rows: cumulative token total of preceding partitions
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_t").over(off_w), F.lit(0)).cast("bigint").alias("_off"),
         )
-        local = base.withColumn("_local", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-        totals = sorted(
-            base.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
-        )  # O(num_partitions) rows — bounded driver state
-        offsets, running = [], 0
-        for pid, t in totals:
-            offsets.append((pid, running))
-            running += t
-        off = F.broadcast(
-            spark.createDataFrame(offsets, ["_pid", "_off"]).withColumn(
-                "_off", F.col("_off").cast("bigint")
-            )
-        )
-        cum = F.col("_local") + F.col("_off")
-        out = local.join(off, "_pid").select(
-            F.col(id_col),
-            "n_tokens",
-            F.expr(f"CAST((_local + _off) DIV {budget} AS BIGINT)").alias("shard"),
-            (cum % budget).cast("bigint").alias("shard_offset"),
-        )
-        # materialization happens lazily after unpersist; the persist
-        # only guards the two actions above from recomputing the scan
-        return out
-    finally:
-        base.unpersist(blocking=False)
+    )
+    cum = F.col("_local") + F.col("_off")
+    return local.join(F.broadcast(offsets), "_pid").select(
+        F.col(id_col),
+        "n_tokens",
+        F.expr(f"CAST((_local + _off) DIV {budget} AS BIGINT)").alias("shard"),
+        (cum % budget).cast("bigint").alias("shard_offset"),
+    )
 
 
 # Default split percentages for dataset_split: train/val/test 80/10/10.
@@ -362,6 +361,14 @@ def negative_samples(
     n with h ∈ [0, n-2] hashed from (id, i) — a uniform draw over the
     other n-1 documents. One rank pass + an equi-join of the exploded
     samples back to the narrow (rank, id) frame.
+
+    The ranked frame is referenced from TWO branches (the exploded
+    sample side and the rank→id lookup); that is safe because
+    global_rank pins a single evaluation of its range exchange
+    (checkpoint) and every downstream step is deterministic arithmetic
+    on those frozen rows — both branches necessarily see identical
+    (rank, id) assignments, preserving the never-self and exactly-k
+    guarantees at any scale.
     """
     from covid_custom_sql_engine_spark.operators.selection import global_rank
 

@@ -242,6 +242,39 @@ def exact_median(df: DataFrame, col: str, buckets: int = DEFAULT_BUCKETS) -> flo
     return (float(v1) + float(v2)) / 2.0
 
 
+def pin_single_evaluation(df: DataFrame) -> DataFrame:
+    """Materialize a nondeterministically-partitioned subtree exactly
+    once so every downstream branch reads the same frozen rows.
+
+    ``repartitionByRange`` draws its boundaries from a reservoir SAMPLE
+    of its input (Spark's RangePartitioner), so two physical executions
+    of the same logical subtree may place rows in different partitions
+    once partitions exceed the sample size. Any plan that references
+    such a subtree from more than one branch — or across two jobs —
+    must pin ONE evaluation, or per-partition arithmetic (offsets,
+    local ranks) computed in one branch can be applied to different
+    partition *contents* in the other: silently duplicated/missing
+    ranks. The round-2 driver caught exactly this flake in
+    ``pack_token_budget`` (CORRECTNESS_r02: hash_match false).
+
+    A reliable checkpoint is used when the session has a checkpoint dir
+    (survives executor loss — the multi-executor production posture);
+    otherwise an eager ``localCheckpoint`` (executor memory+disk). With
+    either, lineage is truncated: a lost block fails the job LOUDLY
+    instead of silently recomputing different boundaries.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+# monotonically_increasing_id layout (public, documented contract of the
+# function): partition id in the upper 31 bits, per-partition ordinal in
+# the lower 33.
+_MID_ORDINAL_BITS = 33
+
+
 def global_rank(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -251,17 +284,24 @@ def global_rank(
     single-partition window (``Window.orderBy`` with no partition key
     funnels the whole table through one task — the classic scale trap).
 
-    Fully declarative two-phase ranking, one plan and zero driver state:
-    range-repartition on the order columns (partition id order == global
-    sort order), take a per-partition local ``row_number``, and add each
-    partition's starting offset. The offsets come from a per-partition
-    count aggregate cumulated by a window over ≤num_partitions rows
-    (trivially small) and broadcast-joined back — so the only
-    single-task step touches one row per partition, never the data.
-    Column pruning reaches the offsets subtree's scan, so its second
-    pass over the input reads and range-shuffles ONLY the order-key
-    columns (verified in the physical plan) — the full-width rows are
-    shuffled exactly once.
+    Two-phase ranking with zero driver state: range-repartition on the
+    order columns (partition id order == global sort order), sort within
+    partitions, and PIN that exchange with an eager checkpoint
+    (:func:`pin_single_evaluation`) so the local-rank branch and the
+    offsets branch read the same frozen rows — without the pin, the
+    RangePartitioner's sampled boundaries can differ between two
+    evaluations of the subtree, misaligning offsets and partition
+    contents (the round-2 driver flake class).
+
+    On the frozen, sorted partitions the local rank is pure arithmetic:
+    ``monotonically_increasing_id`` yields (partition id, in-partition
+    ordinal) bit-packed, so no second full-width exchange or sort is
+    needed (the per-partition window formulation costs both). Each
+    partition's starting offset is a per-partition count aggregate
+    cumulated by a window over ≤num_partitions rows and broadcast-joined
+    back — the only single-task step touches one row per partition,
+    never the data. Net data motion: the rows shuffle exactly once (the
+    range exchange), then are written once to checkpoint storage.
 
     ``order_cols`` must be a total order (include a unique tiebreak);
     ties would otherwise get an arbitrary, though still consecutive,
@@ -269,13 +309,14 @@ def global_rank(
     """
     p = df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    base = (
-        df.repartitionByRange(p, *cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
+    base = pin_single_evaluation(
+        df.repartitionByRange(p, *cols).sortWithinPartitions(*order_cols)
     )
-    local = base.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    mid = F.monotonically_increasing_id()
+    local = base.select(
+        "*",
+        F.shiftright(mid, _MID_ORDINAL_BITS).alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << _MID_ORDINAL_BITS) - 1)) + 1).alias("_lrn"),
     )
     # O(num_partitions) rows: cumulative count of all preceding partitions.
     off_w = (
@@ -283,8 +324,8 @@ def global_rank(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        base.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        local.groupBy("_pid")
+        .agg(F.max("_lrn").alias("_c"))
         .select("_pid", F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"))
     )
     return (
@@ -323,4 +364,129 @@ def equidepth_buckets(
         ranked.crossJoin(n_row)
         .withColumn(out_col, bucket.cast("bigint"))
         .drop("_rk", "_n")
+    )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: Sequence[float],
+    out_cols: Sequence[str],
+    count_col: str = "n",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact linear-interpolation quantiles per group WITHOUT the
+    object-path ``percentile`` aggregate — the 100 TB path for grouped
+    order statistics. Returns one row per group:
+    ``(group_col, count_col, *out_cols)`` with ``out_cols[i]`` holding
+    the exact quantile at ``qs[i]`` (``quantile_cont`` /
+    ``F.percentile`` semantics: value at continuous rank
+    ``1 + (n-1)·q``, linearly interpolated between the two bracketing
+    order statistics; nulls ignored; groups with no non-null values
+    drop out).
+
+    Spark's exact percentile buffers a value→count map per group whose
+    size grows with the group's DISTINCT value count and merges it on
+    one reducer — O(n) memory per group for near-continuous data. This
+    plan is the grouped, multi-rank generalization of
+    :func:`exact_medians_plan`, all codegen hash aggregates + bounded
+    windows:
+
+    1. per-group (n, lo, hi) — one hash aggregate;
+    2. per-(group, bucket) counts over ``B`` equi-width buckets against
+       the broadcast stats — ≤ |groups|·B groups with map-side combine;
+       a per-group cumulative window over ≤B rows turns counts into
+       rank bases;
+    3. only the buckets containing a target rank survive (broadcast
+       semi-join) — on average n/B rows per needed rank; each sliver
+       row's GLOBAL rank is its bucket base plus a row_number within
+       the (group, bucket) partition, so disjoint target buckets (p50
+       vs p99 land far apart) stay independently correct;
+    4. the bracketing order statistics per (group, q) interpolate into
+       the final value; a last ≤|groups|·|qs|-row pivot widens.
+
+    Degenerate distributions (all mass in one bucket) degrade to
+    sorting that bucket per group — still exact, never broader than the
+    built-in's single-reducer merge. The input subtree is evaluated
+    three times (stats, bucket counts, sliver); at scale three cheap
+    codegen scans beat one unbounded aggregation buffer, and callers
+    can pre-pin an expensive input if re-computation matters.
+    """
+    if len(qs) != len(out_cols):
+        raise ValueError("qs and out_cols must have equal length")
+    g = F.col(group_col)
+    vals = df.select(
+        g.alias("_g"), F.col(value_col).cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    stats = vals.groupBy("_g").agg(
+        F.count("_v").alias("_n"), F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    # (group, q-index) targets: continuous rank h = (n-1)·q bracketed by
+    # 1-based order statistics k1 = ⌊h⌋+1 and k2 = min(k1+1, n)
+    targets = (
+        stats.select(
+            "_g",
+            "_n",
+            F.posexplode(F.array(*[F.lit(float(q)) for q in qs])).alias("_qi", "_q"),
+        )
+        .withColumn("_h", (F.col("_n") - 1) * F.col("_q"))
+        .withColumn("_k1", (F.floor("_h") + 1).cast("bigint"))
+        .withColumn("_k2", F.least(F.col("_k1") + 1, F.col("_n")).cast("bigint"))
+        .withColumn("_frac", F.col("_h") - F.floor("_h"))
+        .select("_g", "_qi", "_k1", "_k2", "_frac")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(buckets))
+    bkt = F.when(width <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("_v") - F.col("_lo")) / width).cast("int"),
+            F.lit(buckets - 1),
+        )
+    )
+    bucketed = vals.join(F.broadcast(stats), "_g").withColumn("_bkt", bkt)
+    cum_w = Window.partitionBy("_g").orderBy("_bkt")
+    cum = (
+        bucketed.groupBy("_g", "_bkt")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_cum", F.sum("_cnt").over(cum_w))
+        .withColumn("_base", F.col("_cum") - F.col("_cnt"))
+    )
+    hit = (F.col("_base") < F.col("_k")) & (F.col("_k") <= F.col("_cum"))
+    hits = (
+        cum.join(F.broadcast(targets), "_g")
+        .select(
+            "_g",
+            "_bkt",
+            "_base",
+            F.explode(F.array("_k1", "_k2")).alias("_k"),
+            "_cum",
+        )
+        .filter(hit)
+        .select("_g", "_bkt", "_base")
+        .distinct()
+    )
+    rk_w = Window.partitionBy("_g", "_bkt").orderBy("_v")
+    sliver = bucketed.select("_g", "_v", "_bkt").join(F.broadcast(hits), ["_g", "_bkt"])
+    picked = (
+        sliver.withColumn("_rk", F.row_number().over(rk_w) + F.col("_base"))
+        .join(F.broadcast(targets), "_g")
+        .filter((F.col("_rk") == F.col("_k1")) | (F.col("_rk") == F.col("_k2")))
+        .groupBy("_g", "_qi")
+        .agg(
+            F.min(F.when(F.col("_rk") == F.col("_k1"), F.col("_v"))).alias("_v1"),
+            F.min(F.when(F.col("_rk") == F.col("_k2"), F.col("_v"))).alias("_v2"),
+            F.first("_frac").alias("_frac"),
+        )
+        .withColumn("_qv", F.col("_v1") + F.col("_frac") * (F.col("_v2") - F.col("_v1")))
+    )
+    wide = picked.groupBy("_g").agg(
+        *[
+            F.max(F.when(F.col("_qi") == i, F.col("_qv"))).alias(out_cols[i])
+            for i in range(len(qs))
+        ]
+    )
+    return stats.select("_g", "_n").join(wide, "_g").select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias(count_col),
+        *[F.col(c) for c in out_cols],
     )

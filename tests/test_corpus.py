@@ -83,6 +83,33 @@ def test_pack_token_budget_exclusive_cumsum(spark):
     assert out[3].n_tokens == 5
 
 
+def test_pack_token_budget_deterministic_across_runs(spark):
+    """Flakiness regression for the round-2 driver red row: the prefix
+    sum must be identical across two independent constructions (two
+    pinned exchanges). Before the fix, the offsets were collected in one
+    job while an unpinned range exchange could re-sample different
+    partition boundaries in the next — shard assignment then drifted
+    nondeterministically. Ids arrive shuffled across many partitions to
+    exercise the range exchange for real."""
+    import random
+
+    rng = random.Random(42)
+    rows = [(i, " ".join("w" for _ in range(1 + rng.randrange(40)))) for i in range(8_000)]
+    rng.shuffle(rows)
+    docs = _docs(spark, rows).repartition(32)
+    a = sorted(map(tuple, cp.pack_token_budget(docs, budget=500).collect()))
+    b = sorted(map(tuple, cp.pack_token_budget(docs, budget=500).collect()))
+    assert a == b
+    # and the values are the true global prefix sum in id order
+    cum, exp = 0, {}
+    for i, text in sorted(rows):
+        n = len(text.split())
+        exp[i] = (n, cum // 500, cum % 500)
+        cum += n
+    got = {r.doc_id: (r.n_tokens, r.shard, r.shard_offset) for r in map(lambda t: t, cp.pack_token_budget(docs, budget=500).collect())}
+    assert got == exp
+
+
 def test_pack_token_budget_matches_global_window(spark, sf_dir):
     from covid_custom_sql_engine_spark.catalog import load_table
     from covid_custom_sql_engine_spark.functions.text import tokens

@@ -133,9 +133,13 @@ def test_global_rank_empty_and_single_row(spark):
     assert row["rank"] == 1
 
 
-def test_global_rank_full_width_shuffled_once(spark):
-    """Column pruning must reach the offsets subtree: its scan reads only
-    the order-key columns, so full rows shuffle exactly once."""
+def test_global_rank_single_pinned_exchange(spark):
+    """Both the local-rank branch and the offsets branch must read ONE
+    frozen materialization of the range exchange (checkpoint): an
+    unpinned subtree can draw different sampled range boundaries per
+    evaluation, misaligning offsets and partition contents (the round-2
+    driver flake class). The exchange runs once at pin time, so the
+    final plan contains ZERO range exchanges and scans the frozen RDD."""
     from covid_custom_sql_engine_spark.operators.selection import global_rank
 
     import tempfile
@@ -146,9 +150,49 @@ def test_global_rank_full_width_shuffled_once(spark):
     ).write.mode("overwrite").parquet(d)
     df = spark.read.parquet(d)
     plan = global_rank(df, ["v", "id"])._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange rangepartitioning") == 2
-    # parquet column pruning: only the ranked-rows subtree reads payload
-    assert sum("payload" in rs for rs in plan.split("ReadSchema:")[1:]) == 1
+    assert plan.count("Exchange rangepartitioning") == 0
+    assert "ExistingRDD" in plan  # the pinned (checkpointed) base
+
+
+def test_global_rank_wide_frame_dense_ranks(spark):
+    """VERDICT r2 #2: the offsets and local-rank branches must agree on
+    a WIDE frame (extra non-key columns previously made the two range
+    exchanges non-identical plans, defeating exchange reuse). Ranks must
+    be a dense permutation of 1..n with every payload intact."""
+    import random
+
+    from covid_custom_sql_engine_spark.operators.selection import global_rank
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.uniform(-1e6, 1e6), "p" * (i % 37), float(i % 101), i % 7)
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, v double, payload string, w double, grp int"
+    ).repartition(32)
+    out = global_rank(df, ["v", "id"], "rnk").collect()
+    assert sorted(r.rnk for r in out) == list(range(1, 20_001))
+    by_rank = sorted(out, key=lambda r: r.rnk)
+    assert [(r.v, r.id) for r in by_rank] == sorted((r.v, r.id) for r in out)
+    # payloads ride along unharmed
+    assert all(r.payload == "p" * (r.id % 37) for r in out)
+
+
+def test_global_rank_deterministic_across_reruns(spark):
+    """Two independent constructions (two pins, two checkpoint jobs)
+    must assign identical ranks — determinism is by construction, not
+    by luck of boundary sampling."""
+    import random
+
+    from covid_custom_sql_engine_spark.operators.selection import global_rank
+
+    rng = random.Random(13)
+    rows = [(i, rng.uniform(0, 1)) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(24)
+    a = {r.id: r.rnk for r in global_rank(df, ["v", "id"], "rnk").collect()}
+    b = {r.id: r.rnk for r in global_rank(df, ["v", "id"], "rnk").collect()}
+    assert a == b
 
 
 def test_equidepth_buckets_matches_ntile(spark):
