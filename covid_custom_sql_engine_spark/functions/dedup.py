@@ -171,19 +171,31 @@ def candidate_pairs_from_bands(
     self-join would re-execute it per branch or force a cache).
     Measured ~1.4× faster than the guarded self-join at sf0.1.
 
-    Buckets with more than ``max_bucket`` members are dropped by a
-    window count over the SAME partitioning (no extra shuffle, and the
-    filter runs BEFORE the array aggregate, so no oversized bucket is
-    ever materialized) — a mass-duplicated corpus can't turn pair
-    generation quadratic (see MAX_BAND_BUCKET); ``max_bucket=None``
-    disables the guard, leaving per-bucket arrays unbounded."""
+    Buckets with more than ``max_bucket`` members are dropped BEFORE the
+    array aggregate, so no oversized bucket is ever materialized — a
+    mass-duplicated corpus can't turn pair generation quadratic (see
+    MAX_BAND_BUCKET); ``max_bucket=None`` disables the guard, leaving
+    per-bucket arrays unbounded. The guard is a partial-aggregated
+    bucket count filtered to the (rare by construction) oversized keys,
+    broadcast back as an anti-join — the probe side needs no shuffle
+    and nothing is sorted. The earlier window-count formulation used
+    the same exchange but forced a full sort of the bands that the
+    downstream hash aggregate never needed (+0.7 s at sf0.1). A lazy
+    localCheckpoint pins the bands so the count branch and the pair
+    branch share one computation of the minhash pipeline; bands content
+    is deterministic either way (md5 arithmetic, no sampling), so the
+    checkpoint is purely a cost optimization — its blocks are freed by
+    the ContextCleaner when the frame is garbage collected, unlike a
+    CacheManager persist."""
     if max_bucket is not None:
-        w = Window.partitionBy("band", "band_hash")
-        bands = (
-            bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
+        bands = bands.localCheckpoint(eager=False)
+        oversized = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+            .select("band", "band_hash")
         )
+        bands = bands.join(F.broadcast(oversized), ["band", "band_hash"], "left_anti")
     buckets = (
         bands.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
@@ -238,12 +250,14 @@ def incremental_lsh_pairs(
 
     Same single-shuffle formulation as
     :func:`candidate_pairs_from_bands`: band both sides, tag provenance,
-    hash-partition once on (band, band_hash); the bucket-size cap is a
-    window count over the JOINT bucket before any aggregation; each
-    surviving bucket gathers its new and corpus ids into two arrays and
-    emits only the cross pairs. In production the corpus side's bands
-    would be a stored table maintained across batches — banding is
-    per-document, so only the new batch needs hashing per ingest.
+    hash-partition once on (band, band_hash); the bucket-size cap counts
+    the JOINT bucket (partial-aggregated, broadcast anti-join of the
+    rare oversized keys — no sort, same guard as
+    candidate_pairs_from_bands) before any aggregation; each surviving
+    bucket gathers its new and corpus ids into two arrays and emits only
+    the cross pairs. In production the corpus side's bands would be a
+    stored table maintained across batches — banding is per-document,
+    so only the new batch needs hashing per ingest.
     """
     bn = minhash_bands(new_df, id_col, text_col, **kw).withColumn("_new", F.lit(True))
     bo = minhash_bands(corpus_df, id_col, text_col, **kw).withColumn(
@@ -251,12 +265,14 @@ def incremental_lsh_pairs(
     )
     bands = bn.unionByName(bo)
     if max_bucket is not None:
-        w = Window.partitionBy("band", "band_hash")
-        bands = (
-            bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
+        bands = bands.localCheckpoint(eager=False)
+        oversized = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+            .select("band", "band_hash")
         )
+        bands = bands.join(F.broadcast(oversized), ["band", "band_hash"], "left_anti")
     buckets = (
         bands.groupBy("band", "band_hash")
         .agg(
