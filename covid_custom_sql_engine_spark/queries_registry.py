@@ -610,21 +610,36 @@ def interevent_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latency distribution of the event stream: per event type, exact
     p50/p90/p99 of the seconds since the same user's previous event —
     the arrival-process profile capacity planning reads. One shuffle on
-    user_id for the lag window, then the exact percentile aggregate on
-    the small per-type grouping (same interpolation as quantile_cont)."""
+    user_id for the lag window, then grouped two-phase bucketed
+    selection (operators/selection.grouped_exact_quantiles) for the
+    order statistics: Spark's exact ``percentile`` aggregate buffers a
+    value→count map per group that grows with the group's DISTINCT
+    value count and merges on ONE reducer — near-continuous microsecond
+    gaps with a handful of event types is precisely its OOM shape at
+    100 TB (SCALE.md documents the same trap for F.median). The
+    bucketed plan keeps per-group state at O(buckets) and returns the
+    same quantile_cont-interpolated values exactly."""
+    from covid_custom_sql_engine_spark.operators.selection import (
+        grouped_exact_quantiles,
+    )
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact integer microsecond gaps on both engines (a SECOND-unit
     # diff truncates in Spark but counts boundary crossings in DuckDB);
     # divide to seconds only after the percentile.
     g = e.withColumn(
         "gap_us", F.expr("timestampdiff(MICROSECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)")
     ).filter(F.col("gap_us").isNotNull())
-    return g.groupBy("event_type").agg(
-        F.count("gap_us").alias("n_gaps"),
-        F.round(F.expr("percentile(gap_us, 0.5)") / F.lit(1e6), 6).alias("p50_s"),
-        F.round(F.expr("percentile(gap_us, 0.9)") / F.lit(1e6), 6).alias("p90_s"),
-        F.round(F.expr("percentile(gap_us, 0.99)") / F.lit(1e6), 6).alias("p99_s"),
+    q = grouped_exact_quantiles(
+        g, "event_type", "gap_us", [0.5, 0.9, 0.99], ["_p50", "_p90", "_p99"],
+        count_col="n_gaps",
+    )
+    return q.select(
+        "event_type",
+        "n_gaps",
+        F.round(F.col("_p50") / F.lit(1e6), 6).alias("p50_s"),
+        F.round(F.col("_p90") / F.lit(1e6), 6).alias("p90_s"),
+        F.round(F.col("_p99") / F.lit(1e6), 6).alias("p99_s"),
     )
 
 
@@ -3639,73 +3654,81 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # flagship first — it's also the entry() smoke query
     "flagship_revenue_by_nation",
-    # events-table queries: red in r1 on the nanosAsLong session bug,
-    # fixed in catalog.load_table — need official green rows
-    "locf_fill",
-    "rolling_avg_7",
-    "lagged_corr_best",
-    "asof_join",
-    "range_join_bands",
+    # --- round-3 fixes: queries whose plans changed this round ---
+    # THE r2 red row: prefix sum now a pinned-exchange declarative plan
+    "pack_token_budget",
+    # single-evaluation hardening of the distributed ranking stack
+    "global_rank_orders",
+    "equidepth_histogram",
+    "negative_samples",  # never checked + rides on global_rank
+    # bucket-cap guard reformulated (partial-agg count + broadcast anti-join)
+    "minhash_lsh_pairs",
+    "incremental_dedup_pairs",
+    "near_dup_clusters",
+    # grouped two-phase selection replaces the exact percentile aggregate
+    "interevent_gap_percentiles",
+    # empty-compare-cols guard
+    "snapshot_diff",
+    # --- never driver-checked before this round (registered post-window
+    # in r2, or rotated out for simple passthroughs) ---
+    "ann_recall",
+    "topn_per_group",
+    "rolling_zscore_anomalies",
+    "window_distinct_users",
+    "attribution_left",
+    "levenshtein_pairs",
+    "json_props",
+    "join_full_outer",
+    "array_functions",
+    "map_functions",
+    "unpivot_metrics",
+    "subquery_exists_cte",
+    "hash_sample",
+    "stratified_sample",
+    "token_counts",
+    "hourly_change",
+    "window_distribution",
+    "embedding_normalize",
+    "redact_pii",
+    "repetition_ratio",
+    "setop_except_all",
+    "value_histogram",
+    "zscore_outliers",
+    "column_profile",
+    "winnow_fingerprint",
+    # --- stable greens re-confirmed: the families where silent breakage
+    # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",
     "sliding_window",
     "session_window",
-    # newly-oracled in round 2 (were rows-only = driver FAIL)
-    "approx_distinct_parts",
-    "ivf_topk",
-    "synth_source_agg",
-    # never inside the driver window before (registered 51-86 in r1)
-    "ngram_jaccard_pairs",
-    "lsh_topk",
     "stateful_running_total",
-    "udtf_tokens",
-    "near_dup_clusters",
-    "hourly_spine_zero_fill",
-    "session_ids",
-    "range_window_rolling",
-    "corpus_filter_pipeline",
-    "asof_join_forward_tol",
-    "interval_overlap_join",
-    "tfidf_top_terms",
-    "salted_join",
-    "winnow_pairs",
-    "embedding_quantize_int8",
-    # new this round: the composed 5-op demo showcase
-    "demo_showcase",
-    # new this round: corpus-preparation operators
-    "decontaminate_ngrams",
-    "chunk_documents",
-    "pack_token_budget",
-    "kmeans_step",
-    "bpe_pair_counts",
-    "unigram_logprob",
-    "dataset_split",
-    "pca_power_step",
-    "exact_medians_scalable",
-    "stream_static_join",
-    "merge_upsert",
-    "scd2_intervals",
-    "funnel_steps",
-    # new this round: distributed global ranking + stream-stream join
-    "global_rank_orders",
     "attribution_join",
-    "equidepth_histogram",
-    "incremental_dedup_pairs",
-    "quota_sample",
-    "time_weighted_avg",
-    "event_transitions",
-    "retention_cohorts",
-    "debounce_events",
+    "stream_static_join",
+    "synth_source_agg",
+    "locf_fill",
+    "asof_join",
+    "rolling_avg_7",
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "ngram_jaccard_pairs",
+    "demo_showcase",
 ]
 # The window rotates each round so every query eventually earns an
-# official driver row: newest/riskiest plans take slots from simple
-# function passthroughs and plain relational ops (json/array/map/
-# unpivot/subquery/token_counts/join_full_outer/stratified_sample/
-# repetition_ratio/redact_pii/value_histogram/hourly_change/
-# window_distribution/embedding_normalize/setop_except_all/zscore_outliers/
-# column_profile this round) that keep local hash verification via check_oracle /
-# check_bare. Earlier drops for the same reason: hash_sample,
-# winnow_fingerprint (winnow_pairs exercises it), group_agg_ref7 /
-# stat_summary (driver-green in r1).
+# official driver row. Round-3 composition: every query touched by this
+# round's determinism/guard changes, plus ALL 28 queries that had never
+# had a driver row through r2 (they all fit), plus 15 stable greens from
+# the breakage-prone families. Dropped back to local-only verification
+# (check_oracle / check_bare) this round — all untouched with r1/r2
+# green rows: lagged_corr_best, range_join_bands, approx_distinct_parts,
+# udtf_tokens, hourly_spine_zero_fill, session_ids, range_window_rolling,
+# corpus_filter_pipeline, asof_join_forward_tol, interval_overlap_join,
+# tfidf_top_terms, salted_join, winnow_pairs, embedding_quantize_int8,
+# decontaminate_ngrams, chunk_documents, kmeans_step, bpe_pair_counts,
+# unigram_logprob, dataset_split, pca_power_step, exact_medians_scalable,
+# merge_upsert, scd2_intervals, funnel_steps, quota_sample,
+# time_weighted_avg, event_transitions, retention_cohorts,
+# debounce_events.
 
 
 def _reorder_registry() -> None:

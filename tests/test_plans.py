@@ -18,3 +18,18 @@ def test_plan_guards_all_queries(spark, sf_dir):
     cp = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(cp)
     assert cp.main(spark=spark, sf_dir=sf_dir) == 0
+
+
+def test_interevent_percentiles_no_object_path_aggregate(spark, sf_dir):
+    """VERDICT r2 #5 done-criteria: the grouped percentile query must
+    not use Spark's exact `percentile` aggregate (its per-group
+    value→count map grows with distinct-value count and merges on one
+    reducer — the OOM shape for near-continuous gaps at 100 TB). The
+    two-phase bucketed selection keeps per-group state at O(buckets)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["interevent_gap_percentiles"]
+    plan = q(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "percentile(" not in plan.lower()
