@@ -142,8 +142,17 @@ def snapshot_diff(
     requested columns null-safely (``<=>``) so NULL→value edits count
     as changes. At warehouse scale both sides hash-partition on the
     key — AQE splits skew; no broadcast (snapshots are both large).
+
+    ``compare_cols=None`` derives the shared non-key columns;
+    ``compare_cols=[]`` (or tables sharing only the key) is an explicit
+    added/removed-only diff — matched keys count as unchanged when
+    there is nothing to compare.
     """
-    cols = compare_cols or [c for c in old.columns if c != key and c in new.columns]
+    cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c != key and c in new.columns]
+    )
     o = old.select(
         F.col(key).alias("_ok"),
         *[F.col(c).alias(f"_o_{c}") for c in cols],
@@ -153,10 +162,9 @@ def snapshot_diff(
         *[F.col(c).alias(f"_n_{c}") for c in cols],
     )
     j = o.join(n, o["_ok"] == n["_nk"], "full_outer")
-    same = None
+    same = F.lit(True)  # no compare columns → matched keys are unchanged
     for c in cols:
-        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
     change = (
         F.when(F.col("_ok").isNull(), F.lit("added"))
         .when(F.col("_nk").isNull(), F.lit("removed"))

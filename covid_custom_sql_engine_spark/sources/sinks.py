@@ -78,13 +78,32 @@ def compact_parquet(
     hundreds of tiny files; scans then pay per-file open/footer cost).
     Returns the new file count.
 
-    The rewrite stages into a sibling temp dir and swaps via rename, so
-    a failed compaction never corrupts the original. Row order is not
-    preserved (parquet directories are unordered sets anyway).
+    The rewrite stages into a sibling temp dir and swaps via two
+    renames. A failed compaction never LOSES data, but the swap is not
+    atomic: between the two renames the dataset is briefly absent at
+    ``path`` (readers racing the swap can see a missing directory), and
+    an interrupted run can leave the data parked at the ``._compact_old``
+    backup — the next invocation detects that state and restores it
+    before doing anything else, and clears any stale temp/backup
+    leftovers so reruns never collide with dead directories. The backup
+    is deleted only AFTER the swapped-in data is validated readable.
+    Local-filesystem only (os.rename/os.walk — object stores need a
+    manifest-swap pattern instead). Row order is not preserved (parquet
+    directories are unordered sets anyway).
     """
     import math
     import os
     import shutil
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    backup = path.rstrip("/") + "._compact_old"
+    # recover an interrupted swap: the backup holds the only copy
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)
+    # clear stale leftovers from dead runs (path exists → they're duplicates)
+    for stale in (tmp, backup):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
     size = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -93,10 +112,14 @@ def compact_parquet(
         if not f.startswith(("_", "."))
     )
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + "._compact_tmp"
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
-    backup = path.rstrip("/") + "._compact_old"
     os.rename(path, backup)
     os.rename(tmp, path)
+    try:
+        spark.read.parquet(path).schema  # footer read: swapped-in data is readable
+    except Exception:
+        shutil.rmtree(path, ignore_errors=True)  # roll back to the backup
+        os.rename(backup, path)
+        raise
     shutil.rmtree(backup)
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])

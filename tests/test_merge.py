@@ -94,3 +94,24 @@ def test_snapshot_diff_roundtrip_with_merge(spark):
     removed = [k for k, t in diff.items() if t == "removed"]
     rebuilt = merge_upsert(old, upserts, "k").filter(~F.col("k").isin(removed))
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_snapshot_diff_key_only_and_empty_compare_cols(spark):
+    """ADVICE r2: tables sharing only the key (or an explicit
+    compare_cols=[]) must yield an added/removed-only diff, not a
+    TypeError from a None predicate."""
+    from covid_custom_sql_engine_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    diff = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+    assert diff == {1: "removed", 3: "added"}
+
+    old2 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    new2 = spark.createDataFrame([(2, "CHANGED"), (3, "c")], "k long, s string")
+    # explicit [] means "ignore attribute changes": only membership diffs
+    diff2 = {
+        r.k: r.change_type
+        for r in snapshot_diff(old2, new2, "k", compare_cols=[]).collect()
+    }
+    assert diff2 == {1: "removed", 3: "added"}

@@ -96,3 +96,26 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
     n_after = compact_parquet(spark, d, target_file_mb=128)
     assert n_after < before_files
     assert sorted(map(tuple, spark.read.parquet(d).collect())) == before
+
+
+def test_compact_parquet_recovers_interrupted_swap(spark, sf_dir):
+    """ADVICE r2: a run interrupted between the two swap renames parks
+    the data at ._compact_old with nothing at path; the next invocation
+    must restore it (and clear stale temp dirs) instead of failing."""
+    from covid_custom_sql_engine_spark.sources.sinks import compact_parquet
+
+    d = tempfile.mkdtemp(prefix="compact_crash_") + "/data"
+    n = load_table(spark, sf_dir, "nation")
+    n.repartition(8).write.mode("overwrite").parquet(d)
+    before = sorted(map(tuple, spark.read.parquet(d).collect()))
+
+    # simulate the crash window: data moved to backup, stale tmp left over
+    os.rename(d, d + "._compact_old")
+    os.makedirs(d + "._compact_tmp")
+    with open(d + "._compact_tmp/garbage", "w") as f:
+        f.write("stale")
+
+    compact_parquet(spark, d, target_file_mb=128)
+    assert sorted(map(tuple, spark.read.parquet(d).collect())) == before
+    assert not os.path.exists(d + "._compact_old")
+    assert not os.path.exists(d + "._compact_tmp")
