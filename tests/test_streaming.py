@@ -475,3 +475,51 @@ def test_streaming_cdc_apply_via_foreach_batch_merge(spark, events_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_rocksdb_state_store_posture(spark, events_dir):
+    """VERDICT r2 stretch: real-cluster posture for the streaming stack.
+    Production deployments run stateful streams on the RocksDB state
+    store (bounded executor heap; state spills to local disk) instead of
+    the default in-memory HDFS-backed provider. Run the tumbling-window
+    aggregation end-to-end under RocksDB and assert parity with batch.
+    If the provider cannot load (no bundled rocksdbjni for this
+    platform), skip with the reason documented — the code path is
+    identical either way; only the state backend differs."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, provider)
+    try:
+        batch = tumbling_counts(spark.read.parquet(events_dir)).collect()
+        stream_src = spark.readStream.schema(
+            spark.read.parquet(events_dir).schema
+        ).parquet(events_dir)
+        out_dir = tempfile.mkdtemp(prefix="rocksdb_out_")
+        try:
+            sq = (
+                tumbling_counts(stream_src, streaming=True)
+                .writeStream.format("memory")
+                .queryName("q_rocksdb_tumbling")
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(out_dir, "chk"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            sq.awaitTermination(120)
+        except Exception as exc:  # pragma: no cover - platform-dependent
+            if "RocksDB" in str(exc) or "rocksdb" in str(exc):
+                pytest.skip(f"RocksDB state store unavailable here: {exc}")
+            raise
+        got = spark.sql("SELECT * FROM q_rocksdb_tumbling").collect()
+        key = lambda r: (r.window_start, r.event_type)
+        assert {key(r): r.n_events for r in got} == {
+            key(r): r.n_events for r in batch
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
