@@ -24,6 +24,7 @@ from covid_custom_sql_engine_spark.operators import joins as xjoins
 from covid_custom_sql_engine_spark.functions import corpus as cp
 from covid_custom_sql_engine_spark.functions import dedup as dd
 from covid_custom_sql_engine_spark.functions import similarity as sim
+from covid_custom_sql_engine_spark.functions import sketches as sks
 from covid_custom_sql_engine_spark.functions import text as tx
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -3640,6 +3641,45 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.alias("n_hits"),
         F.round(n_hits / F.col("k"), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches: sublinear-state frequency / cardinality estimation
+# (functions/sketches.py — beyond-reference; the reference has only
+# exact aggregates, src/dataframe.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=sks.sql_cms_heavy_hitters(
+        "lineitem", "l_partkey", "l_partkey", threshold=45
+    ),
+)
+def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over lineitem part keys: a 4×1024-cell
+    sketch (ONE bounded shuffle with map-side combine — O(sketch), not
+    O(data)) probed by the distinct keys via a broadcast join. The
+    estimate never undercounts, so the result is a guaranteed superset
+    of the true ≥45-occurrence parts — the cheap 100 TB first pass that
+    shrinks an exact follow-up to the candidate set."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return sks.cms_heavy_hitters(l, "l_partkey", threshold=45)
+
+
+@query(
+    "hll_distinct_orders",
+    oracle=sks.sql_hll_distinct("lineitem", "l_orderkey", p=10),
+)
+def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog order-key cardinality from 1024 registers: one
+    map-side-combinable max aggregate (mergeable state — union of
+    datasets = cell-wise max), then exact-integer harmonic-mean folding
+    (Σ 2^(Rmax−M_j) as a bigint — order-independent, hash-stable) with
+    one final double division. ~1 KB of state for any input size; the
+    exact `COUNT(DISTINCT)` it replaces shuffles every key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return sks.hll_distinct(l, "l_orderkey", p=10)
 
 
 # ---------------------------------------------------------------------------

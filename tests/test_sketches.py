@@ -1,0 +1,135 @@
+"""Sketch family: count-min frequency estimation + HyperLogLog
+cardinality (functions/sketches.py). Verifies the mathematical
+guarantees (never-undercount, mergeability, error bounds) — the
+properties that make the sketches trustworthy as 100 TB first-pass
+filters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid_custom_sql_engine_spark.catalog import load_table
+from covid_custom_sql_engine_spark.functions import sketches as sk
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """Count-min estimates are ≥ the true count for EVERY key (the
+    one-sided error guarantee the heavy-hitter superset relies on)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    est = sk.cms_estimate(
+        sk.cms_sketch(l, "l_partkey"), l.select("l_partkey").distinct(), "l_partkey"
+    )
+    true = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_count"))
+    joined = est.join(true, "l_partkey").collect()
+    assert len(joined) == true.count()
+    assert all(r.est_count >= r.true_count for r in joined)
+
+
+def test_cms_overestimate_bounded(spark, sf_dir):
+    """With width=1024 and N rows, the expected overshoot per cell is
+    N/1024; the min over 4 independent rows keeps the typical estimate
+    close to truth. Assert the MEAN overshoot is within 3·N/width (a
+    loose Markov-style bound that still catches a broken hash)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    n = l.count()
+    est = sk.cms_estimate(
+        sk.cms_sketch(l, "l_partkey"), l.select("l_partkey").distinct(), "l_partkey"
+    )
+    true = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_count"))
+    rows = est.join(true, "l_partkey").collect()
+    mean_over = sum(r.est_count - r.true_count for r in rows) / len(rows)
+    assert mean_over <= 3 * n / 1024
+
+
+def test_cms_sketch_size_bounded(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    assert sk.cms_sketch(l, "l_partkey", depth=3, width=64).count() <= 3 * 64
+
+
+def test_cms_heavy_hitters_superset(spark, sf_dir):
+    """Every TRUE heavy hitter appears in the sketch-filtered output."""
+    l = load_table(spark, sf_dir, "lineitem")
+    hh = {r.l_partkey for r in sk.cms_heavy_hitters(l, "l_partkey", threshold=8).collect()}
+    true = {
+        r.l_partkey
+        for r in l.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c >= 8")
+        .collect()
+    }
+    assert true <= hh
+
+
+def test_cms_sketch_merges_by_addition(spark, sf_dir):
+    """Partial sketches over disjoint splits sum cell-wise to the full
+    sketch — the property that makes the build map-side combinable (and
+    lets incremental batches fold into a running sketch)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.filter("l_orderkey % 2 = 0")
+    b = l.filter("l_orderkey % 2 = 1")
+    merged = (
+        sk.cms_sketch(a, "l_partkey")
+        .unionByName(sk.cms_sketch(b, "l_partkey"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = sk.cms_sketch(l, "l_partkey")
+    key = lambda rows: sorted((r.row, r.bucket, r.cnt) for r in rows)
+    assert key(merged.collect()) == key(full.collect())
+
+
+def test_hll_close_to_true_distinct(spark):
+    """p=10 → relative standard error ≈ 1.04/√1024 ≈ 3.3%. Assert the
+    estimate of 20k synthetic keys lands within 4 std errors."""
+    df = spark.range(20_000).select(F.col("id").alias("k"))
+    est = sk.hll_distinct(df, "k", p=10).collect()[0].hll_distinct
+    assert abs(est - 20_000) / 20_000 < 4 * 0.033
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    """Cardinality, not frequency: replicating every key 7× must give
+    the identical register table, hence the identical estimate."""
+    base = spark.range(5_000).select(F.col("id").alias("k"))
+    dup = base.crossJoin(spark.range(7).select(F.lit(1).alias("_d"))).select("k")
+    a = sk.hll_distinct(base, "k").collect()[0].hll_distinct
+    b = sk.hll_distinct(dup, "k").collect()[0].hll_distinct
+    assert a == b
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Union cardinality from cell-wise max of per-split registers ==
+    registers of the union (mergeable state: each split can be sketched
+    where it lives and only ≤2^p rows travel)."""
+    a = spark.range(0, 8_000).select(F.col("id").alias("k"))
+    b = spark.range(4_000, 12_000).select(F.col("id").alias("k"))  # overlaps a
+    merged_regs = (
+        sk.hll_registers(a, "k")
+        .unionByName(sk.hll_registers(b, "k"))
+        .groupBy("bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    est_merged = sk.hll_estimate(merged_regs).collect()[0].hll_distinct
+    est_union = sk.hll_distinct(a.unionByName(b), "k").collect()[0].hll_distinct
+    assert est_merged == est_union
+
+
+def test_hll_empty_input_returns_null(spark):
+    df = spark.range(0).select(F.col("id").alias("k"))
+    rows = sk.hll_distinct(df, "k").collect()
+    assert len(rows) <= 1
+    if rows:
+        assert rows[0].hll_distinct is None
+
+
+def test_sketch_plans_stay_in_codegen(spark, sf_dir):
+    """No Python UDFs, no cartesian joins of data-sized sides: the only
+    BroadcastNestedLoopJoin allowed is the 1-row rmax broadcast in the
+    HLL fold."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p1 = (
+        sk.cms_heavy_hitters(l, "l_partkey", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in p1 and "CartesianProduct" not in p1
+    p2 = sk.hll_distinct(l, "l_orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in p2 and "CartesianProduct" not in p2

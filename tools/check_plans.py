@@ -154,6 +154,9 @@ EXPECT = {
     "snapshot_diff": (3, True, False),
     "interevent_gap_percentiles": (4, False, False),
     "rolling_zscore_anomalies": (4, False, False),
+    # --- sketches ---
+    "cms_heavy_hitters": (1, False, False),
+    "hll_distinct_orders": (1, False, True),  # 1-row rmax broadcast onto ≤1024 registers: intended
 }
 
 
