@@ -36,6 +36,14 @@ def dsum(c: Column) -> Column:
     return F.sum(c.cast(_DECIMAL)).cast("double")
 
 
+def davg(c: Column) -> Column:
+    """Order-independent average: :func:`dsum` / count, NULL on empty —
+    mirrors the oracle layer's ``_sql_davg`` exactly (nulls excluded
+    from both numerator and denominator)."""
+    n = F.count(c)
+    return F.when(n > 0, dsum(c) / n)
+
+
 def select_existing(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Projection with the reference's drop-missing semantics.
 

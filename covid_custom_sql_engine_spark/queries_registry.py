@@ -3644,6 +3644,394 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Canonical TPC-H join shapes (beyond-reference relational surface):
+# the classic OLAP patterns a reference user upgrading to Spark expects
+# — top-k over a 3-way join (Q3), nation-pair volume (Q7), returned-item
+# ranking (Q10), conditional-aggregate share (Q14), argmax-by-scalar-
+# subquery (Q15), decorrelated per-group-average filter (Q17), HAVING
+# subquery (Q18), anti-join + scalar subquery (Q22). Adapted to the
+# driver schema (no partsupp/commitdate; p_type/p_brand/c_mktsegment as
+# generated). Join strategy notes per query; dims broadcast so the only
+# full-width shuffles are lineitem⋈orders equi-joins and final aggs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped-order revenue top-10. Customer (segment
+    filter, tiny) broadcasts into orders; the one real shuffle is
+    lineitem⋈orders; top-10 via TakeOrderedAndProject (per-partition
+    heaps + driver merge of 10×partitions rows — no global sort at any
+    scale). Deterministic tiebreak on l_orderkey; revenue via decimal
+    sum so the sort key is bit-identical cross-engine."""
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE ((sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_12')
+        OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year. Supplier, customer and
+    both nation copies broadcast (all dims); lineitem⋈orders is the one
+    shuffle; the nation-pair predicate lands post-broadcast-join as a
+    cheap codegen filter. Final agg groups ≤ 2 pairs × years."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12")
+    ) | ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue in a
+    quarter. Return-flag filter pushes into the lineitem scan; the
+    quarter filter pushes into orders; customer/nation broadcast. Top-k
+    by TakeOrderedAndProject with c_custkey tiebreak."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_custkey")
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+        )
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle=f"""
+    SELECT round(100.0 * {_sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                 / {_sql_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one ship-month. Part (2k rows)
+    broadcasts; the month filter pushes into the lineitem scan; one
+    whole-table conditional aggregate — no shuffle beyond the 1-row
+    final agg. Decimal sums then one rounded division."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * ops.dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / ops.dsum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) at max quarterly revenue — the scalar-
+    subquery-on-an-aggregate shape. One shuffle (per-supplier agg); the
+    1-row max broadcasts back onto the ≤|supplier| aggregate, and the
+    double equality is safe because both branches reuse the SAME
+    decimal-sum values (and the oracle reproduces them bit-for-bit)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = F.broadcast(revenue.agg(F.max("total_revenue").alias("_mx")))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        revenue.crossJoin(mx)
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle=f"""
+    WITH pa AS (
+        SELECT l_partkey AS a_partkey,
+               0.2 * ({_sql_davg('l_quantity')}) AS qty_cut
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round({_sql_dsum('l_extendedprice')} / 7.0, 6) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders — the classic
+    correlated subquery (per-part average), DECORRELATED as a self-agg
+    + equi-join, exactly Catalyst's own rewrite. The per-part aggregate
+    (≤|part| rows) broadcasts; brand filter via broadcast part join;
+    single final 1-row agg. No correlated per-row re-scan at any
+    scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pa = F.broadcast(
+        l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+            (0.2 * ops.davg(F.col("l_quantity"))).alias("qty_cut")
+        )
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(pa, l.l_partkey == pa.a_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(ops.dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice,
+           {_sql_dsum('l_quantity')} AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with very large orders (HAVING-subquery
+    semi-join). The qualifying-keys aggregate reuses lineitem's own
+    shuffle partitioning; the IN becomes a leftsemi equi-join (hash,
+    never a subquery re-execution); customer broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "_bk"), l.l_orderkey == F.col("_bk"), "leftsemi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(ops.dsum(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT {_sql_davg('CASE WHEN c_acctbal > 0.0 THEN c_acctbal END')} AS ab
+        FROM customer
+    )
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           {_sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: above-average-balance customers with no RECENT order
+    (no order since 2000 — the generated data gives every customer some
+    order, so idleness is windowed to keep the anti-join non-vacuous).
+    Scalar positive-balance average (1-row broadcast) + ANTI join
+    against the orders custkey set, grouped by nation. The anti join is
+    a hash equi-join on o_custkey — at scale the orders side
+    deduplicates map-side to ≤|customer| keys before shuffling."""
+    c = load_table(spark, sf_dir, "customer")
+    ab = F.broadcast(
+        c.agg(
+            ops.davg(
+                F.when(F.col("c_acctbal") > 0.0, F.col("c_acctbal"))
+            ).alias("ab")
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey"))
+    )
+    return (
+        c.crossJoin(ab)
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            ops.dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketches: sublinear-state frequency / cardinality estimation
 # (functions/sketches.py — beyond-reference; the reference has only
 # exact aggregates, src/dataframe.py)
@@ -3709,6 +4097,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "interevent_gap_percentiles",
     # empty-compare-cols guard
     "snapshot_diff",
+    # --- NEW this round: canonical TPC-H join shapes + sketches ---
+    "tpch_q3_shipping_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
+    "cms_heavy_hitters",
+    "hll_distinct_orders",
     # --- never driver-checked before this round (registered post-window
     # in r2, or rotated out for simple passthroughs) ---
     "ann_recall",

@@ -154,6 +154,15 @@ EXPECT = {
     "snapshot_diff": (3, True, False),
     "interevent_gap_percentiles": (4, False, False),
     "rolling_zscore_anomalies": (4, False, False),
+    # --- canonical TPC-H join shapes ---
+    "tpch_q3_shipping_priority": (4, True, False),
+    "tpch_q7_nation_volume": (5, True, False),
+    "tpch_q10_returned_items": (4, True, False),
+    "tpch_q14_promo_share": (4, True, False),
+    "tpch_q15_top_supplier": (4, True, True),  # 1-row max-revenue broadcast: intended
+    "tpch_q17_small_qty_revenue": (3, True, False),
+    "tpch_q18_large_orders": (4, False, False),
+    "tpch_q22_idle_customers": (3, True, True),  # 1-row avg-balance broadcast: intended
     # --- sketches ---
     "cms_heavy_hitters": (1, False, False),
     "hll_distinct_orders": (1, False, True),  # 1-row rmax broadcast onto ≤1024 registers: intended
