@@ -160,7 +160,10 @@ def minhash_bands(
 
 
 def candidate_pairs_from_bands(
-    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = MAX_BAND_BUCKET
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = MAX_BAND_BUCKET,
+    predrop: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -171,23 +174,28 @@ def candidate_pairs_from_bands(
     self-join would re-execute it per branch or force a cache).
     Measured ~1.4× faster than the guarded self-join at sf0.1.
 
-    Buckets with more than ``max_bucket`` members are dropped BEFORE the
-    array aggregate, so no oversized bucket is ever materialized — a
+    Buckets with more than ``max_bucket`` members emit NO pairs, so a
     mass-duplicated corpus can't turn pair generation quadratic (see
-    MAX_BAND_BUCKET); ``max_bucket=None`` disables the guard, leaving
-    per-bucket arrays unbounded. The guard is a partial-aggregated
-    bucket count filtered to the (rare by construction) oversized keys,
-    broadcast back as an anti-join — the probe side needs no shuffle
-    and nothing is sorted. The earlier window-count formulation used
-    the same exchange but forced a full sort of the bands that the
-    downstream hash aggregate never needed (+0.7 s at sf0.1). A lazy
-    localCheckpoint pins the bands so the count branch and the pair
-    branch share one computation of the minhash pipeline; bands content
-    is deterministic either way (md5 arithmetic, no sampling), so the
-    checkpoint is purely a cost optimization — its blocks are freed by
-    the ContextCleaner when the frame is garbage collected, unlike a
-    CacheManager persist."""
-    if max_bucket is not None:
+    MAX_BAND_BUCKET); ``max_bucket=None`` disables the guard. Two
+    enforcement modes with identical output:
+
+    - default (``predrop=False``): ONE aggregation; the size filter
+      runs on the gathered array before any pair is emitted. Peak agg
+      memory is O(largest actual bucket) — ids only, so even a
+      pathological 1M-member bucket is ~8 MB, and nothing quadratic
+      ever materializes. Fastest: no second branch, no checkpoint
+      (~0.5 s faster at sf0.1 than the pre-drop mode).
+    - ``predrop=True``: bucket COUNTS (constant memory) are partially
+      aggregated first, the rare oversized keys broadcast back as an
+      anti-join, and no oversized bucket's member array is ever built.
+      For adversarial corpora where a single bucket's id list itself
+      would not fit an executor (billions of identical documents that
+      exact-dedup should have removed first). Costs a lazy
+      localCheckpoint pinning the bands so the count and pair branches
+      share one minhash computation (deterministic either way — the
+      pin is a cost optimization; blocks are freed by the
+      ContextCleaner when the frame is GC'd)."""
+    if max_bucket is not None and predrop:
         bands = bands.localCheckpoint(eager=False)
         oversized = (
             bands.groupBy("band", "band_hash")
@@ -196,10 +204,13 @@ def candidate_pairs_from_bands(
             .select("band", "band_hash")
         )
         bands = bands.join(F.broadcast(oversized), ["band", "band_hash"], "left_anti")
+    size_ok = F.size("ids") >= 2
+    if max_bucket is not None and not predrop:
+        size_ok = size_ok & (F.size("ids") <= max_bucket)
     buckets = (
         bands.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter(size_ok)
     )
     return (
         buckets.select(
@@ -239,6 +250,7 @@ def incremental_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = MAX_BAND_BUCKET,
+    predrop: bool = False,
     **kw,
 ) -> DataFrame:
     """Incremental dedup: candidate pairs between a NEW document batch
@@ -250,21 +262,24 @@ def incremental_lsh_pairs(
 
     Same single-shuffle formulation as
     :func:`candidate_pairs_from_bands`: band both sides, tag provenance,
-    hash-partition once on (band, band_hash); the bucket-size cap counts
-    the JOINT bucket (partial-aggregated, broadcast anti-join of the
-    rare oversized keys — no sort, same guard as
-    candidate_pairs_from_bands) before any aggregation; each surviving
-    bucket gathers its new and corpus ids into two arrays and emits only
-    the cross pairs. In production the corpus side's bands would be a
-    stored table maintained across batches — banding is per-document,
-    so only the new batch needs hashing per ingest.
+    hash-partition once on (band, band_hash); each surviving bucket
+    gathers its new and corpus ids into two arrays and emits only the
+    cross pairs. The bucket-size cap applies to the JOINT bucket, with
+    the same two modes as candidate_pairs_from_bands: default = size
+    filter on the gathered arrays in the one aggregation pass
+    (O(bucket) id-only memory, nothing quadratic); ``predrop=True`` =
+    constant-memory partial count + broadcast anti-join so oversized
+    member arrays are never built (adversarial mass-duplication). In
+    production the corpus side's bands would be a stored table
+    maintained across batches — banding is per-document, so only the
+    new batch needs hashing per ingest.
     """
     bn = minhash_bands(new_df, id_col, text_col, **kw).withColumn("_new", F.lit(True))
     bo = minhash_bands(corpus_df, id_col, text_col, **kw).withColumn(
         "_new", F.lit(False)
     )
     bands = bn.unionByName(bo)
-    if max_bucket is not None:
+    if max_bucket is not None and predrop:
         bands = bands.localCheckpoint(eager=False)
         oversized = (
             bands.groupBy("band", "band_hash")
@@ -273,6 +288,9 @@ def incremental_lsh_pairs(
             .select("band", "band_hash")
         )
         bands = bands.join(F.broadcast(oversized), ["band", "band_hash"], "left_anti")
+    size_ok = (F.size("new_ids") >= 1) & (F.size("corpus_ids") >= 1)
+    if max_bucket is not None and not predrop:
+        size_ok = size_ok & (F.size("new_ids") + F.size("corpus_ids") <= max_bucket)
     buckets = (
         bands.groupBy("band", "band_hash")
         .agg(
@@ -283,7 +301,7 @@ def incremental_lsh_pairs(
                 F.collect_set(F.when(~F.col("_new"), F.col(id_col)))
             ).alias("corpus_ids"),
         )
-        .filter((F.size("new_ids") >= 1) & (F.size("corpus_ids") >= 1))
+        .filter(size_ok)
     )
     return (
         buckets.select(

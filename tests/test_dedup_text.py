@@ -332,6 +332,38 @@ def test_band_bucket_cap_keeps_normal_buckets(spark):
     assert dd.lsh_candidate_pairs(df).count() == 1
 
 
+def test_band_bucket_cap_modes_equivalent(spark, sf_dir):
+    """The fast single-pass size filter (default) and the constant-
+    memory pre-drop anti-join (predrop=True) must emit the IDENTICAL
+    pair set — they are two enforcement strategies for one semantic
+    (buckets over the cap produce no pairs). Run on real documents plus
+    an injected hot bucket so both the keep and drop paths are hit."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hot = spark.range(300).selectExpr(
+        "id + 1000000 AS doc_id", "'identical boilerplate text block' AS text"
+    )
+    df = docs.unionByName(hot)
+    bands = dd.minhash_bands(df)
+    key = lambda d: sorted((r.id_a, r.id_b) for r in d.collect())
+    fast = key(dd.candidate_pairs_from_bands(bands))
+    slow = key(dd.candidate_pairs_from_bands(bands, predrop=True))
+    assert fast == slow
+    # the hot bucket produced nothing in either mode
+    assert all(not (a >= 1000000 and b >= 1000000) for a, b in fast)
+
+
+def test_incremental_cap_modes_equivalent(spark, sf_dir):
+    from covid_custom_sql_engine_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.limit(60).selectExpr("doc_id + 500000 AS doc_id", "text")
+    a = sorted(map(tuple, dd.incremental_lsh_pairs(new, docs).collect()))
+    b = sorted(map(tuple, dd.incremental_lsh_pairs(new, docs, predrop=True).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches lineage truncation to reliable
     checkpoint() — same fixpoint, files written under the dir."""
