@@ -4032,6 +4032,74 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Data-quality expectations (operators/quality.py — beyond-reference;
+# the reference's only validation is load-time schema checking,
+# src/schema.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    WITH t AS (
+        SELECT count(*) AS total,
+               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+               sum(CASE WHEN NOT (l_returnflag IN ('A','N','R') OR l_returnflag IS NULL)
+                        THEN 1 ELSE 0 END) AS v1,
+               sum(CASE WHEN NOT ((l_quantity BETWEEN 1 AND 45) OR l_quantity IS NULL)
+                        THEN 1 ELSE 0 END) AS v2,
+               sum(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS v3,
+               count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v4
+        FROM lineitem
+    ),
+    refv AS (
+        SELECT count(*) AS rv FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ),
+    rows_out AS (
+        SELECT 'l_orderkey_not_null' AS rule, 'not_null' AS kind, v0 AS violations, total FROM t
+        UNION ALL
+        SELECT 'l_returnflag_in_set', 'in_set', v1, total FROM t
+        UNION ALL
+        SELECT 'l_quantity_in_range', 'in_range', v2, total FROM t
+        UNION ALL
+        SELECT 'discount_at_most_8pct', 'satisfies', v3, total FROM t
+        UNION ALL
+        SELECT 'unique_l_orderkey_l_linenumber', 'unique', v4, total FROM t
+        UNION ALL
+        SELECT 'l_orderkey_ref_integrity', 'ref_integrity', rv, total FROM refv, t
+    )
+    SELECT rule, kind, violations, total, violations = 0 AS passed FROM rows_out
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite run over lineitem: nullability, set membership,
+    range, an arbitrary boolean contract, composite-key uniqueness, and
+    referential integrity against orders. All non-referential rules fold
+    into ONE aggregation pass (conditional counters + a distinct-count,
+    all map-side-combinable); the FK rule is a key-pruned broadcast
+    anti-join count. The generated data REALLY violates the uniqueness
+    and range rules — the report proves the detector, not just the
+    plumbing."""
+    from covid_custom_sql_engine_spark.operators import quality as dq
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return dq.validate(
+        l,
+        [
+            dq.expect_not_null("l_orderkey"),
+            dq.expect_in_set("l_returnflag", ["A", "N", "R"]),
+            dq.expect_in_range("l_quantity", 1, 45),
+            dq.expect_satisfies("discount_at_most_8pct", F.col("l_discount") <= 0.08),
+            dq.expect_unique("l_orderkey", "l_linenumber"),
+            dq.expect_ref_integrity("l_orderkey", o, "o_orderkey"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketches: sublinear-state frequency / cardinality estimation
 # (functions/sketches.py — beyond-reference; the reference has only
 # exact aggregates, src/dataframe.py)
@@ -4108,6 +4176,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q22_idle_customers",
     "cms_heavy_hitters",
     "hll_distinct_orders",
+    "data_quality_report",
     # --- never driver-checked before this round (registered post-window
     # in r2, or rotated out for simple passthroughs) ---
     "ann_recall",

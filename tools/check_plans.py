@@ -135,12 +135,6 @@ EXPECT = {
     "global_rank_orders": (2, False, False),
     "equidepth_histogram": (2, False, True),  # 1-row total-count broadcast: intended
     "attribution_join": (5, True, False),
-    # r3: the joint-bands subtree is localCheckpointed for the bucket-size
-    # guard (one minhash computation shared by the count and pair branches),
-    # which truncates the visible plan at a LogicalRDD — the new-batch date
-    # filter still pushes to the parquet scan, but inside the checkpointed
-    # subtree where this string check can't see it (verified by eye via
-    # explain on dedup.minhash_bands' input).
     "incremental_dedup_pairs": (2, False, False),
     "quota_sample": (3, False, False),
     "time_weighted_avg": (4, False, False),
@@ -163,6 +157,8 @@ EXPECT = {
     "tpch_q17_small_qty_revenue": (3, True, False),
     "tpch_q18_large_orders": (4, False, False),
     "tpch_q22_idle_customers": (3, True, True),  # 1-row avg-balance broadcast: intended
+    # --- data quality ---
+    "data_quality_report": (5, True, True),  # 1-row total-count broadcast onto the FK count: intended
     # --- sketches ---
     "cms_heavy_hitters": (1, False, False),
     "hll_distinct_orders": (1, False, True),  # 1-row rmax broadcast onto ≤1024 registers: intended
