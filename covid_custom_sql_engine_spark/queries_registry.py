@@ -4032,6 +4032,54 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py — beyond-reference storage
+# clustering for multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from covid_custom_sql_engine_spark.operators.layout import sql_zvalue
+
+    zv = sql_zvalue(["user_id", "value"], [(0.0, 1500.0), (0.0, 600.0)], bits=8)
+    return f"""
+    SELECT ({zv} >> 8) AS z_tile,
+           count(*) AS n_events,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events
+    GROUP BY 1
+    """
+
+
+@query("zorder_cluster_stats", oracle=_zorder_oracle())
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve tile profile of events over (user_id, value): the
+    16-bit interleaved z-key's top 8 bits define 256 tiles; per tile the
+    report shows the bounding box each output file would carry as
+    parquet min-max stats after :func:`layout.zorder_by` — compact on
+    BOTH dimensions, which is the whole point (a linear sort keeps only
+    its leading column tight). Pure unrolled integer bit ops in
+    codegen; one hash aggregate."""
+    from covid_custom_sql_engine_spark.operators.layout import zvalue
+
+    e = load_table(spark, sf_dir, "events")
+    z = zvalue(
+        [F.col("user_id"), F.col("value")], [(0.0, 1500.0), (0.0, 600.0)], bits=8
+    )
+    return (
+        e.select(F.shiftright(z, 8).alias("z_tile"), "user_id", "value")
+        .groupBy("z_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-quality expectations (operators/quality.py — beyond-reference;
 # the reference's only validation is load-time schema checking,
 # src/schema.py)
@@ -4177,6 +4225,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cms_heavy_hitters",
     "hll_distinct_orders",
     "data_quality_report",
+    "zorder_cluster_stats",
     # --- never driver-checked before this round (registered post-window
     # in r2, or rotated out for simple passthroughs) ---
     "ann_recall",

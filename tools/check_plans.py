@@ -157,6 +157,8 @@ EXPECT = {
     "tpch_q17_small_qty_revenue": (3, True, False),
     "tpch_q18_large_orders": (4, False, False),
     "tpch_q22_idle_customers": (3, True, True),  # 1-row avg-balance broadcast: intended
+    # --- layout ---
+    "zorder_cluster_stats": (2, False, False),
     # --- data quality ---
     "data_quality_report": (5, True, True),  # 1-row total-count broadcast onto the FK count: intended
     # --- sketches ---
