@@ -407,3 +407,47 @@ def negative_samples(
         F.col("_rnk").alias("_neg_rnk"), F.col(id_col).alias("neg_id")
     )
     return sampled.join(lookup, "_neg_rnk").select(id_col, "sample_idx", "neg_id")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis one-pass scheme: each row draws a pseudo-random
+    u ∈ (0,1) hashed from its id and keeps key = ln(u) / w; the k
+    LARGEST keys are the sample, with inclusion probability
+    proportional to weight. The mixture-composition primitive of a
+    training pipeline (sample sources ∝ quality weight) made
+    reproducible: the "randomness" is md5(id), so reruns, repartitions
+    and engines agree.
+
+    One scan + TakeOrderedAndProject (per-partition k-heaps, driver
+    merges p·k rows) — no global sort, no shuffle of the data. Rows
+    with NULL or non-positive weight are excluded (their theoretical
+    key is −∞). Output: (id, weight, es_key rounded) ordered by key."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # u in (0,1]: (h+1) / 2^60 — never 0, so ln is finite
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            key.alias("_es"),
+        )
+        .orderBy(F.desc("_es"), id_col)
+        .limit(k)
+        # + 0.0 canonicalizes the sign of a rounded-to-zero negative key
+        # (IEEE −0.0) so engines agree textually
+        .select(id_col, weight_col, (F.round("_es", 6) + F.lit(0.0)).alias("es_key"))
+    )

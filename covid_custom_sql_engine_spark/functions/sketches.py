@@ -176,6 +176,67 @@ def sql_cms_heavy_hitters(
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, num_bits: int = 4096, num_hashes: int = 7
+) -> DataFrame:
+    """Build-side of a Bloom filter: the DISTINCT set bit positions
+    (≤ ``num_bits`` rows) from ``num_hashes`` md5-derived positions per
+    key. Map-side-combinable (distinct = per-partition dedup first);
+    merging two filters = union of their bit tables. This is the
+    pre-join filter pattern: ship these ≤num_bits rows (or the packed
+    bitmap they represent) to the probe side instead of the key set —
+    at 100 TB the build side's keys may be billions of rows, the filter
+    stays KBs."""
+    positions = F.array(
+        *[
+            (_h60(f"bloom{i}:", F.col(key_col)) % num_bits).alias(f"p{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.explode(positions).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Probe keys against a Bloom bit table: ``maybe_present`` is TRUE
+    iff ALL ``num_hashes`` positions are set (no false negatives;
+    false-positive rate ≈ (1 − e^(−kn/m))^k). The bit table broadcasts;
+    the probe side never shuffles beyond its per-key aggregate."""
+    positions = F.array(
+        *[
+            (_h60(f"bloom{i}:", F.col(key_col)) % num_bits)
+            for i in range(num_hashes)
+        ]
+    )
+    probed = (
+        keys.select(key_col, F.explode(positions).alias("bit"))
+        .join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+        )
+        .groupBy(key_col)
+        .agg((F.min(F.coalesce("_set", F.lit(0))) == 1).alias("maybe_present"))
+    )
+    return probed
+
+
+def sql_bloom_position(col_sql: str, num_bits: int, i: int) -> str:
+    """DuckDB rendering of the i-th Bloom hash position."""
+    return f"({_sql_h60(f'bloom{i}:', col_sql)} % {num_bits})"
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------
 

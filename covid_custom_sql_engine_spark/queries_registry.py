@@ -4155,6 +4155,168 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_accuracy",
+    oracle=f"""
+    {_sql_minhash_cte()}
+    , est AS (
+        SELECT c.id_a, c.id_b,
+               round(({' + '.join(f'CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END' for i in range(12))}) / 12.0, 6) AS est_jaccard
+        FROM cand c JOIN sigs a ON c.id_a = a.doc_id JOIN sigs b ON c.id_b = b.doc_id
+    ),
+    ex AS (
+        SELECT c.id_a, c.id_b,
+               round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
+                    THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(x.sh, y.sh)))
+                    ELSE 0.0 END, 6) AS jaccard
+        FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+    )
+    SELECT est.id_a, est.id_b, est.est_jaccard, ex.jaccard,
+           round(abs(est.est_jaccard - ex.jaccard), 6) AS abs_err
+    FROM est JOIN ex ON est.id_a = ex.id_a AND est.id_b = ex.id_b
+    """,
+)
+def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR audit, the dedup analogue of ann_recall: for
+    every LSH candidate pair, the signature-agreement Jaccard estimate
+    (matching rows / 12) next to the exact shingle Jaccard and the
+    absolute error — the evaluation that justifies trusting signature
+    agreement as the cheap similarity at 100 TB (12 ints per doc
+    instead of the shingle set). All three frames reuse the candidate
+    generation's equi-join shape; no all-pairs anywhere."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    sh = dd.shingle_sets(d)
+    sigs = dd.minhash_signatures(sh, "doc_id", 12)
+    bands = dd._bands_from_signatures(sigs, "doc_id", 12, 3)
+    cand = dd.candidate_pairs_from_bands(bands)
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(12)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(12)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(12)
+    )
+    est = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(matches / 12.0, 6).alias("est_jaccard"))
+    )
+    ex = dd.jaccard_from_shingles(sh, cand).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+    return est.join(ex, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+_BLOOM_M = 65536
+_BLOOM_K = 3
+
+
+def _bloom_oracle() -> str:
+    def pos_case(expr: str) -> str:
+        whens = " ".join(
+            f"WHEN {i} THEN {sks.sql_bloom_position(expr, _BLOOM_M, i)}"
+            for i in range(_BLOOM_K)
+        )
+        return f"CASE u.i {whens} END"
+
+    return f"""
+    WITH build AS (
+        SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice >= 400000
+    ),
+    hashes AS (SELECT unnest(range({_BLOOM_K})) AS i),
+    bits AS (
+        SELECT DISTINCT {pos_case('o_orderkey')} AS bit
+        FROM build, hashes u
+    ),
+    probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    probed AS (
+        SELECT p.l_orderkey,
+               min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 1 AS maybe_present
+        FROM (SELECT l_orderkey, {pos_case('l_orderkey')} AS bit
+              FROM probe p, hashes u) p
+        LEFT JOIN bits b USING (bit)
+        GROUP BY p.l_orderkey
+    ),
+    flagged AS (
+        SELECT pr.l_orderkey, pr.maybe_present,
+               (bu.o_orderkey IS NOT NULL) AS is_member
+        FROM probed pr LEFT JOIN build bu ON pr.l_orderkey = bu.o_orderkey
+    )
+    SELECT count(*) AS n_probe_keys,
+           sum(CASE WHEN maybe_present THEN 1 ELSE 0 END) AS n_pass,
+           sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
+           sum(CASE WHEN maybe_present AND NOT is_member THEN 1 ELSE 0 END) AS n_false_pos,
+           sum(CASE WHEN is_member AND NOT maybe_present THEN 1 ELSE 0 END) AS n_false_neg
+    FROM flagged
+    """
+
+
+@query("bloom_filter_join_stats", oracle=_bloom_oracle())
+def bloom_filter_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-join filter, end to end with its own audit: build a
+    {m}-bit filter from the high-value order keys, probe every lineitem
+    order key, and report pass/membership/false-positive counts —
+    n_false_neg MUST be 0 (the Bloom guarantee the pre-filter pattern
+    rests on; false positives only cost the downstream join some extra
+    rows). The bit table (≤m rows after a map-side-combinable distinct)
+    broadcasts; the probe side shuffles only its per-key aggregate. At
+    100 TB this is how a selective join avoids shuffling the big
+    side: ship KBs of filter, drop most probe rows at the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    build = o.filter(F.col("o_totalprice") >= 400000).select("o_orderkey").distinct()
+    bits = sks.bloom_bits(build, "o_orderkey", _BLOOM_M, _BLOOM_K)
+    probe = l.select("l_orderkey").distinct()
+    probed = sks.bloom_probe(bits, probe, "l_orderkey", _BLOOM_M, _BLOOM_K)
+    flagged = probed.join(
+        F.broadcast(build.withColumnRenamed("o_orderkey", "l_orderkey")
+                    .withColumn("_m", F.lit(1))),
+        "l_orderkey",
+        "left",
+    ).select(
+        "maybe_present", (F.col("_m").isNotNull()).alias("is_member")
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        one(F.col("maybe_present")).alias("n_pass"),
+        one(F.col("is_member")).alias("n_members"),
+        one(F.col("maybe_present") & ~F.col("is_member")).alias("n_false_pos"),
+        one(F.col("is_member") & ~F.col("maybe_present")).alias("n_false_neg"),
+    )
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, n_chars,
+           round(ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+                    / 1152921504606846976.0) / n_chars, 6) + 0.0 AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
+                / 1152921504606846976.0) / n_chars DESC, doc_id
+    LIMIT 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample of 50 documents ∝ length —
+    the reproducible mixture-sampling primitive (functions/corpus.
+    weighted_sample): md5-hashed uniforms, key = ln(u)/w, top-k by
+    per-partition heaps (TakeOrderedAndProject — no global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.weighted_sample(d, "n_chars", 50)
+
+
+@query(
     "cms_heavy_hitters",
     oracle=sks.sql_cms_heavy_hitters(
         "lineitem", "l_partkey", "l_partkey", threshold=45
@@ -4226,6 +4388,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "hll_distinct_orders",
     "data_quality_report",
     "zorder_cluster_stats",
+    "minhash_accuracy",
+    "bloom_filter_join_stats",
+    "weighted_sample_docs",
     # --- never driver-checked before this round (registered post-window
     # in r2, or rotated out for simple passthroughs) ---
     "ann_recall",

@@ -133,3 +133,73 @@ def test_sketch_plans_stay_in_codegen(spark, sf_dir):
     assert "PythonUDF" not in p1 and "CartesianProduct" not in p1
     p2 = sk.hll_distinct(l, "l_orderkey")._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in p2 and "CartesianProduct" not in p2
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every built key must pass its own filter — the guarantee the
+    pre-join filter pattern rests on."""
+    build = spark.range(0, 3_000).select(F.col("id").alias("k"))
+    bits = sk.bloom_bits(build, "k", num_bits=65536, num_hashes=3)
+    probed = sk.bloom_probe(bits, build, "k", num_bits=65536, num_hashes=3)
+    assert probed.filter(~F.col("maybe_present")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """Non-members mostly fail the filter: with n=3000, m=65536, k=3
+    the theoretical FP rate is ~0.2%; allow 2%."""
+    build = spark.range(0, 3_000).select(F.col("id").alias("k"))
+    bits = sk.bloom_bits(build, "k", num_bits=65536, num_hashes=3)
+    outside = spark.range(1_000_000, 1_010_000).select(F.col("id").alias("k"))
+    fp = sk.bloom_probe(bits, outside, "k", 65536, 3).filter("maybe_present").count()
+    assert fp <= 200
+
+
+def test_bloom_bits_merge_by_union(spark):
+    """bits(A ∪ B) == bits(A) ∪ bits(B): filters build distributively,
+    so per-partition partial filters union into the global one."""
+    a = spark.range(0, 500).select(F.col("id").alias("k"))
+    b = spark.range(400, 900).select(F.col("id").alias("k"))
+    merged = (
+        sk.bloom_bits(a, "k", 4096, 3)
+        .unionByName(sk.bloom_bits(b, "k", 4096, 3))
+        .distinct()
+    )
+    full = sk.bloom_bits(a.unionByName(b), "k", 4096, 3)
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in full.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    from covid_custom_sql_engine_spark.functions.corpus import weighted_sample
+
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s1 = [r.doc_id for r in weighted_sample(df, "w", 200).collect()]
+    s2 = [r.doc_id for r in weighted_sample(df.repartition(17), "w", 200).collect()]
+    assert sorted(s1) == sorted(s2)           # partitioning-invariant
+    assert len(s1) == 200 and len(set(s1)) == 200   # without replacement
+    # the 100 heavy docs (weight 100×) should nearly all be sampled
+    heavy = sum(1 for d in s1 if d < 100)
+    assert heavy >= 80
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from covid_custom_sql_engine_spark.functions.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = {r.doc_id for r in weighted_sample(df, "w", 10).collect()}
+    assert got == {1, 5}

@@ -161,7 +161,10 @@ EXPECT = {
     "zorder_cluster_stats": (2, False, False),
     # --- data quality ---
     "data_quality_report": (5, True, True),  # 1-row total-count broadcast onto the FK count: intended
-    # --- sketches ---
+    # --- sketches / bloom / sampling / dedup-eval ---
+    "minhash_accuracy": (2, False, False),
+    "bloom_filter_join_stats": (2, True, False),
+    "weighted_sample_docs": (2, True, False),
     "cms_heavy_hitters": (1, False, False),
     "hll_distinct_orders": (1, False, True),  # 1-row rmax broadcast onto ≤1024 registers: intended
 }
