@@ -25,6 +25,8 @@ for frequency capping and cardinality monitoring at corpus scale.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # 15 hex chars = 60 bits: fits a signed BIGINT exactly, same parse on
@@ -313,6 +315,56 @@ def hll_distinct(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
     return hll_estimate(hll_registers(df, key_col, p), p)
 
 
+def hll_distinct_grouped(
+    df: DataFrame, key_col: str, group_cols: Sequence[str], p: int = 10
+) -> DataFrame:
+    """Per-group HLL cardinality: ``group_cols + (hll_distinct,)``.
+
+    Same exact-integer folding as :func:`hll_estimate`, vectorized over
+    groups: register build is one hash aggregate on (group, bucket)
+    (≤ groups × 2^p rows, map-side combinable); the per-group Rmax
+    comes from a window over the SAME (group)-partitioned data — no
+    self-join, no second scan. State per group is ≤ 2^p rows at every
+    stage, so a billion-group rollup (e.g. distinct users per hour ×
+    type at 100 TB) never holds a key set anywhere."""
+    m = 1 << p
+    a = _alpha(m)
+    gcols = list(group_cols)
+    regs = (
+        df.select(*gcols, *_hll_reg_cols(key_col, p))
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols)
+    folded = (
+        regs.withColumn("rmax", F.max("m_rho").over(w))
+        .withColumn("nbuckets", F.count(F.lit(1)).over(w))
+        .groupBy(*gcols, "rmax", "nbuckets")
+        .agg(F.sum(F.expr("shiftleft(1L, int(rmax - m_rho))")).alias("s"))
+    )
+    v = F.lit(m) - F.col("nbuckets")
+    denom = F.col("s") + v * F.expr("shiftleft(1L, int(rmax))")
+    e_raw = F.lit(a * m * m) * F.pow(F.lit(2.0), F.col("rmax").cast("double")) / denom
+    est = F.when(
+        (e_raw < 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(e_raw)
+    return folded.select(*gcols, F.round(est, 4).alias("hll_distinct"))
+
+
+def _hll_reg_cols(key_col: str, p: int) -> list[Column]:
+    """(bucket, rho) projection shared by the global and grouped builds."""
+    m = 1 << p
+    rest_bits = _HASH_BITS - p
+    h = _h60("hll:", F.col(key_col))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.bin(w))
+    )
+    return [(h % m).alias("bucket"), rho.alias("rho")]
+
+
 def sql_hll_distinct(table: str, key_sql: str, p: int = 10) -> str:
     """DuckDB oracle for :func:`hll_distinct` (identical arithmetic:
     integer bit-length rho, integer shifted sum, one final division)."""
@@ -345,4 +397,43 @@ def sql_hll_distinct(table: str, key_sql: str, p: int = 10) -> str:
                       THEN {float(m)!r} * ln({float(m)!r} / v)
                       ELSE e_raw END, 4) AS hll_distinct
     FROM calc
+    """
+
+
+def sql_hll_grouped(
+    table: str, key_sql: str, group_sql: str, group_alias: str, p: int = 10
+) -> str:
+    """DuckDB oracle for :func:`hll_distinct_grouped` (identical
+    arithmetic, one group column)."""
+    m = 1 << p
+    a = _alpha(m)
+    rest = _HASH_BITS - p
+    h = _sql_h60("hll:", key_sql)
+    return f"""
+    WITH base AS (
+        SELECT {group_sql} AS {group_alias},
+               ({h}) % {m} AS bucket,
+               CASE WHEN ({h}) >> {p} = 0 THEN {rest + 1}
+                    ELSE {rest + 1} - length(bin(({h}) >> {p})) END AS rho
+        FROM {table}
+    ),
+    regs AS (SELECT {group_alias}, bucket, max(rho) AS m_rho
+             FROM base GROUP BY {group_alias}, bucket),
+    mx AS (SELECT {group_alias}, max(m_rho) AS rmax, count(*) AS nbuckets
+           FROM regs GROUP BY {group_alias}),
+    folded AS (
+        SELECT regs.{group_alias}, mx.rmax, mx.nbuckets,
+               sum((1::BIGINT) << (mx.rmax - regs.m_rho))::BIGINT AS s
+        FROM regs JOIN mx USING ({group_alias})
+        GROUP BY regs.{group_alias}, mx.rmax, mx.nbuckets
+    )
+    SELECT {group_alias},
+           round(CASE WHEN (CAST({a!r} AS DOUBLE) * {m} * {m}) * power(2.0, rmax)
+                           / (s + ({m} - nbuckets) * ((1::BIGINT) << rmax)) < {2.5 * m}
+                       AND ({m} - nbuckets) > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / ({m} - nbuckets))
+                      ELSE (CAST({a!r} AS DOUBLE) * {m} * {m}) * power(2.0, rmax)
+                           / (s + ({m} - nbuckets) * ((1::BIGINT) << rmax)) END,
+                 4) AS hll_distinct
+    FROM folded
     """

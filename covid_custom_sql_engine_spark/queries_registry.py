@@ -4155,6 +4155,59 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "windowed_hll_users",
+    oracle=f"""
+    WITH hll AS (
+        {sks.sql_hll_grouped(
+            "events",
+            "user_id",
+            "strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')",
+            "window_start",
+        )}
+    ),
+    ex AS (
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    )
+    SELECT hll.window_start, hll.hll_distinct AS hll_users, ex.n_users,
+           round(abs(hll.hll_distinct - ex.n_users) / ex.n_users, 4) AS rel_err
+    FROM hll JOIN ex USING (window_start)
+    """,
+)
+def windowed_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour sketched active users: grouped HyperLogLog (≤1024
+    registers PER WINDOW, built in one map-side-combinable aggregate,
+    folded with the exact-integer harmonic mean) next to the exact
+    COUNT(DISTINCT) and the relative error. At 100 TB the exact column
+    is the expensive audit you run once; the sketch column is what the
+    hourly dashboard computes forever after — and because registers
+    merge by max, late data or per-datacenter partial sketches fold in
+    without recounting anything."""
+    e = load_table(spark, sf_dir, "events")
+    frame = e.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "user_id",
+    )
+    hll = sks.hll_distinct_grouped(frame, "user_id", ["window_start"]).select(
+        "window_start", F.col("hll_distinct").alias("hll_users")
+    )
+    ex = frame.groupBy("window_start").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return hll.join(ex, "window_start").select(
+        "window_start",
+        "hll_users",
+        "n_users",
+        F.round(F.abs(F.col("hll_users") - F.col("n_users")) / F.col("n_users"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+@query(
     "minhash_accuracy",
     oracle=f"""
     {_sql_minhash_cte()}
@@ -4389,6 +4442,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "data_quality_report",
     "zorder_cluster_stats",
     "minhash_accuracy",
+    "windowed_hll_users",
     "bloom_filter_join_stats",
     "weighted_sample_docs",
     # --- never driver-checked before this round (registered post-window
@@ -4414,10 +4468,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "redact_pii",
     "repetition_ratio",
     "setop_except_all",
-    "value_histogram",
     "zscore_outliers",
     "column_profile",
     "winnow_fingerprint",
+    # --- first out-of-window: deferred to r4 (lowest-risk plain agg) ---
+    "value_histogram",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",

@@ -203,3 +203,22 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     got = {r.doc_id for r in weighted_sample(df, "w", 10).collect()}
     assert got == {1, 5}
+
+
+def test_hll_grouped_matches_global_per_group(spark):
+    """The grouped build must produce, per group, exactly the estimate
+    the global path gives on that group's rows alone."""
+    from covid_custom_sql_engine_spark.functions.sketches import (
+        hll_distinct, hll_distinct_grouped,
+    )
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 7919).alias("k")
+    )
+    grouped = {
+        r.g: r.hll_distinct
+        for r in hll_distinct_grouped(df, "k", ["g"]).collect()
+    }
+    for g in range(3):
+        solo = hll_distinct(df.filter(F.col("g") == g), "k").collect()[0].hll_distinct
+        assert grouped[g] == solo

@@ -163,6 +163,7 @@ EXPECT = {
     "data_quality_report": (5, True, True),  # 1-row total-count broadcast onto the FK count: intended
     # --- sketches / bloom / sampling / dedup-eval ---
     "minhash_accuracy": (2, False, False),
+    "windowed_hll_users": (2, False, False),
     "bloom_filter_join_stats": (2, True, False),
     "weighted_sample_docs": (2, True, False),
     "cms_heavy_hitters": (1, False, False),
