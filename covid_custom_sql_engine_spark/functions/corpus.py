@@ -451,3 +451,72 @@ def weighted_sample(
         # (IEEE −0.0) so engines agree textually
         .select(id_col, weight_col, (F.round("_es", 6) + F.lit(0.0)).alias("es_key"))
     )
+
+
+def split_divergence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bounds: tuple[int, int] = SPLIT_BOUNDS,
+) -> DataFrame:
+    """Distribution drift between the train and val splits, measured on
+    their unigram distributions: KL(train‖val), KL(val‖train), and the
+    symmetric Jensen–Shannon divergence, plus vocabulary sizes and
+    overlap — the corpus-health monitor that catches a skewed split or
+    a drifting ingest before a model trains on it.
+
+    Smoothing is add-one over the UNION vocabulary, so both
+    distributions are strictly positive and the KLs are finite. Every
+    aggregate is bounded by vocab size, never corpus size: one explode
+    + hash aggregate per (token) with conditional split counters, a
+    1-row totals broadcast, and a final 1-row fold. Float discipline:
+    the per-token KL terms are summed as DECIMAL(38,18) (order-
+    independent; ~1e-17-ulp ln() differences between engines stay far
+    below the final round(6)).
+    """
+    from covid_custom_sql_engine_spark.functions.text import tokens
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < bounds[0], F.lit("train")).when(
+        bucket < bounds[1], F.lit("val")
+    )
+    tok = (
+        docs.select(split.alias("split"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("split").isNotNull())
+    )
+    counts = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("cv"),
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("ct").alias("tt"),
+            F.sum("cv").alias("tv"),
+            F.count(F.lit(1)).alias("vocab"),
+        )
+    )
+    j = counts.crossJoin(totals)
+    p = (F.col("ct") + 1).cast("double") / (F.col("tt") + F.col("vocab"))
+    q = (F.col("cv") + 1).cast("double") / (F.col("tv") + F.col("vocab"))
+    m = (p + q) / 2
+    dsum18 = lambda c: F.sum(c.cast("decimal(38,18)")).cast("double")
+    return j.agg(
+        F.first("vocab").alias("vocab_size"),
+        F.sum(F.when((F.col("ct") > 0) & (F.col("cv") > 0), 1).otherwise(0)).alias(
+            "overlap_tokens"
+        ),
+        F.round(dsum18(p * F.log(p / q)), 6).alias("kl_train_val"),
+        F.round(dsum18(q * F.log(q / p)), 6).alias("kl_val_train"),
+        F.round(
+            dsum18(p * F.log(p / m) / 2) + dsum18(q * F.log(q / m) / 2), 6
+        ).alias("js_divergence"),
+    )

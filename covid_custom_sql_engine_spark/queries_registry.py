@@ -4154,6 +4154,100 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SQL_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"
+
+
+@query(
+    "split_divergence",
+    oracle=f"""
+    WITH tk AS (
+        SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' END AS split,
+               unnest({_SQL_TOKS}) AS tok
+        FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 100 AS h,
+                     text
+              FROM documents)
+    ),
+    counts AS (
+        SELECT tok,
+               sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv
+        FROM tk WHERE split IS NOT NULL GROUP BY tok
+    ),
+    tot AS (SELECT sum(ct) AS tt, sum(cv) AS tv, count(*) AS vocab FROM counts),
+    pq AS (
+        SELECT vocab, ct, cv,
+               (ct + 1.0) / (tt + vocab) AS p,
+               (cv + 1.0) / (tv + vocab) AS q
+        FROM counts, tot
+    )
+    SELECT max(vocab) AS vocab_size,
+           sum(CASE WHEN ct > 0 AND cv > 0 THEN 1 ELSE 0 END) AS overlap_tokens,
+           round(sum(CAST(p * ln(p / q) AS DECIMAL(38,18)))::DOUBLE, 6) AS kl_train_val,
+           round(sum(CAST(q * ln(q / p) AS DECIMAL(38,18)))::DOUBLE, 6) AS kl_val_train,
+           round(sum(CAST(p * ln(p / ((p + q) / 2)) / 2 AS DECIMAL(38,18)))::DOUBLE
+                 + sum(CAST(q * ln(q / ((p + q) / 2)) / 2 AS DECIMAL(38,18)))::DOUBLE,
+                 6) AS js_divergence
+    FROM pq
+    """,
+)
+def split_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val distribution drift on unigrams (corpus.split_divergence):
+    add-one-smoothed KL both ways + Jensen–Shannon + vocab overlap.
+    Aggregates bounded by vocab, never corpus size; KL terms summed as
+    DECIMAL(38,18) so the fold is order-independent cross-engine."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.split_divergence(d)
+
+
+@query(
+    "length_bucket_stats",
+    oracle=f"""
+    WITH n AS (
+        SELECT len({_SQL_TOKS}) AS n_tokens FROM documents
+        WHERE len({_SQL_TOKS}) >= 1
+    ),
+    b AS (SELECT n_tokens, length(bin(n_tokens)) AS blen FROM n)
+    SELECT CAST((1::BIGINT) << (blen - 1) AS BIGINT) AS bucket_min,
+           CAST(((1::BIGINT) << blen) - 1 AS BIGINT) AS bucket_max,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           round(sum(n_tokens)::DOUBLE / (count(*) * (((1::BIGINT) << blen) - 1)), 6)
+             AS fill_ratio
+    FROM b GROUP BY blen
+    """,
+)
+def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length power-of-two bucketing for batch packing: per
+    bucket [2^(b−1), 2^b), document count, token total, and the fill
+    ratio if every doc pads to the bucket cap — the padding-efficiency
+    report that decides batching geometry before a training run. The
+    bucket index is the integer bit-length of the token count (exact,
+    no float log); one scan + a ≤64-group aggregate."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    n = d.select(tx.token_count("text").cast("bigint").alias("n_tokens")).filter(
+        F.col("n_tokens") >= 1
+    )
+    b = n.withColumn("blen", F.length(F.bin(F.col("n_tokens"))).cast("int"))
+    cap = F.expr("shiftleft(1L, blen)") - 1
+    return (
+        b.groupBy("blen")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            F.expr("shiftleft(1L, blen - 1)").alias("bucket_min"),
+            cap.alias("bucket_max"),
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / (F.col("n_docs") * cap), 6
+            ).alias("fill_ratio"),
+        )
+    )
+
+
 @query(
     "windowed_hll_users",
     oracle=f"""
@@ -4443,6 +4537,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "zorder_cluster_stats",
     "minhash_accuracy",
     "windowed_hll_users",
+    "split_divergence",
+    "length_bucket_stats",
     "bloom_filter_join_stats",
     "weighted_sample_docs",
     # --- never driver-checked before this round (registered post-window
@@ -4455,7 +4551,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "levenshtein_pairs",
     "json_props",
     "join_full_outer",
-    "array_functions",
     "map_functions",
     "unpivot_metrics",
     "subquery_exists_cte",
@@ -4467,12 +4562,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_normalize",
     "redact_pii",
     "repetition_ratio",
-    "setop_except_all",
     "zscore_outliers",
     "column_profile",
     "winnow_fingerprint",
-    # --- first out-of-window: deferred to r4 (lowest-risk plain agg) ---
+    # --- first out-of-window: deferred to r4 (lowest-risk plain ops) ---
     "value_histogram",
+    "setop_except_all",
+    "array_functions",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",

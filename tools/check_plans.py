@@ -164,6 +164,8 @@ EXPECT = {
     # --- sketches / bloom / sampling / dedup-eval ---
     "minhash_accuracy": (2, False, False),
     "windowed_hll_users": (2, False, False),
+    "split_divergence": (2, False, True),  # 1-row vocab/totals broadcast: intended
+    "length_bucket_stats": (1, False, False),
     "bloom_filter_join_stats": (2, True, False),
     "weighted_sample_docs": (2, True, False),
     "cms_heavy_hitters": (1, False, False),
