@@ -523,3 +523,64 @@ def test_rocksdb_state_store_posture(spark, events_dir):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, old)
+
+
+def test_streaming_incremental_dedup_ingest(spark, tmp_path):
+    """Production ingest-dedup shape on a real stream: documents arrive
+    in micro-batches (maxFilesPerTrigger=1); each batch is checked for
+    near-dups WITHIN itself (candidate_pairs_from_bands) and AGAINST
+    everything already accepted (incremental_lsh_pairs — new×corpus
+    only, corpus×corpus never recomputed), then appended to the corpus.
+    After draining, the union of per-batch pair sets must equal the
+    batch-mode LSH pairs over the full corpus: every pair is either
+    intra-batch or cross-batch exactly once."""
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+
+    base = "some repeated boilerplate text about topic"
+    rows = [(i, f"{base} {i % 7} with a few extra words number {i % 3}") for i in range(120)]
+    src_dir = str(tmp_path / "docs_src")
+    # three files → three micro-batches, disjoint id ranges
+    for b in range(3):
+        spark.createDataFrame(rows[b * 40 : (b + 1) * 40], "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+
+    corpus_dir = str(tmp_path / "accepted")
+    pairs_dir = str(tmp_path / "pairs")
+    schema = spark.read.parquet(src_dir).schema
+
+    def handle(batch_df, batch_id):
+        batch_df = batch_df.persist()
+        intra = dd.candidate_pairs_from_bands(dd.minhash_bands(batch_df))
+        try:
+            corpus = batch_df.sparkSession.read.parquet(corpus_dir)
+            cross = dd.incremental_lsh_pairs(batch_df, corpus).select(
+                F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+            )
+            all_pairs = intra.unionByName(cross)
+        except Exception:
+            all_pairs = intra  # first batch: no corpus yet
+        all_pairs.write.mode("append").parquet(pairs_dir)
+        batch_df.write.mode("append").parquet(corpus_dir)
+        batch_df.unpersist()
+
+    sq = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+
+    got = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in dd.lsh_candidate_pairs(full).collect()
+    }
+    assert got == want and len(want) > 0
