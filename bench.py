@@ -52,6 +52,13 @@ HEADLINE = [
     "stateful_running_total",
     "lsh_topk",
     "token_counts",
+    # round 3 additions: TPC-H join shapes, sketches, quality, corpus stats
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    "bloom_filter_join_stats",
+    "windowed_hll_users",
+    "data_quality_report",
+    "split_divergence",
 ]
 
 

@@ -27,7 +27,9 @@ def test_driver_window_priority_ordering():
 
     names = list(entrymod.queries())
     window = set(names[:50])
-    assert set(qr._DRIVER_WINDOW_PRIORITY) <= window
+    # the priority list's 50-entry prefix IS the driver window; entries
+    # beyond it are the explicit parking order for future rounds
+    assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
     # round 3: every query whose plan changed this round, plus every
     # query that had never earned a driver row through round 2
     assert {

@@ -218,3 +218,67 @@ def test_global_rank_and_ntile_match_duckdb(spark, vals, buckets):
     ).fetchall()
     assert got_rank == {i: r for i, r, _ in exp}
     assert got_bucket == {i: n for i, _, n in exp}
+
+
+# ---------------------------------------------------------------------------
+# Sketch properties (round 3): the mathematical guarantees must hold on
+# ADVERSARIAL small inputs, not just the benchmark tables.
+# ---------------------------------------------------------------------------
+
+sketch_keys = st.lists(st.integers(-50, 50), min_size=1, max_size=60)
+
+
+@given(ks=sketch_keys)
+@settings(**SETTINGS)
+def test_cms_never_undercounts_property(spark, ks):
+    from collections import Counter
+
+    from covid_custom_sql_engine_spark.functions import sketches as sk
+
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    est = {
+        r.k: r.est_count
+        for r in sk.cms_estimate(
+            sk.cms_sketch(df, "k", depth=3, width=32),
+            df.select("k").distinct(),
+            "k",
+            depth=3,
+            width=32,
+        ).collect()
+    }
+    true = Counter(ks)
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true)
+
+
+@given(ks=sketch_keys)
+@settings(**SETTINGS)
+def test_hll_split_merge_equals_whole_property(spark, ks):
+    """For ANY split of the rows, merged registers == whole-input
+    registers (associativity/commutativity of the max-merge)."""
+    from covid_custom_sql_engine_spark.functions import sketches as sk
+
+    mid = len(ks) // 2
+    df_a = spark.createDataFrame([(k,) for k in ks[:mid]] or [(None,)], "k long").filter("k IS NOT NULL")
+    df_b = spark.createDataFrame([(k,) for k in ks[mid:]], "k long")
+    whole = spark.createDataFrame([(k,) for k in ks], "k long")
+    merged = (
+        sk.hll_registers(df_a, "k", p=6)
+        .unionByName(sk.hll_registers(df_b, "k", p=6))
+        .groupBy("bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    key = lambda d: sorted((r.bucket, r.m_rho) for r in d.collect())
+    assert key(merged) == key(sk.hll_registers(whole, "k", p=6))
+
+
+@given(ks=sketch_keys)
+@settings(**SETTINGS)
+def test_bloom_membership_property(spark, ks):
+    """No member ever fails its own filter, for any key multiset."""
+    from covid_custom_sql_engine_spark.functions import sketches as sk
+
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    bits = sk.bloom_bits(df, "k", num_bits=256, num_hashes=4)
+    probed = sk.bloom_probe(bits, df.select("k").distinct(), "k", 256, 4)
+    assert probed.filter(~F.col("maybe_present")).count() == 0
