@@ -4154,6 +4154,90 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT 8 AS k,
+           count(*) AS n_groups,
+           sum(CASE WHEN sz < 8 THEN 1 ELSE 0 END) AS n_risky_groups,
+           sum(CASE WHEN sz < 8 THEN sz ELSE 0 END)::BIGINT AS n_risky_rows,
+           round(sum(CASE WHEN sz < 8 THEN sz ELSE 0 END)::DOUBLE / sum(sz), 6)
+             AS risky_row_frac
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate for a release/training set: group by the quasi-
+    identifier tuple (nation, market segment) and report how many
+    equivalence classes — and rows — fall below k=8 (re-identifiable
+    cohorts). One hash aggregate bounded by QI-combination cardinality
+    + a ≤groups fold; run it before any export the same way
+    data_quality_report gates schema contracts."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("sz"))
+    risky = F.when(F.col("sz") < 8, F.col("sz")).otherwise(0)
+    return g.agg(
+        F.lit(8).alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("sz") < 8, 1).otherwise(0)).alias("n_risky_groups"),
+        F.sum(risky).cast("bigint").alias("n_risky_rows"),
+        F.round(F.sum(risky).cast("double") / F.sum("sz"), 6).alias("risky_row_frac"),
+    )
+
+
+@query(
+    "winsorize_values",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS n_capped_low,
+           sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS n_capped_high,
+           round({_sql_davg('value')}, 6) AS avg_raw,
+           round({_sql_davg('greatest(p01, least(p99, value))')}, 6) AS avg_winsorized
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier capping at exact per-group p01/p99 — computed with the
+    scale-safe two-phase bucketed selection (selection.
+    grouped_exact_quantiles: O(buckets) state per group, never the
+    object-path percentile aggregate), broadcast back onto one event
+    scan. Reports cap counts and the raw vs winsorized mean per type —
+    the robust-statistics preprocessing step for noisy telemetry."""
+    from covid_custom_sql_engine_spark.operators.selection import (
+        grouped_exact_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    q = grouped_exact_quantiles(
+        e, "event_type", "value", [0.01, 0.99], ["p01", "p99"]
+    ).select("event_type", "p01", "p99")
+    j = e.join(F.broadcast(q), "event_type")
+    capped = F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("value")))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0)).alias(
+            "n_capped_low"
+        ),
+        F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias(
+            "n_capped_high"
+        ),
+        F.round(ops.davg(F.col("value")), 6).alias("avg_raw"),
+        F.round(ops.davg(capped), 6).alias("avg_winsorized"),
+    )
+
+
 _SQL_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')"
 
 
@@ -4539,6 +4623,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "windowed_hll_users",
     "split_divergence",
     "length_bucket_stats",
+    "k_anonymity_audit",
+    "winsorize_values",
     "bloom_filter_join_stats",
     "weighted_sample_docs",
     # --- never driver-checked before this round (registered post-window
@@ -4551,7 +4637,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "levenshtein_pairs",
     "json_props",
     "join_full_outer",
-    "map_functions",
     "unpivot_metrics",
     "subquery_exists_cte",
     "hash_sample",
@@ -4562,13 +4647,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_normalize",
     "redact_pii",
     "repetition_ratio",
-    "zscore_outliers",
     "column_profile",
     "winnow_fingerprint",
     # --- first out-of-window: deferred to r4 (lowest-risk plain ops) ---
     "value_histogram",
     "setop_except_all",
     "array_functions",
+    "zscore_outliers",
+    "map_functions",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",

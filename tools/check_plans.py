@@ -165,6 +165,8 @@ EXPECT = {
     "minhash_accuracy": (2, False, False),
     "windowed_hll_users": (2, False, False),
     "split_divergence": (2, False, True),  # 1-row vocab/totals broadcast: intended
+    "k_anonymity_audit": (2, False, False),
+    "winsorize_values": (2, False, True),  # 1-row quantile-stats broadcast inside the two-phase selection: intended
     "length_bucket_stats": (1, False, False),
     "bloom_filter_join_stats": (2, True, False),
     "weighted_sample_docs": (2, True, False),
