@@ -4155,6 +4155,50 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
+    s AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt FROM c)
+    SELECT c.key, c.cnt,
+           round(c.cnt::DOUBLE / s.n_rows, 6) AS row_share,
+           round(s.max_cnt::DOUBLE * s.n_keys / s.n_rows, 6) AS skew_ratio
+    FROM c, s
+    ORDER BY c.cnt DESC, c.key
+    LIMIT 5
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 5 heaviest order keys with their
+    row share, plus the global skew ratio (max key count / mean key
+    count) — the number that decides between a plain shuffle join, AQE
+    skew split, and joins.salted_join. One bounded hash aggregate + a
+    1-row stats broadcast + TakeOrdered; run it on any prospective join
+    key before committing a 100 TB shuffle strategy."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    s = F.broadcast(
+        c.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+        )
+    )
+    return (
+        c.crossJoin(s)
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6).alias("row_share"),
+            F.round(
+                F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(5)
+    )
+
+
+@query(
     "k_anonymity_audit",
     oracle="""
     WITH g AS (
@@ -4625,6 +4669,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "length_bucket_stats",
     "k_anonymity_audit",
     "winsorize_values",
+    "key_skew_profile",
     "bloom_filter_join_stats",
     "weighted_sample_docs",
     # --- never driver-checked before this round (registered post-window
@@ -4637,7 +4682,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "levenshtein_pairs",
     "json_props",
     "join_full_outer",
-    "unpivot_metrics",
     "subquery_exists_cte",
     "hash_sample",
     "stratified_sample",
@@ -4655,6 +4699,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "array_functions",
     "zscore_outliers",
     "map_functions",
+    "unpivot_metrics",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",

@@ -166,6 +166,7 @@ EXPECT = {
     "windowed_hll_users": (2, False, False),
     "split_divergence": (2, False, True),  # 1-row vocab/totals broadcast: intended
     "k_anonymity_audit": (2, False, False),
+    "key_skew_profile": (1, False, True),  # 1-row skew-stats broadcast: intended
     "winsorize_values": (2, False, True),  # 1-row quantile-stats broadcast inside the two-phase selection: intended
     "length_bucket_stats": (1, False, False),
     "bloom_filter_join_stats": (2, True, False),
