@@ -330,3 +330,87 @@ def pca_power_step(
             F.round(F.col("_nrm") / F.col("_cnt"), 6).alias("score"),
         )
     )
+
+
+def _quantize_int8_cols(vec_col: str):
+    """(unit-normalized v, scale, int8 qv) projection — absmax
+    symmetric quantization AFTER unit normalization, with the
+    floor(x/s + 0.5) rounding both engines compute identically."""
+    v = (
+        f"CASE WHEN aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> x * y), "
+        f"0.0D, (acc, w) -> acc + w) = 0 THEN transform({vec_col}, x -> 0.0D) "
+        f"ELSE transform({vec_col}, x -> cast(x AS double) / "
+        f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, (x, y) -> x * y), "
+        f"0.0D, (acc, w) -> acc + w))) END"
+    )
+    scale = (
+        "CASE WHEN array_max(transform(_v, x -> abs(x))) = 0 THEN 1.0D "
+        "ELSE array_max(transform(_v, x -> abs(x))) / 127.0D END"
+    )
+    qv = (
+        "transform(_v, x -> cast(greatest(-127.0D, "
+        "least(127.0D, floor(x / _scale + 0.5D))) AS bigint))"
+    )
+    return v, scale, qv
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k retrieval over int8-quantized unit vectors: score =
+    integer dot product × both scales ≈ cosine. The quantized corpus is
+    4× smaller to scan/ship than float32 and the hot inner product is
+    exact bigint arithmetic (≤ 64·127² per pair — deterministic on any
+    engine, no float-order sensitivity), which is why quantized
+    retrieval is the memory-bound path at corpus scale. Same broadcast
+    cross + per-query top-k window as the float baseline so the two
+    rank lists are directly comparable (see the `int8_topk_recall`
+    evaluation query)."""
+    from pyspark.sql import Window
+
+    def prep(df, in_id, alias_prefix):
+        vexpr, sexpr, qexpr = _quantize_int8_cols("_vd")
+        cast = F.expr(f"transform({vec_col}, x -> cast(x AS double))")
+        return (
+            df.withColumn("_vd", cast)
+            .withColumn("_v", F.expr(vexpr))
+            .withColumn("_scale", F.expr(sexpr))
+            .withColumn("_q", F.expr(qexpr))
+            .select(
+                F.col(in_id),
+                F.col("_scale").alias(f"{alias_prefix}_scale"),
+                F.col("_q").alias(f"{alias_prefix}_q"),
+            )
+        )
+
+    q = F.broadcast(prep(queries, query_id_col, "q"))
+    c = prep(embeddings, id_col, "c")
+    idot = F.aggregate(
+        F.zip_with("q_q", "c_q", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (idot.cast("double") * F.col("q_scale") * F.col("c_scale")).alias(
+                "q_cos"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("q_cos").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "q_cos", F.col("_rn").alias("rank"))
+    )

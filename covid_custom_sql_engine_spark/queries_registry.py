@@ -4154,6 +4154,72 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SQL_INT8_NORM = (
+    "CASE WHEN list_dot_product(vd, vd) = 0 THEN list_transform(vd, x -> 0.0) "
+    "ELSE list_transform(vd, x -> x / sqrt(list_dot_product(vd, vd))) END"
+)
+_SQL_INT8_SCALE = (
+    "CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0 "
+    "ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END"
+)
+_SQL_INT8_QV = (
+    "list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / s + 0.5)))::BIGINT)"
+)
+
+
+@query(
+    "int8_topk_recall",
+    oracle=f"""
+    WITH nq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS vd
+                FROM embeddings WHERE vec_id <= 4),
+    nc AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+    pq0 AS (SELECT query_id, {_SQL_INT8_NORM} AS v FROM nq),
+    pq1 AS (SELECT query_id, v, {_SQL_INT8_SCALE} AS s FROM pq0),
+    pq AS (SELECT query_id, s AS sq, {_SQL_INT8_QV} AS qq FROM pq1),
+    pc0 AS (SELECT vec_id, {_SQL_INT8_NORM} AS v FROM nc),
+    pc1 AS (SELECT vec_id, v, {_SQL_INT8_SCALE} AS s FROM pc0),
+    pc AS (SELECT vec_id, s AS sc, {_SQL_INT8_QV} AS qc FROM pc1),
+    scored AS (SELECT query_id, vec_id,
+                      list_dot_product(qq, qc) * sq * sc AS q_cos
+               FROM pq CROSS JOIN pc WHERE vec_id != query_id),
+    ap AS (SELECT query_id, vec_id FROM scored
+           QUALIFY row_number() OVER (PARTITION BY query_id
+                                      ORDER BY q_cos DESC, vec_id) <= 5),
+    ex AS ({ORACLES['cosine_topk']}),
+    hits AS (SELECT ex.query_id, count(*) AS n_hits
+             FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+             GROUP BY ex.query_id),
+    per AS (SELECT query_id, count(*) AS k FROM ex GROUP BY query_id)
+    SELECT per.query_id, per.k, coalesce(hits.n_hits, 0) AS n_hits,
+           round(coalesce(hits.n_hits, 0)::DOUBLE / per.k, 6) AS recall
+    FROM per LEFT JOIN hits ON per.query_id = hits.query_id
+    """,
+)
+def int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-retrieval audit: recall@5 of int8 inner-product top-k
+    (similarity.int8_topk — 4× smaller vectors, exact bigint hot loop)
+    against the float cosine baseline, per query. The evaluation that
+    licenses scanning a quantized corpus at 100 TB and re-ranking only
+    the survivors in float."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ap = sim.int8_topk(e, qs, k=5).select("query_id", "vec_id")
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    hits = ex.join(ap, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    n_hits = F.coalesce("n_hits", F.lit(0))
+    return per.join(hits, "query_id", "left").select(
+        "query_id",
+        "k",
+        n_hits.alias("n_hits"),
+        F.round(n_hits / F.col("k"), 6).alias("recall"),
+    )
+
+
 @query(
     "key_skew_profile",
     oracle="""
@@ -4670,6 +4736,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "k_anonymity_audit",
     "winsorize_values",
     "key_skew_profile",
+    "int8_topk_recall",
     "bloom_filter_join_stats",
     "weighted_sample_docs",
     # --- never driver-checked before this round (registered post-window
@@ -4683,7 +4750,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "json_props",
     "join_full_outer",
     "subquery_exists_cte",
-    "hash_sample",
     "stratified_sample",
     "token_counts",
     "hourly_change",
@@ -4700,6 +4766,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "zscore_outliers",
     "map_functions",
     "unpivot_metrics",
+    "hash_sample",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",

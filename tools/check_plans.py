@@ -167,6 +167,7 @@ EXPECT = {
     "split_divergence": (2, False, True),  # 1-row vocab/totals broadcast: intended
     "k_anonymity_audit": (2, False, False),
     "key_skew_profile": (1, False, True),  # 1-row skew-stats broadcast: intended
+    "int8_topk_recall": (2, True, True),  # broadcast NLJ of 5-row query set (as cosine_topk): intended
     "winsorize_values": (2, False, True),  # 1-row quantile-stats broadcast inside the two-phase selection: intended
     "length_bucket_stats": (1, False, False),
     "bloom_filter_join_stats": (2, True, False),
