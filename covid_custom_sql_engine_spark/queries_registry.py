@@ -4154,6 +4154,103 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SQL_SURFACE = f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           {{dsum}} AS sum_revenue,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY l_returnflag
+"""
+
+
+@query(
+    "sql_surface",
+    oracle=f"""
+    SELECT l_returnflag, n_rows, sum_revenue,
+           strftime(min_ship, '%Y-%m-%d') AS min_ship_date,
+           strftime(max_ship, '%Y-%m-%d') AS max_ship_date
+    FROM ({_SQL_SURFACE.format(dsum=_sql_dsum('l_extendedprice * (1 - l_discount)'))})
+    """,
+)
+def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: register the catalog as temp views and run a
+    TEXTUAL SQL query through ``spark.sql`` — proving a reference user
+    can bring plain SQL, not just the DataFrame API, and Catalyst plans
+    it identically (same pushdown/pruning guards apply). The statement
+    text is shared with the DuckDB oracle modulo each engine's
+    decimal-sum/strftime rendering."""
+    from covid_custom_sql_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    spark_sql = _SQL_SURFACE.format(
+        dsum="CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)"
+    )
+    return spark.sql(spark_sql).select(
+        "l_returnflag",
+        "n_rows",
+        "sum_revenue",
+        F.date_format("min_ship", "yyyy-MM-dd").alias("min_ship_date"),
+        F.date_format("max_ship", "yyyy-MM-dd").alias("max_ship_date"),
+    )
+
+
+@query(
+    "chi_square_flags",
+    oracle=f"""
+    WITH obs AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS o
+        FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    margins AS (
+        SELECT obs.rf, obs.ls, obs.o,
+               sum(obs.o) OVER (PARTITION BY obs.rf) AS row_tot,
+               sum(obs.o) OVER (PARTITION BY obs.ls) AS col_tot,
+               tot.n
+        FROM obs, tot
+    )
+    SELECT count(*) AS n_cells,
+           round(sum(CAST(
+               (o - row_tot * col_tot / CAST(n AS DOUBLE))
+               * (o - row_tot * col_tot / CAST(n AS DOUBLE))
+               / (row_tot * col_tot / CAST(n AS DOUBLE))
+               AS DECIMAL(38,18)))::DOUBLE, 6) AS chi2
+    FROM margins
+    """,
+)
+def chi_square_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the (returnflag ×
+    linestatus) contingency table: observed cell counts from one hash
+    aggregate (bounded by category-pair cardinality), margins from
+    windows over those few rows, the statistic folded with a
+    DECIMAL(38,18) sum so the result is order-independent. The
+    categorical-drift screen for ingest QA — at 100 TB only the tiny
+    contingency table ever leaves the scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    obs = l.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = F.broadcast(obs.agg(F.sum("o").alias("n")))
+    wr = Window.partitionBy("rf")
+    wc = Window.partitionBy("ls")
+    m = (
+        obs.crossJoin(tot)
+        .withColumn("row_tot", F.sum("o").over(wr))
+        .withColumn("col_tot", F.sum("o").over(wc))
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    term = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum(term.cast("decimal(38,18)")).cast("double"), 6
+        ).alias("chi2"),
+    )
+
+
 _SQL_INT8_NORM = (
     "CASE WHEN list_dot_product(vd, vd) = 0 THEN list_transform(vd, x -> 0.0) "
     "ELSE list_transform(vd, x -> x / sqrt(list_dot_product(vd, vd))) END"
@@ -4737,6 +4834,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "winsorize_values",
     "key_skew_profile",
     "int8_topk_recall",
+    "sql_surface",
+    "chi_square_flags",
     "bloom_filter_join_stats",
     "weighted_sample_docs",
     # --- never driver-checked before this round (registered post-window
@@ -4747,12 +4846,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_distinct_users",
     "attribution_left",
     "levenshtein_pairs",
-    "json_props",
     "join_full_outer",
     "subquery_exists_cte",
     "stratified_sample",
     "token_counts",
-    "hourly_change",
     "window_distribution",
     "embedding_normalize",
     "redact_pii",
@@ -4767,6 +4864,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "map_functions",
     "unpivot_metrics",
     "hash_sample",
+    "json_props",
+    "hourly_change",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",
