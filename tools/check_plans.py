@@ -168,7 +168,7 @@ EXPECT = {
     "k_anonymity_audit": (2, False, False),
     "key_skew_profile": (1, False, True),  # 1-row skew-stats broadcast: intended
     "int8_topk_recall": (2, True, True),  # broadcast NLJ of 5-row query set (as cosine_topk): intended
-    "sql_surface": (4, True, False),
+    "sql_surface": (5, True, False),
     "chi_square_flags": (2, False, True),  # 1-row grand-total broadcast: intended
     "winsorize_values": (2, False, True),  # 1-row quantile-stats broadcast inside the two-phase selection: intended
     "length_bucket_stats": (1, False, False),
