@@ -97,3 +97,41 @@ def test_zorder_enables_second_dimension_pruning(spark):
     assert pruned(zboxes, 0.0, 100.0) >= len(zboxes) // 2   # z-order: most prune
     # and every z-ordered partition is tight on b (≤ 2 Morton tiles)
     assert all(hi - lo <= 600 for lo, hi in zboxes)
+
+
+def test_zorder_three_columns(spark):
+    """k=3 interleave: rows survive intact and the clustering benefit
+    extends to BOTH non-leading dimensions — with 32 partitions over a
+    24-bit Morton key each partition fixes ~1.67 top bits per dim, so
+    the AVERAGE b/c spans must sit well under the full domain, where a
+    linear sort on `a` leaves b and c unconstrained (~full-domain span
+    in every partition). Individual partitions may straddle a high-bit
+    boundary (span up to the domain), so the assertion is on means."""
+    df = spark.range(12_000).select(
+        F.pmod(F.hash("id"), F.lit(256)).cast("bigint").alias("a"),
+        F.pmod(F.hash(F.col("id") + 1), F.lit(256)).cast("double").alias("b"),
+        F.pmod(F.hash(F.col("id") + 2), F.lit(256)).cast("double").alias("c"),
+    )
+    bounds = [(0.0, 256.0)] * 3
+    out = zo.zorder_by(df, ["a", "b", "c"], bounds, bits=8, num_partitions=32)
+    assert out.count() == 12_000
+
+    def mean_spans(frame):
+        rows = (
+            frame.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(
+                (F.max("b") - F.min("b")).alias("sb"),
+                (F.max("c") - F.min("c")).alias("sc"),
+            )
+            .collect()
+        )
+        return (
+            sum(r.sb for r in rows) / len(rows),
+            sum(r.sc for r in rows) / len(rows),
+        )
+
+    zb, zc = mean_spans(out)
+    lb, lc = mean_spans(df.repartitionByRange(32, "a").sortWithinPartitions("a"))
+    assert zb < 0.6 * lb and zc < 0.6 * lc
+    assert lb > 200 and lc > 200  # linear layout really is unconstrained on b/c
