@@ -4154,6 +4154,48 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query(
+    "frequent_part_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS support
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs bought together.
+    The pair blow-up is the per-basket C(items,2) — bounded by basket
+    size, never corpus size — generated by a self equi-join on the
+    order key (the standard first pass of frequent-itemset mining);
+    candidates aggregate with map-side combine, top-20 by
+    TakeOrderedAndProject with full tiebreaks. At 100 TB the only
+    watch-item is a pathological mega-basket, the same guard class as
+    the LSH bucket cap."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
 _SQL_SURFACE = f"""
     SELECT l_returnflag,
            count(*) AS n_rows,
@@ -4836,6 +4878,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "int8_topk_recall",
     "sql_surface",
     "chi_square_flags",
+    "frequent_part_pairs",
     "bloom_filter_join_stats",
     "weighted_sample_docs",
     # --- never driver-checked before this round (registered post-window
@@ -4851,7 +4894,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "stratified_sample",
     "token_counts",
     "window_distribution",
-    "embedding_normalize",
     "redact_pii",
     "repetition_ratio",
     "column_profile",
@@ -4866,6 +4908,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hash_sample",
     "json_props",
     "hourly_change",
+    "embedding_normalize",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",

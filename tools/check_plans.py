@@ -169,6 +169,7 @@ EXPECT = {
     "key_skew_profile": (1, False, True),  # 1-row skew-stats broadcast: intended
     "int8_topk_recall": (2, True, True),  # broadcast NLJ of 5-row query set (as cosine_topk): intended
     "sql_surface": (5, True, False),
+    "frequent_part_pairs": (2, False, False),
     "chi_square_flags": (2, False, True),  # 1-row grand-total broadcast: intended
     "winsorize_values": (2, False, True),  # 1-row quantile-stats broadcast inside the two-phase selection: intended
     "length_bucket_stats": (1, False, False),
