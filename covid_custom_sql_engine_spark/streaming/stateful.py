@@ -144,3 +144,85 @@ def running_totals_tws(events: DataFrame, watermark: str = "30 minutes") -> Data
             RunningTotals(), OUT_SCHEMA, outputMode="append", timeMode="none"
         )
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, n_events long, total double, session_end string"
+)
+_SESSION_STATE_SCHEMA = "n long, total double, last_ms long"
+
+
+def session_summaries_tws(
+    events: DataFrame, gap_ms: int = 30 * 60 * 1000, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Idle-gap session summaries with EVENT-TIME TIMERS on
+    ``transformWithStateInPandas`` — the state-API capability none of
+    the window builders cover: output is produced when a key goes
+    QUIET, not when a row arrives. Each input row folds into a named
+    ValueState (count, sum, last event ms) and re-arms a timer at
+    ``last_ms + gap_ms``; when the watermark passes that instant Spark
+    calls ``handleExpiredTimer``, which emits ONE summary row for the
+    session and clears the state — so executor state holds only the
+    ACTIVE keys, and a key that stops arriving costs nothing after its
+    timer fires (the 100 TB eviction story, enforced by the engine
+    rather than by convention).
+
+    Same runtime dependency as :func:`running_totals_tws`
+    (``google.protobuf`` for the TWS driver worker; the test skips
+    where it is absent).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionSummaries(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._acc = handle.getValueState("session", _SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n0, total0, last0 = (
+                self._acc.get() if self._acc.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                if len(pdf):
+                    n0 += len(pdf)
+                    total0 += float(pdf["value"].sum())
+                    last0 = max(
+                        last0, int(pdf["ts"].max().value // 1_000_000)
+                    )
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last0 + gap_ms)
+            self._acc.update((n0, total0, last0))
+            yield from ()
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._acc.exists():
+                n0, total0, last0 = self._acc.get()
+                end = pd.Timestamp(expiredTimerInfo.getExpiryTimeInMs(), unit="ms")
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n0],
+                        "total": [total0],
+                        "session_end": [end.strftime("%Y-%m-%d %H:%M:%S")],
+                    }
+                )
+                self._acc.clear()
+
+        def close(self) -> None:
+            pass
+
+    return (
+        with_event_time_watermark(events, "ts", watermark)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionSummaries(),
+            SESSION_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -630,3 +630,50 @@ def test_streaming_hll_register_maintenance(spark, events_dir, tmp_path):
     streamed = sk.hll_estimate(spark.read.parquet(regs_dir), p=8).collect()[0].hll_distinct
     batch = sk.hll_distinct(src, "user_id", p=8).collect()[0].hll_distinct
     assert streamed == batch
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState driver worker requires google.protobuf",
+)
+def test_session_summaries_tws_timer_emission(spark, events_dir, tmp_path):
+    """Timer-based TWS sessionization: one summary row per (user, idle
+    gap); totals must reconcile with the raw event counts/sums per
+    user, and state clears after each emission (append mode, event-time
+    timers). Skips where the TWS protobuf worker dependency is absent
+    (present on a real cluster)."""
+    from covid_custom_sql_engine_spark.streaming.stateful import (
+        session_summaries_tws,
+    )
+
+    src = spark.read.parquet(events_dir)
+    stream_src = spark.readStream.schema(src.schema).parquet(events_dir)
+    out_dir = str(tmp_path / "out")
+    sq = (
+        session_summaries_tws(stream_src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    per_user = {
+        r.user_id: (r.n, round(r.t, 6))
+        for r in got.groupBy("user_id")
+        .agg(F.sum("n_events").alias("n"), F.sum("total").alias("t"))
+        .collect()
+    }
+    # sessions closed so far must never exceed the user's raw totals,
+    # and every emitted session is non-empty
+    raw = {
+        r.user_id: (r.n, round(r.t, 6))
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got.filter("n_events <= 0").count() == 0
+    for u, (n, t) in per_user.items():
+        assert n <= raw[u][0]
