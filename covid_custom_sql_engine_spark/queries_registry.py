@@ -4155,6 +4155,121 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ols_trend_by_type",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type,
+               CAST(datediff('second', TIMESTAMP '2024-01-01', ts) AS DOUBLE) AS xs,
+               value AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               count(*) AS n,
+               {_sql_dsum('xs')} AS sx, {_sql_dsum('y')} AS sy,
+               {_sql_dsum('xs * xs')} AS sxx, {_sql_dsum('xs * y')} AS sxy
+        FROM x GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS slope_per_sec,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of value over event time, from the
+    closed-form normal equations — five decimal-summed moments per
+    group in ONE hash aggregate (map-side combinable; nothing iterative,
+    nothing collected). The decimal sums make the cancellation-prone
+    n·Σx²−(Σx)² arithmetic bit-identical cross-engine, so even the
+    ~1e-9-scale slope hash-matches. The drift detector for metric
+    streams at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    xs = F.expr("CAST(timestampdiff(SECOND, TIMESTAMP '2024-01-01', ts) AS DOUBLE)")
+    x = e.select("event_type", xs.alias("xs"), F.col("value").alias("y"))
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        ops.dsum(F.col("xs")).alias("sx"),
+        ops.dsum(F.col("y")).alias("sy"),
+        ops.dsum(F.col("xs") * F.col("xs")).alias("sxx"),
+        ops.dsum(F.col("xs") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 12).alias("slope_per_sec"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (SELECT median(l_quantity) AS m FROM lineitem),
+    dev AS (SELECT l_quantity, abs(l_quantity - med.m) AS d, med.m FROM lineitem, med),
+    mad AS (SELECT median(d) AS mad, max(m) AS m FROM dev)
+    SELECT round(mad.m, 6) AS median_qty,
+           round(mad.mad, 6) AS mad_qty,
+           sum(CASE WHEN abs(dev.l_quantity - mad.m) > 3 * 1.4826 * mad.mad
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           count(*) AS n_rows
+    FROM dev, mad
+    GROUP BY mad.m, mad.mad
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier count via Median Absolute Deviation — two chained
+    exact medians (quantity, then |quantity − median|), each the
+    two-phase bucketed selection (selection.exact_medians_plan:
+    O(buckets) state, 1-row broadcast back — never a single-partition
+    sort), then one counting pass with the 3·1.4826·MAD fence. The
+    robust alternative to z-scores when the metric has heavy tails;
+    three scans total at any scale."""
+    from covid_custom_sql_engine_spark.operators.selection import exact_medians_plan
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    med = F.broadcast(
+        exact_medians_plan(l, ["l_quantity"]).select(
+            F.col("median_l_quantity").alias("m")
+        )
+    )
+    dev = l.crossJoin(med).select(
+        "l_quantity", F.abs(F.col("l_quantity") - F.col("m")).alias("d"), "m"
+    )
+    mad = F.broadcast(
+        exact_medians_plan(dev.select("d"), ["d"]).select(
+            F.col("median_d").alias("mad")
+        )
+    )
+    return (
+        dev.crossJoin(mad)
+        .groupBy("m", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("l_quantity") - F.col("m"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.round("m", 6).alias("median_qty"),
+            F.round("mad", 6).alias("mad_qty"),
+            "n_outliers",
+            "n_rows",
+        )
+    )
+
+
+@query(
     "frequent_part_pairs",
     oracle="""
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -4879,6 +4994,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "sql_surface",
     "chi_square_flags",
     "frequent_part_pairs",
+    "ols_trend_by_type",
+    "mad_outliers",
     "bloom_filter_join_stats",
     "weighted_sample_docs",
     # --- never driver-checked before this round (registered post-window
@@ -4892,8 +5009,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_full_outer",
     "subquery_exists_cte",
     "stratified_sample",
-    "token_counts",
-    "window_distribution",
     "redact_pii",
     "repetition_ratio",
     "column_profile",
@@ -4909,6 +5024,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "json_props",
     "hourly_change",
     "embedding_normalize",
+    "token_counts",
+    "window_distribution",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",

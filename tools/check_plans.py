@@ -170,6 +170,8 @@ EXPECT = {
     "int8_topk_recall": (2, True, True),  # broadcast NLJ of 5-row query set (as cosine_topk): intended
     "sql_surface": (5, True, False),
     "frequent_part_pairs": (2, False, False),
+    "ols_trend_by_type": (3, False, False),
+    "mad_outliers": (1, False, True),  # 1-row median/MAD broadcasts: intended
     "chi_square_flags": (2, False, True),  # 1-row grand-total broadcast: intended
     "winsorize_values": (2, False, True),  # 1-row quantile-stats broadcast inside the two-phase selection: intended
     "length_bucket_stats": (1, False, False),
