@@ -4155,6 +4155,59 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_concentration",
+    oracle=f"""
+    WITH pc AS (
+        SELECT o_custkey, {_sql_dsum('o_totalprice')} AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev, o_custkey) AS rnk,
+               count(*) OVER () AS n
+        FROM pc
+    )
+    SELECT max(n) AS n_customers,
+           round(2.0 * {_sql_dsum('rnk * rev')} / (max(n) * {_sql_dsum('rev')})
+                 - (max(n) + 1.0) / max(n), 6) AS gini,
+           round({_sql_dsum('CASE WHEN rnk > 0.9 * n THEN rev ELSE 0 END')}
+                 / {_sql_dsum('rev')}, 6) AS top_decile_share
+    FROM r
+    """,
+)
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile: exact Gini coefficient and the
+    top-decile share of per-customer revenue. The rank-weighted Gini
+    formula needs a GLOBAL ascending rank — supplied by
+    selection.global_rank (pinned range exchange + bit-unpacked local
+    ranks, never a single-partition window), then one decimal-summed
+    fold. The whale-vs-long-tail report for any metric at any scale."""
+    from covid_custom_sql_engine_spark.operators.selection import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(ops.dsum(F.col("o_totalprice")).alias("rev"))
+    ranked = global_rank(pc, ["rev", "o_custkey"], out_col="rnk")
+    cnt = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("n")))
+    r = ranked.crossJoin(cnt)
+    n = F.max("n")
+    return r.agg(
+        n.alias("n_customers"),
+        F.round(
+            2.0 * ops.dsum(F.col("rnk") * F.col("rev")) / (n * ops.dsum(F.col("rev")))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+        F.round(
+            ops.dsum(
+                F.when(F.col("rnk") > 0.9 * F.col("n"), F.col("rev")).otherwise(0.0)
+            )
+            / ops.dsum(F.col("rev")),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
+@query(
     "ols_trend_by_type",
     oracle=f"""
     WITH x AS (
@@ -5026,6 +5079,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_normalize",
     "token_counts",
     "window_distribution",
+    "revenue_concentration",  # new in r3 post-window-freeze; first for r4
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",
