@@ -1210,6 +1210,49 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_dups(d, threshold=None)
 
 
+@query(
+    "containment_pairs",
+    oracle=f"""
+    {_sql_minhash_cte()}
+    SELECT c.id_a, c.id_b,
+           round(CASE WHEN len(x.sh) > 0
+                THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh)
+                ELSE 0.0 END, 6) AS containment_a_in_b,
+           round(CASE WHEN len(y.sh) > 0
+                THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh)
+                ELSE 0.0 END, 6) AS containment_b_in_a
+    FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC overlap for LSH candidate pairs: |A∩B|/|A| and
+    |A∩B|/|B| on the shingle sets — the partial-copy detector. Jaccard
+    misses a short document wholly quoted inside a long one (union
+    dominates); containment flags it from either side. Same equi-join
+    candidate generation as minhash_lsh_pairs (never all-pairs); the
+    two ratios come from one array_intersect per candidate."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    sh = dd.shingle_sets(d)
+    cand = dd.candidate_pairs_from_bands(
+        dd._bands_from_signatures(dd.minhash_signatures(sh, "doc_id", 12), "doc_id", 12, 3)
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_ab = F.when(F.size("sh_a") > 0, inter / F.size("sh_a")).otherwise(0.0)
+    c_ba = F.when(F.size("sh_b") > 0, inter / F.size("sh_b")).otherwise(0.0)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+    )
+
+
 def _sql_simhash() -> str:
     votes = ",\n           ".join(
         f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v_{j}"
@@ -5080,6 +5123,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "token_counts",
     "window_distribution",
     "revenue_concentration",  # new in r3 post-window-freeze; first for r4
+    "containment_pairs",      # ditto
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",
