@@ -4198,6 +4198,102 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (no commitdate in the driver schema): orders
+    per priority having at least one line shipped >60 days after
+    ordering. The EXISTS is a LEFTSEMI hash join on the order key with
+    the date comparison as the join-side filter — one shuffle, no
+    correlated re-scan, the decorrelation Catalyst applies to every
+    EXISTS at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "conversion_delay_quantiles",
+    oracle="""
+    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+    d AS (SELECT dayofweek(s0.t0) + 1 AS first_view_dow,
+                 CAST(epoch_us(s1.t1) - epoch_us(s0.t0) AS DOUBLE) AS delay_us
+          FROM s0 JOIN s1 USING (user_id))
+    SELECT CAST(first_view_dow AS INT) AS first_view_dow,
+           count(*) AS n,
+           round(quantile_cont(delay_us, 0.5) / 1e6, 6) AS p50_s,
+           round(quantile_cont(delay_us, 0.9) / 1e6, 6) AS p90_s
+    FROM d GROUP BY 1
+    """,
+)
+def conversion_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel LATENCY, not just counts: exact p50/p90 of each user's
+    first-view → first-subsequent-click delay, grouped by the weekday
+    of first view. The near-continuous second-scale delays are exactly
+    the distribution that OOMs Spark's object-path percentile aggregate
+    at scale, so the quantiles come from the grouped two-phase bucketed
+    selection (O(buckets) state per group) — same values to the last
+    bit as DuckDB's quantile_cont."""
+    from covid_custom_sql_engine_spark.operators.selection import (
+        grouped_exact_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    s0 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    s1 = (
+        e.join(s0, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    d = (
+        s0.join(s1, "user_id")
+        .select(
+            F.dayofweek("t0").alias("first_view_dow"),
+            F.expr("CAST(timestampdiff(MICROSECOND, t0, t1) AS DOUBLE)").alias(
+                "delay_us"
+            ),
+        )
+    )
+    q = grouped_exact_quantiles(
+        d, "first_view_dow", "delay_us", [0.5, 0.9], ["_p50", "_p90"]
+    )
+    return q.select(
+        F.col("first_view_dow").cast("int").alias("first_view_dow"),
+        F.col("n"),
+        F.round(F.col("_p50") / 1e6, 6).alias("p50_s"),
+        F.round(F.col("_p90") / 1e6, 6).alias("p90_s"),
+    )
+
+
+@query(
     "revenue_concentration",
     oracle=f"""
     WITH pc AS (
@@ -5124,6 +5220,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_distribution",
     "revenue_concentration",  # new in r3 post-window-freeze; first for r4
     "containment_pairs",      # ditto
+    "tpch_q4_order_priority",
+    "conversion_delay_quantiles",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",
