@@ -4198,6 +4198,39 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q13_order_count_dist",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts (excluding
+    one priority class), zero-order customers included via the LEFT
+    join — the double-aggregate shape whose first level shuffles on the
+    customer key and whose second level collapses to ≤max-orders-per-
+    customer groups. The customer side broadcasts; count(o_orderkey)
+    counts only matched rows, so the left join needs no COALESCE."""
+    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
     "tpch_q4_order_priority",
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count
@@ -5221,6 +5254,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "revenue_concentration",  # new in r3 post-window-freeze; first for r4
     "containment_pairs",      # ditto
     "tpch_q4_order_priority",
+    "tpch_q13_order_count_dist",
     "conversion_delay_quantiles",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
