@@ -4198,6 +4198,75 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xmr_control_limits",
+    oracle=f"""
+    WITH mr AS (
+        SELECT event_type, value,
+               abs(value - lag(value) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id)) AS moving_range
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, count(*) AS n,
+               {_sql_davg('value')} AS xbar,
+               {_sql_davg('moving_range')} AS mrbar
+        FROM mr GROUP BY event_type
+    )
+    SELECT mr.event_type, max(s.n) AS n,
+           round(max(s.xbar), 6) AS xbar,
+           round(max(s.mrbar), 6) AS mrbar,
+           sum(CASE WHEN mr.value > s.xbar + 2.66 * s.mrbar THEN 1 ELSE 0 END)
+             AS n_above_ucl,
+           sum(CASE WHEN mr.value < s.xbar - 2.66 * s.mrbar THEN 1 ELSE 0 END)
+             AS n_below_lcl
+    FROM mr JOIN s USING (event_type)
+    GROUP BY mr.event_type
+    """,
+)
+def xmr_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart per event type:
+    mean, mean consecutive |Δ|, and the count of points breaching the
+    ±2.66·mR̄ natural process limits — the SPC screen for metric
+    streams. One shuffle on the type key covers the lag window AND the
+    per-type stats; the ≤|types|-row limits frame broadcasts back onto
+    the same partitioning for the breach count. Decimal-summed means →
+    hash-stable limits cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    mr = e.select(
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.lag("value").over(w)).alias("moving_range"),
+    )
+    s = F.broadcast(
+        mr.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            ops.davg(F.col("value")).alias("xbar"),
+            ops.davg(F.col("moving_range")).alias("mrbar"),
+        )
+    )
+    return (
+        mr.join(s, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("xbar"), 6).alias("xbar"),
+            F.round(F.max("mrbar"), 6).alias("mrbar"),
+            F.sum(
+                F.when(
+                    F.col("value") > F.col("xbar") + 2.66 * F.col("mrbar"), 1
+                ).otherwise(0)
+            ).alias("n_above_ucl"),
+            F.sum(
+                F.when(
+                    F.col("value") < F.col("xbar") - 2.66 * F.col("mrbar"), 1
+                ).otherwise(0)
+            ).alias("n_below_lcl"),
+        )
+    )
+
+
+@query(
     "tpch_q13_order_count_dist",
     oracle="""
     WITH per_cust AS (
@@ -5256,6 +5325,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q4_order_priority",
     "tpch_q13_order_count_dist",
     "conversion_delay_quantiles",
+    "xmr_control_limits",
     # --- stable greens re-confirmed: the families where silent breakage
     # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
     "tumbling_window",
