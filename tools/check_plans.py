@@ -174,7 +174,7 @@ EXPECT = {
     "revenue_concentration": (2, False, True),  # 1-row customer-count broadcast onto the pinned ranked frame: intended
     "containment_pairs": (2, False, False),
     "tpch_q4_order_priority": (3, True, False),
-    "tpch_q13_order_count_dist": (2, True, False),
+    "tpch_q13_order_count_dist": (3, True, False),
     "xmr_control_limits": (4, False, False),
     "conversion_delay_quantiles": (3, True, False),
     "mad_outliers": (1, False, True),  # 1-row median/MAD broadcasts: intended
