@@ -3354,8 +3354,8 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
           FROM t)
-    SELECT doc_id, n_tokens, cum // {cp.PACK_BUDGET} AS shard,
-           cum % {cp.PACK_BUDGET} AS shard_offset
+    SELECT doc_id, n_tokens, (cum // {cp.PACK_BUDGET})::BIGINT AS shard,
+           (cum % {cp.PACK_BUDGET})::BIGINT AS shard_offset
     FROM c
     """,
 )
@@ -4134,12 +4134,12 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT count(*) AS total,
-               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
                sum(CASE WHEN NOT (l_returnflag IN ('A','N','R') OR l_returnflag IS NULL)
-                        THEN 1 ELSE 0 END) AS v1,
+                        THEN 1 ELSE 0 END)::BIGINT AS v1,
                sum(CASE WHEN NOT ((l_quantity BETWEEN 1 AND 45) OR l_quantity IS NULL)
-                        THEN 1 ELSE 0 END) AS v2,
-               sum(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END) AS v3,
+                        THEN 1 ELSE 0 END)::BIGINT AS v2,
+               sum(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END)::BIGINT AS v3,
                count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v4
         FROM lineitem
     ),
@@ -4215,9 +4215,9 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT mr.event_type, max(s.n) AS n,
            round(max(s.xbar), 6) AS xbar,
            round(max(s.mrbar), 6) AS mrbar,
-           sum(CASE WHEN mr.value > s.xbar + 2.66 * s.mrbar THEN 1 ELSE 0 END)
+           sum(CASE WHEN mr.value > s.xbar + 2.66 * s.mrbar THEN 1 ELSE 0 END)::BIGINT
              AS n_above_ucl,
-           sum(CASE WHEN mr.value < s.xbar - 2.66 * s.mrbar THEN 1 ELSE 0 END)
+           sum(CASE WHEN mr.value < s.xbar - 2.66 * s.mrbar THEN 1 ELSE 0 END)::BIGINT
              AS n_below_lcl
     FROM mr JOIN s USING (event_type)
     GROUP BY mr.event_type
@@ -4511,7 +4511,7 @@ def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(mad.m, 6) AS median_qty,
            round(mad.mad, 6) AS mad_qty,
            sum(CASE WHEN abs(dev.l_quantity - mad.m) > 3 * 1.4826 * mad.mad
-                    THEN 1 ELSE 0 END) AS n_outliers,
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
            count(*) AS n_rows
     FROM dev, mad
     GROUP BY mad.m, mad.mad
@@ -4821,7 +4821,7 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT 8 AS k,
            count(*) AS n_groups,
-           sum(CASE WHEN sz < 8 THEN 1 ELSE 0 END) AS n_risky_groups,
+           sum(CASE WHEN sz < 8 THEN 1 ELSE 0 END)::BIGINT AS n_risky_groups,
            sum(CASE WHEN sz < 8 THEN sz ELSE 0 END)::BIGINT AS n_risky_rows,
            round(sum(CASE WHEN sz < 8 THEN sz ELSE 0 END)::DOUBLE / sum(sz), 6)
              AS risky_row_frac
@@ -4858,8 +4858,8 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            count(*) AS n_events,
-           sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS n_capped_low,
-           sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS n_capped_high,
+           sum(CASE WHEN value < p01 THEN 1 ELSE 0 END)::BIGINT AS n_capped_low,
+           sum(CASE WHEN value > p99 THEN 1 ELSE 0 END)::BIGINT AS n_capped_high,
            round({_sql_davg('value')}, 6) AS avg_raw,
            round({_sql_davg('greatest(p01, least(p99, value))')}, 6) AS avg_winsorized
     FROM events e JOIN q USING (event_type)
@@ -4924,7 +4924,7 @@ _SQL_TOKS = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x !
         FROM counts, tot
     )
     SELECT max(vocab) AS vocab_size,
-           sum(CASE WHEN ct > 0 AND cv > 0 THEN 1 ELSE 0 END) AS overlap_tokens,
+           sum(CASE WHEN ct > 0 AND cv > 0 THEN 1 ELSE 0 END)::BIGINT AS overlap_tokens,
            round(sum(CAST(p * ln(p / q) AS DECIMAL(38,18)))::DOUBLE, 6) AS kl_train_val,
            round(sum(CAST(q * ln(q / p) AS DECIMAL(38,18)))::DOUBLE, 6) AS kl_val_train,
            round(sum(CAST(p * ln(p / ((p + q) / 2)) / 2 AS DECIMAL(38,18)))::DOUBLE
@@ -5140,10 +5140,10 @@ def _bloom_oracle() -> str:
         FROM probed pr LEFT JOIN build bu ON pr.l_orderkey = bu.o_orderkey
     )
     SELECT count(*) AS n_probe_keys,
-           sum(CASE WHEN maybe_present THEN 1 ELSE 0 END) AS n_pass,
-           sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
-           sum(CASE WHEN maybe_present AND NOT is_member THEN 1 ELSE 0 END) AS n_false_pos,
-           sum(CASE WHEN is_member AND NOT maybe_present THEN 1 ELSE 0 END) AS n_false_neg
+           sum(CASE WHEN maybe_present THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           sum(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT AS n_members,
+           sum(CASE WHEN maybe_present AND NOT is_member THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
+           sum(CASE WHEN is_member AND NOT maybe_present THEN 1 ELSE 0 END)::BIGINT AS n_false_neg
     FROM flagged
     """
 
