@@ -93,6 +93,10 @@ def cms_estimate(
     """Point-estimate each key's frequency from a sketch: the MIN over
     the key's ``depth`` cells (count-min guarantees estimate ≥ true
     count, with overshoot ≤ 2·N/width at ~1−(1/2)^depth confidence).
+    A cell absent from the sketch table means no build-side key hashed
+    there, i.e. count 0 — hence the LEFT join + ``coalesce(cnt, 0)``,
+    so probing a key the sketch never saw correctly estimates 0
+    instead of vanishing or taking a min over colliding cells only.
 
     The sketch side is tiny (≤ depth × width rows) → broadcast join;
     the keys side streams map-side with no shuffle of its own beyond
@@ -113,9 +117,9 @@ def cms_estimate(
         ).alias("c"),
     ).select(key_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
 
 
@@ -283,7 +287,9 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
     ≤ 2^p terms → S < 2^61, no overflow), so the result cannot drift
     with aggregation order — hash-stable across engines. Small-range
     correction: linear counting m·ln(m/V) when E < 2.5·m and V > 0
-    registers are empty. Empty input → NULL estimate.
+    registers are empty. Empty register table → EMPTY (0-row) result
+    (the groupBy has nothing to fold; callers wanting a literal 0 can
+    coalesce against it).
 
     Output: 1 row, ``hll_distinct`` double rounded to 4 decimals.
     """

@@ -36,6 +36,7 @@ class Expectation:
     cols: tuple[str, ...] = field(default=())
     ref: DataFrame | None = None
     ref_col: str | None = None
+    broadcast_ref: bool = False
 
 
 def expect_not_null(col: str) -> Expectation:
@@ -64,10 +65,19 @@ def expect_satisfies(name: str, condition: Column) -> Expectation:
     return Expectation(name, "satisfies", condition)
 
 
-def expect_ref_integrity(col: str, ref: DataFrame, ref_col: str) -> Expectation:
-    """Every non-null ``col`` value must exist in ``ref[ref_col]``."""
+def expect_ref_integrity(
+    col: str, ref: DataFrame, ref_col: str, *, broadcast_ref: bool = False
+) -> Expectation:
+    """Every non-null ``col`` value must exist in ``ref[ref_col]``.
+
+    ``broadcast_ref=True`` force-broadcasts the distinct reference keys
+    — opt in ONLY when the caller knows the dim is small. The default
+    leaves the join strategy to AQE / autoBroadcastJoinThreshold, so a
+    large reference table cannot be driver-OOM'd by an unconditional
+    hint."""
     return Expectation(
-        f"{col}_ref_integrity", "ref_integrity", None, (col,), ref, ref_col
+        f"{col}_ref_integrity", "ref_integrity", None, (col,), ref, ref_col,
+        broadcast_ref,
     )
 
 
@@ -118,14 +128,13 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         if e.kind != "ref_integrity":
             continue
         col = e.cols[0]
+        ref_keys = e.ref.select(F.col(e.ref_col).alias(col)).distinct()
+        if e.broadcast_ref:
+            ref_keys = F.broadcast(ref_keys)
         missing = (
             df.select(F.col(col))
             .filter(F.col(col).isNotNull())
-            .join(
-                F.broadcast(e.ref.select(F.col(e.ref_col).alias(col)).distinct()),
-                col,
-                "left_anti",
-            )
+            .join(ref_keys, col, "left_anti")
             .agg(F.count(F.lit(1)).alias("violations"))
         )
         if total_col is None:

@@ -4282,20 +4282,25 @@ def xmr_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: distribution of per-customer order counts (excluding
-    one priority class), zero-order customers included via the LEFT
-    join — the double-aggregate shape whose first level shuffles on the
-    customer key and whose second level collapses to ≤max-orders-per-
-    customer groups. The customer side broadcasts; count(o_orderkey)
-    counts only matched rows, so the left join needs no COALESCE."""
-    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey"))
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "5-LOW"
-    ).select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    one priority class), zero-order customers included. Orders are
+    pre-aggregated to per-custkey counts FIRST (map-side-combinable
+    shuffle on o_custkey — the join then moves ≤|customers| count rows,
+    not raw orders), then LEFT-joined onto customer with COALESCE(…, 0)
+    supplying the zero-order customers. Spark cannot build-broadcast
+    the row-preserving side of a left outer join, so hinting customer
+    would be ignored; the shrunken counts side is the broadcastable one
+    and AQE picks that up when it fits. Second aggregate collapses to
+    ≤max-orders-per-customer groups."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o_counts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    per_cust = c.join(
+        o_counts, c.c_custkey == o_counts.o_custkey, "left"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
@@ -5249,22 +5254,80 @@ def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # flagship first — it's also the entry() smoke query
     "flagship_revenue_by_nation",
-    # --- round-3 fixes: queries whose plans changed this round ---
-    # THE r2 red row: prefix sum now a pinned-exchange declarative plan
+    # --- r3's 7 hash-FAIL rows, retained IN window to prove the fix
+    # (oracle ::BIGINT casts for DuckDB HUGEINT widening), plus the
+    # 8th oracle that carried the same latent defect ---
     "pack_token_budget",
-    # single-evaluation hardening of the distributed ranking stack
-    "global_rank_orders",
-    "equidepth_histogram",
-    "negative_samples",  # never checked + rides on global_rank
-    # bucket-cap guard reformulated (partial-agg count + broadcast anti-join)
+    "data_quality_report",
+    "split_divergence",
+    "k_anonymity_audit",
+    "winsorize_values",
+    "mad_outliers",
+    "bloom_filter_join_stats",
+    "xmr_control_limits",
+    # --- the 17 never-driver-checked queries: after this window every
+    # registered query has an official driver row ---
+    "containment_pairs",
+    "tpch_q4_order_priority",
+    "tpch_q13_order_count_dist",
+    "conversion_delay_quantiles",
+    "revenue_concentration",
+    "zscore_outliers",
+    "value_histogram",
+    "setop_except_all",
+    "hourly_change",
+    "window_distribution",
+    "embedding_normalize",
+    "json_props",
+    "array_functions",
+    "map_functions",
+    "unpivot_metrics",
+    "hash_sample",
+    "token_counts",
+    # --- §2 reference-parity re-verification (last official rows were
+    # r1; pin the parity-critical edge semantics for a fresh record) ---
+    "group_agg_ref7",
+    "join_ref_left",
+    "sort_nulls_rank",
+    "filter_range_project",
+    "join_ref_inner",
+    "safe_corr_qty_price",
+    "whole_table_agg",
+    "udaf_geometric_mean",
+    "latest_per_group",
+    "argmax_latest",
+    "pivot_wide",
+    "stat_summary",
+    "topk_orders",
+    # --- dedup family: minhash constant-factor work lands this round,
+    # keep its correctness row fresh alongside its dependents ---
     "minhash_lsh_pairs",
     "incremental_dedup_pairs",
     "near_dup_clusters",
-    # grouped two-phase selection replaces the exact percentile aggregate
+    "ngram_jaccard_pairs",
+    # --- stable greens re-confirmed: breakage-prone families
+    # (streaming, events/NTZ handling, ANN) ---
+    "tumbling_window",
+    "session_window",
+    "stateful_running_total",
+    "stream_static_join",
+    "locf_fill",
+    "rolling_avg_7",
+    "asof_join",
+    # ---------------- out-of-window below this line ----------------
+    "cosine_topk",
+    "lsh_topk",
+    "ann_recall",
+    "sliding_window",
+    "attribution_join",
+    "synth_source_agg",
+    "ivf_topk",
+    "demo_showcase",
+    "global_rank_orders",
+    "equidepth_histogram",
+    "negative_samples",
     "interevent_gap_percentiles",
-    # empty-compare-cols guard
     "snapshot_diff",
-    # --- NEW this round: canonical TPC-H join shapes + sketches ---
     "tpch_q3_shipping_priority",
     "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
@@ -5275,26 +5338,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q22_idle_customers",
     "cms_heavy_hitters",
     "hll_distinct_orders",
-    "data_quality_report",
     "zorder_cluster_stats",
     "minhash_accuracy",
     "windowed_hll_users",
-    "split_divergence",
     "length_bucket_stats",
-    "k_anonymity_audit",
-    "winsorize_values",
     "key_skew_profile",
     "int8_topk_recall",
     "sql_surface",
     "chi_square_flags",
     "frequent_part_pairs",
     "ols_trend_by_type",
-    "mad_outliers",
-    "bloom_filter_join_stats",
     "weighted_sample_docs",
-    # --- never driver-checked before this round (registered post-window
-    # in r2, or rotated out for simple passthroughs) ---
-    "ann_recall",
     "topn_per_group",
     "rolling_zscore_anomalies",
     "window_distinct_users",
@@ -5307,58 +5361,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "repetition_ratio",
     "column_profile",
     "winnow_fingerprint",
-    # --- first out-of-window: deferred to r4 (lowest-risk plain ops) ---
-    "value_histogram",
-    "setop_except_all",
-    "array_functions",
-    "zscore_outliers",
-    "map_functions",
-    "unpivot_metrics",
-    "hash_sample",
-    "json_props",
-    "hourly_change",
-    "embedding_normalize",
-    "token_counts",
-    "window_distribution",
-    "revenue_concentration",  # new in r3 post-window-freeze; first for r4
-    "containment_pairs",      # ditto
-    "tpch_q4_order_priority",
-    "tpch_q13_order_count_dist",
-    "conversion_delay_quantiles",
-    "xmr_control_limits",
-    # --- stable greens re-confirmed: the families where silent breakage
-    # hurts most (streaming, events/NTZ handling, ANN, heavy dedup) ---
-    "tumbling_window",
-    "sliding_window",
-    "session_window",
-    "stateful_running_total",
-    "attribution_join",
-    "stream_static_join",
-    "synth_source_agg",
-    "locf_fill",
-    "asof_join",
-    "rolling_avg_7",
-    "cosine_topk",
-    "lsh_topk",
-    "ivf_topk",
-    "ngram_jaccard_pairs",
-    "demo_showcase",
 ]
 # The window rotates each round so every query eventually earns an
-# official driver row. Round-3 composition: every query touched by this
-# round's determinism/guard changes, plus ALL 28 queries that had never
-# had a driver row through r2 (they all fit), plus 15 stable greens from
-# the breakage-prone families. Dropped back to local-only verification
-# (check_oracle / check_bare) this round — all untouched with r1/r2
-# green rows: lagged_corr_best, range_join_bands, approx_distinct_parts,
-# udtf_tokens, hourly_spine_zero_fill, session_ids, range_window_rolling,
-# corpus_filter_pipeline, asof_join_forward_tol, interval_overlap_join,
-# tfidf_top_terms, salted_join, winnow_pairs, embedding_quantize_int8,
-# decontaminate_ngrams, chunk_documents, kmeans_step, bpe_pair_counts,
-# unigram_logprob, dataset_split, pca_power_step, exact_medians_scalable,
-# merge_upsert, scd2_intervals, funnel_steps, quota_sample,
-# time_weighted_avg, event_transitions, retention_cohorts,
-# debounce_events.
+# official driver row. Round-4 composition: the 7 r3 hash-fails retained
+# to prove the ::BIGINT oracle fix (+ the latent 8th), ALL 17 queries
+# that had never faced the driver (closing the union to 150/150 ever
+# checked), a 13-query §2 reference-parity slice whose last official
+# rows were r1, the dedup family touched by this round's minhash
+# constant-factor work, and 7 stable greens from the breakage-prone
+# streaming/NTZ families. Everything below the out-of-window line
+# holds an r1-r3 green row and is re-verified locally every round by
+# check_oracle / check_bare.
 
 
 def _reorder_registry() -> None:

@@ -113,12 +113,12 @@ def test_hll_registers_merge_by_max(spark):
     assert est_merged == est_union
 
 
-def test_hll_empty_input_returns_null(spark):
+def test_hll_empty_input_returns_empty(spark):
+    # Documented behavior: an empty register table folds to a 0-row
+    # result (not a NULL row) — the groupBy has nothing to aggregate.
     df = spark.range(0).select(F.col("id").alias("k"))
     rows = sk.hll_distinct(df, "k").collect()
-    assert len(rows) <= 1
-    if rows:
-        assert rows[0].hll_distinct is None
+    assert rows == []
 
 
 def test_sketch_plans_stay_in_codegen(spark, sf_dir):
