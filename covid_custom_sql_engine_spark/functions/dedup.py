@@ -101,25 +101,65 @@ def minhash_signatures(
     (h1 = hex[1:15], h2 = hex[16:30]), then Kirsch–Mitzenmacher double
     hashing h_i = (h1 + i·h2) mod KM_MODULUS. Same statistical guarantees
     as k independent hashes for MinHash/Bloom-style sketches, at 1/k the
-    hashing cost — the md5 dominates, and it now runs once per shingle
-    instead of k times.
+    hashing cost.
 
-    Shape matters for performance: shingles are exploded ONCE, then all
-    k mins run in a single hash aggregate with map-side partial combine.
-    (Computing k array_min(transform(...)) columns instead makes Catalyst
-    inline the whole tokenize→ngram chain k times — ~50× slower at sf0.1.)
+    Shape matters for performance — this is the third formulation, each
+    measured at sf0.1:
+
+    - k × ``array_min(transform(...))`` columns straight off the text:
+      Catalyst inlines the whole tokenize→ngram chain k times — ~50×
+      slower. Never do this.
+    - explode + hash-aggregate with k ``min`` columns: correct and
+      map-side-combinable, but the explode materializes one row per
+      (doc, shingle) and the aggregate is a full shuffle — 1.6 s.
+    - THIS shape: per-row fold. One ``transform`` md5-hashes the
+      shingle array, a second splits each hex into an (h1, h2) struct,
+      and a single ``aggregate`` folds all k mins in one pass over the
+      array into a k-field struct accumulator (each element's h1/h2
+      computed once, referenced k times as struct fields) — 0.6 s, and
+      ZERO shuffle: signatures are computed entirely map-side in the
+      row that already holds the shingle array. At cluster scale the
+      signature stage disappears from the shuffle profile; only the
+      downstream band-bucket aggregate moves data.
     """
-    exploded = sh_df.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    hx = F.md5("shingle")
     m = F.lit(KM_MODULUS)
-    h1 = (F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint") % m).alias("_h1")
-    h2 = (F.conv(F.substring(hx, 16, 15), 16, 10).cast("bigint") % m).alias("_h2")
-    hashed = exploded.select(F.col(id_col), h1, h2)
-    aggs = [
-        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % m).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    hexes = F.transform("sh", lambda s: F.md5(s))
+    pairs = F.transform(
+        hexes,
+        lambda hx: F.struct(
+            (F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint") % m).alias("h1"),
+            (F.conv(F.substring(hx, 16, 15), 16, 10).cast("bigint") % m).alias("h2"),
+        ),
+    )
+    # init = KM_MODULUS (> any h_i) so empty shingle arrays — which
+    # word_shingles never emits, but the fold must not depend on that —
+    # yield the neutral max, same as min() over an empty group.
+    init = F.struct(
+        *[F.lit(KM_MODULUS).cast("bigint").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+    sig = F.aggregate(
+        pairs,
+        init,
+        lambda a, x: F.struct(
+            *[
+                F.least(a[f"mh_{i}"], (x["h1"] + F.lit(i) * x["h2"]) % m).alias(
+                    f"mh_{i}"
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    # NULL shingle arrays (NULL text) fold to a NULL signature; the old
+    # explode+aggregate shape dropped those docs entirely. Keep that
+    # contract — a NULL signature would otherwise collapse every NULL
+    # doc into one band bucket.
+    return (
+        sh_df.where(F.col("sh").isNotNull())
+        .select(F.col(id_col), sig.alias("_s"))
+        .select(
+            id_col, *[F.col(f"_s.mh_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+        )
+    )
 
 
 def _bands_from_signatures(
@@ -415,19 +455,22 @@ def minhash_near_dups(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_rows: int = DEFAULT_BAND_ROWS,
     shingle_n: int = DEFAULT_SHINGLE_N,
-    use_cache: bool = False,
+    use_cache: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     candidate equi-join → Jaccard verify.
 
-    ``use_cache`` persists the shingle sets, which the signature
-    subtree and the Jaccard verify both consume. Default OFF: within
-    this one query the optimizer's ReuseExchange already dedupes the
-    repeated subtrees, and measured at sf0.1 the cache's materialize +
-    in-memory-scan overhead LOSES to recompute (1.7 s vs 1.4 s).
-    Turn it on when the shingle sets feed several separate actions
-    (cross-query reuse the optimizer can't see); at cluster scale that
-    reuse would be a checkpointed table between pipeline stages.
+    ``use_cache`` persists the shingle sets, which THREE subtrees
+    consume: the signature fold feeding candidate generation, and both
+    sides of the Jaccard-verify join. Default ON: since the signature
+    stage became a per-row fold (no shuffle whose exchange the
+    optimizer could reuse), recompute means running the tokenize→
+    shingle chain three times — measured at sf0.1 the cache wins 1.48 s
+    vs 2.33 s including its own materialization (Spark's CacheManager
+    keys on the logical plan, so repeated calls share one cached copy).
+    At cluster scale the same reuse would be a checkpointed/persisted
+    table between pipeline stages; MEMORY_AND_DISK spills rather than
+    OOMs if the shingle corpus outgrows executor memory.
     """
     sh = shingle_sets(df, id_col, text_col, shingle_n)
     if use_cache:

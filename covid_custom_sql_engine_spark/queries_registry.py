@@ -1230,9 +1230,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses a short document wholly quoted inside a long one (union
     dominates); containment flags it from either side. Same equi-join
     candidate generation as minhash_lsh_pairs (never all-pairs); the
-    two ratios come from one array_intersect per candidate."""
+    two ratios come from one array_intersect per candidate. The shingle
+    sets are cached — three subtrees consume them (candidate
+    generation + both join sides), same rationale as
+    minhash_near_dups."""
     d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    sh = dd.shingle_sets(d)
+    sh = dd.shingle_sets(d).cache()
     cand = dd.candidate_pairs_from_bands(
         dd._bands_from_signatures(dd.minhash_signatures(sh, "doc_id", 12), "doc_id", 12, 3)
     )
