@@ -520,3 +520,61 @@ def split_divergence(
             dsum18(p * F.log(p / m) / 2) + dsum18(q * F.log(q / m) / 2), 6
         ).alias("js_divergence"),
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic down-sampling to a target mixture — the domain /
+    language reweighting step of a pretraining pipeline (Pile-style
+    mixture weights, DoReMi's output stage): given target proportions
+    per group, keep each row with probability
+    ``min(1, target_share · total / group_count)`` so the surviving
+    corpus approaches the target mixture WITHOUT upsampling (groups
+    under their target keep everything; over-represented groups are
+    thinned). The accept draw is md5(id)-based, so reruns, repartitions
+    and engines agree row-for-row.
+
+    Scale shape: one hash aggregate over the group column (≤ |groups|
+    rows, map-side combinable) broadcasts back as the acceptance table;
+    the sample itself is a map-side filter on the single corpus scan —
+    no shuffle of the data, identical at sf0.001 and 100 TB. Groups
+    absent from ``target_shares`` get share 0 (dropped entirely).
+
+    Output: the accepted rows as (id, group, accept_prob rounded 6).
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    total = df.agg(F.count(F.lit(1)).alias("_tot"))
+    share = F.coalesce(
+        *[
+            F.when(F.col(group_col) == g, F.lit(float(s)))
+            for g, s in sorted(target_shares.items())
+        ],
+        F.lit(0.0),
+    )
+    prob = F.least(F.lit(1.0), share * F.col("_tot") / F.col("_gn"))
+    # u in [0, 1): 60-bit md5 prefix / 2^60 (same draw family as
+    # weighted_sample / dataset_split — portable to the SQL oracle)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .join(F.broadcast(total))
+        .filter(u < prob)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.round(prob, 6).alias("accept_prob"),
+        )
+    )

@@ -8,7 +8,7 @@ mirror them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny deterministic stopword lists for the language-ID heuristic.
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -204,3 +204,97 @@ def repetition_ratio(text_col: str | Column, n: int = 3) -> Column:
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return F.when(total > 0, 1.0 - distinct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Okapi BM25 with the +1 idf floor, the Lucene variant) —
+# the lexical-retrieval leg of a RAG / training-data search pipeline.
+# Beyond-reference scope (the reference has no retrieval operator); the
+# nearest analogue here is tfidf scoring in queries_registry.tfidf_top_terms.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25.
+
+    ``queries_df`` is (query_id, term) — one row per query term, tiny
+    by definition (a query set), so it BROADCASTS. idf uses the
+    non-negative Lucene form ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape (the whole point at 100 TB):
+    - ONE corpus scan computes (N, avgdl) — a 1-row broadcast.
+    - A SECOND corpus scan explodes tokens and immediately inner-joins
+      the broadcast query terms, so only postings for query terms ever
+      leave the map stage; the (query, doc, term) tf aggregate and
+      everything after it is sized by matches, not by the corpus.
+    - df comes from the tf table itself (docs containing a query term),
+      never a full-vocabulary aggregate.
+    - Per-(query, doc) scores fold term scores through DECIMAL(38,18)
+      — order-independent, so ranking on the exact decimal is stable
+      under any partitioning and bit-equal to the DuckDB oracle; ties
+      break on doc_id. Top-k is a per-query window (WindowGroupLimit
+      heap); query cardinality is small, so the query_id partition is
+      not a skew risk — for a massive query log, swap in the two-phase
+      selection of operators/selection.py.
+
+    Output: (query_id, doc_id, score, rk), score rounded to 6.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    stats = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(token_count(text_col).cast("double")).alias("avgdl"),
+        )
+    )
+    tf = (
+        toks.join(F.broadcast(queries_df), "term")
+        .groupBy("query_id", id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = (
+        tf.select("term", id_col)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfc = F.col("tf").cast("double")
+    term_score = idf * (
+        tfc * (k1 + 1.0)
+        / (tfc + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(stats)
+        .groupBy("query_id", id_col)
+        .agg(F.sum(term_score.cast("decimal(38,18)")).alias("_s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            id_col,
+            (F.round(F.col("_s").cast("double"), 6) + F.lit(0.0)).alias("score"),
+            "rk",
+        )
+    )

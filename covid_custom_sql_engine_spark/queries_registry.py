@@ -4077,6 +4077,394 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from LOCAL supplier-customer pairs per nation
+    of one region and year. The six-table star: lineitem is the only
+    big fact — orders carries the date filter into its scan, and the
+    c_nationkey = s_nationkey residual rides the l↔s equi-join. All
+    four dims (customer at this SF, supplier, nation, region) broadcast
+    under the 64 MB threshold; at 100 TB customer would exceed it and
+    AQE falls back to a shuffle join on custkey — the plan stays
+    correct either way because nothing here pins a strategy."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {_sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the forecasting-revenue-change scan — a pure
+    filter+aggregate with NO join, the query whose entire cost is how
+    much of the scan the predicates eliminate. All three filters push
+    into the parquet reader (PushedFilters on shipdate/discount/
+    quantity), the projection prunes to 4 columns, and the single
+    global sum combines map-side: at 100 TB this runs at storage
+    bandwidth with row-group skipping doing most of the work."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            ops.dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           round({_sql_dsum("CASE WHEN supp_nation = 'NATION_6' THEN volume ELSE 0 END")}
+                 / {_sql_dsum('volume')}, 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 adapted (no part-type filter in the driver schema):
+    NATION_6 suppliers' share of revenue delivered to AMERICA-region
+    customers, per order year. The two nation roles join the SAME dim
+    twice under different aliases (customer nation routes the region
+    filter, supplier nation feeds the share flag) — the classic
+    role-playing-dimension shape. One fact shuffle on orderkey; the
+    conditional share is a sum(CASE)/sum() pair in a single aggregate,
+    decimal-summed so the division is engine-stable."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select(
+        "r_regionkey"
+    )
+    vol = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    share = F.when(F.col("supp_nation") == "NATION_6", F.col("volume")).otherwise(0.0)
+    return vol.groupBy("o_year").agg(
+        F.round(ops.dsum(share) / ops.dsum(F.col("volume")), 6).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9_nation_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp/supplycost in the driver schema —
+    profit is gross revenue): per supplier nation and order year over
+    the parts whose name matches a substring. The LIKE filter prunes
+    the part dim BEFORE its broadcast, so the fact scan is filtered by
+    the join itself (at 100 TB: a Bloom/DPP-style reduction, here a
+    broadcast hash semi-reduction); one shuffle on orderkey for the
+    orders date column, one final small aggregate."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "profit"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_filter",
+    oracle=f"""
+    SELECT {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: the disjunctive (OR-of-ANDs) predicate spanning both
+    join sides — the query Catalyst must NOT evaluate as a residual
+    after a cartesian. The equi-join on partkey still extracts cleanly;
+    the cross-side disjunction stays a post-join filter, while the
+    part-only conjuncts (brand ∈ {…}) are pushed by Catalyst as a
+    derived disjunction into the part scan. Verifies with
+    check_plans that no nested-loop appears."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    clause = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        j.filter(
+            clause("Brand#1", 15, 1, 11)
+            | clause("Brand#2", 25, 10, 20)
+            | clause("Brand#3", 35, 20, 30)
+        )
+        .agg(
+            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH l1 AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_returnflag = 'R'
+    ),
+    multi AS (SELECT l1.l_orderkey, l1.l_suppkey FROM l1
+              WHERE EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)),
+    sole AS (SELECT m.l_orderkey, m.l_suppkey FROM multi m
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l3
+                               WHERE l3.l_orderkey = m.l_orderkey
+                                 AND l3.l_suppkey <> m.l_suppkey
+                                 AND l3.l_returnflag = 'R'))
+    SELECT s.s_name, count(*) AS numwait
+    FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted to the driver schema (no receipt/commit dates
+    — "late" becomes returnflag 'R'): suppliers who were the ONLY
+    returning supplier on a multi-supplier order. The signature shape:
+    one EXISTS (semi join: another supplier touched the order) and one
+    NOT EXISTS (anti join: no OTHER supplier returned) against the same
+    fact, both decorrelating to hash joins on orderkey. The returning
+    pairs deduplicate map-side BEFORE the joins; supplier broadcasts
+    for the name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    multi = l1.join(
+        l2, (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")), "left_semi"
+    )
+    sole = multi.join(
+        l3, (multi.l_orderkey == F.col("o3")) & (multi.l_suppkey != F.col("s3")), "left_anti"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval + mixture resampling (functions/text.py, functions/
+# corpus.py — beyond-reference LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+BM25_QUERIES: list[tuple[str, str]] = [
+    ("q1", "fast"), ("q1", "hash"),
+    ("q2", "table"), ("q2", "scan"),
+    ("q3", "merge"), ("q3", "sort"),
+    ("q4", "window"), ("q4", "agg"),
+]
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {', '.join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)}),
+    tk AS (SELECT doc_id, {_SQL_TOKS} AS tks FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(tks)::DOUBLE) AS avgdl FROM tk),
+    toks AS (SELECT doc_id, len(tks) AS dl, unnest(tks) AS term FROM tk),
+    tf AS (SELECT q.query_id, t.doc_id, t.term, count(*) AS tf, min(t.dl) AS dl
+           FROM toks t JOIN q USING (term) GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.query_id, tf.doc_id,
+               sum(CAST(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                        AS DECIMAL(38,18))) AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, round(s::DOUBLE, 6) + 0.0 AS score,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) <= 5
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 per query over the documents corpus
+    (functions/text.bm25_topk) — the lexical-retrieval leg of a RAG /
+    data-curation pipeline. Query terms broadcast; postings prune to
+    query terms at the map stage; per-(query, doc) scores fold through
+    DECIMAL(38,18) so the ranking is order-independent and engine-
+    stable; ties break on doc_id."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    qdf = spark.createDataFrame(BM25_QUERIES, ["query_id", "term"])
+    out = tx.bm25_topk(d, qdf, k=5)
+    return out.select(
+        "query_id", "doc_id", "score", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+@query(
+    "mixture_resample_lang",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS gn FROM documents GROUP BY lang),
+    tot AS (SELECT count(*) AS t FROM documents),
+    probs AS (SELECT lang, least(1.0, 0.2 * t / gn) AS p FROM counts, tot)
+    SELECT d.doc_id, d.lang, round(p.p, 6) AS accept_prob
+    FROM documents d JOIN probs p USING (lang)
+    WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0 < p.p
+    """,
+)
+def mixture_resample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling to equal language shares
+    (functions/corpus.mixture_resample): the domain-reweighting step of
+    a pretraining pipeline. Over-represented languages are thinned with
+    an md5(doc_id) acceptance draw (reproducible under any
+    partitioning); the acceptance table is a ≤|langs|-row broadcast and
+    the sample is a map-side filter on one corpus scan — no data
+    shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return cp.mixture_resample(
+        d, "lang", {"en": 0.2, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order layout (operators/layout.py — beyond-reference storage
 # clustering for multi-dimensional data skipping)
@@ -5292,16 +5680,19 @@ _DRIVER_WINDOW_PRIORITY = [
     "group_agg_ref7",
     "join_ref_left",
     "sort_nulls_rank",
-    "filter_range_project",
-    "join_ref_inner",
     "safe_corr_qty_price",
-    "whole_table_agg",
-    "udaf_geometric_mean",
-    "latest_per_group",
-    "argmax_latest",
-    "pivot_wide",
     "stat_summary",
-    "topk_orders",
+    # --- NEW this round: TPC-H shapes Q5/Q6/Q8/Q9/Q19/Q21 + BM25
+    # retrieval + mixture resampling — in-window so they never join the
+    # never-checked backlog ---
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q21_waiting_supplier",
+    "bm25_search",
+    "mixture_resample_lang",
     # --- dedup family: minhash constant-factor work lands this round,
     # keep its correctness row fresh alongside its dependents ---
     "minhash_lsh_pairs",
@@ -5318,6 +5709,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "rolling_avg_7",
     "asof_join",
     # ---------------- out-of-window below this line ----------------
+    "filter_range_project",
+    "join_ref_inner",
+    "whole_table_agg",
+    "udaf_geometric_mean",
+    "latest_per_group",
+    "argmax_latest",
+    "pivot_wide",
+    "topk_orders",
     "cosine_topk",
     "lsh_topk",
     "ann_recall",
@@ -5368,11 +5767,13 @@ _DRIVER_WINDOW_PRIORITY = [
 # The window rotates each round so every query eventually earns an
 # official driver row. Round-4 composition: the 7 r3 hash-fails retained
 # to prove the ::BIGINT oracle fix (+ the latent 8th), ALL 17 queries
-# that had never faced the driver (closing the union to 150/150 ever
-# checked), a 13-query §2 reference-parity slice whose last official
-# rows were r1, the dedup family touched by this round's minhash
-# constant-factor work, and 7 stable greens from the breakage-prone
-# streaming/NTZ families. Everything below the out-of-window line
+# that had never faced the driver (closing the union to every-query-
+# ever-checked), the 8 queries NEW this round (TPC-H Q5/Q6/Q8/Q9/Q19/
+# Q21, BM25, mixture resample — in-window immediately so no new
+# never-checked backlog forms), a 5-query §2 reference-parity slice
+# whose last official rows were r1, the dedup family touched by this
+# round's minhash constant-factor work, and 7 stable greens from the
+# breakage-prone streaming/NTZ families. Everything below the out-of-window line
 # holds an r1-r3 green row and is re-verified locally every round by
 # check_oracle / check_bare.
 

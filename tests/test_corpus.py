@@ -274,3 +274,31 @@ def test_negative_samples_properties(spark):
     # degenerate: single doc -> empty (no partner exists)
     single = spark.createDataFrame([(1,)], "doc_id long")
     assert negative_samples(single, "doc_id", k=2).count() == 0
+
+
+def test_mixture_resample_thins_to_target(spark):
+    from covid_custom_sql_engine_spark.functions.corpus import mixture_resample
+
+    # 300 'a', 100 'b', 100 'c' -> equal-thirds target thins only 'a'
+    rows = [(i, "a" if i < 300 else ("b" if i < 400 else "c")) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_resample(df, "lang", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    got = out.collect()
+    from collections import Counter
+
+    cnt = Counter(r.lang for r in got)
+    # under-target groups keep everything (accept_prob clamps at 1)
+    assert cnt["b"] == 100 and cnt["c"] == 100
+    # over-represented group is thinned toward ~500/3 ≈ 167 (hash draw
+    # is uniform; allow generous slack on 300 draws)
+    assert 120 <= cnt["a"] <= 215
+    probs = {r.lang: r.accept_prob for r in got}
+    assert probs["b"] == 1.0 and probs["c"] == 1.0 and probs["a"] < 1.0
+    # deterministic under repartitioning
+    again = mixture_resample(
+        df.repartition(11), "lang", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # group absent from the target mixture is dropped entirely
+    out2 = mixture_resample(df, "lang", {"b": 0.5, "c": 0.5}).collect()
+    assert all(r.lang != "a" for r in out2)

@@ -403,3 +403,37 @@ def test_connected_components_pairs_distinct_flag(spark):
     a = {tuple(r) for r in dd.connected_components(pairs).collect()}
     b = {tuple(r) for r in dd.connected_components(pairs, pairs_distinct=True).collect()}
     assert a == exp and b == exp
+
+
+def test_bm25_ranking_properties(spark):
+    from covid_custom_sql_engine_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana cherry"),
+            (3, "banana banana cherry cherry"),
+            (4, "cherry cherry cherry cherry cherry"),
+            (5, "durian"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [("qa", "apple"), ("qm", "apple"), ("qm", "cherry")],
+        "query_id string, term string",
+    )
+    out = bm25_topk(docs, q, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # only docs containing >= 1 query term are scored
+    assert {r.doc_id for r in by_q["qa"]} == {1, 2}
+    # higher tf of the same term in comparable-length docs ranks first
+    qa = sorted(by_q["qa"], key=lambda r: r.rk)
+    assert qa[0].doc_id == 1 and qa[0].score > qa[1].score > 0
+    # multi-term query unions postings; doc 5 never appears
+    assert {r.doc_id for r in by_q["qm"]} <= {1, 2, 3, 4}
+    assert len(by_q["qm"]) == 3  # k respected
+    # deterministic under repartitioning
+    again = bm25_topk(docs.repartition(7), q, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

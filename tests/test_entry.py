@@ -30,16 +30,23 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 3: every query whose plan changed this round, plus every
-    # query that had never earned a driver row through round 2
+    # round 4: the 8 HUGEINT-oracle fixes retained to prove the cast,
+    # the last never-driver-checked queries, and the 8 new-this-round
+    # registrations (no new never-checked backlog may form)
     assert {
-        # determinism fixes + guard reformulations
-        "pack_token_budget", "global_rank_orders", "equidepth_histogram",
-        "minhash_lsh_pairs", "incremental_dedup_pairs", "near_dup_clusters",
-        "interevent_gap_percentiles", "snapshot_diff", "negative_samples",
-        # the 9 late-round-2 registrations the verdict flagged
-        "ann_recall", "topn_per_group", "rolling_zscore_anomalies",
-        "window_distinct_users", "attribution_left", "levenshtein_pairs",
+        # retained r3 hash-fails (oracle ::BIGINT casts) + latent 8th
+        "pack_token_budget", "data_quality_report", "split_divergence",
+        "k_anonymity_audit", "winsorize_values", "mad_outliers",
+        "bloom_filter_join_stats", "xmr_control_limits",
+        # the final never-checked backlog
+        "containment_pairs", "tpch_q4_order_priority",
+        "tpch_q13_order_count_dist", "conversion_delay_quantiles",
+        "revenue_concentration", "token_counts",
+        # new this round
+        "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+        "tpch_q8_market_share", "tpch_q9_nation_profit",
+        "tpch_q19_disjunctive_filter", "tpch_q21_waiting_supplier",
+        "bm25_search", "mixture_resample_lang",
     } <= window
 
 

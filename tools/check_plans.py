@@ -157,6 +157,15 @@ EXPECT = {
     "tpch_q17_small_qty_revenue": (3, True, False),
     "tpch_q18_large_orders": (4, False, False),
     "tpch_q22_idle_customers": (3, True, True),  # 1-row avg-balance broadcast: intended
+    "tpch_q5_local_supplier_volume": (4, True, False),
+    "tpch_q6_forecast_revenue": (4, True, False),
+    "tpch_q8_market_share": (4, True, False),
+    "tpch_q9_nation_profit": (5, True, False),
+    "tpch_q19_disjunctive_filter": (4, False, False),
+    "tpch_q21_waiting_supplier": (3, True, False),
+    # --- retrieval / mixture ---
+    "bm25_search": (2, False, True),  # 1-row (N, avgdl) corpus-stats broadcast: intended
+    "mixture_resample_lang": (2, False, True),  # 1-row total-count broadcast: intended
     # --- layout ---
     "zorder_cluster_stats": (2, False, False),
     # --- data quality ---
