@@ -414,3 +414,94 @@ def int8_topk(
         .filter(F.col("_rn") <= k)
         .select(query_id_col, id_col, "q_cos", F.col("_rn").alias("rank"))
     )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Cluster-scoped semantic dedup (the SemDeDup recipe, Abbas et al.
+    2023 — public arXiv:2303.09540): cluster the corpus, compare
+    embeddings ONLY within a cluster, and drop every vector that has a
+    lower-id cluster-mate with cosine ≥ ``threshold`` (greedy
+    keep-lowest-id representative — deterministic, no iteration).
+
+    Why this scales where naive cosine dedup cannot: the all-pairs
+    product is confined to cluster cells. With k ≈ √N clusters a cell
+    holds ~√N vectors, so total comparisons are ~N^1.5 instead of N² —
+    and every step is an equi-join on the cell key, never a cross
+    product (the only crossJoin is the ≤|labels|-row broadcast centroid
+    table). Centroids here are the per-``label`` means (the same
+    deterministic stand-in for trained k-means cells that ivf_topk
+    uses); in production you'd feed real k-means centroids from
+    iterated kmeans_step.
+
+    ``max_cell`` optionally excludes cells larger than the cap from
+    pair generation (mirroring dedup.MAX_BAND_BUCKET): an adversarial
+    mega-cluster then contributes no pairs instead of a quadratic blow-
+    up; its members are all kept.
+
+    Output: (id, cell, dropped, dup_of) — one row per vector; dup_of
+    is the smallest-id duplicate partner (NULL for survivors).
+    """
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    cents = F.broadcast(
+        embeddings.select(
+            F.col(label_col).alias("cell"), as_double(vec_col).alias("_v")
+        )
+        .groupBy("cell")
+        .agg(
+            F.array(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)]).alias(
+                "_cv"
+            )
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_sim").desc_nulls_last(), F.col("cell").asc()
+    )
+    assigned = (
+        embeddings.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .crossJoin(cents)
+        .withColumn("_sim", cosine(F.col("_v"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cell", "_v")
+    )
+    pair_src = assigned
+    if max_cell is not None:
+        oversized = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_cell)
+            .select("cell")
+        )
+        pair_src = assigned.join(F.broadcast(oversized), "cell", "left_anti")
+    a = pair_src.select(
+        F.col(id_col).alias("_ida"), F.col("cell"), F.col("_v").alias("_va")
+    )
+    b = pair_src.select(
+        F.col(id_col).alias("_idb"), F.col("cell"), F.col("_v").alias("_vb")
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .groupBy(F.col("_idb").alias(id_col))
+        .agg(F.min("_ida").alias("dup_of"))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("dup_of").isNotNull().alias("dropped"),
+            "dup_of",
+        )
+    )

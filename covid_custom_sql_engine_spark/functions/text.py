@@ -298,3 +298,47 @@ def bm25_topk(
             "rk",
         )
     )
+
+
+def oov_rate_report(
+    docs: DataFrame,
+    min_count: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a frequency-derived
+    corpus vocabulary — the tokenizer-coverage screen of a training
+    pipeline (documents full of tokens the tokenizer will shred into
+    bytes are flagged by a high rate).
+
+    Vocabulary = tokens with total corpus count ≥ ``min_count``; it is
+    bounded by vocabulary size, not corpus size, so the (term) aggregate
+    is map-side-combinable and its result BROADCASTS back onto the
+    token stream — two corpus scans, no data-sized shuffle. Documents
+    with zero tokens produce no row (nothing to rate).
+
+    Output: (id, n_tokens, n_oov, oov_rate rounded 6).
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("term", F.lit(1).alias("_in"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )

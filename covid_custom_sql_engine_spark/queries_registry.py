@@ -4387,6 +4387,47 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semdedup_prune",
+    oracle="""
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    el AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+    ce AS (SELECT label, i, avg(x) AS ax FROM el GROUP BY label, i),
+    cent AS (SELECT label AS cell, list(ax ORDER BY i) AS cv FROM ce GROUP BY label),
+    asn AS (
+      SELECT vec_id, cell, v, row_number() OVER (
+        PARTITION BY vec_id
+        ORDER BY (list_dot_product(v, cv)
+                  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))))
+                 DESC NULLS FIRST, cell ASC) AS rn
+      FROM c CROSS JOIN cent),
+    corpus AS (SELECT vec_id, cell, v FROM asn WHERE rn = 1),
+    dup AS (
+      SELECT b.vec_id, min(a.vec_id) AS dup_of
+      FROM corpus a JOIN corpus b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= 0.35
+      GROUP BY b.vec_id)
+    SELECT s.vec_id, s.cell, d.dup_of IS NOT NULL AS dropped, d.dup_of
+    FROM corpus s LEFT JOIN dup d ON s.vec_id = d.vec_id
+    """,
+)
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup (functions/similarity.
+    semdedup_prune): assign every vector to its nearest label-mean
+    centroid, compare cosines ONLY within a cell, and greedily drop
+    vectors with a lower-id cell-mate at cosine ≥ 0.35. The all-pairs
+    product is confined to cluster cells (~N^1.5 comparisons with
+    √N-sized cells, every step an equi-join on the cell key) — the
+    scale path for embedding-space near-dup removal where the LSH
+    bucket join (cosine_near_dups) is the recall-oriented alternative."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    return sim.semdedup_prune(e, threshold=0.35)
+
+
 # ---------------------------------------------------------------------------
 # BM25 retrieval + mixture resampling (functions/text.py, functions/
 # corpus.py — beyond-reference LLM-pipeline operators)
@@ -4437,6 +4478,67 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", "score", F.col("rk").cast("bigint").alias("rk")
     )
+
+
+@query(
+    "repeated_chunks",
+    oracle=f"""
+    WITH nz AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+                WHERE len({_SQL_TOKS}) > 0),
+    g AS (SELECT doc_id,
+                 md5(array_to_string(list_slice(toks, s, least(s + 7, len(toks))), ' ')) AS chunk_fp
+          FROM nz, unnest(generate_series(1, greatest(len(toks) - 4, 1), 4)) AS t(s))
+    SELECT chunk_fp,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM g GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated token windows — the chunk-fingerprint
+    approximation of exact-substring dedup (the suffix-array technique
+    of Lee et al. 2022, arXiv:2107.06499, reduced to strided 8-token
+    windows so it stays a hash aggregate): any 11+-token substring
+    shared between documents must produce a shared window fingerprint.
+    One explode + one groupBy on the 32-char fp — bounded by distinct
+    chunks, map-side-combinable, no joins; the output lists each
+    cross-document fingerprint with occurrence/document counts and its
+    first (keeper) document."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    ch = cp.chunk_tokens(d, window=8, stride=4)
+    return (
+        ch.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "oov_rate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    vocab AS (SELECT term FROM toks GROUP BY term HAVING count(*) >= 100)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id
+    """,
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate vs a frequency-derived corpus vocabulary
+    (functions/text.oov_rate_report) — the tokenizer-coverage screen.
+    The vocab aggregate is bounded by vocabulary size and broadcasts
+    back onto the token stream; no data-sized shuffle."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return tx.oov_rate_report(d, min_count=100)
 
 
 @query(
@@ -5698,17 +5800,20 @@ _DRIVER_WINDOW_PRIORITY = [
     "minhash_lsh_pairs",
     "incremental_dedup_pairs",
     "near_dup_clusters",
-    "ngram_jaccard_pairs",
+    "semdedup_prune",
+    "repeated_chunks",
+    "oov_rate",
     # --- stable greens re-confirmed: breakage-prone families
-    # (streaming, events/NTZ handling, ANN) ---
+    # (streaming, events/NTZ handling) ---
     "tumbling_window",
-    "session_window",
     "stateful_running_total",
-    "stream_static_join",
     "locf_fill",
-    "rolling_avg_7",
     "asof_join",
     # ---------------- out-of-window below this line ----------------
+    "session_window",
+    "stream_static_join",
+    "rolling_avg_7",
+    "ngram_jaccard_pairs",
     "filter_range_project",
     "join_ref_inner",
     "whole_table_agg",

@@ -302,3 +302,69 @@ def test_mixture_resample_thins_to_target(spark):
     # group absent from the target mixture is dropped entirely
     out2 = mixture_resample(df, "lang", {"b": 0.5, "c": 0.5}).collect()
     assert all(r.lang != "a" for r in out2)
+
+
+def test_repeated_chunks_flags_cross_doc_substrings(spark):
+    from covid_custom_sql_engine_spark.functions.corpus import chunk_tokens
+    import pyspark.sql.functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three four"),
+            (2, f"zero {shared} five six seven"),
+            (3, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ch = chunk_tokens(docs, window=8, stride=4)
+    rep = (
+        ch.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .collect()
+    )
+    # the shared 8-token run starts at position 1 in doc 1 (chunk) and
+    # position 2 in doc 2 — only aligned windows repeat; doc 3 never
+    docs_hit = set()
+    for r in rep:
+        assert r.first_doc in (1, 2)
+        docs_hit.add(r.first_doc)
+    # doc1's window [1..8] == the shared text; doc2 has it at [2..9],
+    # whose strided windows start at 1 and 5 — the [5..12] window of
+    # doc2 equals [4..11] of nothing, so at least alignment at stride
+    # boundaries is detected when offsets are multiples of the stride.
+    d1 = spark.createDataFrame(
+        [(1, f"{shared} x"), (2, f"{shared} y")], "doc_id long, text string"
+    )
+    rep2 = (
+        chunk_tokens(d1, window=8, stride=4)
+        .groupBy("chunk_fp")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .count()
+    )
+    assert rep2 >= 1  # identical leading window shared by both docs
+
+
+def test_oov_rate_report(spark):
+    from covid_custom_sql_engine_spark.functions.text import oov_rate_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat dog dog rareword"),
+            (3, "cat cat dog dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in oov_rate_report(docs, min_count=3).collect()}
+    # vocab = {cat (6), dog (5)}; 'rareword' is OOV
+    assert out[1].n_oov == 0 and out[1].oov_rate == 0.0
+    assert out[2].n_oov == 1 and abs(out[2].oov_rate - 0.25) < 1e-9
+    assert out[3].n_oov == 0
+    assert all(r.n_tokens == 4 for r in out.values())

@@ -55,3 +55,34 @@ def test_hyperplane_bucket_deterministic(spark):
     b1 = df.select(sim.hyperplane_bucket(sim.as_double("v"), planes).alias("b")).collect()[0].b
     b2 = df.select(sim.hyperplane_bucket(sim.as_double("v"), planes).alias("b")).collect()[0].b
     assert b1 == b2 == "10"  # dot>=0 → '1', dot<0 → '0'
+
+
+def test_semdedup_prune_drops_within_cluster_dups(spark):
+    from covid_custom_sql_engine_spark.functions.similarity import semdedup_prune
+
+    # two well-separated clusters on orthogonal axes; ids 0/1/2 nearly
+    # collinear (dups), id 3 orthogonal-ish within nothing
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0], 0),   # dup of 0
+        (2, [0.98, -0.02, 0.0], 0),  # dup of 0
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.97, 0.05], 1),   # dup of 3
+        (5, [0.0, 0.0, 1.0], 1),     # same cell family but orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in semdedup_prune(df, threshold=0.9).collect()}
+    assert len(out) == 6
+    assert not out[0].dropped and out[1].dropped and out[2].dropped
+    assert out[1].dup_of == 0 and out[2].dup_of == 0
+    assert not out[3].dropped and out[4].dropped and out[4].dup_of == 3
+    # orthogonal member of the same cluster survives
+    assert not out[5].dropped and out[5].dup_of is None
+    # deterministic under repartitioning
+    again = {r.vec_id: r for r in semdedup_prune(df.repartition(5), threshold=0.9).collect()}
+    assert {k: (v.dropped, v.dup_of) for k, v in out.items()} == {
+        k: (v.dropped, v.dup_of) for k, v in again.items()
+    }
+    # max_cell guard: cap below cell size -> no pairs, everything kept
+    capped = semdedup_prune(df, threshold=0.9, max_cell=2).collect()
+    assert all(not r.dropped for r in capped)

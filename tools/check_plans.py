@@ -165,6 +165,9 @@ EXPECT = {
     "tpch_q21_waiting_supplier": (3, True, False),
     # --- retrieval / mixture ---
     "bm25_search": (2, False, True),  # 1-row (N, avgdl) corpus-stats broadcast: intended
+    "semdedup_prune": (3, False, True),  # ≤|labels|-row centroid broadcast cross: intended
+    "repeated_chunks": (2, False, False),
+    "oov_rate": (2, False, False),
     "mixture_resample_lang": (2, False, True),  # 1-row total-count broadcast: intended
     # --- layout ---
     "zorder_cluster_stats": (2, False, False),
