@@ -59,6 +59,10 @@ HEADLINE = [
     "windowed_hll_users",
     "data_quality_report",
     "split_divergence",
+    # round 4 additions: pushdown-bound scan, retrieval, embedding dedup
+    "tpch_q6_forecast_revenue",
+    "bm25_search",
+    "semdedup_prune",
 ]
 
 
