@@ -250,15 +250,18 @@ def bm25_topk(
 
     Output: (query_id, doc_id, score, rk), score rounded to 6.
     """
-    toks = docs.select(
+    # tokenize ONCE per document per scan: the token array feeds both
+    # the doc length and the exploded postings from the same projection
+    tk = docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    toks = tk.select(
         F.col(id_col),
-        token_count(text_col).alias("dl"),
-        F.explode(tokens(text_col)).alias("term"),
+        F.size("_tk").alias("dl"),
+        F.explode("_tk").alias("term"),
     )
     stats = F.broadcast(
-        docs.agg(
+        tk.agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.avg(token_count(text_col).cast("double")).alias("avgdl"),
+            F.avg(F.size("_tk").cast("double")).alias("avgdl"),
         )
     )
     tf = (
