@@ -478,8 +478,11 @@ def semdedup_prune(
             )
         )
     )
+    # NULLS FIRST matches the SQL oracle's `DESC NULLS FIRST` (a NULL
+    # similarity only arises for zero-norm vectors; aligning the order
+    # keeps even that degenerate case engine-identical)
     w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc_nulls_last(), F.col("cell").asc()
+        F.col("_sim").desc_nulls_first(), F.col("cell").asc()
     )
     assigned = (
         embeddings.select(F.col(id_col), as_double(vec_col).alias("_v"))
