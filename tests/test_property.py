@@ -282,3 +282,84 @@ def test_bloom_membership_property(spark, ks):
     bits = sk.bloom_bits(df, "k", num_bits=256, num_hashes=4)
     probed = sk.bloom_probe(bits, df.select("k").distinct(), "k", 256, 4)
     assert probed.filter(~F.col("maybe_present")).count() == 0
+
+
+# --- BM25 vs a pure-Python reference implementation -----------------------
+
+words = st.sampled_from(["apple", "banana", "cherry", "durian", "elder"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=1, max_size=8), min_size=2, max_size=10
+)
+
+
+def _bm25_reference(doc_tokens, query_terms, k1=1.2, b=0.75):
+    """Plain-Python BM25 (Lucene idf variant) over tokenized docs."""
+    n = len(doc_tokens)
+    avgdl = sum(len(d) for d in doc_tokens) / n
+    df = {}
+    for toks in doc_tokens:
+        for t in set(toks):
+            if t in query_terms:
+                df[t] = df.get(t, 0) + 1
+    scores = {}
+    for i, toks in enumerate(doc_tokens):
+        s = 0.0
+        dl = len(toks)
+        for t in query_terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        if s > 0.0:
+            scores[i] = s
+    return scores
+
+
+@given(docs=docs_strategy)
+@settings(**SETTINGS)
+def test_bm25_matches_python_reference(spark, docs):
+    from covid_custom_sql_engine_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    qterms = ["apple", "cherry"]
+    q = spark.createDataFrame(
+        [("q0", t) for t in qterms], "query_id string, term string"
+    )
+    got = {
+        r.doc_id: r.score
+        for r in bm25_topk(df, q, k=len(docs)).collect()
+    }
+    want = _bm25_reference(docs, qterms)
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert math.isclose(got[d], round(s, 6), abs_tol=2e-6), (d, got[d], s)
+
+
+@given(
+    rows_mix=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+        min_size=5,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_mixture_resample_bounds_and_determinism(spark, rows_mix):
+    from covid_custom_sql_engine_spark.functions.corpus import mixture_resample
+
+    df = spark.createDataFrame(rows_mix, "doc_id long, lang string")
+    target = {"a": 0.5, "b": 0.5}  # 'c' dropped entirely
+    out = mixture_resample(df, "lang", target).collect()
+    # no 'c' rows; accepted set is a subset of input ids
+    assert all(r.lang != "c" for r in out)
+    ids = {r[0] for r in rows_mix}
+    assert all(r.doc_id in ids for r in out)
+    # accept_prob within (0, 1]
+    assert all(0 < r.accept_prob <= 1.0 for r in out)
+    # rerun under different partitioning -> identical sample
+    again = mixture_resample(df.repartition(3), "lang", target).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
