@@ -4,14 +4,17 @@ pipelines.
 Model: media travel as opaque ``binary`` columns next to typed metadata
 (``media_type``, ``width``/``height``/``duration_ms``…). All Spark-side
 plumbing — schemas, partitioning, Arrow batch shapes, UDF signatures —
-is real and tested; only the codec calls themselves are stubbed, because
-image/audio libraries aren't in this container:
+is real and tested. Codecs come in two tiers:
 
-- ``decode_image``/``decode_audio`` raise ``NotImplementedError`` (the
-  integration point for Pillow/ffmpeg on a real cluster);
-- ``fake_decode_features`` is the deterministic stand-in used by tests
-  and oracles: features derived from the bytes themselves (length,
-  rolling byte statistics), so outputs are reproducible anywhere.
+- REAL, numpy-only decoders for header-simple formats: binary PPM (P6)
+  images and RIFF/WAVE PCM-16 audio decode fully in-container
+  (``decode_ppm`` / ``decode_wav_pcm``), with real nearest-neighbor
+  resize and real audio statistics on the decoded samples;
+- compressed formats (JPEG/PNG/MP3/H.264…) raise
+  ``NotImplementedError`` from ``decode_image``/``decode_audio`` — the
+  integration point for Pillow/ffmpeg on a real cluster;
+- ``fake_decode_features`` remains the deterministic bytes-only
+  stand-in used where payloads are arbitrary (length, byte statistics).
 
 Everything runs through ``mapInPandas`` — per-partition Arrow batches,
 no per-row Python overhead, and constant memory per batch regardless of
@@ -22,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -42,13 +46,87 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real codec integration point — not available in this container."""
-    raise NotImplementedError("image decoding requires Pillow/opencv on the cluster")
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """REAL decoder for binary PPM (P6): header = ``P6 <w> <h> <maxval>``
+    in ASCII (comments allowed), then raw RGB bytes. Pure numpy — no
+    imaging library needed. Returns an (h, w, 3) uint8 array."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # tokenize the header: three integers after the magic, skipping
+    # '#' comments; the pixel block starts after exactly one whitespace
+    # byte following maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs big-endian sample handling")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
 
 
-def decode_audio(payload: bytes) -> object:
-    raise NotImplementedError("audio decoding requires ffmpeg/librosa on the cluster")
+def resize_nearest(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """REAL nearest-neighbor resize via numpy index arrays (the
+    deterministic resize a feature pipeline runs before embedding)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def decode_wav_pcm(payload: bytes) -> tuple["np.ndarray", int]:
+    """REAL decoder for RIFF/WAVE PCM-16: walks the chunk list, reads
+    the fmt chunk (audio format 1 = PCM, channels, sample rate, bits)
+    and returns (samples as (n, channels) int16 array, sample_rate).
+    Pure numpy — no audio library needed."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only PCM-16 WAV decodes in-container")
+    samples = np.frombuffer(data, dtype="<i2")
+    n = len(samples) - (len(samples) % channels) if channels else 0
+    return samples[:n].reshape(-1, channels), sample_rate
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Dispatch on magic bytes: P6 PPM decodes for REAL in-container;
+    compressed formats are the Pillow/opencv integration point."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError("JPEG/PNG decoding requires Pillow/opencv on the cluster")
+
+
+def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
+    """Dispatch on magic bytes: PCM-16 WAV decodes for REAL in-container;
+    compressed formats are the ffmpeg/librosa integration point."""
+    if payload[:4] == b"RIFF":
+        return decode_wav_pcm(payload)
+    raise NotImplementedError("MP3/AAC decoding requires ffmpeg/librosa on the cluster")
 
 
 def fake_decode_features(payload: bytes) -> dict:
@@ -85,6 +163,79 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "media_type", "payload").mapInPandas(
         _extract, schema=FEATURE_SCHEMA
+    )
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, height int, width int, mean_r double, mean_g double, "
+    "mean_b double, thumb_hex string"
+)
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, channels int, "
+    "rms double, zero_crossings long"
+)
+
+
+def image_features(df: DataFrame, thumb: int = 4) -> DataFrame:
+    """REAL image feature extraction over PPM payloads via mapInPandas:
+    decode (numpy), per-channel means, and a ``thumb``×``thumb``
+    nearest-neighbor-resized grayscale thumbnail (hex-encoded) — the
+    shape of a pre-embedding image pipeline, end-to-end real for the
+    formats this container can decode. Columns prune to (media_id,
+    payload) before the Python boundary."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                small = resize_nearest(img, thumb, thumb)
+                gray = small.mean(axis=2).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "height": img.shape[0],
+                        "width": img.shape[1],
+                        "mean_r": float(img[:, :, 0].mean()),
+                        "mean_g": float(img[:, :, 1].mean()),
+                        "mean_b": float(img[:, :, 2].mean()),
+                        "thumb_hex": gray.tobytes().hex(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _extract, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over PCM-16 WAV payloads via
+    mapInPandas: decode (numpy), RMS level and zero-crossing count on
+    the first channel — the loudness/voicedness screen of an audio
+    curation pipeline."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_audio(bytes(payload))
+                ch0 = samples[:, 0].astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "n_samples": samples.shape[0],
+                        "channels": samples.shape[1],
+                        "rms": float(np.sqrt(np.mean(ch0 * ch0))) if len(ch0) else 0.0,
+                        "zero_crossings": int(np.sum(np.diff(np.signbit(ch0)))),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _extract, schema=AUDIO_FEATURE_SCHEMA
     )
 
 

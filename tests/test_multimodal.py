@@ -8,9 +8,14 @@ from covid_custom_sql_engine_spark.functions import multimodal as mm
 
 
 def test_decode_stubs_raise():
+    # compressed formats remain the documented cluster integration point
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x03")
+    # a RIFF magic now routes to the REAL WAV decoder, which rejects a
+    # truncated/non-WAVE payload as malformed rather than unimplemented
+    with pytest.raises(ValueError):
         mm.decode_audio(b"RIFF")
 
 
@@ -56,3 +61,68 @@ def test_frame_sample_plan_counts(spark):
         by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
     assert sorted(by_id[1]) == [0, 1000, 2000]  # floor(3500/1000)=3 frames
     assert 2 not in by_id  # images don't fan out
+
+
+def _make_ppm(w, h, rgb):
+    header = f"P6\n# test comment\n{w} {h}\n255\n".encode()
+    px = bytes(rgb) * (w * h)
+    return header + px
+
+
+def _make_wav(samples, rate=8000, channels=1):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_ppm_and_resize():
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    img = mm.decode_ppm(_make_ppm(4, 2, [10, 20, 30]))
+    assert img.shape == (2, 4, 3)
+    assert img[0, 0].tolist() == [10, 20, 30]
+    small = mm.resize_nearest(img, 1, 2)
+    assert small.shape == (1, 2, 3)
+    # dispatcher: PPM decodes for real, PNG magic raises
+    assert mm.decode_image(_make_ppm(2, 2, [1, 2, 3])).shape == (2, 2, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_wav_pcm():
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    samples, rate = mm.decode_audio(_make_wav([0, 1000, -1000, 500]))
+    assert rate == 8000 and samples.shape == (4, 1)
+    assert samples[:, 0].tolist() == [0, 1000, -1000, 500]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x03....")
+
+
+def test_image_and_audio_features_end_to_end(spark):
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    img_rows = [(1, bytearray(_make_ppm(8, 4, [100, 150, 200])))]
+    idf = spark.createDataFrame(img_rows, "media_id long, payload binary")
+    feats = mm.image_features(idf, thumb=2).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert (r.height, r.width) == (4, 8)
+    assert r.mean_r == 100.0 and r.mean_g == 150.0 and r.mean_b == 200.0
+    assert len(r.thumb_hex) == 2 * 2 * 2  # 2x2 gray bytes hex-encoded
+
+    wav_rows = [(2, bytearray(_make_wav([1000, -1000] * 100)))]
+    adf = spark.createDataFrame(wav_rows, "media_id long, payload binary")
+    af = mm.audio_features(adf).collect()[0]
+    assert af.sample_rate == 8000 and af.n_samples == 200 and af.channels == 1
+    assert abs(af.rms - 1000.0) < 1e-6
+    assert af.zero_crossings == 199
