@@ -177,3 +177,73 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+# --- Incremental materialized-view maintenance (mergeable rollup state) ---
+#
+# The pattern that makes a 100 TB rollup affordable: never re-aggregate
+# history. Keep the view as per-key PARTIAL aggregate state whose fields
+# form commutative monoids (count/sum/min/max), fold each new batch to
+# the same state shape, and merge states key-wise. merge(state(A),
+# state(B)) == state(A ∪ B) exactly — with the decimal sum the equality
+# is bit-level under ANY batch split, which is what the registry query's
+# oracle (a direct full recompute) verifies. Deletes/retractions are NOT
+# supported: min/max are not groups (no inverse), the classic MV
+# limitation — route deletes through snapshot_diff + full refresh of the
+# affected keys instead.
+
+
+def rollup_state(
+    df: DataFrame, keys: Sequence[str], value_col: str
+) -> DataFrame:
+    """Fold a batch into per-key mergeable state:
+    (keys..., _n, _sum decimal(38,6), _min, _max).
+
+    One map-side-combinable hash aggregate — O(|keys|) state per
+    partition regardless of batch size. ``_sum`` stays fixed-point so
+    later merges are order-independent (associative AND commutative to
+    the bit)."""
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("_n"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("_sum"),
+        F.min(value_col).alias("_min"),
+        F.max(value_col).alias("_max"),
+    )
+
+
+def merge_rollup_states(*states: DataFrame) -> DataFrame:
+    """Key-wise merge of rollup states (count adds, sum adds, min mins,
+    max maxes). Union + re-aggregate: the natural Spark shape — partial
+    merge happens map-side, one shuffle of O(|keys|) rows total, and a
+    key present in only some states needs no special case (absent =
+    monoid identity = simply not in the union)."""
+    keys = [c for c in states[0].columns if not c.startswith("_")]
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("_n").alias("_n"),
+        F.sum("_sum").alias("_sum"),
+        F.min("_min").alias("_min"),
+        F.max("_max").alias("_max"),
+    )
+
+
+def finalize_rollup(state: DataFrame, value_col: str) -> DataFrame:
+    """Render state as the user-facing view:
+    (keys..., n_{v}, sum_{v}, avg_{v}, min_{v}, max_{v}) with the
+    engine's deterministic double conventions (sum cast from the exact
+    decimal; avg = sum/n, NULL on zero count). A projection — no
+    shuffle; run it on the merged state each refresh."""
+    keys = [c for c in state.columns if not c.startswith("_")]
+    v = value_col
+    return state.select(
+        *keys,
+        F.col("_n").alias(f"n_{v}"),
+        F.col("_sum").cast("double").alias(f"sum_{v}"),
+        F.when(
+            F.col("_n") > 0, (F.col("_sum").cast("double") / F.col("_n"))
+        ).alias(f"avg_{v}"),
+        F.col("_min").alias(f"min_{v}"),
+        F.col("_max").alias(f"max_{v}"),
+    )

@@ -3505,6 +3505,51 @@ def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_mv_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(l_quantity) AS n_l_quantity,
+           {_sql_dsum('l_quantity')} AS sum_l_quantity,
+           {_sql_davg('l_quantity')} AS avg_l_quantity,
+           min(l_quantity) AS min_l_quantity,
+           max(l_quantity) AS max_l_quantity
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def incremental_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the lineitem rollup is
+    built as three per-batch partial states (shipdate < 1997 as the
+    "historical" view, 1997–98 and ≥ 1999 as two later ingest batches),
+    key-wise merged, then finalized — and the oracle recomputes the view
+    DIRECTLY from the full table. Equality is exact because every state
+    field is a commutative monoid and the sum is fixed-point decimal:
+    merge(state(A), state(B)) == state(A ∪ B) to the bit under any
+    batch split (operators/merge.rollup_state/merge_rollup_states/
+    finalize_rollup). At 100 TB only the newest batch is ever scanned;
+    history lives as O(|keys|) state."""
+    from covid_custom_sql_engine_spark.operators.merge import (
+        finalize_rollup,
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"
+    )
+    cut1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    cut2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    keys = ["l_returnflag", "l_linestatus"]
+    batches = [
+        l.filter(F.col("l_shipdate") < cut1),
+        l.filter((F.col("l_shipdate") >= cut1) & (F.col("l_shipdate") < cut2)),
+        l.filter(F.col("l_shipdate") >= cut2),
+    ]
+    states = [rollup_state(b, keys, "l_quantity") for b in batches]
+    return finalize_rollup(merge_rollup_states(*states), "l_quantity")
+
+
+@query(
     "bpe_pair_counts",
     oracle=f"""
     WITH toks AS (SELECT {_SQL_TOKS} AS toks FROM documents)
@@ -4384,6 +4429,362 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity')} AS sum_qty,
+           {_sql_dsum('l_extendedprice')} AS sum_base_price,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_sql_davg('l_quantity')} AS avg_qty,
+           {_sql_davg('l_extendedprice')} AS avg_price,
+           {_sql_davg('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical wide-aggregate scan.
+
+    One pass over lineitem, zero joins, one hash-agg shuffle of
+    |returnflag × linestatus| groups (≤ 6 rows). At 100 TB this is
+    the map-side-combine showcase: every map task reduces its split
+    to ≤ 6 partial rows before the exchange, so shuffle volume is
+    O(partitions), independent of data size. The shipdate filter and
+    the 7-column projection both reach the parquet scan."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    )
+    price, disc, tax = (
+        F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    )
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            ops.dsum(F.col("l_quantity")).alias("sum_qty"),
+            ops.dsum(price).alias("sum_base_price"),
+            ops.dsum(price * (1 - disc)).alias("sum_disc_price"),
+            ops.dsum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            ops.davg(F.col("l_quantity")).alias("avg_qty"),
+            ops.davg(price).alias("avg_price"),
+            ops.davg(disc).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               round(min(l_extendedprice / l_quantity), 6) AS supplycost
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT partkey, min(supplycost) AS min_cost FROM ps
+        JOIN supplier s ON ps.suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'AMERICA'
+        GROUP BY partkey
+    )
+    SELECT s.s_name, n.n_name AS nation, p.p_partkey, p.p_name,
+           ps.supplycost
+    FROM ps
+    JOIN best ON ps.partkey = best.partkey AND ps.supplycost = best.min_cost
+    JOIN part p ON ps.partkey = p.p_partkey
+    JOIN supplier s ON ps.suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA' AND p.p_size < 10 AND p.p_type = 'PROMO'
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp — the part×supplier relation and
+    its supplycost derive from lineitem: min observed unit price per
+    (partkey, suppkey)): cheapest AMERICA supplier per small PROMO part.
+
+    The correlated-min subquery decorrelates to a grouped min + equi-
+    join back on (partkey, cost) — the classic argmin-per-key plan. The
+    derived ps relation is one hash aggregate of the fact; region/
+    nation/supplier/part dims all broadcast, so the only fact-sized
+    shuffles are the ps groupBy and the ps⋈best equi-join (AQE usually
+    broadcasts `best` too at this selectivity). Unit price is rounded
+    to 6dp on both engines before the min/equality so double division
+    noise can't split the argmin tie."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = (
+        l.filter(F.col("l_quantity") > 0)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("supplycost")
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    ).select("r_regionkey")
+    america = (
+        ps.join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    best = america.groupBy(F.col("partkey").alias("b_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "PROMO")
+    ).select("p_partkey", "p_name")
+    return (
+        america.join(
+            best,
+            (F.col("partkey") == F.col("b_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .select(
+            "s_name", F.col("n_name").alias("nation"), "p_partkey",
+            "p_name", "supplycost",
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l.l_partkey AS partkey,
+               CAST(sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey, value FROM pv
+    WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 0.0005 FROM pv)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp — a part's "stock value" is the
+    summed extendedprice×quantity shipped by one nation's suppliers):
+    parts whose value exceeds 0.05% of the national total (the fraction
+    is scaled so the filter bites above the mean part share at the
+    driver's part cardinality).
+
+    The scalar subquery is the shape of interest: the per-part hash
+    aggregate computes once, the global threshold folds from the SAME
+    grouped result (a second O(groups) aggregate, not a second fact
+    scan), then crosses back as a 1-row broadcast — the whitelisted
+    scalar-normalizer pattern. Supplier/nation broadcast, so the fact
+    shuffles once, on partkey."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    ).select("n_nationkey")
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            ops.dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias(
+                "value"
+            )
+        )
+    )
+    total = pv.agg((ops.dsum(F.col("value")) * F.lit(0.0005)).alias("_thr"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("partkey", "value")
+    )
+
+
+@query(
+    "tpch_q12_ship_priority_classes",
+    oracle="""
+    SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'FAST' ELSE 'SLOW' END AS ship_class,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no l_shipmode/commitdate/receiptdate — the
+    mode split becomes a ship-latency class: ≤30 days from order to
+    ship is 'FAST'): per class, how many high- vs low-priority order
+    lines. The Q12 signature is the conditional-count pivot (SUM of
+    CASE) — both counts come from the same hash aggregate, one pass,
+    one fact-fact shuffle on orderkey with the one-year shipdate
+    window pushed to the lineitem scan."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "ship_class",
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30,
+                "FAST",
+            ).otherwise("SLOW"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(hi.cast("long")).alias("high_line_count"),
+            F.sum((~hi).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp — the part×supplier relation is
+    the distinct (partkey, suppkey) pairs observed in lineitem; the
+    "complaints" exclusion becomes negative-balance suppliers):
+    distinct supplier count per (brand, type, size) bucket.
+
+    Shape: map-side distinct of the fact pairs, a broadcast hash join
+    against the filtered part dim (brand/type/size predicates pushed to
+    the part scan), a broadcast ANTI join for the NOT IN (null-safe
+    here: s_suppkey is a key, never NULL), then count(DISTINCT) — which
+    Spark expands to a two-level aggregate, both levels map-side
+    combinable. No fact-fact shuffle anywhere."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_heavy_shippers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_suppkey AS suppkey,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE '%widget%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, n.n_name AS nation, shipped.qty
+    FROM shipped
+    JOIN supplier s ON shipped.suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE shipped.qty > (
+        SELECT CAST(sum(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) * 0.5
+                 / count(*) FROM shipped
+    )
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp/availqty — "has excess stock"
+    becomes "shipped more than half the mean supplier volume"):
+    suppliers who moved an outsized share of widget parts in 1996.
+
+    The original's correlated >0.5×sum(qty) subquery keeps its shape:
+    the per-supplier aggregate computes once, the threshold is a second
+    O(suppliers) fold of that SAME result re-crossed as a 1-row
+    broadcast. The name-filtered part dim broadcasts ahead of the fact
+    scan (semi-reduction), the shipdate window pushes down, and the
+    supplier/nation enrichment broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    shipped = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(ops.dsum(F.col("l_quantity")).alias("qty"))
+    )
+    thr = shipped.agg(
+        (ops.dsum(F.col("qty")) * F.lit(0.5) / F.count(F.lit(1))).alias("_thr")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        shipped.crossJoin(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("_thr"))
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"), "qty")
     )
 
 
@@ -5783,10 +6184,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_ref_left",
     "sort_nulls_rank",
     "safe_corr_qty_price",
-    "stat_summary",
-    # --- NEW this round: TPC-H shapes Q5/Q6/Q8/Q9/Q19/Q21 + BM25
-    # retrieval + mixture resampling — in-window so they never join the
-    # never-checked backlog ---
+    # --- NEW this round: the TPC-H suite is now complete at 22 —
+    # Q1/Q2/Q11/Q12/Q16/Q20 join Q5/Q6/Q8/Q9/Q19/Q21 from earlier in
+    # the round, plus BM25 retrieval + mixture resampling — all
+    # in-window so they never join the never-checked backlog ---
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_parts",
+    "tpch_q12_ship_priority_classes",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_heavy_shippers",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
@@ -5795,21 +6202,21 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q21_waiting_supplier",
     "bm25_search",
     "mixture_resample_lang",
-    # --- dedup family: minhash constant-factor work lands this round,
-    # keep its correctness row fresh alongside its dependents ---
-    "minhash_lsh_pairs",
-    "incremental_dedup_pairs",
-    "near_dup_clusters",
+    "incremental_mv_rollup",
     "semdedup_prune",
     "repeated_chunks",
     "oov_rate",
-    # --- stable greens re-confirmed: breakage-prone families
-    # (streaming, events/NTZ handling) ---
+    # --- dedup family: minhash constant-factor work lands this round,
+    # keep its correctness row fresh alongside its cluster consumer ---
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    # ---------------- out-of-window below this line ----------------
+    "stat_summary",
+    "incremental_dedup_pairs",
     "tumbling_window",
     "stateful_running_total",
     "locf_fill",
     "asof_join",
-    # ---------------- out-of-window below this line ----------------
     "session_window",
     "stream_static_join",
     "rolling_avg_7",
@@ -5873,14 +6280,15 @@ _DRIVER_WINDOW_PRIORITY = [
 # official driver row. Round-4 composition: the 7 r3 hash-fails retained
 # to prove the ::BIGINT oracle fix (+ the latent 8th), ALL 17 queries
 # that had never faced the driver (closing the union to every-query-
-# ever-checked), the 8 queries NEW this round (TPC-H Q5/Q6/Q8/Q9/Q19/
-# Q21, BM25, mixture resample — in-window immediately so no new
-# never-checked backlog forms), a 5-query §2 reference-parity slice
-# whose last official rows were r1, the dedup family touched by this
-# round's minhash constant-factor work, and 7 stable greens from the
-# breakage-prone streaming/NTZ families. Everything below the out-of-window line
-# holds an r1-r3 green row and is re-verified locally every round by
-# check_oracle / check_bare.
+# ever-checked), the 17 queries NEW this round (the six that complete
+# the TPC-H-adapted suite at 22 — Q1/Q2/Q11/Q12/Q16/Q20 — plus Q5/Q6/
+# Q8/Q9/Q19/Q21, BM25, mixture resample, SemDeDup, repeated-chunk,
+# OOV-rate — in-window immediately so no new never-checked backlog
+# forms), a §2 reference-parity slice whose last official rows were r1,
+# and the two dedup queries touched by this round's minhash constant-
+# factor work. Everything below the out-of-window line holds an r1-r3
+# green row and is re-verified locally every round by check_oracle /
+# check_bare.
 
 
 def _reorder_registry() -> None:

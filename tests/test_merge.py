@@ -115,3 +115,53 @@ def test_snapshot_diff_key_only_and_empty_compare_cols(spark):
         for r in snapshot_diff(old2, new2, "k", compare_cols=[]).collect()
     }
     assert diff2 == {1: "removed", 3: "added"}
+
+
+def test_rollup_state_merge_equals_full_recompute(spark):
+    """The MV-maintenance invariant: merge(state(A), state(B), state(C))
+    finalizes to exactly the direct aggregate of A ∪ B ∪ C, for any
+    split — including batches missing some keys entirely."""
+    from covid_custom_sql_engine_spark.operators.merge import (
+        finalize_rollup,
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    full = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", -1.0), ("b", 4.0), ("c", 0.25)],
+        "k string, v double",
+    )
+    batches = [
+        spark.createDataFrame([("a", 1.5), ("b", -1.0)], "k string, v double"),
+        spark.createDataFrame([("a", 2.5)], "k string, v double"),
+        spark.createDataFrame([("b", 4.0), ("c", 0.25)], "k string, v double"),
+    ]
+    merged = finalize_rollup(
+        merge_rollup_states(*[rollup_state(b, ["k"], "v") for b in batches]),
+        "v",
+    )
+    direct = finalize_rollup(rollup_state(full, ["k"], "v"), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_rollup_state_null_values_and_single_state(spark):
+    """NULL values don't count toward n/sum/min/max; an all-NULL key
+    finalizes to n=0 with NULL sum/avg/min/max. merge of ONE state is
+    the identity."""
+    from covid_custom_sql_engine_spark.operators.merge import (
+        finalize_rollup,
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("z", None)], "k string, v double"
+    )
+    st = rollup_state(df, ["k"], "v")
+    out = {r.k: r for r in finalize_rollup(merge_rollup_states(st), "v").collect()}
+    assert out["a"].n_v == 1 and out["a"].sum_v == 1.0 and out["a"].avg_v == 1.0
+    assert out["z"].n_v == 0
+    assert out["z"].sum_v is None and out["z"].avg_v is None
+    assert out["z"].min_v is None and out["z"].max_v is None

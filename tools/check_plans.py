@@ -163,6 +163,13 @@ EXPECT = {
     "tpch_q9_nation_profit": (5, True, False),
     "tpch_q19_disjunctive_filter": (4, False, False),
     "tpch_q21_waiting_supplier": (3, True, False),
+    "tpch_q1_pricing_summary": (7, True, False),
+    "tpch_q2_min_cost_supplier": (4, True, False),
+    "tpch_q11_important_parts": (4, True, True),  # 1-row total-value broadcast: intended
+    "tpch_q12_ship_priority_classes": (3, True, False),
+    "tpch_q16_supplier_part_counts": (4, True, False),
+    "tpch_q20_heavy_shippers": (4, True, True),  # 1-row mean-volume broadcast: intended
+    "incremental_mv_rollup": (4, True, False),
     # --- retrieval / mixture ---
     "bm25_search": (2, False, True),  # 1-row (N, avgdl) corpus-stats broadcast: intended
     "semdedup_prune": (3, False, True),  # ≤|labels|-row centroid broadcast cross: intended
