@@ -59,10 +59,13 @@ HEADLINE = [
     "windowed_hll_users",
     "data_quality_report",
     "split_divergence",
-    # round 4 additions: pushdown-bound scan, retrieval, embedding dedup
+    # round 4 additions: pushdown-bound scan, retrieval, embedding dedup,
+    # wide-aggregate scan, incremental MV maintenance
     "tpch_q6_forecast_revenue",
     "bm25_search",
     "semdedup_prune",
+    "tpch_q1_pricing_summary",
+    "incremental_mv_rollup",
 ]
 
 

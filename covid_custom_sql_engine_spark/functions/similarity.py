@@ -496,6 +496,14 @@ def semdedup_prune(
         # arithmetic stays dot/(na·nb), identical to the oracle's
         # expression tree, so values are bit-equal.
         .select(id_col, "cell", "_v", norm(F.col("_v")).alias("_n"))
+        # The assignment subtree (N×cells crossJoin + per-vector argmax
+        # window) has THREE consumers below — both self-join branches and
+        # the final join-back — and Spark re-executes a subtree per
+        # consumer. Pin it so assignment computes once (same lazy-
+        # checkpoint pattern as dedup.candidate_pairs_from_bands'
+        # predrop mode; blocks freed by the ContextCleaner). Measured
+        # 3.6 s → ~1.6 s at sf0.1.
+        .localCheckpoint(eager=False)
     )
     pair_src = assigned
     if max_cell is not None:
