@@ -268,6 +268,11 @@ def bm25_topk(
         toks.join(F.broadcast(queries_df), "term")
         .groupBy("query_id", id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        # tf is sized by matches but COSTS a corpus tokenize+explode to
+        # build, and it has two consumers (dfreq and the score join).
+        # Pin it so the corpus-sized subtree runs once (lazy checkpoint,
+        # same pattern as semdedup_prune / candidate_pairs predrop).
+        .localCheckpoint(eager=False)
     )
     dfreq = (
         tf.select("term", id_col)

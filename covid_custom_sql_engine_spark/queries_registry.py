@@ -4584,15 +4584,17 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.l_partkey
     )
     SELECT partkey, value FROM pv
-    WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 0.0005 FROM pv)
+    WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 2.0
+                          / count(*) FROM pv)
     """,
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 adapted (no partsupp — a part's "stock value" is the
     summed extendedprice×quantity shipped by one nation's suppliers):
-    parts whose value exceeds 0.05% of the national total (the fraction
-    is scaled so the filter bites above the mean part share at the
-    driver's part cardinality).
+    parts whose value exceeds 2× the mean part value. The original's
+    fixed fraction-of-total threshold selects a cardinality-dependent
+    slice (0 rows at 10× the parts); a mean-relative threshold keeps
+    the filter meaningful at every scale factor.
 
     The scalar subquery is the shape of interest: the per-part hash
     aggregate computes once, the global threshold folds from the SAME
@@ -4617,7 +4619,9 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    total = pv.agg((ops.dsum(F.col("value")) * F.lit(0.0005)).alias("_thr"))
+    total = pv.agg(
+        (ops.dsum(F.col("value")) * F.lit(2.0) / F.count(F.lit(1))).alias("_thr")
+    )
     return (
         pv.crossJoin(F.broadcast(total))
         .filter(F.col("value") > F.col("_thr"))
