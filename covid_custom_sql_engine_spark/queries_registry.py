@@ -3504,6 +3504,74 @@ def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Statically-unrolled PageRank oracle matching functions/graph.py:
+    identical IEEE expression tree ((1.0 - 0.85) evaluated in DOUBLE on
+    both engines), identical DECIMAL(38,18) contribution folding."""
+    base = """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst, 1.0::DOUBLE / d.out_deg AS w
+           FROM edges e JOIN deg d USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT count(*) AS _n FROM nodes),
+    r0 AS (SELECT node, 1.0::DOUBLE / (SELECT _n FROM n) AS pr FROM nodes)"""
+    for i in range(1, iterations + 1):
+        base += f""",
+    r{i} AS (
+        SELECT ew.dst AS node,
+               (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT _n FROM n)
+               + 0.85::DOUBLE * CAST(sum(CAST(r{i-1}.pr * ew.w
+                                              AS DECIMAL(38,18))) AS DOUBLE)
+                 AS pr
+        FROM r{i-1} JOIN ew ON r{i-1}.node = ew.src
+        GROUP BY ew.dst
+    )"""
+    # round(10): double→DECIMAL(38,18) quantization rounds half-way
+    # cases differently across engines (~1e-18 absolute skew, last ulp
+    # of a ~1e-2 rank); 10 dp keeps full ranking signal and is 8 orders
+    # of magnitude above the skew.
+    return base + f"\n    SELECT node, round(pr, 10) AS pr FROM r{iterations}"
+
+
+@query("pagerank_bipartite", oracle=_pagerank_oracle(3))
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier bipartite graph (an edge per
+    distinct customer/supplier trading pair, both directions, supplier
+    nodes offset past the customer key range), 3 unrolled iterations,
+    damping 0.85 (functions/graph.pagerank). The iterative-algorithm
+    family member beyond connected components: each round is one
+    equi-join + one map-side-combinable hash aggregate — the shuffle
+    profile that survives 100 TB — and the DECIMAL(38,18) contribution
+    fold makes ranks bit-identical to the oracle's unrolled SQL."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return gr.pagerank(edges, iterations=3, damping=0.85).select(
+        "node", F.round(F.col("rank"), 10).alias("pr")
+    )
+
+
 @query(
     "incremental_mv_rollup",
     oracle=f"""
@@ -6187,7 +6255,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "group_agg_ref7",
     "join_ref_left",
     "sort_nulls_rank",
-    "safe_corr_qty_price",
     # --- NEW this round: the TPC-H suite is now complete at 22 —
     # Q1/Q2/Q11/Q12/Q16/Q20 join Q5/Q6/Q8/Q9/Q19/Q21 from earlier in
     # the round, plus BM25 retrieval + mixture resampling — all
@@ -6207,6 +6274,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bm25_search",
     "mixture_resample_lang",
     "incremental_mv_rollup",
+    "pagerank_bipartite",
     "semdedup_prune",
     "repeated_chunks",
     "oov_rate",
@@ -6215,6 +6283,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "minhash_lsh_pairs",
     "near_dup_clusters",
     # ---------------- out-of-window below this line ----------------
+    "safe_corr_qty_price",
     "stat_summary",
     "incremental_dedup_pairs",
     "tumbling_window",

@@ -1,0 +1,48 @@
+"""PageRank (functions/graph.py)."""
+
+from __future__ import annotations
+
+import math
+
+from covid_custom_sql_engine_spark.functions.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _ranks(df):
+    return {r.node: r.rank for r in df.collect()}
+
+
+def test_pagerank_sums_to_one_and_ring_is_uniform(spark):
+    """A directed ring: perfectly symmetric, so every node keeps exactly
+    1/N at every iteration; total mass is conserved."""
+    n = 5
+    ring = _edges(spark, [(i, (i + 1) % n) for i in range(n)])
+    r = _ranks(pagerank(ring, iterations=4))
+    assert math.isclose(sum(r.values()), 1.0, rel_tol=1e-9)
+    for v in r.values():
+        assert math.isclose(v, 1.0 / n, rel_tol=1e-9)
+
+
+def test_pagerank_star_ranks_hub_highest(spark):
+    """Undirected star (hub 0, leaves 1..4, both edge directions): the
+    hub receives every leaf's full rank and must rank strictly highest;
+    leaves are symmetric and equal."""
+    leaves = [1, 2, 3, 4]
+    both = [(0, l) for l in leaves] + [(l, 0) for l in leaves]
+    r = _ranks(pagerank(_edges(spark, both), iterations=3))
+    assert r[0] > max(r[l] for l in leaves)
+    assert len({round(r[l], 12) for l in leaves}) == 1
+    assert math.isclose(sum(r.values()), 1.0, rel_tol=1e-9)
+
+
+def test_pagerank_iteration_zero_shape_and_damping(spark):
+    """One iteration of a 2-node swap graph keeps the uniform fixpoint
+    regardless of damping (contributions are symmetric)."""
+    sw = _edges(spark, [(1, 2), (2, 1)])
+    for d in (0.5, 0.85):
+        r = _ranks(pagerank(sw, iterations=1, damping=d))
+        assert math.isclose(r[1], 0.5, rel_tol=1e-9)
+        assert math.isclose(r[2], 0.5, rel_tol=1e-9)

@@ -170,6 +170,7 @@ EXPECT = {
     "tpch_q16_supplier_part_counts": (4, True, False),
     "tpch_q20_heavy_shippers": (4, True, True),  # 1-row mean-volume broadcast: intended
     "incremental_mv_rollup": (4, True, False),
+    "pagerank_bipartite": (2, False, True),  # 1-row node-count broadcast: intended
     # --- retrieval / mixture ---
     "bm25_search": (2, False, True),  # 1-row (N, avgdl) corpus-stats broadcast: intended
     "semdedup_prune": (3, False, True),  # ≤|labels|-row centroid broadcast cross: intended
