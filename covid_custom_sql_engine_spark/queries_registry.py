@@ -2481,6 +2481,120 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_retention",
+    oracle="""
+    WITH e AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+    f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+    sizes AS (SELECT cohort_wk, count(*) AS cohort_size FROM f GROUP BY cohort_wk),
+    per AS (
+        SELECT f.cohort_wk,
+               CAST(datediff('day', f.cohort_wk, e.wk) // 7 AS BIGINT) AS week_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM e JOIN f USING (user_id)
+        GROUP BY f.cohort_wk, week_offset
+    )
+    SELECT strftime(per.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           week_offset, n_active, cohort_size,
+           n_active / cohort_size AS retention
+    FROM per JOIN sizes USING (cohort_wk)
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    tracked by distinct-active count at each week offset, normalized by
+    cohort size — the product-analytics staple. Shape: one map-side
+    distinct of (user, week), a per-user min (hash agg), an equi-join
+    back on user_id, a (cohort, offset) distinct-count aggregate, and a
+    broadcast of the O(weeks) cohort-size table. Everything shuffles on
+    user_id or the tiny cohort key; retention = exact int/int division,
+    identical IEEE on both engines."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+        )
+        .distinct()
+    )
+    f = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = f.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
+    per = (
+        e.join(f, "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.floor(F.datediff("wk", "cohort_wk") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return per.join(F.broadcast(sizes), "cohort_wk").select(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+EWMA_ALPHA = 0.9  # per-step decay
+EWMA_SPAN = 32  # truncation window: 0.9^32 ≈ 0.034 residual weight
+
+
+@query(
+    "ewma_smooth",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_id, event_type, value,
+               list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS arr
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, event_type,
+           list_reduce(list_prepend(0.0::DOUBLE, arr),
+                       (acc, x) -> acc * {EWMA_ALPHA}::DOUBLE + x)
+           / list_reduce(list_prepend(0.0::DOUBLE,
+                                      list_transform(arr, x -> 1.0::DOUBLE)),
+                         (acc, x) -> acc * {EWMA_ALPHA}::DOUBLE + x) AS ewma
+    FROM a
+    """,
+)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average per event type —
+    the time-series smoother whose textbook form (an order-dependent
+    recurrence over the whole history) cannot distribute. The truncated
+    form can: a {EWMA_SPAN}-row window frame gathers the trailing
+    values in frame order and ONE higher-order fold computes
+    Σ αʲ·x_{{t-j}}, normalized by the same fold over 1s (so no pow() —
+    libm pow differs across engines in the last ulp; the fold
+    multiplies α step-by-step, bit-identical everywhere). Residual
+    weight beyond the window is α^span ≈ 3%%. Shape: one window sort
+    per event_type partition, per-row O(span) arithmetic, no joins.
+    NULL values are pre-filtered on BOTH engines because Spark's
+    collect_list drops NULLs while DuckDB's list() keeps them."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    )
+    a = F.lit(EWMA_ALPHA)
+    arr = F.collect_list("value").over(w)
+    num = F.aggregate(
+        F.col("_arr"), F.lit(0.0), lambda acc, x: acc * a + x
+    )
+    den = F.aggregate(
+        F.col("_arr"), F.lit(0.0), lambda acc, x: acc * a + F.lit(1.0)
+    )
+    return (
+        e.select("event_id", "event_type", arr.alias("_arr"))
+        .select("event_id", "event_type", (num / den).alias("ewma"))
+    )
+
+
+@query(
     "levenshtein_pairs",
     oracle=f"""
     {_sql_minhash_cte()}
@@ -6283,6 +6397,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "minhash_lsh_pairs",
     "near_dup_clusters",
     # ---------------- out-of-window below this line ----------------
+    # added late in round 4 (window already full) — FIRST IN LINE for
+    # the r5 rotation; locally verified at all three scales + bare
+    "cohort_retention",
+    "ewma_smooth",
     "safe_corr_qty_price",
     "stat_summary",
     "incremental_dedup_pairs",

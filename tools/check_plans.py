@@ -171,6 +171,8 @@ EXPECT = {
     "tpch_q20_heavy_shippers": (4, True, True),  # 1-row mean-volume broadcast: intended
     "incremental_mv_rollup": (4, True, False),
     "pagerank_bipartite": (2, False, True),  # 1-row node-count broadcast: intended
+    "cohort_retention": (2, False, False),
+    "ewma_smooth": (4, True, False),
     # --- retrieval / mixture ---
     "bm25_search": (2, False, True),  # 1-row (N, avgdl) corpus-stats broadcast: intended
     "semdedup_prune": (3, False, True),  # ≤|labels|-row centroid broadcast cross: intended
