@@ -92,6 +92,38 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, _cv) per-label mean vectors with NO driver action.
+
+    The obvious shape — ``F.avg(vec[i])`` for each index — needs the
+    vector dimension at plan-build time, and probing it costs a
+    ``first()`` (one extra job per invocation locally; a partition scan
+    on the driver path at cluster scale). Instead: posexplode the
+    elements, average per (cell, position) — a map-side-combinable hash
+    aggregate shuffling O(cells × dim) rows — and reassemble the array
+    in position order. Same multiset averaged per slot, and the same
+    shape the SQL oracles use (unnest + avg)."""
+    return (
+        embeddings.select(
+            F.col(label_col).alias("cell"),
+            F.posexplode(as_double(vec_col)).alias("_p", "_x"),
+        )
+        .groupBy("cell", "_p")
+        .agg(F.avg("_x").alias("_ax"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_ax"))),
+                lambda s: s["_ax"],
+            ).alias("_cv")
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     planes: list[list[float]],
@@ -153,17 +185,7 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    dim = len(embeddings.select(vec_col).first()[0])
-    cents = (
-        embeddings.select(F.col(label_col).alias("cell"), as_double(vec_col).alias("_v"))
-        .groupBy("cell")
-        .agg(
-            F.array(
-                *[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)]
-            ).alias("_cv")
-        )
-    )
-    cents = F.broadcast(cents)
+    cents = F.broadcast(label_centroids(embeddings, label_col, vec_col))
 
     def nearest_cells(df, vcol, n):
         w = Window.partitionBy("_rid").orderBy(F.col("_d").asc(), F.col("cell").asc())
@@ -466,18 +488,7 @@ def semdedup_prune(
     """
     from pyspark.sql import Window
 
-    dim = len(embeddings.select(vec_col).first()[0])
-    cents = F.broadcast(
-        embeddings.select(
-            F.col(label_col).alias("cell"), as_double(vec_col).alias("_v")
-        )
-        .groupBy("cell")
-        .agg(
-            F.array(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)]).alias(
-                "_cv"
-            )
-        )
-    )
+    cents = F.broadcast(label_centroids(embeddings, label_col, vec_col))
     # NULLS FIRST matches the SQL oracle's `DESC NULLS FIRST` (a NULL
     # similarity only arises for zero-norm vectors; aligning the order
     # keeps even that degenerate case engine-identical)
