@@ -428,3 +428,79 @@ def retention_cohorts(
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct("_k").alias("n_active"))
     )
+
+
+def retention_matrix(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    granularity: str = "week",
+) -> DataFrame:
+    """:func:`retention_cohorts` normalized to retention ratios.
+
+    Cohort size needs no extra pass over the data: every entity is
+    active in its own first period by definition, so the offset-0 row
+    of the triangle IS the cohort size. The triangle is pinned (it has
+    two consumers) and the size row broadcasts back onto it.
+
+    Output: (cohort, period_offset, n_active, cohort_size,
+    retention = n_active / cohort_size as exact int division → double).
+    """
+    per = retention_cohorts(df, key, ts_col, granularity).localCheckpoint(
+        eager=False
+    )
+    sizes = per.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    return per.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "period_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    order_col: str | Sequence[str],
+    partition_col: str | None = None,
+    alpha: float = 0.9,
+    span: int = 32,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average.
+
+    The textbook EWMA is an order-dependent recurrence over the entire
+    history — undistributable as stated. Truncating to the trailing
+    ``span`` rows (residual weight α^span) makes it a window
+    computation: collect the frame's values in order and fold them with
+    a higher-order aggregate, acc = α·acc + x, normalized by the same
+    fold over ones. α is multiplied step-by-step — never pow(), whose
+    libm implementations differ in the last ulp across engines — so the
+    result is bit-identical everywhere. Per-row cost is O(span)
+    arithmetic; the only shuffle is the window's partition sort.
+
+    NULL values must be pre-filtered by the caller when cross-engine
+    parity matters: Spark's collect_list drops NULLs (DuckDB's list()
+    keeps them), which silently shifts the frame.
+    """
+    orders = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.orderBy(*orders).rowsBetween(-(span - 1), 0)
+    if partition_col is not None:
+        w = (
+            Window.partitionBy(partition_col)
+            .orderBy(*orders)
+            .rowsBetween(-(span - 1), 0)
+        )
+    a = F.lit(alpha)
+    num = F.aggregate(F.col("_ewma_arr"), F.lit(0.0), lambda acc, x: acc * a + x)
+    den = F.aggregate(
+        F.col("_ewma_arr"), F.lit(0.0), lambda acc, x: acc * a + F.lit(1.0)
+    )
+    return (
+        df.withColumn("_ewma_arr", F.collect_list(value_col).over(w))
+        .withColumn(out_col, num / den)
+        .drop("_ewma_arr")
+    )

@@ -2501,39 +2501,23 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users grouped by first-activity week,
-    tracked by distinct-active count at each week offset, normalized by
-    cohort size — the product-analytics staple. Shape: one map-side
-    distinct of (user, week), a per-user min (hash agg), an equi-join
-    back on user_id, a (cohort, offset) distinct-count aggregate, and a
-    broadcast of the O(weeks) cohort-size table. Everything shuffles on
-    user_id or the tiny cohort key; retention = exact int/int division,
-    identical IEEE on both engines."""
-    e = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
-        )
-        .distinct()
-    )
-    f = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    sizes = f.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
-    per = (
-        e.join(f, "user_id")
-        .groupBy(
-            "cohort_wk",
-            F.floor(F.datediff("wk", "cohort_wk") / 7)
-            .cast("bigint")
-            .alias("week_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_active"))
-    )
-    return per.join(F.broadcast(sizes), "cohort_wk").select(
-        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
-        "week_offset",
+    """Cohort retention matrix (operators/composites.retention_matrix):
+    users grouped by first-activity week, tracked by distinct-active
+    count at each week offset, normalized by cohort size — the
+    product-analytics staple. Shape: one per-user first-seen aggregate,
+    an equi-join back onto the activity scan, a (cohort, offset)
+    distinct-count grid, and a broadcast of the offset-0 row as the
+    cohort size (every user is active in their own first week, so no
+    extra pass). Retention = exact int/int division, identical IEEE on
+    both engines."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    m = comp.retention_matrix(e, "user_id", "ts", "week")
+    return m.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        F.col("period_offset").alias("week_offset"),
         "n_active",
         "cohort_size",
-        (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        "retention",
     )
 
 
@@ -2560,38 +2544,24 @@ EWMA_SPAN = 32  # truncation window: 0.9^32 ≈ 0.034 residual weight
     """,
 )
 def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truncated exponentially-weighted moving average per event type —
-    the time-series smoother whose textbook form (an order-dependent
-    recurrence over the whole history) cannot distribute. The truncated
-    form can: a {EWMA_SPAN}-row window frame gathers the trailing
-    values in frame order and ONE higher-order fold computes
-    Σ αʲ·x_{{t-j}}, normalized by the same fold over 1s (so no pow() —
-    libm pow differs across engines in the last ulp; the fold
-    multiplies α step-by-step, bit-identical everywhere). Residual
-    weight beyond the window is α^span ≈ 3%%. Shape: one window sort
-    per event_type partition, per-row O(span) arithmetic, no joins.
+    """Truncated exponentially-weighted moving average per event type
+    (operators/composites.ewma) — the time-series smoother whose
+    textbook form (an order-dependent recurrence over the whole
+    history) cannot distribute; see the composite's docstring for the
+    window-fold formulation and the no-pow() determinism argument.
     NULL values are pre-filtered on BOTH engines because Spark's
     collect_list drops NULLs while DuckDB's list() keeps them."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(EWMA_SPAN - 1), 0)
-    )
-    a = F.lit(EWMA_ALPHA)
-    arr = F.collect_list("value").over(w)
-    num = F.aggregate(
-        F.col("_arr"), F.lit(0.0), lambda acc, x: acc * a + x
-    )
-    den = F.aggregate(
-        F.col("_arr"), F.lit(0.0), lambda acc, x: acc * a + F.lit(1.0)
-    )
-    return (
-        e.select("event_id", "event_type", arr.alias("_arr"))
-        .select("event_id", "event_type", (num / den).alias("ewma"))
-    )
+    return comp.ewma(
+        e,
+        "value",
+        ["ts", "event_id"],
+        partition_col="event_type",
+        alpha=EWMA_ALPHA,
+        span=EWMA_SPAN,
+    ).select("event_id", "event_type", "ewma")
 
 
 @query(

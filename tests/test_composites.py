@@ -209,3 +209,68 @@ def test_debounce_events_hand_case(spark):
         ).collect()
     )
     assert kept == [1, 4, 5, 6]
+
+
+def test_ewma_matches_python_reference(spark):
+    """The truncated window fold must equal the direct weighted sum
+    Σ αʲ x_{t-j} / Σ αʲ computed in plain Python, per partition, for a
+    span smaller than, equal to, and larger than the series."""
+    from covid_custom_sql_engine_spark.operators.composites import ewma
+
+    vals = {"a": [3.0, -1.5, 2.25, 8.0, 0.5], "b": [10.0, 20.0]}
+    rows = [(g, i, v) for g, xs in vals.items() for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    for span in (1, 3, 5, 32):
+        out = {
+            (r.g, r.i): r.ewma
+            for r in ewma(df, "v", "i", partition_col="g", alpha=0.9, span=span).collect()
+        }
+        for g, xs in vals.items():
+            for t in range(len(xs)):
+                window = xs[max(0, t - span + 1) : t + 1]
+                num = den = 0.0
+                for x in window:  # same fold order as the HOF aggregate
+                    num = num * 0.9 + x
+                    den = den * 0.9 + 1.0
+                assert out[(g, t)] == num / den, (g, t, span)
+
+
+def test_ewma_span_one_is_identity(spark):
+    from covid_custom_sql_engine_spark.operators.composites import ewma
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -3.0)], "i long, v double"
+    )
+    out = {r.i: r.ewma for r in ewma(df, "v", "i", span=1).collect()}
+    assert out == {1: 5.0, 2: -3.0}
+
+
+def test_retention_matrix_small_scenario(spark):
+    """3 users: u1 active weeks 0/1/2, u2 weeks 0/2, u3 (later cohort)
+    its own week only. Offset-0 rows double as cohort sizes."""
+    import datetime as dt
+
+    from covid_custom_sql_engine_spark.operators.composites import (
+        retention_matrix,
+    )
+
+    def ts(day):  # Monday 2024-01-01 + day
+        return dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+
+    rows = [
+        (1, ts(0)), (1, ts(8)), (1, ts(15)),   # u1: weeks 0,1,2
+        (2, ts(2)), (2, ts(16)),               # u2: weeks 0,2
+        (3, ts(7)),                            # u3: cohort week 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort.date().isoformat(), r.period_offset): (
+            r.n_active, r.cohort_size, r.retention
+        )
+        for r in retention_matrix(df, "user_id", "ts", "week").collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)   # only u1 in week 1
+    assert out[("2024-01-01", 2)] == (2, 2, 1.0)   # u1 and u2 return
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)   # u3's own cohort
+    assert len(out) == 4
