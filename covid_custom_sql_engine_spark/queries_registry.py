@@ -3657,6 +3657,68 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "triangle_counts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING count(*) >= 2
+    ),
+    und AS (SELECT pa AS src FROM e0 UNION ALL SELECT pb FROM e0),
+    deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+    orient AS (
+        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                    THEN e.pa ELSE e.pb END AS src,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                    THEN e.pb ELSE e.pa END AS dst,
+               CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+                    THEN db.d ELSE da.d END AS dd
+        FROM e0 e JOIN deg da ON e.pa = da.src JOIN deg db ON e.pb = db.src
+    ),
+    tri AS (
+        SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+        FROM orient o1 JOIN orient o2 ON o1.src = o2.src
+        WHERE (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+          AND EXISTS (SELECT 1 FROM orient o3
+                      WHERE o3.src = o1.dst AND o3.dst = o2.dst)
+    )
+    SELECT vertex, count(*) AS n_triangles
+    FROM (SELECT unnest([u, v, w]) AS vertex FROM tri)
+    GROUP BY vertex
+    """,
+)
+def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts in the co-purchase graph (parts bought
+    together in ≥2 orders) via degree-ordered orientation
+    (functions/graph.triangle_counts): every wedge generates at its
+    ordering-minimal vertex so hub fan-out is bounded ~O(√m) — the
+    formulation that keeps triangle counting feasible on power-law
+    graphs at 100 TB. Each triangle closes with one equi-join; counts
+    explode to the three corners and hash-aggregate."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("ea"))
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("eb")
+    )
+    edges = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("ea") < F.col("eb")))
+        .groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).alias("_support"))
+        .filter(F.col("_support") >= 2)
+        .select("ea", "eb")
+    )
+    return gr.triangle_counts(edges, "ea", "eb")
+
+
+@query(
     "incremental_mv_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
@@ -6371,6 +6433,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # the r5 rotation; locally verified at all three scales + bare
     "cohort_retention",
     "ewma_smooth",
+    "triangle_counts",
     "safe_corr_qty_price",
     "stat_summary",
     "incremental_dedup_pairs",

@@ -46,3 +46,28 @@ def test_pagerank_iteration_zero_shape_and_damping(spark):
         r = _ranks(pagerank(sw, iterations=1, damping=d))
         assert math.isclose(r[1], 0.5, rel_tol=1e-9)
         assert math.isclose(r[2], 0.5, rel_tol=1e-9)
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus one edge has exactly two triangles sharing an edge:
+    vertices 1-2 participate in both, 3 and 4 in one each. A pendant
+    edge (5-6) joins no triangle and must not appear."""
+    from covid_custom_sql_engine_spark.functions.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (5, 6)],
+        "a long, b long",
+    )
+    out = {r.vertex: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+    assert sum(out.values()) % 3 == 0  # 3 corners per triangle
+
+
+def test_triangle_counts_triangle_free(spark):
+    """Bipartite graphs are triangle-free: the 4-cycle yields nothing."""
+    from covid_custom_sql_engine_spark.functions.graph import triangle_counts
+
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "a long, b long"
+    )
+    assert triangle_counts(cyc).count() == 0

@@ -173,6 +173,7 @@ EXPECT = {
     "pagerank_bipartite": (2, False, True),  # 1-row node-count broadcast: intended
     "cohort_retention": (2, False, False),
     "ewma_smooth": (4, True, False),
+    "triangle_counts": (2, False, False),
     # --- retrieval / mixture ---
     "bm25_search": (2, False, True),  # 1-row (N, avgdl) corpus-stats broadcast: intended
     "semdedup_prune": (3, False, True),  # ≤|labels|-row centroid broadcast cross: intended
