@@ -2564,6 +2564,59 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "ewma")
 
 
+ROLLMED_SPAN = 15
+
+
+@query(
+    "rolling_median",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_id, event_type,
+               list_sort(list(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {ROLLMED_SPAN - 1} PRECEDING AND CURRENT ROW
+               )) AS ls
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, event_type,
+           CASE WHEN len(ls) % 2 = 1 THEN ls[(len(ls) + 1) // 2]
+                ELSE (ls[len(ls) // 2] + ls[len(ls) // 2 + 1]) / 2.0::DOUBLE
+           END AS roll_median
+    FROM a
+    """,
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median per event type over a {ROLLMED_SPAN}-row trailing
+    frame — the robust companion to `ewma_smooth` (a median shrugs off
+    the outliers an EWMA chases). No distributed-median machinery is
+    needed at window granularity: the frame's values sort INSIDE each
+    row's array (O(span log span) per row, zero extra shuffle) and the
+    middle element(s) read out exactly — bit-identical on both engines
+    since no arithmetic happens beyond one even-case average. NULLs
+    pre-filtered for the same collect_list-vs-list() parity reason as
+    ewma_smooth."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLMED_SPAN - 1), 0)
+    )
+    ls = F.array_sort(F.collect_list("value").over(w))
+    n = F.size("_ls")
+    med = F.when(
+        n % 2 == 1, F.element_at("_ls", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("_ls", (n / 2).cast("int"))
+            + F.element_at("_ls", (n / 2 + 1).cast("int"))
+        )
+        / F.lit(2.0)
+    )
+    return e.select("event_id", "event_type", ls.alias("_ls")).select(
+        "event_id", "event_type", med.alias("roll_median")
+    )
+
+
 @query(
     "levenshtein_pairs",
     oracle=f"""
@@ -6434,6 +6487,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "cohort_retention",
     "ewma_smooth",
     "triangle_counts",
+    "rolling_median",
     "safe_corr_qty_price",
     "stat_summary",
     "incremental_dedup_pairs",
