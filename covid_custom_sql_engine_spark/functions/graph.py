@@ -163,3 +163,63 @@ def triangle_counts(
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities, statically unrolled.
+
+    ``edges`` is the directed hub→authority list (for a bipartite
+    purchase graph: customer→supplier). Each iteration: authority(v) =
+    Σ hub(u) over in-edges, hub(u) = Σ authority(v) over out-edges —
+    two equi-join + combinable-aggregate rounds, the same shuffle
+    profile as :func:`pagerank` — then each score vector is L1-
+    normalized against its 1-row fold (the whitelisted scalar-broadcast
+    pattern). All sums fold through DECIMAL(38,18); the normalizing
+    division is one IEEE op on identical doubles, so scores are
+    bit-identical across engines and partitionings.
+
+    Returns (node, side ∈ {'hub','authority'}, score).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
+
+    def normalize(df, col):
+        tot = F.broadcast(df.agg(_dsum18(F.col(col)).alias("_t")))
+        return df.crossJoin(tot).select(
+            "node", (F.col(col) / F.col("_t")).alias(col)
+        )
+
+    hubs = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("h")
+    )
+    for _ in range(iterations):
+        # pin each round: hubs_i feeds auth_{i+1}; auth_i feeds BOTH
+        # hubs_{i+1} and (on the last round) the output union — without
+        # the pin the shared chain re-executes per consumer and the
+        # plan doubles per iteration (same idiom as
+        # dedup.connected_components' per-round checkpoint)
+        auth = normalize(
+            e.join(hubs, e.src == hubs.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(_dsum18(F.col("h")).alias("a")),
+            "a",
+        ).localCheckpoint(eager=False)
+        hubs = normalize(
+            e.join(auth, e.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(_dsum18(F.col("a")).alias("h")),
+            "h",
+        ).localCheckpoint(eager=False)
+    return hubs.select(
+        "node", F.lit("hub").alias("side"), F.col("h").alias("score")
+    ).unionAll(
+        auth.select(
+            "node", F.lit("authority").alias("side"), F.col("a").alias("score")
+        )
+    )

@@ -3679,6 +3679,65 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     return base + f"\n    SELECT node, round(pr, 10) AS pr FROM r{iterations}"
 
 
+def _hits_oracle(iterations: int = 3) -> str:
+    """Unrolled HITS oracle matching functions/graph.hits: identical
+    DECIMAL(38,18) folds and L1 normalizations, round(10) at the end
+    for the same double→decimal half-way-rounding reason as PageRank."""
+    ds = "CAST(sum(CAST({x} AS DECIMAL(38,18))) AS DOUBLE)"
+    base = """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000 AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (SELECT c AS src, s AS dst FROM pairs),
+    h0 AS (SELECT DISTINCT src AS node, 1.0::DOUBLE AS h FROM e)"""
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        # totals via CROSS JOIN of a 1-row CTE, NOT a scalar subquery in
+        # the projection — DuckDB re-evaluates the latter per row
+        # (measured 10 s → 0.1 s at sf0.01)
+        base += f""",
+    a{i}r AS (SELECT e.dst AS node, {ds.format(x=f'{prev_h}.h')} AS a
+              FROM e JOIN {prev_h} ON e.src = {prev_h}.node GROUP BY e.dst),
+    a{i}t AS (SELECT {ds.format(x='a')} AS t FROM a{i}r),
+    a{i} AS (SELECT node, a / t AS a FROM a{i}r CROSS JOIN a{i}t),
+    h{i}r AS (SELECT e.src AS node, {ds.format(x=f'a{i}.a')} AS h
+              FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY e.src),
+    h{i}t AS (SELECT {ds.format(x='h')} AS t FROM h{i}r),
+    h{i} AS (SELECT node, h / t AS h FROM h{i}r CROSS JOIN h{i}t)"""
+        prev_h = f"h{i}"
+    return base + f"""
+    SELECT node, 'hub' AS side, round(h, 10) AS score FROM h{iterations}
+    UNION ALL
+    SELECT node, 'authority' AS side, round(a, 10) AS score FROM a{iterations}"""
+
+
+@query("hits_bipartite", oracle=_hits_oracle(3))
+def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS on the directed customer→supplier purchase graph — hubs are
+    broad-basket customers, authorities are widely-bought-from
+    suppliers. 3 unrolled iterations of the mutual-reinforcement
+    recurrence (functions/graph.hits), each an equi-join + combinable
+    aggregate + 1-row L1-normalizer broadcast; per-round pinning keeps
+    the plan linear in iteration count."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    out = gr.hits(edges, iterations=3)
+    return out.select(
+        "node", "side", F.round(F.col("score"), 10).alias("score")
+    )
+
+
 @query("pagerank_bipartite", oracle=_pagerank_oracle(3))
 def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier bipartite graph (an edge per
@@ -6488,6 +6547,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ewma_smooth",
     "triangle_counts",
     "rolling_median",
+    "hits_bipartite",
     "safe_corr_qty_price",
     "stat_summary",
     "incremental_dedup_pairs",

@@ -71,3 +71,24 @@ def test_triangle_counts_triangle_free(spark):
         [(1, 2), (2, 3), (3, 4), (1, 4)], "a long, b long"
     )
     assert triangle_counts(cyc).count() == 0
+
+
+def test_hits_star_authority(spark):
+    """Directed star: hubs 1..3 all point at authority 10, hub 1 also
+    at 11. Authority 10 (three in-links) must outscore 11 (one); hubs
+    2 and 3 are symmetric; all sides L1-normalize to 1."""
+    import math
+
+    from covid_custom_sql_engine_spark.functions.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11)], "src long, dst long"
+    )
+    rows = hits(edges, iterations=3).collect()
+    hubs = {r.node: r.score for r in rows if r.side == "hub"}
+    auth = {r.node: r.score for r in rows if r.side == "authority"}
+    assert auth[10] > auth[11]
+    assert hubs[1] > hubs[2]  # hub 1 links to both authorities
+    assert hubs[2] == hubs[3]
+    assert math.isclose(sum(hubs.values()), 1.0, rel_tol=1e-9)
+    assert math.isclose(sum(auth.values()), 1.0, rel_tol=1e-9)
