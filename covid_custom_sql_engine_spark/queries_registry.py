@@ -2618,6 +2618,118 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "seasonal_baseline",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, hour(ts) AS hr,
+               count(value) AS n,
+               {_sql_davg('value')} AS mean_value,
+               {_sql_dstd('value')} AS std_value
+        FROM events GROUP BY event_type, hour(ts)
+    )
+    SELECT e.event_type, hour(e.ts) AS hr,
+           any_value(b.n) AS n,
+           any_value(b.mean_value) AS mean_value,
+           any_value(b.std_value) AS std_value,
+           sum(CASE WHEN b.std_value > 0
+                     AND abs(e.value - b.mean_value) > 2 * b.std_value
+                    THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+    FROM events e JOIN b ON e.event_type = b.event_type
+                        AND hour(e.ts) = b.hr
+    GROUP BY e.event_type, hour(e.ts)
+    """,
+)
+def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly screen: learn the hour-of-day profile
+    per event type (mean/std of value), then count readings more than
+    2σ from their seasonal slot's mean — the de-seasonalized cousin of
+    `rolling_zscore_anomalies`. Shape: one hash aggregate builds the
+    O(types × 24) profile, which broadcasts back onto a second pass of
+    the same scan; the anomaly count is a conditional-sum pivot. Means
+    are exact decimal sums / counts, std uses the deterministic
+    round(6) formula — both engines flag the identical rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    b = e.groupBy("event_type", "hr").agg(
+        F.count("value").alias("n"),
+        ops.davg(F.col("value")).alias("mean_value"),
+        *ops._agg_exprs("value", ("std",), True),
+    )
+    j = e.join(
+        F.broadcast(
+            b.select(
+                F.col("event_type").alias("_et"),
+                F.col("hr").alias("_hr"),
+                "n",
+                "mean_value",
+                "std_value",
+            )
+        ),
+        (F.col("event_type") == F.col("_et")) & (F.col("hr") == F.col("_hr")),
+    )
+    anom = (
+        (F.col("std_value") > 0)
+        & (F.abs(F.col("value") - F.col("mean_value")) > 2 * F.col("std_value"))
+    ).cast("long")
+    return j.groupBy("event_type", "hr").agg(
+        F.first("n").alias("n"),
+        F.first("mean_value").alias("mean_value"),
+        F.first("std_value").alias("std_value"),
+        F.sum(anom).alias("n_anomalies"),
+    )
+
+
+@query(
+    "benford_audit",
+    oracle="""
+    WITH d AS (
+        SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+    tot AS (SELECT sum(n_obs)::BIGINT AS n FROM obs)
+    SELECT digit, n_obs,
+           round(n * log10(1 + 1.0::DOUBLE / CAST(digit AS BIGINT)), 6)
+             AS expected,
+           round(pow(n_obs - n * log10(1 + 1.0::DOUBLE / CAST(digit AS BIGINT)), 2)
+                 / (n * log10(1 + 1.0::DOUBLE / CAST(digit AS BIGINT))), 6)
+             AS chi_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen. The leading digit comes from the STRING of
+    an exact integer (cents as BIGINT): integer-to-string rendering is
+    identical across engines, where float-to-string and
+    floor(log10(x)) at power-of-10 boundaries are not. One hash
+    aggregate over ≤9 groups plus a 1-row total broadcast; expected
+    counts and χ² terms round(6) because log10 of the digit constants
+    is libm-dependent in the last ulp."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = F.broadcast(obs.agg(F.sum("n_obs").alias("n")))
+    expected = F.col("n") * F.log10(1 + F.lit(1.0) / F.col("digit").cast("bigint"))
+    return obs.crossJoin(tot).select(
+        "digit",
+        "n_obs",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            F.pow(F.col("n_obs") - expected, 2) / expected, 6
+        ).alias("chi_term"),
+    )
+
+
+@query(
     "levenshtein_pairs",
     oracle=f"""
     {_sql_minhash_cte()}
@@ -6548,6 +6660,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "triangle_counts",
     "rolling_median",
     "hits_bipartite",
+    "seasonal_baseline",
+    "benford_audit",
     "safe_corr_qty_price",
     "stat_summary",
     "incremental_dedup_pairs",

@@ -176,6 +176,8 @@ EXPECT = {
     "triangle_counts": (2, False, False),
     "rolling_median": (4, True, False),
     "hits_bipartite": (2, False, True),  # 1-row L1-normalizer broadcasts: intended
+    "seasonal_baseline": (3, False, False),
+    "benford_audit": (1, True, True),  # 1-row digit-total broadcast: intended
     # --- retrieval / mixture ---
     "bm25_search": (2, False, True),  # 1-row (N, avgdl) corpus-stats broadcast: intended
     "semdedup_prune": (3, False, True),  # ≤|labels|-row centroid broadcast cross: intended
