@@ -546,8 +546,16 @@ def mixture_resample(
 
     Output: the accepted rows as (id, group, accept_prob rounded 6).
     """
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
-    total = df.agg(F.count(F.lit(1)).alias("_tot"))
+    # pinned: the ≤|groups|-row aggregate feeds BOTH the total fold and
+    # the acceptance-table broadcast; unpinned, each consumer would
+    # rescan the corpus (and a separate df.agg(count(*)) for the total
+    # would be a third scan for a number counts already contains)
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_gn"))
+        .localCheckpoint(eager=False)
+    )
+    total = counts.agg(F.sum("_gn").alias("_tot"))
     share = F.coalesce(
         *[
             F.when(F.col(group_col) == g, F.lit(float(s)))

@@ -131,9 +131,9 @@ def minhash_signatures(
             (F.conv(F.substring(hx, 16, 15), 16, 10).cast("bigint") % m).alias("h2"),
         ),
     )
-    # init = KM_MODULUS (> any h_i) so empty shingle arrays — which
-    # word_shingles never emits, but the fold must not depend on that —
-    # yield the neutral max, same as min() over an empty group.
+    # init = KM_MODULUS (> any h_i): the fold's neutral element. Empty
+    # arrays never reach the fold (filtered below), so no row can carry
+    # the bare init as a signature.
     init = F.struct(
         *[F.lit(KM_MODULUS).cast("bigint").alias(f"mh_{i}") for i in range(num_hashes)]
     )
@@ -149,12 +149,15 @@ def minhash_signatures(
             ]
         ),
     )
-    # NULL shingle arrays (NULL text) fold to a NULL signature; the old
-    # explode+aggregate shape dropped those docs entirely. Keep that
-    # contract — a NULL signature would otherwise collapse every NULL
-    # doc into one band bucket.
+    # NULL or EMPTY shingle arrays (NULL/short text) are dropped — the
+    # explode+aggregate shape this replaced emitted no row for them,
+    # and keeping that contract matters: a shared sentinel signature
+    # (the fold's all-KM_MODULUS init) would collapse every empty doc
+    # into one LSH band bucket, exactly the false-candidate blow-up the
+    # bucket cap exists to prevent. word_shingles never emits empty
+    # arrays, but this is the public signature-stage API.
     return (
-        sh_df.where(F.col("sh").isNotNull())
+        sh_df.where(F.col("sh").isNotNull() & (F.size("sh") > 0))
         .select(F.col(id_col), sig.alias("_s"))
         .select(
             id_col, *[F.col(f"_s.mh_{i}").alias(f"mh_{i}") for i in range(num_hashes)]

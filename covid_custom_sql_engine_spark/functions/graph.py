@@ -39,11 +39,12 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over a directed edge list, statically unrolled.
 
-    ``edges`` must contain every node as a source at least once (for an
-    undirected graph, pass both directions — then out-degree ≥ 1 and
-    in-degree ≥ 1 hold by construction and no dangling-node
-    redistribution term is needed; this is the contract, not a checked
-    precondition, because checking costs a scan).
+    ``edges`` must contain every node as a source at least once, i.e.
+    out-degree ≥ 1 — so no dangling-node redistribution term is needed
+    (for an undirected graph, pass both directions; this is the
+    contract, not a checked precondition, because checking costs a
+    scan). Zero IN-degree is fine: a source-only node keeps its
+    (1−d)/N teleport mass each round via the node-list left join.
 
     Plan shape per iteration: ranks ⋈ edges equi-join on src (ranks is
     O(nodes); at 100 TB both sides shuffle on the key — or ranks
@@ -69,7 +70,9 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
         .localCheckpoint(eager=False)
     )
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
     cnt = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
     ranks = nodes.crossJoin(cnt).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
@@ -78,14 +81,22 @@ def pagerank(
         contribs = ranks.join(ew, ranks.node == ew.src).select(
             F.col("dst"), (F.col("rank") * F.col("w")).alias("_c")
         )
+        agg = contribs.groupBy(F.col("dst").alias("node")).agg(
+            _dsum18(F.col("_c")).alias("_s")
+        )
+        # LEFT join from the node list: a node with zero in-degree (a
+        # directed graph's source-only node) receives no contributions
+        # but must keep its (1−d)/N teleport mass — a bare groupBy on
+        # dst would silently drop it from the vector and leak its
+        # outgoing mass from every later iteration.
         ranks = (
-            contribs.groupBy(F.col("dst").alias("node"))
-            .agg(_dsum18(F.col("_c")).alias("_s"))
+            nodes.join(agg, "node", "left")
             .crossJoin(cnt)
             .select(
                 "node",
                 (
-                    (1.0 - damping) / F.col("_n") + damping * F.col("_s")
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("_s"), F.lit(0.0))
                 ).alias("rank"),
             )
         )
@@ -185,6 +196,11 @@ def hits(
 
     Returns (node, side ∈ {'hub','authority'}, score).
     """
+    if iterations < 1:
+        raise ValueError(
+            "hits needs iterations >= 1 (authority scores only exist "
+            f"after a propagation round), got {iterations}"
+        )
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=False)

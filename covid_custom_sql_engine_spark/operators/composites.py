@@ -487,13 +487,8 @@ def ewma(
     keeps them), which silently shifts the frame.
     """
     orders = [order_col] if isinstance(order_col, str) else list(order_col)
-    w = Window.orderBy(*orders).rowsBetween(-(span - 1), 0)
-    if partition_col is not None:
-        w = (
-            Window.partitionBy(partition_col)
-            .orderBy(*orders)
-            .rowsBetween(-(span - 1), 0)
-        )
+    base = Window.partitionBy(partition_col) if partition_col is not None else Window
+    w = base.orderBy(*orders).rowsBetween(-(span - 1), 0)
     a = F.lit(alpha)
     num = F.aggregate(F.col("_ewma_arr"), F.lit(0.0), lambda acc, x: acc * a + x)
     den = F.aggregate(

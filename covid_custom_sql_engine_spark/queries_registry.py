@@ -2668,10 +2668,14 @@ def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("event_type") == F.col("_et")) & (F.col("hr") == F.col("_hr")),
     )
-    anom = (
+    # when(cond, 1).otherwise(0), NOT cond.cast("long"): a NULL value
+    # makes the comparison NULL, and summing NULLs would return NULL
+    # where the oracle's CASE returns 0 for an all-NULL slot
+    anom = F.when(
         (F.col("std_value") > 0)
-        & (F.abs(F.col("value") - F.col("mean_value")) > 2 * F.col("std_value"))
-    ).cast("long")
+        & (F.abs(F.col("value") - F.col("mean_value")) > 2 * F.col("std_value")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     return j.groupBy("event_type", "hr").agg(
         F.first("n").alias("n"),
         F.first("mean_value").alias("mean_value"),
@@ -5297,7 +5301,7 @@ BM25_QUERIES: list[tuple[str, str]] = [
     scored AS (
         SELECT tf.query_id, tf.doc_id,
                sum(CAST(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                        * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                        * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
                         AS DECIMAL(38,18))) AS s
         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
         GROUP BY 1, 2

@@ -437,3 +437,19 @@ def test_bm25_ranking_properties(spark):
     # deterministic under repartitioning
     again = bm25_topk(docs.repartition(7), q, k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_minhash_signatures_drop_empty_shingle_arrays(spark):
+    """Docs with empty (non-NULL) shingle arrays must emit NO signature
+    row — a shared sentinel signature would collapse every empty doc
+    into one LSH band bucket (review finding, round 4)."""
+    from covid_custom_sql_engine_spark.functions.dedup import (
+        minhash_signatures,
+    )
+
+    sh = spark.createDataFrame(
+        [(1, ["a b c"]), (2, []), (3, None), (4, [])],
+        "doc_id long, sh array<string>",
+    )
+    out = minhash_signatures(sh, num_hashes=4)
+    assert [r.doc_id for r in out.collect()] == [1]

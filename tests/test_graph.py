@@ -92,3 +92,27 @@ def test_hits_star_authority(spark):
     assert hubs[2] == hubs[3]
     assert math.isclose(sum(hubs.values()), 1.0, rel_tol=1e-9)
     assert math.isclose(sum(auth.values()), 1.0, rel_tol=1e-9)
+
+
+def test_pagerank_keeps_zero_indegree_nodes(spark):
+    """A directed graph with a source-only node: node 3 points in but
+    nothing points at it. It must stay in the vector with its teleport
+    mass, and total mass stays 1 (review finding, round 4)."""
+    import math
+
+    e = _edges(spark, [(1, 2), (2, 1), (3, 1)])
+    r = _ranks(pagerank(e, iterations=3))
+    assert set(r) == {1, 2, 3}
+    assert math.isclose(r[3], 0.15 / 3, rel_tol=1e-9)  # pure teleport
+    assert math.isclose(sum(r.values()), 1.0, rel_tol=1e-9)
+    assert r[1] > r[2]  # node 1 receives 3's mass, 2 does not
+
+
+def test_hits_rejects_zero_iterations(spark):
+    import pytest
+
+    from covid_custom_sql_engine_spark.functions.graph import hits
+
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="iterations"):
+        hits(e, iterations=0)
