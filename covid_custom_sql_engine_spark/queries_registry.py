@@ -6733,18 +6733,21 @@ _DRIVER_WINDOW_PRIORITY = [
     "winnow_fingerprint",
 ]
 # The window rotates each round so every query eventually earns an
-# official driver row. Round-4 composition: the 7 r3 hash-fails retained
-# to prove the ::BIGINT oracle fix (+ the latent 8th), ALL 17 queries
-# that had never faced the driver (closing the union to every-query-
-# ever-checked), the 17 queries NEW this round (the six that complete
-# the TPC-H-adapted suite at 22 — Q1/Q2/Q11/Q12/Q16/Q20 — plus Q5/Q6/
-# Q8/Q9/Q19/Q21, BM25, mixture resample, SemDeDup, repeated-chunk,
-# OOV-rate — in-window immediately so no new never-checked backlog
-# forms), a §2 reference-parity slice whose last official rows were r1,
-# and the two dedup queries touched by this round's minhash constant-
-# factor work. Everything below the out-of-window line holds an r1-r3
-# green row and is re-verified locally every round by check_oracle /
-# check_bare.
+# official driver row. Round-4 composition (exactly 50): the 7 r3
+# hash-fails retained to prove the ::BIGINT oracle fix (+ the latent
+# 8th), ALL 17 queries that had never faced the driver (closing the
+# union to every-query-ever-checked), 19 queries NEW this round (the
+# six completing the TPC-H-adapted suite at 22 — Q1/Q2/Q11/Q12/Q16/Q20
+# — plus Q5/Q6/Q8/Q9/Q19/Q21, BM25, mixture resample, incremental MV
+# rollup, PageRank, SemDeDup, repeated-chunk, OOV-rate), a 3-query §2
+# reference-parity slice whose last official rows were r1, and the two
+# dedup queries touched by this round's minhash constant-factor work.
+# Seven late-round additions (cohort retention, EWMA, triangle counts,
+# rolling median, HITS, seasonal baseline, Benford) did not fit the 50
+# slots; they sit first below the line — FIRST IN LINE for r5 — and
+# hold local 3-scale + bare + determinism green. Everything below the
+# out-of-window line holds an r1-r3 green row (or the above) and is
+# re-verified locally every round by check_oracle / check_bare.
 
 
 def _reorder_registry() -> None:
