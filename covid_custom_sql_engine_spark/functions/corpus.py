@@ -262,6 +262,81 @@ def unigram_logprob(
     )
 
 
+BIGRAM_K = 0.5  # add-k smoothing mass per context
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = BIGRAM_K,
+) -> DataFrame:
+    """Per-document average −ln P(w₂|w₁) under the corpus's own add-k
+    smoothed bigram model — the step up from :func:`unigram_logprob`
+    as a perplexity-style quality screen (it also penalizes improbable
+    token ORDER, not just improbable token mix). Returns
+    (id, n_bigrams, avg_neg_logprob) for documents with ≥2 tokens.
+
+    P(w₂|w₁) = (c(w₁,w₂) + k) / (c(w₁) + k·V) with V = |vocab observed
+    in any bigram slot|, so unseen continuations get mass and the
+    estimate never hits ln(0).
+
+    Shape: per-doc bigram occurrences pre-aggregate BEFORE any join
+    (same stopword-context fan-in cap as the unigram scorer — "the …"
+    carries at most one row per document into the join); the bigram and
+    context tables are hash aggregates pinned once for their multiple
+    consumers; V is a 1-row broadcast. Deterministic: fixed-point sums
+    of occ·(−ln p), round(6) on the final average.
+    """
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    tk = docs.select(F.col(id_col), tokens(text_col).alias("_tk")).filter(
+        F.size("_tk") >= 2
+    )
+    # adjacent pairs straight off the token array: transform index i is
+    # 0-based, bracket indexing is 0-based, slice is 1-based — so the
+    # first size-1 elements pair with their successor
+    pairs = F.expr(
+        "transform(slice(_tk, 1, size(_tk) - 1),"
+        " (x, i) -> struct(x AS w1, _tk[i + 1] AS w2))"
+    )
+    occ2 = (
+        tk.select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .localCheckpoint(eager=False)
+    )
+    big = (
+        occ2.groupBy("w1", "w2")
+        .agg(F.sum("occ").cast("bigint").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    uni = big.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    voc = F.broadcast(
+        big.select(F.col("w1").alias("w"))
+        .union(big.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("_v"))
+    )
+    nlp = -F.log(
+        (F.col("c12") + F.lit(float(k)))
+        / (F.col("c1") + F.lit(float(k)) * F.col("_v"))
+    )
+    return (
+        occ2.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(voc)
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_bigrams"),
+            F.round(dsum(F.col("occ") * nlp) / F.sum("occ"), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+
+
 def dataset_split(
     docs: DataFrame,
     id_col: str = "doc_id",

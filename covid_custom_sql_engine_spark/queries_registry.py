@@ -4012,6 +4012,36 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_logprob",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM tk2, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+    occ2 AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bg GROUP BY 1, 2, 3),
+    big AS (SELECT w1, w2, sum(occ)::BIGINT AS c12 FROM occ2 GROUP BY 1, 2),
+    uni AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM big GROUP BY 1),
+    voc AS (SELECT count(*) AS v FROM
+            (SELECT w1 AS w FROM big UNION SELECT w2 FROM big))
+    SELECT occ2.doc_id, sum(occ)::BIGINT AS n_bigrams,
+           round({_sql_dsum(
+               "occ * (-ln((c12 + 0.5::DOUBLE) / (c1 + 0.5::DOUBLE * v)))"
+           )} / CAST(sum(occ) AS DOUBLE), 6) AS avg_neg_logprob
+    FROM occ2 JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc
+    GROUP BY occ2.doc_id
+    """,
+)
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average −ln P(w₂|w₁) under the corpus's own add-k
+    smoothed bigram LM (corpus.bigram_logprob) — the order-sensitive
+    upgrade of `unigram_logprob` as a perplexity-style quality screen.
+    Bigram occurrences pre-aggregate per doc before any join; V is a
+    1-row broadcast."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.bigram_logprob(d)
+
+
+@query(
     "unigram_logprob",
     oracle=f"""
     WITH occ0 AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
@@ -6666,6 +6696,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "hits_bipartite",
     "seasonal_baseline",
     "benford_audit",
+    "bigram_logprob",
     "safe_corr_qty_price",
     "stat_summary",
     "incremental_dedup_pairs",
@@ -6742,10 +6773,10 @@ _DRIVER_WINDOW_PRIORITY = [
 # rollup, PageRank, SemDeDup, repeated-chunk, OOV-rate), a 3-query §2
 # reference-parity slice whose last official rows were r1, and the two
 # dedup queries touched by this round's minhash constant-factor work.
-# Seven late-round additions (cohort retention, EWMA, triangle counts,
-# rolling median, HITS, seasonal baseline, Benford) did not fit the 50
-# slots; they sit first below the line — FIRST IN LINE for r5 — and
-# hold local 3-scale + bare + determinism green. Everything below the
+# Eight late-round additions (cohort retention, EWMA, triangle counts,
+# rolling median, HITS, seasonal baseline, Benford, bigram LM) did not
+# fit the 50 slots; they sit first below the line — FIRST IN LINE for
+# r5 — and hold local 3-scale + bare + determinism green. Everything below the
 # out-of-window line holds an r1-r3 green row (or the above) and is
 # re-verified locally every round by check_oracle / check_bare.
 

@@ -177,6 +177,7 @@ EXPECT = {
     "rolling_median": (4, True, False),
     "hits_bipartite": (2, False, True),  # 1-row L1-normalizer broadcasts: intended
     "seasonal_baseline": (3, False, False),
+    "bigram_logprob": (2, False, True),  # 1-row vocab-size broadcast: intended
     "benford_audit": (1, True, True),  # 1-row digit-total broadcast: intended
     # --- retrieval / mixture ---
     "bm25_search": (2, False, True),  # 1-row (N, avgdl) corpus-stats broadcast: intended
