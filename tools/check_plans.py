@@ -216,6 +216,21 @@ EXPECT = {
 }
 
 
+# Queries whose entire point is the two-phase distributed ranking path
+# (operators/selection.global_rank): the range exchange itself is hidden
+# from explain by the pinning checkpoint (the plan starts at the frozen
+# RDD), so the regression tripwire is the *fingerprint of the naive
+# form* — a row_number()/ntile() window, which in these queries can only
+# mean a bare global Window.orderBy funneling the table through one task
+# (the r4 VERDICT's last single-partition sort). The only window these
+# plans may contain is the O(num_partitions)-row offsets cumsum.
+FORBID_PLAN_SUBSTR = {
+    "sort_nulls_rank": ("row_number(", "ntile("),
+    "global_rank_orders": ("row_number(", "ntile("),
+    "equidepth_histogram": ("row_number(", "ntile("),
+}
+
+
 def main(spark=None, sf_dir: str | None = None) -> int:
     from covid_custom_sql_engine_spark import get_spark
     import __spark_entry__ as entrymod
@@ -246,6 +261,9 @@ def main(spark=None, sf_dir: str | None = None) -> int:
             for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
                 if bad in plan:
                     probs.append(f"{bad} in plan — join degenerated")
+        for bad in FORBID_PLAN_SUBSTR.get(name, ()):
+            if bad in plan:
+                probs.append(f"plan contains '{bad}' — two-phase ranking regressed to a single-partition window")
         status = "OK" if not probs else "VIOLATION"
         print(f"{status} {name}" + ("" if not probs else ": " + "; ".join(probs)))
         failures += bool(probs)
