@@ -287,6 +287,68 @@ def lsh_candidate_pairs(
     return candidate_pairs_from_bands(minhash_bands(df, id_col, text_col, **kw), id_col)
 
 
+def band_skew_monitor(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = MAX_BAND_BUCKET,
+    p: int = 10,
+) -> DataFrame:
+    """Per-band LSH bucket-skew telemetry for ingest dedup — the
+    monitor that says, BEFORE pair generation, whether a batch is about
+    to hit the :data:`MAX_BAND_BUCKET` guard (mass duplication, boiler-
+    plate shingles, adversarial content) and how hot the hottest bucket
+    is.
+
+    Two views per band, one scan each of the (id, band, band_hash)
+    frame:
+
+    - exact: per-bucket counts (one map-side-combinable hash aggregate,
+      state O(buckets)) rolled up to n_rows / n_buckets /
+      max_bucket_size / n_oversized per band;
+    - sketched: a grouped HyperLogLog distinct-bucket estimate
+      (sketches.hll_distinct_grouped, ≤2^p registers per band) with its
+      relative error against the exact count. The HLL registers are
+      MERGEABLE monoid state — the piece that runs unchanged over a
+      streaming ingest's micro-batches or a 100 TB corpus where
+      per-bucket exact maps are only tolerable batch-side, plus a
+      live audit of the sketch's accuracy while the exact path is
+      still cheap enough to run.
+
+    avg bucket size ≈ n_rows/n_buckets; max_bucket_size ≫ that average
+    (or n_oversized > 0) flags the skew that would make pair
+    generation quadratic without the cap.
+    """
+    from covid_custom_sql_engine_spark.functions import sketches as sks
+
+    b = bands.select(F.col("band").cast("bigint").alias("band"), "band_hash")
+    sizes = b.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("_sz"))
+    over = (
+        F.lit(0).cast("long")
+        if max_bucket is None
+        else F.sum(F.when(F.col("_sz") > max_bucket, 1).otherwise(0)).cast("long")
+    )
+    stats = sizes.groupBy("band").agg(
+        F.sum("_sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("_sz").cast("bigint").alias("max_bucket_size"),
+        over.alias("n_oversized"),
+    )
+    hll = sks.hll_distinct_grouped(b, "band_hash", ["band"], p=p).select(
+        "band", F.col("hll_distinct").alias("hll_buckets")
+    )
+    return stats.join(hll, "band").select(
+        "band",
+        "n_rows",
+        "n_buckets",
+        "hll_buckets",
+        F.round(
+            F.abs(F.col("hll_buckets") - F.col("n_buckets")) / F.col("n_buckets"), 4
+        ).alias("hll_rel_err"),
+        "max_bucket_size",
+        "n_oversized",
+    )
+
+
 def incremental_lsh_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame,

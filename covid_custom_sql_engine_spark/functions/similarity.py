@@ -278,6 +278,73 @@ def kmeans_step(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Iterated spherical k-means (Lloyd) — ``iterations`` rounds of
+    assign→update from :func:`kmeans_step`'s deterministic init (the
+    vectors with id < k). Returns (cell, _cv) trained centroid arrays,
+    ≤ k rows — the shape :func:`semdedup_prune` accepts as ``centroids``.
+
+    Per-round plan (same as kmeans_step, which is one round of this):
+    the current centroids are ≤ k·dim doubles of driver state inlined as
+    literals, so assignment is a pure per-row projection — no join, no
+    shuffle; the update is one posexplode + hash aggregate whose shuffle
+    moves ≤ k·dim rows per map partition. The per-round ``collect`` of
+    the k·dim aggregate IS the round's pinning (single evaluation of a
+    nondeterministically-partitioned subtree — the HITS/pagerank
+    per-round concern): every later consumer sees frozen values, and
+    lineage never grows with iteration count.
+
+    Deterministic end-to-end: assignment ties break toward the smaller
+    cell id (lexicographic array_max over (sim, -cell)); means fold
+    through fixed-point sums + round(6) — so a SQL oracle unrolling the
+    same rounds reproduces every centroid bit-for-bit. Cells that lose
+    all members vanish (no empty-cell reseeding), matching the unrolled
+    SQL's GROUP BY semantics.
+    """
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+    )
+    cents = [
+        (int(r._id), [float(x) for x in r._v])
+        for r in base.filter(F.col("_id") < k).collect()
+    ]  # ≤ k rows — bounded driver state, as in kmeans_step
+    for _ in range(iterations):
+        scored = [
+            F.struct(
+                cosine(F.col("_v"), F.array(*[F.lit(x) for x in cv])).alias("sim"),
+                F.lit(-cell).cast("long").alias("neg_cell"),
+            )
+            for cell, cv in sorted(cents)
+        ]
+        best = F.array_max(F.array(*scored))
+        rows = (
+            base.select((-best["neg_cell"]).alias("cell"), "_v")
+            .select("cell", F.posexplode("_v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.round(dsum(F.col("val")) / F.count(F.lit(1)), 6).alias("c"))
+            .collect()
+        )  # ≤ k·dim rows — bounded driver state per round
+        bydim: dict[int, dict[int, float]] = {}
+        for r in rows:
+            bydim.setdefault(int(r.cell), {})[int(r.dim)] = float(r.c)
+        cents = [
+            (cell, [d[i] for i in range(len(d))]) for cell, d in bydim.items()
+        ]
+    return spark.createDataFrame(
+        [(cell, cv) for cell, cv in sorted(cents)],
+        "cell bigint, _cv array<double>",
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -461,6 +528,7 @@ def semdedup_prune(
     vec_col: str = "embedding",
     label_col: str = "label",
     max_cell: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-scoped semantic dedup (the SemDeDup recipe, Abbas et al.
     2023 — public arXiv:2303.09540): cluster the corpus, compare
@@ -475,8 +543,9 @@ def semdedup_prune(
     product (the only crossJoin is the ≤|labels|-row broadcast centroid
     table). Centroids here are the per-``label`` means (the same
     deterministic stand-in for trained k-means cells that ivf_topk
-    uses); in production you'd feed real k-means centroids from
-    iterated kmeans_step.
+    uses); pass ``centroids`` (a (cell, _cv) frame — e.g.
+    :func:`kmeans_centroids` output) to cluster against trained
+    k-means cells instead.
 
     ``max_cell`` optionally excludes cells larger than the cap from
     pair generation (mirroring dedup.MAX_BAND_BUCKET): an adversarial
@@ -488,7 +557,13 @@ def semdedup_prune(
     """
     from pyspark.sql import Window
 
-    cents = F.broadcast(label_centroids(embeddings, label_col, vec_col))
+    # default cells: per-label means (the deterministic stand-in);
+    # production path: pass trained kmeans_centroids(...) output.
+    cents = F.broadcast(
+        centroids
+        if centroids is not None
+        else label_centroids(embeddings, label_col, vec_col)
+    )
     # NULLS FIRST matches the SQL oracle's `DESC NULLS FIRST` (a NULL
     # similarity only arises for zero-norm vectors; aligning the order
     # keeps even that degenerate case engine-identical)

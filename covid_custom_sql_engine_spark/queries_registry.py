@@ -2397,6 +2397,36 @@ def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lsh_band_skew_monitor",
+    oracle=f"""
+    {_sql_minhash_cte()},
+    sz AS (SELECT band, band_hash, count(*) AS sz FROM bands0 GROUP BY 1, 2),
+    stats AS (SELECT band::BIGINT AS band, sum(sz)::BIGINT AS n_rows,
+                     count(*)::BIGINT AS n_buckets,
+                     max(sz)::BIGINT AS max_bucket_size,
+                     sum(CASE WHEN sz > {dd.MAX_BAND_BUCKET} THEN 1 ELSE 0 END)::BIGINT
+                       AS n_oversized
+              FROM sz GROUP BY 1),
+    hll AS ({sks.sql_hll_grouped("bands0", "band_hash", "band::BIGINT", "band")})
+    SELECT s.band, s.n_rows, s.n_buckets, hll.hll_distinct AS hll_buckets,
+           round(abs(hll.hll_distinct - s.n_buckets) / s.n_buckets, 4) AS hll_rel_err,
+           s.max_bucket_size, s.n_oversized
+    FROM stats s JOIN hll USING (band)
+    """,
+)
+def lsh_band_skew_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-pair-generation skew telemetry for the LSH dedup path
+    (dedup.band_skew_monitor): per band, exact bucket stats (rows,
+    buckets, hottest bucket, count over MAX_BAND_BUCKET) PLUS a grouped
+    HyperLogLog distinct-bucket estimate with its live error vs the
+    exact count — the mergeable-sketch monitor that runs unchanged over
+    streaming ingest micro-batches, composed with the same
+    minhash_bands frame incremental_lsh_pairs consumes."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return dd.band_skew_monitor(dd.minhash_bands(d))
+
+
+@query(
     "hourly_spine_zero_fill",
     oracle="""
     WITH b AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
@@ -5329,6 +5359,66 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join (cosine_near_dups) is the recall-oriented alternative."""
     e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
     return sim.semdedup_prune(e, threshold=0.35)
+
+
+def _kmeans_semdedup_oracle(k: int = 8, iterations: int = 3, threshold: float = 0.35) -> str:
+    """Statically-unrolled iterated-k-means → SemDeDup oracle matching
+    functions/similarity.kmeans_centroids + semdedup_prune(centroids=..):
+    each Lloyd round is the kmeans_step oracle's expression tree
+    (cosine argmax with ties to the smaller cell, DECIMAL(38,6) mean
+    fold, round(6)); the final section is the semdedup_prune oracle
+    against the trained centroids instead of label means."""
+    base = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {k})"""
+    for i in range(1, iterations + 1):
+        base += f""",
+    s{i} AS (SELECT vec_id, vv, cell,
+                    list_dot_product(vv, cv)
+                      / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))) AS sim
+             FROM v CROSS JOIN c{i - 1}),
+    a{i} AS (SELECT vec_id, vv, cell FROM s{i}
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1),
+    e{i} AS (SELECT cell, generate_subscripts(vv, 1) AS di, unnest(vv) AS val FROM a{i}),
+    m{i} AS (SELECT cell, di, round({_sql_dsum('val')} / count(*), 6) AS ax
+             FROM e{i} GROUP BY cell, di),
+    c{i} AS (SELECT cell, list(ax ORDER BY di) AS cv FROM m{i} GROUP BY cell)"""
+    cn = f"c{iterations}"
+    return base + f""",
+    asn AS (
+      SELECT v.vec_id, {cn}.cell, v.vv AS vx, row_number() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY (list_dot_product(v.vv, {cn}.cv)
+                  / (sqrt(list_dot_product(v.vv, v.vv)) * sqrt(list_dot_product({cn}.cv, {cn}.cv))))
+                 DESC NULLS FIRST, {cn}.cell ASC) AS rn
+      FROM v CROSS JOIN {cn}),
+    corpus AS (SELECT vec_id, cell, vx FROM asn WHERE rn = 1),
+    dup AS (
+      SELECT b.vec_id, min(a.vec_id) AS dup_of
+      FROM corpus a JOIN corpus b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.vx, b.vx)
+            / (sqrt(list_dot_product(a.vx, a.vx)) * sqrt(list_dot_product(b.vx, b.vx)))
+            >= {threshold}
+      GROUP BY b.vec_id)
+    SELECT s.vec_id, s.cell, d.dup_of IS NOT NULL AS dropped, d.dup_of
+    FROM corpus s LEFT JOIN dup d ON s.vec_id = d.vec_id
+    """
+
+
+@query("kmeans_semdedup", oracle=_kmeans_semdedup_oracle(8, 3, 0.35))
+def kmeans_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup against TRAINED cells: 3 Lloyd iterations of spherical
+    k-means (similarity.kmeans_centroids — assignment is a projection
+    against ≤k·dim driver-inlined literals, update one posexplode hash
+    aggregate, per-round collect pins the round) feed semdedup_prune as
+    its centroid table — the production composition the r4 verdict
+    asked for, replacing the per-label centroid stand-in. Oracle:
+    the same rounds unrolled in SQL, bit-identical via DECIMAL folds
+    + round(6) centroids."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    cents = sim.kmeans_centroids(e, k=8, iterations=3)
+    return sim.semdedup_prune(e, threshold=0.35, centroids=cents)
 
 
 # ---------------------------------------------------------------------------

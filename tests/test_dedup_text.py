@@ -453,3 +453,36 @@ def test_minhash_signatures_drop_empty_shingle_arrays(spark):
     )
     out = minhash_signatures(sh, num_hashes=4)
     assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_band_skew_monitor_flags_mass_duplication(spark):
+    """The same 5k-identical-doc corpus that trips the MAX_BAND_BUCKET
+    guard must be flagged by the telemetry BEFORE pair generation:
+    every band collapses to one bucket of 5000, so each band reports
+    max_bucket_size == n_rows and n_oversized == 1."""
+    n = 5000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id", "'the same boilerplate sentence repeated here' AS text"
+    )
+    rows = dd.band_skew_monitor(dd.minhash_bands(df)).collect()
+    assert len(rows) == 4  # 12 hashes / 3 rows per band
+    for r in rows:
+        assert r.n_rows == n
+        assert r.n_buckets == 1
+        assert r.max_bucket_size == n
+        assert r.n_oversized == 1
+
+
+def test_band_skew_monitor_healthy_corpus_not_flagged(spark):
+    """Distinct documents spread across buckets: nothing oversized,
+    hottest bucket small, HLL estimate close to the exact count."""
+    df = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('unique document number ', id, ' with words ', id * 7, ' and ', id * 13) AS text",
+    )
+    rows = dd.band_skew_monitor(dd.minhash_bands(df)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.n_oversized == 0
+        assert r.max_bucket_size <= 5
+        assert r.hll_rel_err <= 0.10  # p=10 sketch on ~200 keys

@@ -86,3 +86,40 @@ def test_semdedup_prune_drops_within_cluster_dups(spark):
     # max_cell guard: cap below cell size -> no pairs, everything kept
     capped = semdedup_prune(df, threshold=0.9, max_cell=2).collect()
     assert all(not r.dropped for r in capped)
+
+
+def test_kmeans_centroids_iterates_and_separates(spark):
+    """Two tight clusters around orthogonal axes with init vectors
+    (id 0, 1) one per cluster: 3 Lloyd rounds must keep two cells,
+    assign every vector to its own cluster's cell, and the trained
+    centroids must point along the cluster axes. Deterministic under
+    repartitioning (decimal folds + round(6))."""
+    from covid_custom_sql_engine_spark.functions.similarity import (
+        kmeans_centroids,
+        semdedup_prune,
+    )
+
+    rows = [
+        (0, [1.0, 0.02, 0.0]),
+        (1, [0.0, 1.0, 0.03]),
+        (2, [0.98, 0.05, 0.0]),
+        (3, [0.99, 0.0, 0.04]),
+        (4, [0.02, 0.97, 0.0]),
+        (5, [0.0, 1.01, 0.02]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = {r.cell: r._cv for r in kmeans_centroids(df, k=2, iterations=3).collect()}
+    assert set(cents) == {0, 1}
+    assert cents[0][0] > 0.9 and cents[0][1] < 0.1   # x-axis cluster mean
+    assert cents[1][1] > 0.9 and cents[1][0] < 0.1   # y-axis cluster mean
+    again = {
+        r.cell: r._cv
+        for r in kmeans_centroids(df.repartition(5), k=2, iterations=3).collect()
+    }
+    assert cents == again
+    # trained cells drive semdedup: near-parallel vectors within a cell
+    # collapse to the min-id representative, across-cell never compared
+    c = kmeans_centroids(df, k=2, iterations=3)
+    out = {r.vec_id: r for r in semdedup_prune(df, threshold=0.98, centroids=c).collect()}
+    assert not out[0].dropped and out[2].dropped and out[2].dup_of == 0
+    assert not out[1].dropped and out[4].dropped

@@ -182,6 +182,8 @@ EXPECT = {
     # --- retrieval / mixture ---
     "bm25_search": (2, False, True),  # 1-row (N, avgdl) corpus-stats broadcast: intended
     "semdedup_prune": (3, False, True),  # ≤|labels|-row centroid broadcast cross: intended
+    "kmeans_semdedup": (2, False, True),  # ≤k-row trained-centroid broadcast cross: intended
+    "lsh_band_skew_monitor": (2, False, False),
     "repeated_chunks": (2, False, False),
     "oov_rate": (2, False, False),
     "mixture_resample_lang": (2, False, True),  # 1-row total-count broadcast: intended
