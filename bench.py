@@ -66,6 +66,12 @@ HEADLINE = [
     "semdedup_prune",
     "tpch_q1_pricing_summary",
     "incremental_mv_rollup",
+    # round 5 additions: trained-kmeans SemDeDup, ordered funnel,
+    # cluster-representative policy, distributed Zipf rank fit
+    "kmeans_semdedup",
+    "funnel_conversion",
+    "dedup_representative",
+    "zipf_slope",
 ]
 
 

@@ -220,6 +220,98 @@ def bpe_pair_counts(
     )
 
 
+def ngram_diversity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram diversity: (id, n_bigrams, n_distinct,
+    distinct_ratio) for documents with ≥2 tokens — the distinct-n
+    self-repetition screen (a low ratio means the text loops over the
+    same phrases; the corpus-prep complement of repeated_chunks, which
+    looks for repetition ACROSS documents while this scores repetition
+    WITHIN one).
+
+    Everything is per-row higher-order functions on the token array —
+    adjacent pairs from two offset slices zipped into joined strings,
+    distinct via array_distinct — so the whole screen is map-side only: ZERO shuffle
+    at any corpus size.
+    """
+    t = tokens(text_col)
+    nt = F.size(t)
+    # pairs as joined strings (tokens contain no whitespace, so ' ' is
+    # an unambiguous separator) — struct pairs would work in Spark but
+    # DuckDB's list_distinct cannot hash struct elements
+    grams = F.zip_with(
+        F.slice(t, 1, nt - 1),
+        F.slice(t, 2, nt - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = docs.select(
+        F.col(id_col), grams.alias("_g")
+    ).filter(F.size("_g") >= 1)
+    n = F.size("_g").cast("bigint")
+    nd = F.size(F.array_distinct("_g")).cast("bigint")
+    return base.select(
+        id_col,
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct"),
+        F.round(nd.cast("double") / n, 6).alias("distinct_ratio"),
+    )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-health check: OLS fit of ln(freq) against ln(rank)
+    over the corpus's term-frequency table — a healthy natural-language
+    corpus follows Zipf's law with slope ≈ −1; a slope far from it
+    flags boilerplate floods (too flat) or tiny/truncated vocabularies
+    (too steep). Returns one row: (n_terms, slope, intercept).
+
+    The frequency ranking uses operators/selection.global_rank (ranks
+    ascending on (−cnt, token)) — the two-phase range-partitioned plan,
+    because a vocabulary at web scale is itself hundreds of millions of
+    terms and a bare ROW_NUMBER() OVER (ORDER BY cnt DESC) would funnel
+    all of them through one task. The OLS reduction is a single
+    fixed-point-summed aggregate (Σx, Σy, Σxx, Σxy), so the fit is
+    bit-identical to the oracle's closed form at any partitioning.
+    """
+    from covid_custom_sql_engine_spark.operators.core import dsum
+    from covid_custom_sql_engine_spark.operators.selection import global_rank
+
+    vocab = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_negcnt", -F.col("cnt"))
+    )
+    ranked = global_rank(vocab, ["_negcnt", "token"], "rank")
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_terms")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
 def unigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -6726,6 +6726,385 @@ def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 5 — pipeline analytics: ordered funnels, Markov transitions,
+# distribution profiling (entropy, PSI), cluster-representative policy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion",
+    oracle=f"""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3, min(s2.t2) AS t2
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+    SELECT '1_view' AS stage, count(*)::BIGINT AS n_users,
+           CAST(NULL AS DOUBLE) AS avg_delay_sec FROM s1
+    UNION ALL
+    SELECT '2_click', count(*)::BIGINT,
+           round({_sql_dsum('CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE)')}
+                 / count(*) / 1e6, 6) FROM s2
+    UNION ALL
+    SELECT '3_purchase', count(*)::BIGINT,
+           round({_sql_dsum('CAST(epoch_us(t3) - epoch_us(t2) AS DOUBLE)')}
+                 / count(*) / 1e6, 6) FROM s3
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered 3-stage funnel (view → click → purchase): users
+    reaching each stage with each later stage's first event strictly
+    after the prior stage's, plus mean stage-to-stage latency. Each
+    stage is one filtered aggregate equi-joined to the previous stage
+    on user_id — the per-stage frames shrink monotonically, every
+    shuffle keys on user_id, and nothing is windowed over the full
+    event stream (the classic sessionize-then-scan funnel would sort
+    every user's history; this touches only stage-relevant events)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def stage(df, name, a, b):
+        n = F.count(F.lit(1)).cast("bigint").alias("n_users")
+        if a is None:
+            return df.agg(n).select(
+                F.lit(name).alias("stage"),
+                "n_users",
+                F.lit(None).cast("double").alias("avg_delay_sec"),
+            )
+        us = F.expr(f"CAST(timestampdiff(MICROSECOND, {a}, {b}) AS DOUBLE)")
+        return df.agg(
+            n,
+            F.round(ops.dsum(us) / F.count(F.lit(1)) / F.lit(1e6), 6).alias(
+                "avg_delay_sec"
+            ),
+        ).select(F.lit(name).alias("stage"), "n_users", "avg_delay_sec")
+
+    return (
+        stage(s1, "1_view", None, None)
+        .unionByName(stage(s2, "2_click", "t1", "t2"))
+        .unionByName(stage(s3, "3_purchase", "t2", "t3"))
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH t AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events),
+    c AS (SELECT src, dst, count(*) AS n FROM t WHERE dst IS NOT NULL
+          GROUP BY 1, 2)
+    SELECT src, dst, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM c
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the session-shape
+    fingerprint behind next-action prediction and bot detection. The
+    lead() window is partitioned BY USER (bounded history per key —
+    never a global sort); the transition aggregate is |types|² rows, so
+    the probability normalization window runs over a dimension-sized
+    frame, not the data."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = t.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    ws = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(ws), 6).alias("p"),
+    )
+
+
+@query(
+    "column_entropy_profile",
+    oracle=f"""
+    WITH lv AS (
+        SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders),
+    c AS (SELECT col_name, val, count(*) AS c FROM lv GROUP BY 1, 2),
+    p AS (SELECT col_name, sum(c)::BIGINT AS n_values,
+                 count(*)::BIGINT AS n_distinct,
+                 {_sql_dsum('c * ln(c)')} AS s
+          FROM c GROUP BY 1)
+    SELECT col_name, n_values, n_distinct,
+           round(ln(n_values) - s / n_values, 6) AS entropy,
+           round(CASE WHEN n_distinct > 1
+                      THEN (ln(n_values) - s / n_values) / ln(n_distinct)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM p
+    """,
+)
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy per categorical column (H = ln n − Σc·ln c / n,
+    plus H/ln(distinct) normalized to [0,1]) — the column-level
+    skew/informativeness profile feature stores compute before
+    encoding decisions. One stack projection + one (column, value)
+    hash aggregate; per-column state is one row per distinct value,
+    folded with the same c·ln c identity on both engines so no
+    per-value probability division ever happens (n is only applied
+    once, at the end, on dimension-sized rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    lv = o.select(
+        F.expr(
+            "stack(2, 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority) AS (col_name, val)"
+        )
+    )
+    c = lv.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
+    prof = c.groupBy("col_name").agg(
+        F.sum("c").cast("bigint").alias("n_values"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        ops.dsum(F.col("c") * F.log(F.col("c"))).alias("s"),
+    )
+    h = F.log(F.col("n_values")) - F.col("s") / F.col("n_values")
+    return prof.select(
+        "col_name",
+        "n_values",
+        "n_distinct",
+        F.round(h, 6).alias("entropy"),
+        F.round(
+            F.when(F.col("n_distinct") > 1, h / F.log(F.col("n_distinct"))).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("norm_entropy"),
+    )
+
+
+@query(
+    "psi_drift",
+    oracle="""
+    WITH d AS (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      % 100 AS h,
+                      (n_chars // 200)::BIGINT AS bin
+               FROM documents),
+    b AS (SELECT bin, CASE WHEN h < 80 THEN 'train' ELSE 'val' END AS split
+          FROM d WHERE h < 90),
+    c AS (SELECT bin,
+                 sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+                 sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val
+          FROM b GROUP BY 1),
+    t AS (SELECT sum(n_train)::BIGINT AS nt, sum(n_val)::BIGINT AS nv,
+                 count(*)::BIGINT AS nb FROM c)
+    SELECT c.bin, c.n_train, c.n_val,
+           round(((c.n_train + 0.5::DOUBLE) / (t.nt + 0.5::DOUBLE * t.nb)
+                  - (c.n_val + 0.5::DOUBLE) / (t.nv + 0.5::DOUBLE * t.nb))
+                 * ln(((c.n_train + 0.5::DOUBLE) / (t.nt + 0.5::DOUBLE * t.nb))
+                      / ((c.n_val + 0.5::DOUBLE) / (t.nv + 0.5::DOUBLE * t.nb))),
+                 6) AS psi_contrib
+    FROM c CROSS JOIN t
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the train and val splits of
+    the corpus over document-length bins — the drift score that gates
+    "is the new batch distributed like what the model trained on".
+    Splits are the same deterministic md5 percentile hash dataset_split
+    uses; bins are fixed-width (200 chars). One hash aggregate keyed by
+    bin (both split counts in the same pass — no pivot join), then the
+    0.5-Laplace-smoothed PSI contribution against a 1-row broadcast of
+    the totals, so empty-on-one-side bins stay finite. Σ psi_contrib =
+    the headline PSI; per-bin rows keep the drivers visible."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        bucket.alias("h"),
+        F.floor(F.col("n_chars") / F.lit(200)).cast("bigint").alias("bin"),
+    ).filter(F.col("h") < 90)
+    c = d.groupBy("bin").agg(
+        F.sum(F.when(F.col("h") < 80, 1).otherwise(0)).cast("bigint").alias("n_train"),
+        F.sum(F.when(F.col("h") >= 80, 1).otherwise(0)).cast("bigint").alias("n_val"),
+    # the bin-count subtree feeds BOTH the per-bin rows and the totals
+    # broadcast; pin it so the corpus scans once (multi-consumer
+    # lazy-checkpoint pattern, cf. semdedup_prune/bm25)
+    ).localCheckpoint(eager=False)
+    t = c.agg(
+        F.sum("n_train").cast("bigint").alias("nt"),
+        F.sum("n_val").cast("bigint").alias("nv"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+    )
+    half = F.lit(0.5)
+    pt = (F.col("n_train") + half) / (F.col("nt") + half * F.col("nb"))
+    pv = (F.col("n_val") + half) / (F.col("nv") + half * F.col("nb"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_train",
+        "n_val",
+        F.round((pt - pv) * F.log(pt / pv), 6).alias("psi_contrib"),
+    )
+
+
+@query(
+    "dedup_representative",
+    oracle=f"""
+    {_MINHASH_RECURSIVE_CTE},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    m AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+    rep AS (SELECT component, doc_id AS rep_id FROM m
+            QUALIFY row_number() OVER (PARTITION BY component
+                                       ORDER BY n_chars DESC, doc_id ASC) = 1)
+    SELECT m.doc_id, m.component, rep.rep_id,
+           m.doc_id = rep.rep_id AS is_rep
+    FROM m JOIN rep USING (component)
+    """,
+)
+def dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: instead
+    of near_dup_clusters' min-id policy, each cluster keeps its LONGEST
+    member (ties → smallest id) — the "keep the best copy" step a
+    curation pipeline runs after clustering, where quality can be any
+    per-doc score. Clustering reuses the LSH → connected-components
+    path; the representative comes from one combinable max-of-struct
+    aggregate per component ((n_chars, −id) lexicographic argmax), not
+    a per-component sort window."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    comp_df = dd.near_dup_keep(d, dd.lsh_candidate_pairs(d))
+    m = comp_df.select("id", "component").join(
+        d.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    rep = (
+        m.groupBy("component")
+        .agg(F.max(F.struct(F.col("n_chars"), (-F.col("id")).alias("_nid"))).alias("_m"))
+        .select("component", (-F.col("_m._nid")).cast("bigint").alias("rep_id"))
+    )
+    return m.join(rep, "component").select(
+        F.col("id").alias("doc_id"),
+        "component",
+        "rep_id",
+        (F.col("id") == F.col("rep_id")).alias("is_rep"),
+    )
+
+
+@query(
+    "ngram_diversity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1]) AS g
+          FROM t WHERE len(toks) >= 2)
+    SELECT doc_id, len(g)::BIGINT AS n_bigrams,
+           len(list_distinct(g))::BIGINT AS n_distinct,
+           round(len(list_distinct(g))::DOUBLE / len(g), 6) AS distinct_ratio
+    FROM g
+    """,
+)
+def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram diversity (corpus.ngram_diversity): the
+    distinct-n self-repetition screen — low distinct/total bigram
+    ratio = phrase-looping text. Pure per-row HOFs on the token array
+    (offset-slice zip + array_distinct): map-side only, zero shuffle."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.ngram_diversity(d)
+
+
+@query(
+    "zipf_slope",
+    oracle=f"""
+    WITH occ AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents),
+    v AS (SELECT token, count(*) AS cnt FROM occ GROUP BY 1),
+    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM v),
+    xy AS (SELECT ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM r),
+    a AS (SELECT count(*)::BIGINT AS n_terms,
+                 {_sql_dsum('x')} AS sx, {_sql_dsum('y')} AS sy,
+                 {_sql_dsum('x * x')} AS sxx, {_sql_dsum('x * y')} AS sxy
+          FROM xy)
+    SELECT n_terms,
+           round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
+                 / n_terms, 6) AS intercept
+    FROM a
+    """,
+)
+def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS fit over the corpus vocabulary
+    (corpus.zipf_slope): slope ≈ −1 is healthy natural language;
+    deviations flag boilerplate floods or truncated vocabularies. Term
+    ranks come from the two-phase distributed global rank (a web-scale
+    vocabulary is itself huge — never a bare global ROW_NUMBER), and
+    the OLS reduction is one fixed-point-summed aggregate."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.zipf_slope(d)
+
+
+@query(
+    "token_fertility_by_lang",
+    oracle=f"""
+    WITH t AS (SELECT lang, len({_SQL_TOKS})::BIGINT AS nt, n_chars FROM documents)
+    SELECT lang, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(sum(nt)::DOUBLE / sum(n_chars), 6) AS tokens_per_char
+    FROM t GROUP BY lang
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens-per-character by language — the fertility profile that
+    sizes per-language token budgets and flags scripts a
+    whitespace-ish tokenizer undersegments. One per-row token count +
+    one |langs|-group hash aggregate; nothing scales past the
+    dimension."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "lang",
+        F.size(tx.tokens("text")).cast("bigint").alias("nt"),
+        "n_chars",
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("nt").cast("double") / F.sum("n_chars"), 6
+        ).alias("tokens_per_char"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is
 # reserved for entries that most need an official record this round —
@@ -6737,19 +7116,77 @@ def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # flagship first — it's also the entry() smoke query
     "flagship_revenue_by_nation",
-    # --- r3's 7 hash-FAIL rows, retained IN window to prove the fix
-    # (oracle ::BIGINT casts for DuckDB HUGEINT widening), plus the
-    # 8th oracle that carried the same latent defect ---
+    # --- the 8 queries added after the r4 window froze: the only
+    # registered queries lacking an official driver row (r4 VERDICT
+    # next-round item #1) ---
+    "benford_audit",
+    "bigram_logprob",
+    "cohort_retention",
+    "ewma_smooth",
+    "hits_bipartite",
+    "rolling_median",
+    "seasonal_baseline",
+    "triangle_counts",
+    # --- NEW in round 5: trained-kmeans SemDeDup, LSH band-skew
+    # telemetry, ordered funnel, Markov transitions, entropy profile,
+    # PSI drift, quality-aware cluster representatives ---
+    "kmeans_semdedup",
+    "lsh_band_skew_monitor",
+    "funnel_conversion",
+    "event_transition_matrix",
+    "column_entropy_profile",
+    "psi_drift",
+    "dedup_representative",
+    # --- touched by round-5 fixes: distributed global rank, typed
+    # graph node ids, NULL-safe q12 counts, semdedup centroids param ---
+    "sort_nulls_rank",
+    "pagerank_bipartite",
+    "tpch_q12_ship_priority_classes",
+    "semdedup_prune",
+    # --- r4-fix regression sentinels ---
     "pack_token_budget",
+    "bloom_filter_join_stats",
+    # --- the 13 §2 rows whose last official record was r1 (r4
+    # VERDICT next-round item #5) ---
+    "filter_range_project",
+    "join_ref_inner",
+    "safe_corr_qty_price",
+    "latest_per_group",
+    "distinct_sorted",
+    "topk_orders",
+    "argmax_latest",
+    "pivot_wide",
+    "minmax_dates",
+    "stat_summary",
+    "rename_pretty",
+    "whole_table_agg",
+    "udaf_geometric_mean",
+    # --- r2-stale refresh (streaming family, ANN, dedup) — also keeps
+    # the bench-drift queries officially green ---
+    "tumbling_window",
+    "session_window",
+    "ngram_diversity",
+    "stream_static_join",
+    "stateful_running_total",
+    "udtf_tokens",
+    "locf_fill",
+    "rolling_avg_7",
+    "token_fertility_by_lang",
+    "asof_join",
+    "cosine_topk",
+    "zipf_slope",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "near_dup_clusters",
+    # ---------------- out-of-window below this line ----------------
+    # every entry below holds a green official row from r1–r4 and is
+    # re-verified locally each round by check_oracle / check_bare
     "data_quality_report",
     "split_divergence",
     "k_anonymity_audit",
     "winsorize_values",
     "mad_outliers",
-    "bloom_filter_join_stats",
     "xmr_control_limits",
-    # --- the 17 never-driver-checked queries: after this window every
-    # registered query has an official driver row ---
     "containment_pairs",
     "tpch_q4_order_priority",
     "tpch_q13_order_count_dist",
@@ -6767,19 +7204,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "unpivot_metrics",
     "hash_sample",
     "token_counts",
-    # --- §2 reference-parity re-verification (last official rows were
-    # r1; pin the parity-critical edge semantics for a fresh record) ---
     "group_agg_ref7",
     "join_ref_left",
-    "sort_nulls_rank",
-    # --- NEW this round: the TPC-H suite is now complete at 22 —
-    # Q1/Q2/Q11/Q12/Q16/Q20 join Q5/Q6/Q8/Q9/Q19/Q21 from earlier in
-    # the round, plus BM25 retrieval + mixture resampling — all
-    # in-window so they never join the never-checked backlog ---
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_parts",
-    "tpch_q12_ship_priority_classes",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_heavy_shippers",
     "tpch_q5_local_supplier_volume",
@@ -6791,48 +7220,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "bm25_search",
     "mixture_resample_lang",
     "incremental_mv_rollup",
-    "pagerank_bipartite",
-    "semdedup_prune",
     "repeated_chunks",
     "oov_rate",
-    # --- dedup family: minhash constant-factor work lands this round,
-    # keep its correctness row fresh alongside its cluster consumer ---
-    "minhash_lsh_pairs",
-    "near_dup_clusters",
-    # ---------------- out-of-window below this line ----------------
-    # added late in round 4 (window already full) — FIRST IN LINE for
-    # the r5 rotation; locally verified at all three scales + bare
-    "cohort_retention",
-    "ewma_smooth",
-    "triangle_counts",
-    "rolling_median",
-    "hits_bipartite",
-    "seasonal_baseline",
-    "benford_audit",
-    "bigram_logprob",
-    "safe_corr_qty_price",
-    "stat_summary",
     "incremental_dedup_pairs",
-    "tumbling_window",
-    "stateful_running_total",
-    "locf_fill",
-    "asof_join",
-    "session_window",
-    "stream_static_join",
-    "rolling_avg_7",
-    "ngram_jaccard_pairs",
-    "filter_range_project",
-    "join_ref_inner",
-    "whole_table_agg",
-    "udaf_geometric_mean",
-    "latest_per_group",
-    "argmax_latest",
-    "pivot_wide",
-    "topk_orders",
-    "cosine_topk",
-    "lsh_topk",
     "ann_recall",
-    "sliding_window",
     "attribution_join",
     "synth_source_agg",
     "ivf_topk",
@@ -6876,21 +7267,21 @@ _DRIVER_WINDOW_PRIORITY = [
     "column_profile",
     "winnow_fingerprint",
 ]
+
 # The window rotates each round so every query eventually earns an
-# official driver row. Round-4 composition (exactly 50): the 7 r3
-# hash-fails retained to prove the ::BIGINT oracle fix (+ the latent
-# 8th), ALL 17 queries that had never faced the driver (closing the
-# union to every-query-ever-checked), 19 queries NEW this round (the
-# six completing the TPC-H-adapted suite at 22 — Q1/Q2/Q11/Q12/Q16/Q20
-# — plus Q5/Q6/Q8/Q9/Q19/Q21, BM25, mixture resample, incremental MV
-# rollup, PageRank, SemDeDup, repeated-chunk, OOV-rate), a 3-query §2
-# reference-parity slice whose last official rows were r1, and the two
-# dedup queries touched by this round's minhash constant-factor work.
-# Eight late-round additions (cohort retention, EWMA, triangle counts,
-# rolling median, HITS, seasonal baseline, Benford, bigram LM) did not
-# fit the 50 slots; they sit first below the line — FIRST IN LINE for
-# r5 — and hold local 3-scale + bare + determinism green. Everything below the
-# out-of-window line holds an r1-r3 green row (or the above) and is
+# official driver row. Round-5 composition (exactly 50): the flagship
+# sentinel; the 8 r4-tail queries that never faced the driver (after
+# this window, union coverage is every-registered-query-ever-checked
+# again); the 7 queries NEW in r5 (kmeans_semdedup,
+# lsh_band_skew_monitor, funnel_conversion, event_transition_matrix,
+# column_entropy_profile, psi_drift, dedup_representative); the 4
+# queries whose code or oracle the r5 fixes touched (sort_nulls_rank's
+# distributed rank, pagerank's typed node ids, q12's NULL-safe counts,
+# semdedup_prune's centroids parameter); 2 r4-fix regression
+# sentinels; the 13 §2 parity rows last officially checked in r1; and
+# a 15-query r2-stale refresh (streaming family, ANN, dedup — which
+# also keeps the bench-drift queries under official check). Everything
+# below the out-of-window line holds an r1–r4 green row and is
 # re-verified locally every round by check_oracle / check_bare.
 
 

@@ -1,0 +1,136 @@
+"""Round-5 pipeline analytics: funnels, transitions, entropy, PSI,
+diversity, Zipf, cluster representatives."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from covid_custom_sql_engine_spark import queries_registry as qr
+from covid_custom_sql_engine_spark.functions import corpus as cp
+
+
+def test_funnel_counts_strictly_ordered(spark, sf_dir):
+    out = {r.stage: r for r in qr.QUERIES["funnel_conversion"](spark, sf_dir).collect()}
+    assert set(out) == {"1_view", "2_click", "3_purchase"}
+    # monotone funnel, later stages never exceed earlier ones
+    assert out["1_view"].n_users >= out["2_click"].n_users >= out["3_purchase"].n_users
+    assert out["1_view"].avg_delay_sec is None
+    assert out["2_click"].avg_delay_sec > 0
+    assert out["3_purchase"].avg_delay_sec > 0
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    rows = qr.QUERIES["event_transition_matrix"](spark, sf_dir).collect()
+    by_src: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_src[r.src] = by_src.get(r.src, 0.0) + r.p
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, (src, total)
+
+
+def test_entropy_profile_edges(spark):
+    # constant column -> H = 0; uniform over 4 values -> H = ln 4,
+    # norm_entropy = 1
+    df = spark.createDataFrame(
+        [(i, "const", f"v{i % 4}") for i in range(400)],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string",
+    )
+    df.createOrReplaceTempView("_ent")
+    lv = df.select(
+        F.expr(
+            "stack(2, 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority) AS (col_name, val)"
+        )
+    )
+    c = lv.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    prof = c.groupBy("col_name").agg(
+        F.sum("c").cast("bigint").alias("n_values"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        dsum(F.col("c") * F.log(F.col("c"))).alias("s"),
+    )
+    h = F.log(F.col("n_values")) - F.col("s") / F.col("n_values")
+    got = {
+        r.col_name: (r.entropy, r.norm)
+        for r in prof.select(
+            "col_name",
+            F.round(h, 6).alias("entropy"),
+            F.round(
+                F.when(
+                    F.col("n_distinct") > 1, h / F.log(F.col("n_distinct"))
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("norm"),
+        ).collect()
+    }
+    assert got["o_orderstatus"] == (0.0, 0.0)
+    assert abs(got["o_orderpriority"][0] - math.log(4)) < 1e-6
+    assert got["o_orderpriority"][1] == 1.0
+
+
+def test_psi_identical_splits_near_zero(spark, sf_dir):
+    rows = qr.QUERIES["psi_drift"](spark, sf_dir).collect()
+    psi = sum(r.psi_contrib for r in rows)
+    # same generator for train and val -> tiny drift; sanity-bound it
+    assert 0.0 <= psi < 0.5
+    assert all(r.n_train + r.n_val > 0 for r in rows)
+
+
+def test_ngram_diversity_repetitive_vs_unique(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),          # 7 bigrams, 2 distinct
+            (2, "one two three four five"),  # all distinct
+            (3, "single"),                   # <2 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cp.ngram_diversity(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_bigrams == 7 and out[1].n_distinct == 2
+    assert out[2].n_bigrams == 4 and out[2].n_distinct == 4
+    assert out[2].distinct_ratio == 1.0
+
+
+def test_zipf_slope_power_law(spark):
+    # construct term frequencies following freq = 64 / rank exactly:
+    # slope must come out -1 (log-log line), intercept ln(64)
+    rows = []
+    doc = []
+    for rank in range(1, 9):
+        freq = 64 // rank
+        doc.extend([f"tok{rank:02d}"] * freq)
+    rows.append((1, " ".join(doc)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    (r,) = cp.zipf_slope(df).collect()
+    assert r.n_terms == 8
+    # 64//rank is not exactly 64/rank for rank 3,5,6,7 — loose bound
+    assert -1.15 < r.slope < -0.85
+    # deterministic under repartitioning
+    (r2,) = cp.zipf_slope(df.repartition(7)).collect()
+    assert (r.slope, r.intercept) == (r2.slope, r2.intercept)
+
+
+def test_dedup_representative_picks_longest(spark, sf_dir):
+    out = qr.QUERIES["dedup_representative"](spark, sf_dir)
+    rows = out.collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for comp, members in by_comp.items():
+        reps = [m for m in members if m.is_rep]
+        assert len(reps) == 1
+        assert all(m.rep_id == reps[0].doc_id for m in members)
+        # policy: representative is the longest member (ties -> min id)
+        best = max(members, key=lambda m: (chars[m.doc_id], -m.doc_id))
+        assert reps[0].doc_id == best.doc_id
+    # every doc appears exactly once
+    assert len(rows) == len({r.doc_id for r in rows})

@@ -30,23 +30,25 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 4: the 8 HUGEINT-oracle fixes retained to prove the cast,
-    # the last never-driver-checked queries, and the 8 new-this-round
-    # registrations (no new never-checked backlog may form)
+    # round 5: the 8 r4-tail queries that never faced the driver, every
+    # query NEW or TOUCHED this round, and the r1-stale §2 parity slice
+    # (no new never-checked backlog may form)
     assert {
-        # retained r3 hash-fails (oracle ::BIGINT casts) + latent 8th
-        "pack_token_budget", "data_quality_report", "split_divergence",
-        "k_anonymity_audit", "winsorize_values", "mad_outliers",
-        "bloom_filter_join_stats", "xmr_control_limits",
-        # the final never-checked backlog
-        "containment_pairs", "tpch_q4_order_priority",
-        "tpch_q13_order_count_dist", "conversion_delay_quantiles",
-        "revenue_concentration", "token_counts",
+        # the r4-tail never-checked backlog
+        "benford_audit", "bigram_logprob", "cohort_retention",
+        "ewma_smooth", "hits_bipartite", "rolling_median",
+        "seasonal_baseline", "triangle_counts",
         # new this round
-        "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-        "tpch_q8_market_share", "tpch_q9_nation_profit",
-        "tpch_q19_disjunctive_filter", "tpch_q21_waiting_supplier",
-        "bm25_search", "mixture_resample_lang",
+        "kmeans_semdedup", "lsh_band_skew_monitor", "funnel_conversion",
+        "event_transition_matrix", "column_entropy_profile", "psi_drift",
+        "dedup_representative", "ngram_diversity", "zipf_slope",
+        "token_fertility_by_lang",
+        # touched by round-5 fixes
+        "sort_nulls_rank", "pagerank_bipartite",
+        "tpch_q12_ship_priority_classes", "semdedup_prune",
+        # r1-stale §2 parity slice
+        "filter_range_project", "join_ref_inner", "safe_corr_qty_price",
+        "stat_summary", "whole_table_agg",
     } <= window
 
 

@@ -184,6 +184,14 @@ EXPECT = {
     "semdedup_prune": (3, False, True),  # ≤|labels|-row centroid broadcast cross: intended
     "kmeans_semdedup": (2, False, True),  # ≤k-row trained-centroid broadcast cross: intended
     "lsh_band_skew_monitor": (2, False, False),
+    "funnel_conversion": (3, True, False),
+    "event_transition_matrix": (4, False, False),
+    "column_entropy_profile": (2, False, False),
+    "psi_drift": (2, False, True),  # 1-row smoothing-totals broadcast: intended
+    "dedup_representative": (3, False, False),
+    "ngram_diversity": (2, False, False),
+    "zipf_slope": (2, False, False),
+    "token_fertility_by_lang": (3, False, False),
     "repeated_chunks": (2, False, False),
     "oov_rate": (2, False, False),
     "mixture_resample_lang": (2, False, True),  # 1-row total-count broadcast: intended
