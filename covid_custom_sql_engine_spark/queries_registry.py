@@ -7104,6 +7104,144 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_scorecard",
+    oracle=f"""
+    WITH m AS (SELECT source, lang, n_chars, text, length(text) AS n,
+                      {_SQL_TOKS} AS toks, md5({_SQL_NORM}) AS fp
+               FROM documents),
+    q AS (SELECT source, lang, n_chars, fp,
+                 (least(n / 500.0, 1.0)
+                  + (1.0 - CASE WHEN n > 0
+                                THEN (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n
+                                ELSE 0.0 END)
+                  + least((CASE WHEN len(toks) > 0
+                                THEN len(list_filter(toks, t -> list_contains({_SQL_SW_EN}, t)))
+                                     / len(toks)
+                                ELSE 0.0 END) * 5.0, 1.0)
+                 ) / 3.0 AS q
+          FROM m)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS en_share,
+           round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
+           round({_sql_dsum('q')} / count(*), 6) AS avg_quality
+    FROM q GROUP BY source
+    """,
+)
+def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: volume, exact-dup rate (1 −
+    distinct fingerprints / docs), language share, mean length, mean
+    heuristic quality — the one-pass scorecard that decides which
+    sources to upweight, cap, or drop. Everything rides one hash
+    aggregate keyed by source (the dup-rate COUNT DISTINCT expands to
+    a (source, fp) pre-aggregate — still equi-keyed, no joins); quality
+    is the same codegen expression text_profile uses."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    prof = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        tx.quality_score("text").alias("_q"),
+        tx.fingerprint("text").alias("_fp"),
+    )
+    cnt = F.count(F.lit(1))
+    return prof.groupBy("source").agg(
+        cnt.cast("bigint").alias("n_docs"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("_fp").cast("double") / cnt, 6
+        ).alias("dup_rate"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double") / cnt,
+            6,
+        ).alias("en_share"),
+        F.round(F.sum("n_chars").cast("double") / cnt, 6).alias("avg_chars"),
+        F.round(ops.dsum(F.col("_q")) / cnt, 6).alias("avg_quality"),
+    )
+
+
+@query(
+    "embedding_outliers",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    el AS (SELECT label::BIGINT AS label, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+    ce AS (SELECT label, i, avg(x) AS ax FROM el GROUP BY label, i),
+    cent AS (SELECT label, list(ax ORDER BY i) AS cv FROM ce GROUP BY label),
+    s AS (SELECT c.vec_id, c.label,
+                 list_dot_product(v, cv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cs
+          FROM c JOIN cent USING (label)),
+    st AS (SELECT label, count(*) AS n,
+                  {_sql_dsum('cs')} / count(*) AS m,
+                  CASE WHEN count(*) < 2 THEN NULL
+                       ELSE round(sqrt(greatest(
+                            (count(*) * {_sql_dsum('cs * cs')}
+                             - {_sql_dsum('cs')} * {_sql_dsum('cs')})
+                            / (count(*) * (count(*) - 1)), 0.0)), 6) END AS sd
+           FROM s GROUP BY label)
+    SELECT s.vec_id, s.label, round(cs, 6) AS cos_centroid,
+           round(CASE WHEN sd > 0 THEN (cs - m) / sd END, 6) AS z,
+           coalesce((CASE WHEN sd > 0 THEN (cs - m) / sd END) < -2.0, FALSE)
+             AS is_outlier
+    FROM s JOIN st USING (label)
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality screen: cosine of every vector to its
+    own label centroid, z-scored within the label; z < −2 flags
+    mislabeled/corrupted vectors — the QA sibling of semdedup (which
+    removes near-DUPLICATES; this removes near-NOTHING-LIKE-ITS-GROUP).
+    Centroids broadcast; the per-vector similarity frame is pinned once
+    for its two consumers (stats + join-back); label stats are a
+    |labels|-row broadcast. Std uses the repo's deterministic
+    fixed-point computational formula with round(6)."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    cents = F.broadcast(
+        sim.label_centroids(e).withColumnRenamed("cell", "label")
+    )
+    sims = (
+        e.select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            sim.as_double("embedding").alias("_v"),
+        )
+        .join(cents, "label")
+        .select(
+            "vec_id", "label", sim.cosine(F.col("_v"), F.col("_cv")).alias("_cos")
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = F.count(F.lit(1))
+    sx = ops.dsum(F.col("_cos"))
+    sxx = ops.dsum(F.col("_cos") * F.col("_cos"))
+    stats = sims.groupBy("label").agg(
+        (sx / n).alias("_m"),
+        F.when(n < 2, F.lit(None))
+        .otherwise(
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (n * sxx - sx * sx) / (n * (n - 1)), F.lit(0.0)
+                    )
+                ),
+                6,
+            )
+        )
+        .alias("_sd"),
+    )
+    z = F.when(F.col("_sd") > 0, (F.col("_cos") - F.col("_m")) / F.col("_sd"))
+    return sims.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.round(F.col("_cos"), 6).alias("cos_centroid"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(z < -2.0, F.lit(False)).alias("is_outlier"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is
@@ -7169,8 +7307,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_static_join",
     "stateful_running_total",
     "udtf_tokens",
-    "locf_fill",
-    "rolling_avg_7",
+    "source_scorecard",
+    "embedding_outliers",
     "token_fertility_by_lang",
     "asof_join",
     "cosine_topk",

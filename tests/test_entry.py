@@ -42,7 +42,7 @@ def test_driver_window_priority_ordering():
         "kmeans_semdedup", "lsh_band_skew_monitor", "funnel_conversion",
         "event_transition_matrix", "column_entropy_profile", "psi_drift",
         "dedup_representative", "ngram_diversity", "zipf_slope",
-        "token_fertility_by_lang",
+        "token_fertility_by_lang", "source_scorecard", "embedding_outliers",
         # touched by round-5 fixes
         "sort_nulls_rank", "pagerank_bipartite",
         "tpch_q12_ship_priority_classes", "semdedup_prune",

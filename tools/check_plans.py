@@ -192,6 +192,8 @@ EXPECT = {
     "ngram_diversity": (2, False, False),
     "zipf_slope": (2, False, False),
     "token_fertility_by_lang": (3, False, False),
+    "source_scorecard": (4, False, False),
+    "embedding_outliers": (3, False, False),
     "repeated_chunks": (2, False, False),
     "oov_rate": (2, False, False),
     "mixture_resample_lang": (2, False, True),  # 1-row total-count broadcast: intended
