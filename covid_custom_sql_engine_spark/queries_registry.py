@@ -7242,6 +7242,123 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_stats",
+    oracle=f"""
+    WITH occ AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents),
+    v AS (SELECT token, count(*) AS cnt FROM occ GROUP BY 1)
+    SELECT sum(cnt)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_terms,
+           round(count(*)::DOUBLE / sum(cnt), 6) AS type_token_ratio,
+           sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count,
+           round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS hapax_ratio
+    FROM v
+    """,
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary health in one row: token/term totals,
+    type-token ratio, and the hapax-legomena share (terms seen exactly
+    once — a high rate means OCR noise/typos/IDs polluting the vocab;
+    a collapsing rate means boilerplate flooding). Zipf's slope
+    (zipf_slope) fits the same table's SHAPE; this reads its tails.
+    One explode + one term-keyed aggregate + one scalar fold — state
+    bounded by vocabulary, order statistics nowhere."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    v = (
+        d.select(F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hap = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return v.agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6).alias(
+            "type_token_ratio"
+        ),
+        hap.cast("bigint").alias("hapax_count"),
+        F.round(hap.cast("double") / F.count(F.lit(1)), 6).alias("hapax_ratio"),
+    )
+
+
+@query(
+    "user_entropy_histogram",
+    oracle=f"""
+    WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+    u AS (SELECT user_id, sum(c)::BIGINT AS n, {_sql_dsum('c * ln(c)')} AS s
+          FROM c GROUP BY 1),
+    h AS (SELECT user_id, round(ln(n) - s / n, 6) AS ent FROM u)
+    SELECT CAST(floor(ent / 0.25::DOUBLE) AS BIGINT) AS bucket,
+           count(*)::BIGINT AS n_users,
+           round(min(ent), 6) AS min_entropy,
+           round(max(ent), 6) AS max_entropy
+    FROM h GROUP BY 1
+    """,
+)
+def user_entropy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity fingerprint: Shannon entropy of each user's
+    event-type mix (the c·ln c identity again — per-user state is one
+    row per (user, type)), bucketed into a 0.25-nat histogram. Near-zero
+    entropy = single-action bots; the histogram keeps the output
+    dimension-sized no matter how many users exist. Two combinable hash
+    aggregates keyed (user, type) then (user) — the same partitioning
+    family, so AQE coalesces the second exchange."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    u = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        ops.dsum(F.col("c") * F.log(F.col("c"))).alias("s"),
+    )
+    h = u.select(
+        F.round(F.log(F.col("n")) - F.col("s") / F.col("n"), 6).alias("ent")
+    )
+    return h.groupBy(
+        F.floor(F.col("ent") / F.lit(0.25)).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.min("ent"), 6).alias("min_entropy"),
+        F.round(F.max("ent"), 6).alias("max_entropy"),
+    )
+
+
+@query(
+    "event_burstiness",
+    oracle=f"""
+    WITH hc AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2)
+    SELECT event_type, count(*)::BIGINT AS n_hours,
+           round({_sql_dsum('c')} / count(*), 6) AS mean_per_hour,
+           round((count(*) * {_sql_dsum('c * c')} - {_sql_dsum('c')} * {_sql_dsum('c')})
+                 / (count(*) * (count(*) - 1))
+                 / ({_sql_dsum('c')} / count(*)), 6) AS fano_factor
+    FROM hc GROUP BY event_type
+    """,
+)
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the Fano factor
+    (variance-to-mean ratio) of hourly arrival counts — ≈1 is
+    Poisson-like steady traffic, ≫1 is bursty (flash crowds,
+    batch-replay artifacts), ≪1 is suspiciously metronomic (synthetic
+    load). One (type, hour) pre-aggregate then a |types|-row
+    variance fold with the deterministic fixed-point sums."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hc = e.groupBy(
+        "event_type", F.window("ts", "1 hour").getField("start").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = F.count(F.lit(1))
+    sx = ops.dsum(F.col("c"))
+    sxx = ops.dsum(F.col("c") * F.col("c"))
+    return hc.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_hours"),
+        F.round(sx / n, 6).alias("mean_per_hour"),
+        F.round(
+            (n * sxx - sx * sx) / (n * (n - 1)) / (sx / n), 6
+        ).alias("fano_factor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is
@@ -7306,12 +7423,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_diversity",
     "stream_static_join",
     "stateful_running_total",
-    "udtf_tokens",
+    "event_burstiness",
     "source_scorecard",
     "embedding_outliers",
     "token_fertility_by_lang",
-    "asof_join",
-    "cosine_topk",
+    "vocab_stats",
+    "user_entropy_histogram",
     "zipf_slope",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

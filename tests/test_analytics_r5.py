@@ -134,3 +134,57 @@ def test_dedup_representative_picks_longest(spark, sf_dir):
         assert reps[0].doc_id == best.doc_id
     # every doc appears exactly once
     assert len(rows) == len({r.doc_id for r in rows})
+
+
+def test_vocab_stats_hapax_and_ttr(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "c d")], "doc_id long, text string"
+    )
+    (r,) = cp_vocab(spark, df)
+    # tokens: a×3 b×2 c×2 d×1 → 8 tokens, 4 terms, hapax {d}
+    assert r.n_tokens == 8 and r.n_terms == 4
+    assert r.hapax_count == 1
+    assert r.type_token_ratio == 0.5
+    assert r.hapax_ratio == 0.25
+
+
+def cp_vocab(spark, df):
+    from pyspark.sql import functions as F
+    from covid_custom_sql_engine_spark.functions import text as tx
+    from covid_custom_sql_engine_spark.operators import core as ops
+
+    v = (
+        df.select(F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hap = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return v.agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6).alias("type_token_ratio"),
+        hap.cast("bigint").alias("hapax_count"),
+        F.round(hap.cast("double") / F.count(F.lit(1)), 6).alias("hapax_ratio"),
+    ).collect()
+
+
+def test_user_entropy_single_action_bot_in_bucket_zero(spark, sf_dir):
+    rows = qr.QUERIES["user_entropy_histogram"](spark, sf_dir).collect()
+    total = sum(r.n_users for r in rows)
+    assert total > 0
+    buckets = {r.bucket for r in rows}
+    assert all(b >= 0 for b in buckets)
+    for r in rows:
+        assert r.min_entropy >= r.bucket * 0.25 - 1e-9
+        assert r.max_entropy < (r.bucket + 1) * 0.25 + 1e-9
+
+
+def test_event_burstiness_poissonish(spark, sf_dir):
+    rows = qr.QUERIES["event_burstiness"](spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == {
+        "view", "click", "purchase", "signup", "error"
+    }
+    for r in rows:
+        assert r.n_hours > 1
+        assert r.mean_per_hour > 0
+        assert r.fano_factor is not None and r.fano_factor > 0

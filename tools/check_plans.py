@@ -194,6 +194,9 @@ EXPECT = {
     "token_fertility_by_lang": (3, False, False),
     "source_scorecard": (4, False, False),
     "embedding_outliers": (3, False, False),
+    "vocab_stats": (1, False, False),
+    "user_entropy_histogram": (2, False, False),
+    "event_burstiness": (2, False, False),
     "repeated_chunks": (2, False, False),
     "oov_rate": (2, False, False),
     "mixture_resample_lang": (2, False, True),  # 1-row total-count broadcast: intended
