@@ -239,6 +239,65 @@ def audio_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synth_ppm_media(
+    df: DataFrame, id_col: str = "doc_id", w: int = 8, h: int = 6
+) -> DataFrame:
+    """Deterministic P6 PPM payload per id — the ENCODE half of the
+    codec round-trip (pixel channel c at column x, row y is
+    ``(id·7 + x·3 + y·5 + c·11) mod 256``). Lets a query exercise the
+    real binary path end-to-end (encode → decode_ppm → features) with a
+    closed-form SQL oracle, since the fixture tables carry no binary
+    columns. Same Arrow-batched mapInPandas plumbing as the decoders;
+    only the id column crosses into Python."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = b"P6\n%d %d\n255\n" % (w, h)
+        ys, xs = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                arr = np.empty((h, w, 3), np.uint8)
+                for c in range(3):
+                    arr[:, :, c] = (int(mid) * 7 + xs * 3 + ys * 5 + c * 11) % 256
+                rows.append({"media_id": int(mid), "payload": header + arr.tobytes()})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
+
+
+def synth_wav_media(
+    df: DataFrame, id_col: str = "doc_id", n: int = 256, rate: int = 8000
+) -> DataFrame:
+    """Deterministic mono PCM-16 RIFF/WAVE payload per id — sample i is
+    ``((id·13 + i·17) mod 65536) − 32768``. The audio sibling of
+    :func:`synth_ppm_media` for end-to-end real-codec round-trips."""
+    import struct
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        idx = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                vals = ((int(mid) * 13 + idx * 17) % 65536 - 32768).astype("<i2")
+                data = vals.tobytes()
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                rows.append({"media_id": int(mid), "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame timestamp
     (the decode of each frame is the stubbed step). Demonstrates the

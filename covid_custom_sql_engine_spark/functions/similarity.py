@@ -310,9 +310,12 @@ def kmeans_centroids(
     from covid_custom_sql_engine_spark.operators.core import dsum
 
     spark = embeddings.sparkSession
+    # one consumer per round (assign+update) plus the init filter read
+    # this subtree 2·iterations+1 times — pin it so the scan+cast runs
+    # once (lazy localCheckpoint, the repo's multi-consumer pattern)
     base = embeddings.select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
-    )
+    ).localCheckpoint(eager=False)
     cents = [
         (int(r._id), [float(x) for x in r._v])
         for r in base.filter(F.col("_id") < k).collect()

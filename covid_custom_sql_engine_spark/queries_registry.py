@@ -7359,6 +7359,83 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_stats_real",
+    oracle="""
+    WITH g AS (SELECT d.doc_id, x, y
+               FROM documents d,
+                    (SELECT unnest(range(0, 8)) AS x),
+                    (SELECT unnest(range(0, 6)) AS y))
+    SELECT doc_id AS media_id, 6::BIGINT AS height, 8::BIGINT AS width,
+           round(avg(((doc_id * 7 + x * 3 + y * 5) % 256)::DOUBLE), 6) AS mean_r,
+           round(avg(((doc_id * 7 + x * 3 + y * 5 + 11) % 256)::DOUBLE), 6) AS mean_g,
+           round(avg(((doc_id * 7 + x * 3 + y * 5 + 22) % 256)::DOUBLE), 6) AS mean_b
+    FROM g GROUP BY doc_id
+    """,
+)
+def image_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round-trip, hash-matched: deterministic P6 PPM
+    payloads are ENCODED per document id (multimodal.synth_ppm_media),
+    DECODED by the real numpy PPM parser, and reduced to per-channel
+    means (multimodal.image_features) — the full binary-media path
+    through Arrow-batched mapInPandas with a closed-form SQL oracle
+    over the same pixel formula. Only (media_id, payload) crosses the
+    Python boundary; 48-pixel integer means are exact in float64, so
+    the values hash-match to the last bit."""
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    feats = mm.image_features(mm.synth_ppm_media(d))
+    return feats.select(
+        "media_id",
+        F.col("height").cast("bigint").alias("height"),
+        F.col("width").cast("bigint").alias("width"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@query(
+    "audio_stats_real",
+    oracle="""
+    WITH s AS (SELECT d.doc_id, i,
+                      ((doc_id * 13 + i * 17) % 65536) - 32768 AS v
+               FROM documents d, (SELECT unnest(range(0, 256)) AS i)),
+    w AS (SELECT doc_id, v,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+          FROM s)
+    SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+           256::BIGINT AS n_samples, 1::BIGINT AS channels,
+           round(sqrt(sum((v * v)::DOUBLE) / 256), 6) AS rms,
+           sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                    THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+    FROM w GROUP BY doc_id
+    """,
+)
+def audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip, hash-matched: deterministic mono
+    PCM-16 RIFF/WAVE payloads encoded per document id
+    (multimodal.synth_wav_media), decoded by the real numpy WAV chunk
+    walker, and reduced to RMS + zero-crossings
+    (multimodal.audio_features), with a closed-form SQL oracle over the
+    same sample formula. Integer squares sum exactly in float64 (256
+    samples ≪ 2^53), so RMS matches bitwise before the shared
+    round(6)."""
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    feats = mm.audio_features(mm.synth_wav_media(d))
+    return feats.select(
+        "media_id",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        "n_samples",
+        F.col("channels").cast("bigint").alias("channels"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is
@@ -7418,8 +7495,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "udaf_geometric_mean",
     # --- r2-stale refresh (streaming family, ANN, dedup) — also keeps
     # the bench-drift queries officially green ---
-    "tumbling_window",
-    "session_window",
+    "image_stats_real",
+    "audio_stats_real",
     "ngram_diversity",
     "stream_static_join",
     "stateful_running_total",

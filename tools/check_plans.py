@@ -197,6 +197,8 @@ EXPECT = {
     "vocab_stats": (1, False, False),
     "user_entropy_histogram": (2, False, False),
     "event_burstiness": (2, False, False),
+    "image_stats_real": (1, False, False),
+    "audio_stats_real": (1, False, False),
     "repeated_chunks": (2, False, False),
     "oov_rate": (2, False, False),
     "mixture_resample_lang": (2, False, True),  # 1-row total-count broadcast: intended
