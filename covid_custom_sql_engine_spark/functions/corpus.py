@@ -312,6 +312,69 @@ def zipf_slope(
     )
 
 
+def collocation_pmi(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` collocations by pointwise mutual information:
+    PMI(w₁,w₂) = ln(c₁₂·N / (c₁·c₂)) over adjacent-pair counts, with a
+    ``min_count`` support floor so rare coincidences don't dominate —
+    the collocation detector behind multi-word-expression vocab entries
+    ("new york", "machine learning") where raw pair counts
+    (bpe_pair_counts) just resurface stopword pairs.
+
+    N is the total bigram count; c₁/c₂ are LEFT/RIGHT slot marginals of
+    the bigram table (so the identity Σc₁₂ = Σc₁ = Σc₂ = N holds
+    exactly). Shape: one explode + three hash aggregates bounded by
+    vocabulary, marginals equi-joined back on their slot word, N a
+    1-row broadcast; top-k via TakeOrdered (never a global sort). PMI
+    per row is ln of a double ratio — IEEE-deterministic; ordering ties
+    break on (pair) text.
+    """
+    t = docs.select(tokens(text_col).alias("_t")).filter(F.size("_t") >= 2)
+    nt = F.size("_t")
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, nt - 1),
+                F.slice(F.col("_t"), 2, nt - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # pinned: the bigram table feeds both marginals and the scored join
+    big = big.localCheckpoint(eager=False)
+    left = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = F.broadcast(big.agg(F.sum("c12").alias("_n")))
+    scored = (
+        big.filter(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(n)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("_n")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
+
+
 def unigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -7436,6 +7436,34 @@ def audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "collocation_pmi",
+    oracle=f"""
+    WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents WHERE len({_SQL_TOKS}) >= 2),
+    bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    l AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+    r AS (SELECT w2, sum(c12) AS c2 FROM big GROUP BY 1),
+    n AS (SELECT sum(c12) AS n FROM big)
+    SELECT big.w1, big.w2, big.c12::BIGINT AS c12,
+           round(ln(big.c12::DOUBLE * n.n / (l.c1 * r.c2)), 6) AS pmi
+    FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+    WHERE big.c12 >= 5
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+)
+def collocation_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI with a min-support floor
+    (corpus.collocation_pmi) — the multi-word-expression detector where
+    raw pair counts just resurface stopword pairs. Vocabulary-bounded
+    aggregates, slot-marginal equi-joins, 1-row N broadcast, top-k via
+    TakeOrdered."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.collocation_pmi(d)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is
@@ -7498,7 +7526,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "image_stats_real",
     "audio_stats_real",
     "ngram_diversity",
-    "stream_static_join",
+    "collocation_pmi",
     "stateful_running_total",
     "event_burstiness",
     "source_scorecard",

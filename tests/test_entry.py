@@ -44,7 +44,7 @@ def test_driver_window_priority_ordering():
         "dedup_representative", "ngram_diversity", "zipf_slope",
         "token_fertility_by_lang", "source_scorecard", "embedding_outliers",
         "vocab_stats", "user_entropy_histogram", "event_burstiness",
-        "image_stats_real", "audio_stats_real",
+        "image_stats_real", "audio_stats_real", "collocation_pmi",
         # touched by round-5 fixes
         "sort_nulls_rank", "pagerank_bipartite",
         "tpch_q12_ship_priority_classes", "semdedup_prune",
