@@ -7464,6 +7464,63 @@ def collocation_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.collocation_pmi(d)
 
 
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (SELECT source, string_split({_SQL_NORM}, ' ') AS toks FROM documents),
+    sh AS (SELECT source,
+                  unnest(list_distinct(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(0, len(toks) - 2),
+                                        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                    ELSE [array_to_string(toks, ' ')] END)) AS g
+           FROM toks),
+    f AS (SELECT DISTINCT source, g FROM sh),
+    p AS (SELECT a.g, a.source AS source_a, b.source AS source_b
+          FROM f a JOIN f b ON a.g = b.g AND a.source < b.source)
+    SELECT source_a, source_b, count(*)::BIGINT AS shared_shingles
+    FROM p GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair, how
+    many distinct word 3-gram shingles both emit — the mirror-site/
+    syndication detector that tells a curation pipeline which
+    "independent" sources are actually reprinting each other (dedup
+    them jointly, or downweight one; exact-dup fingerprints are the
+    degenerate all-or-nothing case — shingle overlap grades partial
+    reuse too). Same single-shuffle formulation as
+    candidate_pairs_from_bands: hash-partition once on the shingle,
+    gather each shingle's distinct sources with collect_set, emit
+    sorted-array pair combinations with higher-order functions — no
+    self-join, and per-shingle state is bounded by |sources|, so a
+    boilerplate phrase present in millions of docs still contributes
+    O(|sources|²) rows, never O(docs²)."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    fps = d.select(
+        "source", F.explode(dd.word_shingles("text")).alias("g")
+    ).distinct()
+    buckets = (
+        fps.groupBy("g")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(srcs, (x, i) -> transform("
+                        "slice(srcs, i + 2, size(srcs) - i - 1), "
+                        "y -> struct(x AS source_a, y AS source_b)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.source_a", "p.source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is
@@ -7527,7 +7584,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "audio_stats_real",
     "ngram_diversity",
     "collocation_pmi",
-    "stateful_running_total",
+    "source_overlap_matrix",
     "event_burstiness",
     "source_scorecard",
     "embedding_outliers",
