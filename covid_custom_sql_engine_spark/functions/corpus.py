@@ -237,19 +237,23 @@ def ngram_diversity(
     distinct via array_distinct — so the whole screen is map-side only: ZERO shuffle
     at any corpus size.
     """
-    t = tokens(text_col)
-    nt = F.size(t)
+    # filter BEFORE slicing: slice(t, 1, nt-1) throws on nt == 0
+    # (negative length) — an empty/whitespace-only document must simply
+    # produce no row, same as the oracle's len(toks) >= 2 guard.
+    # (Caught by the hypothesis differential test.)
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    nt = F.size("_t")
     # pairs as joined strings (tokens contain no whitespace, so ' ' is
     # an unambiguous separator) — struct pairs would work in Spark but
     # DuckDB's list_distinct cannot hash struct elements
     grams = F.zip_with(
-        F.slice(t, 1, nt - 1),
-        F.slice(t, 2, nt - 1),
+        F.slice(F.col("_t"), 1, nt - 1),
+        F.slice(F.col("_t"), 2, nt - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    base = docs.select(
-        F.col(id_col), grams.alias("_g")
-    ).filter(F.size("_g") >= 1)
+    base = toks.select(F.col(id_col), grams.alias("_g"))
     n = F.size("_g").cast("bigint")
     nd = F.size(F.array_distinct("_g")).cast("bigint")
     return base.select(

@@ -363,3 +363,61 @@ def test_mixture_resample_bounds_and_determinism(spark, rows_mix):
     # rerun under different partitioning -> identical sample
     again = mixture_resample(df.repartition(3), "lang", target).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# --- round 5: text-analytics helpers vs pure-Python references ---
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=24), min_size=1, max_size=12
+)
+
+
+@given(ts=texts)
+@settings(**SETTINGS)
+def test_ngram_diversity_matches_python(spark, ts):
+    from covid_custom_sql_engine_spark.functions import corpus as cp
+
+    df = spark.createDataFrame(list(enumerate(ts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in cp.ngram_diversity(df).collect()}
+    for i, t in enumerate(ts):
+        toks = [w for w in t.lower().strip().split() if w]
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not grams:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r.n_bigrams == len(grams)
+        assert r.n_distinct == len(set(grams))
+        assert r.distinct_ratio == round(len(set(grams)) / len(grams), 6)
+
+
+@given(ts=texts)
+@settings(**SETTINGS)
+def test_vocab_stats_match_python(spark, ts):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from covid_custom_sql_engine_spark.functions import text as tx
+
+    df = spark.createDataFrame(list(enumerate(ts)), "doc_id long, text string")
+    v = (
+        df.select(F.explode(tx.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = {r.token: r.cnt for r in v.collect()}
+    c = Counter(w for t in ts for w in t.lower().strip().split() if w)
+    assert rows == dict(c)
+
+
+@given(counts=st.lists(st.integers(1, 9), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_entropy_identity_matches_direct_formula(spark, counts):
+    """ln(n) − Σc·ln c / n must equal −Σp·ln p computed directly."""
+    import math as m
+
+    n = sum(counts)
+    via_identity = m.log(n) - sum(c * m.log(c) for c in counts) / n
+    direct = -sum((c / n) * m.log(c / n) for c in counts)
+    assert abs(via_identity - direct) < 1e-12
