@@ -486,3 +486,38 @@ def test_band_skew_monitor_healthy_corpus_not_flagged(spark):
         assert r.n_oversized == 0
         assert r.max_bucket_size <= 5
         assert r.hll_rel_err <= 0.10  # p=10 sketch on ~200 keys
+
+
+def test_band_skew_monitor_hll_state_is_mergeable(spark):
+    """The monitor's HLL is usable over streaming micro-batches only if
+    its per-(band, bucket) register state merges associatively: the
+    max-merged registers of two disjoint halves must equal the
+    registers of the full corpus (then the estimate, a pure function of
+    registers, is identical) — the same merge(state(A), state(B)) ==
+    state(A ∪ B) contract incremental_mv_rollup proves for its monoid."""
+    from covid_custom_sql_engine_spark.functions.sketches import _hll_reg_cols
+
+    df = spark.range(300).selectExpr(
+        "id AS doc_id",
+        "concat('doc number ', id, ' words ', id * 3, ' and ', id * 11) AS text",
+    )
+    bands = dd.minhash_bands(df).select("doc_id", "band", "band_hash")
+
+    def regs(b):
+        return (
+            b.select("band", *_hll_reg_cols("band_hash", 10))
+            .groupBy("band", "bucket")
+            .agg(F.max("rho").alias("m_rho"))
+        )
+
+    full = {(r.band, r.bucket): r.m_rho for r in regs(bands).collect()}
+    half_a = regs(bands.filter(F.col("doc_id") % 2 == 0))
+    half_b = regs(bands.filter(F.col("doc_id") % 2 == 1))
+    merged = {
+        (r.band, r.bucket): r.m_rho
+        for r in half_a.unionByName(half_b)
+        .groupBy("band", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .collect()
+    }
+    assert merged == full
