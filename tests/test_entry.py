@@ -45,7 +45,7 @@ def test_driver_window_priority_ordering():
         "token_fertility_by_lang", "source_scorecard", "embedding_outliers",
         "vocab_stats", "user_entropy_histogram", "event_burstiness",
         "image_stats_real", "audio_stats_real", "collocation_pmi",
-        "source_overlap_matrix",
+        "source_overlap_matrix", "corpus_curation_pipeline",
         # touched by round-5 fixes
         "sort_nulls_rank", "pagerank_bipartite",
         "tpch_q12_ship_priority_classes", "semdedup_prune",

@@ -201,6 +201,7 @@ EXPECT = {
     "audio_stats_real": (1, False, False),
     "collocation_pmi": (1, False, True),  # 1-row bigram-total N broadcast: intended
     "source_overlap_matrix": (2, False, False),
+    "corpus_curation_pipeline": (2, False, False),
     "repeated_chunks": (2, False, False),
     "oov_rate": (2, False, False),
     "mixture_resample_lang": (2, False, True),  # 1-row total-count broadcast: intended
