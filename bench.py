@@ -67,11 +67,13 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "incremental_mv_rollup",
     # round 5 additions: trained-kmeans SemDeDup, ordered funnel,
-    # cluster-representative policy, distributed Zipf rank fit
+    # cluster-representative policy, distributed Zipf rank fit, and
+    # the end-to-end curation pipeline composition
     "kmeans_semdedup",
     "funnel_conversion",
     "dedup_representative",
     "zipf_slope",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -7799,15 +7799,18 @@ _DRIVER_WINDOW_PRIORITY = [
 # official driver row. Round-5 composition (exactly 50): the flagship
 # sentinel; the 8 r4-tail queries that never faced the driver (after
 # this window, union coverage is every-registered-query-ever-checked
-# again); the 7 queries NEW in r5 (kmeans_semdedup,
-# lsh_band_skew_monitor, funnel_conversion, event_transition_matrix,
-# column_entropy_profile, psi_drift, dedup_representative); the 4
-# queries whose code or oracle the r5 fixes touched (sort_nulls_rank's
-# distributed rank, pagerank's typed node ids, q12's NULL-safe counts,
-# semdedup_prune's centroids parameter); 2 r4-fix regression
-# sentinels; the 13 §2 parity rows last officially checked in r1; and
-# a 15-query r2-stale refresh (streaming family, ANN, dedup — which
-# also keeps the bench-drift queries under official check). Everything
+# again); ALL 20 queries NEW in r5 (trained-kmeans SemDeDup, band-skew
+# telemetry, funnel, transitions, entropy/PSI profiling, cluster
+# representatives, diversity/Zipf/fertility/vocab/PMI text analytics,
+# user-entropy, burstiness, real-codec round-trips, source overlap,
+# end-to-end curation pipeline); the 4 queries whose code or oracle
+# the r5 fixes touched (sort_nulls_rank's distributed rank, pagerank's
+# typed node ids, q12's NULL-safe counts, semdedup_prune's centroids
+# parameter); 2 r4-fix regression sentinels; the 13 §2 parity rows
+# last officially checked in r1; and the two dedup perf-watch queries
+# (minhash_lsh_pairs, near_dup_clusters). The new-query volume
+# consumed the planned r2-stale streaming/ANN refresh slots —
+# never-checked beats stale-refresh; rotate those in r6. Everything
 # below the out-of-window line holds an r1–r4 green row and is
 # re-verified locally every round by check_oracle / check_bare.
 
