@@ -368,7 +368,11 @@ def collocation_pmi(
                 F.log(
                     F.col("c12").cast("double")
                     * F.col("_n")
-                    / (F.col("c1") * F.col("c2"))
+                    # c1·c2 as a DOUBLE product: the raw BIGINT product
+                    # overflows int64 once two stopword marginals exceed
+                    # ~3e9 each (web-scale corpora) — ANSI mode would
+                    # kill the query; the oracle casts identically
+                    / (F.col("c1").cast("double") * F.col("c2"))
                 ),
                 6,
             ).alias("pmi"),

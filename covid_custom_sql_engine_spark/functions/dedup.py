@@ -202,6 +202,20 @@ def minhash_bands(
     return _bands_from_signatures(sigs, id_col, num_hashes, band_rows)
 
 
+def pair_combinations(array_col: str, a_name: str, b_name: str):
+    """All ordered combinations (x, y with x before y) of a SORTED
+    array column as an array of structs — the HOF pair-expansion shared
+    by bucket-local candidate generation and the source-overlap matrix.
+    1-based slice arithmetic: element i pairs with the i+2..end tail."""
+    return F.flatten(
+        F.expr(
+            f"transform({array_col}, (x, i) -> transform("
+            f"slice({array_col}, i + 2, size({array_col}) - i - 1), "
+            f"y -> struct(x AS {a_name}, y AS {b_name})))"
+        )
+    )
+
+
 def candidate_pairs_from_bands(
     bands: DataFrame,
     id_col: str = "doc_id",
@@ -256,17 +270,7 @@ def candidate_pairs_from_bands(
         .filter(size_ok)
     )
     return (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        "transform(ids, (x, i) -> transform("
-                        "slice(ids, i + 2, size(ids) - i - 1), "
-                        "y -> struct(x AS id_a, y AS id_b)))"
-                    )
-                )
-            ).alias("p")
-        )
+        buckets.select(F.explode(pair_combinations("ids", "id_a", "id_b")).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -289,7 +293,6 @@ def lsh_candidate_pairs(
 
 def band_skew_monitor(
     bands: DataFrame,
-    id_col: str = "doc_id",
     max_bucket: int | None = MAX_BAND_BUCKET,
     p: int = 10,
 ) -> DataFrame:

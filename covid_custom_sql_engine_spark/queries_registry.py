@@ -7334,7 +7334,7 @@ def user_entropy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM events GROUP BY 1, 2)
     SELECT event_type, count(*)::BIGINT AS n_hours,
            round({_sql_dsum('c')} / count(*), 6) AS mean_per_hour,
-           round((count(*) * {_sql_dsum('c * c')} - {_sql_dsum('c')} * {_sql_dsum('c')})
+           round((count(*) * {_sql_dsum('(c::DOUBLE) * c')} - {_sql_dsum('c')} * {_sql_dsum('c')})
                  / (count(*) * (count(*) - 1))
                  / ({_sql_dsum('c')} / count(*)), 6) AS fano_factor
     FROM hc GROUP BY event_type
@@ -7353,7 +7353,9 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("c"))
     n = F.count(F.lit(1))
     sx = ops.dsum(F.col("c"))
-    sxx = ops.dsum(F.col("c") * F.col("c"))
+    # square in DOUBLE: a >3e9-count bucket would overflow the raw
+    # BIGINT product before the decimal cast (oracle casts identically)
+    sxx = ops.dsum(F.col("c").cast("double") * F.col("c"))
     return hc.groupBy("event_type").agg(
         n.cast("bigint").alias("n_hours"),
         F.round(sx / n, 6).alias("mean_per_hour"),
@@ -7451,7 +7453,7 @@ def audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT w2, sum(c12) AS c2 FROM big GROUP BY 1),
     n AS (SELECT sum(c12) AS n FROM big)
     SELECT big.w1, big.w2, big.c12::BIGINT AS c12,
-           round(ln(big.c12::DOUBLE * n.n / (l.c1 * r.c2)), 6) AS pmi
+           round(ln(big.c12::DOUBLE * n.n / (l.c1::DOUBLE * r.c2)), 6) AS pmi
     FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
     WHERE big.c12 >= 5
     ORDER BY pmi DESC, w1 ASC, w2 ASC
@@ -7510,15 +7512,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         buckets.select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        "transform(srcs, (x, i) -> transform("
-                        "slice(srcs, i + 2, size(srcs) - i - 1), "
-                        "y -> struct(x AS source_a, y AS source_b)))"
-                    )
-                )
-            ).alias("p")
+            F.explode(dd.pair_combinations("srcs", "source_a", "source_b")).alias("p")
         )
         .groupBy("p.source_a", "p.source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
@@ -7536,7 +7530,7 @@ def _curation_pipeline_oracle() -> str:
     (source='s2'); the corpus is doubled with offset clones (the
     simhash fixture pattern) so the exact-dup stage has real work."""
     thr = _CURATION_Q_THRESHOLD
-    mh = _sql_minhash_cte("s2", ", ").replace("WITH toks", ", toks", 1)
+    mh = _sql_minhash_cte("s2", ", ")
     return f"""
     WITH RECURSIVE d2 AS (SELECT doc_id, text FROM documents
                           UNION ALL
@@ -7605,7 +7599,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = d0.unionByName(
         d0.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
     )
-    q = d2.withColumn("_q", tx.quality_score("text"))
+    # q feeds the survivor chain AND the final stage join; s2 feeds
+    # minhash pair generation, near_dup_keep, and the stage join — pin
+    # both so each stage evaluates once (the psi_drift/semdedup
+    # multi-consumer lazy-checkpoint pattern)
+    q = d2.withColumn("_q", tx.quality_score("text")).localCheckpoint(eager=False)
     s1 = q.filter(F.col("_q") >= _CURATION_Q_THRESHOLD)
     f = s1.select("doc_id", "text", tx.fingerprint("text").alias("_fp"))
     k2 = f.groupBy("_fp").agg(F.min("doc_id").alias("_keep"))
@@ -7613,6 +7611,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.join(k2, "_fp")
         .filter(F.col("doc_id") == F.col("_keep"))
         .select("doc_id", "text")
+        .localCheckpoint(eager=False)
     )
     nd = dd.near_dup_keep(s2, dd.lsh_candidate_pairs(s2))
     out = (
@@ -7688,8 +7687,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "rename_pretty",
     "whole_table_agg",
     "udaf_geometric_mean",
-    # --- r2-stale refresh (streaming family, ANN, dedup) — also keeps
-    # the bench-drift queries officially green ---
+    # --- the rest of the round-5 additions (these slots were planned
+    # as the r2-stale streaming/ANN refresh, displaced because
+    # never-checked beats stale-refresh — see the trailing comment) ---
     "image_stats_real",
     "audio_stats_real",
     "ngram_diversity",

@@ -31,41 +31,20 @@ def test_transition_matrix_rows_normalize(spark, sf_dir):
         assert abs(total - 1.0) < 1e-4, (src, total)
 
 
-def test_entropy_profile_edges(spark):
-    # constant column -> H = 0; uniform over 4 values -> H = ln 4,
-    # norm_entropy = 1
+def test_entropy_profile_edges(spark, tmp_path):
+    """Run the REGISTERED query on a synthetic orders table: constant
+    column -> H = 0 (norm 0); uniform over 4 values -> H = ln 4,
+    norm_entropy = 1. Exercising qr.QUERIES (not a re-implementation)
+    so a regression in the production formula fails here."""
     df = spark.createDataFrame(
         [(i, "const", f"v{i % 4}") for i in range(400)],
         "o_orderkey long, o_orderstatus string, o_orderpriority string",
     )
-    df.createOrReplaceTempView("_ent")
-    lv = df.select(
-        F.expr(
-            "stack(2, 'o_orderstatus', o_orderstatus,"
-            " 'o_orderpriority', o_orderpriority) AS (col_name, val)"
-        )
-    )
-    c = lv.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
-    from covid_custom_sql_engine_spark.operators.core import dsum
-
-    prof = c.groupBy("col_name").agg(
-        F.sum("c").cast("bigint").alias("n_values"),
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        dsum(F.col("c") * F.log(F.col("c"))).alias("s"),
-    )
-    h = F.log(F.col("n_values")) - F.col("s") / F.col("n_values")
+    d = str(tmp_path / "ent")
+    df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
     got = {
-        r.col_name: (r.entropy, r.norm)
-        for r in prof.select(
-            "col_name",
-            F.round(h, 6).alias("entropy"),
-            F.round(
-                F.when(
-                    F.col("n_distinct") > 1, h / F.log(F.col("n_distinct"))
-                ).otherwise(F.lit(0.0)),
-                6,
-            ).alias("norm"),
-        ).collect()
+        r.col_name: (r.entropy, r.norm_entropy)
+        for r in qr.QUERIES["column_entropy_profile"](spark, d).collect()
     }
     assert got["o_orderstatus"] == (0.0, 0.0)
     assert abs(got["o_orderpriority"][0] - math.log(4)) < 1e-6
@@ -136,36 +115,18 @@ def test_dedup_representative_picks_longest(spark, sf_dir):
     assert len(rows) == len({r.doc_id for r in rows})
 
 
-def test_vocab_stats_hapax_and_ttr(spark):
-    df = spark.createDataFrame(
+def test_vocab_stats_hapax_and_ttr(spark, tmp_path):
+    """Hand-checked values through the REGISTERED query."""
+    d = str(tmp_path / "vs")
+    spark.createDataFrame(
         [(1, "a a a b b c"), (2, "c d")], "doc_id long, text string"
-    )
-    (r,) = cp_vocab(spark, df)
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    (r,) = qr.QUERIES["vocab_stats"](spark, d).collect()
     # tokens: a×3 b×2 c×2 d×1 → 8 tokens, 4 terms, hapax {d}
     assert r.n_tokens == 8 and r.n_terms == 4
     assert r.hapax_count == 1
     assert r.type_token_ratio == 0.5
     assert r.hapax_ratio == 0.25
-
-
-def cp_vocab(spark, df):
-    from pyspark.sql import functions as F
-    from covid_custom_sql_engine_spark.functions import text as tx
-    from covid_custom_sql_engine_spark.operators import core as ops
-
-    v = (
-        df.select(F.explode(tx.tokens("text")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    hap = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
-    return v.agg(
-        F.sum("cnt").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        F.round(F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6).alias("type_token_ratio"),
-        hap.cast("bigint").alias("hapax_count"),
-        F.round(hap.cast("double") / F.count(F.lit(1)), 6).alias("hapax_ratio"),
-    ).collect()
 
 
 def test_user_entropy_single_action_bot_in_bucket_zero(spark, sf_dir):

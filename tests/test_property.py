@@ -393,22 +393,26 @@ def test_ngram_diversity_matches_python(spark, ts):
 
 @given(ts=texts)
 @settings(**SETTINGS)
-def test_vocab_stats_match_python(spark, ts):
+def test_vocab_stats_match_python(spark, tmp_path_factory, ts):
+    """Differential-test the REGISTERED vocab_stats query against a
+    pure-Python Counter on hypothesis corpora."""
     from collections import Counter
 
-    from pyspark.sql import functions as F
+    from covid_custom_sql_engine_spark import queries_registry as qr
 
-    from covid_custom_sql_engine_spark.functions import text as tx
-
-    df = spark.createDataFrame(list(enumerate(ts)), "doc_id long, text string")
-    v = (
-        df.select(F.explode(tx.tokens("text")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    rows = {r.token: r.cnt for r in v.collect()}
+    d = str(tmp_path_factory.mktemp("vocab"))
+    spark.createDataFrame(
+        list(enumerate(ts)), "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    (r,) = qr.QUERIES["vocab_stats"](spark, d).collect()
     c = Counter(w for t in ts for w in t.lower().strip().split() if w)
-    assert rows == dict(c)
+    if not c:
+        assert r.n_tokens is None and r.n_terms == 0
+        return
+    assert r.n_tokens == sum(c.values())
+    assert r.n_terms == len(c)
+    assert r.hapax_count == sum(1 for v in c.values() if v == 1)
+    assert r.type_token_ratio == round(len(c) / sum(c.values()), 6)
 
 
 @given(counts=st.lists(st.integers(1, 9), min_size=1, max_size=8))
