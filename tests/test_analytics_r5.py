@@ -149,3 +149,76 @@ def test_event_burstiness_poissonish(spark, sf_dir):
         assert r.n_hours > 1
         assert r.mean_per_hour > 0
         assert r.fano_factor is not None and r.fano_factor > 0
+
+
+def test_funnel_strict_ordering_hand_built(spark, tmp_path):
+    """Stage events must be STRICTLY after the prior stage's first
+    event: a purchase that precedes the user's first click never
+    counts, and a click at exactly the view timestamp doesn't either.
+    Runs the REGISTERED query against a hand-built events table."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + sec, 1, "click", 1.0, "{}"),
+        (3, t0 + 2 * sec, 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE first click -> stops at click
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0 + 2 * sec, 2, "click", 1.0, "{}"),
+        (6, t0 + sec, 2, "purchase", 1.0, "{}"),
+        # user 3: click at exactly the view ts -> not strictly after
+        (7, t0, 3, "view", 1.0, "{}"),
+        (8, t0, 3, "click", 1.0, "{}"),
+        # user 4: click without any view -> never enters the funnel
+        (9, t0, 4, "click", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "funnel")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.stage: r for r in qr.QUERIES["funnel_conversion"](spark, d).collect()}
+    assert out["1_view"].n_users == 3       # users 1, 2, 3
+    assert out["2_click"].n_users == 2      # users 1, 2 (user 3 ties)
+    assert out["3_purchase"].n_users == 1   # user 1 only
+    assert out["2_click"].avg_delay_sec == 1.5  # (1 s + 2 s) / 2
+    assert out["3_purchase"].avg_delay_sec == 1.0
+
+
+def test_psi_drift_detects_synthetic_shift(spark, tmp_path):
+    """PSI must be near zero for identically-distributed splits and
+    clearly positive when val's length distribution shifts. doc_ids are
+    chosen by their md5 split hash so the deterministic splitter itself
+    routes the shift."""
+    from pyspark.sql import functions as F
+    import hashlib
+
+    def split_of(doc_id):
+        h = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:15], 16) % 100
+        return "train" if h < 80 else ("val" if h < 90 else "test")
+
+    train_ids = [i for i in range(4000) if split_of(i) == "train"][:400]
+    val_ids = [i for i in range(4000) if split_of(i) == "val"][:50]
+
+    def write(dirname, val_chars):
+        rows = [(i, "x", "en", "s", 250) for i in train_ids] + [
+            (i, "x", "en", "s", val_chars) for i in val_ids
+        ]
+        d = str(tmp_path / dirname)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return d
+
+    same = sum(
+        r.psi_contrib
+        for r in qr.QUERIES["psi_drift"](spark, write("same", 250)).collect()
+    )
+    shifted = sum(
+        r.psi_contrib
+        for r in qr.QUERIES["psi_drift"](spark, write("shift", 1050)).collect()
+    )
+    assert same < 0.01          # identical bins -> only smoothing noise
+    assert shifted > 1.0        # val entirely in a bin train never hits
