@@ -386,9 +386,28 @@ def incremental_lsh_pairs(
     bo = minhash_bands(corpus_df, id_col, text_col, **kw).withColumn(
         "_new", F.lit(False)
     )
-    bands = bn.unionByName(bo)
+    return incremental_pairs_from_bands(
+        bn.unionByName(bo), id_col, max_bucket=max_bucket, predrop=predrop
+    )
+
+
+def incremental_pairs_from_bands(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = MAX_BAND_BUCKET,
+    predrop: bool = False,
+    _pin_for_predrop: bool = True,
+) -> DataFrame:
+    """The pair-generation body of :func:`incremental_lsh_pairs`, taking
+    pre-computed provenance-tagged bands (id, band, band_hash, _new) —
+    split out so a caller that already materialized the joint bands (the
+    guarded ingest path, which also feeds them to the skew monitor) can
+    generate pairs without re-hashing. ``_pin_for_predrop=False`` skips
+    the predrop-mode localCheckpoint when the caller pinned the frame
+    itself."""
     if max_bucket is not None and predrop:
-        bands = bands.localCheckpoint(eager=False)
+        if _pin_for_predrop:
+            bands = bands.localCheckpoint(eager=False)
         oversized = (
             bands.groupBy("band", "band_hash")
             .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -425,6 +444,49 @@ def incremental_lsh_pairs(
         .select("p.new_id", "p.corpus_id")
         .distinct()
     )
+
+
+def guarded_incremental_lsh_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = MAX_BAND_BUCKET,
+    **kw,
+) -> tuple[DataFrame, bool]:
+    """The closed ingest loop: :func:`band_skew_monitor` runs over the
+    joint (new ∪ corpus) bands BEFORE pair generation, and its
+    ``n_oversized`` telemetry picks the enforcement mode —
+    ``predrop=True`` (constant-memory count + broadcast anti-join; no
+    oversized member array is ever built) exactly when some joint
+    bucket exceeds ``max_bucket``, the default single-aggregation mode
+    otherwise. Returns ``(pairs, predrop_used)``.
+
+    Both modes emit identical pairs (the cap itself is unconditional),
+    so the gate is purely a memory-shape decision: an adversarial batch
+    (mass duplication — thousands of identical documents hashing to one
+    bucket) flips the ingest onto the path where the hot bucket's id
+    list is never gathered. The gate read is one bounded action (a
+    1-row sum of per-band oversized counts — "action, not plan", like
+    the k-means centroid fetch); the joint bands are pinned once
+    (lazy localCheckpoint) and shared by the monitor scan and the pair
+    generation, so the minhash computation runs once regardless of
+    mode."""
+    bn = minhash_bands(new_df, id_col, text_col, **kw).withColumn("_new", F.lit(True))
+    bo = minhash_bands(corpus_df, id_col, text_col, **kw).withColumn(
+        "_new", F.lit(False)
+    )
+    bands = bn.unionByName(bo).localCheckpoint(eager=False)
+    n_over = (
+        band_skew_monitor(bands.drop("_new"), max_bucket=max_bucket)
+        .agg(F.sum("n_oversized").alias("_n"))
+        .collect()[0]["_n"]
+    )  # 1-row action — the gate
+    predrop = bool(n_over)
+    pairs = incremental_pairs_from_bands(
+        bands, id_col, max_bucket=max_bucket, predrop=predrop, _pin_for_predrop=False
+    )
+    return pairs, predrop
 
 
 def jaccard_from_shingles(

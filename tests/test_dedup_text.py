@@ -364,6 +364,42 @@ def test_incremental_cap_modes_equivalent(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_guarded_incremental_healthy_corpus_stays_fast_path(spark, sf_dir):
+    """On a healthy corpus (no joint bucket over the cap) the gate picks
+    the default single-aggregation mode and the pairs equal the ungated
+    incremental pairs."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.limit(60).selectExpr("doc_id + 500000 AS doc_id", "text")
+    pairs, predrop = dd.guarded_incremental_lsh_pairs(new, docs)
+    assert predrop is False
+    got = sorted(map(tuple, pairs.collect()))
+    want = sorted(map(tuple, dd.incremental_lsh_pairs(new, docs).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_guarded_incremental_adversarial_batch_flips_predrop(spark):
+    """The 5k-identical-docs adversarial batch: every copy lands in one
+    joint bucket per band, so the monitor reports oversized buckets and
+    the gate flips to predrop — the mode where the hot bucket's member
+    array is never gathered. The batch must survive (no quadratic pair
+    set: the capped bucket emits nothing) and the output must equal the
+    forced-predrop run."""
+    n = 5000
+    corpus = spark.range(100).selectExpr(
+        "id AS doc_id", "'identical boilerplate text block' AS text"
+    )
+    new = spark.range(n).selectExpr(
+        "id + 1000000 AS doc_id", "'identical boilerplate text block' AS text"
+    )
+    pairs, predrop = dd.guarded_incremental_lsh_pairs(new, corpus)
+    assert predrop is True
+    assert pairs.count() == 0  # the oversized joint bucket emits no pairs
+    forced = dd.incremental_lsh_pairs(new, corpus, predrop=True)
+    assert sorted(map(tuple, pairs.collect())) == sorted(map(tuple, forced.collect()))
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches lineage truncation to reliable
     checkpoint() — same fixpoint, files written under the dir."""

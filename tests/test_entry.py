@@ -30,28 +30,26 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 5: the 8 r4-tail queries that never faced the driver, every
-    # query NEW or TOUCHED this round, and the r1-stale §2 parity slice
-    # (no new never-checked backlog may form)
+    # round 6: the two queries new this round (never driver-checked),
+    # the full 22-query r1-stale slice (set ops, window/scalar/datetime
+    # functions, percentiles, simhash, cosine search, multimodal), and
+    # the oldest half of the r2-stale backlog (no new never-checked
+    # backlog may form)
     assert {
-        # the r4-tail never-checked backlog
-        "benford_audit", "bigram_logprob", "cohort_retention",
-        "ewma_smooth", "hits_bipartite", "rolling_median",
-        "seasonal_baseline", "triangle_counts",
         # new this round
-        "kmeans_semdedup", "lsh_band_skew_monitor", "funnel_conversion",
-        "event_transition_matrix", "column_entropy_profile", "psi_drift",
-        "dedup_representative", "ngram_diversity", "zipf_slope",
-        "token_fertility_by_lang", "source_scorecard", "embedding_outliers",
-        "vocab_stats", "user_entropy_histogram", "event_burstiness",
-        "image_stats_real", "audio_stats_real", "collocation_pmi",
-        "source_overlap_matrix", "corpus_curation_pipeline",
-        # touched by round-5 fixes
-        "sort_nulls_rank", "pagerank_bipartite",
-        "tpch_q12_ship_priority_classes", "semdedup_prune",
-        # r1-stale §2 parity slice
-        "filter_range_project", "join_ref_inner", "safe_corr_qty_price",
-        "stat_summary", "whole_table_agg",
+        "guarded_incremental_dedup", "kmeans_semdedup_scaled",
+        # the 22 r1-stale queries (r5 VERDICT item #1)
+        "semi_join", "anti_join", "setop_union", "setop_intersect",
+        "setop_except", "rollup_agg", "cube_agg", "grouping_sets",
+        "window_running_sum", "window_functions", "scalar_functions",
+        "datetime_functions", "percentiles", "text_profile", "lang_id",
+        "dedup_exact", "simhash", "embedding_norms", "cosine_topk",
+        "cosine_near_dups", "multimodal_features", "frame_sample_plan",
+        # r5 regression sentinels
+        "flagship_revenue_by_nation", "kmeans_semdedup",
+        "corpus_curation_pipeline", "dedup_representative",
+        # stale §2 rows from the r2 slice
+        "locf_fill", "rolling_avg_7", "lagged_corr_best",
     } <= window
 
 

@@ -183,7 +183,11 @@ EXPECT = {
     "bm25_search": (2, False, True),  # 1-row (N, avgdl) corpus-stats broadcast: intended
     "semdedup_prune": (3, False, True),  # ≤|labels|-row centroid broadcast cross: intended
     "kmeans_semdedup": (2, False, True),  # ≤k-row trained-centroid broadcast cross: intended
+    "kmeans_semdedup_scaled": (2, False, True),  # ≤√N-row trained-centroid broadcast cross: intended
     "lsh_band_skew_monitor": (2, False, False),
+    # parity-split filter (doc_id % 2) is arithmetic — not a parquet-pushable
+    # predicate, same as incremental_dedup_pairs
+    "guarded_incremental_dedup": (2, False, False),
     "funnel_conversion": (3, True, False),
     "event_transition_matrix": (4, False, False),
     "column_entropy_profile": (2, False, False),
