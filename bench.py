@@ -74,6 +74,11 @@ HEADLINE = [
     "dedup_representative",
     "zipf_slope",
     "corpus_curation_pipeline",
+    # round 6 additions: the k~sqrt(N) SemDeDup configuration (the
+    # sub-quadratic scale path, benchable against the pinned-k row
+    # above) and the skew-gated incremental ingest loop
+    "kmeans_semdedup_scaled",
+    "guarded_incremental_dedup",
 ]
 
 

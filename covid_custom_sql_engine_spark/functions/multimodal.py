@@ -6,13 +6,24 @@ Model: media travel as opaque ``binary`` columns next to typed metadata
 plumbing — schemas, partitioning, Arrow batch shapes, UDF signatures —
 is real and tested. Codecs come in two tiers:
 
-- REAL, numpy-only decoders for header-simple formats: binary PPM (P6)
-  images and RIFF/WAVE PCM-16 audio decode fully in-container
-  (``decode_ppm`` / ``decode_wav_pcm``), with real nearest-neighbor
-  resize and real audio statistics on the decoded samples;
-- compressed formats (JPEG/PNG/MP3/H.264…) raise
-  ``NotImplementedError`` from ``decode_image``/``decode_audio`` — the
-  integration point for Pillow/ffmpeg on a real cluster;
+- REAL, numpy-only decoders: binary PPM (P6) images, RIFF/WAVE PCM-16
+  audio (``decode_ppm`` / ``decode_wav_pcm``), and — compressed for
+  real — baseline 4:4:4 JFIF **JPEG** via the pure-numpy
+  :mod:`.jpeg_codec` (Huffman + zigzag + dequant + IDCT, the full
+  T.81 baseline path), with real nearest-neighbor resize and real
+  audio statistics on the decoded samples;
+- remaining compressed formats raise ``NotImplementedError`` from
+  ``decode_image``/``decode_audio``. ADR (final): **PNG** needs
+  DEFLATE — a from-scratch inflate is possible but `zlib` is stdlib,
+  so the real gap is only filter reconstruction; deferred as the
+  integration point is identical to JPEG's and adds no new plumbing.
+  **MP3/AAC/H.264** stay integration points permanently: a conforming
+  decoder (polyphase filterbank + IMDCT + psychoacoustic bit
+  reservoir, or a video reference decoder) is thousands of lines that
+  exercise zero additional Spark surface — the Arrow-batched
+  mapInPandas plumbing they'd plug into is already proven end-to-end
+  by the PPM/WAV/JPEG round-trip queries. On a real cluster install
+  Pillow/ffmpeg and extend the two dispatch functions below;
 - ``fake_decode_features`` remains the deterministic bytes-only
   stand-in used where payloads are arbitrary (length, byte statistics).
 
@@ -114,19 +125,34 @@ def decode_wav_pcm(payload: bytes) -> tuple["np.ndarray", int]:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Dispatch on magic bytes: P6 PPM decodes for REAL in-container;
-    compressed formats are the Pillow/opencv integration point."""
+    """Dispatch on magic bytes: P6 PPM and baseline JFIF JPEG decode
+    for REAL in-container (JPEG via the pure-numpy :mod:`.jpeg_codec`);
+    PNG is the remaining Pillow/opencv integration point (ADR in the
+    module docstring). Always returns (h, w, 3) — grayscale JPEG is
+    channel-replicated so downstream feature extractors see one
+    shape."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
-    raise NotImplementedError("JPEG/PNG decoding requires Pillow/opencv on the cluster")
+    if payload[:2] == b"\xff\xd8":
+        from covid_custom_sql_engine_spark.functions.jpeg_codec import decode_jpeg
+
+        img = decode_jpeg(payload)
+        return np.repeat(img[:, :, None], 3, axis=2) if img.ndim == 2 else img
+    raise NotImplementedError(
+        "PNG decoding requires Pillow/opencv on the cluster (see module ADR)"
+    )
 
 
 def decode_audio(payload: bytes) -> tuple["np.ndarray", int]:
     """Dispatch on magic bytes: PCM-16 WAV decodes for REAL in-container;
-    compressed formats are the ffmpeg/librosa integration point."""
+    MP3/AAC stay the ffmpeg/librosa integration point permanently (ADR
+    in the module docstring — a conforming MP3 decoder adds no new
+    Spark surface over this proven mapInPandas path)."""
     if payload[:4] == b"RIFF":
         return decode_wav_pcm(payload)
-    raise NotImplementedError("MP3/AAC decoding requires ffmpeg/librosa on the cluster")
+    raise NotImplementedError(
+        "MP3/AAC decoding requires ffmpeg/librosa on the cluster (see module ADR)"
+    )
 
 
 def fake_decode_features(payload: bytes) -> dict:
@@ -293,6 +319,45 @@ def synth_wav_media(
                     + data
                 )
                 rows.append({"media_id": int(mid), "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
+
+
+def synth_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", w: int = 16, h: int = 8
+) -> DataFrame:
+    """Deterministic baseline-JPEG payload per id — a constant-color
+    RGB image (``r = id·7 mod 256``, ``g = id·11 mod 256``,
+    ``b = id·13 mod 256``) encoded with all-8 quantization tables. The
+    JPEG sibling of :func:`synth_ppm_media`, completing the COMPRESSED
+    codec round-trip: constant blocks have only a DC coefficient, DC
+    quantization step 8 divides DC = 8·(v−128) exactly, so the decoded
+    YCbCr equals the encoded YCbCr bit-for-bit and the decoded RGB is
+    the closed-form double-rounding chain RGB→YCbCr→RGB (floor(x+0.5)
+    + clip at each step) a SQL oracle can replicate literally. The
+    entropy-coded segment still runs the real Huffman/zigzag/IDCT
+    machinery — nothing about the *decode* knows the image is constant."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions.jpeg_codec import encode_jpeg
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q8 = np.full((8, 8), 8, np.int32)
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                img = np.empty((h, w, 3), np.uint8)
+                img[..., 0] = (i * 7) % 256
+                img[..., 1] = (i * 11) % 256
+                img[..., 2] = (i * 13) % 256
+                rows.append(
+                    {
+                        "media_id": i,
+                        "payload": encode_jpeg(img, luma_quant=q8, chroma_quant=q8),
+                    }
+                )
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")

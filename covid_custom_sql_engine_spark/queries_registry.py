@@ -7547,6 +7547,59 @@ def audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jpeg_stats_real",
+    oracle="""
+    WITH c AS (SELECT doc_id, ((doc_id*7)%256)::DOUBLE AS r,
+                      ((doc_id*11)%256)::DOUBLE AS g, ((doc_id*13)%256)::DOUBLE AS b
+               FROM documents),
+    ycc AS (SELECT doc_id,
+      LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
+        floor(0.299::DOUBLE*r + 0.587::DOUBLE*g + 0.114::DOUBLE*b + 0.5::DOUBLE))) AS y,
+      LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
+        floor(128.0::DOUBLE - 0.168736::DOUBLE*r - 0.331264::DOUBLE*g + 0.5::DOUBLE*b + 0.5::DOUBLE))) AS cb,
+      LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
+        floor(128.0::DOUBLE + 0.5::DOUBLE*r - 0.418688::DOUBLE*g - 0.081312::DOUBLE*b + 0.5::DOUBLE))) AS cr
+    FROM c)
+    SELECT doc_id AS media_id, 8::BIGINT AS height, 16::BIGINT AS width,
+      round(LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
+        floor(y + 1.402::DOUBLE*(cr-128.0::DOUBLE) + 0.5::DOUBLE))), 6) AS mean_r,
+      round(LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
+        floor(y - 0.344136::DOUBLE*(cb-128.0::DOUBLE) - 0.714136::DOUBLE*(cr-128.0::DOUBLE) + 0.5::DOUBLE))), 6) AS mean_g,
+      round(LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
+        floor(y + 1.772::DOUBLE*(cb-128.0::DOUBLE) + 0.5::DOUBLE))), 6) AS mean_b
+    FROM ycc
+    """,
+)
+def jpeg_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL **compressed** codec round-trip, hash-matched: baseline
+    JFIF JPEG payloads are ENCODED per document id
+    (multimodal.synth_jpeg_media — constant-color 16×8 RGB, all-8
+    quant tables), DECODED by the pure-numpy T.81 baseline decoder
+    (functions/jpeg_codec: marker parse → canonical Huffman → zigzag →
+    dequant → IDCT → YCbCr→RGB), and reduced to per-channel means.
+    Constant blocks make the round-trip closed-form — DC step 8
+    divides DC = 8·(v−128) exactly, so decoded RGB is the literal
+    double-rounding chain RGB→YCbCr→RGB with floor(x+0.5)+clip at
+    each step, which the oracle replicates term-for-term (IEEE-double
+    identical in DuckDB, verified over 600 ids). The decoder itself
+    has no constant-image shortcut: every payload runs real entropy
+    decoding. PNG/MP3 remain documented integration points (ADR in
+    functions/multimodal.py)."""
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    feats = mm.image_features(mm.synth_jpeg_media(d))
+    return feats.select(
+        "media_id",
+        F.col("height").cast("bigint").alias("height"),
+        F.col("width").cast("bigint").alias("width"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@query(
     "collocation_pmi",
     oracle=f"""
     WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents WHERE len({_SQL_TOKS}) >= 2),
@@ -7805,7 +7858,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "range_join_bands",
     "salted_join",
     "exact_medians_scalable",
-    "dataset_split",
+    # --- NEW in round 6 (late addition): the real compressed-codec
+    # round-trip through the pure-numpy baseline JPEG decoder ---
+    "jpeg_stats_real",
     # ---------------- out-of-window below this line ----------------
     # parked in priority order for the round-7 refresh: the remaining
     # 22 r2-stale queries (every other registered query's latest
@@ -7815,6 +7870,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_pair_counts",
     "chunk_documents",
     "corpus_filter_pipeline",
+    "dataset_split",
     "debounce_events",
     "decontaminate_ngrams",
     "demo_showcase",

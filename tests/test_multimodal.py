@@ -126,3 +126,112 @@ def test_image_and_audio_features_end_to_end(spark):
     assert af.sample_rate == 8000 and af.n_samples == 200 and af.channels == 1
     assert abs(af.rms - 1000.0) < 1e-6
     assert af.zero_crossings == 199
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (functions/jpeg_codec.py) — the real compressed path
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_random_roundtrip_near_lossless():
+    """With all-ones quantization tables baseline JPEG is near-lossless:
+    the only error is DCT float rounding. Random images exercise the
+    FULL entropy path — AC runs, ZRL, EOB, DC prediction across blocks,
+    byte stuffing — not just the DC-only constant case."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions import jpeg_codec as jc
+
+    rng = np.random.RandomState(7)
+    ones = np.ones((8, 8), np.int32)
+    gray = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    dec = jc.decode_jpeg(jc.encode_jpeg(gray, luma_quant=ones, chroma_quant=ones))
+    assert dec.shape == gray.shape
+    assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 2
+    rgb = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    dec3 = jc.decode_jpeg(jc.encode_jpeg(rgb, luma_quant=ones, chroma_quant=ones))
+    assert dec3.shape == rgb.shape
+    # RGB adds the YCbCr double-rounding: error bound widens slightly
+    assert np.abs(dec3.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_jpeg_standard_tables_lossy_but_sane():
+    """Annex-K tables are genuinely lossy; smooth gradients survive
+    with small error (the compression actually compresses)."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions import jpeg_codec as jc
+
+    x = np.linspace(0, 255, 32)[None, :].repeat(16, axis=0)
+    img = np.clip(x, 0, 255).astype(np.uint8)
+    payload = jc.encode_jpeg(img)
+    assert payload.startswith(b"\xff\xd8") and payload.endswith(b"\xff\xd9")
+    assert len(payload) < img.size  # smaller than the raw plane
+    dec = jc.decode_jpeg(payload)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 10
+
+
+def test_jpeg_odd_dimensions_and_padding():
+    """Non-multiple-of-8 dims: encoder edge-pads, decoder crops to the
+    SOF dimensions."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions import jpeg_codec as jc
+
+    rng = np.random.RandomState(11)
+    ones = np.ones((8, 8), np.int32)
+    img = rng.randint(0, 256, (10, 13), dtype=np.uint8)
+    dec = jc.decode_jpeg(jc.encode_jpeg(img, luma_quant=ones, chroma_quant=ones))
+    assert dec.shape == (10, 13)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_unsupported_subsets_raise():
+    import numpy as np
+    import pytest as _pytest
+
+    from covid_custom_sql_engine_spark.functions import jpeg_codec as jc
+
+    payload = bytearray(jc.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    # flip SOF0 (C0) to progressive SOF2 (C2)
+    i = bytes(payload).index(b"\xff\xc0")
+    bad = payload.copy()
+    bad[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        jc.decode_jpeg(bytes(bad))
+    with _pytest.raises(ValueError):
+        jc.decode_jpeg(b"\x00\x00")
+
+
+def test_jpeg_dispatch_and_feature_pipeline(spark):
+    """decode_image routes FFD8 to the real JPEG decoder (grayscale is
+    channel-replicated to (h, w, 3)); image_features runs end-to-end on
+    a JPEG payload through mapInPandas."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions import jpeg_codec as jc
+
+    q8 = np.full((8, 8), 8, np.int32)
+    img = np.full((8, 16, 3), 0, np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 10, 20, 30
+    payload = jc.encode_jpeg(img, luma_quant=q8, chroma_quant=q8)
+    out = mm.decode_image(payload)
+    assert out.shape == (8, 16, 3)
+    gray = jc.encode_jpeg(np.full((8, 8), 77, np.uint8), luma_quant=q8, chroma_quant=q8)
+    assert mm.decode_image(gray).shape == (8, 8, 3)
+
+    df = spark.createDataFrame([(5, bytearray(payload))], "media_id long, payload binary")
+    r = mm.image_features(df, thumb=2).collect()[0]
+    assert (r.height, r.width) == (8, 16)
+    # constant image: means are the closed-form RGB->YCbCr->RGB chain
+    def rh(v):
+        return np.floor(v + 0.5)
+
+    y = rh(0.299 * 10 + 0.587 * 20 + 0.114 * 30)
+    cb = rh(128 - 0.168736 * 10 - 0.331264 * 20 + 0.5 * 30)
+    cr = rh(128 + 0.5 * 10 - 0.418688 * 20 - 0.081312 * 30)
+    assert r.mean_r == float(np.clip(rh(y + 1.402 * (cr - 128)), 0, 255))
+    assert r.mean_g == float(
+        np.clip(rh(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)
+    )
+    assert r.mean_b == float(np.clip(rh(y + 1.772 * (cb - 128)), 0, 255))
