@@ -824,3 +824,59 @@ def mixture_resample(
             F.round(prob, 6).alias("accept_prob"),
         )
     )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_threshold: float = 0.45,
+) -> DataFrame:
+    """The curation pipeline END-TO-END: heuristic quality gate → exact
+    dedup (min-id representative per normalized fingerprint) → MinHash/
+    LSH near-dup clustering with min-id keep — every input document
+    labeled with the stage that removed it
+    ('quality' | 'exact_dup' | 'near_dup' | 'kept').
+
+    Extracted from the ``corpus_curation_pipeline`` registered query so
+    the composition is a first-class engine API (and property-testable
+    against a pure-Python reference on arbitrary corpora — see
+    tests/test_curation_property.py). Stage plans compose exactly as
+    the standalone queries do: the quality gate is per-row codegen,
+    exact dedup one fingerprint hash aggregate + equi-join, near-dup
+    the banded LSH equi-join → iterative min-label CC; each stage's
+    input strictly shrinks. The quality frame and the survivor frame
+    each feed multiple consumers, so both are pinned (lazy
+    localCheckpoint — the multi-consumer evaluate-once pattern)."""
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+    from covid_custom_sql_engine_spark.functions import text as tx
+
+    q = (
+        df.select(id_col, text_col)
+        .withColumn("_q", tx.quality_score(text_col))
+        .localCheckpoint(eager=False)
+    )
+    s1 = q.filter(F.col("_q") >= q_threshold)
+    f = s1.select(id_col, text_col, tx.fingerprint(text_col).alias("_fp"))
+    k2 = f.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    s2 = (
+        f.join(k2, "_fp")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .select(id_col, text_col)
+        .localCheckpoint(eager=False)
+    )
+    nd = dd.near_dup_keep(
+        s2, dd.lsh_candidate_pairs(s2, id_col, text_col), id_col
+    )
+    out = (
+        q.select(id_col, "_q")
+        .join(s2.select(id_col, F.lit(True).alias("_in2")), id_col, "left")
+        .join(nd.select(F.col("id").alias(id_col), "keep"), id_col, "left")
+    )
+    stage = (
+        F.when(F.col("_q") < q_threshold, F.lit("quality"))
+        .when(F.col("_in2").isNull(), F.lit("exact_dup"))
+        .when(F.col("keep"), F.lit("kept"))
+        .otherwise(F.lit("near_dup"))
+    )
+    return out.select(id_col, stage.alias("stage"))

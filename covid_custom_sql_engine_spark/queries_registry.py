@@ -7756,35 +7756,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = d0.unionByName(
         d0.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
     )
-    # q feeds the survivor chain AND the final stage join; s2 feeds
-    # minhash pair generation, near_dup_keep, and the stage join — pin
-    # both so each stage evaluates once (the psi_drift/semdedup
-    # multi-consumer lazy-checkpoint pattern)
-    q = d2.withColumn("_q", tx.quality_score("text")).localCheckpoint(eager=False)
-    s1 = q.filter(F.col("_q") >= _CURATION_Q_THRESHOLD)
-    f = s1.select("doc_id", "text", tx.fingerprint("text").alias("_fp"))
-    k2 = f.groupBy("_fp").agg(F.min("doc_id").alias("_keep"))
-    s2 = (
-        f.join(k2, "_fp")
-        .filter(F.col("doc_id") == F.col("_keep"))
-        .select("doc_id", "text")
-        .localCheckpoint(eager=False)
-    )
-    nd = dd.near_dup_keep(s2, dd.lsh_candidate_pairs(s2))
-    out = (
-        q.select("doc_id", "_q")
-        .join(s2.select("doc_id", F.lit(True).alias("_in2")), "doc_id", "left")
-        .join(
-            nd.select(F.col("id").alias("doc_id"), "keep"), "doc_id", "left"
-        )
-    )
-    stage = (
-        F.when(F.col("_q") < _CURATION_Q_THRESHOLD, F.lit("quality"))
-        .when(F.col("_in2").isNull(), F.lit("exact_dup"))
-        .when(F.col("keep"), F.lit("kept"))
-        .otherwise(F.lit("near_dup"))
-    )
-    return out.select("doc_id", stage.alias("stage"))
+    # the composition itself is the engine API corpus.curation_pipeline
+    # (extracted r6 so it is property-testable on arbitrary corpora);
+    # stage pinning lives inside it
+    return cp.curation_pipeline(d2, q_threshold=_CURATION_Q_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
