@@ -10,19 +10,18 @@ is real and tested. Codecs come in two tiers:
   audio (``decode_ppm`` / ``decode_wav_pcm``), and — compressed for
   real — baseline 4:4:4 JFIF **JPEG** via the pure-numpy
   :mod:`.jpeg_codec` (Huffman + zigzag + dequant + IDCT, the full
-  T.81 baseline path), with real nearest-neighbor resize and real
-  audio statistics on the decoded samples;
+  T.81 baseline path) and 8-bit **PNG** via :mod:`.png_codec`
+  (stdlib-zlib DEFLATE + all five scanline filters, CRC-verified,
+  lossless), with real nearest-neighbor resize and real audio
+  statistics on the decoded samples;
 - remaining compressed formats raise ``NotImplementedError`` from
-  ``decode_image``/``decode_audio``. ADR (final): **PNG** needs
-  DEFLATE — a from-scratch inflate is possible but `zlib` is stdlib,
-  so the real gap is only filter reconstruction; deferred as the
-  integration point is identical to JPEG's and adds no new plumbing.
-  **MP3/AAC/H.264** stay integration points permanently: a conforming
-  decoder (polyphase filterbank + IMDCT + psychoacoustic bit
-  reservoir, or a video reference decoder) is thousands of lines that
-  exercise zero additional Spark surface — the Arrow-batched
-  mapInPandas plumbing they'd plug into is already proven end-to-end
-  by the PPM/WAV/JPEG round-trip queries. On a real cluster install
+  ``decode_image``/``decode_audio``. ADR (final): **MP3/AAC/H.264**
+  stay integration points permanently — a conforming decoder
+  (polyphase filterbank + IMDCT + psychoacoustic bit reservoir, or a
+  video reference decoder) is thousands of lines that exercise zero
+  additional Spark surface; the Arrow-batched mapInPandas plumbing
+  they'd plug into is already proven end-to-end by the
+  PPM/PNG/JPEG/WAV round-trip queries. On a real cluster install
   Pillow/ffmpeg and extend the two dispatch functions below;
 - ``fake_decode_features`` remains the deterministic bytes-only
   stand-in used where payloads are arbitrary (length, byte statistics).
@@ -125,12 +124,12 @@ def decode_wav_pcm(payload: bytes) -> tuple["np.ndarray", int]:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Dispatch on magic bytes: P6 PPM and baseline JFIF JPEG decode
-    for REAL in-container (JPEG via the pure-numpy :mod:`.jpeg_codec`);
-    PNG is the remaining Pillow/opencv integration point (ADR in the
-    module docstring). Always returns (h, w, 3) — grayscale JPEG is
-    channel-replicated so downstream feature extractors see one
-    shape."""
+    """Dispatch on magic bytes: P6 PPM, baseline JFIF JPEG
+    (:mod:`.jpeg_codec`) and 8-bit PNG (:mod:`.png_codec`) decode for
+    REAL in-container; every other format is the Pillow/opencv
+    integration point (ADR in the module docstring). Always returns
+    (h, w, 3) — grayscale is channel-replicated and RGBA alpha-dropped
+    so downstream feature extractors see one shape."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"\xff\xd8":
@@ -138,8 +137,15 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
         img = decode_jpeg(payload)
         return np.repeat(img[:, :, None], 3, axis=2) if img.ndim == 2 else img
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from covid_custom_sql_engine_spark.functions.png_codec import decode_png
+
+        img = decode_png(payload)
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3]
     raise NotImplementedError(
-        "PNG decoding requires Pillow/opencv on the cluster (see module ADR)"
+        "this image format requires Pillow/opencv on the cluster (see module ADR)"
     )
 
 
@@ -356,6 +362,39 @@ def synth_jpeg_media(
                     {
                         "media_id": i,
                         "payload": encode_jpeg(img, luma_quant=q8, chroma_quant=q8),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
+
+
+def synth_png_media(
+    df: DataFrame, id_col: str = "doc_id", w: int = 9, h: int = 7
+) -> DataFrame:
+    """Deterministic PNG payload per id — the PPM pixel formula
+    (channel c at (x, y) is ``(id·7 + x·3 + y·5 + c·11) mod 256``)
+    encoded with ``filter_mode='cycle'`` so ONE decode exercises all
+    five scanline unfilter paths (None/Sub/Up/Average/Paeth). PNG is
+    lossless, so unlike the JPEG synth the pixels can vary freely and
+    the oracle is the raw formula itself; the odd 9×7 dimensions also
+    exercise non-tile-aligned strides."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions.png_codec import encode_png
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys, xs = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                arr = np.empty((h, w, 3), np.uint8)
+                for c in range(3):
+                    arr[:, :, c] = (int(mid) * 7 + xs * 3 + ys * 5 + c * 11) % 256
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": encode_png(arr, filter_mode="cycle"),
                     }
                 )
             yield pd.DataFrame(rows)

@@ -7600,6 +7600,45 @@ def jpeg_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "png_stats_real",
+    oracle="""
+    WITH g AS (SELECT d.doc_id, x, y
+               FROM documents d,
+                    (SELECT unnest(range(0, 9)) AS x),
+                    (SELECT unnest(range(0, 7)) AS y))
+    SELECT doc_id AS media_id, 7::BIGINT AS height, 9::BIGINT AS width,
+           round(avg(((doc_id * 7 + x * 3 + y * 5) % 256)::DOUBLE), 6) AS mean_r,
+           round(avg(((doc_id * 7 + x * 3 + y * 5 + 11) % 256)::DOUBLE), 6) AS mean_g,
+           round(avg(((doc_id * 7 + x * 3 + y * 5 + 22) % 256)::DOUBLE), 6) AS mean_b
+    FROM g GROUP BY doc_id
+    """,
+)
+def png_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-compressed codec round-trip, hash-matched: PNG
+    payloads encoded per document id (multimodal.synth_png_media — the
+    PPM pixel formula, filter_mode='cycle' so every decode runs all
+    five scanline filters), decompressed by the numpy + stdlib-zlib
+    PNG decoder (functions/png_codec: chunk walk with CRC verify →
+    inflate → unfilter), and reduced to per-channel means. PNG is
+    lossless, so the oracle is the raw pixel formula itself — the
+    63-pixel integer means are exact in float64 and hash-match to the
+    last bit, same as image_stats_real but through a real DEFLATE
+    compression layer and the full filter reconstruction path."""
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    feats = mm.image_features(mm.synth_png_media(d))
+    return feats.select(
+        "media_id",
+        F.col("height").cast("bigint").alias("height"),
+        F.col("width").cast("bigint").alias("width"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@query(
     "collocation_pmi",
     oracle=f"""
     WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents WHERE len({_SQL_TOKS}) >= 2),
@@ -7832,10 +7871,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "interval_overlap_join",
     "range_join_bands",
     "salted_join",
-    "exact_medians_scalable",
-    # --- NEW in round 6 (late addition): the real compressed-codec
-    # round-trip through the pure-numpy baseline JPEG decoder ---
+    # --- NEW in round 6 (late additions): the real compressed-codec
+    # round-trips through the pure-numpy baseline JPEG decoder and the
+    # zlib-backed PNG decoder ---
     "jpeg_stats_real",
+    "png_stats_real",
     # ---------------- out-of-window below this line ----------------
     # parked in priority order for the round-7 refresh: the remaining
     # 22 r2-stale queries (every other registered query's latest
@@ -7846,6 +7886,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "chunk_documents",
     "corpus_filter_pipeline",
     "dataset_split",
+    "exact_medians_scalable",
     "debounce_events",
     "decontaminate_ngrams",
     "demo_showcase",
