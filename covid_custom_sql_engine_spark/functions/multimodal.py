@@ -402,6 +402,136 @@ def synth_png_media(
     return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
 
 
+def decode_y4m(payload: bytes) -> tuple["np.ndarray", int, int]:
+    """REAL decoder for YUV4MPEG2 (y4m) uncompressed video, the public
+    interchange format of the mjpegtools suite: ASCII stream header
+    ``YUV4MPEG2 W<w> H<h> F<num>:<den> ... [C444]``, then per frame an
+    ASCII ``FRAME`` line followed by the raw planes. C444 (one full
+    Y/Cb/Cr byte per pixel per plane) decodes in-container; subsampled
+    C420/C422 raise ``NotImplementedError`` (the chroma-upsampling
+    integration point). Returns (frames as (n, h, w, 3) uint8 in
+    Y/Cb/Cr plane order, fps_num, fps_den)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    eol = payload.index(b"\n")
+    w = h = num = den = None
+    colorspace = "C420jpeg"  # the spec default when no C tag is present
+    for tag in payload[10:eol].split(b" "):
+        if not tag:
+            continue
+        k, v = chr(tag[0]), tag[1:].decode()
+        if k == "W":
+            w = int(v)
+        elif k == "H":
+            h = int(v)
+        elif k == "F":
+            num, den = (int(t) for t in v.split(":"))
+        elif k == "C":
+            colorspace = "C" + v
+    if None in (w, h, num, den):
+        raise ValueError("missing W/H/F in y4m stream header")
+    if colorspace != "C444":
+        raise NotImplementedError("only C444 y4m decodes in-container (no upsampler)")
+    plane, pos, frames = w * h, eol + 1, []
+    while pos < len(payload):
+        feol = payload.index(b"\n", pos)
+        if payload[pos:feol].split(b" ")[0] != b"FRAME":
+            raise ValueError("expected FRAME header")
+        pos = feol + 1
+        if pos + 3 * plane > len(payload):
+            raise ValueError("truncated frame data")
+        raw = np.frombuffer(payload, np.uint8, count=3 * plane, offset=pos)
+        frames.append(raw.reshape(3, h, w).transpose(1, 2, 0))
+        pos += 3 * plane
+    return np.stack(frames), num, den
+
+
+def synth_y4m_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    w: int = 8,
+    h: int = 6,
+    n_frames: int = 6,
+) -> DataFrame:
+    """Deterministic y4m (C444, 4:1 fps) payload per id — plane p of
+    frame t at (x, y) is ``(id·7 + x·3 + y·5 + p·11 + 97·(t//3)) mod
+    256``: frames 0-2 are one scene, frames 3-5 another (every pixel
+    shifts by +97 mod 256 at the cut), giving the scene-change detector
+    a closed-form ground truth. The video sibling of synth_ppm_media —
+    real container format, real per-frame decode downstream."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = b"YUV4MPEG2 W%d H%d F4:1 Ip A1:1 C444\n" % (w, h)
+        ys, xs = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                buf = bytearray(header)
+                for t in range(n_frames):
+                    buf += b"FRAME\n"
+                    for p in range(3):
+                        buf += (
+                            (i * 7 + xs * 3 + ys * 5 + p * 11 + 97 * (t // 3)) % 256
+                        ).astype(np.uint8).tobytes()
+                rows.append({"media_id": i, "payload": bytes(buf)})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, mean_y double, "
+    "mean_cb double, mean_cr double, frame_diff double"
+)
+
+
+def video_frame_features(df: DataFrame) -> DataFrame:
+    """REAL video feature extraction via mapInPandas: decode the y4m
+    container, emit ONE ROW PER FRAME (the explode-shaped fan-out
+    frame_sample_plan models from metadata alone, now fed by actual
+    decoded frames) with per-plane means, the frame timestamp from the
+    stream's fps rational, and ``frame_diff`` — mean absolute
+    difference against the previous frame across all planes, the
+    standard shot-boundary signal (0.0 for frame 0). Integer sums stay
+    exact in float64, so a closed-form oracle over the synth formula
+    hash-matches. Only (media_id, payload) crosses into Python; state
+    per document is one frame pair, never the whole video."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, num, den = decode_y4m(bytes(payload))
+                n, fh, fw, _ = frames.shape
+                px = fh * fw
+                prev = None
+                for t in range(n):
+                    f = frames[t].astype(np.int64)
+                    diff = (
+                        0.0
+                        if prev is None
+                        else float(np.abs(f - prev).sum() / (3 * px))
+                    )
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": t,
+                            "ts_ms": t * 1000 * den // num,
+                            "mean_y": float(f[:, :, 0].sum() / px),
+                            "mean_cb": float(f[:, :, 1].sum() / px),
+                            "mean_cr": float(f[:, :, 2].sum() / px),
+                            "frame_diff": diff,
+                        }
+                    )
+                    prev = f
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _extract, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame timestamp
     (the decode of each frame is the stubbed step). Demonstrates the

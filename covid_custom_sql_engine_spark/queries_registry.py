@@ -7639,6 +7639,64 @@ def png_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_stats_real",
+    oracle="""
+    WITH g AS (SELECT d.doc_id, t, x, y, p,
+                      (d.doc_id*7 + x*3 + y*5 + p*11 + 97*(t//3)) % 256 AS v
+               FROM documents d,
+                    (SELECT unnest(range(0, 6)) AS t),
+                    (SELECT unnest(range(0, 8)) AS x),
+                    (SELECT unnest(range(0, 6)) AS y),
+                    (SELECT unnest(range(0, 3)) AS p)),
+    fm AS (SELECT doc_id, t,
+                  round(avg(CASE WHEN p=0 THEN v END)::DOUBLE, 6) AS mean_y,
+                  round(avg(CASE WHEN p=1 THEN v END)::DOUBLE, 6) AS mean_cb,
+                  round(avg(CASE WHEN p=2 THEN v END)::DOUBLE, 6) AS mean_cr
+           FROM g GROUP BY doc_id, t),
+    fd AS (SELECT a.doc_id, a.t, avg(abs(a.v - b.v))::DOUBLE AS fd
+           FROM g a JOIN g b
+             ON a.doc_id = b.doc_id AND a.x = b.x AND a.y = b.y AND a.p = b.p
+                AND b.t = a.t - 1
+           GROUP BY a.doc_id, a.t)
+    SELECT fm.doc_id AS media_id, fm.t::INTEGER AS frame_idx,
+           (fm.t * 250)::BIGINT AS ts_ms, mean_y, mean_cb, mean_cr,
+           round(coalesce(fd.fd, 0.0::DOUBLE), 6) AS frame_diff,
+           coalesce(fd.fd, 0.0::DOUBLE) > 48.0::DOUBLE AS is_cut
+    FROM fm LEFT JOIN fd ON fm.doc_id = fd.doc_id AND fm.t = fd.t
+    """,
+)
+def video_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path, hash-matched: YUV4MPEG2 (y4m C444) payloads —
+    a genuine public container format — encoded per document id with
+    two scenes (every pixel shifts +97 mod 256 at frame 3), decoded by
+    the real numpy stream parser (multimodal.decode_y4m), and fanned
+    out ONE ROW PER FRAME with per-plane means and the mean-absolute
+    frame-difference shot-boundary signal
+    (multimodal.video_frame_features). is_cut flags the scene change;
+    the oracle reproduces the per-pixel formula, the per-frame means,
+    and the lag-join diff in closed form (integer sums exact in
+    float64). This replaces the former decode-stubbed story for video:
+    container parse, frame explode, temporal state (one frame pair per
+    doc, never the whole video) are all real; only inter-frame CODEC
+    decompression (H.264 etc.) remains the documented ffmpeg
+    integration point (ADR in functions/multimodal.py)."""
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    feats = mm.video_frame_features(mm.synth_y4m_media(d))
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.round("mean_y", 6).alias("mean_y"),
+        F.round("mean_cb", 6).alias("mean_cb"),
+        F.round("mean_cr", 6).alias("mean_cr"),
+        F.round("frame_diff", 6).alias("frame_diff"),
+        (F.col("frame_diff") > 48.0).alias("is_cut"),
+    )
+
+
+@query(
     "collocation_pmi",
     oracle=f"""
     WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents WHERE len({_SQL_TOKS}) >= 2),
@@ -7870,12 +7928,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "scd2_intervals",
     "interval_overlap_join",
     "range_join_bands",
-    "salted_join",
     # --- NEW in round 6 (late additions): the real compressed-codec
     # round-trips through the pure-numpy baseline JPEG decoder and the
     # zlib-backed PNG decoder ---
     "jpeg_stats_real",
     "png_stats_real",
+    "video_stats_real",
     # ---------------- out-of-window below this line ----------------
     # parked in priority order for the round-7 refresh: the remaining
     # 22 r2-stale queries (every other registered query's latest
@@ -7887,6 +7945,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_filter_pipeline",
     "dataset_split",
     "exact_medians_scalable",
+    "salted_join",
     "debounce_events",
     "decontaminate_ngrams",
     "demo_showcase",

@@ -310,3 +310,53 @@ def test_png_dispatch_and_feature_pipeline(spark):
         for k, name in enumerate(("mean_r", "mean_g", "mean_b")):
             expect = float(((mid * 7 + xs * 3 + ys * 5 + k * 11) % 256).mean())
             assert getattr(r, name) == expect
+
+
+# ---------------------------------------------------------------------------
+# y4m video (decode_y4m / video_frame_features) — real container path
+# ---------------------------------------------------------------------------
+
+
+def _make_y4m(w=4, h=2, frames=(0, 0, 100)):
+    """Tiny C444 y4m stream: each entry in ``frames`` is a constant
+    plane offset for that frame (Y=v, Cb=v+1, Cr=v+2)."""
+    import numpy as np
+
+    buf = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n" % (w, h))
+    for v in frames:
+        buf += b"FRAME\n"
+        for p in range(3):
+            buf += np.full(w * h, (v + p) % 256, np.uint8).tobytes()
+    return bytes(buf)
+
+
+def test_decode_y4m_planes_and_gates():
+    import numpy as np
+    import pytest as _pytest
+
+    frames, num, den = mm.decode_y4m(_make_y4m())
+    assert frames.shape == (3, 2, 4, 3) and (num, den) == (25, 1)
+    assert frames[0, :, :, 0].tolist() == [[0] * 4] * 2
+    assert frames[2, :, :, 1].tolist() == [[101] * 4] * 2
+    with _pytest.raises(ValueError):
+        mm.decode_y4m(b"not video")
+    with _pytest.raises(NotImplementedError):  # C420 default needs upsampler
+        mm.decode_y4m(b"YUV4MPEG2 W4 H2 F25:1\nFRAME\n" + b"\x00" * 12)
+    with _pytest.raises(ValueError):  # truncated frame
+        mm.decode_y4m(_make_y4m()[:-5])
+
+
+def test_video_frame_features_and_scene_cut(spark):
+    """Per-frame fan-out with shot-boundary signal: frames 0-1 are one
+    scene (diff 0), frame 2 jumps by +100 per pixel (diff exactly
+    100)."""
+    df = spark.createDataFrame(
+        [(9, bytearray(_make_y4m()))], "media_id long, payload binary"
+    )
+    rows = {r.frame_idx: r for r in mm.video_frame_features(df).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[0].ts_ms == 0 and rows[1].ts_ms == 40 and rows[2].ts_ms == 80
+    assert rows[0].frame_diff == 0.0 and rows[1].frame_diff == 0.0
+    assert rows[2].frame_diff == 100.0
+    assert rows[0].mean_y == 0.0 and rows[2].mean_y == 100.0
+    assert rows[2].mean_cb == 101.0 and rows[2].mean_cr == 102.0
