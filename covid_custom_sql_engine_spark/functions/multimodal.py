@@ -532,6 +532,89 @@ def video_frame_features(df: DataFrame) -> DataFrame:
     )
 
 
+def synth_square_wav_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 120,
+    rate: int = 8000,
+    amp: int = 8000,
+) -> DataFrame:
+    """Deterministic square-wave PCM-16 WAV per id: period
+    ``P = 2·(1 + id mod 6)`` samples (P always divides n=120), sample i
+    is ``+amp`` when ``(i // (P/2)) mod 2 == 0`` else ``−amp``. A
+    square wave's DFT concentrates on the fundamental bin ``n/P`` with
+    strictly-dominant power (4A/π vs 4A/3π for the first harmonic), so
+    the spectral ground truth is a closed-form integer function of the
+    id — all samples are exact integers, no transcendentals in the
+    fixture."""
+    import struct
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        idx = np.arange(n)
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                p = 2 * (1 + int(mid) % 6)
+                vals = np.where((idx // (p // 2)) % 2 == 0, amp, -amp).astype("<i2")
+                data = vals.tobytes()
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                rows.append({"media_id": int(mid), "payload": payload})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
+
+
+def audio_spectrum_features(df: DataFrame) -> DataFrame:
+    """REAL spectral analysis over WAV payloads via mapInPandas: decode,
+    direct DFT power at bins 1..n/2 (two (n/2, n) cos/sin matrix
+    products per document — explicit summation, no FFT dependency), and
+    the argmax bin — the dominant-frequency detector an audio curation
+    pipeline uses for tone/silence/voicedness screening. Only the bin
+    ARGMAX and its exact-arithmetic frequency cross the comparison
+    boundary (float DFT power stays internal), so a SQL oracle
+    computing the same spectrum with its own libm reaches the same
+    answer: 1-ulp sin/cos differences cannot flip an argmax whose
+    fundamental-vs-harmonic ratio is ≥ 3×. Ties (exactly-equal powers)
+    break toward the lower bin on both sides."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_audio(bytes(payload))
+                v = samples[:, 0].astype(np.float64)
+                n = len(v)
+                bins = np.arange(1, n // 2 + 1)
+                ang = 2.0 * np.pi * bins[:, None] * np.arange(n)[None, :] / n
+                power = (np.cos(ang) @ v) ** 2 + (np.sin(ang) @ v) ** 2
+                best = int(bins[np.argmax(power)])
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": n,
+                        "dominant_bin": best,
+                        "dominant_hz": (best * rate) / float(n),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _extract,
+        "media_id long, n_samples int, dominant_bin int, dominant_hz double",
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame timestamp
     (the decode of each frame is the stubbed step). Demonstrates the

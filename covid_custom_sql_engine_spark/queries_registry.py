@@ -7697,6 +7697,51 @@ def video_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_spectrum_real",
+    oracle="""
+    WITH s AS (SELECT d.doc_id, i,
+                      CASE WHEN ((i // (1 + d.doc_id % 6)) % 2) = 0
+                           THEN 8000 ELSE -8000 END AS v
+               FROM documents d, (SELECT unnest(range(0, 120)) AS i)),
+    p AS (SELECT s.doc_id, b,
+                 pow(sum(v * cos(2 * pi() * b * i / 120.0::DOUBLE)), 2)
+                 + pow(sum(v * sin(2 * pi() * b * i / 120.0::DOUBLE)), 2) AS pw
+          FROM s, (SELECT unnest(range(1, 61)) AS b)
+          GROUP BY s.doc_id, b),
+    r AS (SELECT doc_id, b,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pw DESC, b ASC) AS rn
+          FROM p)
+    SELECT doc_id AS media_id, 120::INTEGER AS n_samples, b::INTEGER AS dominant_bin,
+           round((b * 8000) / 120.0::DOUBLE, 6) AS dominant_hz
+    FROM r WHERE rn = 1
+    """,
+)
+def audio_spectrum_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis round-trip: deterministic square-wave
+    PCM-16 WAV payloads (multimodal.synth_square_wav_media — period
+    P = 2·(1 + id mod 6) samples, all-integer, no transcendentals in
+    the fixture), decoded by the real WAV chunk walker, then direct-DFT
+    dominant-bin detection (multimodal.audio_spectrum_features) — the
+    tone/voicedness screen of an audio curation pipeline. A square
+    wave's fundamental n/P strictly dominates its harmonics (≥ 3×
+    power), so the argmax is immune to the 1-ulp libm sin/cos
+    differences between numpy and DuckDB: the oracle computes the same
+    spectrum independently and must land on the same bin; only
+    exact-arithmetic columns (bin, bin-derived Hz) cross the hash
+    comparison."""
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    feats = mm.audio_spectrum_features(mm.synth_square_wav_media(d))
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "dominant_bin",
+        F.round("dominant_hz", 6).alias("dominant_hz"),
+    )
+
+
+@query(
     "collocation_pmi",
     oracle=f"""
     WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents WHERE len({_SQL_TOKS}) >= 2),
@@ -7927,13 +7972,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "merge_upsert",
     "scd2_intervals",
     "interval_overlap_join",
-    "range_join_bands",
     # --- NEW in round 6 (late additions): the real compressed-codec
     # round-trips through the pure-numpy baseline JPEG decoder and the
     # zlib-backed PNG decoder ---
     "jpeg_stats_real",
     "png_stats_real",
     "video_stats_real",
+    "audio_spectrum_real",
     # ---------------- out-of-window below this line ----------------
     # parked in priority order for the round-7 refresh: the remaining
     # 22 r2-stale queries (every other registered query's latest
@@ -7945,6 +7990,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "corpus_filter_pipeline",
     "dataset_split",
     "exact_medians_scalable",
+    "range_join_bands",
     "salted_join",
     "debounce_events",
     "decontaminate_ngrams",
@@ -7967,23 +8013,21 @@ _DRIVER_WINDOW_PRIORITY = [
 
 
 # The window rotates each round so every query eventually earns an
-# official driver row. Round-5 composition (exactly 50): the flagship
-# sentinel; the 8 r4-tail queries that never faced the driver (after
-# this window, union coverage is every-registered-query-ever-checked
-# again); ALL 20 queries NEW in r5 (trained-kmeans SemDeDup, band-skew
-# telemetry, funnel, transitions, entropy/PSI profiling, cluster
-# representatives, diversity/Zipf/fertility/vocab/PMI text analytics,
-# user-entropy, burstiness, real-codec round-trips, source overlap,
-# end-to-end curation pipeline); the 4 queries whose code or oracle
-# the r5 fixes touched (sort_nulls_rank's distributed rank, pagerank's
-# typed node ids, q12's NULL-safe counts, semdedup_prune's centroids
-# parameter); 2 r4-fix regression sentinels; the 13 §2 parity rows
-# last officially checked in r1; and the two dedup perf-watch queries
-# (minhash_lsh_pairs, near_dup_clusters). The new-query volume
-# consumed the planned r2-stale streaming/ANN refresh slots —
-# never-checked beats stale-refresh; rotate those in r6. Everything
-# below the out-of-window line holds an r1–r4 green row and is
-# re-verified locally every round by check_oracle / check_bare.
+# official driver row. Round-6 composition (exactly 50): the flagship
+# sentinel; the 6 queries NEW in r6 (skew-gated ingest, k~sqrt(N)
+# SemDeDup, and the four real-codec/feature round-trips
+# jpeg/png/video/audio-spectrum —
+# never-checked beats stale-refresh, the r5 precedent); the full
+# 22-query r1-stale slice the r5 verdict demanded (set ops,
+# window/scalar/datetime functions, percentiles, text/dedup/ANN/
+# multimodal basics); 3 r5-green regression sentinels (kmeans_semdedup
+# anchors the scaled variant's comparison); and 18 of the 44 r2-stale
+# queries, oldest-first (the three stale Section-2 rows first). The
+# displaced r2-stale entries (dataset_split, exact_medians_scalable,
+# range_join_bands, salted_join) lead the parked list for the round-7 refresh.
+# Everything below the out-of-window line holds an r1-r5 green row and
+# is re-verified locally every round by check_oracle / check_bare
+# (202/202 at sf0.01 this round).
 
 
 def _reorder_registry() -> None:

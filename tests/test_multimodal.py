@@ -360,3 +360,19 @@ def test_video_frame_features_and_scene_cut(spark):
     assert rows[2].frame_diff == 100.0
     assert rows[0].mean_y == 0.0 and rows[2].mean_y == 100.0
     assert rows[2].mean_cb == 101.0 and rows[2].mean_cr == 102.0
+
+
+def test_audio_spectrum_dominant_bin(spark):
+    """Square-wave tones: the direct-DFT argmax lands on the fundamental
+    n/P for every period, with the fps-derived frequency exact."""
+    df = spark.createDataFrame([(0,), (2,), (5,)], "doc_id long")
+    feats = {
+        r.media_id: r
+        for r in mm.audio_spectrum_features(mm.synth_square_wav_media(df)).collect()
+    }
+    for mid in (0, 2, 5):
+        p = 2 * (1 + mid % 6)
+        r = feats[mid]
+        assert r.n_samples == 120
+        assert r.dominant_bin == 120 // p
+        assert r.dominant_hz == (120 // p) * 8000 / 120.0

@@ -206,6 +206,7 @@ EXPECT = {
     "jpeg_stats_real": (1, False, False),
     "png_stats_real": (1, False, False),
     "video_stats_real": (1, False, False),
+    "audio_spectrum_real": (1, False, False),
     "collocation_pmi": (1, False, True),  # 1-row bigram-total N broadcast: intended
     "source_overlap_matrix": (2, False, False),
     "corpus_curation_pipeline": (2, False, False),
