@@ -271,6 +271,41 @@ def audio_features(df: DataFrame) -> DataFrame:
     )
 
 
+def _formula_image(mid: int, xs: "np.ndarray", ys: "np.ndarray") -> "np.ndarray":
+    """The shared synthetic pixel formula — channel c at (x, y) is
+    ``(id·7 + x·3 + y·5 + c·11) mod 256`` — built in ONE place because
+    three SQL oracles (`image_stats_real`, `png_stats_real`,
+    `video_stats_real`'s plane variant) replicate it literally; a
+    formula edit here is a deliberate oracle-breaking change, not a
+    per-synth drift. ``xs``/``ys`` are the np.mgrid column/row grids."""
+    h, w = xs.shape
+    arr = np.empty((h, w, 3), np.uint8)
+    for c in range(3):
+        arr[:, :, c] = (mid * 7 + xs * 3 + ys * 5 + c * 11) % 256
+    return arr
+
+
+def _wav_payload(vals: "np.ndarray", rate: int) -> bytes:
+    """Mono PCM-16 RIFF/WAVE framing around int16 samples — the single
+    container builder every WAV synth uses, so the chunk-size
+    arithmetic exists once."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    data = vals.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def synth_ppm_media(
     df: DataFrame, id_col: str = "doc_id", w: int = 8, h: int = 6
 ) -> DataFrame:
@@ -288,9 +323,7 @@ def synth_ppm_media(
         for pdf in batches:
             rows = []
             for mid in pdf[id_col]:
-                arr = np.empty((h, w, 3), np.uint8)
-                for c in range(3):
-                    arr[:, :, c] = (int(mid) * 7 + xs * 3 + ys * 5 + c * 11) % 256
+                arr = _formula_image(int(mid), xs, ys)
                 rows.append({"media_id": int(mid), "payload": header + arr.tobytes()})
             yield pd.DataFrame(rows)
 
@@ -303,28 +336,15 @@ def synth_wav_media(
     """Deterministic mono PCM-16 RIFF/WAVE payload per id — sample i is
     ``((id·13 + i·17) mod 65536) − 32768``. The audio sibling of
     :func:`synth_ppm_media` for end-to-end real-codec round-trips."""
-    import struct
-
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
         idx = np.arange(n, dtype=np.int64)
         for pdf in batches:
             rows = []
             for mid in pdf[id_col]:
-                vals = ((int(mid) * 13 + idx * 17) % 65536 - 32768).astype("<i2")
-                data = vals.tobytes()
-                payload = (
-                    b"RIFF"
-                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack("<I", len(fmt))
-                    + fmt
-                    + b"data"
-                    + struct.pack("<I", len(data))
-                    + data
+                vals = (int(mid) * 13 + idx * 17) % 65536 - 32768
+                rows.append(
+                    {"media_id": int(mid), "payload": _wav_payload(vals, rate)}
                 )
-                rows.append({"media_id": int(mid), "payload": payload})
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
@@ -388,13 +408,12 @@ def synth_png_media(
         for pdf in batches:
             rows = []
             for mid in pdf[id_col]:
-                arr = np.empty((h, w, 3), np.uint8)
-                for c in range(3):
-                    arr[:, :, c] = (int(mid) * 7 + xs * 3 + ys * 5 + c * 11) % 256
                 rows.append(
                     {
                         "media_id": int(mid),
-                        "payload": encode_png(arr, filter_mode="cycle"),
+                        "payload": encode_png(
+                            _formula_image(int(mid), xs, ys), filter_mode="cycle"
+                        ),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -443,6 +462,8 @@ def decode_y4m(payload: bytes) -> tuple["np.ndarray", int, int]:
         raw = np.frombuffer(payload, np.uint8, count=3 * plane, offset=pos)
         frames.append(raw.reshape(3, h, w).transpose(1, 2, 0))
         pos += 3 * plane
+    if not frames:
+        raise ValueError("y4m stream has no FRAME sections")
     return np.stack(frames), num, den
 
 
@@ -547,29 +568,17 @@ def synth_square_wav_media(
     the spectral ground truth is a closed-form integer function of the
     id — all samples are exact integers, no transcendentals in the
     fixture."""
-    import struct
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
         idx = np.arange(n)
         for pdf in batches:
             rows = []
             for mid in pdf[id_col]:
                 p = 2 * (1 + int(mid) % 6)
-                vals = np.where((idx // (p // 2)) % 2 == 0, amp, -amp).astype("<i2")
-                data = vals.tobytes()
-                payload = (
-                    b"RIFF"
-                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack("<I", len(fmt))
-                    + fmt
-                    + b"data"
-                    + struct.pack("<I", len(data))
-                    + data
+                vals = np.where((idx // (p // 2)) % 2 == 0, amp, -amp)
+                rows.append(
+                    {"media_id": int(mid), "payload": _wav_payload(vals, rate)}
                 )
-                rows.append({"media_id": int(mid), "payload": payload})
             yield pd.DataFrame(rows)
 
     return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
@@ -596,13 +605,25 @@ def audio_spectrum_features(df: DataFrame) -> DataFrame:
         mats: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         for pdf in batches:
             decoded = []
+            rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 samples, rate = decode_audio(bytes(payload))
-                decoded.append((int(mid), rate, samples[:, 0].astype(np.float64)))
+                v = samples[:, 0].astype(np.float64)
+                if len(v) < 2:  # no analyzable bins: degenerate clip, not a
+                    # batch-killing error — emit the null spectrum row
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "n_samples": len(v),
+                            "dominant_bin": 0,
+                            "dominant_hz": 0.0,
+                        }
+                    )
+                    continue
+                decoded.append((int(mid), rate, v))
             by_n: dict[int, list[int]] = {}
             for pos, (_, _, v) in enumerate(decoded):
                 by_n.setdefault(len(v), []).append(pos)
-            rows = []
             for n, idxs in by_n.items():
                 if n not in mats:
                     ang = (

@@ -7951,9 +7951,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "kmeans_semdedup",
     "corpus_curation_pipeline",
     "dedup_representative",
-    # --- 22 of the 44 r2-stale queries, oldest-first refresh: the
+    # --- 18 of the 44 r2-stale queries, oldest-first refresh: the
     # stale Section-2 rows (locf/rolling/lagged-corr) plus the
-    # temporal-join / ANN / streaming families ---
+    # temporal-join / ANN / streaming families (4 planned picks were
+    # displaced by the late real-codec additions; they lead the parked
+    # list below for round 7) ---
     "locf_fill",
     "rolling_avg_7",
     "lagged_corr_best",
@@ -7983,15 +7985,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # parked in priority order for the round-7 refresh: the remaining
     # 22 r2-stale queries (every other registered query's latest
     # official row is r3+ and all are re-verified locally each round)
+    "dataset_split",
+    "exact_medians_scalable",
+    "range_join_bands",
+    "salted_join",
     "approx_distinct_parts",
     "attribution_join",
     "bpe_pair_counts",
     "chunk_documents",
     "corpus_filter_pipeline",
-    "dataset_split",
-    "exact_medians_scalable",
-    "range_join_bands",
-    "salted_join",
     "debounce_events",
     "decontaminate_ngrams",
     "demo_showcase",
@@ -8027,7 +8029,7 @@ _DRIVER_WINDOW_PRIORITY = [
 # range_join_bands, salted_join) lead the parked list for the round-7 refresh.
 # Everything below the out-of-window line holds an r1-r5 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (202/202 at sf0.01 this round).
+# (203/203 at sf0.01 this round).
 
 
 def _reorder_registry() -> None:

@@ -376,3 +376,20 @@ def test_audio_spectrum_dominant_bin(spark):
         assert r.n_samples == 120
         assert r.dominant_bin == 120 // p
         assert r.dominant_hz == (120 // p) * 8000 / 120.0
+
+
+def test_degenerate_media_handled():
+    """Review fixes: a header-only y4m raises the codec's own error (not
+    a numpy stack error), and a sub-2-sample WAV yields the null
+    spectrum row instead of killing the batch."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no FRAME"):
+        mm.decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C444\n")
+
+
+def test_short_wav_null_spectrum(spark):
+    payload = mm._wav_payload(__import__("numpy").array([123]), 8000)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    r = mm.audio_spectrum_features(df).collect()[0]
+    assert (r.n_samples, r.dominant_bin, r.dominant_hz) == (1, 0, 0.0)
