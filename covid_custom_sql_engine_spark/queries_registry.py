@@ -6368,6 +6368,82 @@ def int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pq_topk_recall",
+    oracle=f"""
+    WITH nc AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+    nv AS (SELECT vec_id,
+             CASE WHEN list_dot_product(vd, vd) = 0
+                  THEN list_transform(vd, x -> 0.0::DOUBLE)
+                  ELSE list_transform(vd, x -> x / sqrt(list_dot_product(vd, vd))) END AS v
+           FROM nc),
+    cb AS (SELECT s, vec_id AS j, list_slice(v, s*16 + 1, (s+1)*16) AS c
+           FROM nv, (SELECT unnest(range(0, 4)) AS s) WHERE vec_id < 16),
+    enc AS (SELECT nv.vec_id, cb.s, cb.j,
+              -2 * list_dot_product(list_slice(nv.v, cb.s*16 + 1, (cb.s+1)*16), cb.c)
+              + list_dot_product(cb.c, cb.c) AS d
+            FROM nv CROSS JOIN cb),
+    codes AS (SELECT vec_id, s, j AS code FROM enc
+              QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1),
+    cw AS (SELECT vec_id,
+             max(CASE WHEN s=0 THEN code END) AS c0,
+             max(CASE WHEN s=1 THEN code END) AS c1,
+             max(CASE WHEN s=2 THEN code END) AS c2,
+             max(CASE WHEN s=3 THEN code END) AS c3
+           FROM codes GROUP BY vec_id),
+    qs AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
+    adc AS (SELECT q.query_id, cw.vec_id,
+              (-2 * list_dot_product(list_slice(q.v, 1, 16), b0.c) + list_dot_product(b0.c, b0.c))
+              + (-2 * list_dot_product(list_slice(q.v, 17, 32), b1.c) + list_dot_product(b1.c, b1.c))
+              + (-2 * list_dot_product(list_slice(q.v, 33, 48), b2.c) + list_dot_product(b2.c, b2.c))
+              + (-2 * list_dot_product(list_slice(q.v, 49, 64), b3.c) + list_dot_product(b3.c, b3.c)) AS d
+            FROM qs q CROSS JOIN cw
+            JOIN cb b0 ON b0.s = 0 AND b0.j = cw.c0
+            JOIN cb b1 ON b1.s = 1 AND b1.j = cw.c1
+            JOIN cb b2 ON b2.s = 2 AND b2.j = cw.c2
+            JOIN cb b3 ON b3.s = 3 AND b3.j = cw.c3
+            WHERE cw.vec_id != q.query_id),
+    ap AS (SELECT query_id, vec_id FROM adc
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
+    ex AS ({ORACLES['cosine_topk']}),
+    hits AS (SELECT ex.query_id, count(*) AS n_hits
+             FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+             GROUP BY ex.query_id),
+    per AS (SELECT query_id, count(*) AS k FROM ex GROUP BY query_id)
+    SELECT per.query_id, per.k, coalesce(hits.n_hits, 0) AS n_hits,
+           round(coalesce(hits.n_hits, 0)::DOUBLE / per.k, 6) AS recall
+    FROM per LEFT JOIN hits ON per.query_id = hits.query_id
+    """,
+)
+def pq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieval audit: recall@5 of PQ/ADC top-k
+    (similarity.pq_topk — m=4 subspaces x 16 codewords, so each corpus
+    vector is scanned as 4 small ints instead of 64 floats, the
+    memory-bandwidth layout of billion-scale ANN) against the float
+    cosine baseline, per query. Codebooks are the deterministic
+    low-id-seed subvectors (the kmeans_step init convention), encoding
+    is a shuffle-free map-side projection, and the ADC distance sums
+    subspaces in fixed order — so the oracle derives identical codes
+    and distances and the comparison is exact, not statistical."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ap = sim.pq_topk(e, qs, m=4, k_codes=16, k=5).select("query_id", "vec_id")
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    hits = ex.join(ap, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    n_hits = F.coalesce("n_hits", F.lit(0))
+    return per.join(hits, "query_id", "left").select(
+        "query_id",
+        "k",
+        n_hits.alias("n_hits"),
+        F.round(n_hits / F.col("k"), 6).alias("recall"),
+    )
+
+
+@query(
     "key_skew_profile",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
@@ -7951,10 +8027,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "kmeans_semdedup",
     "corpus_curation_pipeline",
     "dedup_representative",
-    # --- 18 of the 44 r2-stale queries, oldest-first refresh: the
+    # --- 17 of the 44 r2-stale queries, oldest-first refresh: the
     # stale Section-2 rows (locf/rolling/lagged-corr) plus the
     # temporal-join / ANN / streaming families (4 planned picks were
-    # displaced by the late real-codec additions; they lead the parked
+    # displaced by the late real-codec/PQ additions; they lead the parked
     # list below for round 7) ---
     "locf_fill",
     "rolling_avg_7",
@@ -7973,7 +8049,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "stream_static_join",
     "merge_upsert",
     "scd2_intervals",
-    "interval_overlap_join",
     # --- NEW in round 6 (late additions): the real compressed-codec
     # round-trips through the pure-numpy baseline JPEG decoder and the
     # zlib-backed PNG decoder ---
@@ -7981,6 +8056,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "png_stats_real",
     "video_stats_real",
     "audio_spectrum_real",
+    "pq_topk_recall",
     # ---------------- out-of-window below this line ----------------
     # parked in priority order for the round-7 refresh: the remaining
     # 22 r2-stale queries (every other registered query's latest
@@ -7989,6 +8065,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "exact_medians_scalable",
     "range_join_bands",
     "salted_join",
+    "interval_overlap_join",
     "approx_distinct_parts",
     "attribution_join",
     "bpe_pair_counts",

@@ -123,3 +123,49 @@ def test_kmeans_centroids_iterates_and_separates(spark):
     out = {r.vec_id: r for r in semdedup_prune(df, threshold=0.98, centroids=c).collect()}
     assert not out[0].dropped and out[2].dropped and out[2].dup_of == 0
     assert not out[1].dropped and out[4].dropped
+
+
+def test_pq_encode_codes_and_self_assignment(spark, sf_dir):
+    """Seed vectors must encode to their own codeword in every subspace
+    (distance 0 to themselves), and codes lie in [0, k)."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cbs = sim.pq_codebooks(e, m=4, k=16)
+    assert len(cbs) == 4 and all(len(cb) == 16 for cb in cbs)
+    assert all(len(cw) == 16 for cb in cbs for cw in cb)  # dim 64 / m 4
+    codes = {r.vec_id: r for r in sim.pq_encode(e, cbs).collect()}
+    for vid, r in codes.items():
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 16
+    for vid in range(16):  # seeds self-assign
+        for s in range(4):
+            assert codes[vid][f"code_{s}"] == vid
+
+
+def test_pq_topk_ranks_and_recall_reasonable(spark, sf_dir):
+    """PQ/ADC top-k: each query returns k ranked rows, never itself,
+    and the aggregate recall@5 vs exact cosine is well above chance
+    (5/N) — the quantization is coarse (16 codewords) but must retain
+    signal."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") <= 4).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    rows = sim.pq_topk(e, qs, k=5).collect()
+    by_q = {}
+    for r in rows:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert sorted(by_q) == [0, 1, 2, 3, 4]
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.brute_force_topk(e, qs, k=5).select("query_id", "vec_id").collect()
+    }
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    n = e.count()
+    assert recall > 5 * (5 / n)  # far above chance

@@ -207,6 +207,9 @@ EXPECT = {
     "png_stats_real": (1, False, False),
     "video_stats_real": (1, False, False),
     "audio_spectrum_real": (1, False, False),
+    # ADC scan = codes crossJoin broadcast 5-row query set (the
+    # cosine_topk baseline convention) + the exact-baseline subtree
+    "pq_topk_recall": (2, True, True),
     "collocation_pmi": (1, False, True),  # 1-row bigram-total N broadcast: intended
     "source_overlap_matrix": (2, False, False),
     "corpus_curation_pipeline": (2, False, False),
