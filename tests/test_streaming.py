@@ -677,3 +677,49 @@ def test_session_summaries_tws_timer_emission(spark, events_dir, tmp_path):
     assert got.filter("n_events <= 0").count() == 0
     for u, (n, t) in per_user.items():
         assert n <= raw[u][0]
+
+
+def test_streaming_guarded_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """The closed skew-gated ingest loop consumed FROM A STREAM: each
+    arriving micro-batch of new documents runs
+    dedup.guarded_incremental_lsh_pairs against the static accepted
+    corpus inside foreachBatch (the production ingest shape: streaming
+    arrivals, bounded per-batch dedup work, corpus-internal pairs never
+    recomputed), and the union of per-batch pair sets must equal the
+    one-shot batch run over all new docs. The gate stays on the fast
+    path for this healthy corpus."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_docs = corpus.limit(40).selectExpr("doc_id + 700000 AS doc_id", "text")
+    src_dir, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    # two files → availableNow processes them (possibly as one batch;
+    # the union contract below holds either way)
+    new_docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src_dir + "/a")
+    new_docs.filter(F.col("doc_id") % 2 == 1).write.parquet(src_dir + "/b")
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    gates = []
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        pairs, predrop = dd.guarded_incremental_lsh_pairs(batch_df, corpus)
+        gates.append(predrop)
+        pairs.write.mode("append").parquet(out_dir)
+
+    sq = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out_dir).distinct().collect()))
+    want = sorted(map(tuple, dd.incremental_lsh_pairs(new_docs, corpus).collect()))
+    assert got == want and len(got) > 0
+    assert gates and not any(gates)  # healthy corpus: fast path each batch
