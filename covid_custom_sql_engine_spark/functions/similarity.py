@@ -640,10 +640,39 @@ def unit(v: Column) -> Column:
     """Unit-normalize an array<double> column with the zero-vector →
     all-zeros convention, using the exact float chain
     (``x / sqrt(dot(v, v))``, fold-ordered sums) a DuckDB oracle
-    reproduces bit-for-bit (the `_SQL_INT8_NORM` convention)."""
+    reproduces bit-for-bit (the `_SQL_INT8_NORM` convention).
+
+    The norm recomputes inside the per-element lambda (O(dim²) per
+    vector) — fine for small frames (query sides, seed fetches); on a
+    whole-corpus path use :func:`unit_norm_frame`, whose hoisted norm
+    column divides to bit-identical doubles."""
     return F.when(
         dot(v, v) == 0, F.transform(v, lambda _: F.lit(0.0))
     ).otherwise(F.transform(v, lambda x: x / F.sqrt(dot(v, v))))
+
+
+def unit_norm_frame(
+    df: DataFrame, id_col: str, vec_col: str, out_col: str = "_nv"
+) -> DataFrame:
+    """(id, out_col) frame of unit-normalized vectors with the ‖v‖²
+    aggregate HOISTED into a sibling column, so normalization is
+    O(dim) per vector instead of :func:`unit`'s O(dim²) lambda
+    recompute — the corpus-scan shape. Same divisor value → doubles
+    are bit-identical to `unit`, so oracle parity is unaffected."""
+    return (
+        df.select(F.col(id_col), as_double(vec_col).alias("_vd"))
+        .withColumn("_n2", dot(F.col("_vd"), F.col("_vd")))
+        .select(
+            id_col,
+            F.when(
+                F.col("_n2") == 0, F.transform("_vd", lambda _: F.lit(0.0))
+            )
+            .otherwise(
+                F.transform("_vd", lambda x: x / F.sqrt(F.col("_n2")))
+            )
+            .alias(out_col),
+        )
+    )
 
 
 def pq_codebooks(
@@ -700,11 +729,11 @@ def pq_encode(
     array_min). A pure per-row projection against ≤ k·dim inlined
     literals — no join, no shuffle, map-side only: the shape that
     re-encodes a 100 TB corpus in one scan, shrinking each vector to m
-    small ints (m·log2(k) bits ≈ 64× smaller than float32 at m=4,
-    k=16, dim=64)."""
+    small codes (m bytes vs dim·4 float32 bytes ≈ 64× at m=4, dim=64
+    when stored byte-aligned; 128× bit-packed at m·log2(k) bits)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    out = df.select(F.col(id_col), unit(as_double(vec_col)).alias("_nv"))
+    out = unit_norm_frame(df, id_col, vec_col)
     cols = [F.col(id_col)]
     for s in range(m):
         ssub = F.slice("_nv", s * sub + 1, sub)

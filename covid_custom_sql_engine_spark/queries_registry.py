@@ -4260,29 +4260,22 @@ def pca_power_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pca_power_step(e, dim=64)
 
 
-@query(
-    "ann_recall",
-    oracle=f"""
-    WITH ex AS ({ORACLES['cosine_topk']}),
-    ap AS ({ORACLES['lsh_topk']}),
+_SQL_RECALL_TAIL = """
     hits AS (SELECT ex.query_id, count(*) AS n_hits
              FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
              GROUP BY ex.query_id),
     per AS (SELECT query_id, count(*) AS k FROM ex GROUP BY query_id)
     SELECT per.query_id, per.k, coalesce(hits.n_hits, 0) AS n_hits,
            round(coalesce(hits.n_hits, 0)::DOUBLE / per.k, 6) AS recall
-    FROM per LEFT JOIN hits ON per.query_id = hits.query_id
-    """,
-)
-def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN evaluation as a first-class query: recall@k of the
-    hyperplane-LSH top-k against the exact brute-force baseline, per
-    query vector. The oracle COMPOSES the two queries' own oracle SQL
-    as CTEs, so all three stay in lockstep. Both result sets are k·5
-    rows — the join and aggregate are trivial; the cost is the two
-    top-k pipelines themselves."""
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    ap = QUERIES["lsh_topk"](spark, sf_dir).select("query_id", "vec_id")
+    FROM per LEFT JOIN hits ON per.query_id = hits.query_id"""
+
+
+def _recall_vs_exact(ex: DataFrame, ap: DataFrame) -> DataFrame:
+    """Shared recall@k scaffold — per query, |exact ∩ approx| / |exact|
+    over (query_id, vec_id) frames. Used by ann_recall /
+    int8_topk_recall / pq_topk_recall so the formula exists ONCE per
+    engine side; its SQL twin is `_SQL_RECALL_TAIL` (expects `ex` and
+    `ap` CTEs in scope)."""
     hits = ex.join(ap, ["query_id", "vec_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
@@ -4294,6 +4287,25 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.alias("n_hits"),
         F.round(n_hits / F.col("k"), 6).alias("recall"),
     )
+
+
+@query(
+    "ann_recall",
+    oracle=f"""
+    WITH ex AS ({ORACLES['cosine_topk']}),
+    ap AS ({ORACLES['lsh_topk']}),{_SQL_RECALL_TAIL}
+    """,
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation as a first-class query: recall@k of the
+    hyperplane-LSH top-k against the exact brute-force baseline, per
+    query vector. The oracle COMPOSES the two queries' own oracle SQL
+    as CTEs, so all three stay in lockstep. Both result sets are k·5
+    rows — the join and aggregate are trivial; the cost is the two
+    top-k pipelines themselves."""
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    ap = QUERIES["lsh_topk"](spark, sf_dir).select("query_id", "vec_id")
+    return _recall_vs_exact(ex, ap)
 
 
 # ---------------------------------------------------------------------------
@@ -6332,14 +6344,7 @@ _SQL_INT8_QV = (
     ap AS (SELECT query_id, vec_id FROM scored
            QUALIFY row_number() OVER (PARTITION BY query_id
                                       ORDER BY q_cos DESC, vec_id) <= 5),
-    ex AS ({ORACLES['cosine_topk']}),
-    hits AS (SELECT ex.query_id, count(*) AS n_hits
-             FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
-             GROUP BY ex.query_id),
-    per AS (SELECT query_id, count(*) AS k FROM ex GROUP BY query_id)
-    SELECT per.query_id, per.k, coalesce(hits.n_hits, 0) AS n_hits,
-           round(coalesce(hits.n_hits, 0)::DOUBLE / per.k, 6) AS recall
-    FROM per LEFT JOIN hits ON per.query_id = hits.query_id
+    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
     """,
 )
 def int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6354,17 +6359,7 @@ def int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ap = sim.int8_topk(e, qs, k=5).select("query_id", "vec_id")
     ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    hits = ex.join(ap, ["query_id", "vec_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    per = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
-    n_hits = F.coalesce("n_hits", F.lit(0))
-    return per.join(hits, "query_id", "left").select(
-        "query_id",
-        "k",
-        n_hits.alias("n_hits"),
-        F.round(n_hits / F.col("k"), 6).alias("recall"),
-    )
+    return _recall_vs_exact(ex, ap)
 
 
 @query(
@@ -6404,14 +6399,7 @@ def int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE cw.vec_id != q.query_id),
     ap AS (SELECT query_id, vec_id FROM adc
            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
-    ex AS ({ORACLES['cosine_topk']}),
-    hits AS (SELECT ex.query_id, count(*) AS n_hits
-             FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
-             GROUP BY ex.query_id),
-    per AS (SELECT query_id, count(*) AS k FROM ex GROUP BY query_id)
-    SELECT per.query_id, per.k, coalesce(hits.n_hits, 0) AS n_hits,
-           round(coalesce(hits.n_hits, 0)::DOUBLE / per.k, 6) AS recall
-    FROM per LEFT JOIN hits ON per.query_id = hits.query_id
+    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
     """,
 )
 def pq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6430,17 +6418,7 @@ def pq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ap = sim.pq_topk(e, qs, m=4, k_codes=16, k=5).select("query_id", "vec_id")
     ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    hits = ex.join(ap, ["query_id", "vec_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    per = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
-    n_hits = F.coalesce("n_hits", F.lit(0))
-    return per.join(hits, "query_id", "left").select(
-        "query_id",
-        "k",
-        n_hits.alias("n_hits"),
-        F.round(n_hits / F.col("k"), 6).alias("recall"),
-    )
+    return _recall_vs_exact(ex, ap)
 
 
 @query(
@@ -8093,20 +8071,21 @@ _DRIVER_WINDOW_PRIORITY = [
 
 # The window rotates each round so every query eventually earns an
 # official driver row. Round-6 composition (exactly 50): the flagship
-# sentinel; the 6 queries NEW in r6 (skew-gated ingest, k~sqrt(N)
-# SemDeDup, and the four real-codec/feature round-trips
+# sentinel; the 7 queries NEW in r6 (skew-gated ingest, k~sqrt(N)
+# SemDeDup, PQ/ADC recall, and the four real-codec/feature round-trips
 # jpeg/png/video/audio-spectrum —
 # never-checked beats stale-refresh, the r5 precedent); the full
 # 22-query r1-stale slice the r5 verdict demanded (set ops,
 # window/scalar/datetime functions, percentiles, text/dedup/ANN/
 # multimodal basics); 3 r5-green regression sentinels (kmeans_semdedup
-# anchors the scaled variant's comparison); and 18 of the 44 r2-stale
+# anchors the scaled variant's comparison); and 17 of the 44 r2-stale
 # queries, oldest-first (the three stale Section-2 rows first). The
 # displaced r2-stale entries (dataset_split, exact_medians_scalable,
-# range_join_bands, salted_join) lead the parked list for the round-7 refresh.
+# range_join_bands, salted_join, interval_overlap_join) lead the parked list for the round-7 refresh.
 # Everything below the out-of-window line holds an r1-r5 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (203/203 at sf0.01 this round).
+# (204 registered; 203/203 re-verified at sf0.01 this round
+# before the PQ addition, which passed all gates separately).
 
 
 def _reorder_registry() -> None:

@@ -694,6 +694,11 @@ def test_streaming_guarded_ingest_matches_batch(spark, sf_dir, tmp_path):
     corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     new_docs = corpus.limit(40).selectExpr("doc_id + 700000 AS doc_id", "text")
     src_dir, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    # the bucket cap makes pair sets batching-DEPENDENT near the cap (a
+    # joint bucket can pass per-half-batch but exceed one-shot), so the
+    # equality contract pins max_bucket far above any fixture bucket —
+    # batching-invariant for any data, while the gate logic still runs
+    cap = 10**6
     # two files → availableNow processes them (possibly as one batch;
     # the union contract below holds either way)
     new_docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src_dir + "/a")
@@ -708,7 +713,9 @@ def test_streaming_guarded_ingest_matches_batch(spark, sf_dir, tmp_path):
     def handle(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        pairs, predrop = dd.guarded_incremental_lsh_pairs(batch_df, corpus)
+        pairs, predrop = dd.guarded_incremental_lsh_pairs(
+            batch_df, corpus, max_bucket=cap
+        )
         gates.append(predrop)
         pairs.write.mode("append").parquet(out_dir)
 
@@ -720,6 +727,8 @@ def test_streaming_guarded_ingest_matches_batch(spark, sf_dir, tmp_path):
     )
     sq.awaitTermination(180)
     got = sorted(map(tuple, spark.read.parquet(out_dir).distinct().collect()))
-    want = sorted(map(tuple, dd.incremental_lsh_pairs(new_docs, corpus).collect()))
+    want = sorted(
+        map(tuple, dd.incremental_lsh_pairs(new_docs, corpus, max_bucket=cap).collect())
+    )
     assert got == want and len(got) > 0
     assert gates and not any(gates)  # healthy corpus: fast path each batch
