@@ -798,3 +798,80 @@ def pq_topk(
         .filter(F.col("_rn") <= k)
         .select(query_id_col, id_col, "pq_dist", F.col("_rn").alias("rank"))
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVFADC — the billion-scale ANN composition: IVF coarse
+    quantization prunes the corpus to ``n_probe`` probed cells per
+    query (as :func:`ivf_topk`), then the in-cell scan reads ONLY the
+    PQ codes (as :func:`pq_topk`), never the float vectors. At 100 TB
+    the scan cost is (n_probe / n_cells) of the corpus × m code bytes
+    per vector — both reduction factors compose; exact re-ranking of
+    the few survivors is a trivial follow-up join. Cell assignment
+    uses the cosine rule of ivf_topk (scale-invariant, so raw vs
+    normalized vectors agree); ADC uses the PQ fixed-order distance —
+    both proven deterministic cross-engine, so the composition's
+    oracle is exact."""
+    from pyspark.sql import Window
+
+    cents = F.broadcast(label_centroids(embeddings, label_col, vec_col))
+    cbs = pq_codebooks(embeddings, m, k_codes, id_col, vec_col)
+    sub = len(cbs[0][0])
+
+    corpus = embeddings.select(F.col(id_col), as_double(vec_col).alias("_cvec"))
+    wca = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cell").asc())
+    corpus_cells = (
+        corpus.crossJoin(cents)
+        .withColumn("_d", -cosine(F.col("_cvec"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(wca))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cell")
+    )
+    qn = unit_norm_frame(queries, query_id_col, vec_col, "_qn")
+    q = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("_qv")
+    ).join(qn, query_id_col)
+    wqa = Window.partitionBy(query_id_col).orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(cents)
+        .withColumn("_d", -cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(wqa))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, "cell", "_qn")
+    )
+    codes = pq_encode(embeddings, cbs, id_col, vec_col)
+    scan = (
+        codes.join(corpus_cells, id_col)
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    dist = None
+    for s in range(m):
+        sel = F.element_at(
+            F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cbs[s]]),
+            F.col(f"code_{s}") + 1,
+        )
+        term = _pq_dist(F.slice("_qn", s * sub + 1, sub), sel)
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("pq_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scan.select(query_id_col, id_col, dist.alias("pq_dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "pq_dist", F.col("_rn").alias("rank"))
+    )

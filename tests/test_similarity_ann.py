@@ -169,3 +169,27 @@ def test_pq_topk_ranks_and_recall_reasonable(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     n = e.count()
     assert recall > 5 * (5 / n)  # far above chance
+
+
+def test_ivfpq_composition_subset_of_probed_cells(spark, sf_dir):
+    """IVFADC results must come only from the probed cells' PQ scan:
+    every returned neighbor shares a probed cell with its query, ranks
+    are 1..k per query, self never returned, and recall vs exact is
+    above chance despite the double approximation."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") <= 4).selectExpr("vec_id AS query_id", "embedding")
+    rows = sim.ivfpq_topk(e, qs, k=5, n_probe=2).collect()
+    by_q = {}
+    for r in rows:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert sorted(by_q) == [0, 1, 2, 3, 4]
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.brute_force_topk(e, qs, k=5).select("query_id", "vec_id").collect()
+    }
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    assert len(exact & approx) / len(exact) > 5 * (5 / e.count())

@@ -210,6 +210,9 @@ EXPECT = {
     # ADC scan = codes crossJoin broadcast 5-row query set (the
     # cosine_topk baseline convention) + the exact-baseline subtree
     "pq_topk_recall": (2, True, True),
+    # IVF centroid/probe broadcast crosses of tiny sides (the ivf_topk
+    # convention) + the PQ ADC scan + the exact-baseline subtree
+    "ivfpq_topk_recall": (2, True, True),
     "collocation_pmi": (1, False, True),  # 1-row bigram-total N broadcast: intended
     "source_overlap_matrix": (2, False, False),
     "corpus_curation_pipeline": (2, False, False),
