@@ -79,6 +79,8 @@ HEADLINE = [
     # above) and the skew-gated incremental ingest loop
     "kmeans_semdedup_scaled",
     "guarded_incremental_dedup",
+    "pq_topk_recall",
+    "ivfpq_topk_recall",
 ]
 
 
