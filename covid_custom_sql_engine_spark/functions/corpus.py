@@ -880,3 +880,60 @@ def curation_pipeline(
         .otherwise(F.lit("near_dup"))
     )
     return out.select(id_col, stage.alias("stage"))
+
+
+def repeated_token_spans(
+    df: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring dedup as an actionable EDIT PLAN (the removal
+    step of Lee et al. 2022, arXiv:2107.06499): every ``k``-token
+    window shared across ≥2 documents marks its positions, and
+    overlapping/adjacent marked windows merge into per-document token
+    spans [span_start, span_end) to cut. Plan shape: one gram explode
+    + one hash aggregate for the cross-doc fingerprint set, an
+    equi-join back, then PER-DOCUMENT windows (partitioned by the doc
+    id — state bounded by document length, never corpus size) for the
+    gaps-and-islands interval merge. Token indices are 1-based;
+    span_end is exclusive."""
+    from covid_custom_sql_engine_spark.functions.text import tokens
+
+    base = df.select(id_col, tokens(text_col).alias("_t")).filter(
+        F.size("_t") >= k
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.md5(F.concat_ws(" ", F.slice("_t", i, k))).alias("fp"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.p").alias("p"), F.col("g.fp").alias("fp"))
+    dup = (
+        grams.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("fp")
+    )
+    rp = grams.join(dup, "fp").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    fl = rp.withColumn(
+        "_brk",
+        F.when(F.col("p") - F.lag("p").over(w) > k, F.lit(1)).otherwise(F.lit(0)),
+    )
+    isl = fl.withColumn(
+        "_island",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "_island")
+        .agg(
+            F.min("p").cast("bigint").alias("span_start"),
+            (F.max("p") + k).cast("bigint").alias("span_end"),
+            (F.max("p") + k - F.min("p")).cast("bigint").alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_end", "span_tokens")
+    )

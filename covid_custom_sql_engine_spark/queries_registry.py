@@ -5638,6 +5638,47 @@ def repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repeated_span_removal",
+    oracle=f"""
+    WITH nz AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+                WHERE len({_SQL_TOKS}) >= 8),
+    g AS (SELECT doc_id, s AS p,
+                 md5(array_to_string(list_slice(toks, s, s + 7), ' ')) AS fp
+          FROM nz, unnest(generate_series(1, len(toks) - 7, 1)) AS t(s)),
+    dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+    rp AS (SELECT g.doc_id, g.p FROM g JOIN dup ON g.fp = dup.fp),
+    fl AS (SELECT doc_id, p,
+                  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+                       THEN 1 ELSE 0 END AS brk
+           FROM rp),
+    isl AS (SELECT doc_id, p,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM fl)
+    SELECT doc_id, min(p)::BIGINT AS span_start,
+           (max(p) + 8)::BIGINT AS span_end,
+           (max(p) + 8 - min(p))::BIGINT AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as an actionable EDIT PLAN (the removal
+    step of Lee et al. 2022, arXiv:2107.06499): every 8-token window
+    shared across ≥2 documents marks its positions, and overlapping/
+    adjacent marked windows merge into per-document token spans
+    [span_start, span_end) to cut — the operation `repeated_chunks`
+    only detects. Plan shape: one gram explode + one hash aggregate for
+    the cross-doc fingerprint set, an equi-join back, then PER-DOCUMENT
+    windows (partitioned by doc_id — state bounded by document length,
+    never corpus size) for the classic gaps-and-islands interval
+    merge. Token indices are 1-based; span_end is exclusive. The
+    operator is corpus.repeated_token_spans (shared with the unit
+    semantics test)."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.repeated_token_spans(d, k=8)
+
+
+@query(
     "oov_rate",
     oracle=f"""
     WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
@@ -8067,7 +8108,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "kmeans_semdedup",
     "corpus_curation_pipeline",
     "dedup_representative",
-    # --- 16 of the 44 r2-stale queries, oldest-first refresh: the
+    # --- 15 of the 44 r2-stale queries, oldest-first refresh: the
     # stale Section-2 rows (locf/rolling/lagged-corr) plus the
     # temporal-join / ANN / streaming families (4 planned picks were
     # displaced by the late real-codec/PQ additions; they lead the parked
@@ -8087,7 +8128,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "session_window",
     "stateful_running_total",
     "stream_static_join",
-    "merge_upsert",
     # --- NEW in round 6 (late additions): the real compressed-codec
     # round-trips through the pure-numpy baseline JPEG decoder and the
     # zlib-backed PNG decoder ---
@@ -8097,6 +8137,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "audio_spectrum_real",
     "pq_topk_recall",
     "ivfpq_topk_recall",
+    "repeated_span_removal",
     # ---------------- out-of-window below this line ----------------
     # parked in priority order for the round-7 refresh: the remaining
     # 22 r2-stale queries (every other registered query's latest
@@ -8107,6 +8148,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "salted_join",
     "interval_overlap_join",
     "scd2_intervals",
+    "merge_upsert",
     "approx_distinct_parts",
     "attribution_join",
     "bpe_pair_counts",
@@ -8134,18 +8176,19 @@ _DRIVER_WINDOW_PRIORITY = [
 
 # The window rotates each round so every query eventually earns an
 # official driver row. Round-6 composition (exactly 50): the flagship
-# sentinel; the 8 queries NEW in r6 (skew-gated ingest, k~sqrt(N)
-# SemDeDup, PQ/ADC + IVFADC recall, and the four real-codec/feature round-trips
+# sentinel; the 9 queries NEW in r6 (skew-gated ingest, k~sqrt(N)
+# SemDeDup, PQ/ADC + IVFADC recall, repeated-span removal, and the
+# four real-codec/feature round-trips
 # jpeg/png/video/audio-spectrum —
 # never-checked beats stale-refresh, the r5 precedent); the full
 # 22-query r1-stale slice the r5 verdict demanded (set ops,
 # window/scalar/datetime functions, percentiles, text/dedup/ANN/
 # multimodal basics); 3 r5-green regression sentinels (kmeans_semdedup
-# anchors the scaled variant's comparison); and 16 of the 44 r2-stale
+# anchors the scaled variant's comparison); and 15 of the 44 r2-stale
 # queries, oldest-first (the three stale Section-2 rows first). The
 # displaced r2-stale entries (dataset_split, exact_medians_scalable,
-# range_join_bands, salted_join, interval_overlap_join, scd2_intervals)
-# lead the parked list for the round-7 refresh.
+# range_join_bands, salted_join, interval_overlap_join, scd2_intervals,
+# merge_upsert) lead the parked list for the round-7 refresh.
 # Everything below the out-of-window line holds an r1-r5 green row and
 # is re-verified locally every round by check_oracle / check_bare
 # (204 registered; 203/203 re-verified at sf0.01 this round

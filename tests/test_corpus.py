@@ -368,3 +368,27 @@ def test_oov_rate_report(spark):
     assert out[2].n_oov == 1 and abs(out[2].oov_rate - 0.25) < 1e-9
     assert out[3].n_oov == 0
     assert all(r.n_tokens == 4 for r in out.values())
+
+
+def test_repeated_span_removal_semantics(spark):
+    """Hand-built corpus: two docs share a 12-token passage at
+    different offsets; the shared 8-gram windows must merge into ONE
+    span per doc covering exactly the passage (doc 1: tokens 4..15 ->
+    span [4, 16); doc 2: tokens 1..12 -> span [1, 13)), and a doc with
+    no cross-doc 8-gram yields no spans."""
+    from covid_custom_sql_engine_spark.functions.corpus import repeated_token_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = [
+        (1, "one two three " + shared + " tail1 tail2"),
+        (2, shared + " other words here"),
+        (3, "totally unrelated content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in repeated_token_spans(df, k=8).collect()
+    }
+    assert spans[1] == (4, 16)
+    assert spans[2] == (1, 13)
+    assert 3 not in spans

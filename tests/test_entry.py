@@ -40,6 +40,7 @@ def test_driver_window_priority_ordering():
         "guarded_incremental_dedup", "kmeans_semdedup_scaled",
         "jpeg_stats_real", "png_stats_real", "video_stats_real",
         "audio_spectrum_real", "pq_topk_recall", "ivfpq_topk_recall",
+        "repeated_span_removal",
         # the 22 r1-stale queries (r5 VERDICT item #1)
         "semi_join", "anti_join", "setop_union", "setop_intersect",
         "setop_except", "rollup_agg", "cube_agg", "grouping_sets",
