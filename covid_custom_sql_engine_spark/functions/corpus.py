@@ -894,24 +894,25 @@ def repeated_token_spans(
     equi-join back, then PER-DOCUMENT windows (partitioned by the doc
     id — state bounded by document length, never corpus size) for the
     gaps-and-islands interval merge. Token indices are 1-based;
-    span_end is exclusive."""
-    from covid_custom_sql_engine_spark.functions.text import tokens
+    span_end is exclusive.
 
-    base = df.select(id_col, tokens(text_col).alias("_t")).filter(
-        F.size("_t") >= k
+    Gram fingerprints come from :func:`chunk_tokens` at stride 1 (the
+    same md5-of-space-joined-window convention `repeated_chunks` uses
+    — ONE fingerprint family, no drift), with partial tail windows
+    dropped; the frame feeds both the cross-doc aggregate and the
+    join-back, so it is pinned once (lazy localCheckpoint, the
+    multi-consumer pattern) instead of re-tokenizing the corpus
+    twice."""
+    grams = (
+        chunk_tokens(df, id_col=id_col, text_col=text_col, window=k, stride=1)
+        .filter(F.col("n_tokens") == k)
+        .select(
+            id_col,
+            F.col("start_token").alias("p"),
+            F.col("chunk_fp").alias("fp"),
+        )
+        .localCheckpoint(eager=False)
     )
-    grams = base.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("_t") - (k - 1)),
-                lambda i: F.struct(
-                    i.alias("p"),
-                    F.md5(F.concat_ws(" ", F.slice("_t", i, k))).alias("fp"),
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, F.col("g.p").alias("p"), F.col("g.fp").alias("fp"))
     dup = (
         grams.groupBy("fp")
         .agg(F.count_distinct(id_col).alias("_nd"))

@@ -8191,8 +8191,8 @@ _DRIVER_WINDOW_PRIORITY = [
 # merge_upsert) lead the parked list for the round-7 refresh.
 # Everything below the out-of-window line holds an r1-r5 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (204 registered; 203/203 re-verified at sf0.01 this round
-# before the PQ addition, which passed all gates separately).
+# (206 registered; all 206 re-verified at sf0.001, sf0.01 AND sf0.1
+# this round).
 
 
 def _reorder_registry() -> None:

@@ -30,10 +30,10 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 6: the seven queries new this round (never driver-checked),
+    # round 6: the nine queries new this round (never driver-checked),
     # the full 22-query r1-stale slice (set ops, window/scalar/datetime
     # functions, percentiles, simhash, cosine search, multimodal), and
-    # the oldest 17 of the r2-stale backlog (no new never-checked
+    # the oldest 15 of the r2-stale backlog (no new never-checked
     # backlog may form)
     assert {
         # new this round
