@@ -222,6 +222,41 @@ def ivf_topk(
     )
 
 
+def _assign_nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every ``(_id, _v)`` vector to its most-cosine-similar
+    centroid from the (cell, _cv) table → (_id, cell, _v).
+
+    The centroid side is broadcast and crossed, then a single struct-max
+    hash aggregate picks the argmax: ``max(struct(sim, -cell, _v))`` is
+    the lexicographic maximum — highest similarity, ties to the smallest
+    cell id, NULL similarity losing to any value — the exact ordering
+    ``array_max`` gave the previous literal-inlined shape and the exact
+    ordering of the oracles' ``ORDER BY sim DESC, cell ASC`` (DuckDB's
+    DESC default is NULLS LAST). Map-side partial combine collapses the
+    N·k scored rows to one per vector per partition before the exchange,
+    so the shuffle moves N rows and the plan stays O(1) size in k —
+    unlike a row_number window (which would exchange all N·k rows) or
+    inlined literals (O(k·dim) plan nodes, driver-fatal at k ≈ √N).
+    The trailing ``_v`` struct field is never compared (cell ids are
+    unique, so (sim, -cell) is already a total order per vector); it
+    just rides along so the caller gets the vector back without a
+    re-join.
+    """
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "_id",
+        F.struct(
+            cosine(F.col("_v"), F.col("_cv")).alias("_sim"),
+            (-F.col("cell")).cast("long").alias("_negc"),
+            F.col("_v").alias("_v"),
+        ).alias("_s"),
+    )
+    return scored.groupBy("_id").agg(F.max("_s").alias("_b")).select(
+        F.col("_id"),
+        (-F.col("_b._negc")).alias("cell"),
+        F.col("_b._v").alias("_v"),
+    )
+
+
 def kmeans_step(
     embeddings: DataFrame,
     k: int = 8,
@@ -234,13 +269,18 @@ def kmeans_step(
     per-dimension centroid means. Returns (cell, dim, centroid,
     n_members) — k·dim rows.
 
-    Scale shape: the k centroids are collected to the driver (bounded,
-    like the IVF query-vector fetch) and inlined as literals, so
-    assignment is a pure per-row projection — NO join and NO shuffle.
-    The update is one posexplode + hash aggregate with map-side partial
-    combine: the only shuffle moves ≤ k·dim rows per map partition.
-    Iterating = calling this on the previous step's output until
-    movement is small; each pass is one scan of the corpus.
+    Scale shape: assignment is a broadcast cross of the ≤ k-row centroid
+    table followed by a struct-max hash aggregate — the map side emits
+    N·k scored rows but partial combine collapses them to ONE row per
+    vector before the exchange, so the assignment shuffle moves N rows
+    (never N·k) and the plan is O(1) size regardless of k. (The earlier
+    literal-inlined argmax was zero-shuffle but its plan grew with k·dim
+    — fatal at the k ≈ √N SemDeDup configuration where k reaches 10⁴-10⁵;
+    the r6 verdict's one remaining driver-side growth term.) The update
+    is one posexplode + hash aggregate with map-side partial combine:
+    its shuffle moves ≤ k·dim rows per map partition. Iterating =
+    calling this on the previous step's output until movement is small;
+    each pass is one scan of the corpus.
 
     Deterministic everywhere: ties in assignment break toward the
     smaller cell id; means use fixed-point sums + round(6) so a SQL
@@ -248,25 +288,13 @@ def kmeans_step(
     """
     from covid_custom_sql_engine_spark.operators.core import dsum
 
-    cents = (
-        embeddings.filter(F.col(id_col) < k)
-        .select(F.col(id_col).alias("cell"), as_double(vec_col).alias("v"))
-        .collect()
-    )  # ≤ k rows — bounded driver state
-    v = F.col("_v")
-    # array_max over (sim, -cell) structs = lexicographic argmax:
-    # highest similarity, ties to the smallest cell id
-    scored = [
-        F.struct(
-            cosine(v, F.array(*[F.lit(x) for x in r.v])).alias("sim"),
-            F.lit(-r.cell).cast("long").alias("neg_cell"),
-        )
-        for r in sorted(cents, key=lambda r: r.cell)
-    ]
-    best = F.array_max(F.array(*scored))
-    assigned = embeddings.select(
-        F.col(id_col), as_double(vec_col).alias("_v")
-    ).select((-best["neg_cell"]).alias("cell"), "_v")
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+    )
+    cents = base.filter(F.col("_id") < k).select(
+        F.col("_id").alias("cell"), F.col("_v").alias("_cv")
+    )
+    assigned = _assign_nearest(base, cents)
     return (
         assigned.select("cell", F.posexplode("_v").alias("dim", "val"))
         .groupBy("cell", "dim")
@@ -291,14 +319,18 @@ def kmeans_centroids(
     ≤ k rows — the shape :func:`semdedup_prune` accepts as ``centroids``.
 
     Per-round plan (same as kmeans_step, which is one round of this):
-    the current centroids are ≤ k·dim doubles of driver state inlined as
-    literals, so assignment is a pure per-row projection — no join, no
-    shuffle; the update is one posexplode + hash aggregate whose shuffle
-    moves ≤ k·dim rows per map partition. The per-round ``collect`` of
-    the k·dim aggregate IS the round's pinning (single evaluation of a
-    nondeterministically-partitioned subtree — the HITS/pagerank
-    per-round concern): every later consumer sees frozen values, and
-    lineage never grows with iteration count.
+    assignment crosses the broadcast ≤ k-row centroid table and argmaxes
+    with a struct-max hash aggregate (``_assign_nearest`` — the shuffle
+    moves N rows, the plan is O(1) size in k; the pre-r7 literal-inlined
+    shape grew the plan by k·dim nodes per round, which at the k ≈ √N
+    SemDeDup configuration meant codegen fallback around 100× current
+    scale and driver OOM near 10⁹ vectors); the update is one posexplode
+    + hash aggregate whose shuffle moves ≤ k·dim rows per map partition,
+    reassembled into (cell, _cv) arrays in dimension order. Each round's
+    centroid table is pinned with an eager localCheckpoint — single
+    evaluation of a nondeterministically-partitioned subtree (the
+    HITS/pagerank per-round concern): every later consumer sees frozen
+    values, and lineage never grows with iteration count.
 
     Deterministic end-to-end: assignment ties break toward the smaller
     cell id (lexicographic array_max over (sim, -cell)); means fold
@@ -309,43 +341,32 @@ def kmeans_centroids(
     """
     from covid_custom_sql_engine_spark.operators.core import dsum
 
-    spark = embeddings.sparkSession
-    # one consumer per round (assign+update) plus the init filter read
-    # this subtree 2·iterations+1 times — pin it so the scan+cast runs
-    # once (lazy localCheckpoint, the repo's multi-consumer pattern)
+    # one consumer per round (assign) plus the init filter read this
+    # subtree iterations+1 times — pin it so the scan+cast runs once
+    # (lazy localCheckpoint, the repo's multi-consumer pattern)
     base = embeddings.select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
     ).localCheckpoint(eager=False)
-    cents = [
-        (int(r._id), [float(x) for x in r._v])
-        for r in base.filter(F.col("_id") < k).collect()
-    ]  # ≤ k rows — bounded driver state, as in kmeans_step
-    for _ in range(iterations):
-        scored = [
-            F.struct(
-                cosine(F.col("_v"), F.array(*[F.lit(x) for x in cv])).alias("sim"),
-                F.lit(-cell).cast("long").alias("neg_cell"),
-            )
-            for cell, cv in sorted(cents)
-        ]
-        best = F.array_max(F.array(*scored))
-        rows = (
-            base.select((-best["neg_cell"]).alias("cell"), "_v")
-            .select("cell", F.posexplode("_v").alias("dim", "val"))
-            .groupBy("cell", "dim")
-            .agg(F.round(dsum(F.col("val")) / F.count(F.lit(1)), 6).alias("c"))
-            .collect()
-        )  # ≤ k·dim rows — bounded driver state per round
-        bydim: dict[int, dict[int, float]] = {}
-        for r in rows:
-            bydim.setdefault(int(r.cell), {})[int(r.dim)] = float(r.c)
-        cents = [
-            (cell, [d[i] for i in range(len(d))]) for cell, d in bydim.items()
-        ]
-    return spark.createDataFrame(
-        [(cell, cv) for cell, cv in sorted(cents)],
-        "cell bigint, _cv array<double>",
+    cents = base.filter(F.col("_id") < k).select(
+        F.col("_id").cast("bigint").alias("cell"), F.col("_v").alias("_cv")
     )
+    for _ in range(iterations):
+        assigned = _assign_nearest(base, cents)
+        cents = (
+            assigned.select("cell", F.posexplode("_v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.round(dsum(F.col("val")) / F.count(F.lit(1)), 6).alias("_c"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "_c"))),
+                    lambda s: s["_c"],
+                ).alias("_cv")
+            )
+            # pin the round: ≤ k rows materialized once, lineage truncated
+            .localCheckpoint(eager=True)
+        )
+    return cents
 
 
 def lsh_topk(

@@ -122,7 +122,7 @@ EXPECT = {
     "decontaminate_ngrams": (2, False, False),
     "chunk_documents": (2, False, False),
     "pack_token_budget": (2, False, False),
-    "kmeans_step": (2, False, False),
+    "kmeans_step": (2, False, True),  # ≤k-row centroid broadcast cross (struct-max argmax assignment): intended
     "funnel_steps": (3, True, False),
     "ann_recall": (2, True, True),  # composes the two top-k pipelines (brute-force side is the intended broadcast cross)
     "merge_upsert": (5, False, False),
