@@ -704,13 +704,17 @@ def pq_codebooks(
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
     """Deterministic product-quantization codebooks: subspace ``s``'s
-    codebook is the ``s``-th subvector of the ``k`` lowest-id
-    unit-normalized vectors — the same deterministic-seed convention as
+    codebook is the ``s``-th subvector of the unit-normalized vectors
+    with ``id < k`` — the same deterministic-seed convention as
     :func:`kmeans_step`'s init, so a SQL oracle derives the identical
-    codebooks without unrolling any training. Bounded driver state
-    (k·dim doubles, the IVF-probe/centroid-fetch "action, not plan"
-    pattern). ``codebooks[s][j]`` is a dim/m float list. A production
-    pipeline would Lloyd-refine each subspace codebook with
+    codebooks (``WHERE vec_id < k``) without unrolling any training.
+    Requires exactly ``k`` such vectors (ids 0..k-1 present): with
+    non-contiguous ids below ``k`` the codebook would silently shrink
+    and degrade quantization with no signal, so that case raises
+    instead of proceeding. Bounded driver state (k·dim doubles, the
+    IVF-probe/centroid-fetch "action, not plan" pattern).
+    ``codebooks[s][j]`` is a dim/m float list. A production pipeline
+    would Lloyd-refine each subspace codebook with
     :func:`kmeans_centroids`-style rounds; the seeds keep the
     cross-engine contract exact."""
     base = embeddings.select(
@@ -720,8 +724,12 @@ def pq_codebooks(
         (int(r._id), [float(x) for x in r._nv])
         for r in base.filter(F.col("_id") < k).collect()
     )
-    if not seeds:
-        raise ValueError(f"no seed vectors with {id_col} < {k}")
+    if len(seeds) < k:
+        raise ValueError(
+            f"pq_codebooks needs {k} seed vectors with {id_col} < {k}, "
+            f"found {len(seeds)} — non-contiguous ids would silently "
+            f"shrink the codebook"
+        )
     dim = len(seeds[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -895,4 +903,64 @@ def ivfpq_topk(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(query_id_col, id_col, "pq_dist", F.col("_rn").alias("rank"))
+    )
+
+
+def ivfpq_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cand_factor: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """The third stage of the deployed billion-scale retrieval stack:
+    IVFADC (:func:`ivfpq_topk`) shortlists ``k · cand_factor``
+    candidates per query from PQ codes alone, then ONLY those survivors
+    are joined back to their float vectors and re-scored with the exact
+    cosine — the "exact re-ranking of survivors" follow-up the IVFADC
+    docstring promises. At 100 TB the float vectors are touched for
+    k·cand_factor rows per query (an equi-join on the id, never a
+    scan); everything upstream reads m code bytes per vector in
+    n_probe/n_cells of the corpus. Output matches
+    :func:`brute_force_topk`'s shape: (query_id, id, cos_sim, rank),
+    ties on the neighbor id, NULLS LAST like the exact baseline.
+    """
+    from pyspark.sql import Window
+
+    cand = ivfpq_topk(
+        embeddings,
+        queries,
+        k=k * cand_factor,
+        n_probe=n_probe,
+        m=m,
+        k_codes=k_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        label_col=label_col,
+    ).select(query_id_col, id_col)
+    c = embeddings.select(F.col(id_col), as_double(vec_col).alias("_cv"))
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        cand.join(c, id_col)
+        .join(q, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("_rn").alias("rank"))
     )

@@ -6409,42 +6409,66 @@ def int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(ex, ap)
 
 
+# The ONE set of PQ knobs driving both engine sides: the Python
+# pq_topk/ivfpq_topk/ivfpq_rerank_topk calls AND the generated SQL
+# fragments below read these, so changing a knob cannot desynchronize
+# the oracle (it regenerates). _PQ_SUB is derived, never set.
+_PQ_M = 4  # subspaces
+_PQ_KCODES = 16  # codewords per subspace (seed ids 0..k-1)
+_PQ_DIM = 64  # embedding dimension of the testdata corpus
+assert _PQ_DIM % _PQ_M == 0
+_PQ_SUB = _PQ_DIM // _PQ_M
+
+
 # Shared PQ oracle fragments: the code-derivation CTE chain (normalize →
 # seed codebooks → per-subspace argmin codes → wide code row) and the
-# 4-term ADC distance — used by pq_topk_recall AND ivfpq_topk_recall so
-# the two oracles cannot drift. `_SQL_PQ_ADC_TERMS`/`_SQL_PQ_ADC_JOINS`
+# m-term ADC distance — used by pq_topk_recall, ivfpq_topk_recall AND
+# ivfpq_rerank_recall so the oracles cannot drift. The ADC fragments
 # expect the query rows aliased `q` (with normalized vector `v`) and the
 # wide code row aliased `cw`.
-_SQL_PQ_CODES = """nc AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
+def _pq_codes_sql(m: int, k: int, sub: int) -> str:
+    code_cols = ",\n             ".join(
+        f"max(CASE WHEN s={s} THEN code END) AS c{s}" for s in range(m)
+    )
+    return f"""nc AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
     nv AS (SELECT vec_id,
              CASE WHEN list_dot_product(vd, vd) = 0
                   THEN list_transform(vd, x -> 0.0::DOUBLE)
                   ELSE list_transform(vd, x -> x / sqrt(list_dot_product(vd, vd))) END AS v
            FROM nc),
-    cb AS (SELECT s, vec_id AS j, list_slice(v, s*16 + 1, (s+1)*16) AS c
-           FROM nv, (SELECT unnest(range(0, 4)) AS s) WHERE vec_id < 16),
+    cb AS (SELECT s, vec_id AS j, list_slice(v, s*{sub} + 1, (s+1)*{sub}) AS c
+           FROM nv, (SELECT unnest(range(0, {m})) AS s) WHERE vec_id < {k}),
     enc AS (SELECT nv.vec_id, cb.s, cb.j,
-              -2 * list_dot_product(list_slice(nv.v, cb.s*16 + 1, (cb.s+1)*16), cb.c)
+              -2 * list_dot_product(list_slice(nv.v, cb.s*{sub} + 1, (cb.s+1)*{sub}), cb.c)
               + list_dot_product(cb.c, cb.c) AS d
             FROM nv CROSS JOIN cb),
     codes AS (SELECT vec_id, s, j AS code FROM enc
               QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1),
     cw AS (SELECT vec_id,
-             max(CASE WHEN s=0 THEN code END) AS c0,
-             max(CASE WHEN s=1 THEN code END) AS c1,
-             max(CASE WHEN s=2 THEN code END) AS c2,
-             max(CASE WHEN s=3 THEN code END) AS c3
+             {code_cols}
            FROM codes GROUP BY vec_id)"""
 
-_SQL_PQ_ADC_TERMS = """(-2 * list_dot_product(list_slice(q.v, 1, 16), b0.c) + list_dot_product(b0.c, b0.c))
-              + (-2 * list_dot_product(list_slice(q.v, 17, 32), b1.c) + list_dot_product(b1.c, b1.c))
-              + (-2 * list_dot_product(list_slice(q.v, 33, 48), b2.c) + list_dot_product(b2.c, b2.c))
-              + (-2 * list_dot_product(list_slice(q.v, 49, 64), b3.c) + list_dot_product(b3.c, b3.c)) AS d"""
 
-_SQL_PQ_ADC_JOINS = """JOIN cb b0 ON b0.s = 0 AND b0.j = cw.c0
-            JOIN cb b1 ON b1.s = 1 AND b1.j = cw.c1
-            JOIN cb b2 ON b2.s = 2 AND b2.j = cw.c2
-            JOIN cb b3 ON b3.s = 3 AND b3.j = cw.c3"""
+def _pq_adc_terms_sql(m: int, sub: int) -> str:
+    return (
+        "\n              + ".join(
+            f"(-2 * list_dot_product(list_slice(q.v, {s * sub + 1}, {(s + 1) * sub}), b{s}.c)"
+            f" + list_dot_product(b{s}.c, b{s}.c))"
+            for s in range(m)
+        )
+        + " AS d"
+    )
+
+
+def _pq_adc_joins_sql(m: int) -> str:
+    return "\n            ".join(
+        f"JOIN cb b{s} ON b{s}.s = {s} AND b{s}.j = cw.c{s}" for s in range(m)
+    )
+
+
+_SQL_PQ_CODES = _pq_codes_sql(_PQ_M, _PQ_KCODES, _PQ_SUB)
+_SQL_PQ_ADC_TERMS = _pq_adc_terms_sql(_PQ_M, _PQ_SUB)
+_SQL_PQ_ADC_JOINS = _pq_adc_joins_sql(_PQ_M)
 
 
 @query(
@@ -6476,7 +6500,9 @@ def pq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") <= 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ap = sim.pq_topk(e, qs, m=4, k_codes=16, k=5).select("query_id", "vec_id")
+    ap = sim.pq_topk(e, qs, m=_PQ_M, k_codes=_PQ_KCODES, k=5).select(
+        "query_id", "vec_id"
+    )
     ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
     return _recall_vs_exact(ex, ap)
 
@@ -6517,9 +6543,61 @@ def ivfpq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.filter(F.col("vec_id") <= 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ap = sim.ivfpq_topk(e, qs, k=5, n_probe=2, m=4, k_codes=16).select(
+    ap = sim.ivfpq_topk(e, qs, k=5, n_probe=2, m=_PQ_M, k_codes=_PQ_KCODES).select(
         "query_id", "vec_id"
     )
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    return _recall_vs_exact(ex, ap)
+
+
+@query(
+    "ivfpq_rerank_recall",
+    oracle=f"""
+    WITH {_SQL_IVF_COARSE},
+    {_SQL_PQ_CODES},
+    nq AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
+    adc AS (SELECT p.query_id, s.vec_id,
+              {_SQL_PQ_ADC_TERMS}
+            FROM pr p
+            JOIN nq q ON q.query_id = p.query_id
+            JOIN corpus s ON s.cell = p.cell
+            JOIN cw ON cw.vec_id = s.vec_id
+            {_SQL_PQ_ADC_JOINS}
+            WHERE s.vec_id != p.query_id),
+    cand AS (SELECT query_id, vec_id FROM adc
+             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 20),
+    rescored AS (SELECT cand.query_id, cand.vec_id,
+                   list_dot_product(qf.qv, cf.v)
+                     / (sqrt(list_dot_product(qf.qv, qf.qv)) * sqrt(list_dot_product(cf.v, cf.v))) AS cos
+                 FROM cand
+                 JOIN q qf ON qf.query_id = cand.query_id
+                 JOIN c cf ON cf.vec_id = cand.vec_id),
+    ap AS (SELECT query_id, vec_id FROM rescored
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5),
+    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
+    """,
+)
+def ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE three-stage retrieval stack a 100 TB vector store
+    deploys, audited end-to-end: IVF coarse cells prune to n_probe=2
+    probed cells, the in-cell ADC scan over PQ codes shortlists
+    k·cand_factor = 20 candidates per query, and ONLY those survivors
+    are joined back to their float vectors and re-scored with the
+    exact cosine (similarity.ivfpq_rerank_topk). Reported as recall@5
+    vs the float brute-force baseline — by construction ≥ the ADC-only
+    `ivfpq_topk_recall` (re-ranking a superset that contains every
+    ADC top-5 can only fix ordering, not lose hits... unless the true
+    neighbor was pruned by the coarse stage, which is exactly what the
+    audit measures). The oracle composes the same shared fragments as
+    its two parents plus an exact-cosine re-score on the raw vectors,
+    so the comparison is exact, not statistical."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ap = sim.ivfpq_rerank_topk(
+        e, qs, k=5, cand_factor=4, n_probe=2, m=_PQ_M, k_codes=_PQ_KCODES
+    ).select("query_id", "vec_id")
     ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
     return _recall_vs_exact(ex, ap)
 

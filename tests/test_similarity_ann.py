@@ -193,3 +193,60 @@ def test_ivfpq_composition_subset_of_probed_cells(spark, sf_dir):
     }
     approx = {(r.query_id, r.vec_id) for r in rows}
     assert len(exact & approx) / len(exact) > 5 * (5 / e.count())
+
+
+def test_ivfpq_rerank_improves_or_matches_adc(spark, sf_dir):
+    """Exact re-ranking of the IVFADC shortlist: per query, recall@5 of
+    the re-ranked result must be >= the ADC-only result (re-scoring a
+    superset that contains the ADC top-5 can only fix ordering, never
+    lose a hit), candidates must be a subset of the k*cand_factor
+    shortlist, ranks 1..k, self excluded, and cos_sim must equal the
+    exact cosine for those pairs."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") <= 4).selectExpr("vec_id AS query_id", "embedding")
+    shortlist = {
+        (r.query_id, r.vec_id)
+        for r in sim.ivfpq_topk(e, qs, k=20, n_probe=2).collect()
+    }
+    adc = sim.ivfpq_topk(e, qs, k=5, n_probe=2).collect()
+    rer = sim.ivfpq_rerank_topk(e, qs, k=5, cand_factor=4, n_probe=2).collect()
+    by_q = {}
+    for r in rer:
+        assert r.vec_id != r.query_id
+        assert (r.query_id, r.vec_id) in shortlist
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert sorted(by_q) == [0, 1, 2, 3, 4]
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    exact = {}
+    for r in sim.brute_force_topk(e, qs, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    adc_ids, rer_ids = {}, {}
+    for r in adc:
+        adc_ids.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in rer:
+        rer_ids.setdefault(r.query_id, set()).add(r.vec_id)
+    for q in exact:
+        hits_adc = len(exact[q] & adc_ids.get(q, set()))
+        hits_rer = len(exact[q] & rer_ids.get(q, set()))
+        assert hits_rer >= hits_adc, f"rerank lost recall for query {q}"
+    # re-scored similarity is the exact cosine, not the ADC surrogate
+    exact_sims = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in sim.brute_force_topk(e, qs, k=e.count()).collect()
+    }
+    for r in rer:
+        assert abs(r.cos_sim - exact_sims[(r.query_id, r.vec_id)]) < 1e-12
+
+
+def test_pq_codebooks_rejects_missing_seed_ids(spark):
+    """Non-contiguous ids below k must raise, not silently shrink the
+    codebook (the oracle derives codebooks from WHERE vec_id < k, so a
+    shrunken Spark-side codebook would desynchronize quantization)."""
+    import pytest
+
+    rows = [(0, [1.0] * 4), (2, [0.5] * 4), (7, [0.1] * 4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="seed vectors"):
+        sim.pq_codebooks(df, m=2, k=4)

@@ -213,6 +213,9 @@ EXPECT = {
     # IVF centroid/probe broadcast crosses of tiny sides (the ivf_topk
     # convention) + the PQ ADC scan + the exact-baseline subtree
     "ivfpq_topk_recall": (2, True, True),
+    # same crosses as ivfpq_topk_recall; the re-rank stage itself is
+    # equi-joins only (candidates ⋈ float vectors ⋈ broadcast queries)
+    "ivfpq_rerank_recall": (2, True, True),
     "repeated_span_removal": (2, False, False),
     "collocation_pmi": (1, False, True),  # 1-row bigram-total N broadcast: intended
     "source_overlap_matrix": (2, False, False),
