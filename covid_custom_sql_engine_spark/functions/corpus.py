@@ -938,3 +938,62 @@ def repeated_token_spans(
         )
         .select(id_col, "span_start", "span_end", "span_tokens")
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXECUTE a :func:`repeated_token_spans` edit plan: rebuild each
+    document's text with the cut token ranges removed — the step that
+    turns the Lee et al. 2022 (arXiv:2107.06499) removal plan into a
+    cleaned corpus. Returns (id, text_clean, n_tokens, n_kept, n_cut)
+    for EVERY input document (documents with no spans pass through with
+    n_cut = 0; text is re-emitted in canonical single-space form, the
+    tokenizer's domain).
+
+    Plan shape: the spans collapse to one array per document (a hash
+    aggregate bounded by document length — a document can hold at most
+    n_tokens/k disjoint spans), equi-join onto the corpus, then a pure
+    per-row higher-order ``filter`` drops tokens whose 1-based position
+    falls inside any [span_start, span_end) — no UDF, no extra shuffle
+    beyond the one equi-join, so applying an edit plan to a 100 TB
+    corpus costs one join and one map pass. Token positions follow the
+    1-based / end-exclusive convention of the plan producer.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_toks")).join(
+        sp, id_col, "left"
+    )
+    # coverage is order-independent, so the collect_list order (which
+    # is partition-dependent) never affects the result
+    cut = F.filter(
+        "_toks",
+        lambda x, i: F.exists(
+            "_spans",
+            lambda s: (s["span_start"] <= i + 1) & (i + 1 < s["span_end"]),
+        ),
+    )
+    kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            "_toks",
+            lambda x, i: ~F.exists(
+                "_spans",
+                lambda s: (s["span_start"] <= i + 1) & (i + 1 < s["span_end"]),
+            ),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.when(F.col("_spans").isNull(), F.lit(0))
+        .otherwise(F.size(cut))
+        .cast("bigint")
+        .alias("n_cut"),
+    )

@@ -5637,10 +5637,11 @@ def repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "repeated_span_removal",
-    oracle=f"""
-    WITH nz AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+# The shared span-detection CTE chain (8-token shared grams → marked
+# positions → gaps-and-islands merge) — used by repeated_span_removal
+# (the edit PLAN) and repeated_span_apply (the plan EXECUTED), so the
+# two oracles derive spans identically and cannot drift.
+_SQL_SPAN_CTES = f"""nz AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
                 WHERE len({_SQL_TOKS}) >= 8),
     g AS (SELECT doc_id, s AS p,
                  md5(array_to_string(list_slice(toks, s, s + 7), ' ')) AS fp
@@ -5654,7 +5655,13 @@ def repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     isl AS (SELECT doc_id, p,
                    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
                                   ROWS UNBOUNDED PRECEDING) AS island
-            FROM fl)
+            FROM fl)"""
+
+
+@query(
+    "repeated_span_removal",
+    oracle=f"""
+    WITH {_SQL_SPAN_CTES}
     SELECT doc_id, min(p)::BIGINT AS span_start,
            (max(p) + 8)::BIGINT AS span_end,
            (max(p) + 8 - min(p))::BIGINT AS span_tokens
@@ -5676,6 +5683,43 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics test)."""
     d = parallelize_small(load_table(spark, sf_dir, "documents"))
     return cp.repeated_token_spans(d, k=8)
+
+
+@query(
+    "repeated_span_apply",
+    oracle=f"""
+    WITH {_SQL_SPAN_CTES},
+    spans AS (SELECT doc_id, min(p) AS span_start, max(p) + 8 AS span_end
+              FROM isl GROUP BY doc_id, island),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tk
+            FROM t),
+    keep AS (SELECT tok.doc_id, tok.i, tok.tk FROM tok
+             WHERE NOT EXISTS (SELECT 1 FROM spans s
+                               WHERE s.doc_id = tok.doc_id
+                                 AND s.span_start <= tok.i AND tok.i < s.span_end))
+    SELECT t.doc_id,
+           coalesce(string_agg(keep.tk, ' ' ORDER BY keep.i), '') AS text_clean,
+           len(t.toks)::BIGINT AS n_tokens,
+           count(keep.i)::BIGINT AS n_kept,
+           (len(t.toks) - count(keep.i))::BIGINT AS n_cut
+    FROM t LEFT JOIN keep ON t.doc_id = keep.doc_id
+    GROUP BY t.doc_id, len(t.toks)
+    """,
+)
+def repeated_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-2022 loop CLOSED from detection to a cleaned corpus:
+    repeated_token_spans produces the per-document edit plan and
+    corpus.remove_spans executes it — every document comes back with
+    its cross-document repeated spans cut and the text rebuilt from
+    the kept tokens (canonical single-space form), plus kept/cut token
+    accounting. Documents with no repeated spans pass through with
+    n_cut = 0. Executing the plan is one equi-join (plan ⋈ corpus) and
+    one higher-order-filter map pass — no UDF, so cleaning a 100 TB
+    corpus costs one join beyond the detection it already ran."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    spans = cp.repeated_token_spans(d, k=8)
+    return cp.remove_spans(d, spans)
 
 
 @query(

@@ -217,6 +217,7 @@ EXPECT = {
     # equi-joins only (candidates ⋈ float vectors ⋈ broadcast queries)
     "ivfpq_rerank_recall": (2, True, True),
     "repeated_span_removal": (2, False, False),
+    "repeated_span_apply": (2, False, False),
     "collocation_pmi": (1, False, True),  # 1-row bigram-total N broadcast: intended
     "source_overlap_matrix": (2, False, False),
     "corpus_curation_pipeline": (2, False, False),
