@@ -421,6 +421,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("expected marker")
+        # T.81 B.1.1.2: any marker may be preceded by optional fill
+        # bytes (repeated 0xFF) — skip them so conforming streams from
+        # other encoders don't misparse 0xFF as the marker id
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -13,7 +13,9 @@ is real and tested. Codecs come in two tiers:
   T.81 baseline path) and 8-bit **PNG** via :mod:`.png_codec`
   (stdlib-zlib DEFLATE + all five scanline filters, CRC-verified,
   lossless), with real nearest-neighbor resize and real audio
-  statistics on the decoded samples;
+  statistics on the decoded samples; **y4m video** decodes C444 AND
+  the subsampled 4:2:0 / 4:2:2 layouts that carry most real-world
+  video (nearest-neighbor chroma upsampling in ``decode_y4m``);
 - remaining compressed formats raise ``NotImplementedError`` from
   ``decode_image``/``decode_audio``. ADR (final): **MP3/AAC/H.264**
   stay integration points permanently — a conforming decoder
@@ -424,12 +426,16 @@ def synth_png_media(
 def decode_y4m(payload: bytes) -> tuple["np.ndarray", int, int]:
     """REAL decoder for YUV4MPEG2 (y4m) uncompressed video, the public
     interchange format of the mjpegtools suite: ASCII stream header
-    ``YUV4MPEG2 W<w> H<h> F<num>:<den> ... [C444]``, then per frame an
-    ASCII ``FRAME`` line followed by the raw planes. C444 (one full
-    Y/Cb/Cr byte per pixel per plane) decodes in-container; subsampled
-    C420/C422 raise ``NotImplementedError`` (the chroma-upsampling
-    integration point). Returns (frames as (n, h, w, 3) uint8 in
-    Y/Cb/Cr plane order, fps_num, fps_den)."""
+    ``YUV4MPEG2 W<w> H<h> F<num>:<den> ... [C<space>]``, then per frame
+    an ASCII ``FRAME`` line followed by the raw planes. C444 reads one
+    full Y/Cb/Cr byte per pixel per plane; the subsampled layouts that
+    carry most real-world video — 4:2:0 (all siting variants: C420,
+    C420jpeg, C420mpeg2, C420paldv) and 4:2:2 — decode via
+    nearest-neighbor chroma upsampling (each chroma sample replicated
+    over its 2×2 / 2×1 luma block; chroma SITING only distinguishes the
+    variants under interpolating filters, so NN treats them uniformly).
+    Returns (frames as (n, h, w, 3) uint8 in Y/Cb/Cr plane order,
+    fps_num, fps_den)."""
     if not payload.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 payload")
     eol = payload.index(b"\n")
@@ -449,19 +455,41 @@ def decode_y4m(payload: bytes) -> tuple["np.ndarray", int, int]:
             colorspace = "C" + v
     if None in (w, h, num, den):
         raise ValueError("missing W/H/F in y4m stream header")
-    if colorspace != "C444":
-        raise NotImplementedError("only C444 y4m decodes in-container (no upsampler)")
-    plane, pos, frames = w * h, eol + 1, []
+    if colorspace == "C444":
+        cw, ch = w, h
+    elif colorspace in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        if w % 2 or h % 2:
+            raise ValueError(f"4:2:0 needs even dimensions, got {w}x{h}")
+        cw, ch = w // 2, h // 2
+    elif colorspace == "C422":
+        if w % 2:
+            raise ValueError(f"4:2:2 needs even width, got {w}")
+        cw, ch = w // 2, h
+    else:
+        # interlaced/alpha/mono layouts: out of scope for the baseline
+        # decoder (same ADR boundary as compressed codecs)
+        raise NotImplementedError(f"unsupported y4m colorspace {colorspace}")
+    yplane, cplane = w * h, cw * ch
+    fbytes, pos, frames = yplane + 2 * cplane, eol + 1, []
     while pos < len(payload):
         feol = payload.index(b"\n", pos)
         if payload[pos:feol].split(b" ")[0] != b"FRAME":
             raise ValueError("expected FRAME header")
         pos = feol + 1
-        if pos + 3 * plane > len(payload):
+        if pos + fbytes > len(payload):
             raise ValueError("truncated frame data")
-        raw = np.frombuffer(payload, np.uint8, count=3 * plane, offset=pos)
-        frames.append(raw.reshape(3, h, w).transpose(1, 2, 0))
-        pos += 3 * plane
+        yv = np.frombuffer(payload, np.uint8, count=yplane, offset=pos).reshape(h, w)
+        cb = np.frombuffer(
+            payload, np.uint8, count=cplane, offset=pos + yplane
+        ).reshape(ch, cw)
+        cr = np.frombuffer(
+            payload, np.uint8, count=cplane, offset=pos + yplane + cplane
+        ).reshape(ch, cw)
+        if (cw, ch) != (w, h):  # nearest-neighbor chroma upsample
+            cb = cb.repeat(h // ch, axis=0).repeat(w // cw, axis=1)
+            cr = cr.repeat(h // ch, axis=0).repeat(w // cw, axis=1)
+        frames.append(np.stack([yv, cb, cr], axis=-1))
+        pos += fbytes
     if not frames:
         raise ValueError("y4m stream has no FRAME sections")
     return np.stack(frames), num, den
@@ -473,17 +501,37 @@ def synth_y4m_media(
     w: int = 8,
     h: int = 6,
     n_frames: int = 6,
+    colorspace: str = "C444",
 ) -> DataFrame:
-    """Deterministic y4m (C444, 4:1 fps) payload per id — plane p of
-    frame t at (x, y) is ``(id·7 + x·3 + y·5 + p·11 + 97·(t//3)) mod
-    256``: frames 0-2 are one scene, frames 3-5 another (every pixel
-    shifts by +97 mod 256 at the cut), giving the scene-change detector
-    a closed-form ground truth. The video sibling of synth_ppm_media —
-    real container format, real per-frame decode downstream."""
+    """Deterministic y4m (4:1 fps) payload per id — plane p of frame t
+    at plane-local (x, y) is ``(id·7 + x·3 + y·5 + p·11 + 97·(t//3))
+    mod 256``: frames 0-2 are one scene, frames 3-5 another (every
+    pixel shifts by +97 mod 256 at the cut), giving the scene-change
+    detector a closed-form ground truth. ``colorspace`` picks the
+    chroma layout: C444 writes full-resolution chroma planes; C420 /
+    C422 write the formula on the subsampled chroma grid (so after the
+    decoder's nearest-neighbor upsample, full-res chroma at (x, y) is
+    the formula at (x//2, y//2) — still closed-form). The video sibling
+    of synth_ppm_media — real container format, real per-frame decode
+    downstream."""
+    if colorspace == "C444":
+        cw, ch = w, h
+    elif colorspace == "C420":
+        cw, ch = w // 2, h // 2
+    elif colorspace == "C422":
+        cw, ch = w // 2, h
+    else:
+        raise ValueError(f"synth colorspace must be C444/C420/C422, got {colorspace}")
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        header = b"YUV4MPEG2 W%d H%d F4:1 Ip A1:1 C444\n" % (w, h)
+        header = b"YUV4MPEG2 W%d H%d F4:1 Ip A1:1 %s\n" % (
+            w,
+            h,
+            colorspace.encode(),
+        )
         ys, xs = np.mgrid[0:h, 0:w]
+        cys, cxs = np.mgrid[0:ch, 0:cw]
+        grids = [(xs, ys), (cxs, cys), (cxs, cys)]
         for pdf in batches:
             rows = []
             for mid in pdf[id_col]:
@@ -491,9 +539,9 @@ def synth_y4m_media(
                 buf = bytearray(header)
                 for t in range(n_frames):
                     buf += b"FRAME\n"
-                    for p in range(3):
+                    for p, (gx, gy) in enumerate(grids):
                         buf += (
-                            (i * 7 + xs * 3 + ys * 5 + p * 11 + 97 * (t // 3)) % 256
+                            (i * 7 + gx * 3 + gy * 5 + p * 11 + 97 * (t // 3)) % 256
                         ).astype(np.uint8).tobytes()
                 rows.append({"media_id": i, "payload": bytes(buf)})
             yield pd.DataFrame(rows)
@@ -584,18 +632,29 @@ def synth_square_wav_media(
     return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
 
 
-def audio_spectrum_features(df: DataFrame) -> DataFrame:
+def audio_spectrum_features(df: DataFrame, fft: bool = False) -> DataFrame:
     """REAL spectral analysis over WAV payloads via mapInPandas: decode,
-    direct DFT power at bins 1..n/2 (two (n/2, n) cos/sin matrix
-    products per document — explicit summation, no FFT dependency), and
-    the argmax bin — the dominant-frequency detector an audio curation
-    pipeline uses for tone/silence/voicedness screening. Only the bin
-    ARGMAX and its exact-arithmetic frequency cross the comparison
-    boundary (float DFT power stays internal), so a SQL oracle
-    computing the same spectrum with its own libm reaches the same
-    answer: 1-ulp sin/cos differences cannot flip an argmax whose
-    fundamental-vs-harmonic ratio is ≥ 3×. Ties (exactly-equal powers)
-    break toward the lower bin on both sides."""
+    power spectrum at bins 1..n/2, and the argmax bin — the
+    dominant-frequency detector an audio curation pipeline uses for
+    tone/silence/voicedness screening. Two execution modes, one
+    contract:
+
+    - ``fft=False`` (the ORACLE mode): direct DFT — two (n/2, n)
+      cos/sin matrix products per same-length group, explicit
+      summation. O(n²) per document, exact cross-engine arithmetic: a
+      SQL oracle computing the same spectrum with its own libm reaches
+      the same argmax (1-ulp sin/cos differences cannot flip an argmax
+      whose fundamental-vs-harmonic power ratio is ≥ 3×).
+    - ``fft=True`` (the PRODUCTION mode): ``numpy.fft.rfft`` — O(n log
+      n), the path for real minutes-long 44.1 kHz clips where the
+      direct matrices would be ~10¹⁰ ops/doc. Same bins, same power
+      definition (|X_b|² = re² + im²), same lower-bin tie-break via the
+      identical argmax; only summation ORDER differs, which cannot move
+      a dominant bin with any real spectral margin.
+
+    Only the bin ARGMAX and its exact-arithmetic frequency cross the
+    comparison boundary (float power stays internal). Ties
+    (exactly-equal powers) break toward the lower bin in both modes."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # (cos, sin) DFT matrices memoized per sample count: one pair of
@@ -625,18 +684,22 @@ def audio_spectrum_features(df: DataFrame) -> DataFrame:
             for pos, (_, _, v) in enumerate(decoded):
                 by_n.setdefault(len(v), []).append(pos)
             for n, idxs in by_n.items():
-                if n not in mats:
-                    ang = (
-                        2.0
-                        * np.pi
-                        * np.arange(1, n // 2 + 1)[:, None]
-                        * np.arange(n)[None, :]
-                        / n
-                    )
-                    mats[n] = (np.cos(ang).T, np.sin(ang).T)
-                cosm, sinm = mats[n]
                 vmat = np.stack([decoded[i][2] for i in idxs])
-                power = (vmat @ cosm) ** 2 + (vmat @ sinm) ** 2
+                if fft:
+                    spec = np.fft.rfft(vmat, axis=1)[:, 1 : n // 2 + 1]
+                    power = spec.real**2 + spec.imag**2
+                else:
+                    if n not in mats:
+                        ang = (
+                            2.0
+                            * np.pi
+                            * np.arange(1, n // 2 + 1)[:, None]
+                            * np.arange(n)[None, :]
+                            / n
+                        )
+                        mats[n] = (np.cos(ang).T, np.sin(ang).T)
+                    cosm, sinm = mats[n]
+                    power = (vmat @ cosm) ** 2 + (vmat @ sinm) ** 2
                 bests = power.argmax(axis=1) + 1
                 for i, best in zip(idxs, bests):
                     mid, rate, _ = decoded[i]

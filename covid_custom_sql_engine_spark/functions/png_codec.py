@@ -105,6 +105,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     chans = 0
     while pos < len(payload):
         size = int.from_bytes(payload[pos : pos + 4], "big")
+        # bounds-check BEFORE slicing: a truncated stream would otherwise
+        # yield a short body/CRC slice and surface as a misleading
+        # 'bad CRC' instead of the real problem
+        if pos + 12 + size > len(payload):
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + size]
         crc = int.from_bytes(payload[pos + 8 + size : pos + 12 + size], "big")

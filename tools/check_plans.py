@@ -206,6 +206,7 @@ EXPECT = {
     "jpeg_stats_real": (1, False, False),
     "png_stats_real": (1, False, False),
     "video_stats_real": (1, False, False),
+    "video_stats_c420": (1, False, False),
     "audio_spectrum_real": (1, False, False),
     # ADC scan = codes crossJoin broadcast 5-row query set (the
     # cosine_topk baseline convention) + the exact-baseline subtree
