@@ -74,13 +74,23 @@ HEADLINE = [
     "dedup_representative",
     "zipf_slope",
     "corpus_curation_pipeline",
-    # round 6 additions: the k~sqrt(N) SemDeDup configuration (the
-    # sub-quadratic scale path, benchable against the pinned-k row
-    # above) and the skew-gated incremental ingest loop
-    "kmeans_semdedup_scaled",
+    # round 6 addition: the skew-gated incremental ingest loop
     "guarded_incremental_dedup",
+]
+
+# Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):
+# the deliberately-heavy configurations — k≈√N SemDeDup and the
+# PQ/IVFADC recall audits whose cost is dominated by also running the
+# brute-force float baseline. Kept OUT of the steady-state headline so
+# one environment-drift on a 15 s query can no longer swamp the
+# round-over-round signal of the 40-query suite (the way r3→r4 drift
+# did); reported as a second metric inside the same JSON line.
+SCALE_REHEARSAL = [
+    "kmeans_semdedup_scaled",
     "pq_topk_recall",
     "ivfpq_topk_recall",
+    # round 7: the exact re-rank third stage of the IVFADC stack
+    "ivfpq_rerank_recall",
 ]
 
 
@@ -111,24 +121,32 @@ def main() -> None:
     qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        runs, max_runs = 0, 3
-        while runs < max_runs:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = min(best, dt)
-            runs += 1
-            if runs == 1 and dt < 2.0:
-                max_runs = 4  # overhead-dominated: let the JIT converge
-        timings[name] = round(best, 4)
-        total += best
+    def run_suite(names: list[str]) -> tuple[dict[str, float], float]:
+        timings: dict[str, float] = {}
+        total = 0.0
+        for name in names:
+            fn = qs[name]
+            best = float("inf")
+            runs, max_runs = 0, 3
+            while runs < max_runs:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = min(best, dt)
+                runs += 1
+                if runs == 1 and dt < 2.0:
+                    max_runs = 4  # overhead-dominated: let the JIT converge
+            timings[name] = round(best, 4)
+            total += best
+        return timings, total
 
+    timings, total = run_suite(HEADLINE)
+    r_timings, r_total = run_suite(SCALE_REHEARSAL)
+
+    # ONE JSON line (the driver contract): the primary metric is the
+    # steady-state headline; the heavy scale-rehearsal configurations
+    # ride along as a second metric under their own key.
     print(
         json.dumps(
             {
@@ -137,6 +155,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "scale_rehearsal": {
+                    "metric": "scale_rehearsal_total_runtime",
+                    "value": round(r_total, 4),
+                    "unit": "sec",
+                    "queries": r_timings,
+                },
             }
         )
     )

@@ -8252,77 +8252,26 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- ROUND 6 WINDOW (first 50 = the driver's official check set) ----
+    # ---- ROUND 7 WINDOW (first 50 = the driver's official check set) ----
     # flagship first — it's also the entry() smoke query
     "flagship_revenue_by_nation",
-    # --- NEW in round 6: the closed skew-gated ingest loop and the
-    # scale-parameterized (k~sqrt N, max_cell-capped) SemDeDup — the
-    # r5 VERDICT's items #5 and #2 ---
-    "guarded_incremental_dedup",
-    "kmeans_semdedup_scaled",
-    # --- the 22 r1-stale queries (r5 VERDICT item #1): the everyday
-    # SQL surface whose official rows are 5 rounds old ---
-    "semi_join",
-    "anti_join",
-    "setop_union",
-    "setop_intersect",
-    "setop_except",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets",
-    "window_running_sum",
-    "window_functions",
-    "scalar_functions",
-    "datetime_functions",
-    "percentiles",
-    "text_profile",
-    "lang_id",
-    "dedup_exact",
-    "simhash",
-    "embedding_norms",
-    "cosine_topk",
-    "cosine_near_dups",
-    "multimodal_features",
-    "frame_sample_plan",
-    # --- r5 regression sentinels (fresh green rows; the kmeans pair
-    # also anchors the scaled variant's comparison) ---
-    "kmeans_semdedup",
-    "corpus_curation_pipeline",
-    "dedup_representative",
-    # --- 15 of the 44 r2-stale queries, oldest-first refresh: the
-    # stale Section-2 rows (locf/rolling/lagged-corr) plus the
-    # temporal-join / ANN / streaming families (4 planned picks were
-    # displaced by the late real-codec/PQ additions; they lead the parked
-    # list below for round 7) ---
-    "locf_fill",
-    "rolling_avg_7",
-    "lagged_corr_best",
-    "asof_join",
-    "asof_join_forward_tol",
+    # --- NEW in round 7 (never driver-checked): the exact re-rank
+    # third stage of the IVFADC retrieval stack, the span edit plan
+    # EXECUTED (Lee-2022 loop closed), and the 4:2:0 chroma-upsampled
+    # video decode ---
+    "ivfpq_rerank_recall",
+    "repeated_span_apply",
+    "video_stats_c420",
+    # --- touched by this round's kmeans broadcast-assignment rewrite
+    # (plan changed materially; values proven bit-identical locally but
+    # the official rows must re-earn under the driver) ---
     "kmeans_step",
-    "ivf_topk",
-    "lsh_topk",
-    "pca_power_step",
-    "ngram_jaccard_pairs",
-    "tumbling_window",
-    "sliding_window",
-    "session_window",
-    "stateful_running_total",
-    "stream_static_join",
-    # --- NEW in round 6 (late additions): the real compressed-codec
-    # round-trips through the pure-numpy baseline JPEG decoder and the
-    # zlib-backed PNG decoder ---
-    "jpeg_stats_real",
-    "png_stats_real",
-    "video_stats_real",
-    "audio_spectrum_real",
-    "pq_topk_recall",
-    "ivfpq_topk_recall",
-    "repeated_span_removal",
-    # ---------------- out-of-window below this line ----------------
-    # parked in priority order for the round-7 refresh: the remaining
-    # 22 r2-stale queries (every other registered query's latest
-    # official row is r3+ and all are re-verified locally each round)
+    "kmeans_semdedup",
+    "kmeans_semdedup_scaled",
+    # --- the full 29-query r2-stale slice (r6 VERDICT item #2): the
+    # MERGE/SCD2/as-of/range-join/sampling/sessionization surface an
+    # incremental-pipeline user exercises daily, in the parked order
+    # round 6 left behind ---
     "dataset_split",
     "exact_medians_scalable",
     "range_join_bands",
@@ -8352,28 +8301,73 @@ _DRIVER_WINDOW_PRIORITY = [
     "udtf_tokens",
     "unigram_logprob",
     "winnow_pairs",
+    # --- 14 of the 40 r3-stale queries, oldest-first (their r3 check
+    # order): distributed ranking, sampling/diff shapes, and the first
+    # TPC-H cohort ---
+    "global_rank_orders",
+    "equidepth_histogram",
+    "incremental_dedup_pairs",
+    "negative_samples",
+    "interevent_gap_percentiles",
+    "snapshot_diff",
+    "tpch_q3_shipping_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
+    # ---------------- out-of-window below this line ----------------
+    # parked in priority order for the round-8 refresh: the remaining
+    # 26 r3-stale queries, oldest-first (every other registered query's
+    # latest official row is r4+ and all are re-verified locally each
+    # round)
+    "cms_heavy_hitters",
+    "hll_distinct_orders",
+    "zorder_cluster_stats",
+    "minhash_accuracy",
+    "windowed_hll_users",
+    "length_bucket_stats",
+    "key_skew_profile",
+    "int8_topk_recall",
+    "sql_surface",
+    "chi_square_flags",
+    "frequent_part_pairs",
+    "ols_trend_by_type",
+    "weighted_sample_docs",
+    "ann_recall",
+    "topn_per_group",
+    "rolling_zscore_anomalies",
+    "window_distinct_users",
+    "attribution_left",
+    "levenshtein_pairs",
+    "join_full_outer",
+    "subquery_exists_cte",
+    "stratified_sample",
+    "redact_pii",
+    "repetition_ratio",
+    "column_profile",
+    "winnow_fingerprint",
 ]
 
 
 # The window rotates each round so every query eventually earns an
-# official driver row. Round-6 composition (exactly 50): the flagship
-# sentinel; the 9 queries NEW in r6 (skew-gated ingest, k~sqrt(N)
-# SemDeDup, PQ/ADC + IVFADC recall, repeated-span removal, and the
-# four real-codec/feature round-trips
-# jpeg/png/video/audio-spectrum —
-# never-checked beats stale-refresh, the r5 precedent); the full
-# 22-query r1-stale slice the r5 verdict demanded (set ops,
-# window/scalar/datetime functions, percentiles, text/dedup/ANN/
-# multimodal basics); 3 r5-green regression sentinels (kmeans_semdedup
-# anchors the scaled variant's comparison); and 15 of the 44 r2-stale
-# queries, oldest-first (the three stale Section-2 rows first). The
-# displaced r2-stale entries (dataset_split, exact_medians_scalable,
-# range_join_bands, salted_join, interval_overlap_join, scd2_intervals,
-# merge_upsert) lead the parked list for the round-7 refresh.
-# Everything below the out-of-window line holds an r1-r5 green row and
+# official driver row. Round-7 composition (exactly 50): the flagship
+# sentinel; the 3 queries NEW in r7 (IVFADC exact re-rank, span-plan
+# apply, C420 video — never-checked beats stale-refresh, the r5/r6
+# precedent); the 3 kmeans-family queries whose assignment plan was
+# rewritten this round (broadcast struct-max argmax — values proven
+# bit-identical locally, but a materially-changed plan re-earns its
+# official row); the FULL 29-query r2-stale slice the r6 verdict
+# demanded (MERGE, SCD2, as-of/range joins, sampling, sessionization,
+# corpus-prep); and the oldest 14 of the 40-query r3-stale cohort
+# (distributed ranking + the first TPC-H block). The remaining 26
+# r3-stale queries are parked in refresh order for round 8.
+# Everything below the out-of-window line holds an r1-r6 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (206 registered; all 206 re-verified at sf0.001, sf0.01 AND sf0.1
-# this round).
+# (209 registered; all re-verified at sf0.01 this round, plus sf0.001
+# and sf0.1 spot-checks on new/touched queries).
 
 
 def _reorder_registry() -> None:

@@ -30,29 +30,33 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 6: the nine queries new this round (never driver-checked),
-    # the full 22-query r1-stale slice (set ops, window/scalar/datetime
-    # functions, percentiles, simhash, cosine search, multimodal), and
-    # the oldest 15 of the r2-stale backlog (no new never-checked
-    # backlog may form)
+    # round 7: the three queries new this round (never driver-checked),
+    # the three kmeans-family queries whose assignment plan was
+    # rewritten (broadcast struct-max argmax), the FULL 29-query
+    # r2-stale slice (MERGE/SCD2/as-of/range joins, sampling,
+    # sessionization — r6 VERDICT item #2), and the oldest 14 of the
+    # r3-stale cohort (no new never-checked backlog may form)
     assert {
         # new this round
-        "guarded_incremental_dedup", "kmeans_semdedup_scaled",
-        "jpeg_stats_real", "png_stats_real", "video_stats_real",
-        "audio_spectrum_real", "pq_topk_recall", "ivfpq_topk_recall",
-        "repeated_span_removal",
-        # the 22 r1-stale queries (r5 VERDICT item #1)
-        "semi_join", "anti_join", "setop_union", "setop_intersect",
-        "setop_except", "rollup_agg", "cube_agg", "grouping_sets",
-        "window_running_sum", "window_functions", "scalar_functions",
-        "datetime_functions", "percentiles", "text_profile", "lang_id",
-        "dedup_exact", "simhash", "embedding_norms", "cosine_topk",
-        "cosine_near_dups", "multimodal_features", "frame_sample_plan",
-        # r5 regression sentinels
-        "flagship_revenue_by_nation", "kmeans_semdedup",
-        "corpus_curation_pipeline", "dedup_representative",
-        # stale §2 rows from the r2 slice
-        "locf_fill", "rolling_avg_7", "lagged_corr_best",
+        "ivfpq_rerank_recall", "repeated_span_apply", "video_stats_c420",
+        # touched by the kmeans broadcast-assignment rewrite
+        "kmeans_step", "kmeans_semdedup", "kmeans_semdedup_scaled",
+        # the 29 r2-stale queries (r6 VERDICT item #2)
+        "dataset_split", "exact_medians_scalable", "range_join_bands",
+        "salted_join", "interval_overlap_join", "scd2_intervals",
+        "merge_upsert", "approx_distinct_parts", "attribution_join",
+        "bpe_pair_counts", "chunk_documents", "corpus_filter_pipeline",
+        "debounce_events", "decontaminate_ngrams", "demo_showcase",
+        "embedding_quantize_int8", "event_transitions", "funnel_steps",
+        "hourly_spine_zero_fill", "quota_sample", "range_window_rolling",
+        "retention_cohorts", "session_ids", "synth_source_agg",
+        "tfidf_top_terms", "time_weighted_avg", "udtf_tokens",
+        "unigram_logprob", "winnow_pairs",
+        # oldest r3-stale refresh (first TPC-H cohort + ranking)
+        "global_rank_orders", "equidepth_histogram",
+        "tpch_q3_shipping_priority", "tpch_q22_idle_customers",
+        # pinned sentinel
+        "flagship_revenue_by_nation",
     } <= window
 
 
