@@ -185,22 +185,31 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cents = F.broadcast(label_centroids(embeddings, label_col, vec_col))
+    cents = label_centroids(embeddings, label_col, vec_col)
 
     def nearest_cells(df, vcol, n):
+        # query-side top-n probe: the window is fine here — it only ever
+        # sees |queries|×cells rows (the tiny side)
         w = Window.partitionBy("_rid").orderBy(F.col("_d").asc(), F.col("cell").asc())
         return (
-            df.crossJoin(cents)
+            df.crossJoin(F.broadcast(cents))
             .withColumn("_d", -cosine(F.col(vcol), F.col("_cv")))
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n)
             .drop("_cv", "_d", "_rn")
         )
 
-    corpus = embeddings.select(
-        F.col(id_col), as_double(vec_col).alias("_cvec")
-    ).withColumn("_rid", F.col(id_col))
-    corpus_cells = nearest_cells(corpus, "_cvec", 1).drop("_rid")
+    # corpus-side cell assignment: the zero-shuffle HOF argmax over the
+    # 1-row broadcast centroid array (r7 — previously an N×cells
+    # crossJoin funneled through a per-vector row_number window). The
+    # `-cosine ASC` ordering above equals `sim DESC NULLS FIRST`
+    # (Spark ASC default is NULLS FIRST), which is nulls_first=True in
+    # similarity space — the oracle's exact wording.
+    corpus_cells = _assign_nearest(
+        embeddings.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")),
+        cents,
+        nulls_first=True,
+    ).select(F.col("_id").alias(id_col), F.col("_v").alias("_cvec"), "cell")
 
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
@@ -222,7 +231,9 @@ def ivf_topk(
     )
 
 
-def _assign_nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_nearest(
+    vecs: DataFrame, cents: DataFrame, nulls_first: bool = False
+) -> DataFrame:
     """Assign every ``(_id, _v)`` vector to its most-cosine-similar
     centroid from the (cell, _cv) table → (_id, cell, _v).
 
@@ -232,9 +243,13 @@ def _assign_nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     scores all k centroids inside a single higher-order expression:
     ``array_max(transform(cents, c → struct(sim, -cell)))`` is the
     lexicographic argmax — highest similarity, ties to the smallest
-    cell id, NULL similarity losing to any value — the exact ordering
-    of the oracles' ``ORDER BY sim DESC, cell ASC`` (DuckDB's DESC
-    default is NULLS LAST). Assignment therefore adds NO shuffle and no
+    cell id — the exact ordering of the oracles' ``ORDER BY sim DESC,
+    cell ASC``. NULL-similarity placement is caller-chosen to mirror
+    each oracle's wording: the default mirrors plain ``DESC`` (DuckDB
+    NULLS LAST — NULL loses, the structs' native comparison);
+    ``nulls_first=True`` mirrors an explicit ``DESC NULLS FIRST``
+    (semdedup/IVF assignment) by prefixing the sort key with an
+    is-null flag so a NULL similarity outranks any value. Assignment therefore adds NO shuffle and no
     N·k row materialization (a per-row argmax over broadcast DATA, the
     execution profile of the old literal-inlined shape) while the plan
     stays O(1) size in k — unlike inlined literals (O(k·dim) plan
@@ -261,17 +276,27 @@ def _assign_nearest(vecs: DataFrame, cents: DataFrame) -> DataFrame:
         )
     )
     denom = lambda c: F.col("_vn") * c["_cn"]  # noqa: E731
-    best = F.array_max(
-        F.transform(
-            "_cents",
-            lambda c: F.struct(
-                F.when(denom(c) > 0, dot(F.col("_v"), c["_cv"]) / denom(c)).alias(
-                    "_sim"
-                ),
-                (-c["cell"]).cast("long").alias("_negc"),
+    sim = lambda c: F.when(  # noqa: E731
+        denom(c) > 0, dot(F.col("_v"), c["_cv"]) / denom(c)
+    )
+    # score once per candidate (one dot fold each), THEN optionally wrap
+    # with the is-null flag — keeps the expensive fold single-evaluated
+    scored = F.transform(
+        "_cents",
+        lambda c: F.struct(
+            sim(c).alias("_sim"), (-c["cell"]).cast("long").alias("_negc")
+        ),
+    )
+    if nulls_first:
+        scored = F.transform(
+            scored,
+            lambda t: F.struct(
+                t["_sim"].isNull().cast("int").alias("_nf"),
+                t["_sim"].alias("_sim"),
+                t["_negc"].alias("_negc"),
             ),
         )
-    )
+    best = F.array_max(scored)
     return (
         vecs.withColumn("_vn", norm(F.col("_v")))
         .crossJoin(cents_arr)
@@ -602,40 +627,42 @@ def semdedup_prune(
     Output: (id, cell, dropped, dup_of) — one row per vector; dup_of
     is the smallest-id duplicate partner (NULL for survivors).
     """
-    from pyspark.sql import Window
-
     # default cells: per-label means (the deterministic stand-in);
     # production path: pass trained kmeans_centroids(...) output.
-    cents = F.broadcast(
+    cents = (
         centroids
         if centroids is not None
         else label_centroids(embeddings, label_col, vec_col)
     )
-    # NULLS FIRST matches the SQL oracle's `DESC NULLS FIRST` (a NULL
-    # similarity only arises for zero-norm vectors; aligning the order
-    # keeps even that degenerate case engine-identical)
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_sim").desc_nulls_first(), F.col("cell").asc()
-    )
+    # nulls_first=True mirrors the SQL oracle's `DESC NULLS FIRST` (a
+    # NULL similarity only arises for zero-norm vectors; aligning the
+    # order keeps even that degenerate case engine-identical). The
+    # assignment is the zero-shuffle HOF argmax over the 1-row broadcast
+    # centroid array (r7 — previously an N×cells crossJoin funneled
+    # through a per-vector row_number window, an N·k-row exchange that
+    # grows to N^1.5 rows at the k ≈ √N production configuration).
     assigned = (
-        embeddings.select(F.col(id_col), as_double(vec_col).alias("_v"))
-        .crossJoin(cents)
-        .withColumn("_sim", cosine(F.col("_v"), F.col("_cv")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        _assign_nearest(
+            embeddings.select(
+                F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+            ),
+            cents,
+            nulls_first=True,
+        )
         # norm computed ONCE per vector here; the pair step below then
         # costs one dot product per pair instead of three (dot + both
         # norms) — measured 3× on the intra-cell comparison stage. The
         # arithmetic stays dot/(na·nb), identical to the oracle's
         # expression tree, so values are bit-equal.
-        .select(id_col, "cell", "_v", norm(F.col("_v")).alias("_n"))
-        # The assignment subtree (N×cells crossJoin + per-vector argmax
-        # window) has THREE consumers below — both self-join branches and
-        # the final join-back — and Spark re-executes a subtree per
-        # consumer. Pin it so assignment computes once (same lazy-
-        # checkpoint pattern as dedup.candidate_pairs_from_bands'
-        # predrop mode; blocks freed by the ContextCleaner). Measured
-        # 3.6 s → ~1.6 s at sf0.1.
+        .select(
+            F.col("_id").alias(id_col), "cell", "_v", norm(F.col("_v")).alias("_n")
+        )
+        # The assignment subtree has THREE consumers below — both
+        # self-join branches and the final join-back — and Spark
+        # re-executes a subtree per consumer. Pin it so assignment
+        # computes once (same lazy-checkpoint pattern as
+        # dedup.candidate_pairs_from_bands' predrop mode; blocks freed
+        # by the ContextCleaner). Measured 3.6 s → ~1.6 s at sf0.1.
         .localCheckpoint(eager=False)
     )
     pair_src = assigned
@@ -877,19 +904,17 @@ def ivfpq_topk(
     oracle is exact."""
     from pyspark.sql import Window
 
-    cents = F.broadcast(label_centroids(embeddings, label_col, vec_col))
+    cents = label_centroids(embeddings, label_col, vec_col)
     cbs = pq_codebooks(embeddings, m, k_codes, id_col, vec_col)
     sub = len(cbs[0][0])
 
-    corpus = embeddings.select(F.col(id_col), as_double(vec_col).alias("_cvec"))
-    wca = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cell").asc())
-    corpus_cells = (
-        corpus.crossJoin(cents)
-        .withColumn("_d", -cosine(F.col("_cvec"), F.col("_cv")))
-        .withColumn("_rn", F.row_number().over(wca))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cell")
-    )
+    # corpus-side cell assignment: zero-shuffle HOF argmax (r7); see
+    # ivf_topk — nulls_first mirrors the oracle's DESC NULLS FIRST
+    corpus_cells = _assign_nearest(
+        embeddings.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")),
+        cents,
+        nulls_first=True,
+    ).select(F.col("_id").alias(id_col), "cell")
     qn = unit_norm_frame(queries, query_id_col, vec_col, "_qn")
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
@@ -898,7 +923,7 @@ def ivfpq_topk(
         F.col("_d").asc(), F.col("cell").asc()
     )
     probes = (
-        q.crossJoin(cents)
+        q.crossJoin(F.broadcast(cents))
         .withColumn("_d", -cosine(F.col("_qv"), F.col("_cv")))
         .withColumn("_rn", F.row_number().over(wqa))
         .filter(F.col("_rn") <= n_probe)

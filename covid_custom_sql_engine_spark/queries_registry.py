@@ -8262,12 +8262,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "ivfpq_rerank_recall",
     "repeated_span_apply",
     "video_stats_c420",
-    # --- touched by this round's kmeans broadcast-assignment rewrite
-    # (plan changed materially; values proven bit-identical locally but
+    # --- touched by this round's assignment rewrite (the zero-shuffle
+    # HOF argmax over a 1-row broadcast centroid array, in both the
+    # nulls-last kmeans flavor and the nulls-first semdedup/IVF flavor:
+    # plans changed materially; values proven bit-identical locally but
     # the official rows must re-earn under the driver) ---
     "kmeans_step",
     "kmeans_semdedup",
     "kmeans_semdedup_scaled",
+    "semdedup_prune",
+    "ivf_topk",
+    "ivfpq_topk_recall",
     # --- the full 29-query r2-stale slice (r6 VERDICT item #2): the
     # MERGE/SCD2/as-of/range-join/sampling/sessionization surface an
     # incremental-pipeline user exercises daily, in the parked order
@@ -8301,7 +8306,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "udtf_tokens",
     "unigram_logprob",
     "winnow_pairs",
-    # --- 14 of the 40 r3-stale queries, oldest-first (their r3 check
+    # --- 11 of the 40 r3-stale queries, oldest-first (their r3 check
     # order): distributed ranking, sampling/diff shapes, and the first
     # TPC-H cohort ---
     "global_rank_orders",
@@ -8315,14 +8320,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q10_returned_items",
     "tpch_q14_promo_share",
     "tpch_q15_top_supplier",
+    # ---------------- out-of-window below this line ----------------
+    # parked in priority order for the round-8 refresh: the remaining
+    # 29 r3-stale queries, oldest-first (the three displaced by the
+    # late HOF-assignment window picks lead; every other registered
+    # query's latest official row is r4+ and all are re-verified
+    # locally each round)
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",
-    # ---------------- out-of-window below this line ----------------
-    # parked in priority order for the round-8 refresh: the remaining
-    # 26 r3-stale queries, oldest-first (every other registered query's
-    # latest official row is r4+ and all are re-verified locally each
-    # round)
     "cms_heavy_hitters",
     "hll_distinct_orders",
     "zorder_cluster_stats",

@@ -39,8 +39,9 @@ def test_driver_window_priority_ordering():
     assert {
         # new this round
         "ivfpq_rerank_recall", "repeated_span_apply", "video_stats_c420",
-        # touched by the kmeans broadcast-assignment rewrite
+        # touched by the HOF assignment rewrite (both NULL flavors)
         "kmeans_step", "kmeans_semdedup", "kmeans_semdedup_scaled",
+        "semdedup_prune", "ivf_topk", "ivfpq_topk_recall",
         # the 29 r2-stale queries (r6 VERDICT item #2)
         "dataset_split", "exact_medians_scalable", "range_join_bands",
         "salted_join", "interval_overlap_join", "scd2_intervals",
@@ -54,7 +55,7 @@ def test_driver_window_priority_ordering():
         "unigram_logprob", "winnow_pairs",
         # oldest r3-stale refresh (first TPC-H cohort + ranking)
         "global_rank_orders", "equidepth_histogram",
-        "tpch_q3_shipping_priority", "tpch_q22_idle_customers",
+        "tpch_q3_shipping_priority", "tpch_q15_top_supplier",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window
