@@ -954,6 +954,59 @@ def ivfpq_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_const: int = 60,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    hybrid-retrieval ensemble): each input ranking contributes
+    ``1 / (k_const + rank)`` for every (query, candidate) it returns,
+    the contributions sum per candidate, and the fused top-k re-ranks
+    by that score. The fusion step never touches vectors or text — it
+    is a union of the (tiny) per-system top-k frames plus one hash
+    aggregate on (query, candidate), so fusing S systems over any
+    corpus costs S top-k pipelines + an aggregate over ≤ S·k·|queries|
+    rows. Scores fold through the fixed-point :func:`dsum` so the sum
+    is order-independent across partitions and engines (each term is
+    an exact double from integer ranks; k_const = 60 is the published
+    default). Ties break on the candidate id. Output: (query_id, id,
+    rrf_score rounded to 6, rank 1..k).
+    """
+    from pyspark.sql import Window
+
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    parts = [
+        r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k_const) + F.col(rank_col))).alias("_t"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for pr in parts[1:]:
+        allr = allr.unionByName(pr)
+    fused = allr.groupBy(query_id_col, id_col).agg(dsum(F.col("_t")).alias("_s"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_s").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.round("_s", 6) + 0.0).alias("rrf_score"),
+            F.col("_rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def ivfpq_rerank_topk(
     embeddings: DataFrame,
     queries: DataFrame,

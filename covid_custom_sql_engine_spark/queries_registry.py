@@ -6647,6 +6647,56 @@ def ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rrf_fusion",
+    oracle=f"""
+    WITH {_SQL_PQ_CODES},
+    qs AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
+    adc AS (SELECT q.query_id, cw.vec_id,
+              {_SQL_PQ_ADC_TERMS}
+            FROM qs q CROSS JOIN cw
+            {_SQL_PQ_ADC_JOINS}
+            WHERE cw.vec_id != q.query_id),
+    pqr AS (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) AS rank
+            FROM adc
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
+    lshr AS ({ORACLES['lsh_topk']}),
+    terms AS (
+        SELECT query_id, vec_id, 1.0::DOUBLE / (60 + rank) AS t FROM lshr
+        UNION ALL
+        SELECT query_id, vec_id, 1.0::DOUBLE / (60 + rank) AS t FROM pqr),
+    fused AS (SELECT query_id, vec_id, {_sql_dsum('t')} AS s
+              FROM terms GROUP BY 1, 2)
+    SELECT query_id, vec_id, round(s, 6) + 0.0 AS rrf_score,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) <= 5
+    """,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank ensemble (similarity.rrf_fuse — reciprocal
+    rank fusion, Cormack et al. 2009, k=60): the hyperplane-LSH top-5
+    and the PQ/ADC top-5 are two INDEPENDENT approximate candidate
+    generators with different failure modes (bucket boundaries vs
+    quantization error); each contributes 1/(60+rank) per candidate and
+    the fused top-5 re-ranks by the summed score. The fusion layer
+    itself never touches vectors: a union of two tiny top-k frames + one
+    hash aggregate on (query, candidate) — at 100 TB the cost is the two
+    retrieval pipelines, not the ensemble. Scores fold through the
+    fixed-point dsum so the oracle reproduces them bit-for-bit; ties
+    break on the candidate id."""
+    lsh = QUERIES["lsh_topk"](spark, sf_dir).select("query_id", "vec_id", "rank")
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = sim.pq_topk(e, qs, m=_PQ_M, k_codes=_PQ_KCODES, k=5).select(
+        "query_id", "vec_id", "rank"
+    )
+    return sim.rrf_fuse([lsh, pq], k_const=60, k=5)
+
+
+@query(
     "key_skew_profile",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
@@ -8262,6 +8312,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "ivfpq_rerank_recall",
     "repeated_span_apply",
     "video_stats_c420",
+    "rrf_fusion",
     # --- touched by this round's assignment rewrite (the zero-shuffle
     # HOF argmax over a 1-row broadcast centroid array, in both the
     # nulls-last kmeans flavor and the nulls-first semdedup/IVF flavor:
@@ -8319,13 +8370,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
     "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
     # ---------------- out-of-window below this line ----------------
     # parked in priority order for the round-8 refresh: the remaining
-    # 29 r3-stale queries, oldest-first (the three displaced by the
-    # late HOF-assignment window picks lead; every other registered
-    # query's latest official row is r4+ and all are re-verified
-    # locally each round)
+    # 30 r3-stale queries, oldest-first (the four displaced by the
+    # late HOF-assignment / rrf_fusion window picks lead; every other
+    # registered query's latest official row is r4+ and all are
+    # re-verified locally each round)
+    "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
     "tpch_q22_idle_customers",

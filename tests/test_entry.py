@@ -39,6 +39,7 @@ def test_driver_window_priority_ordering():
     assert {
         # new this round
         "ivfpq_rerank_recall", "repeated_span_apply", "video_stats_c420",
+        "rrf_fusion",
         # touched by the HOF assignment rewrite (both NULL flavors)
         "kmeans_step", "kmeans_semdedup", "kmeans_semdedup_scaled",
         "semdedup_prune", "ivf_topk", "ivfpq_topk_recall",
@@ -55,7 +56,7 @@ def test_driver_window_priority_ordering():
         "unigram_logprob", "winnow_pairs",
         # oldest r3-stale refresh (first TPC-H cohort + ranking)
         "global_rank_orders", "equidepth_histogram",
-        "tpch_q3_shipping_priority", "tpch_q15_top_supplier",
+        "tpch_q3_shipping_priority", "tpch_q14_promo_share",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window

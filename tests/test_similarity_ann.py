@@ -240,6 +240,33 @@ def test_ivfpq_rerank_improves_or_matches_adc(spark, sf_dir):
         assert abs(r.cos_sim - exact_sims[(r.query_id, r.vec_id)]) < 1e-12
 
 
+def test_rrf_fuse_semantics(spark):
+    """RRF: a candidate both systems return must outscore one either
+    system alone ranks equally (two 1/(60+r) terms beat one), scores are
+    1/(60+r) sums rounded to 6, ties break on the id, and the result is
+    deterministic under repartitioning."""
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3)],
+        "query_id string, vec_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", 11, 1), ("q", 13, 2), ("q", 12, 3)],
+        "query_id string, vec_id long, rank int",
+    )
+    out = {r.vec_id: r for r in sim.rrf_fuse([a, b], k=4).collect()}
+    # 11: 1/62 + 1/61; 12: 1/63 + 1/63; 10: 1/61; 13: 1/62
+    assert out[11].rank == 1 and out[12].rank == 2
+    assert {out[10].rank, out[13].rank} == {3, 4}
+    assert out[10].rank == 3  # 1/61 > 1/62
+    assert abs(out[11].rrf_score - round(1 / 62 + 1 / 61, 6)) < 2e-6
+    assert abs(out[10].rrf_score - round(1 / 61, 6)) < 2e-6
+    again = {
+        r.vec_id: (r.rank, r.rrf_score)
+        for r in sim.rrf_fuse([a.repartition(7), b.repartition(3)], k=4).collect()
+    }
+    assert again == {k: (v.rank, v.rrf_score) for k, v in out.items()}
+
+
 def test_pq_codebooks_rejects_missing_seed_ids(spark):
     """Non-contiguous ids below k must raise, not silently shrink the
     codebook (the oracle derives codebooks from WHERE vec_id < k, so a

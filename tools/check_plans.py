@@ -217,6 +217,9 @@ EXPECT = {
     # same crosses as ivfpq_topk_recall; the re-rank stage itself is
     # equi-joins only (candidates ⋈ float vectors ⋈ broadcast queries)
     "ivfpq_rerank_recall": (2, True, True),
+    # fusion layer is union + hash aggregate; the PQ parent contributes
+    # the whitelisted broadcast 5-row query cross
+    "rrf_fusion": (2, True, True),
     "repeated_span_removal": (2, False, False),
     "repeated_span_apply": (2, False, False),
     "collocation_pmi": (1, False, True),  # 1-row bigram-total N broadcast: intended
