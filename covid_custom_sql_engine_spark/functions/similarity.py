@@ -954,6 +954,32 @@ def ivfpq_topk(
     )
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nulls_first: bool = True,
+) -> DataFrame:
+    """Public cell-assignment entry point: nearest-centroid (cosine)
+    cell per vector against a FROZEN (cell, _cv) centroid table —
+    the operation behind IVF index maintenance and SemDeDup/k-means
+    assignment, exposed for incremental-ingest pipelines where a batch
+    of new vectors joins an already-clustered corpus without rescanning
+    it. Wraps the zero-shuffle 1-row-broadcast HOF argmax
+    (:func:`_assign_nearest`): O(|vectors| · cells) map-side work, no
+    exchange, O(1) plan size. Returns (id, cell). ``nulls_first=True``
+    (default) mirrors the IVF/semdedup oracles' DESC NULLS FIRST."""
+    out = _assign_nearest(
+        vectors.select(
+            F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+        ),
+        centroids,
+        nulls_first=nulls_first,
+    )
+    return out.select(F.col("_id").alias(id_col), "cell")
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k_const: int = 60,

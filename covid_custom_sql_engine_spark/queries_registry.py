@@ -6647,6 +6647,47 @@ def ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_incremental_assign",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE vec_id % 2 = 0),
+    el AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings WHERE vec_id % 2 = 0),
+    ce AS (SELECT label, i, avg(x) AS ax FROM el GROUP BY label, i),
+    cent AS (SELECT label AS cell, list(ax ORDER BY i) AS cv FROM ce GROUP BY label),
+    nw AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id % 2 = 1),
+    asn AS (
+      SELECT nw.vec_id, cent.cell, row_number() OVER (
+        PARTITION BY nw.vec_id
+        ORDER BY (list_dot_product(nw.v, cent.cv)
+                  / (sqrt(list_dot_product(nw.v, nw.v)) * sqrt(list_dot_product(cent.cv, cent.cv))))
+                 DESC NULLS FIRST, cent.cell ASC) AS rn
+      FROM nw CROSS JOIN cent)
+    SELECT vec_id, cell FROM asn WHERE rn = 1
+    """,
+)
+def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index MAINTENANCE path (the ANN sibling of
+    guarded_incremental_dedup's parity-split convention): the corpus
+    (even vec_ids) already has trained cells; an ingest batch (odd
+    vec_ids) is assigned against the FROZEN centroids — the existing
+    corpus is never rescanned and the centroids never retrained, so
+    daily index upkeep at 100 TB costs |batch| · cells map-side work
+    via the zero-shuffle HOF argmax (similarity._assign_nearest,
+    nulls_first to mirror the oracle's DESC NULLS FIRST), not a corpus
+    rebuild. Periodic re-clustering (when drift telemetry like
+    psi_drift warrants) is kmeans_centroids on a snapshot — a separate,
+    scheduled cost."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    corpus = e.filter(F.col("vec_id") % 2 == 0)
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    cents = sim.label_centroids(corpus, "label", "embedding")
+    return sim.assign_cells(new, cents, id_col="vec_id", vec_col="embedding")
+
+
+@query(
     "rrf_fusion",
     oracle=f"""
     WITH {_SQL_PQ_CODES},
@@ -8313,6 +8354,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "repeated_span_apply",
     "video_stats_c420",
     "rrf_fusion",
+    "ivf_incremental_assign",
     # --- touched by this round's assignment rewrite (the zero-shuffle
     # HOF argmax over a 1-row broadcast centroid array, in both the
     # nulls-last kmeans flavor and the nulls-first semdedup/IVF flavor:
@@ -8369,13 +8411,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q3_shipping_priority",
     "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
     # ---------------- out-of-window below this line ----------------
     # parked in priority order for the round-8 refresh: the remaining
-    # 30 r3-stale queries, oldest-first (the four displaced by the
-    # late HOF-assignment / rrf_fusion window picks lead; every other
-    # registered query's latest official row is r4+ and all are
-    # re-verified locally each round)
+    # 31 r3-stale queries, oldest-first (the five displaced by the
+    # late HOF-assignment / rrf_fusion / incremental-assign window
+    # picks lead; every other registered query's latest official row
+    # is r4+ and all are re-verified locally each round)
+    "tpch_q14_promo_share",
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",

@@ -39,7 +39,7 @@ def test_driver_window_priority_ordering():
     assert {
         # new this round
         "ivfpq_rerank_recall", "repeated_span_apply", "video_stats_c420",
-        "rrf_fusion",
+        "rrf_fusion", "ivf_incremental_assign",
         # touched by the HOF assignment rewrite (both NULL flavors)
         "kmeans_step", "kmeans_semdedup", "kmeans_semdedup_scaled",
         "semdedup_prune", "ivf_topk", "ivfpq_topk_recall",
@@ -56,7 +56,7 @@ def test_driver_window_priority_ordering():
         "unigram_logprob", "winnow_pairs",
         # oldest r3-stale refresh (first TPC-H cohort + ranking)
         "global_rank_orders", "equidepth_histogram",
-        "tpch_q3_shipping_priority", "tpch_q14_promo_share",
+        "tpch_q3_shipping_priority", "tpch_q10_returned_items",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window

@@ -240,6 +240,32 @@ def test_ivfpq_rerank_improves_or_matches_adc(spark, sf_dir):
         assert abs(r.cos_sim - exact_sims[(r.query_id, r.vec_id)]) < 1e-12
 
 
+def test_assign_cells_frozen_centroids(spark):
+    """Incremental ingest: new vectors assign to the nearest FROZEN
+    cell (cosine argmax, ties to the smaller cell, zero-norm vector to
+    the smallest cell via the NULLS FIRST convention); the corpus that
+    trained the centroids is never touched."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell long, _cv array<double>"
+    )
+    new = spark.createDataFrame(
+        [
+            (101, [0.9, 0.1]),   # x-cluster
+            (102, [0.1, 0.8]),   # y-cluster
+            (103, [0.5, 0.5]),   # exact tie -> smaller cell 0
+            (104, [0.0, 0.0]),   # zero norm: NULL sims -> smallest cell
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.cell for r in sim.assign_cells(new, cents).collect()}
+    assert out == {101: 0, 102: 1, 103: 0, 104: 0}
+    again = {
+        r.vec_id: r.cell
+        for r in sim.assign_cells(new.repartition(5), cents).collect()
+    }
+    assert again == out
+
+
 def test_rrf_fuse_semantics(spark):
     """RRF: a candidate both systems return must outscore one either
     system alone ranks equally (two 1/(60+r) terms beat one), scores are

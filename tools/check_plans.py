@@ -220,6 +220,10 @@ EXPECT = {
     # fusion layer is union + hash aggregate; the PQ parent contributes
     # the whitelisted broadcast 5-row query cross
     "rrf_fusion": (2, True, True),
+    # frozen-centroid ingest assignment: 1-row centroid-array broadcast
+    # cross (the HOF argmax shape); parity split is arithmetic, not a
+    # parquet-pushable predicate
+    "ivf_incremental_assign": (3, False, True),
     "repeated_span_removal": (2, False, False),
     "repeated_span_apply": (2, False, False),
     "collocation_pmi": (1, False, True),  # 1-row bigram-total N broadcast: intended
