@@ -8399,7 +8399,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "udtf_tokens",
     "unigram_logprob",
     "winnow_pairs",
-    # --- 11 of the 40 r3-stale queries, oldest-first (their r3 check
+    # --- 9 of the 40 r3-stale queries, oldest-first (their r3 check
     # order): distributed ranking, sampling/diff shapes, and the first
     # TPC-H cohort ---
     "global_rank_orders",
@@ -8453,19 +8453,22 @@ _DRIVER_WINDOW_PRIORITY = [
 
 # The window rotates each round so every query eventually earns an
 # official driver row. Round-7 composition (exactly 50): the flagship
-# sentinel; the 3 queries NEW in r7 (IVFADC exact re-rank, span-plan
-# apply, C420 video — never-checked beats stale-refresh, the r5/r6
-# precedent); the 3 kmeans-family queries whose assignment plan was
-# rewritten this round (broadcast struct-max argmax — values proven
-# bit-identical locally, but a materially-changed plan re-earns its
-# official row); the FULL 29-query r2-stale slice the r6 verdict
-# demanded (MERGE, SCD2, as-of/range joins, sampling, sessionization,
-# corpus-prep); and the oldest 14 of the 40-query r3-stale cohort
-# (distributed ranking + the first TPC-H block). The remaining 26
-# r3-stale queries are parked in refresh order for round 8.
+# sentinel; the 5 queries NEW in r7 (IVFADC exact re-rank, span-plan
+# apply, C420 video, RRF hybrid fusion, frozen-cell incremental assign
+# — never-checked beats stale-refresh, the r5/r6 precedent); the 6
+# queries whose assignment plan was rewritten this round (the
+# zero-shuffle HOF argmax, both NULL flavors: kmeans_step,
+# kmeans_semdedup, kmeans_semdedup_scaled, semdedup_prune, ivf_topk,
+# ivfpq_topk_recall — values proven bit-identical locally, but a
+# materially-changed plan re-earns its official row); the FULL
+# 29-query r2-stale slice the r6 verdict demanded (MERGE, SCD2,
+# as-of/range joins, sampling, sessionization, corpus-prep); and the
+# oldest 9 of the 40-query r3-stale cohort (distributed ranking + the
+# first TPC-H block). The remaining 31 r3-stale queries are parked in
+# refresh order for round 8.
 # Everything below the out-of-window line holds an r1-r6 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (209 registered; all re-verified at sf0.01 this round, plus sf0.001
+# (211 registered; all re-verified at sf0.01 this round, plus sf0.001
 # and sf0.1 spot-checks on new/touched queries).
 
 
