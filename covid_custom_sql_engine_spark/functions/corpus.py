@@ -970,14 +970,9 @@ def remove_spans(
         sp, id_col, "left"
     )
     # coverage is order-independent, so the collect_list order (which
-    # is partition-dependent) never affects the result
-    cut = F.filter(
-        "_toks",
-        lambda x, i: F.exists(
-            "_spans",
-            lambda s: (s["span_start"] <= i + 1) & (i + 1 < s["span_end"]),
-        ),
-    )
+    # is partition-dependent) never affects the result; n_cut derives
+    # from n_tokens − n_kept so the span-membership fold runs ONCE per
+    # token, not twice
     kept = F.when(F.col("_spans").isNull(), F.col("_toks")).otherwise(
         F.filter(
             "_toks",
@@ -992,8 +987,5 @@ def remove_spans(
         F.concat_ws(" ", kept).alias("text_clean"),
         F.size("_toks").cast("bigint").alias("n_tokens"),
         F.size(kept).cast("bigint").alias("n_kept"),
-        F.when(F.col("_spans").isNull(), F.lit(0))
-        .otherwise(F.size(cut))
-        .cast("bigint")
-        .alias("n_cut"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_cut"),
     )

@@ -426,6 +426,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # other encoders don't misparse 0xFF as the marker id
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            # a payload ending in a 0xFF fill run has no marker id byte
+            # left — malformed stream, the codec's ValueError contract
+            raise ValueError("truncated marker")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

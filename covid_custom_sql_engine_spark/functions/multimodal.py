@@ -517,8 +517,14 @@ def synth_y4m_media(
     if colorspace == "C444":
         cw, ch = w, h
     elif colorspace == "C420":
+        if w % 2 or h % 2:
+            # mirror decode_y4m's parity check: a floored chroma grid
+            # would write plane sizes the header doesn't describe
+            raise ValueError(f"C420 needs even w/h, got {w}x{h}")
         cw, ch = w // 2, h // 2
     elif colorspace == "C422":
+        if w % 2:
+            raise ValueError(f"C422 needs even w, got {w}")
         cw, ch = w // 2, h
     else:
         raise ValueError(f"synth colorspace must be C444/C420/C422, got {colorspace}")

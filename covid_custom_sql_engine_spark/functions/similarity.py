@@ -1006,6 +1006,8 @@ def rrf_fuse(
 
     from covid_custom_sql_engine_spark.operators.core import dsum
 
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     parts = [
         r.select(
             F.col(query_id_col),

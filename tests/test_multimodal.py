@@ -229,6 +229,40 @@ def test_jpeg_fill_bytes_before_markers():
     assert out.tolist() == ref.tolist()
 
 
+def test_jpeg_trailing_fill_run_truncation():
+    """A payload whose tail is a 0xFF fill run with no marker id byte
+    must raise the codec's ValueError contract, not IndexError from
+    reading past the end after the fill-byte skip loop."""
+    import numpy as np
+    import pytest as _pytest
+
+    from covid_custom_sql_engine_spark.functions import jpeg_codec as jc
+
+    payload = jc.encode_jpeg(np.zeros((8, 8), np.uint8))
+    # cut the stream just before SOS and end it in a bare fill run: the
+    # marker loop's skip walks pos to the last byte of the payload
+    i = payload.index(b"\xff\xda")
+    truncated = payload[:i] + b"\xff\xff\xff"
+    with _pytest.raises(ValueError, match="truncated marker"):
+        jc.decode_jpeg(truncated)
+
+
+def test_synth_y4m_odd_dims_rejected():
+    """synth_y4m_media must reject odd dimensions under subsampled
+    chroma (mirroring decode_y4m) instead of silently flooring the
+    chroma grid into a payload its own decoder rejects."""
+    import pytest as _pytest
+
+    from covid_custom_sql_engine_spark.functions import multimodal as mm
+
+    with _pytest.raises(ValueError, match="C420 needs even"):
+        mm.synth_y4m_media(None, w=7, h=6, colorspace="C420")
+    with _pytest.raises(ValueError, match="C420 needs even"):
+        mm.synth_y4m_media(None, w=8, h=5, colorspace="C420")
+    with _pytest.raises(ValueError, match="C422 needs even"):
+        mm.synth_y4m_media(None, w=7, h=6, colorspace="C422")
+
+
 def test_png_truncated_chunk_error():
     """A truncated PNG must fail with a clear truncation error, not a
     misleading bad-CRC from a short slice."""

@@ -293,6 +293,15 @@ def test_rrf_fuse_semantics(spark):
     assert again == {k: (v.rank, v.rrf_score) for k, v in out.items()}
 
 
+def test_rrf_fuse_empty_rankings_rejected(spark):
+    """An empty rankings list must raise ValueError, not a bare
+    IndexError from parts[0]."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one ranking"):
+        sim.rrf_fuse([])
+
+
 def test_pq_codebooks_rejects_missing_seed_ids(spark):
     """Non-contiguous ids below k must raise, not silently shrink the
     codebook (the oracle derives codebooks from WHERE vec_id < k, so a
