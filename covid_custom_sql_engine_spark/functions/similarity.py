@@ -797,6 +797,51 @@ def _pq_dist(sub_col: Column, cb: Column) -> Column:
     return -2.0 * dot(sub_col, cb) + dot(cb, cb)
 
 
+def _codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """ONE-ROW broadcast frame carrying the PQ codebooks as DATA:
+    ``_cb[s][j]`` (1-based via element_at) is codeword ``j`` of
+    subspace ``s``. The same 1-row-broadcast shape `_assign_nearest`
+    uses for centroids, applied to the quantizer: the codebooks travel
+    in a serialized broadcast row instead of ``k_codes·dim`` literal
+    nodes inlined into every encode/ADC expression, so the PLAN stays
+    O(1) in the quantizer configuration (at production PQ parameters —
+    k_codes = 256, dim ≥ 768 — the literal shape carries 200k-1M plan
+    nodes per stage, twice: encode + ADC; this row carries none).
+    Values are the identical doubles, so codes, distances, and
+    tie-breaks are unchanged and the SQL oracles don't move."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    data = [[[float(x) for x in cw] for cw in sub] for sub in codebooks]
+    schema = StructType(
+        [
+            StructField(
+                "_cb",
+                ArrayType(ArrayType(ArrayType(DoubleType(), False), False), False),
+                False,
+            )
+        ]
+    )
+    return F.broadcast(spark.createDataFrame([(data,)], schema))
+
+
+def _adc_distance(qvec: Column, m: int, sub: int) -> Column:
+    """The m-term ADC distance of query vector ``qvec`` against a code
+    row (columns ``code_0..code_{m-1}``) under the broadcast ``_cb``
+    codebook column: per subspace, the exact ``_pq_dist`` of the
+    query's subvector to the ASSIGNED codeword, summed in fixed
+    subspace order 0..m-1 so both engines fold identically. One
+    ``element_at`` chain per subspace against broadcast DATA — no
+    literals, O(1) plan size in the quantizer configuration."""
+    dist = None
+    for s in range(m):
+        sel = F.element_at(
+            F.element_at("_cb", s + 1), F.col(f"code_{s}") + 1
+        )
+        term = _pq_dist(F.slice(qvec, s * sub + 1, sub), sel)
+        dist = term if dist is None else dist + term
+    return dist
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -805,26 +850,32 @@ def pq_encode(
 ) -> DataFrame:
     """(id, code_0..code_{m-1}) PQ codes: per subspace, the argmin-
     distance codeword index (ties → smaller index, via struct
-    array_min). A pure per-row projection against ≤ k·dim inlined
-    literals — no join, no shuffle, map-side only: the shape that
+    array_min). A pure per-row projection against the ONE-ROW broadcast
+    codebook frame (:func:`_codebook_frame`) — no shuffle, map-side
+    only, O(1) plan size at any quantizer configuration: the shape that
     re-encodes a 100 TB corpus in one scan, shrinking each vector to m
     small codes (m bytes vs dim·4 float32 bytes ≈ 64× at m=4, dim=64
-    when stored byte-aligned; 128× bit-packed at m·log2(k) bits)."""
+    when stored byte-aligned; 128× bit-packed at m·log2(k) bits). The
+    per-subspace argmin runs inside one higher-order expression over
+    the broadcast codeword array (index lambda → struct(d, j) →
+    array_min), the exact ordering of the oracle's
+    ``ORDER BY d ASC, j ASC``."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    out = unit_norm_frame(df, id_col, vec_col)
-    cols = [F.col(id_col)]
-    for s in range(m):
+    out = unit_norm_frame(df, id_col, vec_col).crossJoin(
+        _codebook_frame(df.sparkSession, codebooks)
+    )
+    def _argmin(s: int) -> Column:
         ssub = F.slice("_nv", s * sub + 1, sub)
-        cands = [
-            F.struct(
-                _pq_dist(ssub, F.array(*[F.lit(x) for x in cw])).alias("d"),
-                F.lit(j).cast("int").alias("j"),
-            )
-            for j, cw in enumerate(codebooks[s])
-        ]
-        cols.append(F.array_min(F.array(*cands))["j"].alias(f"code_{s}"))
-    return out.select(*cols)
+        cands = F.transform(
+            F.element_at("_cb", s + 1),
+            lambda cw, j: F.struct(
+                _pq_dist(ssub, cw).alias("d"), j.cast("int").alias("j")
+            ),
+        )
+        return F.array_min(cands)["j"].alias(f"code_{s}")
+
+    return out.select(F.col(id_col), *[_argmin(s) for s in range(m)])
 
 
 def pq_topk(
@@ -859,15 +910,12 @@ def pq_topk(
             F.col(query_id_col), unit(as_double(vec_col)).alias("_qn")
         )
     )
-    joined = codes.crossJoin(qn).filter(F.col(id_col) != F.col(query_id_col))
-    dist = None
-    for s in range(m):
-        sel = F.element_at(
-            F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cbs[s]]),
-            F.col(f"code_{s}") + 1,
-        )
-        term = _pq_dist(F.slice("_qn", s * sub + 1, sub), sel)
-        dist = term if dist is None else dist + term
+    joined = (
+        codes.crossJoin(qn)
+        .crossJoin(_codebook_frame(embeddings.sparkSession, cbs))
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    dist = _adc_distance(F.col("_qn"), m, sub)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_dist").asc(), F.col(id_col).asc()
     )
@@ -933,16 +981,10 @@ def ivfpq_topk(
     scan = (
         codes.join(corpus_cells, id_col)
         .join(F.broadcast(probes), "cell")
+        .crossJoin(_codebook_frame(embeddings.sparkSession, cbs))
         .filter(F.col(id_col) != F.col(query_id_col))
     )
-    dist = None
-    for s in range(m):
-        sel = F.element_at(
-            F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cbs[s]]),
-            F.col(f"code_{s}") + 1,
-        )
-        term = _pq_dist(F.slice("_qn", s * sub + 1, sub), sel)
-        dist = term if dist is None else dist + term
+    dist = _adc_distance(F.col("_qn"), m, sub)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_dist").asc(), F.col(id_col).asc()
     )
