@@ -789,6 +789,77 @@ def pq_codebooks(
     ]
 
 
+def pq_codebooks_refined(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Lloyd-refined PQ codebooks — the production path
+    :func:`pq_codebooks`' docstring names: starting from the
+    deterministic id<k seed codebooks, each round (a) encodes the
+    corpus against the current codebooks (per-subspace argmin, the
+    same :func:`_pq_encode_nv` expression the oracle unrolls) and
+    (b) replaces every codeword with the per-position MEAN of its
+    assigned subvectors; a codeword with no members keeps its previous
+    value (the coalesce convention, so the codebook never shrinks).
+    Deterministic given the seed convention, so a SQL oracle unrolls
+    the rounds exactly (codes CTE → per-(s, j, pos) avg → coalesce).
+
+    Scale shape per round: one corpus scan to encode (map-side, O(1)
+    plan — broadcast codebooks), one posexplode + hash aggregate with
+    map-side partial combine shuffling ≤ m·k·(dim/m) = k·dim rows per
+    map partition, and a k·dim-double driver fetch (bounded state, the
+    same "action, not plan" pattern as pq_codebooks' seed fetch).
+    Jégou et al. 2011 report refined codebooks recover most of the
+    quantization error of random/seed init — audited here by
+    `pq_refined_recall` against the seed-codebook recall."""
+    cbs = pq_codebooks(embeddings, m, k, id_col, vec_col)
+    sub = len(cbs[0][0])
+    nv = unit_norm_frame(embeddings, id_col, vec_col)
+    for _ in range(rounds):
+        codes = _pq_encode_nv(nv, cbs, id_col)
+        joined = codes.join(nv, id_col)
+        parts = [
+            joined.select(
+                F.lit(s).alias("s"),
+                F.col(f"code_{s}").alias("j"),
+                F.posexplode(F.slice("_nv", s * sub + 1, sub)).alias(
+                    "p", "x"
+                ),
+            )
+            for s in range(m)
+        ]
+        u = parts[0]
+        for pr in parts[1:]:
+            u = u.unionByName(pr)
+        # per-(subspace, codeword, position) mean, reassembled in
+        # position order — the label_centroids shape (posexplode + two
+        # hash aggregates), then a bounded k·dim driver fetch
+        refined = (
+            u.groupBy("s", "j", "p")
+            .agg(F.avg("x").alias("ax"))
+            .groupBy("s", "j")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "ax"))),
+                    lambda t: t["ax"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        got = {
+            (int(r.s), int(r.j)): [float(x) for x in r.c] for r in refined
+        }
+        cbs = [
+            [got.get((s, j), cbs[s][j]) for j in range(len(cbs[s]))]
+            for s in range(m)
+        ]
+    return cbs
+
+
 def _pq_dist(sub_col: Column, cb: Column) -> Column:
     """The per-subspace distance surrogate ``−2·⟨a, c⟩ + ⟨c, c⟩`` —
     L2² minus the ‖a‖² term that is constant across codewords, so
@@ -842,29 +913,28 @@ def _adc_distance(qvec: Column, m: int, sub: int) -> Column:
     return dist
 
 
-def pq_encode(
-    df: DataFrame,
+def _pq_encode_nv(
+    nv_frame: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, code_0..code_{m-1}) PQ codes: per subspace, the argmin-
-    distance codeword index (ties → smaller index, via struct
-    array_min). A pure per-row projection against the ONE-ROW broadcast
+    """Encode a prepared ``(id, _nv)`` frame (vectors already in the
+    codebooks' space — unit-normalized for raw PQ, coarse-residual for
+    IVFADC-with-residuals) into (id, code_0..code_{m-1}) PQ codes: per
+    subspace, the argmin-distance codeword index (ties → smaller
+    index). A pure per-row projection against the ONE-ROW broadcast
     codebook frame (:func:`_codebook_frame`) — no shuffle, map-side
-    only, O(1) plan size at any quantizer configuration: the shape that
-    re-encodes a 100 TB corpus in one scan, shrinking each vector to m
-    small codes (m bytes vs dim·4 float32 bytes ≈ 64× at m=4, dim=64
-    when stored byte-aligned; 128× bit-packed at m·log2(k) bits). The
+    only, O(1) plan size at any quantizer configuration. The
     per-subspace argmin runs inside one higher-order expression over
     the broadcast codeword array (index lambda → struct(d, j) →
     array_min), the exact ordering of the oracle's
     ``ORDER BY d ASC, j ASC``."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    out = unit_norm_frame(df, id_col, vec_col).crossJoin(
-        _codebook_frame(df.sparkSession, codebooks)
+    out = nv_frame.crossJoin(
+        _codebook_frame(nv_frame.sparkSession, codebooks)
     )
+
     def _argmin(s: int) -> Column:
         ssub = F.slice("_nv", s * sub + 1, sub)
         cands = F.transform(
@@ -878,6 +948,23 @@ def pq_encode(
     return out.select(F.col(id_col), *[_argmin(s) for s in range(m)])
 
 
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{m-1}) PQ codes of the unit-normalized
+    vectors — :func:`_pq_encode_nv` over :func:`unit_norm_frame`: the
+    shape that re-encodes a 100 TB corpus in one scan, shrinking each
+    vector to m small codes (m bytes vs dim·4 float32 bytes ≈ 64× at
+    m=4, dim=64 when stored byte-aligned; 128× bit-packed at
+    m·log2(k) bits)."""
+    return _pq_encode_nv(
+        unit_norm_frame(df, id_col, vec_col), codebooks, id_col
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -887,6 +974,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization top-k with asymmetric distance computation
     (ADC): the corpus is scanned as PQ codes only; each query's
@@ -902,7 +990,11 @@ def pq_topk(
     the id deterministically."""
     from pyspark.sql import Window
 
-    cbs = pq_codebooks(embeddings, m, k_codes, id_col, vec_col)
+    cbs = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(embeddings, m, k_codes, id_col, vec_col)
+    )
     sub = len(cbs[0][0])
     codes = pq_encode(embeddings, cbs, id_col, vec_col)
     qn = F.broadcast(
@@ -985,6 +1077,126 @@ def ivfpq_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
     )
     dist = _adc_distance(F.col("_qn"), m, sub)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("pq_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scan.select(query_id_col, id_col, dist.alias("pq_dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "pq_dist", F.col("_rn").alias("rank"))
+    )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the canonical Jégou et al. 2011
+    composition: instead of PQ-encoding the unit-normalized vector
+    itself (:func:`ivfpq_topk`), each corpus vector is encoded as the
+    residual ``r = nv − cn(cell)`` against its assigned cell's
+    unit-normalized centroid. Residuals concentrate near the origin,
+    so the same m-byte code budget spends its resolution on the part
+    of the vector the coarse quantizer hasn't already explained — the
+    standard, material recall improvement at identical storage
+    (audited by `ivfpq_residual_recall` vs the raw-vector variant).
+
+    The ADC distance is exact under the quantization: per probed cell
+    the query forms its own residual ``qr = qn − cn(cell)`` and
+    ``‖qr − r̂‖² = ⟨qr, qr⟩ + Σ_s (−2⟨qr_s, ĉ_s⟩ + ⟨ĉ_s, ĉ_s⟩)`` — the
+    ⟨qr, qr⟩ term is NOT constant across probed cells, so multi-probe
+    ranking keeps it (unlike raw-vector ADC, where the query-norm term
+    cancels). Codebooks are the residuals of the deterministic id<k
+    seed vectors (the pq_codebooks convention, so a SQL oracle derives
+    them identically); everything else is the proven zero-shuffle
+    composition: HOF cell assignment, one map-side residual + encode
+    scan (the residual join is against a broadcast ≤cells-row centroid
+    table, not a shuffle), ADC over codes in n_probe/n_cells of the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    cents = label_centroids(embeddings, label_col, vec_col)
+    # unit-normalized centroids — the residual reference frame (tiny,
+    # broadcast everywhere)
+    cn = cents.select("cell", unit(F.col("_cv")).alias("_cn"))
+    corpus_cells = _assign_nearest(
+        embeddings.select(
+            F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+        ),
+        cents,
+        nulls_first=True,
+    ).select(F.col("_id").alias(id_col), "cell")
+    nvf = unit_norm_frame(embeddings, id_col, vec_col)
+    resid = (
+        nvf.join(corpus_cells, id_col)
+        .join(F.broadcast(cn), "cell")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.zip_with("_nv", "_cn", lambda x, y: x - y).alias("_nv"),
+        )
+    )
+    # residual seed codebooks: the id<k_codes convention on the
+    # RESIDUAL frame (bounded k·dim driver fetch)
+    seeds = sorted(
+        (int(getattr(r, id_col)), [float(x) for x in r._nv])
+        for r in resid.filter(F.col(id_col) < k_codes).collect()
+    )
+    if len(seeds) < k_codes:
+        raise ValueError(
+            f"ivfpq_residual_topk needs {k_codes} seed vectors with "
+            f"{id_col} < {k_codes}, found {len(seeds)}"
+        )
+    dim = len(seeds[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rcbs = [
+        [v[s * sub : (s + 1) * sub] for _, v in seeds] for s in range(m)
+    ]
+
+    codes = _pq_encode_nv(resid.select(id_col, "_nv"), rcbs, id_col)
+    # query-side probing: same raw-vector cosine rule as ivfpq_topk,
+    # then per probed cell the query residual qr = qn − cn(cell)
+    qn = unit_norm_frame(queries, query_id_col, vec_col, "_qn")
+    q = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("_qv")
+    ).join(qn, query_id_col)
+    wqa = Window.partitionBy(query_id_col).orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_d", -cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(wqa))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, "cell", "_qn")
+        .join(cn, "cell")
+        .select(
+            query_id_col,
+            "cell",
+            F.zip_with("_qn", "_cn", lambda x, y: x - y).alias("_qr"),
+        )
+    )
+    scan = (
+        codes.join(corpus_cells, id_col)
+        .join(F.broadcast(probes), "cell")
+        .crossJoin(_codebook_frame(embeddings.sparkSession, rcbs))
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    dist = dot(F.col("_qr"), F.col("_qr")) + _adc_distance(
+        F.col("_qr"), m, sub
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_dist").asc(), F.col(id_col).asc()
     )

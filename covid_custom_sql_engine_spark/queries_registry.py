@@ -6737,6 +6737,187 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rrf_fuse([lsh, pq], k_const=60, k=5)
 
 
+# Residual-IVFADC oracle fragments: unit-normalized centroids, the
+# residual frame r = nv − cn(assigned cell), residual seed codebooks
+# (id<k on the RESIDUAL frame — same determinism convention), residual
+# codes, and the wide code row. Expects _SQL_IVF_COARSE's cent/corpus
+# and _SQL_PQ_CODES' nv in scope.
+def _pq_resid_sql(m: int, k: int, sub: int) -> str:
+    code_cols = ",\n             ".join(
+        f"max(CASE WHEN s={s} THEN code END) AS c{s}" for s in range(m)
+    )
+    return f"""cnn AS (SELECT cell,
+             CASE WHEN list_dot_product(cv, cv) = 0
+                  THEN list_transform(cv, x -> 0.0::DOUBLE)
+                  ELSE list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) END AS cn
+           FROM cent),
+    rv AS (SELECT nv.vec_id, co.cell,
+             list_transform(nv.v, (x, i) -> x - cnn.cn[i]) AS r
+           FROM nv JOIN corpus co ON co.vec_id = nv.vec_id
+                   JOIN cnn ON cnn.cell = co.cell),
+    rcb AS (SELECT s, vec_id AS j, list_slice(r, s*{sub} + 1, (s+1)*{sub}) AS c
+           FROM rv, (SELECT unnest(range(0, {m})) AS s) WHERE vec_id < {k}),
+    renc AS (SELECT rv.vec_id, rcb.s, rcb.j,
+              -2 * list_dot_product(list_slice(rv.r, rcb.s*{sub} + 1, (rcb.s+1)*{sub}), rcb.c)
+              + list_dot_product(rcb.c, rcb.c) AS d
+            FROM rv CROSS JOIN rcb),
+    rcodes AS (SELECT vec_id, s, j AS code FROM renc
+              QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1),
+    rcw AS (SELECT vec_id,
+             {code_cols}
+           FROM rcodes GROUP BY vec_id)"""
+
+
+_SQL_PQ_RESID = _pq_resid_sql(_PQ_M, _PQ_KCODES, _PQ_SUB)
+# residual ADC: ⟨qr, qr⟩ is NOT constant across probed cells (each cell
+# has its own query residual), so multi-probe ranking keeps it
+_SQL_PQR_ADC_TERMS = (
+    "list_dot_product(q.qr, q.qr)\n              + "
+    + "\n              + ".join(
+        f"(-2 * list_dot_product(list_slice(q.qr, {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB}), b{s}.c)"
+        f" + list_dot_product(b{s}.c, b{s}.c))"
+        for s in range(_PQ_M)
+    )
+    + " AS d"
+)
+_SQL_PQR_ADC_JOINS = "\n            ".join(
+    f"JOIN rcb b{s} ON b{s}.s = {s} AND b{s}.j = rcw.c{s}"
+    for s in range(_PQ_M)
+)
+
+
+@query(
+    "ivfpq_residual_recall",
+    oracle=f"""
+    WITH {_SQL_IVF_COARSE},
+    {_SQL_PQ_CODES},
+    nq AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
+    {_SQL_PQ_RESID},
+    qres AS (SELECT p.query_id, p.cell,
+               list_transform(nq.v, (x, i) -> x - cnn.cn[i]) AS qr
+             FROM pr p JOIN nq ON nq.query_id = p.query_id
+                       JOIN cnn ON cnn.cell = p.cell),
+    adc AS (SELECT q.query_id, s.vec_id,
+              {_SQL_PQR_ADC_TERMS}
+            FROM qres q
+            JOIN corpus s ON s.cell = q.cell
+            JOIN rcw ON rcw.vec_id = s.vec_id
+            {_SQL_PQR_ADC_JOINS}
+            WHERE s.vec_id != q.query_id),
+    ap AS (SELECT query_id, vec_id FROM adc
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
+    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
+    """,
+)
+def ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-IVFADC audit — the canonical Jégou et al. 2011
+    composition: each corpus vector is PQ-encoded as its RESIDUAL
+    against the assigned cell's unit-normalized centroid instead of
+    the raw normalized vector (similarity.ivfpq_residual_topk).
+    When the coarse quantizer explains real variance, residuals
+    concentrate near the origin and the same m-byte code budget
+    resolves what the cells haven't already explained — the standard
+    recall improvement at identical storage
+    (test_residual_ivfpq_beats_raw_on_clustered_corpus pins the win
+    end-to-end on a clustered corpus: 0.53 vs 0.20). On THIS fixture
+    the embeddings are near-random (mean cosine to own centroid
+    ≈ 0.22; residual norms 1.25 > 1.0), so the premise fails and the
+    audit honestly reports residual ≤ raw here — exactly the
+    data-dependence a recall audit exists to expose. The ADC distance keeps the
+    per-cell ⟨qr, qr⟩ term because the query's residual differs per
+    probed cell — multi-probe ranking would be wrong without it. The
+    oracle composes `_SQL_IVF_COARSE` + the residual chain
+    (`_SQL_PQ_RESID`: centroid normalization → residual frame → id<k
+    residual seed codebooks → argmin codes), so the comparison is
+    exact, not statistical."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ap = sim.ivfpq_residual_topk(
+        e, qs, k=5, n_probe=2, m=_PQ_M, k_codes=_PQ_KCODES
+    ).select("query_id", "vec_id")
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    return _recall_vs_exact(ex, ap)
+
+
+# Lloyd-refined codebook oracle fragments: one refinement round
+# unrolled — members of each (subspace, codeword) from the SEED codes
+# CTE, per-position mean, coalesce to the seed for empty codewords,
+# then re-encode against the refined codebooks. Expects _SQL_PQ_CODES'
+# nv/cb/codes in scope.
+def _pq_refined_sql(m: int, k: int, sub: int) -> str:
+    code_cols = ",\n             ".join(
+        f"max(CASE WHEN s={s} THEN code END) AS c{s}" for s in range(m)
+    )
+    return f"""rmem AS (SELECT c.s, c.code AS j,
+             generate_subscripts(list_slice(nv.v, c.s*{sub} + 1, (c.s+1)*{sub}), 1) AS p,
+             unnest(list_slice(nv.v, c.s*{sub} + 1, (c.s+1)*{sub})) AS x
+           FROM codes c JOIN nv ON nv.vec_id = c.vec_id),
+    ravg AS (SELECT s, j, p, avg(x) AS ax FROM rmem GROUP BY s, j, p),
+    rlist AS (SELECT s, j, list(ax ORDER BY p) AS c FROM ravg GROUP BY s, j),
+    cb2 AS (SELECT cb.s, cb.j, coalesce(rlist.c, cb.c) AS c
+            FROM cb LEFT JOIN rlist ON rlist.s = cb.s AND rlist.j = cb.j),
+    enc2 AS (SELECT nv.vec_id, cb2.s, cb2.j,
+              -2 * list_dot_product(list_slice(nv.v, cb2.s*{sub} + 1, (cb2.s+1)*{sub}), cb2.c)
+              + list_dot_product(cb2.c, cb2.c) AS d
+            FROM nv CROSS JOIN cb2),
+    codes2 AS (SELECT vec_id, s, j AS code FROM enc2
+              QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1),
+    cw2 AS (SELECT vec_id,
+             {code_cols}
+           FROM codes2 GROUP BY vec_id)"""
+
+
+_SQL_PQ_REFINED = _pq_refined_sql(_PQ_M, _PQ_KCODES, _PQ_SUB)
+_SQL_PQ2_ADC_JOINS = "\n            ".join(
+    f"JOIN cb2 b{s} ON b{s}.s = {s} AND b{s}.j = cw2.c{s}"
+    for s in range(_PQ_M)
+)
+
+
+@query(
+    "pq_refined_recall",
+    oracle=f"""
+    WITH {_SQL_PQ_CODES},
+    {_SQL_PQ_REFINED},
+    qs AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
+    adc AS (SELECT q.query_id, cw2.vec_id,
+              {_SQL_PQ_ADC_TERMS}
+            FROM qs q CROSS JOIN cw2
+            {_SQL_PQ2_ADC_JOINS}
+            WHERE cw2.vec_id != q.query_id),
+    ap AS (SELECT query_id, vec_id FROM adc
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
+    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
+    """,
+)
+def pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-refined PQ audit — the production codebook path
+    pq_codebooks' docstring names, now implemented
+    (similarity.pq_codebooks_refined): one Lloyd round per subspace
+    (encode against the seed codebooks → replace every codeword with
+    the per-position mean of its assigned subvectors, empty codewords
+    keep their seed), then PQ/ADC top-k against the REFINED codebooks,
+    reported as recall@5 vs the float baseline (tests assert ≥ the
+    seed-codebook `pq_topk_recall` on this fixture). Per refinement
+    round the engine pays one map-side encode scan + one k·dim-row
+    hash aggregate + a bounded k·dim driver fetch. The oracle unrolls
+    the round exactly (seed codes CTE → per-(s, j, pos) avg →
+    coalesce → re-encode), so the comparison is exact, not
+    statistical."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rcbs = sim.pq_codebooks_refined(e, m=_PQ_M, k=_PQ_KCODES, rounds=1)
+    ap = sim.pq_topk(
+        e, qs, m=_PQ_M, k_codes=_PQ_KCODES, k=5, codebooks=rcbs
+    ).select("query_id", "vec_id")
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    return _recall_vs_exact(ex, ap)
+
+
 @query(
     "key_skew_profile",
     oracle="""

@@ -312,3 +312,73 @@ def test_pq_codebooks_rejects_missing_seed_ids(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="seed vectors"):
         sim.pq_codebooks(df, m=2, k=4)
+
+
+def _recall_map(exact_rows, approx_rows):
+    ex, ap = {}, {}
+    for r in exact_rows:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx_rows:
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    rs = [len(ex[k] & ap.get(k, set())) / len(ex[k]) for k in ex]
+    return sum(rs) / len(rs)
+
+
+def _clustered_corpus(spark, n=200, k_lab=5, dim=32, noise=0.35):
+    """Deterministic corpus with REAL cluster structure (the regime the
+    coarse quantizer is built for — mean cosine to own centroid ≈ 0.9,
+    unlike the near-random testdata embeddings at ≈ 0.22)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(k_lab, dim)
+    labels = rng.randint(0, k_lab, n)
+    V = cents[labels] + noise * rng.randn(n, dim)
+    return spark.createDataFrame(
+        [
+            (i, [float(x) for x in V[i]], int(labels[i]))
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+
+
+def test_residual_ivfpq_beats_raw_on_clustered_corpus(spark):
+    """The canonical Jégou-2011 claim, end-to-end through the engine:
+    when the coarse quantizer explains real variance (clustered data),
+    PQ-encoding the RESIDUAL beats PQ-encoding the raw normalized
+    vector at the same code budget. (On the near-random testdata
+    embeddings the coarse cells explain ~nothing — residual norms
+    exceed the vector norms — so `ivfpq_residual_recall` documents the
+    data-dependence there; THIS test pins the win where the premise
+    holds.)"""
+    e = _clustered_corpus(spark)
+    qs = e.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ex = sim.brute_force_topk(e, qs, k=5).collect()
+    kw = dict(k=5, n_probe=2, m=4, k_codes=8)
+    raw = sim.ivfpq_topk(e, qs, **kw).collect()
+    res = sim.ivfpq_residual_topk(e, qs, **kw).collect()
+    r_raw = _recall_map(ex, raw)
+    r_res = _recall_map(ex, res)
+    assert r_res > r_raw  # strict: the canonical gain, not a tie
+    assert r_res >= 0.5  # and absolutely good for 8 codewords/subspace
+
+
+def test_refined_codebooks_improve_or_match_seed_recall(spark):
+    """Lloyd refinement must never hurt: refined-codebook PQ recall ≥
+    seed-codebook recall on a clustered corpus, and the refined
+    codebooks must actually move (the refinement is real work, not a
+    fixed point of the seeds)."""
+    e = _clustered_corpus(spark)
+    qs = e.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ex = sim.brute_force_topk(e, qs, k=5).collect()
+    seed_cbs = sim.pq_codebooks(e, m=4, k=8)
+    ref_cbs = sim.pq_codebooks_refined(e, m=4, k=8, rounds=1)
+    assert ref_cbs != seed_cbs
+    seed = sim.pq_topk(e, qs, m=4, k_codes=8, k=5, codebooks=seed_cbs).collect()
+    ref = sim.pq_topk(e, qs, m=4, k_codes=8, k=5, codebooks=ref_cbs).collect()
+    assert _recall_map(ex, ref) >= _recall_map(ex, seed)
