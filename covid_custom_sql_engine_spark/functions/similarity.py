@@ -1030,6 +1030,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     label_col: str = "label",
+    corpus_predicate: Column | None = None,
 ) -> DataFrame:
     """IVFADC — the billion-scale ANN composition: IVF coarse
     quantization prunes the corpus to ``n_probe`` probed cells per
@@ -1041,17 +1042,34 @@ def ivfpq_topk(
     uses the cosine rule of ivf_topk (scale-invariant, so raw vs
     normalized vectors agree); ADC uses the PQ fixed-order distance —
     both proven deterministic cross-engine, so the composition's
-    oracle is exact."""
+    oracle is exact.
+
+    ``corpus_predicate`` serves FILTERED ANN — the query shape every
+    production vector store serves (top-k under a metadata
+    constraint): the index (centroids + codebooks) stays trained on
+    the FULL corpus, and the predicate prunes the scan side BEFORE the
+    cell-scoped ADC, so the result is the exact top-k among matching
+    vectors (pre-filtering). The naive alternative — post-filtering an
+    unfiltered top-k — silently under-returns whenever the global
+    top-k is dominated by non-matching vectors; `filtered_ann_audit`
+    measures that gap (post-filter hits ⊆ pre-filter hits, provably).
+    At scale the predicate reaches the scan as an ordinary pushed
+    filter on the codes table's metadata columns."""
     from pyspark.sql import Window
 
     cents = label_centroids(embeddings, label_col, vec_col)
     cbs = pq_codebooks(embeddings, m, k_codes, id_col, vec_col)
     sub = len(cbs[0][0])
+    scan_src = (
+        embeddings.filter(corpus_predicate)
+        if corpus_predicate is not None
+        else embeddings
+    )
 
     # corpus-side cell assignment: zero-shuffle HOF argmax (r7); see
     # ivf_topk — nulls_first mirrors the oracle's DESC NULLS FIRST
     corpus_cells = _assign_nearest(
-        embeddings.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")),
+        scan_src.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")),
         cents,
         nulls_first=True,
     ).select(F.col("_id").alias(id_col), "cell")
@@ -1069,7 +1087,7 @@ def ivfpq_topk(
         .filter(F.col("_rn") <= n_probe)
         .select(query_id_col, "cell", "_qn")
     )
-    codes = pq_encode(embeddings, cbs, id_col, vec_col)
+    codes = pq_encode(scan_src, cbs, id_col, vec_col)
     scan = (
         codes.join(corpus_cells, id_col)
         .join(F.broadcast(probes), "cell")

@@ -6918,6 +6918,161 @@ def pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(ex, ap)
 
 
+# Filtered-ANN predicate (ONE constant driving the Spark calls AND the
+# generated SQL, the _PQ_* convention)
+_FANN_LABEL = 2
+
+
+@query(
+    "filtered_ann_topk",
+    oracle=f"""
+    WITH {_SQL_IVF_COARSE},
+    {_SQL_PQ_CODES},
+    nq AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
+    adc AS (SELECT p.query_id, s.vec_id,
+              {_SQL_PQ_ADC_TERMS}
+            FROM pr p
+            JOIN nq q ON q.query_id = p.query_id
+            JOIN corpus s ON s.cell = p.cell
+            JOIN c cl ON cl.vec_id = s.vec_id AND cl.label = {_FANN_LABEL}
+            JOIN cw ON cw.vec_id = s.vec_id
+            {_SQL_PQ_ADC_JOINS}
+            WHERE s.vec_id != p.query_id)
+    SELECT query_id, vec_id, round(d, 6) + 0.0 AS pq_dist,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) AS BIGINT) AS rank
+    FROM adc
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5
+    """,
+)
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — the query shape every production vector store
+    serves: top-k under a metadata predicate (here ``label = 2``). The
+    index (coarse cells + PQ codebooks) stays trained on the FULL
+    corpus; the predicate prunes the scan side BEFORE the cell-scoped
+    ADC (similarity.ivfpq_topk's corpus_predicate), so the result is
+    the exact ADC top-k among MATCHING vectors — pre-filtering, not
+    the silently-under-returning post-filter of an unfiltered top-k
+    (that gap is measured by `filtered_ann_audit`). At 100 TB the
+    predicate is an ordinary pushed filter on the codes table's
+    metadata columns — the scan cost drops to the predicate's
+    selectivity × n_probe/n_cells × m bytes per vector."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivfpq_topk(
+        e,
+        qs,
+        k=5,
+        n_probe=2,
+        m=_PQ_M,
+        k_codes=_PQ_KCODES,
+        corpus_predicate=(F.col("label") == _FANN_LABEL),
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        (F.round("pq_dist", 6) + 0.0).alias("pq_dist"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "filtered_ann_audit",
+    oracle=f"""
+    WITH {_SQL_IVF_COARSE},
+    {_SQL_PQ_CODES},
+    nq AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
+    exf AS (SELECT q.query_id, cf.vec_id FROM q
+            CROSS JOIN (SELECT vec_id, v FROM c WHERE label = {_FANN_LABEL}) cf
+            WHERE cf.vec_id != q.query_id
+            QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_dot_product(q.qv, cf.v)
+                / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cf.v, cf.v)))
+              DESC, cf.vec_id) <= 5),
+    adc AS (SELECT p.query_id, s.vec_id, cl.label,
+              {_SQL_PQ_ADC_TERMS}
+            FROM pr p
+            JOIN nq q ON q.query_id = p.query_id
+            JOIN corpus s ON s.cell = p.cell
+            JOIN c cl ON cl.vec_id = s.vec_id
+            JOIN cw ON cw.vec_id = s.vec_id
+            {_SQL_PQ_ADC_JOINS}
+            WHERE s.vec_id != p.query_id),
+    pre AS (SELECT query_id, vec_id FROM adc WHERE label = {_FANN_LABEL}
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
+    post AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id, label FROM adc
+               QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5)
+             WHERE label = {_FANN_LABEL}),
+    hp AS (SELECT exf.query_id, count(*) AS n FROM exf
+           JOIN pre ON pre.query_id = exf.query_id AND pre.vec_id = exf.vec_id
+           GROUP BY exf.query_id),
+    hq AS (SELECT exf.query_id, count(*) AS n FROM exf
+           JOIN post ON post.query_id = exf.query_id AND post.vec_id = exf.vec_id
+           GROUP BY exf.query_id),
+    per AS (SELECT query_id, count(*) AS k FROM exf GROUP BY query_id)
+    SELECT per.query_id, per.k,
+           coalesce(hp.n, 0) AS hits_pre,
+           round(coalesce(hp.n, 0)::DOUBLE / per.k, 6) AS recall_pre,
+           coalesce(hq.n, 0) AS hits_post,
+           round(coalesce(hq.n, 0)::DOUBLE / per.k, 6) AS recall_post
+    FROM per LEFT JOIN hp ON hp.query_id = per.query_id
+             LEFT JOIN hq ON hq.query_id = per.query_id
+    """,
+)
+def filtered_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-filter vs post-filter gap, measured: per query, recall
+    of (a) PRE-filtering — the predicate prunes the scan before the
+    cell-scoped ADC (`filtered_ann_topk`'s path) and (b)
+    POST-filtering — take the unfiltered ADC top-5, then keep matches
+    (the naive approach) — both against the exact filtered cosine
+    top-5. Post-filter hits are PROVABLY a subset of pre-filter hits
+    (a match in the unfiltered top-5 is among the 5 best matches of
+    the probed cells), so recall_post ≤ recall_pre row by row; the
+    audit shows how much the naive path under-returns on a selective
+    predicate (~1-in-10 here). Fully oracled — both paths and the
+    exact baseline are deterministic."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pred = F.col("label") == _FANN_LABEL
+    exf = sim.brute_force_topk(e.filter(pred), qs, k=5).select(
+        "query_id", "vec_id"
+    )
+    kw = dict(k=5, n_probe=2, m=_PQ_M, k_codes=_PQ_KCODES)
+    pre = sim.ivfpq_topk(e, qs, corpus_predicate=pred, **kw).select(
+        "query_id", "vec_id"
+    )
+    post = (
+        sim.ivfpq_topk(e, qs, **kw)
+        .select("query_id", "vec_id")
+        .join(e.filter(pred).select("vec_id"), "vec_id")
+    )
+    per = exf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    hp = exf.join(pre, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits_pre")
+    )
+    hq = exf.join(post, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits_post")
+    )
+    n_pre = F.coalesce("hits_pre", F.lit(0))
+    n_post = F.coalesce("hits_post", F.lit(0))
+    return (
+        per.join(hp, "query_id", "left")
+        .join(hq, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            n_pre.alias("hits_pre"),
+            F.round(n_pre / F.col("k"), 6).alias("recall_pre"),
+            n_post.alias("hits_post"),
+            F.round(n_post / F.col("k"), 6).alias("recall_post"),
+        )
+    )
+
+
 @query(
     "key_skew_profile",
     oracle="""

@@ -382,3 +382,39 @@ def test_refined_codebooks_improve_or_match_seed_recall(spark):
     seed = sim.pq_topk(e, qs, m=4, k_codes=8, k=5, codebooks=seed_cbs).collect()
     ref = sim.pq_topk(e, qs, m=4, k_codes=8, k=5, codebooks=ref_cbs).collect()
     assert _recall_map(ex, ref) >= _recall_map(ex, seed)
+
+
+def test_filtered_ann_pre_beats_post_filtering(spark):
+    """Pre-filtering (predicate before the cell-scoped ADC) must
+    dominate post-filtering (unfiltered top-k, then keep matches):
+    post-filter hits are structurally a subset of pre-filter hits, and
+    on a selective predicate the naive path visibly under-returns."""
+    from covid_custom_sql_engine_spark.queries_registry import QUERIES
+
+    rows = QUERIES["filtered_ann_audit"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.recall_pre >= r.recall_post  # structural subset
+    # the phenomenon, not just the inequality: pre finds hits the
+    # naive path misses entirely on the ~1-in-10 predicate
+    assert sum(r.hits_pre for r in rows) > sum(r.hits_post for r in rows)
+
+
+def test_filtered_ann_exact_semantics(spark):
+    """filtered_ann_topk must return only predicate-matching vectors,
+    and with every cell probed (n_probe = n_cells) plus fine-enough
+    codes it degrades to the exact filtered ranking's candidate set."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = e.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pred = F.col("label") == 2
+    out = sim.ivfpq_topk(
+        e, qs, k=5, n_probe=10, m=4, k_codes=16, corpus_predicate=pred
+    ).collect()
+    allowed = {r.vec_id for r in e.filter(pred).select("vec_id").collect()}
+    assert out and all(r.vec_id in allowed for r in out)
