@@ -1252,6 +1252,132 @@ def assign_cells(
     return out.select(F.col("_id").alias(id_col), "cell")
 
 
+def hierarchical_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_super: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level APPROXIMATE cell assignment — the standard fix for
+    flat assignment's O(N·k) dot products at the k ≈ √N configuration
+    (N = 10⁹, k ≈ 31k → ~3×10¹³ subspace ops per Lloyd round): pick
+    ``n_super`` super-seeds (the centroids with the smallest cell ids
+    — the deterministic id-seed convention), group every centroid
+    under its most-cosine-similar super-seed, then assign each vector
+    in two stages — nearest super-seed first, nearest CHILD of that
+    super-seed second. Work per vector: n_super + k/n_super dots on
+    average (≈ 2√k at n_super = ⌈√k⌉) instead of k — ~100× less at
+    k = 31k. Approximate: a vector whose true nearest centroid lives
+    under a different super-seed is misassigned, so this NEVER
+    replaces the exact oracled paths; `hierarchical_assign_agreement`
+    audits the agreement rate against exact assignment.
+
+    Plan shape: the whole two-level structure collapses to ONE
+    broadcast row (supers array of structs, each carrying its children
+    array with pre-hoisted norms — the `_assign_nearest` convention,
+    nested), and both stages run inside per-row higher-order argmaxes
+    over that broadcast DATA: zero shuffle, O(1) plan size in k,
+    NULL-similarity outranks values (the DESC NULLS FIRST flavor,
+    matching assign_cells' default). Returns (id, cell)."""
+    from pyspark.sql import Window
+
+    # super-seeds: the n_super smallest cell ids (tiny frame — the
+    # single-partition window only ever sees ≤ k centroid rows)
+    w = Window.orderBy("cell")
+    seeds = (
+        centroids.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_super)
+        .select(F.col("cell").alias("scell"), F.col("_cv").alias("_scv"))
+    )
+    # centroid → super-seed grouping (≤ k rows × n_super candidates)
+    cent_sup = _assign_nearest(
+        centroids.select(
+            F.col("cell").alias("_id"), F.col("_cv").alias("_v")
+        ),
+        seeds.select(
+            F.col("scell").alias("cell"), F.col("_scv").alias("_cv")
+        ),
+        nulls_first=True,
+    ).select(
+        F.col("_id").alias("ccell"),
+        F.col("cell").alias("scell"),
+        F.col("_v").alias("_ccv"),
+    )
+    # ONE nested broadcast row: supers (sorted by id), each with its
+    # seed vector + norm and a sorted children array with norms
+    sup = (
+        cent_sup.groupBy("scell")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ccell").alias("cell"),
+                        F.col("_ccv").alias("_cv"),
+                        norm(F.col("_ccv")).alias("_cn"),
+                    )
+                )
+            ).alias("_children")
+        )
+        .join(F.broadcast(seeds), "scell")
+    )
+    arr = F.broadcast(
+        sup.select(
+            F.struct(
+                F.col("scell"),
+                F.col("_scv"),
+                norm(F.col("_scv")).alias("_sn"),
+                F.col("_children"),
+            ).alias("_s")
+        ).agg(F.array_sort(F.collect_list("_s")).alias("_supers"))
+    )
+
+    def _sim(vec, vn, cvec, cn):
+        return F.when(vn * cn > 0, dot(vec, cvec) / (vn * cn))
+
+    # level 1: argmax over supers — the winner's children ride along
+    # in the struct (compared only on the impossible total tie, since
+    # super ids are unique)
+    scored1 = F.transform(
+        "_supers",
+        lambda s: F.struct(
+            _sim(F.col("_v"), F.col("_vn"), s["_scv"], s["_sn"])
+            .isNull()
+            .cast("int")
+            .alias("_nf"),
+            _sim(F.col("_v"), F.col("_vn"), s["_scv"], s["_sn"]).alias(
+                "_sim"
+            ),
+            (-s["scell"]).cast("long").alias("_negs"),
+            s["_children"].alias("_ch"),
+        ),
+    )
+    best1 = F.array_max(scored1)
+    # level 2: argmax over the chosen super's children only
+    scored2 = F.transform(
+        best1["_ch"],
+        lambda c: F.struct(
+            _sim(F.col("_v"), F.col("_vn"), c["_cv"], c["_cn"])
+            .isNull()
+            .cast("int")
+            .alias("_nf"),
+            _sim(F.col("_v"), F.col("_vn"), c["_cv"], c["_cn"]).alias(
+                "_sim"
+            ),
+            (-c["cell"]).cast("long").alias("_negc"),
+        ),
+    )
+    best2 = F.array_max(scored2)
+    return (
+        vectors.select(
+            F.col(id_col), as_double(vec_col).alias("_v")
+        )
+        .withColumn("_vn", norm(F.col("_v")))
+        .crossJoin(arr)
+        .select(F.col(id_col), (-best2["_negc"]).alias("cell"))
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k_const: int = 60,

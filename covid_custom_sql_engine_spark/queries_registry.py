@@ -7074,6 +7074,88 @@ def filtered_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hierarchical_assign_agreement",
+    oracle="""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id < 16),
+    sup AS (SELECT cell AS scell, cv AS scv FROM cent WHERE cell < 4),
+    cs AS (SELECT cent.cell, sup.scell, row_number() OVER (
+             PARTITION BY cent.cell
+             ORDER BY (list_dot_product(cent.cv, sup.scv)
+                       / (sqrt(list_dot_product(cent.cv, cent.cv)) * sqrt(list_dot_product(sup.scv, sup.scv))))
+                      DESC NULLS FIRST, sup.scell ASC) AS rn
+           FROM cent CROSS JOIN sup),
+    csel AS (SELECT cell, scell FROM cs WHERE rn = 1),
+    vs AS (SELECT c.vec_id, sup.scell, row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY (list_dot_product(c.v, sup.scv)
+                       / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(sup.scv, sup.scv))))
+                      DESC NULLS FIRST, sup.scell ASC) AS rn
+           FROM c CROSS JOIN sup),
+    vsel AS (SELECT vec_id, scell FROM vs WHERE rn = 1),
+    vc AS (SELECT v.vec_id, cent.cell, row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY (list_dot_product(v.v, cent.cv)
+                       / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cent.cv, cent.cv))))
+                      DESC NULLS FIRST, cent.cell ASC) AS rn
+           FROM c v JOIN vsel ON vsel.vec_id = v.vec_id
+                    JOIN csel ON csel.scell = vsel.scell
+                    JOIN cent ON cent.cell = csel.cell),
+    hier AS (SELECT vec_id, cell FROM vc WHERE rn = 1),
+    exv AS (SELECT c.vec_id, cent.cell, row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY (list_dot_product(c.v, cent.cv)
+                       / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cent.cv, cent.cv))))
+                      DESC NULLS FIRST, cent.cell ASC) AS rn
+           FROM c CROSS JOIN cent),
+    ex AS (SELECT vec_id, cell FROM exv WHERE rn = 1)
+    SELECT ex.cell, count(*) AS n_vectors,
+           CAST(sum(CASE WHEN hier.cell = ex.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           round(sum(CASE WHEN hier.cell = ex.cell THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS agreement
+    FROM ex JOIN hier ON hier.vec_id = ex.vec_id
+    GROUP BY ex.cell
+    """,
+)
+def hierarchical_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit for two-level coarse assignment
+    (similarity.hierarchical_assign): 16 deterministic seed centroids
+    (vec_id < 16), 4 super-seeds (the ⌈√k⌉ smallest cell ids), and
+    per exact-cell agreement between hierarchical and exact
+    assignment. The hierarchical path does n_super + k/n_super ≈ 2√k
+    dots per vector instead of k — the standard fix for flat
+    assignment's O(N·k) work at the k ≈ √N SemDeDup/IVF configuration
+    (~100× less at N = 10⁹, k ≈ 31k; cost model in SCALE.md). It is
+    APPROXIMATE (a vector whose true cell lives under a different
+    super-seed is misassigned), so the exact zero-shuffle HOF path
+    stays the default for every oracled dataflow; this audit reports
+    where and how often the cheap path diverges. Both paths and the
+    oracle are deterministic, so the comparison is exact."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), sim.as_double("embedding").alias("_cv")
+    )
+    exact = sim.assign_cells(e, cents).select(
+        "vec_id", F.col("cell").alias("_ex")
+    )
+    hier = sim.hierarchical_assign(e, cents, n_super=4).select(
+        "vec_id", F.col("cell").alias("_hr")
+    )
+    agree = F.sum(
+        F.when(F.col("_hr") == F.col("_ex"), 1).otherwise(0)
+    )
+    return (
+        exact.join(hier, "vec_id")
+        .groupBy(F.col("_ex").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            agree.alias("n_agree"),
+            F.round(agree / F.count(F.lit(1)), 6).alias("agreement"),
+        )
+    )
+
+
+@query(
     "key_skew_profile",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),

@@ -418,3 +418,32 @@ def test_filtered_ann_exact_semantics(spark):
     ).collect()
     allowed = {r.vec_id for r in e.filter(pred).select("vec_id").collect()}
     assert out and all(r.vec_id in allowed for r in out)
+
+
+def test_hierarchical_assign_agreement_and_determinism(spark):
+    """Two-level assignment: every output cell is a real centroid
+    cell, results are deterministic under repartitioning, and on a
+    CLUSTERED corpus (where the super-grouping is meaningful) the
+    agreement with exact assignment is high — the regime where the
+    2√k-work path is worth its approximation. (On the near-random
+    testdata the oracled `hierarchical_assign_agreement` honestly
+    reports ~0.5.)"""
+    e = _clustered_corpus(spark, n=300, k_lab=8, dim=32, noise=0.3)
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell"), sim.as_double("embedding").alias("_cv")
+    )
+    ex = {r.vec_id: r.cell for r in sim.assign_cells(e, cents).collect()}
+    hr = {
+        r.vec_id: r.cell
+        for r in sim.hierarchical_assign(e, cents, n_super=4).collect()
+    }
+    assert set(hr.values()) <= set(range(16))
+    agr = sum(1 for k in ex if hr[k] == ex[k]) / len(ex)
+    assert agr >= 0.8
+    again = {
+        r.vec_id: r.cell
+        for r in sim.hierarchical_assign(
+            e.repartition(7), cents, n_super=4
+        ).collect()
+    }
+    assert again == hr
