@@ -732,3 +732,58 @@ def test_streaming_guarded_ingest_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got == want and len(got) > 0
     assert gates and not any(gates)  # healthy corpus: fast path each batch
+
+
+def test_streaming_vector_index_maintenance(spark, sf_dir, tmp_path):
+    """Vector-index maintenance consumed FROM A STREAM — the ANN
+    sibling of the guarded-dedup ingest: the corpus (even vec_ids) is
+    already clustered and its centroids are FROZEN; each arriving
+    micro-batch of new vectors (odd vec_ids) is assigned to those
+    cells via similarity.assign_cells inside foreachBatch (|batch| ·
+    cells map-side work, zero shuffle, no corpus rescan, no retrain),
+    and the union of per-batch assignments must equal the one-shot
+    batch assignment over all new vectors — daily index upkeep runs
+    under Structured Streaming, not just batch."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+    from covid_custom_sql_engine_spark.functions import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 2 == 0)
+    new_vecs = e.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    cents = sim.label_centroids(corpus, "label", "embedding")
+    # pin the frozen centroids once — the production upkeep contract
+    # (assign_cells itself collapses them to one broadcast row)
+    cents = cents.localCheckpoint(eager=True)
+    src_dir, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    new_vecs.filter(F.col("vec_id") % 4 == 1).write.parquet(src_dir + "/a")
+    new_vecs.filter(F.col("vec_id") % 4 == 3).write.parquet(src_dir + "/b")
+    stream = (
+        spark.readStream.schema(new_vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sim.assign_cells(batch_df, cents).write.mode("append").parquet(
+            out_dir
+        )
+
+    sq = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(180)
+    got = {
+        (r.vec_id, r.cell) for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.vec_id, r.cell)
+        for r in sim.assign_cells(new_vecs, cents).collect()
+    }
+    assert got == want and len(got) == new_vecs.count()
