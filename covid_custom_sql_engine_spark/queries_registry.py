@@ -8761,80 +8761,33 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- ROUND 7 WINDOW (first 50 = the driver's official check set) ----
+    # ---- ROUND 8 WINDOW (first 50 = the driver's official check set) ----
     # flagship first — it's also the entry() smoke query
     "flagship_revenue_by_nation",
-    # --- NEW in round 7 (never driver-checked): the exact re-rank
-    # third stage of the IVFADC retrieval stack, the span edit plan
-    # EXECUTED (Lee-2022 loop closed), and the 4:2:0 chroma-upsampled
-    # video decode ---
+    # --- NEW in round 8 (never driver-checked): residual IVFADC,
+    # Lloyd-refined codebooks, filtered ANN (pre-filter semantics +
+    # the pre-vs-post audit), and the two-level assignment agreement
+    # audit ---
+    "ivfpq_residual_recall",
+    "pq_refined_recall",
+    "filtered_ann_topk",
+    "filtered_ann_audit",
+    "hierarchical_assign_agreement",
+    # --- touched by this round's PQ-codebook broadcast rework (encode
+    # + both ADC builders now read a 1-row broadcast codebook frame:
+    # plans changed materially; values proven bit-identical locally
+    # but the official rows must re-earn under the driver), plus
+    # repeated_span_apply (remove_spans' n_cut derivation changed) and
+    # video_stats_c420 (synth_y4m_media gained parity validation) ---
+    "pq_topk_recall",
+    "ivfpq_topk_recall",
     "ivfpq_rerank_recall",
+    "rrf_fusion",
     "repeated_span_apply",
     "video_stats_c420",
-    "rrf_fusion",
-    "ivf_incremental_assign",
-    # --- touched by this round's assignment rewrite (the zero-shuffle
-    # HOF argmax over a 1-row broadcast centroid array, in both the
-    # nulls-last kmeans flavor and the nulls-first semdedup/IVF flavor:
-    # plans changed materially; values proven bit-identical locally but
-    # the official rows must re-earn under the driver) ---
-    "kmeans_step",
-    "kmeans_semdedup",
-    "kmeans_semdedup_scaled",
-    "semdedup_prune",
-    "ivf_topk",
-    "ivfpq_topk_recall",
-    # --- the full 29-query r2-stale slice (r6 VERDICT item #2): the
-    # MERGE/SCD2/as-of/range-join/sampling/sessionization surface an
-    # incremental-pipeline user exercises daily, in the parked order
-    # round 6 left behind ---
-    "dataset_split",
-    "exact_medians_scalable",
-    "range_join_bands",
-    "salted_join",
-    "interval_overlap_join",
-    "scd2_intervals",
-    "merge_upsert",
-    "approx_distinct_parts",
-    "attribution_join",
-    "bpe_pair_counts",
-    "chunk_documents",
-    "corpus_filter_pipeline",
-    "debounce_events",
-    "decontaminate_ngrams",
-    "demo_showcase",
-    "embedding_quantize_int8",
-    "event_transitions",
-    "funnel_steps",
-    "hourly_spine_zero_fill",
-    "quota_sample",
-    "range_window_rolling",
-    "retention_cohorts",
-    "session_ids",
-    "synth_source_agg",
-    "tfidf_top_terms",
-    "time_weighted_avg",
-    "udtf_tokens",
-    "unigram_logprob",
-    "winnow_pairs",
-    # --- 9 of the 40 r3-stale queries, oldest-first (their r3 check
-    # order): distributed ranking, sampling/diff shapes, and the first
-    # TPC-H cohort ---
-    "global_rank_orders",
-    "equidepth_histogram",
-    "incremental_dedup_pairs",
-    "negative_samples",
-    "interevent_gap_percentiles",
-    "snapshot_diff",
-    "tpch_q3_shipping_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q10_returned_items",
-    # ---------------- out-of-window below this line ----------------
-    # parked in priority order for the round-8 refresh: the remaining
-    # 31 r3-stale queries, oldest-first (the five displaced by the
-    # late HOF-assignment / rrf_fusion / incremental-assign window
-    # picks lead; every other registered query's latest official row
-    # is r4+ and all are re-verified locally each round)
+    # --- the full 31-query r3-stale slice (r7 VERDICT item #2): the
+    # recall audits, TPC-H tail, and join/window/sampling surface, in
+    # the parked order round 7 left behind ---
     "tpch_q14_promo_share",
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
@@ -8866,27 +8819,45 @@ _DRIVER_WINDOW_PRIORITY = [
     "repetition_ratio",
     "column_profile",
     "winnow_fingerprint",
+    # --- the 7 oldest r4 rows (r7 VERDICT item #2's fill guidance):
+    # retrieval, mixture resampling, the reference group-by/join
+    # semantics, and the graph family ---
+    "bm25_search",
+    "mixture_resample_lang",
+    "group_agg_ref7",
+    "join_ref_left",
+    "pagerank_bipartite",
+    "hits_bipartite",
+    "triangle_counts",
+    # ---------------- out-of-window below this line ----------------
+    # parked in priority order for the round-9 refresh: the remaining
+    # r4-era official rows (every other registered query's latest
+    # official row is r5+ and all are re-verified locally each round)
+    "psi_drift",
+    "join_ref_inner",
+    "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
 ]
 
 
 # The window rotates each round so every query eventually earns an
-# official driver row. Round-7 composition (exactly 50): the flagship
-# sentinel; the 5 queries NEW in r7 (IVFADC exact re-rank, span-plan
-# apply, C420 video, RRF hybrid fusion, frozen-cell incremental assign
-# — never-checked beats stale-refresh, the r5/r6 precedent); the 6
-# queries whose assignment plan was rewritten this round (the
-# zero-shuffle HOF argmax, both NULL flavors: kmeans_step,
-# kmeans_semdedup, kmeans_semdedup_scaled, semdedup_prune, ivf_topk,
-# ivfpq_topk_recall — values proven bit-identical locally, but a
-# materially-changed plan re-earns its official row); the FULL
-# 29-query r2-stale slice the r6 verdict demanded (MERGE, SCD2,
-# as-of/range joins, sampling, sessionization, corpus-prep); and the
-# oldest 9 of the 40-query r3-stale cohort (distributed ranking + the
-# first TPC-H block). The remaining 31 r3-stale queries are parked in
-# refresh order for round 8.
-# Everything below the out-of-window line holds an r1-r6 green row and
+# official driver row. Round-8 composition (exactly 50): the flagship
+# sentinel; the 5 queries NEW in r8 (residual IVFADC, Lloyd-refined
+# codebooks, filtered ANN + its pre-vs-post audit, hierarchical
+# assignment agreement — never-checked beats stale-refresh, the
+# r5-r7 precedent); the 6 queries whose plan this round's changes
+# touched (the PQ-codebook broadcast rework: pq_topk_recall,
+# ivfpq_topk_recall, ivfpq_rerank_recall, rrf_fusion; plus
+# repeated_span_apply and video_stats_c420 — values proven
+# bit-identical locally, but a materially-changed plan re-earns its
+# official row); the FULL 31-query r3-stale slice the r7 verdict
+# demanded (recall audits, TPC-H tail, join/window/sampling surface);
+# and the 7 oldest r4 rows (bm25, mixture resample, reference
+# group-by/join semantics, the graph family). The remaining r4-era
+# rows are parked in refresh order for round 9.
+# Everything below the out-of-window line holds an r1-r7 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (211 registered; all re-verified at sf0.01 this round, plus sf0.001
+# (216 registered; all re-verified at sf0.01 this round, plus sf0.001
 # and sf0.1 spot-checks on new/touched queries).
 
 
