@@ -76,6 +76,9 @@ HEADLINE = [
     "corpus_curation_pipeline",
     # round 6 addition: the skew-gated incremental ingest loop
     "guarded_incremental_dedup",
+    # round 8 addition: filtered ANN — the production vector-store
+    # query shape (predicate pruned before the cell-scoped ADC)
+    "filtered_ann_topk",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):
@@ -91,6 +94,8 @@ SCALE_REHEARSAL = [
     "ivfpq_topk_recall",
     # round 7: the exact re-rank third stage of the IVFADC stack
     "ivfpq_rerank_recall",
+    # round 8: residual IVFADC (runs the float baseline too — audit cost)
+    "ivfpq_residual_recall",
 ]
 
 

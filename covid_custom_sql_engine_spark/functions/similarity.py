@@ -39,6 +39,39 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, d / denom)
 
 
+def _two_phase_topk(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str,
+    order: list[Column],
+    out_cols: list[str | Column],
+) -> DataFrame:
+    """Per-query top-k over a corpus-sized scored frame WITHOUT a
+    corpus-sized single-partition sort: phase 1 ranks within
+    (query, input-partition) — parallelism = input partitions, each
+    task sorts only its slice — and phase 2 ranks the ≤ k·P survivors
+    per query. The global top-k is a subset of the union of
+    per-partition top-ks under the SAME total order (scores tie-broken
+    by the unique id), so the result is identical to the
+    single-window shape for ANY partitioning — values, ties, and
+    determinism unchanged, which is why the oracles don't move. The
+    naive ``Window.partitionBy(query_id)`` degenerates at scale to
+    |queries| reducer tasks each sorting the full corpus; this shape's
+    phase-2 input is k·P rows per query."""
+    from pyspark.sql import Window
+
+    pre = scored.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(query_id_col, "_pid").orderBy(*order)
+    w2 = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        pre.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select(*out_cols)
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -51,11 +84,12 @@ def brute_force_topk(
 
     The (broadcast) query side crosses the corpus once — a
     BroadcastNestedLoopJoin scanning the corpus a single time for ALL
-    queries, then a per-query top-k window. Self-matches excluded.
-    Deterministic tie-break on neighbor id.
+    queries — then the per-query top-k runs as a TWO-PHASE ranking
+    (:func:`_two_phase_topk`): per-input-partition top-k first, global
+    top-k over the k·P survivors second, so the exact baseline itself
+    never funnels the corpus through |queries| reducer tasks.
+    Self-matches excluded. Deterministic tie-break on neighbor id.
     """
-    from pyspark.sql import Window
-
     q = F.broadcast(
         queries.select(
             F.col(query_id_col), as_double(vec_col).alias("_qv")
@@ -71,13 +105,12 @@ def brute_force_topk(
             cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc_nulls_last(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(query_id_col, id_col, "cos_sim", F.col("_rn").alias("rank"))
+    return _two_phase_topk(
+        scored,
+        k,
+        query_id_col,
+        [F.col("cos_sim").desc_nulls_last(), F.col(id_col).asc()],
+        [query_id_col, id_col, "cos_sim", F.col("_rn").alias("rank")],
     )
 
 
@@ -988,8 +1021,6 @@ def pq_topk(
     baseline). Summation is in fixed subspace order 0..m-1 on both
     engines, so distances are bit-identical and ranking ties break on
     the id deterministically."""
-    from pyspark.sql import Window
-
     cbs = (
         codebooks
         if codebooks is not None
@@ -1008,14 +1039,14 @@ def pq_topk(
         .filter(F.col(id_col) != F.col(query_id_col))
     )
     dist = _adc_distance(F.col("_qn"), m, sub)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("pq_dist").asc(), F.col(id_col).asc()
-    )
-    return (
-        joined.select(query_id_col, id_col, dist.alias("pq_dist"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(query_id_col, id_col, "pq_dist", F.col("_rn").alias("rank"))
+    # flat ADC scans the whole corpus per query → two-phase top-k, the
+    # same no-single-partition-sort discipline as brute_force_topk
+    return _two_phase_topk(
+        joined.select(query_id_col, id_col, dist.alias("pq_dist")),
+        k,
+        query_id_col,
+        [F.col("pq_dist").asc(), F.col(id_col).asc()],
+        [query_id_col, id_col, "pq_dist", F.col("_rn").alias("rank")],
     )
 
 

@@ -220,6 +220,19 @@ EXPECT = {
     # fusion layer is union + hash aggregate; the PQ parent contributes
     # the whitelisted broadcast 5-row query cross
     "rrf_fusion": (2, True, True),
+    # residual chain adds the broadcast normalized-centroid join; same
+    # whitelisted crosses as ivfpq_topk_recall
+    "ivfpq_residual_recall": (3, True, True),
+    # refined codebooks: one extra encode + k·dim aggregate subtree,
+    # same ADC/baseline crosses as pq_topk_recall
+    "pq_refined_recall": (2, True, True),
+    # filtered ANN reads the label column for the predicate (3-col
+    # scan); crosses as ivfpq_topk_recall
+    "filtered_ann_topk": (3, True, True),
+    "filtered_ann_audit": (3, True, True),
+    # two nested 1-row broadcast-array crosses (exact + hierarchical
+    # HOF argmax shapes); vec_id<16 seed filter is parquet-pushable
+    "hierarchical_assign_agreement": (2, True, True),
     # frozen-centroid ingest assignment: 1-row centroid-array broadcast
     # cross (the HOF argmax shape); parity split is arithmetic, not a
     # parquet-pushable predicate
