@@ -578,10 +578,9 @@ def int8_topk(
     exact bigint arithmetic (≤ 64·127² per pair — deterministic on any
     engine, no float-order sensitivity), which is why quantized
     retrieval is the memory-bound path at corpus scale. Same broadcast
-    cross + per-query top-k window as the float baseline so the two
+    cross + two-phase per-query top-k as the float baseline so the two
     rank lists are directly comparable (see the `int8_topk_recall`
     evaluation query)."""
-    from pyspark.sql import Window
 
     def prep(df, in_id, alias_prefix):
         vexpr, sexpr, qexpr = _quantize_int8_cols("_vd")
@@ -616,13 +615,111 @@ def int8_topk(
             ),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("q_cos").desc_nulls_last(), F.col(id_col).asc()
+    return _two_phase_topk(
+        scored,
+        k,
+        query_id_col,
+        [F.col("q_cos").desc_nulls_last(), F.col(id_col).asc()],
+        [query_id_col, id_col, "q_cos", F.col("_rn").alias("rank")],
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(query_id_col, id_col, "q_cos", F.col("_rn").alias("rank"))
+
+
+def _planes_frame(spark, planes: list[list[float]]) -> DataFrame:
+    """ONE-ROW broadcast frame carrying the hyperplane set as DATA
+    (`_planes[i]` = plane i) — the `_codebook_frame` convention applied
+    to signatures, so the signature expression stays O(1) plan size at
+    any plane count instead of inlining p·dim literals."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    data = [[float(x) for x in p] for p in planes]
+    schema = StructType(
+        [
+            StructField(
+                "_planes", ArrayType(ArrayType(DoubleType(), False), False), False
+            )
+        ]
+    )
+    return F.broadcast(spark.createDataFrame([(data,)], schema))
+
+
+def binary_signature_frame(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "sig",
+) -> DataFrame:
+    """(id, sig BIGINT) — binary quantization: the sign bits of the
+    vector's dot products against ``p ≤ 63`` fixed hyperplanes, packed
+    into one bigint by an EXACT integer fold (``acc·2 + bit`` over the
+    planes in order, so plane 0 is the most-significant bit and a SQL
+    oracle reproduces the value as Σ bit_i·2^(p−1−i)). One map-side
+    scan against the 1-row broadcast plane array: at 100 TB the
+    signature column is 8 bytes/vector — 32× smaller than dim=64
+    float32 — and downstream candidate scans become pure integer
+    Hamming work (:func:`hamming_topk`)."""
+    if not planes or len(planes) > 63:
+        raise ValueError("binary signatures need 1..63 planes")
+    pf = _planes_frame(df.sparkSession, planes)
+    out = df.select(
+        F.col(id_col), as_double(vec_col).alias("_v")
+    ).crossJoin(pf)
+    bits = F.transform(
+        "_planes",
+        lambda p: F.when(
+            dot(F.col("_v"), p) >= 0, F.lit(1).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    sig = F.aggregate(
+        bits, F.lit(0).cast("bigint"), lambda acc, b: acc * 2 + b
+    )
+    return out.select(id_col, sig.alias(out_col))
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Binary-quantized ANN — the 4th rung of the quantization ladder
+    (float 256 B → int8 64 B → PQ m B → binary 8 B per vector at
+    dim=64): corpus and queries reduce to packed sign-bit signatures
+    (:func:`binary_signature_frame`), candidates rank by Hamming
+    distance ``bit_count(sig_q XOR sig_c)`` — one xor + popcount per
+    pair, the cheapest scan a vector store can run — with ties on the
+    neighbor id. Exact re-ranking of survivors in float is the
+    standard follow-up (same contract as PQ). Per-query top-k is
+    two-phase (:func:`_two_phase_topk`); recall vs the float baseline
+    is audited by `binary_hamming_recall` with an exact oracle (the
+    fold, xor, and popcount are all integer arithmetic — no float
+    ordering anywhere past the sign)."""
+    sigs = binary_signature_frame(embeddings, planes, id_col, vec_col, "c_sig")
+    qsig = F.broadcast(
+        binary_signature_frame(
+            queries, planes, query_id_col, vec_col, "q_sig"
+        )
+    )
+    scored = (
+        sigs.crossJoin(qsig)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.bit_count(F.col("q_sig").bitwiseXOR(F.col("c_sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    return _two_phase_topk(
+        scored,
+        k,
+        query_id_col,
+        [F.col("hamming").asc(), F.col(id_col).asc()],
+        [query_id_col, id_col, "hamming", F.col("_rn").alias("rank")],
     )
 
 

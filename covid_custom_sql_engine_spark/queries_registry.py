@@ -7155,6 +7155,58 @@ def hierarchical_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Binary-signature plane count (drives the Spark call AND the oracle)
+_BSIG_PLANES = 32
+
+
+@query(
+    "binary_hamming_recall",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pl AS (SELECT vec_id AS pid, v AS pv FROM c WHERE vec_id < {_BSIG_PLANES}),
+    sig AS (SELECT c.vec_id,
+              CAST(sum(CASE WHEN list_dot_product(c.v, pl.pv) >= 0
+                            THEN CAST(2::DOUBLE ^ ({_BSIG_PLANES - 1} - pl.pid) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS s
+            FROM c CROSS JOIN pl GROUP BY c.vec_id),
+    qsig AS (SELECT vec_id AS query_id, s FROM sig WHERE vec_id <= 4),
+    hd AS (SELECT q.query_id, c.vec_id,
+                  CAST(bit_count(xor(q.s, c.s)) AS INTEGER) AS d
+           FROM qsig q JOIN sig c ON c.vec_id != q.query_id),
+    ap AS (SELECT query_id, vec_id FROM hd
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
+    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
+    """,
+)
+def binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization audit — the 4th rung of the quantization
+    ladder (float → int8 → PQ → binary: 8 bytes/vector at 32 planes,
+    32× smaller than float32 dim=64): corpus vectors reduce to packed
+    sign-bit signatures against the 32 deterministic seed hyperplanes
+    (corpus vectors id < 32 — the plane convention of lsh_topk,
+    widened), candidates rank by Hamming distance (one xor + popcount
+    per pair), and recall@5 is measured against the float cosine
+    baseline (similarity.hamming_topk). The signature fold, the xor,
+    and the popcount are all exact integer arithmetic, so the oracle
+    reproduces every signature and distance bit-for-bit — the
+    comparison is exact, not statistical. The production composition
+    is binary scan → shortlist → exact re-rank, same contract as
+    PQ/IVFADC."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    planes = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < _BSIG_PLANES)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ap = sim.hamming_topk(e, qs, planes, k=5).select("query_id", "vec_id")
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    return _recall_vs_exact(ex, ap)
+
+
 @query(
     "key_skew_profile",
     oracle="""
@@ -8828,8 +8880,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "join_ref_left",
     "pagerank_bipartite",
     "hits_bipartite",
-    "triangle_counts",
+    # late r8 addition displaces the 7th r4 fill: binary-quantized ANN
+    # (never-checked beats stale-refresh)
+    "binary_hamming_recall",
     # ---------------- out-of-window below this line ----------------
+    "triangle_counts",
     # parked in priority order for the round-9 refresh: the remaining
     # r4-era official rows (every other registered query's latest
     # official row is r5+ and all are re-verified locally each round)
@@ -8852,9 +8907,10 @@ _DRIVER_WINDOW_PRIORITY = [
 # bit-identical locally, but a materially-changed plan re-earns its
 # official row); the FULL 31-query r3-stale slice the r7 verdict
 # demanded (recall audits, TPC-H tail, join/window/sampling surface);
-# and the 7 oldest r4 rows (bm25, mixture resample, reference
-# group-by/join semantics, the graph family). The remaining r4-era
-# rows are parked in refresh order for round 9.
+# the 6 oldest r4 rows (bm25, mixture resample, reference
+# group-by/join semantics, the graph family); and the late-r8
+# binary-quantized ANN audit. The remaining r4-era rows are parked in
+# refresh order for round 9.
 # Everything below the out-of-window line holds an r1-r7 green row and
 # is re-verified locally every round by check_oracle / check_bare
 # (216 registered; all re-verified at sf0.01 this round, plus sf0.001

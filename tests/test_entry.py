@@ -30,33 +30,35 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 7: the three queries new this round (never driver-checked),
-    # the three kmeans-family queries whose assignment plan was
-    # rewritten (broadcast struct-max argmax), the FULL 29-query
-    # r2-stale slice (MERGE/SCD2/as-of/range joins, sampling,
-    # sessionization — r6 VERDICT item #2), and the oldest 14 of the
-    # r3-stale cohort (no new never-checked backlog may form)
+    # round 8: the five queries new this round (never driver-checked),
+    # the six whose plan this round's changes touched (PQ-codebook
+    # broadcast rework, span apply, y4m parity), the FULL 31-query
+    # r3-stale slice (r7 VERDICT item #2), and the 7 oldest r4 rows
+    # (no new never-checked backlog may form)
     assert {
         # new this round
-        "ivfpq_rerank_recall", "repeated_span_apply", "video_stats_c420",
-        "rrf_fusion", "ivf_incremental_assign",
-        # touched by the HOF assignment rewrite (both NULL flavors)
-        "kmeans_step", "kmeans_semdedup", "kmeans_semdedup_scaled",
-        "semdedup_prune", "ivf_topk", "ivfpq_topk_recall",
-        # the 29 r2-stale queries (r6 VERDICT item #2)
-        "dataset_split", "exact_medians_scalable", "range_join_bands",
-        "salted_join", "interval_overlap_join", "scd2_intervals",
-        "merge_upsert", "approx_distinct_parts", "attribution_join",
-        "bpe_pair_counts", "chunk_documents", "corpus_filter_pipeline",
-        "debounce_events", "decontaminate_ngrams", "demo_showcase",
-        "embedding_quantize_int8", "event_transitions", "funnel_steps",
-        "hourly_spine_zero_fill", "quota_sample", "range_window_rolling",
-        "retention_cohorts", "session_ids", "synth_source_agg",
-        "tfidf_top_terms", "time_weighted_avg", "udtf_tokens",
-        "unigram_logprob", "winnow_pairs",
-        # oldest r3-stale refresh (first TPC-H cohort + ranking)
-        "global_rank_orders", "equidepth_histogram",
-        "tpch_q3_shipping_priority", "tpch_q10_returned_items",
+        "ivfpq_residual_recall", "pq_refined_recall", "filtered_ann_topk",
+        "filtered_ann_audit", "hierarchical_assign_agreement",
+        # touched by the PQ broadcast rework / span / y4m changes
+        "pq_topk_recall", "ivfpq_topk_recall", "ivfpq_rerank_recall",
+        "rrf_fusion", "repeated_span_apply", "video_stats_c420",
+        # the 31 r3-stale queries (r7 VERDICT item #2)
+        "tpch_q14_promo_share", "tpch_q15_top_supplier",
+        "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
+        "tpch_q22_idle_customers", "cms_heavy_hitters",
+        "hll_distinct_orders", "zorder_cluster_stats", "minhash_accuracy",
+        "windowed_hll_users", "length_bucket_stats", "key_skew_profile",
+        "int8_topk_recall", "sql_surface", "chi_square_flags",
+        "frequent_part_pairs", "ols_trend_by_type", "weighted_sample_docs",
+        "ann_recall", "topn_per_group", "rolling_zscore_anomalies",
+        "window_distinct_users", "attribution_left", "levenshtein_pairs",
+        "join_full_outer", "subquery_exists_cte", "stratified_sample",
+        "redact_pii", "repetition_ratio", "column_profile",
+        "winnow_fingerprint",
+        # the 6 oldest r4 rows + the late binary-ANN addition
+        "bm25_search", "mixture_resample_lang", "group_agg_ref7",
+        "join_ref_left", "pagerank_bipartite", "hits_bipartite",
+        "binary_hamming_recall",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window

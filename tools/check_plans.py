@@ -233,6 +233,9 @@ EXPECT = {
     # two nested 1-row broadcast-array crosses (exact + hierarchical
     # HOF argmax shapes); vec_id<16 seed filter is parquet-pushable
     "hierarchical_assign_agreement": (2, True, True),
+    # 1-row plane-array broadcast cross + the 5-row signature broadcast
+    # + the exact-baseline subtree; vec_id<=4 query filter pushes
+    "binary_hamming_recall": (2, True, True),
     # frozen-centroid ingest assignment: 1-row centroid-array broadcast
     # cross (the HOF argmax shape); parity split is arithmetic, not a
     # parquet-pushable predicate
