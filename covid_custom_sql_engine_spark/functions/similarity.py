@@ -723,6 +723,59 @@ def hamming_topk(
     )
 
 
+def hamming_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    cand_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Binary scan → shortlist → exact re-rank — the deployed
+    binary-quantization retrieval contract (the Hamming sibling of
+    :func:`ivfpq_rerank_topk`): :func:`hamming_topk` shortlists
+    ``k·cand_factor`` candidates per query from 8-byte signatures
+    alone, then ONLY those survivors join back to their float vectors
+    for exact cosine re-scoring. At 100 TB the float vectors are
+    touched for k·cand_factor rows per query via an equi-join on the
+    id — never a scan; everything upstream is xor + popcount over the
+    signature column. Output matches :func:`brute_force_topk`'s shape:
+    (query_id, id, cos_sim, rank); the re-rank window sees only the
+    tiny shortlist."""
+    from pyspark.sql import Window
+
+    cand = hamming_topk(
+        embeddings,
+        queries,
+        planes,
+        k=k * cand_factor,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    c = embeddings.select(F.col(id_col), as_double(vec_col).alias("_cv"))
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        cand.join(c, id_col)
+        .join(q, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("_rn").alias("rank"))
+    )
+
+
 def semdedup_prune(
     embeddings: DataFrame,
     threshold: float = 0.35,

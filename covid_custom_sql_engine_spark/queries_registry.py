@@ -7208,6 +7208,62 @@ def binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "binary_rerank_recall",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pl AS (SELECT vec_id AS pid, v AS pv FROM c WHERE vec_id < {_BSIG_PLANES}),
+    sig AS (SELECT c.vec_id,
+              CAST(sum(CASE WHEN list_dot_product(c.v, pl.pv) >= 0
+                            THEN CAST(2::DOUBLE ^ ({_BSIG_PLANES - 1} - pl.pid) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS s
+            FROM c CROSS JOIN pl GROUP BY c.vec_id),
+    qsig AS (SELECT vec_id AS query_id, s FROM sig WHERE vec_id <= 4),
+    hd AS (SELECT q.query_id, c.vec_id,
+                  CAST(bit_count(xor(q.s, c.s)) AS INTEGER) AS d
+           FROM qsig q JOIN sig c ON c.vec_id != q.query_id),
+    cand AS (SELECT query_id, vec_id FROM hd
+             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 20),
+    qv AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id <= 4),
+    rescored AS (SELECT cand.query_id, cand.vec_id,
+                   list_dot_product(qv.v, cf.v)
+                     / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cf.v, cf.v))) AS cos
+                 FROM cand
+                 JOIN qv ON qv.query_id = cand.query_id
+                 JOIN c cf ON cf.vec_id = cand.vec_id),
+    ap AS (SELECT query_id, vec_id FROM rescored
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5),
+    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
+    """,
+)
+def binary_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployed binary-quantization retrieval contract, audited
+    end-to-end (similarity.hamming_rerank_topk — the Hamming sibling
+    of `ivfpq_rerank_recall`): 8-byte signatures shortlist
+    k·cand_factor = 20 candidates per query by xor+popcount alone,
+    then ONLY those survivors join back to float vectors for exact
+    cosine re-ranking; recall@5 vs the float brute-force baseline. By
+    construction ≥ the signature-only `binary_hamming_recall` (exact
+    re-scoring of a superset can only fix ordering — pytest asserts
+    it). All shortlist arithmetic is integer, the re-score is the
+    proven cosine chain, so the oracle is exact."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    planes = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < _BSIG_PLANES)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ap = sim.hamming_rerank_topk(e, qs, planes, k=5, cand_factor=4).select(
+        "query_id", "vec_id"
+    )
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    return _recall_vs_exact(ex, ap)
+
+
+@query(
     "key_skew_profile",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
@@ -8879,11 +8935,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "group_agg_ref7",
     "join_ref_left",
     "pagerank_bipartite",
-    "hits_bipartite",
-    # late r8 addition displaces the 7th r4 fill: binary-quantized ANN
-    # (never-checked beats stale-refresh)
+    # late r8 additions displace the last two r4 fills: binary-quantized
+    # ANN + its exact re-rank stage (never-checked beats stale-refresh)
     "binary_hamming_recall",
+    "binary_rerank_recall",
     # ---------------- out-of-window below this line ----------------
+    "hits_bipartite",
     "triangle_counts",
     # parked in priority order for the round-9 refresh: the remaining
     # r4-era official rows (every other registered query's latest

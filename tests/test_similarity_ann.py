@@ -491,3 +491,23 @@ def test_binary_signature_and_hamming_topk(spark, sf_dir):
         sim.binary_signature_frame(e, [])
     with _pytest.raises(ValueError, match="1..63 planes"):
         sim.binary_signature_frame(e, [[0.0] * 64] * 64)
+
+
+def test_binary_rerank_dominates_signature_only(spark):
+    """Exact re-ranking of a candidate superset can only fix ordering:
+    binary_rerank_recall >= binary_hamming_recall per query on the
+    oracled fixture."""
+    from covid_custom_sql_engine_spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    sig = {
+        r.query_id: r.recall
+        for r in QUERIES["binary_hamming_recall"](spark, sf).collect()
+    }
+    rr = {
+        r.query_id: r.recall
+        for r in QUERIES["binary_rerank_recall"](spark, sf).collect()
+    }
+    assert set(sig) == set(rr)
+    for q in sig:
+        assert rr[q] >= sig[q]

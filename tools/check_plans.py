@@ -236,6 +236,8 @@ EXPECT = {
     # 1-row plane-array broadcast cross + the 5-row signature broadcast
     # + the exact-baseline subtree; vec_id<=4 query filter pushes
     "binary_hamming_recall": (2, True, True),
+    # same crosses; the re-rank stage itself is equi-joins only
+    "binary_rerank_recall": (2, True, True),
     # frozen-centroid ingest assignment: 1-row centroid-array broadcast
     # cross (the HOF argmax shape); parity split is arithmetic, not a
     # parquet-pushable predicate
