@@ -1407,6 +1407,138 @@ def ivfpq_residual_topk(
     )
 
 
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> None:
+    """Materialize the IVFADC index as parquet artifacts — the
+    build-once/serve-many deployment shape a production vector store
+    runs (today's ivfpq_topk re-derives everything per query; a real
+    index is built in one batch job and served many times):
+
+    - ``{path}/centroids``: (cell, _cv) — the coarse quantizer,
+      ≤ cells rows (broadcast at serve time).
+    - ``{path}/codebooks``: (s, j, codeword) — m·k_codes rows, the PQ
+      quantizer (collected to the broadcast codebook row at load).
+    - ``{path}/postings``: (id, cell, code_0..code_{m-1}) — ONE row
+      per corpus vector, m small ints + a cell id: the only
+      corpus-sized artifact, and the only thing a serve-time scan
+      reads. Partitioned BY CELL so a probe reads only its cells'
+      files (partition pruning = the inverted-list seek).
+
+    Daily upkeep appends to postings via :func:`assign_cells` +
+    :func:`pq_encode` on the ingest batch (the
+    `ivf_incremental_assign` / streaming-maintenance contract);
+    re-training is a scheduled snapshot job. Serve with
+    :func:`load_ivfpq_index` + :func:`query_ivfpq_index`, whose
+    results are row-identical to :func:`ivfpq_topk` on the same
+    corpus (pytest-pinned)."""
+    spark = embeddings.sparkSession
+    cents = label_centroids(embeddings, label_col, vec_col)
+    cbs = pq_codebooks(embeddings, m, k_codes, id_col, vec_col)
+    cells = _assign_nearest(
+        embeddings.select(
+            F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+        ),
+        cents,
+        nulls_first=True,
+    ).select(F.col("_id").alias(id_col), "cell")
+    codes = pq_encode(embeddings, cbs, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, j, cw)
+            for s, sub in enumerate(cbs)
+            for j, cw in enumerate(sub)
+        ],
+        "s int, j int, codeword array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.join(cells, id_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/postings")
+
+
+def load_ivfpq_index(spark, path: str) -> dict:
+    """Load the :func:`build_ivfpq_index` artifacts: centroids and
+    postings stay DataFrames (postings is read lazily — partition
+    pruning on `cell` applies at query time); the m·k_codes codebook
+    rows collect to the nested Python list the broadcast
+    `_codebook_frame` shape consumes (bounded k·dim driver state)."""
+    cb_rows = sorted(
+        (int(r.s), int(r.j), [float(x) for x in r.codeword])
+        for r in spark.read.parquet(f"{path}/codebooks").collect()
+    )
+    m = 1 + max(s for s, _, _ in cb_rows)
+    cbs = [[cw for s2, _, cw in cb_rows if s2 == s] for s in range(m)]
+    return {
+        "centroids": spark.read.parquet(f"{path}/centroids"),
+        "postings": spark.read.parquet(f"{path}/postings"),
+        "codebooks": cbs,
+    }
+
+
+def query_ivfpq_index(
+    index: dict,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Serve IVFADC top-k from a PREBUILT index (:func:`
+    build_ivfpq_index`): probe the n_probe nearest cells per query
+    against the tiny centroid table, equi-join the probed cells onto
+    the postings table (partition pruning: only those cells' files are
+    read), ADC over the stored codes with the broadcast codebook row.
+    No training, no corpus float scan — the serve path reads m code
+    bytes per vector in n_probe/n_cells of the corpus, exactly the
+    ivfpq_topk dataflow minus every build-time step. Results are
+    row-identical to :func:`ivfpq_topk` on the same corpus."""
+    from pyspark.sql import Window
+
+    cents = index["centroids"]
+    cbs = index["codebooks"]
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    spark = queries.sparkSession
+    qn = unit_norm_frame(queries, query_id_col, vec_col, "_qn")
+    q = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("_qv")
+    ).join(qn, query_id_col)
+    wqa = Window.partitionBy(query_id_col).orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_d", -cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(wqa))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, "cell", "_qn")
+    )
+    scan = (
+        index["postings"]
+        .join(F.broadcast(probes), "cell")
+        .crossJoin(_codebook_frame(spark, cbs))
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
+    dist = _adc_distance(F.col("_qn"), m, sub)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("pq_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scan.select(query_id_col, id_col, dist.alias("pq_dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "pq_dist", F.col("_rn").alias("rank"))
+    )
+
+
 def assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -511,3 +511,52 @@ def test_binary_rerank_dominates_signature_only(spark):
     assert set(sig) == set(rr)
     for q in sig:
         assert rr[q] >= sig[q]
+
+
+def test_ivfpq_index_build_load_query_roundtrip(spark, sf_dir, tmp_path):
+    """Build-once/serve-many: the persisted index (centroids +
+    codebooks + cell-partitioned postings) serves top-k row-identical
+    to the derive-everything ivfpq_topk, the serve-path scan prunes to
+    the probed cells' partitions, and incremental upkeep (assign +
+    encode a batch, append to postings) extends the served corpus
+    without touching existing artifacts."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(e, path, m=4, k_codes=16)
+    idx = sim.load_ivfpq_index(spark, path)
+    served = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.query_ivfpq_index(idx, qs, k=5, n_probe=2).collect()
+    }
+    direct = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in sim.ivfpq_topk(e, qs, k=5, n_probe=2, m=4, k_codes=16).collect()
+    }
+    assert served == direct and len(served) > 0
+    # partition pruning: the probed-cell join must reach the postings
+    # scan as a partition filter on `cell`
+    plan = (
+        sim.query_ivfpq_index(idx, qs, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    # incremental upkeep: append one new vector assigned+encoded
+    # against the FROZEN artifacts; it becomes servable
+    new = e.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    cells = sim.assign_cells(new, idx["centroids"])
+    codes = sim.pq_encode(new, idx["codebooks"])
+    codes.join(cells, "vec_id").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/postings")
+    idx2 = sim.load_ivfpq_index(spark, path)
+    served2 = sim.query_ivfpq_index(idx2, qs, k=500, n_probe=10).collect()
+    assert any(r.vec_id == 900000 for r in served2)
