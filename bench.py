@@ -76,9 +76,11 @@ HEADLINE = [
     "corpus_curation_pipeline",
     # round 6 addition: the skew-gated incremental ingest loop
     "guarded_incremental_dedup",
-    # round 8 addition: filtered ANN — the production vector-store
-    # query shape (predicate pruned before the cell-scoped ADC)
+    # round 8 additions: filtered ANN — the production vector-store
+    # query shape (predicate pruned before the cell-scoped ADC) — and
+    # the binary-signature recall audit (xor+popcount scan)
     "filtered_ann_topk",
+    "binary_hamming_recall",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):
