@@ -7264,6 +7264,95 @@ def binary_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_cell_stats",
+    oracle=f"""
+    WITH {_SQL_IVF_COARSE},
+    cnt AS (SELECT cell, count(*) AS n_vectors FROM corpus GROUP BY cell),
+    s AS (SELECT sum(n_vectors) AS n_rows, count(*) AS n_cells,
+                 max(n_vectors) AS max_cnt FROM cnt)
+    SELECT cnt.cell, cnt.n_vectors,
+           round(cnt.n_vectors::DOUBLE / s.n_rows, 6) AS row_share,
+           round(s.max_cnt::DOUBLE * s.n_cells / s.n_rows, 6) AS imbalance_ratio
+    FROM cnt, s
+    """,
+)
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index health telemetry — the ANN sibling of
+    `key_skew_profile`: per IVF cell, its posting-list size and row
+    share, plus the global imbalance ratio (max cell / mean cell). An
+    imbalanced index makes probe cost unpredictable (a hot cell turns
+    every probe into a near-full scan) and is the signal to re-train
+    centroids or split cells; at 100 TB this is the number an index
+    operator watches daily. One zero-shuffle HOF assignment + one
+    bounded hash aggregate + a 1-row stats broadcast."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    cents = sim.label_centroids(e, "label", "embedding")
+    cells = sim.assign_cells(e, cents)
+    cnt = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    s = F.broadcast(
+        cnt.agg(
+            F.sum("n_vectors").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("n_vectors").alias("max_cnt"),
+        )
+    )
+    return cnt.crossJoin(s).select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("n_rows"), 6).alias("row_share"),
+        F.round(
+            F.col("max_cnt") * F.col("n_cells") / F.col("n_rows"), 6
+        ).alias("imbalance_ratio"),
+    )
+
+
+@query(
+    "retrieval_rr_at_k",
+    oracle=f"""
+    WITH ex AS ({ORACLES['cosine_topk']}),
+    ap AS ({ORACLES['lsh_topk']}),
+    hit AS (SELECT ap.query_id, min(ap.rank) AS first_rel
+            FROM ap JOIN ex ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+            GROUP BY ap.query_id),
+    per AS (SELECT DISTINCT query_id FROM ex)
+    SELECT per.query_id,
+           CAST(coalesce(hit.first_rel, 0) AS BIGINT) AS first_rel_rank,
+           round(coalesce(1.0 / hit.first_rel, 0.0), 6) AS reciprocal_rank
+    FROM per LEFT JOIN hit ON hit.query_id = per.query_id
+    """,
+)
+def retrieval_rr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank — the ordering-sensitive retrieval metric
+    recall@k can't see: per query, 1/rank of the FIRST approximate
+    result (hyperplane-LSH top-5) that is truly relevant (in the exact
+    cosine top-5); 0 when none is. Two systems with equal recall can
+    differ badly in MRR when one buries its hits at rank 5 — this is
+    the metric that catches it. Composes the two parents' own oracle
+    SQL (the ann_recall convention), so all three stay in lockstep;
+    both result sets are k·|queries| rows, so the metric costs one
+    tiny join + aggregate beyond the retrieval pipelines."""
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    ap = QUERIES["lsh_topk"](spark, sf_dir).select(
+        "query_id", "vec_id", "rank"
+    )
+    hit = (
+        ap.join(ex, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rel"))
+    )
+    per = ex.select("query_id").distinct()
+    return per.join(hit, "query_id", "left").select(
+        "query_id",
+        F.coalesce("first_rel", F.lit(0)).cast("bigint").alias(
+            "first_rel_rank"
+        ),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+        ).alias("reciprocal_rank"),
+    )
+
+
+@query(
     "key_skew_profile",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
@@ -8931,15 +9020,18 @@ _DRIVER_WINDOW_PRIORITY = [
     # retrieval, mixture resampling, the reference group-by/join
     # semantics, and the graph family ---
     "bm25_search",
-    "mixture_resample_lang",
     "group_agg_ref7",
     "join_ref_left",
-    "pagerank_bipartite",
-    # late r8 additions displace the last two r4 fills: binary-quantized
-    # ANN + its exact re-rank stage (never-checked beats stale-refresh)
+    # late r8 additions displace four r4 fills (never-checked beats
+    # stale-refresh): binary-quantized ANN + its exact re-rank stage,
+    # IVF posting-balance telemetry, and the reciprocal-rank metric
     "binary_hamming_recall",
     "binary_rerank_recall",
+    "ivf_cell_stats",
+    "retrieval_rr_at_k",
     # ---------------- out-of-window below this line ----------------
+    "mixture_resample_lang",
+    "pagerank_bipartite",
     "hits_bipartite",
     "triangle_counts",
     # parked in priority order for the round-9 refresh: the remaining

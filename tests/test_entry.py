@@ -55,10 +55,10 @@ def test_driver_window_priority_ordering():
         "join_full_outer", "subquery_exists_cte", "stratified_sample",
         "redact_pii", "repetition_ratio", "column_profile",
         "winnow_fingerprint",
-        # the 5 oldest r4 rows + the late binary-ANN additions
-        "bm25_search", "mixture_resample_lang", "group_agg_ref7",
-        "join_ref_left", "pagerank_bipartite",
+        # the 3 oldest r4 rows + the late r8 additions
+        "bm25_search", "group_agg_ref7", "join_ref_left",
         "binary_hamming_recall", "binary_rerank_recall",
+        "ivf_cell_stats", "retrieval_rr_at_k",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window

@@ -238,6 +238,11 @@ EXPECT = {
     "binary_hamming_recall": (2, True, True),
     # same crosses; the re-rank stage itself is equi-joins only
     "binary_rerank_recall": (2, True, True),
+    # 1-row centroid-array + 1-row stats broadcasts: intended
+    "ivf_cell_stats": (2, False, True),
+    # composes the two top-k parents (brute-force side is the intended
+    # broadcast cross)
+    "retrieval_rr_at_k": (2, True, True),
     # frozen-centroid ingest assignment: 1-row centroid-array broadcast
     # cross (the HOF argmax shape); parity split is arithmetic, not a
     # parquet-pushable predicate
