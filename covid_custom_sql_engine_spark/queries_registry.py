@@ -7352,6 +7352,63 @@ def retrieval_rr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Binary-relevance DCG weights 1/log2(rank+1), materialized ONCE as
+# Python doubles and injected as identical literals into BOTH engine
+# sides — immune to any cross-engine log2 ulp difference. IDCG is
+# their sum (the exact baseline always returns k=5 relevant items).
+_DCG_W = [1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163]
+_IDCG = 2.9484591188793923
+
+
+@query(
+    "retrieval_ndcg_at_k",
+    oracle=f"""
+    WITH ex AS ({ORACLES['cosine_topk']}),
+    ap AS ({ORACLES['lsh_topk']}),
+    rel AS (SELECT ap.query_id, ap.rank
+            FROM ap JOIN ex ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id),
+    dcg AS (SELECT query_id,
+              sum(CASE rank {' '.join(f'WHEN {i + 1} THEN {w!r}' for i, w in enumerate(_DCG_W))} END) AS d
+            FROM rel GROUP BY query_id),
+    per AS (SELECT DISTINCT query_id FROM ex)
+    SELECT per.query_id,
+           round(coalesce(dcg.d, 0.0) / {_IDCG!r}, 6) AS ndcg
+    FROM per LEFT JOIN dcg ON dcg.query_id = per.query_id
+    """,
+)
+def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 with binary relevance — the position-weighted retrieval
+    metric that completes the audit triad (recall@k = set overlap,
+    RR = first hit, nDCG = ALL hits weighted by position): each
+    truly-relevant result (in the exact cosine top-5) contributes
+    1/log2(rank+1) at the rank the LSH ranking placed it, normalized
+    by the ideal DCG. The weights are materialized once as Python
+    doubles and injected as identical literals into both engines, so
+    the comparison is exact regardless of either engine's log2
+    implementation. Costs one tiny join + aggregate beyond the two
+    top-k pipelines (the ann_recall composition convention)."""
+    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
+    ap = QUERIES["lsh_topk"](spark, sf_dir).select(
+        "query_id", "vec_id", "rank"
+    )
+    w = F.col("rank")
+    weight = F.lit(None).cast("double")
+    for i, wv in enumerate(_DCG_W):
+        weight = F.when(w == i + 1, F.lit(wv)).otherwise(weight)
+    dcg = (
+        ap.join(ex, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.sum(weight).alias("d"))
+    )
+    per = ex.select("query_id").distinct()
+    return per.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("d"), F.lit(0.0)) / F.lit(_IDCG), 6
+        ).alias("ndcg"),
+    )
+
+
 @query(
     "key_skew_profile",
     oracle="""
@@ -9030,6 +9087,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "ivf_cell_stats",
     "retrieval_rr_at_k",
     # ---------------- out-of-window below this line ----------------
+    # never-checked, first in line for the r9 window
+    "retrieval_ndcg_at_k",
     "mixture_resample_lang",
     "pagerank_bipartite",
     "hits_bipartite",

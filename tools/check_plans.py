@@ -243,6 +243,7 @@ EXPECT = {
     # composes the two top-k parents (brute-force side is the intended
     # broadcast cross)
     "retrieval_rr_at_k": (2, True, True),
+    "retrieval_ndcg_at_k": (2, True, True),
     # frozen-centroid ingest assignment: 1-row centroid-array broadcast
     # cross (the HOF argmax shape); parity split is arithmetic, not a
     # parquet-pushable predicate
