@@ -1407,6 +1407,66 @@ def ivfpq_residual_topk(
     )
 
 
+def diversified_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    per_group: int = 1,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Diversity-constrained top-k — the "diversify by field" policy
+    production retrieval serves (at most ``per_group`` results per
+    group value, e.g. one passage per source document, one product
+    per brand): score candidates exactly (cosine), keep the best
+    ``per_group`` per (query, group) — a window over per-group slices,
+    never corpus-wide — then take the global top-k among the
+    survivors. Relevance order is preserved subject to the cap, ties
+    break on the id, and the result is fully declarative (no greedy
+    iteration), so the SQL oracle is two stacked ranking windows. At
+    scale the group stage runs on (query, group) partitions and the
+    final stage sees ≤ |groups|·per_group rows per query."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), as_double(vec_col).alias("_qv")
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col), F.col(group_col).alias("_grp"),
+        as_double(vec_col).alias("_cv"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            "_grp",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    order = [F.col("cos_sim").desc_nulls_last(), F.col(id_col).asc()]
+    wg = Window.partitionBy(query_id_col, "_grp").orderBy(*order)
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        scored.withColumn("_rg", F.row_number().over(wg))
+        .filter(F.col("_rg") <= per_group)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("_grp").alias(group_col),
+            "cos_sim",
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+
 def build_ivfpq_index(
     embeddings: DataFrame,
     path: str,

@@ -7410,6 +7410,51 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "diversified_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id <= 4),
+    c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (SELECT query_id, vec_id, label,
+                      list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+               FROM q CROSS JOIN c WHERE vec_id != query_id),
+    capped AS (SELECT query_id, vec_id, label, cos FROM scored
+               QUALIFY row_number() OVER (PARTITION BY query_id, label
+                                          ORDER BY cos DESC NULLS LAST, vec_id) <= 1)
+    SELECT query_id, vec_id, label, round(cos, 6) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC NULLS LAST, vec_id) AS BIGINT) AS rank
+    FROM capped
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC NULLS LAST, vec_id) <= 5
+    """,
+)
+def diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained retrieval — at most ONE result per label
+    per query (the "diversify by field" policy: one passage per
+    source, one product per brand), then the global top-5 among the
+    survivors (similarity.diversified_topk). Fully declarative — two
+    stacked ranking windows, the per-group stage running on
+    (query, group) slices — so unlike greedy MMR it needs no
+    iteration and its oracle is exact. Guarantees ≥ (k distinct
+    labels) coverage where plain top-k can return 5 near-duplicates
+    from one cluster."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.diversified_topk(e, qs, k=5, per_group=1, group_col="label")
+    return out.select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@query(
     "key_skew_profile",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
@@ -9089,6 +9134,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # ---------------- out-of-window below this line ----------------
     # never-checked, first in line for the r9 window
     "retrieval_ndcg_at_k",
+    "diversified_topk",
     "mixture_resample_lang",
     "pagerank_bipartite",
     "hits_bipartite",

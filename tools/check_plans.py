@@ -244,6 +244,9 @@ EXPECT = {
     # broadcast cross)
     "retrieval_rr_at_k": (2, True, True),
     "retrieval_ndcg_at_k": (2, True, True),
+    # broadcast NLJ of the 5-row query set (cosine_topk convention);
+    # the label column makes it a 3-col scan
+    "diversified_topk": (3, True, True),
     # frozen-centroid ingest assignment: 1-row centroid-array broadcast
     # cross (the HOF argmax shape); parity split is arithmetic, not a
     # parquet-pushable predicate
