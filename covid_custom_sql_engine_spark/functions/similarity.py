@@ -1467,6 +1467,135 @@ def diversified_topk(
     )
 
 
+def mmr_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 10,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998 — the standard greedy result diversifier): from the exact
+    top-``shortlist`` candidates per query, greedily pick k results,
+    each maximizing ``λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`` against
+    the already-selected set S (step 1's penalty term is empty → 0,
+    so its score is λ·rel). Unlike the per-group cap
+    (:func:`diversified_topk`) MMR needs no grouping column — it
+    penalizes similarity to WHATEVER was already picked.
+
+    Scale + determinism shape: the greedy loop runs over the PINNED
+    shortlist (one eager localCheckpoint of ≤ shortlist rows/query +
+    their ≤ shortlist² pairwise sims — the centroid-pinning
+    convention), never the corpus, so each of the k steps is a
+    driver-built plan over bounded frames; the corpus is touched once,
+    by the exact top-shortlist stage. The k steps are UNROLLED (k is
+    small and fixed), every sim reuses the bit-exact cosine chain, the
+    score arithmetic is two multiplies and a subtract (identical IEEE
+    ops on both engines), and ties break on the id — so the SQL
+    oracle unrolls the same k steps exactly. Output: (query_id, id,
+    mmr_score rounded to 6, rank 1..k)."""
+    cand = (
+        brute_force_topk(
+            embeddings,
+            queries,
+            k=shortlist,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+        .select(query_id_col, id_col, F.col("cos_sim").alias("_rel"))
+        .localCheckpoint(eager=True)
+    )
+    v = embeddings.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    ca = cand.select(
+        F.col(query_id_col), F.col(id_col).alias("_a")
+    ).join(v.select(F.col(id_col).alias("_a"), F.col("_v").alias("_va")), "_a")
+    cb = cand.select(
+        F.col(query_id_col), F.col(id_col).alias("_b")
+    ).join(v.select(F.col(id_col).alias("_b"), F.col("_v").alias("_vb")), "_b")
+    pairs = (
+        ca.join(cb, query_id_col)
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            query_id_col,
+            "_a",
+            "_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("_sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    order = [F.col("_score").desc_nulls_last(), F.col(id_col).asc()]
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    sel = (
+        cand.withColumn("_score", F.lit(lam) * F.col("_rel"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            query_id_col, id_col, "_score", F.lit(1).alias("rank")
+        )
+    )
+    for step in range(2, k + 1):
+        # every frame renamed to globally-unique column names before
+        # joining, so no join needs dataset-qualified references
+        rem = cand.join(
+            sel.select(query_id_col, id_col), [query_id_col, id_col], "left_anti"
+        ).select(
+            F.col(query_id_col).alias("_rq"),
+            F.col(id_col).alias("_rid"),
+            "_rel",
+        )
+        sel_b = sel.select(
+            F.col(query_id_col).alias("_sq"), F.col(id_col).alias("_sel_b")
+        )
+        mx = (
+            rem.join(
+                pairs,
+                (F.col(query_id_col) == F.col("_rq"))
+                & (F.col("_a") == F.col("_rid")),
+            )
+            .join(
+                sel_b,
+                (F.col("_sq") == F.col("_rq"))
+                & (F.col("_b") == F.col("_sel_b")),
+            )
+            .groupBy("_rq", "_rid", "_rel")
+            .agg(F.max("_sim").alias("_msim"))
+            .select(
+                F.col("_rq").alias(query_id_col),
+                F.col("_rid").alias(id_col),
+                "_rel",
+                "_msim",
+            )
+        )
+        pick = (
+            mx.withColumn(
+                "_score",
+                F.lit(lam) * F.col("_rel")
+                - F.lit(1.0 - lam) * F.col("_msim"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                query_id_col, id_col, "_score", F.lit(step).alias("rank")
+            )
+        )
+        # pin the (≤ step·|queries|-row) selected set: keeps each
+        # step's plan flat AND severs the pairs lineage so the next
+        # step's joins aren't self-joins of the pairs subtree
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        query_id_col,
+        id_col,
+        (F.round("_score", 6) + 0.0).alias("mmr_score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def build_ivfpq_index(
     embeddings: DataFrame,
     path: str,

@@ -7454,6 +7454,77 @@ def diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Greedy-MMR oracle generator: unrolls the k selection steps as CTE
+# blocks (selN = selected set after N picks). λ and 1−λ inject as the
+# same Python doubles the Spark side multiplies with, and every sim
+# reuses the bit-exact cosine chain, so the comparison is exact.
+def _mmr_sql(k: int, shortlist: int, lam: float) -> str:
+    one_m = 1.0 - lam
+    parts = [
+        f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id <= 4),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (SELECT query_id, vec_id,
+                      list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS rel
+               FROM q CROSS JOIN c WHERE vec_id != query_id),
+    cand AS (SELECT query_id, vec_id, rel FROM scored
+             QUALIFY row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC NULLS LAST, vec_id) <= {shortlist}),
+    pair AS (SELECT a.query_id, a.vec_id AS pa, b.vec_id AS pb,
+                    list_dot_product(va.cv, vb.cv)
+                      / (sqrt(list_dot_product(va.cv, va.cv)) * sqrt(list_dot_product(vb.cv, vb.cv))) AS sim
+             FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+             JOIN c va ON va.vec_id = a.vec_id
+             JOIN c vb ON vb.vec_id = b.vec_id),
+    s1 AS (SELECT query_id, vec_id, {lam!r} * rel AS score, 1 AS rank FROM cand
+           QUALIFY row_number() OVER (PARTITION BY query_id
+                                      ORDER BY {lam!r} * rel DESC NULLS LAST, vec_id) = 1),
+    sel1 AS (SELECT query_id, vec_id, score, rank FROM s1)"""
+    ]
+    for n in range(2, k + 1):
+        parts.append(
+            f"""mx{n} AS (SELECT cd.query_id, cd.vec_id, cd.rel, max(p.sim) AS msim
+            FROM cand cd
+            JOIN pair p ON p.query_id = cd.query_id AND p.pa = cd.vec_id
+            JOIN sel{n - 1} s ON s.query_id = cd.query_id AND s.vec_id = p.pb
+            WHERE NOT EXISTS (SELECT 1 FROM sel{n - 1} x
+                              WHERE x.query_id = cd.query_id AND x.vec_id = cd.vec_id)
+            GROUP BY cd.query_id, cd.vec_id, cd.rel),
+    s{n} AS (SELECT query_id, vec_id,
+                    {lam!r} * rel - {one_m!r} * msim AS score, {n} AS rank FROM mx{n}
+           QUALIFY row_number() OVER (PARTITION BY query_id
+                                      ORDER BY {lam!r} * rel - {one_m!r} * msim DESC NULLS LAST, vec_id) = 1),
+    sel{n} AS (SELECT * FROM sel{n - 1} UNION ALL SELECT * FROM s{n})"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""{body}
+    SELECT query_id, vec_id, round(score, 6) + 0.0 AS mmr_score,
+           CAST(rank AS BIGINT) AS rank
+    FROM sel{k}"""
+
+
+@query("mmr_topk", oracle=f"WITH {_mmr_sql(5, 10, 0.5)}")
+def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal-marginal-relevance re-ranking (Carbonell &
+    Goldstein 1998), k=5 over the exact top-10 shortlist, λ=0.5
+    (similarity.mmr_topk): each pick maximizes λ·rel − (1−λ)·max sim
+    to the already-selected set — the standard diversifier when
+    there is no grouping column to cap on (contrast
+    `diversified_topk`). The greedy loop runs over the PINNED
+    shortlist (bounded localCheckpoint, the centroid-pinning
+    convention) — the corpus is touched once by the exact top-10
+    stage — and the k steps are unrolled identically on both engines
+    (same λ literals, bit-exact cosine chain, id tie-breaks), so this
+    inherently ITERATIVE operator still carries an exact value
+    oracle."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qs = e.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.mmr_topk(e, qs, k=5, shortlist=10, lam=0.5)
+
+
 @query(
     "key_skew_profile",
     oracle="""
@@ -9135,6 +9206,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # never-checked, first in line for the r9 window
     "retrieval_ndcg_at_k",
     "diversified_topk",
+    "mmr_topk",
     "mixture_resample_lang",
     "pagerank_bipartite",
     "hits_bipartite",

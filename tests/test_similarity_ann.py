@@ -592,3 +592,36 @@ def test_diversified_topk_per_group_cap(spark, sf_dir):
         for r in sim.diversified_topk(e, qs, k=5, per_group=5).collect()
     }
     assert wide == plain
+
+
+def test_mmr_skips_near_duplicate_second_pick(spark):
+    """MMR semantics on a hand-built fixture: candidates 10 and 11 are
+    near-identical and most relevant; plain top-2 returns both, MMR
+    (λ=0.5) picks 10 first, then the penalty 0.5·rel − 0.5·sim(·,10)
+    makes the orthogonal-ish candidate 12 beat the near-duplicate 11.
+    Rank 1's score is λ·rel by the step-1 convention."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # the query
+        (10, [0.99, 0.14, 0.0]),     # most relevant
+        (11, [0.98, 0.15, 0.01]),    # near-dup of 10, second most relevant
+        (12, [0.7, -0.7, 0.1]),      # less relevant but diverse
+        (13, [0.6, 0.0, 0.8]),       # diverse filler
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plain = [
+        r.vec_id
+        for r in sorted(
+            sim.brute_force_topk(e, qs, k=2).collect(), key=lambda r: r.rank
+        )
+    ]
+    assert plain == [10, 11]
+    out = sorted(
+        sim.mmr_topk(e, qs, k=3, shortlist=4, lam=0.5).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.vec_id for r in out] == [10, 12, 13]  # 11 skipped: too similar
+    rel10 = sim.brute_force_topk(e, qs, k=1).collect()[0].cos_sim
+    assert abs(out[0].mmr_score - round(0.5 * rel10, 6)) < 2e-6

@@ -247,6 +247,9 @@ EXPECT = {
     # broadcast NLJ of the 5-row query set (cosine_topk convention);
     # the label column makes it a 3-col scan
     "diversified_topk": (3, True, True),
+    # shortlist stage is the whitelisted brute-force cross; the greedy
+    # steps join pinned bounded frames
+    "mmr_topk": (2, True, True),
     # frozen-centroid ingest assignment: 1-row centroid-array broadcast
     # cross (the HOF argmax shape); parity split is arithmetic, not a
     # parquet-pushable predicate
