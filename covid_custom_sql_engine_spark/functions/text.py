@@ -225,8 +225,14 @@ def bm25_topk(
     text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query under Okapi BM25.
+
+    ``exclude_self=True`` drops the (query_id == doc_id) row before
+    the top-k window — the more-like-this convention where each query
+    IS a corpus document (`hybrid_search`), mirroring the ANN
+    baselines' self-exclusion.
 
     ``queries_df`` is (query_id, term) — one row per query term, tiny
     by definition (a query set), so it BROADCASTS. idf uses the
@@ -295,6 +301,8 @@ def bm25_topk(
         .groupBy("query_id", id_col)
         .agg(F.sum(term_score.cast("decimal(38,18)")).alias("_s"))
     )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
     w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc(id_col))
     return (
         scored.withColumn("rk", F.row_number().over(w))

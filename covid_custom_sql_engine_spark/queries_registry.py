@@ -7526,6 +7526,85 @@ def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_search",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tks FROM documents),
+    q AS (SELECT DISTINCT doc_id AS query_id, unnest(tks) AS term
+          FROM tk WHERE doc_id <= 4),
+    stats AS (SELECT count(*) AS n_docs, avg(len(tks)::DOUBLE) AS avgdl FROM tk),
+    toks AS (SELECT doc_id, len(tks) AS dl, unnest(tks) AS term FROM tk),
+    tf AS (SELECT q.query_id, t.doc_id, t.term, count(*) AS tf, min(t.dl) AS dl
+           FROM toks t JOIN q USING (term) GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    bscored AS (
+        SELECT tf.query_id, tf.doc_id,
+               sum(CAST(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                        AS DECIMAL(38,18))) AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        WHERE tf.doc_id != tf.query_id
+        GROUP BY 1, 2
+    ),
+    lex AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+            FROM bscored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) <= 5),
+    vecr AS ({ORACLES['lsh_topk']}),
+    terms AS (
+        SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS t FROM lex
+        UNION ALL
+        SELECT query_id, vec_id AS doc_id, 1.0::DOUBLE / (60 + rank) AS t FROM vecr),
+    fused AS (SELECT query_id, doc_id, {_sql_dsum('t')} AS s
+              FROM terms GROUP BY 1, 2)
+    SELECT query_id, doc_id, round(s, 6) + 0.0 AS rrf_score,
+           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+    FROM fused
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) <= 5
+    """,
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE hybrid retrieval — the flagship query shape of every
+    production search system: a LEXICAL leg (Okapi BM25 over the
+    documents table, query terms = the query document's own distinct
+    tokens, self excluded — more-like-this) and a SEMANTIC leg
+    (hyperplane-LSH ANN over the aligned embeddings table, doc_id ≡
+    vec_id) fused by reciprocal-rank fusion. The two legs have
+    orthogonal failure modes (vocabulary mismatch vs quantization
+    boundaries); RRF needs no score calibration between them — only
+    ranks cross the fusion, so at 100 TB the ensemble costs the two
+    retrieval pipelines plus one tiny hash aggregate
+    (similarity.rrf_fuse). Every stage reuses a proven primitive
+    (bm25_topk with exclude_self, lsh_topk's oracle, the fixed-point
+    dsum fold), so the end-to-end oracle is exact."""
+    from covid_custom_sql_engine_spark.functions.text import tokens
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    qdf = (
+        d.filter(F.col("doc_id") <= 4)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(tokens("text")).alias("term"),
+        )
+        .distinct()
+    )
+    lex = tx.bm25_topk(d, qdf, k=5, exclude_self=True).select(
+        "query_id", "doc_id", F.col("rk").alias("rank")
+    )
+    vec = QUERIES["lsh_topk"](spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return sim.rrf_fuse(
+        [lex, vec], k_const=60, k=5, id_col="doc_id"
+    ).select(
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@query(
     "key_skew_profile",
     oracle="""
     WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
@@ -9204,6 +9283,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "retrieval_rr_at_k",
     # ---------------- out-of-window below this line ----------------
     # never-checked, first in line for the r9 window
+    "hybrid_search",
     "retrieval_ndcg_at_k",
     "diversified_topk",
     "mmr_topk",

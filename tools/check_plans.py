@@ -250,6 +250,9 @@ EXPECT = {
     # shortlist stage is the whitelisted brute-force cross; the greedy
     # steps join pinned bounded frames
     "mmr_topk": (2, True, True),
+    # lexical leg: broadcast query terms + 1-row stats broadcast;
+    # vector leg: lsh_topk's pushed filter; fusion is a hash aggregate
+    "hybrid_search": (2, True, True),
     # frozen-centroid ingest assignment: 1-row centroid-array broadcast
     # cross (the HOF argmax shape); parity split is arithmetic, not a
     # parquet-pushable predicate
