@@ -248,8 +248,10 @@ EXPECT = {
     # the label column makes it a 3-col scan
     "diversified_topk": (3, True, True),
     # shortlist stage is the whitelisted brute-force cross; the greedy
-    # steps join pinned bounded frames
-    "mmr_topk": (2, True, True),
+    # steps join pinned bounded frames — the FINAL plan reads only the
+    # checkpointed shortlist leaves, so no parquet scan (and hence no
+    # PushedFilters) appears in it
+    "mmr_topk": (2, False, True),
     # lexical leg: broadcast query terms + 1-row stats broadcast;
     # vector leg: lsh_topk's pushed filter; fusion is a hash aggregate
     "hybrid_search": (2, True, True),
