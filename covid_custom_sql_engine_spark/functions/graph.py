@@ -239,3 +239,67 @@ def hits(
             "node", F.lit("authority").alias("side"), F.col("a").alias("score")
         )
     )
+
+
+def bfs_layers(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first search over a directed edge list:
+    returns (node, dist) where dist is the minimum hop count from ANY
+    source node, expanded level-by-level up to ``max_depth`` — the
+    engine's recursive-query surface (a SQL engine would write this as
+    a WITH RECURSIVE CTE; the DuckDB oracle does exactly that, and
+    frontier-BFS's first-touch distance equals the recursion's
+    ``min(dist)`` by construction). Reachability radius, contamination
+    blast-zones ("everything within 2 hops of a flagged domain"), and
+    curation link-depth caps are all this query shape.
+
+    Plan shape per level — the connected-components discipline
+    (dedup.connected_components), NOT its data-dependent round count:
+    one equi-join of the current frontier against the edge list on the
+    source key (frontier is O(new nodes); at 100 TB it broadcasts
+    while small, shuffles on the key once it isn't — AQE's call), one
+    distinct (hash aggregate with map-side combine), and one LEFT ANTI
+    join against the visited set to drop already-reached nodes. Both
+    the frontier and the visited set are pinned with an eager
+    localCheckpoint every level, so lineage stays flat across levels
+    and no subtree is ever re-evaluated under a different partitioning
+    (the iterative-state convention everywhere in this repo). Levels
+    are a FIXED hyper-parameter, with an early exit the moment a
+    frontier comes back empty — one take(1) against an
+    already-materialized checkpoint, not an extra job.
+
+    ``sources`` rows need not appear in ``edges``: an isolated source
+    sits in the result at dist 0, matching the recursive CTE's anchor
+    member. Every distance is exact integer arithmetic — no float
+    folds — so the oracle comparison is exact.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_esrc"), F.col(dst_col).alias("_edst")
+    ).localCheckpoint(eager=False)
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == F.col("_esrc"))
+            .select(F.col("_edst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

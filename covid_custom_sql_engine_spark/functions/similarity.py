@@ -988,8 +988,15 @@ def pq_codebooks_refined(
     (b) replaces every codeword with the per-position MEAN of its
     assigned subvectors; a codeword with no members keeps its previous
     value (the coalesce convention, so the codebook never shrinks).
-    Deterministic given the seed convention, so a SQL oracle unrolls
-    the rounds exactly (codes CTE → per-(s, j, pos) avg → coalesce).
+    Deterministic given the seed convention AND the summation
+    discipline: the per-position means fold through the fixed-point
+    :func:`~covid_custom_sql_engine_spark.operators.core.dsum` +
+    round(6) convention (label_centroids/kmeans_step's), so the value
+    is order-independent — a plain double ``avg`` would be
+    partition-order-dependent, and a last-ulp wobble here CASCADES
+    (refined codewords feed encode argmin and ADC ranking). The SQL
+    oracle unrolls the rounds exactly (codes CTE → per-(s, j, pos)
+    fixed-point mean → coalesce), bit-for-bit.
 
     Scale shape per round: one corpus scan to encode (map-side, O(1)
     plan — broadcast codebooks), one posexplode + hash aggregate with
@@ -999,6 +1006,8 @@ def pq_codebooks_refined(
     Jégou et al. 2011 report refined codebooks recover most of the
     quantization error of random/seed init — audited here by
     `pq_refined_recall` against the seed-codebook recall."""
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
     cbs = pq_codebooks(embeddings, m, k, id_col, vec_col)
     sub = len(cbs[0][0])
     nv = unit_norm_frame(embeddings, id_col, vec_col)
@@ -1023,7 +1032,11 @@ def pq_codebooks_refined(
         # hash aggregates), then a bounded k·dim driver fetch
         refined = (
             u.groupBy("s", "j", "p")
-            .agg(F.avg("x").alias("ax"))
+            .agg(
+                F.round(
+                    dsum(F.col("x")) / F.count(F.lit(1)), 6
+                ).alias("ax")
+            )
             .groupBy("s", "j")
             .agg(
                 F.transform(
@@ -1171,11 +1184,20 @@ def pq_topk(
     baseline). Summation is in fixed subspace order 0..m-1 on both
     engines, so distances are bit-identical and ranking ties break on
     the id deterministically."""
-    cbs = (
-        codebooks
-        if codebooks is not None
-        else pq_codebooks(embeddings, m, k_codes, id_col, vec_col)
-    )
+    if codebooks is not None:
+        # explicit codebooks are the source of truth for the quantizer
+        # shape: derive m from them (a caller passing m≠len(codebooks)
+        # would otherwise silently sum the wrong number of subspace
+        # terms in the ADC distance) and require rectangular k_codes
+        cbs = codebooks
+        m = len(cbs)
+        if any(len(sub_cb) != len(cbs[0]) for sub_cb in cbs):
+            raise ValueError(
+                "pq_topk: ragged codebooks — every subspace must carry "
+                f"the same codeword count, got {[len(s) for s in cbs]}"
+            )
+    else:
+        cbs = pq_codebooks(embeddings, m, k_codes, id_col, vec_col)
     sub = len(cbs[0][0])
     codes = pq_encode(embeddings, cbs, id_col, vec_col)
     qn = F.broadcast(
@@ -1229,11 +1251,15 @@ def ivfpq_topk(
     production vector store serves (top-k under a metadata
     constraint): the index (centroids + codebooks) stays trained on
     the FULL corpus, and the predicate prunes the scan side BEFORE the
-    cell-scoped ADC, so the result is the exact top-k among matching
-    vectors (pre-filtering). The naive alternative — post-filtering an
-    unfiltered top-k — silently under-returns whenever the global
-    top-k is dominated by non-matching vectors; `filtered_ann_audit`
-    measures that gap (post-filter hits ⊆ pre-filter hits, provably).
+    cell-scoped ADC, so the result is the exact-ADC top-k over the
+    ``n_probe`` probed cells' MATCHING vectors — still ANN (a matching
+    vector in an unprobed cell is never scanned; ADC distance is the
+    quantized surrogate), but pre-filtering guarantees k matching
+    results whenever the probed cells hold k matches. The naive
+    alternative — post-filtering an unfiltered top-k — silently
+    under-returns whenever the global top-k is dominated by
+    non-matching vectors; `filtered_ann_audit` measures that gap
+    (post-filter hits ⊆ pre-filter hits, provably).
     At scale the predicate reaches the scan as an ordinary pushed
     filter on the codes table's metadata columns."""
     from pyspark.sql import Window
@@ -1807,21 +1833,38 @@ def hierarchical_assign(
         F.col("_v").alias("_ccv"),
     )
     # ONE nested broadcast row: supers (sorted by id), each with its
-    # seed vector + norm and a sorted children array with norms
-    sup = (
-        cent_sup.groupBy("scell")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("ccell").alias("cell"),
-                        F.col("_ccv").alias("_cv"),
-                        norm(F.col("_ccv")).alias("_cn"),
-                    )
+    # seed vector + norm and a sorted children array with norms.
+    # LEFT join from the seeds so a super-seed that acquires no
+    # children (possible when duplicate centroid vectors make it
+    # tie-lose its own assignment) survives as its own single child
+    # instead of silently vanishing from the level-1 candidate set.
+    children_agg = cent_sup.groupBy("scell").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ccell").alias("cell"),
+                    F.col("_ccv").alias("_cv"),
+                    norm(F.col("_ccv")).alias("_cn"),
                 )
-            ).alias("_children")
+            )
+        ).alias("_children")
+    )
+    sup = (
+        seeds
+        .join(F.broadcast(children_agg), "scell", "left")
+        .withColumn(
+            "_children",
+            F.coalesce(
+                F.col("_children"),
+                F.array(
+                    F.struct(
+                        F.col("scell").alias("cell"),
+                        F.col("_scv").alias("_cv"),
+                        norm(F.col("_scv")).alias("_cn"),
+                    )
+                ),
+            ),
         )
-        .join(F.broadcast(seeds), "scell")
     )
     arr = F.broadcast(
         sup.select(

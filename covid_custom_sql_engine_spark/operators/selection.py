@@ -490,3 +490,85 @@ def grouped_exact_quantiles(
         F.col("_n").alias(count_col),
         *[F.col(c) for c in out_cols],
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): the rows not DOMINATED by any
+    other row, where q dominates p iff q.x ≤ p.x AND q.y ≥ p.y with at
+    least one inequality strict — minimize ``x_col``, maximize
+    ``y_col`` (flip a sign on a column to change a direction). The
+    classic multi-objective shortlist ("no part is both cheaper and
+    larger"), and deliberately NOT the naive O(n²) anti-join: a point
+    survives iff (a) its y equals the max y among rows sharing its
+    exact x, and (b) its y strictly exceeds the max y over all rows
+    with strictly smaller x — the sort-order sweep, made distributed.
+
+    Plan shape: one map-side-combinable hash aggregate collapses the
+    data to (distinct x, max y) — everything after runs on the REDUCED
+    frame. The strict prefix-max over x order uses the two-phase
+    global_rank discipline (range partition by x, pinned so both
+    branches read the same frozen rows; per-physical-partition running
+    max via a window keyed on the partition id — balanced keys, never
+    a single-partition window; cross-partition carry = one cumulative
+    max over ≤ num_partitions rows, broadcast back). The full rows
+    then re-join the reduced frame on x — at 100 TB the data moves
+    twice (groupBy x, join on x — AQE reuses the co-partitioning) and
+    the sweep itself never touches more than the distinct-x frame.
+    Rows with NULL in either column are excluded (dominance is
+    undefined against NULL), matching the SQL oracle's NOT EXISTS
+    over non-NULL pairs.
+    """
+    xc, yc = F.col(x_col), F.col(y_col)
+    clean = df.filter(xc.isNotNull() & yc.isNotNull())
+    gx = clean.groupBy(x_col).agg(F.max(y_col).alias("_gy"))
+    p = df.sparkSession.sparkContext.defaultParallelism
+    base = pin_single_evaluation(
+        gx.repartitionByRange(p, xc).sortWithinPartitions(x_col)
+    )
+    mid = F.monotonically_increasing_id()
+    local = base.select(
+        "*",
+        F.shiftright(mid, _MID_ORDINAL_BITS).alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << _MID_ORDINAL_BITS) - 1)) + 1).alias(
+            "_lrn"
+        ),
+    )
+    # strict prefix-max of _gy inside each physical partition (window
+    # keyed on _pid: ≤ num_partitions balanced groups, ordered by the
+    # in-partition ordinal — never the global single-partition trap)
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # cross-partition carry: max _gy of every PRECEDING partition —
+    # one row per partition, single-task window over ≤ p rows
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        local.groupBy("_pid")
+        .agg(F.max("_gy").alias("_m"))
+        .select("_pid", F.max("_m").over(off_w).alias("_pm_off"))
+    )
+    # F.greatest skips NULLs, so a first-partition/first-row NULL arm
+    # degrades to the other arm; NULL overall = "no smaller x exists"
+    pm = (
+        local.withColumn("_pm_in", F.max("_gy").over(w_in))
+        .join(F.broadcast(offs), "_pid")
+        .select(
+            x_col,
+            F.col("_gy"),
+            F.greatest(F.col("_pm_in"), F.col("_pm_off")).alias("_pm"),
+        )
+    )
+    return (
+        clean.join(pm, x_col)
+        .filter(
+            (yc == F.col("_gy"))
+            & (F.col("_pm").isNull() | (yc > F.col("_pm")))
+        )
+        .drop("_gy", "_pm")
+    )

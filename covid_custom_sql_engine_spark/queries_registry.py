@@ -6854,7 +6854,9 @@ def _pq_refined_sql(m: int, k: int, sub: int) -> str:
              generate_subscripts(list_slice(nv.v, c.s*{sub} + 1, (c.s+1)*{sub}), 1) AS p,
              unnest(list_slice(nv.v, c.s*{sub} + 1, (c.s+1)*{sub})) AS x
            FROM codes c JOIN nv ON nv.vec_id = c.vec_id),
-    ravg AS (SELECT s, j, p, avg(x) AS ax FROM rmem GROUP BY s, j, p),
+    ravg AS (SELECT s, j, p,
+               round({_sql_dsum('x')} / count(*), 6) AS ax
+             FROM rmem GROUP BY s, j, p),
     rlist AS (SELECT s, j, list(ax ORDER BY p) AS c FROM ravg GROUP BY s, j),
     cb2 AS (SELECT cb.s, cb.j, coalesce(rlist.c, cb.c) AS c
             FROM cb LEFT JOIN rlist ON rlist.s = cb.s AND rlist.j = cb.j),
@@ -7078,14 +7080,21 @@ def filtered_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id < 16),
-    sup AS (SELECT cell AS scell, cv AS scv FROM cent WHERE cell < 4),
+    sup AS (SELECT cell AS scell, cv AS scv FROM cent
+            QUALIFY row_number() OVER (ORDER BY cell) <= 4),
     cs AS (SELECT cent.cell, sup.scell, row_number() OVER (
              PARTITION BY cent.cell
              ORDER BY (list_dot_product(cent.cv, sup.scv)
                        / (sqrt(list_dot_product(cent.cv, cent.cv)) * sqrt(list_dot_product(sup.scv, sup.scv))))
                       DESC NULLS FIRST, sup.scell ASC) AS rn
            FROM cent CROSS JOIN sup),
-    csel AS (SELECT cell, scell FROM cs WHERE rn = 1),
+    csel0 AS (SELECT cell, scell FROM cs WHERE rn = 1),
+    -- a childless super-seed stays selectable as its own single child
+    -- (mirrors hierarchical_assign's left-join + coalesce-to-self)
+    csel AS (SELECT cell, scell FROM csel0
+             UNION ALL
+             SELECT scell AS cell, scell FROM sup
+             WHERE scell NOT IN (SELECT scell FROM csel0)),
     vs AS (SELECT c.vec_id, sup.scell, row_number() OVER (
              PARTITION BY c.vec_id
              ORDER BY (list_dot_product(c.v, sup.scv)
@@ -9198,6 +9207,185 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (extracted r6 so it is property-testable on arbitrary corpora);
     # stage pinning lives inside it
     return cp.curation_pipeline(d2, q_threshold=_CURATION_Q_THRESHOLD)
+
+
+@query(
+    "bfs_distances",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    bfs AS (
+      SELECT 'c:' || c_custkey AS node, 0 AS dist
+      FROM customer WHERE c_custkey <= 3
+      UNION
+      SELECT e.dst AS node, b.dist + 1 AS dist
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < 3)
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY node
+    """,
+)
+def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the customer↔supplier trading graph — the
+    engine's recursive-query surface (graph.bfs_layers; the oracle IS
+    a WITH RECURSIVE CTE, and frontier BFS's first-touch distance
+    equals the recursion's min(dist) by construction). Sources are the
+    customers with c_custkey ≤ 3; edges are the distinct trading pairs
+    both directions with the typed 'c:'/'s:' node prefixes
+    (pagerank_bipartite's aliasing-proof convention); depth capped at
+    3. Per level the engine pays one frontier⋈edges equi-join, one
+    distinct, and one anti-join against the visited set — frontier and
+    visited eagerly pinned so lineage stays flat (the
+    connected-components discipline with a FIXED round count). All
+    integer arithmetic: the comparison is exact."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    srcs = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    return gr.bfs_layers(edges, srcs, max_depth=3)
+
+
+@query(
+    "skyline_parts",
+    oracle="""
+    WITH pp AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                       p_retailprice + 0.0 AS p_retailprice,
+                       CAST(p_size AS BIGINT) AS p_size
+                FROM part
+                WHERE p_brand = 'Brand#23'
+                  AND p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+    SELECT p_partkey, p_retailprice, p_size FROM pp p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pp q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of one brand's parts — no part in
+    the result is both cheaper AND larger than another
+    (selection.skyline_2d: minimize p_retailprice, maximize p_size).
+    The oracle states the dominance semantics directly (NOT EXISTS, a
+    deliberate O(n²) spec); the engine instead runs the distributed
+    sort-order sweep — collapse to (distinct price, max size) with one
+    combinable hash aggregate, strict prefix-max over price order via
+    the two-phase global_rank discipline (range partition + pinned
+    exchange + per-physical-partition window keyed on partition id +
+    a ≤num_partitions-row carry), then one join back — O(n log n)
+    work, never a pairwise comparison, the shape that survives a
+    100 TB candidate table where the quadratic spec cannot."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            (F.col("p_retailprice") + F.lit(0.0)).alias("p_retailprice"),
+            F.col("p_size").cast("bigint").alias("p_size"),
+        )
+    )
+    return sel.skyline_2d(pt, "p_retailprice", "p_size")
+
+
+@query(
+    "apriori_triples",
+    oracle="""
+    WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    fp AS (SELECT a.p AS p1, b.p AS p2 FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+    tri AS (SELECT a.p AS p1, b.p AS p2, c.p AS p3, count(*) AS n_orders
+            FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+                      JOIN it c ON a.o = c.o AND b.p < c.p
+            JOIN fp f1 ON f1.p1 = a.p AND f1.p2 = b.p
+            JOIN fp f2 ON f2.p1 = b.p AND f2.p2 = c.p
+            JOIN fp f3 ON f3.p1 = a.p AND f3.p2 = c.p
+            GROUP BY 1, 2, 3)
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           CAST(p3 AS BIGINT) AS p3, n_orders
+    FROM tri
+    ORDER BY n_orders DESC, p1, p2, p3 LIMIT 20
+    """,
+)
+def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with A-PRIORI candidate pruning — the
+    market-basket step beyond frequent_part_pairs: a part triple
+    qualifies only if EVERY cohabiting pair inside it is itself
+    frequent (support ≥ 2 orders) — the downward-closure property that
+    makes frequent-itemset mining tractable at scale. The engine
+    prunes EARLY: the (p1, p2) leg is gated on the broadcast frequent-
+    pair set BEFORE the third self-join fans out (at sf0.01 that cuts
+    the candidate stream from ~157k raw triples to the ~3% whose
+    first pair is frequent), then the (p1, p3)/(p2, p3) gates run as
+    two more broadcast semi-joins before the counting aggregate — the
+    oracle applies the same three gates after generation, same final
+    set. Top 20 by (support, keys): a total order, so the row set is
+    deterministic. At 100 TB the frequent-pair set is the small side
+    by construction (HAVING ≥ minsup) and broadcasts; the self-joins
+    shuffle on the order key only."""
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_partkey").cast("bigint").alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = it.select(F.col("o").alias("oa"), F.col("p").alias("p1"))
+    b = it.select(F.col("o").alias("ob"), F.col("p").alias("p2"))
+    c = it.select(F.col("o").alias("oc"), F.col("p").alias("p3"))
+    prs = a.join(
+        b, (F.col("oa") == F.col("ob")) & (F.col("p1") < F.col("p2"))
+    ).select("oa", "p1", "p2")
+    fp = (
+        prs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager=False)
+    )
+    # gate 1 BEFORE the fan-out join: only frequent first-pairs expand
+    pruned = prs.join(F.broadcast(fp), ["p1", "p2"], "left_semi")
+    tri = pruned.join(
+        c, (F.col("oa") == F.col("oc")) & (F.col("p2") < F.col("p3"))
+    ).select("oa", "p1", "p2", "p3")
+    # gates 2+3: the remaining sub-pairs must be frequent too
+    tri = tri.join(
+        F.broadcast(fp.select(F.col("p1").alias("p2"), F.col("p2").alias("p3"))),
+        ["p2", "p3"],
+        "left_semi",
+    ).join(
+        F.broadcast(fp.select("p1", F.col("p2").alias("p3"))),
+        ["p1", "p3"],
+        "left_semi",
+    )
+    counted = tri.groupBy("p1", "p2", "p3").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return counted.orderBy(
+        F.col("n_orders").desc(), "p1", "p2", "p3"
+    ).limit(20)
 
 
 # ---------------------------------------------------------------------------

@@ -116,3 +116,70 @@ def test_hits_rejects_zero_iterations(spark):
     e = _edges(spark, [(1, 2)])
     with pytest.raises(ValueError, match="iterations"):
         hits(e, iterations=0)
+
+
+def test_bfs_layers_min_distance_and_early_exit(spark):
+    """BFS layers equal the recursive min-dist spec on a graph with a
+    shortcut (two paths of different lengths to the same node), an
+    unreachable island, and an isolated source; expansion stops the
+    round the frontier empties (depth cap larger than the diameter
+    must not change the answer)."""
+    from pyspark.sql import functions as F
+
+    from covid_custom_sql_engine_spark.functions.graph import bfs_layers
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),  # chain a→d
+            ("a", "d"),                           # shortcut: d at 1, not 3
+            ("x", "y"),                           # island, unreachable
+        ],
+        "src string, dst string",
+    )
+    srcs = spark.createDataFrame([("a",), ("q",)], "node string")
+    out = {
+        r.node: r.dist
+        for r in bfs_layers(edges, srcs, max_depth=10).collect()
+    }
+    assert out == {"a": 0, "q": 0, "b": 1, "d": 1, "c": 2}
+    # duplicate sources collapse; dist column is bigint for the oracle
+    two = bfs_layers(edges, srcs.unionAll(srcs), max_depth=2)
+    assert dict((r.node, r.dist) for r in two.collect()) == out
+    assert dict(two.dtypes)["dist"] == "bigint"
+
+
+def test_bfs_layers_matches_floyd_reference(spark):
+    """Randomized cross-check: BFS distances equal a pure-Python
+    shortest-hop reference on a seeded random digraph."""
+    import random
+
+    from covid_custom_sql_engine_spark.functions.graph import bfs_layers
+
+    rng = random.Random(17)
+    n = 40
+    es = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    edges = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in es], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("n0",), ("n1",)], "node string")
+    got = {
+        r.node: r.dist
+        for r in bfs_layers(edges, srcs, max_depth=6).collect()
+    }
+    # reference: BFS from {0, 1}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, []).append(b)
+    dist = {0: 0, 1: 0}
+    frontier = [0, 1]
+    d = 0
+    while frontier and d < 6:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert got == {f"n{k}": v for k, v in dist.items()}

@@ -215,3 +215,51 @@ def test_equidepth_buckets_matches_ntile(spark):
             ).collect()
         }
         assert got == exp, (n, B)
+
+
+def test_skyline_2d_matches_brute_force_random(spark):
+    """Seeded random clouds (with duplicate points, ties on each axis,
+    and NULLs): the distributed sweep equals the O(n²) dominance spec."""
+    import random
+
+    from covid_custom_sql_engine_spark.operators.selection import skyline_2d
+
+    rng = random.Random(23)
+    rows = [
+        (
+            i,
+            float(rng.randrange(20)) if rng.random() > 0.05 else None,
+            rng.randrange(15) if rng.random() > 0.05 else None,
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y int")
+    got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+    pts = [(i, x, y) for i, x, y in rows if x is not None and y is not None]
+    want = sorted(
+        i
+        for i, x, y in pts
+        if not any(
+            qx <= x and qy >= y and (qx < x or qy > y)
+            for j, qx, qy in pts
+            if j != i
+        )
+    )
+    assert got == want
+
+
+def test_skyline_2d_single_point_and_all_dominated(spark):
+    from covid_custom_sql_engine_spark.operators.selection import skyline_2d
+
+    one = spark.createDataFrame([(1, 5.0, 5)], "id long, x double, y int")
+    assert [r.id for r in skyline_2d(one, "x", "y").collect()] == [1]
+    # a strictly better point dominates everything else
+    dom = spark.createDataFrame(
+        [(1, 1.0, 10), (2, 2.0, 9), (3, 3.0, 1)], "id long, x double, y int"
+    )
+    assert sorted(r.id for r in skyline_2d(dom, "x", "y").collect()) == [1]
+    # duplicates of the optimum all survive (neither dominates the other)
+    dup = spark.createDataFrame(
+        [(1, 1.0, 10), (2, 1.0, 10), (3, 2.0, 1)], "id long, x double, y int"
+    )
+    assert sorted(r.id for r in skyline_2d(dup, "x", "y").collect()) == [1, 2]

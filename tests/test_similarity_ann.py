@@ -625,3 +625,69 @@ def test_mmr_skips_near_duplicate_second_pick(spark):
     assert [r.vec_id for r in out] == [10, 12, 13]  # 11 skipped: too similar
     rel10 = sim.brute_force_topk(e, qs, k=1).collect()[0].cos_sim
     assert abs(out[0].mmr_score - round(0.5 * rel10, 6)) < 2e-6
+
+
+def test_hierarchical_assign_keeps_childless_super(spark):
+    """A super-seed whose vector duplicates a smaller-id super-seed
+    tie-loses its own centroid→super assignment and acquires no
+    children; it must survive as its own single child (not vanish from
+    the level-1 candidate set) so vectors nearest to it still land on
+    a real cell. Centroids: cells 0 and 1 share a vector (1 tie-loses
+    to 0 and ends up childless among supers {0, 1}), cell 2 is
+    orthogonal and groups under whichever super it most resembles."""
+    cents = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "cell long, _cv array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.1, 0.0]),
+            (11, [0.0, 1.0, 0.1]),
+            (12, [0.9, 0.0, 0.2]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.cell
+        for r in sim.hierarchical_assign(vecs, cents, n_super=2).collect()
+    }
+    # every vector assigned, every cell a real centroid cell
+    assert set(out) == {10, 11, 12}
+    assert set(out.values()) <= {0, 1, 2}
+    # super 1 is childless (its own centroid tie-broke to super 0, and
+    # cell 2 groups under super 0 too, cos 0 vs 0 tie → smaller id) —
+    # yet the two-level path still returns the exact nearest cell for
+    # vectors that level-1 routes through super 0's children {0,1,2}
+    exact = {
+        r.vec_id: r.cell for r in sim.assign_cells(vecs, cents).collect()
+    }
+    assert out == exact
+
+
+def test_pq_topk_derives_m_from_explicit_codebooks(spark, sf_dir):
+    """Explicit codebooks are the source of truth for the quantizer
+    shape: a caller passing a stale/contradictory ``m`` must get the
+    codebooks' own subspace count (not a silently-wrong ADC sum), and
+    ragged codebooks must be rejected."""
+    import pytest
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") <= 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = sim.pq_codebooks(e, m=4, k=8)
+    good = sim.pq_topk(e, qs, m=4, k_codes=8, k=3, codebooks=cbs).collect()
+    # contradictory m: ignored in favor of len(codebooks)
+    same = sim.pq_topk(e, qs, m=2, k_codes=8, k=3, codebooks=cbs).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(
+        [(r.query_id, r.vec_id, r.pq_dist) for r in good]
+    ) == sorted([(r.query_id, r.vec_id, r.pq_dist) for r in same])
+    with pytest.raises(ValueError, match="ragged"):
+        sim.pq_topk(
+            e, qs, m=2, k=3, codebooks=[cbs[0], cbs[1][:3]]
+        )

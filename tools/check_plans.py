@@ -295,6 +295,18 @@ EXPECT = {
     "weighted_sample_docs": (2, True, False),
     "cms_heavy_hitters": (1, False, False),
     "hll_distinct_orders": (1, False, True),  # 1-row rmax broadcast onto ≤1024 registers: intended
+    # --- round 9 ---
+    # every BFS level ends in an eager checkpoint, so the FINAL plan
+    # reads only the frozen visited leaf — no parquet scan survives
+    # (the mmr_topk precedent), hence no PushedFilters expectation
+    "bfs_distances": (2, False, False),
+    # part scan: brand + two non-null predicates pushed; the sweep's
+    # only window is keyed on the partition id (balanced), plus the
+    # ≤num_partitions-row offsets cummax
+    "skyline_parts": (4, True, False),
+    # lineitem 2-col scan; frequent-pair gates are broadcast hash
+    # semi-joins (equi), never NLJ
+    "apriori_triples": (2, False, False),
 }
 
 
