@@ -81,6 +81,13 @@ HEADLINE = [
     # the binary-signature recall audit (xor+popcount scan)
     "filtered_ann_topk",
     "binary_hamming_recall",
+    # round 9 additions: recursive-query BFS (iterative frontier
+    # expansion with pinned per-level state), the distributed Pareto
+    # sweep, a-priori 3-itemset mining, and session path mining
+    "bfs_distances",
+    "skyline_parts",
+    "apriori_triples",
+    "top_session_paths",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):

@@ -9388,6 +9388,91 @@ def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+@query(
+    "top_session_paths",
+    oracle="""
+    WITH o AS (SELECT event_id, user_id, ts, event_type,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+               FROM events),
+    m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '15 minutes'
+                         THEN 1 ELSE 0 END AS new_s FROM o),
+    s AS (SELECT event_id, user_id, ts, event_type,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM m),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                       ORDER BY ts, event_id) AS rn FROM s),
+    paths AS (SELECT user_id, session_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM r WHERE rn <= 5 GROUP BY user_id, session_id)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 15
+    """,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream sequence mining: the most common session PATHS —
+    each session's first ≤5 event types in time order, joined into one
+    'a>b>c' string — ranked by session count (the funnel-discovery
+    complement of event_transitions' pairwise matrix: paths show WHOLE
+    journeys, transitions show edges). Sessionization is the 15-minute
+    gaps-and-islands rule of session_ids, re-derived here so the query
+    is self-contained.
+
+    Plan: ONE shuffle on user_id serves the lag pass, the running-sum
+    pass, the per-session row_number, AND the per-session path
+    aggregate (grouping on (user_id, session_id) is satisfied by the
+    existing user_id hash distribution — no second exchange; the
+    order-sensitive collect is made deterministic by sorting the
+    collected (rn, type) structs, never by collect order). The path
+    histogram then shuffles ≤ distinct-path rows, and top-15 by
+    (count, path) — a total order — is a TakeOrdered, never a global
+    sort. Path length is capped at 5 so the path string is bounded
+    state per session at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 15 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(new_s).over(run).alias("session_id"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    )
+    paths = (
+        s.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda t: t["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is

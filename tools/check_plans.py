@@ -307,6 +307,9 @@ EXPECT = {
     # lineitem 2-col scan; frequent-pair gates are broadcast hash
     # semi-joins (equi), never NLJ
     "apriori_triples": (2, False, False),
+    # events 4-col scan; one user_id exchange serves all three window
+    # passes and the per-session aggregate
+    "top_session_paths": (4, False, False),
 }
 
 
