@@ -110,3 +110,38 @@ def zorder_by(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int,
+) -> None:
+    """Persist ``df`` as a bucketed, bucket-sorted parquet table: rows
+    are hash-distributed into ``n_buckets`` files per partition by
+    ``bucket_col`` and sorted by it inside each bucket — the write-side
+    half of the co-located join contract. Two fact tables bucketed the
+    SAME way (same column semantics, same bucket count) join WITHOUT
+    any Exchange: the planner proves both sides already share the
+    required hash distribution and goes straight to a sort-merge join
+    on pre-sorted buckets — at 100 TB that deletes the two largest
+    shuffles a fact⋈fact query pays, paid once at ingest and amortized
+    over every subsequent join (the same economics as
+    :func:`zorder_by`, applied to join keys instead of filter
+    columns).
+
+    Spark's bucketing metadata lives in the session catalog, so this
+    registers an EXTERNAL table at ``path`` (data outlives the catalog
+    entry; re-registering is cheap). Bucket-pruning on point
+    predicates over ``bucket_col`` comes free with the same layout.
+    """
+    (
+        df.write.format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )

@@ -135,3 +135,57 @@ def test_zorder_three_columns(spark):
     lb, lc = mean_spans(df.repartitionByRange(32, "a").sortWithinPartitions("a"))
     assert zb < 0.6 * lb and zc < 0.6 * lc
     assert lb > 200 and lc > 200  # linear layout really is unconstrained on b/c
+
+
+def test_bucketed_fact_join_runs_shuffle_free(spark, sf_dir, tmp_path):
+    """The co-located join contract end-to-end: orders and lineitem
+    written with write_bucketed on the join key (same bucket count)
+    sort-merge-join with ZERO Exchange in the physical plan — the
+    planner proves both sides already carry the required hash
+    distribution. The same join over the raw parquet shuffles both
+    sides. Values must agree between the two plans."""
+    from pyspark.sql import functions as F
+
+    from covid_custom_sql_engine_spark.catalog import load_table
+    from covid_custom_sql_engine_spark.operators import layout as ly
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    ly.write_bucketed(o, "bjd_orders", str(tmp_path / "o"), "o_orderkey", 8)
+    ly.write_bucketed(
+        l, "bjd_lineitem", str(tmp_path / "l"), "l_orderkey", 8
+    )
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    try:
+        # force the SMJ path: broadcast would hide the distribution
+        # question entirely, AQE re-plans mid-flight
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        bo, bl = spark.table("bjd_orders"), spark.table("bjd_lineitem")
+        j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # the whole point
+        raw = o.join(l, o.o_orderkey == l.l_orderkey)
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert raw_plan.count("Exchange hashpartitioning") >= 2
+        assert j.count() == raw.count()
+        agg = lambda d: d.agg(  # noqa: E731
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("s")
+        ).collect()[0].s
+        assert agg(j) == agg(raw)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS bjd_orders")
+        spark.sql("DROP TABLE IF EXISTS bjd_lineitem")
