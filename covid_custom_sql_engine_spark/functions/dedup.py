@@ -755,3 +755,98 @@ def near_dup_keep(
         "id",
         F.coalesce(F.col("component"), F.col("id")).alias("component"),
     ).withColumn("keep", F.col("id") == F.col("component"))
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via PREFIX FILTERING —
+    the AllPairs/PPJoin family (Bayardo et al. 2007, public): order
+    every document's distinct tokens by a single global rarity order
+    (document frequency asc, token asc — a total order, so both
+    engines sort identically), keep only each document's PREFIX of
+    length ``n − ⌈τ·n⌉ + 1``, and generate candidates from prefix
+    postings alone. LOSSLESS by the pigeonhole argument: a pair with
+    Jaccard ≥ τ shares ≥ ⌈τ·max(|A|,|B|)⌉ tokens, and the smallest-
+    order shared token necessarily lands inside BOTH prefixes — so
+    unlike the df-capped shingle index (ngram_jaccard_pairs) or
+    MinHash banding, the candidate set provably contains every
+    qualifying pair, and the SQL oracle can be the pure all-pairs
+    spec with no algorithm mirrored. Exact Jaccard verification then
+    keeps candidates with J ≥ τ.
+
+    Scale shape: at τ = 0.95 each document contributes ~5% of its
+    tokens to the postings, and those are its RAREST tokens — the
+    short posting lists — so the candidate self-join's fan-out per
+    token is small by construction (rarity ordering is what makes
+    prefix filtering work at corpus scale; a frequent token never
+    enters a prefix unless a document is almost all stop-words).
+    One shuffle builds df, one orders tokens per doc, one self-joins
+    the prefix postings, and the verify joins the (bounded) candidate
+    set back to the token arrays. Returns (id_a, id_b, jaccard ≥ τ),
+    jaccard rounded to 6 for cross-engine display while the FILTER
+    compares the unrounded IEEE quotient (identical on both engines
+    given identical integer operands).
+    """
+    from covid_custom_sql_engine_spark.functions.text import tokens
+
+    tk = (
+        df.select(
+            F.col(id_col), F.array_distinct(tokens(text_col)).alias("_t")
+        )
+        .filter(F.size("_t") > 0)
+        .localCheckpoint(eager=False)  # postings + both verify sides
+    )
+    posting = tk.select(F.col(id_col), F.explode("_t").alias("_tok"))
+    df_tok = posting.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    pre = (
+        posting.join(df_tok, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_df", "_tok"))
+            ).alias("_s")
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                "slice(transform(_s, s -> s._tok), 1, "
+                f"size(_s) - cast(ceil({threshold!r} * size(_s)) as int) + 1)"
+            ).alias("_pre"),
+        )
+    )
+    # the size rides with each posting so the standard AllPairs LENGTH
+    # filter applies inside the join: J(A,B) ≥ τ forces
+    # τ·|A| ≤ |B| ≤ |A|/τ (intersection ≤ min, union ≥ max), pruning
+    # size-mismatched candidates before the distinct — also lossless
+    pp = pre.join(tk.select(F.col(id_col), F.size("_t").alias("_n")), id_col).select(
+        F.col(id_col), F.col("_n"), F.explode("_pre").alias("_tok")
+    )
+    cand = (
+        pp.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), "_tok")
+        .join(
+            pp.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"), "_tok"),
+            "_tok",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("_nb") * F.lit(float(threshold)) <= F.col("_na"))
+            & (F.col("_na") * F.lit(float(threshold)) <= F.col("_nb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = tk.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
+    b = tk.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_union("_ta", "_tb"))
+    j = inter.cast("double") / union
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(j >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )

@@ -9473,6 +9473,43 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "prefix_jaccard_pairs",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS t
+                FROM documents WHERE doc_id < 1000),
+    t AS (SELECT doc_id, t FROM t0 WHERE len(t) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.t, b.t))) >= 0.95
+    """,
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering
+    (dedup.prefix_filter_pairs — the AllPairs/PPJoin candidate rule,
+    Bayardo et al. 2007): every pair of documents with token-set
+    Jaccard ≥ 0.95, found WITHOUT an all-pairs product. Unlike the
+    df-capped shingle index (ngram_jaccard_pairs, which can MISS pairs
+    whose shared shingles are all frequent) or MinHash banding
+    (probabilistic), prefix filtering is provably lossless: a
+    qualifying pair's smallest-global-order shared token always lands
+    in both documents' rarity-ordered prefixes — so the ORACLE is the
+    pure all-pairs SPEC with no algorithm mirrored, the strongest
+    oracle shape in the registry. Each document contributes only
+    ~|T|·(1−τ)+1 of its RAREST tokens to the posting join, so per-token
+    fan-out is small by construction at any corpus size. Corpus capped
+    at doc_id < 1000 so the oracle's quadratic spec stays cheap; the
+    engine path has no such need (SCALE.md measures it uncapped)."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 1000
+    )
+    out = dd.prefix_filter_pairs(d, threshold=0.95)
+    return out.select("id_a", "id_b", "jaccard")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is

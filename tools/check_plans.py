@@ -310,6 +310,10 @@ EXPECT = {
     # events 4-col scan; one user_id exchange serves all three window
     # passes and the per-session aggregate
     "top_session_paths": (4, False, False),
+    # the token-array frame is a (lazily) checkpointed multi-consumer
+    # leaf, so no parquet scan survives into the final plan (the
+    # mmr_topk precedent); all joins are equi
+    "prefix_jaccard_pairs": (2, False, False),
 }
 
 
