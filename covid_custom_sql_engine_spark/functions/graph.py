@@ -303,3 +303,70 @@ def bfs_layers(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own community (label = node id's min over... itself),
+    and each round every node adopts the most frequent label among its
+    IN-neighbors, ties broken toward the smaller label; nodes with no
+    in-edges keep their current label. ``rounds`` is a fixed
+    hyper-parameter, so a SQL oracle unrolls the identical rounds —
+    the deterministic-by-construction variant of an algorithm usually
+    run with random tie-breaks (same design choice as the id-seeded
+    k-means family).
+
+    Per-round plan: ONE equi-join of the O(nodes) label vector against
+    the edge list on src, ONE (dst, label) hash aggregate with
+    map-side combine, ONE per-dst argmax via max-of-struct (count
+    desc, label asc — no window), and a LEFT join back to the node
+    list so isolated-in-degree nodes persist. Labels are pinned per
+    round (eager localCheckpoint) — flat lineage, single evaluation,
+    the iterative-state convention. String labels order
+    lexicographically identically in Spark and the oracle (plain
+    ASCII node ids), so the comparison is exact.
+
+    Returns (node, label) — nodes sharing a label share a community.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionAll(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        votes = (
+            labels.join(e, labels.node == F.col("_s"))
+            .groupBy(F.col("_d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        # per-node argmax: max of (count, inverted-label) structs —
+        # a combinable aggregate, never a single-partition window.
+        # Lexicographic max on a descending string isn't expressible
+        # with struct max alone, so invert via a second aggregate:
+        # min label among those sharing the max count.
+        top = votes.groupBy("node").agg(F.max("_n").alias("_m"))
+        best = (
+            votes.join(top, "node")
+            .filter(F.col("_n") == F.col("_m"))
+            .groupBy("node")
+            .agg(F.min("label").alias("_new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -314,6 +314,9 @@ EXPECT = {
     # leaf, so no parquet scan survives into the final plan (the
     # mmr_topk precedent); all joins are equi
     "prefix_jaccard_pairs": (2, False, False),
+    # per-round labels are eagerly pinned; the final frame IS the
+    # last checkpoint leaf — no parquet scan in the plan
+    "label_propagation_communities": (2, False, False),
 }
 
 
