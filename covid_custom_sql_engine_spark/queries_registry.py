@@ -9582,117 +9582,104 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- ROUND 8 WINDOW (first 50 = the driver's official check set) ----
+    # ---- ROUND 9 WINDOW (first 50 = the driver's official check set) ----
     # flagship first — it's also the entry() smoke query
     "flagship_revenue_by_nation",
-    # --- NEW in round 8 (never driver-checked): residual IVFADC,
-    # Lloyd-refined codebooks, filtered ANN (pre-filter semantics +
-    # the pre-vs-post audit), and the two-level assignment agreement
-    # audit ---
-    "ivfpq_residual_recall",
-    "pq_refined_recall",
-    "filtered_ann_topk",
-    "filtered_ann_audit",
-    "hierarchical_assign_agreement",
-    # --- touched by this round's PQ-codebook broadcast rework (encode
-    # + both ADC builders now read a 1-row broadcast codebook frame:
-    # plans changed materially; values proven bit-identical locally
-    # but the official rows must re-earn under the driver), plus
-    # repeated_span_apply (remove_spans' n_cut derivation changed) and
-    # video_stats_c420 (synth_y4m_media gained parity validation) ---
-    "pq_topk_recall",
-    "ivfpq_topk_recall",
-    "ivfpq_rerank_recall",
-    "rrf_fusion",
-    "repeated_span_apply",
-    "video_stats_c420",
-    # --- the full 31-query r3-stale slice (r7 VERDICT item #2): the
-    # recall audits, TPC-H tail, and join/window/sampling surface, in
-    # the parked order round 7 left behind ---
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q22_idle_customers",
-    "cms_heavy_hitters",
-    "hll_distinct_orders",
-    "zorder_cluster_stats",
-    "minhash_accuracy",
-    "windowed_hll_users",
-    "length_bucket_stats",
-    "key_skew_profile",
-    "int8_topk_recall",
-    "sql_surface",
-    "chi_square_flags",
-    "frequent_part_pairs",
-    "ols_trend_by_type",
-    "weighted_sample_docs",
-    "ann_recall",
-    "topn_per_group",
-    "rolling_zscore_anomalies",
-    "window_distinct_users",
-    "attribution_left",
-    "levenshtein_pairs",
-    "join_full_outer",
-    "subquery_exists_cte",
-    "stratified_sample",
-    "redact_pii",
-    "repetition_ratio",
-    "column_profile",
-    "winnow_fingerprint",
-    # --- the 7 oldest r4 rows (r7 VERDICT item #2's fill guidance):
-    # retrieval, mixture resampling, the reference group-by/join
-    # semantics, and the graph family ---
-    "bm25_search",
-    "group_agg_ref7",
-    "join_ref_left",
-    # late r8 additions displace four r4 fills (never-checked beats
-    # stale-refresh): binary-quantized ANN + its exact re-rank stage,
-    # IVF posting-balance telemetry, and the reciprocal-rank metric
-    "binary_hamming_recall",
-    "binary_rerank_recall",
-    "ivf_cell_stats",
-    "retrieval_rr_at_k",
-    # ---------------- out-of-window below this line ----------------
-    # never-checked, first in line for the r9 window
+    # --- NEW in round 9 (never driver-checked): recursive-query BFS,
+    # the distributed Pareto sweep, a-priori 3-itemsets, session path
+    # mining, the lossless prefix-filtered Jaccard join, and
+    # label-propagation communities ---
+    "bfs_distances",
+    "skyline_parts",
+    "apriori_triples",
+    "top_session_paths",
+    "prefix_jaccard_pairs",
+    "label_propagation_communities",
+    # --- NEW late in round 8, never driver-checked: the hybrid
+    # retrieval + ranking-quality family ---
     "hybrid_search",
     "retrieval_ndcg_at_k",
     "diversified_topk",
     "mmr_topk",
+    # --- touched by the round-9 review fixes (childless-super rule +
+    # smallest-n oracle; fixed-point refined-codebook means; explicit-
+    # codebook shape validation in pq_topk) — values re-proven locally,
+    # official rows re-earn under the driver ---
+    "hierarchical_assign_agreement",
+    "pq_refined_recall",
+    "pq_topk_recall",
+    # --- the r4-stale refresh (oldest official rows; 36 of 38 — the
+    # two scalar-surface demos array_functions/map_functions park
+    # first in line for round 10) ---
+    "containment_pairs",
+    "conversion_delay_quantiles",
+    "data_quality_report",
+    "embedding_normalize",
+    "hash_sample",
+    "hourly_change",
+    "incremental_mv_rollup",
+    "json_props",
+    "k_anonymity_audit",
+    "mad_outliers",
     "mixture_resample_lang",
-    "pagerank_bipartite",
-    "hits_bipartite",
-    "triangle_counts",
-    # parked in priority order for the round-9 refresh: the remaining
-    # r4-era official rows (every other registered query's latest
-    # official row is r5+ and all are re-verified locally each round)
-    "psi_drift",
-    "join_ref_inner",
+    "oov_rate",
+    "repeated_chunks",
+    "revenue_concentration",
+    "setop_except_all",
+    "split_divergence",
+    "token_counts",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_count_dist",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_disjunctive_filter",
     "tpch_q1_pricing_summary",
+    "tpch_q20_heavy_shippers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "unpivot_metrics",
+    "value_histogram",
+    "window_distribution",
+    "winsorize_values",
+    "xmr_control_limits",
+    "zscore_outliers",
+    # ---------------- out-of-window below this line ----------------
+    # first in line for the round-10 refresh: the two deferred r4 rows,
+    # then the oldest r5-era official rows
+    "array_functions",
+    "map_functions",
+    "argmax_latest",
+    "audio_stats_real",
+    "benford_audit",
+    "bigram_logprob",
+    "bloom_filter_join_stats",
+    "cohort_retention",
 ]
 
 
 # The window rotates each round so every query eventually earns an
-# official driver row. Round-8 composition (exactly 50): the flagship
-# sentinel; the 5 queries NEW in r8 (residual IVFADC, Lloyd-refined
-# codebooks, filtered ANN + its pre-vs-post audit, hierarchical
-# assignment agreement — never-checked beats stale-refresh, the
-# r5-r7 precedent); the 6 queries whose plan this round's changes
-# touched (the PQ-codebook broadcast rework: pq_topk_recall,
-# ivfpq_topk_recall, ivfpq_rerank_recall, rrf_fusion; plus
-# repeated_span_apply and video_stats_c420 — values proven
-# bit-identical locally, but a materially-changed plan re-earns its
-# official row); the FULL 31-query r3-stale slice the r7 verdict
-# demanded (recall audits, TPC-H tail, join/window/sampling surface);
-# the 6 oldest r4 rows (bm25, mixture resample, reference
-# group-by/join semantics, the graph family); and the late-r8
-# binary-quantized ANN audit. The remaining r4-era rows are parked in
-# refresh order for round 9.
-# Everything below the out-of-window line holds an r1-r7 green row and
+# official driver row. Round-9 composition (exactly 50): the flagship
+# sentinel; the 6 queries NEW in r9 (BFS/recursive-CTE parity, the
+# distributed Pareto sweep, a-priori triples, session path mining,
+# the lossless prefix-filtered Jaccard join, label-propagation
+# communities); the 4 late-r8 never-checked retrieval queries
+# (hybrid_search, retrieval_ndcg_at_k, diversified_topk, mmr_topk —
+# never-checked beats stale-refresh, the standing precedent); the 3
+# queries touched by the round-9 review fixes (hierarchical
+# assignment's childless-super rule + smallest-n oracle, the
+# fixed-point refined-codebook means, pq_topk's explicit-codebook
+# validation); and 36 of the 38 r4-stale rows — the oldest official
+# records left (TPC-H tail, sampling, setops, control limits; the two
+# scalar-surface demos array_functions/map_functions park first in
+# line for round 10 alongside the oldest r5 rows).
+# Everything below the out-of-window line holds an r1-r8 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (216 registered; all re-verified at sf0.01 this round, plus sf0.001
-# and sf0.1 spot-checks on new/touched queries).
+# (230 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
+# README per round).
 
 
 def _reorder_registry() -> None:
