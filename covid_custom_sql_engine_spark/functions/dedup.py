@@ -818,17 +818,43 @@ def prefix_filter_pairs(
             ).alias("_pre"),
         )
     )
-    # the size rides with each posting so the standard AllPairs LENGTH
-    # filter applies inside the join: J(A,B) ≥ τ forces
-    # τ·|A| ≤ |B| ≤ |A|/τ (intersection ≤ min, union ≥ max), pruning
-    # size-mismatched candidates before the distinct — also lossless
-    pp = pre.join(tk.select(F.col(id_col), F.size("_t").alias("_n")), id_col).select(
-        F.col(id_col), F.col("_n"), F.explode("_pre").alias("_tok")
+    # the size and the prefix POSITION ride with each posting so two
+    # further lossless prunes apply inside the join (full PPJoin):
+    # - LENGTH filter: J(A,B) ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ
+    #   (intersection ≤ min size, union ≥ max size);
+    # - POSITIONAL filter: both prefixes are sorted by the SAME global
+    #   order, so the globally-smallest shared token sits at the
+    #   minimum position in BOTH lists; every other shared token comes
+    #   after it, hence overlap ≤ min(|A|−i₀, |B|−j₀). J ≥ τ forces
+    #   overlap ≥ τ/(1+τ)·(|A|+|B|), so pairs whose positional bound
+    #   can't reach that die before the verify join (a 1-ulp epsilon
+    #   keeps the float comparison on the safe/lossless side — a
+    #   borderline extra candidate is harmless, the verify decides).
+    pp = (
+        pre.join(tk.select(F.col(id_col), F.size("_t").alias("_n")), id_col)
+        .select(
+            F.col(id_col),
+            F.col("_n"),
+            F.posexplode("_pre").alias("_pos", "_tok"),
+        )
     )
+    alpha = (F.col("_na") + F.col("_nb")) * F.lit(
+        float(threshold) / (1.0 + float(threshold))
+    ) - F.lit(1e-9)
     cand = (
-        pp.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"), "_tok")
+        pp.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_n").alias("_na"),
+            F.col("_pos").alias("_ia"),
+            "_tok",
+        )
         .join(
-            pp.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"), "_tok"),
+            pp.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_n").alias("_nb"),
+                F.col("_pos").alias("_jb"),
+                "_tok",
+            ),
             "_tok",
         )
         .filter(
@@ -836,8 +862,20 @@ def prefix_filter_pairs(
             & (F.col("_nb") * F.lit(float(threshold)) <= F.col("_na"))
             & (F.col("_na") * F.lit(float(threshold)) <= F.col("_nb"))
         )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
+            F.min("_ia").alias("_i0"),
+            F.min("_jb").alias("_j0"),
+        )
+        .filter(
+            F.least(
+                F.col("_na") - F.col("_i0"), F.col("_nb") - F.col("_j0")
+            )
+            >= alpha
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     a = tk.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
     b = tk.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
