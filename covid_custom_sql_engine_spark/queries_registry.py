@@ -9572,6 +9572,58 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return gr.label_propagation(edges, rounds=2)
 
 
+@query(
+    "l_diversity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS sz,
+               count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT 3 AS l,
+           count(*) AS n_groups,
+           sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT AS n_homogeneous_groups,
+           sum(CASE WHEN l < 3 THEN sz ELSE 0 END)::BIGINT AS n_exposed_rows,
+           round(sum(CASE WHEN l < 3 THEN sz ELSE 0 END)::DOUBLE / sum(sz), 6)
+             AS exposed_row_frac,
+           CAST(min(l) AS BIGINT) AS min_l
+    FROM g
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second privacy gate after k_anonymity_audit: k-anonymity
+    stops re-identification of a ROW but not attribute disclosure — a
+    quasi-identifier group where everyone shares the same sensitive
+    value leaks it to anyone who can place a person in the group.
+    ℓ-diversity requires ≥ ℓ distinct sensitive values (here the
+    coarse account-balance band, floor(acctbal/1000)) per
+    (nation, segment) equivalence class; reported: groups below ℓ=3,
+    rows exposed by them, and the corpus-wide minimum ℓ. Same plan
+    economics as the k gate — one hash aggregate bounded by QI
+    cardinality (count DISTINCT inside the group is a per-group
+    shuffle-free partial) + a ≤groups fold."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct(band).alias("l"),
+    )
+    exposed = F.when(F.col("l") < 3, F.col("sz")).otherwise(0)
+    return g.agg(
+        F.lit(3).alias("l"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).alias(
+            "n_homogeneous_groups"
+        ),
+        F.sum(exposed).cast("bigint").alias("n_exposed_rows"),
+        F.round(
+            F.sum(exposed).cast("double") / F.sum("sz"), 6
+        ).alias("exposed_row_frac"),
+        F.min("l").cast("bigint").alias("min_l"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is
@@ -9595,6 +9647,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "top_session_paths",
     "prefix_jaccard_pairs",
     "label_propagation_communities",
+    "l_diversity_audit",
     # --- NEW late in round 8, never driver-checked: the hybrid
     # retrieval + ranking-quality family ---
     "hybrid_search",
@@ -9646,10 +9699,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "window_distribution",
     "winsorize_values",
     "xmr_control_limits",
-    "zscore_outliers",
     # ---------------- out-of-window below this line ----------------
-    # first in line for the round-10 refresh: the two deferred r4 rows,
-    # then the oldest r5-era official rows
+    # first in line for the round-10 refresh: the three deferred r4
+    # rows, then the oldest r5-era official rows
+    "zscore_outliers",
     "array_functions",
     "map_functions",
     "argmax_latest",
@@ -9663,7 +9716,7 @@ _DRIVER_WINDOW_PRIORITY = [
 
 # The window rotates each round so every query eventually earns an
 # official driver row. Round-9 composition (exactly 50): the flagship
-# sentinel; the 6 queries NEW in r9 (BFS/recursive-CTE parity, the
+# sentinel; the 7 queries NEW in r9 (BFS/recursive-CTE parity, the
 # distributed Pareto sweep, a-priori triples, session path mining,
 # the lossless prefix-filtered Jaccard join, label-propagation
 # communities); the 4 late-r8 never-checked retrieval queries
@@ -9672,10 +9725,10 @@ _DRIVER_WINDOW_PRIORITY = [
 # queries touched by the round-9 review fixes (hierarchical
 # assignment's childless-super rule + smallest-n oracle, the
 # fixed-point refined-codebook means, pq_topk's explicit-codebook
-# validation); and 36 of the 38 r4-stale rows — the oldest official
-# records left (TPC-H tail, sampling, setops, control limits; the two
-# scalar-surface demos array_functions/map_functions park first in
-# line for round 10 alongside the oldest r5 rows).
+# validation); and 35 of the 38 r4-stale rows — the oldest official
+# records left (TPC-H tail, sampling, setops, control limits; the
+# deferred zscore_outliers/array_functions/map_functions park first
+# in line for round 10 alongside the oldest r5 rows).
 # Everything below the out-of-window line holds an r1-r8 green row and
 # is re-verified locally every round by check_oracle / check_bare
 # (230 registered; full-registry gates at sf0.001/0.01/0.1 recorded in

@@ -317,6 +317,8 @@ EXPECT = {
     # per-round labels are eagerly pinned; the final frame IS the
     # last checkpoint leaf — no parquet scan in the plan
     "label_propagation_communities": (2, False, False),
+    # customer 3-col scan (QI pair + sensitive band), one hash agg
+    "l_diversity_audit": (3, False, False),
 }
 
 
