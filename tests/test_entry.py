@@ -30,35 +30,26 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 8: the five queries new this round (never driver-checked),
-    # the six whose plan this round's changes touched (PQ-codebook
-    # broadcast rework, span apply, y4m parity), the FULL 31-query
-    # r3-stale slice (r7 VERDICT item #2), and the 7 oldest r4 rows
-    # (no new never-checked backlog may form)
+    # round 9: the seven queries new this round (never driver-checked),
+    # the four late-r8 never-checked retrieval queries, the three
+    # queries touched by the r9 review fixes, and the oldest (r4)
+    # official rows (no new never-checked backlog may form)
     assert {
         # new this round
-        "ivfpq_residual_recall", "pq_refined_recall", "filtered_ann_topk",
-        "filtered_ann_audit", "hierarchical_assign_agreement",
-        # touched by the PQ broadcast rework / span / y4m changes
-        "pq_topk_recall", "ivfpq_topk_recall", "ivfpq_rerank_recall",
-        "rrf_fusion", "repeated_span_apply", "video_stats_c420",
-        # the 31 r3-stale queries (r7 VERDICT item #2)
-        "tpch_q14_promo_share", "tpch_q15_top_supplier",
-        "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
-        "tpch_q22_idle_customers", "cms_heavy_hitters",
-        "hll_distinct_orders", "zorder_cluster_stats", "minhash_accuracy",
-        "windowed_hll_users", "length_bucket_stats", "key_skew_profile",
-        "int8_topk_recall", "sql_surface", "chi_square_flags",
-        "frequent_part_pairs", "ols_trend_by_type", "weighted_sample_docs",
-        "ann_recall", "topn_per_group", "rolling_zscore_anomalies",
-        "window_distinct_users", "attribution_left", "levenshtein_pairs",
-        "join_full_outer", "subquery_exists_cte", "stratified_sample",
-        "redact_pii", "repetition_ratio", "column_profile",
-        "winnow_fingerprint",
-        # the 3 oldest r4 rows + the late r8 additions
-        "bm25_search", "group_agg_ref7", "join_ref_left",
-        "binary_hamming_recall", "binary_rerank_recall",
-        "ivf_cell_stats", "retrieval_rr_at_k",
+        "bfs_distances", "skyline_parts", "apriori_triples",
+        "top_session_paths", "prefix_jaccard_pairs",
+        "label_propagation_communities", "l_diversity_audit",
+        # late r8, never driver-checked
+        "hybrid_search", "retrieval_ndcg_at_k", "diversified_topk",
+        "mmr_topk",
+        # touched by the r9 review fixes
+        "hierarchical_assign_agreement", "pq_refined_recall",
+        "pq_topk_recall",
+        # the r4-stale refresh (spot sample; the full 35-query slice is
+        # asserted by the prefix==window check above)
+        "tpch_q2_min_cost_supplier", "tpch_q9_nation_profit",
+        "data_quality_report", "tpch_q1_pricing_summary",
+        "mixture_resample_lang", "xmr_control_limits",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window
