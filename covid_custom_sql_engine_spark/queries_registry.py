@@ -9624,6 +9624,198 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Markov removal-effect attribution --------------------------------
+# Channel states (alphabetical), absorbing CONV (purchase) and NULL
+# (session ends unconverted). ONE expression builder feeds BOTH
+# engines, so the floating-point evaluation order is identical
+# opcode-for-opcode (the mmr_topk unroll convention).
+_MKV_CH = ["click", "error", "signup", "view"]
+_MKV_SRC = ["START"] + _MKV_CH
+_MKV_STEPS = 4
+
+
+def _mkv_absorb_expr(removed: str | None) -> str:
+    """Truncated-absorption expression over the p_{src}_{dst} columns:
+    P(reach CONV within _MKV_STEPS transitions from START), with the
+    ``removed`` channel's OUTGOING probabilities zeroed (mass entering
+    it dies — the classic removal effect, no renormalization)."""
+    v = {"START": "1.0"}
+    conv = "0.0"
+    for step in range(_MKV_STEPS):
+        srcs = [
+            s
+            for s in (_MKV_SRC if step == 0 else _MKV_CH)
+            if s != removed and v.get(s, "0.0") != "0.0"
+        ]
+        conv = (
+            "(" + conv + " + "
+            + " + ".join(f"({v[s]} * p_{s}_CONV)" for s in srcs)
+            + ")"
+        )
+        v = {
+            t: "(" + " + ".join(f"({v[s]} * p_{s}_{t})" for s in srcs) + ")"
+            for t in _MKV_CH
+        }
+    return conv
+
+
+def _mkv_variant_exprs() -> list[tuple[str, str, str, str]]:
+    """(channel, base, removal, effect) expression texts per channel."""
+    base = _mkv_absorb_expr(None)
+    out = []
+    for c in _MKV_CH:
+        rm = _mkv_absorb_expr(c)
+        eff = (
+            f"CASE WHEN ({base}) > 0 "
+            f"THEN (({base}) - ({rm})) / ({base}) END"
+        )
+        out.append((c, base, rm, eff))
+    return out
+
+
+def _mkv_p_sql() -> str:
+    cols = []
+    for s in _MKV_SRC:
+        tot = f"sum(CASE WHEN src = '{s}' THEN 1 ELSE 0 END)"
+        for d in _MKV_CH + ["CONV"]:
+            n = f"sum(CASE WHEN src = '{s}' AND dst = '{d}' THEN 1 ELSE 0 END)"
+            cols.append(
+                f"CASE WHEN {tot} > 0 THEN CAST({n} AS DOUBLE) / {tot} "
+                f"ELSE 0.0 END AS p_{s}_{d}"
+            )
+    return ",\n           ".join(cols)
+
+
+def _markov_oracle() -> str:
+    variants = "\n    UNION ALL\n    ".join(
+        f"SELECT '{c}' AS channel, round({b}, 6) AS base_p,"
+        f" round({r}, 6) AS removal_p, round({e}, 6) AS removal_effect"
+        f" FROM pr"
+        for c, b, r, e in _mkv_variant_exprs()
+    )
+    return f"""
+    WITH o AS (SELECT event_id, user_id, ts, event_type,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+               FROM events),
+    m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '15 minutes'
+                         THEN 1 ELSE 0 END AS new_s FROM o),
+    s AS (SELECT event_id, user_id, ts, event_type,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM m),
+    r AS (SELECT user_id, session_id, ts, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS st,
+                 row_number() OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM s),
+    pz AS (SELECT user_id, session_id,
+                  min(CASE WHEN st = 'CONV' THEN rn END) AS prn,
+                  max(rn) AS mrn
+           FROM r GROUP BY 1, 2),
+    k AS (SELECT r.*, pz.prn, pz.mrn FROM r
+          JOIN pz ON pz.user_id = r.user_id AND pz.session_id = r.session_id
+          WHERE pz.prn IS NULL OR r.rn <= pz.prn),
+    t1 AS (SELECT coalesce(lag(st) OVER (PARTITION BY user_id, session_id
+                                         ORDER BY rn), 'START') AS src,
+                  st AS dst FROM k),
+    t2 AS (SELECT st AS src, 'NULL' AS dst FROM k
+           WHERE prn IS NULL AND rn = mrn),
+    tr AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+    pr AS (SELECT {_mkv_p_sql()} FROM tr)
+    {variants}
+    """
+
+
+@query("markov_attribution", oracle=_markov_oracle())
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven alternative
+    to last-touch: sessionize (15-minute gaps), map 'purchase' to the
+    absorbing CONV state and truncate each journey at its first
+    conversion (unconverted sessions absorb into NULL), estimate the
+    first-order channel transition matrix, then for every channel
+    compare P(convert within 4 transitions from START) with that
+    channel's outgoing edges removed — mass that enters a removed
+    channel dies, the classic removal effect. The absorption
+    polynomial is generated ONCE as expression text and fed verbatim
+    to both engines (F.expr here, the same string in the oracle), so
+    the float evaluation order is identical opcode-for-opcode — an
+    inherently iterative metric with an exact value oracle (the
+    mmr_topk convention).
+
+    Scale shape: sessionization + journey truncation ride ONE user_id
+    exchange (three window passes over the same sort); the transition
+    aggregate collapses the data to a ONE-ROW frame of |states|²
+    conditional probabilities, and all 5 absorption variants are pure
+    column arithmetic on that single row — whole-stage-codegen'd,
+    zero further data motion at any corpus size."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 15 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("st"),
+        F.sum(new_s).over(run).alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    wsz = Window.partitionBy("user_id", "session_id")
+    r = s.select(
+        "user_id",
+        "session_id",
+        "st",
+        F.row_number().over(ws).alias("rn"),
+    ).select(
+        "*",
+        F.min(F.when(F.col("st") == "CONV", F.col("rn"))).over(wsz).alias("prn"),
+        F.max("rn").over(wsz).alias("mrn"),
+    )
+    k = r.filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+    wk = Window.partitionBy("user_id", "session_id").orderBy("rn")
+    t1 = k.select(
+        F.coalesce(F.lag("st").over(wk), F.lit("START")).alias("src"),
+        F.col("st").alias("dst"),
+    )
+    t2 = k.filter(
+        F.col("prn").isNull() & (F.col("rn") == F.col("mrn"))
+    ).select(F.col("st").alias("src"), F.lit("NULL").alias("dst"))
+    tr = t1.unionAll(t2)
+    p_cols = []
+    for src in _MKV_SRC:
+        tot = F.sum(F.when(F.col("src") == src, 1).otherwise(0))
+        for dst in _MKV_CH + ["CONV"]:
+            n = F.sum(
+                F.when(
+                    (F.col("src") == src) & (F.col("dst") == dst), 1
+                ).otherwise(0)
+            )
+            p_cols.append(
+                F.when(tot > 0, n.cast("double") / tot)
+                .otherwise(F.lit(0.0))
+                .alias(f"p_{src}_{dst}")
+            )
+    pr = tr.agg(*p_cols)
+    out = None
+    for c, b, rm, eff in _mkv_variant_exprs():
+        row = pr.select(
+            F.lit(c).alias("channel"),
+            F.round(F.expr(b), 6).alias("base_p"),
+            F.round(F.expr(rm), 6).alias("removal_p"),
+            F.round(F.expr(eff), 6).alias("removal_effect"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver coverage order: the correctness driver
 # checks the first 50 registered queries, so the front of the dict is
@@ -9648,6 +9840,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "prefix_jaccard_pairs",
     "label_propagation_communities",
     "l_diversity_audit",
+    "markov_attribution",
     # --- NEW late in round 8, never driver-checked: the hybrid
     # retrieval + ranking-quality family ---
     "hybrid_search",
@@ -9698,10 +9891,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "value_histogram",
     "window_distribution",
     "winsorize_values",
-    "xmr_control_limits",
     # ---------------- out-of-window below this line ----------------
-    # first in line for the round-10 refresh: the three deferred r4
+    # first in line for the round-10 refresh: the four deferred r4
     # rows, then the oldest r5-era official rows
+    "xmr_control_limits",
     "zscore_outliers",
     "array_functions",
     "map_functions",
@@ -9716,7 +9909,7 @@ _DRIVER_WINDOW_PRIORITY = [
 
 # The window rotates each round so every query eventually earns an
 # official driver row. Round-9 composition (exactly 50): the flagship
-# sentinel; the 7 queries NEW in r9 (BFS/recursive-CTE parity, the
+# sentinel; the 8 queries NEW in r9 (BFS/recursive-CTE parity, the
 # distributed Pareto sweep, a-priori triples, session path mining,
 # the lossless prefix-filtered Jaccard join, label-propagation
 # communities); the 4 late-r8 never-checked retrieval queries
@@ -9725,10 +9918,10 @@ _DRIVER_WINDOW_PRIORITY = [
 # queries touched by the round-9 review fixes (hierarchical
 # assignment's childless-super rule + smallest-n oracle, the
 # fixed-point refined-codebook means, pq_topk's explicit-codebook
-# validation); and 35 of the 38 r4-stale rows — the oldest official
-# records left (TPC-H tail, sampling, setops, control limits; the
-# deferred zscore_outliers/array_functions/map_functions park first
-# in line for round 10 alongside the oldest r5 rows).
+# validation); and 34 of the 38 r4-stale rows — the oldest official
+# records left (TPC-H tail, sampling, setops; the deferred
+# xmr_control_limits/zscore_outliers/array_functions/map_functions
+# park first in line for round 10 alongside the oldest r5 rows).
 # Everything below the out-of-window line holds an r1-r8 green row and
 # is re-verified locally every round by check_oracle / check_bare
 # (230 registered; full-registry gates at sf0.001/0.01/0.1 recorded in

@@ -39,6 +39,7 @@ def test_driver_window_priority_ordering():
         "bfs_distances", "skyline_parts", "apriori_triples",
         "top_session_paths", "prefix_jaccard_pairs",
         "label_propagation_communities", "l_diversity_audit",
+        "markov_attribution",
         # late r8, never driver-checked
         "hybrid_search", "retrieval_ndcg_at_k", "diversified_topk",
         "mmr_topk",
@@ -49,7 +50,7 @@ def test_driver_window_priority_ordering():
         # asserted by the prefix==window check above)
         "tpch_q2_min_cost_supplier", "tpch_q9_nation_profit",
         "data_quality_report", "tpch_q1_pricing_summary",
-        "mixture_resample_lang", "xmr_control_limits",
+        "mixture_resample_lang",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window

@@ -319,6 +319,10 @@ EXPECT = {
     "label_propagation_communities": (2, False, False),
     # customer 3-col scan (QI pair + sensitive band), one hash agg
     "l_diversity_audit": (3, False, False),
+    # events 4-col scan; sessionize + truncate on one user_id exchange,
+    # then a 1-row transition-probability aggregate feeds pure column
+    # arithmetic (no joins at all past the windows)
+    "markov_attribution": (4, False, False),
 }
 
 
