@@ -9624,6 +9624,83 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fd_audit",
+    oracle="""
+    WITH f1 AS (SELECT c_name AS lhs, CAST(c_nationkey AS VARCHAR) AS rhs
+                FROM customer),
+    f2 AS (SELECT CAST(c_nationkey AS VARCHAR) AS lhs, c_mktsegment AS rhs
+           FROM customer),
+    f3 AS (SELECT p_type AS lhs, p_brand AS rhs FROM part),
+    a AS (SELECT 'c_name->c_nationkey' AS fd, lhs, count(DISTINCT rhs) AS k,
+                 count(*) AS sz FROM f1 GROUP BY lhs
+          UNION ALL
+          SELECT 'c_nationkey->c_mktsegment', lhs, count(DISTINCT rhs), count(*)
+          FROM f2 GROUP BY lhs
+          UNION ALL
+          SELECT 'p_type->p_brand', lhs, count(DISTINCT rhs), count(*)
+          FROM f3 GROUP BY lhs)
+    SELECT fd,
+           count(*) AS n_lhs_groups,
+           sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_groups,
+           sum(CASE WHEN k > 1 THEN sz ELSE 0 END)::BIGINT AS n_violating_rows,
+           CAST(max(k) AS BIGINT) AS max_rhs_distinct,
+           CAST(max(k) AS BIGINT) = 1 AS holds
+    FROM a GROUP BY fd
+    """,
+)
+def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the schema-inference side of data
+    profiling: for each candidate FD lhs→rhs, count the lhs groups
+    carrying more than one distinct rhs (violations), the rows inside
+    them, and whether the dependency HOLDS exactly. Candidates here:
+    c_name→c_nationkey (holds — names are unique, so every key FD
+    passes), c_nationkey→c_mktsegment and p_type→p_brand (both
+    violated — the counter-examples prove the audit distinguishes).
+    Per candidate: one hash aggregate on the lhs (count-distinct rhs is
+    a per-group partial) + a ≤groups fold — the k_anonymity_audit plan
+    economics, unioned across candidates so one scan pass per FD."""
+    pt = load_table(spark, sf_dir, "part")
+    cu = load_table(spark, sf_dir, "customer")
+    parts = [
+        cu.select(
+            F.lit("c_name->c_nationkey").alias("fd"),
+            F.col("c_name").alias("lhs"),
+            F.col("c_nationkey").cast("string").alias("rhs"),
+        ),
+        cu.select(
+            F.lit("c_nationkey->c_mktsegment").alias("fd"),
+            F.col("c_nationkey").cast("string").alias("lhs"),
+            F.col("c_mktsegment").alias("rhs"),
+        ),
+        pt.select(
+            F.lit("p_type->p_brand").alias("fd"),
+            F.col("p_type").alias("lhs"),
+            F.col("p_brand").alias("rhs"),
+        ),
+    ]
+    a = (
+        parts[0]
+        .unionAll(parts[1])
+        .unionAll(parts[2])
+        .groupBy("fd", "lhs")
+        .agg(
+            F.countDistinct("rhs").alias("k"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    viol = F.when(F.col("k") > 1, 1).otherwise(0)
+    return a.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_lhs_groups"),
+        F.sum(viol).cast("bigint").alias("n_violating_groups"),
+        F.sum(F.when(F.col("k") > 1, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_rows"),
+        F.max("k").cast("bigint").alias("max_rhs_distinct"),
+        (F.max("k").cast("bigint") == 1).alias("holds"),
+    )
+
+
 # --- Markov removal-effect attribution --------------------------------
 # Channel states (alphabetical), absorbing CONV (purchase) and NULL
 # (session ends unconverted). ONE expression builder feeds BOTH
@@ -9841,6 +9918,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "label_propagation_communities",
     "l_diversity_audit",
     "markov_attribution",
+    "fd_audit",
     # --- NEW late in round 8, never driver-checked: the hybrid
     # retrieval + ranking-quality family ---
     "hybrid_search",
@@ -9890,10 +9968,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "unpivot_metrics",
     "value_histogram",
     "window_distribution",
-    "winsorize_values",
     # ---------------- out-of-window below this line ----------------
-    # first in line for the round-10 refresh: the four deferred r4
+    # first in line for the round-10 refresh: the five deferred r4
     # rows, then the oldest r5-era official rows
+    "winsorize_values",
     "xmr_control_limits",
     "zscore_outliers",
     "array_functions",
@@ -9909,7 +9987,7 @@ _DRIVER_WINDOW_PRIORITY = [
 
 # The window rotates each round so every query eventually earns an
 # official driver row. Round-9 composition (exactly 50): the flagship
-# sentinel; the 8 queries NEW in r9 (BFS/recursive-CTE parity, the
+# sentinel; the 9 queries NEW in r9 (BFS/recursive-CTE parity, the
 # distributed Pareto sweep, a-priori triples, session path mining,
 # the lossless prefix-filtered Jaccard join, label-propagation
 # communities); the 4 late-r8 never-checked retrieval queries
@@ -9918,10 +9996,11 @@ _DRIVER_WINDOW_PRIORITY = [
 # queries touched by the round-9 review fixes (hierarchical
 # assignment's childless-super rule + smallest-n oracle, the
 # fixed-point refined-codebook means, pq_topk's explicit-codebook
-# validation); and 34 of the 38 r4-stale rows — the oldest official
+# validation); and 33 of the 38 r4-stale rows — the oldest official
 # records left (TPC-H tail, sampling, setops; the deferred
-# xmr_control_limits/zscore_outliers/array_functions/map_functions
-# park first in line for round 10 alongside the oldest r5 rows).
+# winsorize_values/xmr_control_limits/zscore_outliers/array_functions/
+# map_functions park first in line for round 10 with the oldest r5
+# rows).
 # Everything below the out-of-window line holds an r1-r8 green row and
 # is re-verified locally every round by check_oracle / check_bare
 # (230 registered; full-registry gates at sf0.001/0.01/0.1 recorded in

@@ -39,7 +39,7 @@ def test_driver_window_priority_ordering():
         "bfs_distances", "skyline_parts", "apriori_triples",
         "top_session_paths", "prefix_jaccard_pairs",
         "label_propagation_communities", "l_diversity_audit",
-        "markov_attribution",
+        "markov_attribution", "fd_audit",
         # late r8, never driver-checked
         "hybrid_search", "retrieval_ndcg_at_k", "diversified_topk",
         "mmr_topk",

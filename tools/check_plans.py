@@ -323,6 +323,9 @@ EXPECT = {
     # then a 1-row transition-probability aggregate feeds pure column
     # arithmetic (no joins at all past the windows)
     "markov_attribution": (4, False, False),
+    # two 2-col scans (customer twice via union, part once), one lhs
+    # hash aggregate per candidate + a 3-row fold
+    "fd_audit": (2, False, False),
 }
 
 
