@@ -88,6 +88,8 @@ HEADLINE = [
     "skyline_parts",
     "apriori_triples",
     "top_session_paths",
+    "label_propagation_communities",
+    "markov_attribution",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):
