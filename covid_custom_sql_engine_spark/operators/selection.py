@@ -572,3 +572,97 @@ def skyline_2d(
         )
         .drop("_gy", "_pm")
     )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic
+    D = sup_v |F_a(v) − F_b(v)| between the ``value_col`` distributions
+    of two groups — the non-bucketed, exact counterpart of the binned
+    PSI/KL drift monitors: no bin edges to choose, sensitive to ANY
+    distributional shift, and the standard pre-release gate for "did
+    this split/source drift?".
+
+    Exactness needs the supremum over every distinct value, which is a
+    GLOBAL cumulative count — the classic single-partition-window trap.
+    Same discipline as :func:`global_rank`: collapse to per-distinct-
+    value counts first (one combinable hash aggregate — everything
+    after runs on the reduced frame), range-partition by value with the
+    exchange PINNED, per-physical-partition running sums via a window
+    keyed on the partition id, and a ≤num_partitions-row cumulative
+    carry broadcast back. ECDF quotients and the max are exact integer
+    /double arithmetic — bit-identical cross-engine. Returns one row
+    (n_a, n_b, d_stat round 6).
+
+    NULL values are excluded (an ECDF over NULL is undefined); a group
+    with zero rows yields a NULL d_stat rather than a division error.
+    """
+    vc, gc = F.col(value_col), F.col(group_col)
+    base = df.filter(vc.isNotNull() & gc.isin([group_a, group_b]))
+    per_val = base.groupBy(vc.alias("_v")).agg(
+        F.sum(F.when(gc == group_a, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(gc == group_b, 1).otherwise(0)).alias("_cb"),
+    )
+    p = df.sparkSession.sparkContext.defaultParallelism
+    pinned = pin_single_evaluation(
+        per_val.repartitionByRange(p, F.col("_v")).sortWithinPartitions("_v")
+    )
+    mid = F.monotonically_increasing_id()
+    local = pinned.select(
+        "*",
+        F.shiftright(mid, _MID_ORDINAL_BITS).alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << _MID_ORDINAL_BITS) - 1)) + 1).alias(
+            "_lrn"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        local.groupBy("_pid")
+        .agg(F.sum("_ca").alias("_sa"), F.sum("_cb").alias("_sb"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_sa").over(off_w), F.lit(0)).alias("_offa"),
+            F.coalesce(F.sum("_sb").over(off_w), F.lit(0)).alias("_offb"),
+        )
+    )
+    cum = (
+        local.withColumn("_ia", F.sum("_ca").over(w_in))
+        .withColumn("_ib", F.sum("_cb").over(w_in))
+        .join(F.broadcast(offs), "_pid")
+        .select(
+            (F.col("_ia") + F.col("_offa")).alias("_fa"),
+            (F.col("_ib") + F.col("_offb")).alias("_fb"),
+        )
+    )
+    tot = base.agg(
+        F.sum(F.when(gc == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(gc == group_b, 1).otherwise(0)).alias("n_b"),
+    )
+    # NULL-denominator guard (ANSI mode raises on /0 even in dead
+    # branches): an empty group propagates NULL into d_stat
+    na = F.when(F.col("n_a") > 0, F.col("n_a"))
+    nb = F.when(F.col("n_b") > 0, F.col("n_b"))
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("_fa").cast("double") / na
+                    - F.col("_fb").cast("double") / nb
+                )
+            ),
+            6,
+        ).alias("d_stat"),
+    )
+    return d

@@ -9701,6 +9701,62 @@ def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ks_drift_promo",
+    oracle="""
+    WITH j AS (SELECT l.l_extendedprice AS v,
+                      CASE WHEN p.p_type LIKE 'PROMO%' THEN 'promo'
+                           ELSE 'other' END AS g
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+               WHERE l.l_extendedprice IS NOT NULL),
+    pv AS (SELECT v,
+                  sum(CASE WHEN g = 'promo' THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN g = 'other' THEN 1 ELSE 0 END) AS cb
+           FROM j GROUP BY v),
+    c AS (SELECT sum(ca) OVER w AS fa, sum(cb) OVER w AS fb
+          FROM pv WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT CAST(sum(CASE WHEN g = 'promo' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN g = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM j)
+    SELECT t.n_a, t.n_b,
+           round(max(abs(c.fa::DOUBLE / t.n_a - c.fb::DOUBLE / t.n_b)), 6)
+             AS d_stat
+    FROM c, t GROUP BY t.n_a, t.n_b
+    """,
+)
+def ks_drift_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test
+    (selection.ks_statistic): D = sup|ECDF_promo − ECDF_other| over
+    lineitem extended prices, promo-typed parts vs the rest — the
+    non-bucketed, bin-free counterpart of split_divergence's PSI/KL
+    monitors (sensitive to any distributional shift, no edge choices
+    to defend). The supremum needs a GLOBAL cumulative count, which
+    the oracle writes as the single-partition window it semantically
+    is; the engine instead collapses to per-distinct-value counts and
+    runs the pinned two-phase prefix-sum (the global_rank/skyline
+    discipline) — the reduced frame shuffles once, the carry is
+    ≤num_partitions rows, and no stage ever funnels the data through
+    one task."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = (
+        l.join(F.broadcast(pt), l.l_partkey == pt.p_partkey)
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.col("l_extendedprice").alias("v"),
+            F.when(F.col("p_type").startswith("PROMO"), "promo")
+            .otherwise("other")
+            .alias("g"),
+        )
+    )
+    return sel.ks_statistic(j, "v", "g", "promo", "other")
+
+
 # --- Markov removal-effect attribution --------------------------------
 # Channel states (alphabetical), absorbing CONV (purchase) and NULL
 # (session ends unconverted). ONE expression builder feeds BOTH

@@ -263,3 +263,46 @@ def test_skyline_2d_single_point_and_all_dominated(spark):
         [(1, 1.0, 10), (2, 1.0, 10), (3, 2.0, 1)], "id long, x double, y int"
     )
     assert sorted(r.id for r in skyline_2d(dup, "x", "y").collect()) == [1, 2]
+
+
+def test_ks_statistic_matches_reference(spark):
+    """Exact D against a bisect-based Python reference on seeded
+    gaussian samples with a real location shift."""
+    import bisect
+    import random
+
+    from covid_custom_sql_engine_spark.operators.selection import ks_statistic
+
+    rng = random.Random(5)
+    rows = [(rng.gauss(0, 1), "a") for _ in range(2000)] + [
+        (rng.gauss(0.3, 1), "b") for _ in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    out = ks_statistic(df, "v", "g", "a", "b").collect()[0]
+    a = sorted(v for v, g in rows if g == "a")
+    b = sorted(v for v, g in rows if g == "b")
+    d = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in sorted(set(a) | set(b))
+    )
+    assert out.n_a == 2000 and out.n_b == 1500
+    assert abs(out.d_stat - round(d, 6)) < 1e-9
+
+
+def test_ks_statistic_identical_and_empty_group(spark):
+    from covid_custom_sql_engine_spark.operators.selection import ks_statistic
+
+    same = spark.createDataFrame(
+        [(float(i % 7), "a") for i in range(50)]
+        + [(float(i % 7), "b") for i in range(50)],
+        "v double, g string",
+    )
+    r = ks_statistic(same, "v", "g", "a", "b").collect()[0]
+    assert r.d_stat == 0.0
+    # a group with zero rows: NULL d_stat, not a division error
+    one = spark.createDataFrame([(1.0, "a")], "v double, g string")
+    r2 = ks_statistic(one, "v", "g", "a", "b").collect()[0]
+    assert r2.n_b == 0 and r2.d_stat is None

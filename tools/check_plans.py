@@ -326,6 +326,10 @@ EXPECT = {
     # two 2-col scans (customer twice via union, part once), one lhs
     # hash aggregate per candidate + a 3-row fold
     "fd_audit": (2, False, False),
+    # ECDF side is the pinned two-phase prefix-sum (checkpoint leaf);
+    # the totals row re-scans lineitem⋈part (2-col scans, notNull
+    # pushed) and broadcasts ONE row onto the reduced frame: intended
+    "ks_drift_promo": (2, True, True),
 }
 
 
