@@ -370,3 +370,50 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_tree(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """:func:`bfs_layers` with PATH RECONSTRUCTION: returns
+    (node, dist, parent) where ``parent`` is the smallest frontier
+    node that first reached this node (deterministic tie-break, the
+    min-label convention) and NULL for sources — the shortest-path
+    tree, enough to walk any node's actual route back to its source
+    ("HOW is this domain 2 hops from the flagged one?", not just that
+    it is). Identical plan shape per level as bfs_layers plus one
+    min-aggregate on the frontier join's output; the oracle unrolls as
+    the same recursive CTE extended with arg-min parent selection at
+    each node's minimum distance.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_esrc"), F.col(dst_col).alias("_edst")
+    ).localCheckpoint(eager=False)
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .withColumn("parent", F.lit(None).cast("string"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == F.col("_esrc"))
+            .groupBy(F.col("_edst").alias("node"))
+            .agg(F.min(F.col("_esrc")).alias("parent"))
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+            .select("node", "dist", "parent")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -9757,6 +9757,65 @@ def ks_drift_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.ks_statistic(j, "v", "g", "promo", "other")
 
 
+@query(
+    "bfs_shortest_path_tree",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    bfs AS (
+      SELECT 'c:' || c_custkey AS node, 0 AS dist,
+             CAST(NULL AS VARCHAR) AS parent
+      FROM customer WHERE c_custkey <= 3
+      UNION
+      SELECT e.dst AS node, b.dist + 1 AS dist, b.node AS parent
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < 3),
+    mn AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+    SELECT mn.node, CAST(mn.dist AS BIGINT) AS dist, min(b.parent) AS parent
+    FROM mn JOIN bfs b ON b.node = mn.node AND b.dist = mn.dist
+    GROUP BY mn.node, mn.dist
+    """,
+)
+def bfs_shortest_path_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bfs_distances with PATH RECONSTRUCTION (graph.bfs_tree): every
+    reached node also carries its tree parent — the smallest frontier
+    node that first touched it (deterministic min-label tie-break,
+    NULL for sources) — so any node's actual route back to a source
+    is walkable ("HOW is this supplier 3 hops from customer 2?"). The
+    oracle extends the recursive CTE with an arg-min parent selection
+    at each node's minimum distance; a parent recorded at a node's
+    first-touch level provably has minimum distance exactly one less
+    (any shorter parent would have touched the node earlier), so the
+    two formulations agree exactly. Same per-level plan as bfs_layers
+    plus one combinable min aggregate on the frontier join."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    srcs = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    return gr.bfs_tree(edges, srcs, max_depth=3)
+
+
 # --- Markov removal-effect attribution --------------------------------
 # Channel states (alphabetical), absorbing CONV (purchase) and NULL
 # (session ends unconverted). ONE expression builder feeds BOTH
@@ -10056,7 +10115,10 @@ _DRIVER_WINDOW_PRIORITY = [
 # records left (TPC-H tail, sampling, setops; the deferred
 # winsorize_values/xmr_control_limits/zscore_outliers/array_functions/
 # map_functions park first in line for round 10 with the oldest r5
-# rows).
+# rows). The two LATE round-9 additions (ks_drift_promo,
+# bfs_shortest_path_tree) land after the window filled — they are the
+# round-10 never-checked backlog, first in line there by the standing
+# never-checked-beats-stale rule.
 # Everything below the out-of-window line holds an r1-r8 green row and
 # is re-verified locally every round by check_oracle / check_bare
 # (230 registered; full-registry gates at sf0.001/0.01/0.1 recorded in

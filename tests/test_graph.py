@@ -222,3 +222,29 @@ def test_label_propagation_isolated_in_degree_keeps_label(spark):
     # round 2 swaps back/forward deterministically — assert the exact
     # unrolled values rather than convergence
     assert out["a"] == "a" and out["b"] == "b"
+
+
+def test_bfs_tree_min_parent_and_walkable_paths(spark):
+    """Parent is the smallest first-touch frontier node; walking
+    parents from any node reaches a source in exactly dist steps."""
+    from covid_custom_sql_engine_spark.functions.graph import bfs_tree
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"), ("x", "c"),
+         ("c", "e")],
+        "src string, dst string",
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    rows = {r.node: (r.dist, r.parent) for r in bfs_tree(edges, src, 5).collect()}
+    assert rows == {
+        "a": (0, None), "b": (1, "a"), "d": (1, "a"),
+        "c": (2, "b"),  # min('b', 'd') — deterministic tie-break
+        "e": (3, "c"),
+    }
+    for node, (dist, parent) in rows.items():
+        steps = 0
+        while parent is not None:
+            node, (dist2, parent) = parent, rows[parent]
+            steps += 1
+            assert steps <= 5
+        assert rows[node][0] == 0  # walk ends at a source

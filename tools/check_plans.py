@@ -330,6 +330,8 @@ EXPECT = {
     # the totals row re-scans lineitem⋈part (2-col scans, notNull
     # pushed) and broadcasts ONE row onto the reduced frame: intended
     "ks_drift_promo": (2, True, True),
+    # checkpoint-leaf final plan, as bfs_distances
+    "bfs_shortest_path_tree": (2, False, False),
 }
 
 
