@@ -812,9 +812,16 @@ def prefix_filter_pairs(
         )
         .select(
             F.col(id_col),
+            # safe-side epsilon (same discipline as the positional
+            # filter): when tau*n is an exact integer, IEEE rounding
+            # could push the product one ulp HIGH, shrink the prefix,
+            # and silently break the lossless guarantee — subtracting
+            # 1e-9 before ceil() can only LENGTHEN the prefix (extra
+            # candidates are harmless; the exact verify decides).
             F.expr(
                 "slice(transform(_s, s -> s._tok), 1, "
-                f"size(_s) - cast(ceil({threshold!r} * size(_s)) as int) + 1)"
+                f"size(_s) - cast(ceil({threshold!r} * size(_s) - 1e-9)"
+                " as int) + 1)"
             ).alias("_pre"),
         )
     )
@@ -859,8 +866,17 @@ def prefix_filter_pairs(
         )
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("_nb") * F.lit(float(threshold)) <= F.col("_na"))
-            & (F.col("_na") * F.lit(float(threshold)) <= F.col("_nb"))
+            # length filter with the same safe-side epsilon: a
+            # borderline n*tau == integer must ADMIT the partner, not
+            # reject a true J == tau pair one ulp early.
+            & (
+                F.col("_nb") * F.lit(float(threshold)) - F.lit(1e-9)
+                <= F.col("_na")
+            )
+            & (
+                F.col("_na") * F.lit(float(threshold)) - F.lit(1e-9)
+                <= F.col("_nb")
+            )
         )
         .groupBy("id_a", "id_b")
         .agg(

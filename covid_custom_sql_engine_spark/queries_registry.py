@@ -10047,9 +10047,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "hierarchical_assign_agreement",
     "pq_refined_recall",
     "pq_topk_recall",
-    # --- the r4-stale refresh (oldest official rows; 36 of 38 — the
-    # two scalar-surface demos array_functions/map_functions park
-    # first in line for round 10) ---
+    # --- the r4-stale refresh (oldest official rows; 33 of 38 — five
+    # deferred: winsorize_values/xmr_control_limits/zscore_outliers/
+    # array_functions/map_functions park first in line for round 10) ---
     "containment_pairs",
     "conversion_delay_quantiles",
     "data_quality_report",
@@ -10121,7 +10121,7 @@ _DRIVER_WINDOW_PRIORITY = [
 # never-checked-beats-stale rule.
 # Everything below the out-of-window line holds an r1-r8 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (230 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
+# (235 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
 # README per round).
 
 

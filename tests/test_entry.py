@@ -30,7 +30,7 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 9: the seven queries new this round (never driver-checked),
+    # round 9: the nine queries new this round (never driver-checked),
     # the four late-r8 never-checked retrieval queries, the three
     # queries touched by the r9 review fixes, and the oldest (r4)
     # official rows (no new never-checked backlog may form)
