@@ -1,10140 +1,23 @@
-"""Named query registry: Spark implementation + DuckDB oracle per operator.
+"""Named query registry — facade over the per-family package.
 
-Each entry exercises one operator/capability from SURVEY.md §2 on the
-driver testdata tables. Conventions (driver compare = row-count + schema
-+ order-insensitive value-hash, columns sorted by name):
+Split in round 10 from a single 10k-line file into
+``covid_custom_sql_engine_spark/registry/`` (one module per query
+family; see ``registry/__init__.py`` for the registration order).
+This module re-exports the public surface unchanged, so every
+existing import site (``__spark_entry__``, tests, tools) keeps
+working:
 
-- identical aliases on both sides;
-- double-valued *computed* aggregates rounded identically on both sides
-  (summation order differs between engines; raw pass-through columns are
-  not rounded);
-- timestamps emitted as formatted strings on both sides.
+- ``QUERIES``: name -> callable(spark, sf_dir) -> DataFrame
+- ``ORACLES``: name -> equivalent DuckDB SQL over the same tables
+- ``_DRIVER_WINDOW_PRIORITY``: the driver-window rotation order
+- ``query``: the registration decorator
 """
 
 from __future__ import annotations
 
-import math
-
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-
-from covid_custom_sql_engine_spark.catalog import load_table, parallelize_small
-from covid_custom_sql_engine_spark.operators import core as ops
-from covid_custom_sql_engine_spark.operators import composites as comp
-from covid_custom_sql_engine_spark.operators import joins as xjoins
-from covid_custom_sql_engine_spark.functions import corpus as cp
-from covid_custom_sql_engine_spark.functions import dedup as dd
-from covid_custom_sql_engine_spark.functions import similarity as sim
-from covid_custom_sql_engine_spark.functions import sketches as sks
-from covid_custom_sql_engine_spark.functions import text as tx
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-# --- SQL snippets mirroring the deterministic aggregate mode (ops.dsum) ---
-# Per-row double math is IEEE-deterministic; fixed-point summation is
-# order-independent → bit-identical values on both engines, no rounding.
-
-
-def _sql_dsum(x: str) -> str:
-    return f"CAST(sum(CAST(({x}) AS DECIMAL(38,6))) AS DOUBLE)"
-
-
-def _sql_davg(x: str) -> str:
-    return f"(CASE WHEN count({x}) > 0 THEN {_sql_dsum(x)} / count({x}) END)"
-
-
-def _sql_dstd(x: str) -> str:
-    # round(6): the n·Σx²−(Σx)² cancellation amplifies last-ulp
-    # double→decimal cast differences between engines (~1e-10 absolute),
-    # so std alone carries a final rounding on both sides.
-    n = f"count({x})"
-    sx, sxx = _sql_dsum(x), _sql_dsum(f"({x}) * ({x})")
-    var = f"(({n} * {sxx} - {sx} * {sx}) / ({n} * ({n} - 1)))"
-    return f"(CASE WHEN {n} < 2 THEN NULL ELSE round(sqrt(greatest({var}, 0.0)), 6) END)"
-
-
-def _sql_safe_corr(x: str, y: str, min_pairs: int = 3) -> str:
-    """Reference safe-corr (dataframe.py:250-273) as a SQL aggregate
-    expression: pairwise-complete, min-pairs → NULL, zero denom → 0.0."""
-    mx = f"(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS NOT NULL THEN ({x}) END)"
-    my = f"(CASE WHEN ({x}) IS NOT NULL AND ({y}) IS NOT NULL THEN ({y}) END)"
-    n = f"count({mx})"
-    sx, sy = _sql_dsum(mx), _sql_dsum(my)
-    sxx, syy, sxy = (
-        _sql_dsum(f"{mx} * {mx}"),
-        _sql_dsum(f"{my} * {my}"),
-        _sql_dsum(f"{mx} * {my}"),
-    )
-    dx = f"sqrt(greatest({n} * {sxx} - {sx} * {sx}, 0.0))"
-    dy = f"sqrt(greatest({n} * {syy} - {sy} * {sy}, 0.0))"
-    num = f"({n} * {sxy} - {sx} * {sy})"
-    return (
-        f"(CASE WHEN {n} < {min_pairs} THEN NULL"
-        f" WHEN ({dx} * {dy}) = 0 THEN 0.0"
-        f" ELSE {num} / ({dx} * {dy}) END)"
-    )
-
-
-def _sql_ref7(x: str) -> str:
-    """The reference 7-fn aggregate block with {fn}_{col} aliases."""
-    return f"""
-           count(*) AS count_{x},
-           {_sql_dsum(x)} AS sum_{x},
-           {_sql_davg(x)} AS avg_{x},
-           min({x}) AS min_{x},
-           max({x}) AS max_{x},
-           median({x}) AS median_{x},
-           {_sql_dstd(x)} AS std_{x}"""
-
-
-# ---------------------------------------------------------------------------
-# Phase 0 — flagship: filter → group-agg → broadcast-join enrichment
-# (the reference's dashboard pipeline shape, SURVEY §3 entry point 2)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "flagship_revenue_by_nation",
-    oracle=f"""
-    SELECT n.n_name AS nation,
-           count(*) AS n_rows,
-           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS sum_revenue,
-           {_sql_davg('l.l_quantity')} AS avg_qty
-    FROM lineitem l
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE l.l_shipdate < TIMESTAMP '1997-01-01'
-    GROUP BY n.n_name
-    """,
+from covid_custom_sql_engine_spark.registry import (  # noqa: F401
+    _DRIVER_WINDOW_PRIORITY,
+    ORACLES,
+    QUERIES,
+    query,
 )
-def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter (A5) → broadcast join chain (J1/A16) → grouped agg (G2).
-
-    Dims broadcast (customer/nation are tiny next to lineitem) so the
-    only shuffle is the lineitem⋈orders equi-join + final aggregation;
-    the shipdate filter and 4-column projection push into the parquet
-    scan.
-    """
-    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1997-01-01")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
-    n = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_revenue"),
-            (ops.dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.1 core operator parity
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "filter_range_project",
-    oracle="""
-    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice,
-           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
-    FROM lineitem
-    WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1995-12-31'
-      AND l_returnflag IN ('A', 'R')
-    """,
-)
-def filter_range_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 + A5 + A6 + P1: conjunctive membership+range filter then
-    drop-missing projection (requests a nonexistent column, which the
-    reference silently drops, dataframe.py:150-151)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    filtered = l.filter(
-        F.col("l_shipdate").between("1994-01-01", "1995-12-31")
-        & F.col("l_returnflag").isin("A", "R")
-    ).withColumn("ship_date", F.date_format("l_shipdate", "yyyy-MM-dd"))
-    return ops.select_existing(
-        filtered,
-        ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "ship_date", "no_such_column"],
-    )
-
-
-@query(
-    "group_agg_ref7",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           {_sql_ref7('l_quantity')}
-    FROM lineitem
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def group_agg_ref7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G1+G2: the reference's 7-fn grouped aggregate with {fn}_{col}
-    naming, count = COUNT(*), exact median, sample std with n<2 → NULL
-    (dataframe.py:28-87), in deterministic aggregation mode."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return ops.ref_group_agg(
-        l, ["l_returnflag", "l_linestatus"], {"l_quantity": ops.REF_AGG_FNS}, deterministic=True
-    )
-
-
-@query(
-    "join_ref_inner",
-    oracle="""
-    SELECT o.o_orderkey, o.o_totalprice,
-           c.c_name AS r_c_name, c.c_mktsegment AS r_c_mktsegment
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    """,
-)
-def join_ref_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 inner: build-small/probe-big hash join with r_-prefixed right
-    columns (dataframe.py:214-248) → BroadcastHashJoin."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    joined = ops.ref_join(o, c, on=("o_custkey", "c_custkey"), how="inner")
-    return joined.select("o_orderkey", "o_totalprice", "r_c_name", "r_c_mktsegment")
-
-
-@query(
-    "join_ref_left",
-    oracle="""
-    SELECT c.c_custkey, c.c_name, n.n_name AS r_n_name, n.n_regionkey AS r_n_regionkey
-    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-    """,
-)
-def join_ref_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 left: unmatched left rows survive with NULL right side
-    (dataframe.py:242-246)."""
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    joined = ops.ref_join(c, n, on=("c_nationkey", "n_nationkey"), how="left")
-    return joined.select("c_custkey", "c_name", "r_n_name", "r_n_regionkey")
-
-
-@query(
-    "safe_corr_qty_price",
-    oracle=f"""
-    SELECT {_sql_safe_corr('l_quantity', 'l_extendedprice')} AS corr
-    FROM lineitem
-    """,
-)
-def safe_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1: pairwise-complete Pearson r via the reference's computational
-    formula with min-pairs guard and zero-denominator → 0.0
-    (dataframe.py:250-273), deterministic fixed-point sums."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return ops.safe_corr(l, "l_quantity", "l_extendedprice")
-
-
-@query(
-    "whole_table_agg",
-    oracle=f"""
-    SELECT {_sql_ref7('o_totalprice')}
-    FROM orders
-    """,
-)
-def whole_table_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G3 + A13: whole-table single-row aggregate — the reference fakes
-    this with a constant group key (app.py:938-944); Spark has global
-    agg natively."""
-    o = load_table(spark, sf_dir, "orders")
-    return ops.whole_table_agg(o, {"o_totalprice": ops.REF_AGG_FNS}, deterministic=True)
-
-
-@query(
-    "sort_nulls_rank",
-    oracle="""
-    SELECT o_orderkey,
-           row_number() OVER (ORDER BY (CASE WHEN o_orderstatus = 'O' THEN NULL
-                                             ELSE o_totalprice END) ASC NULLS LAST,
-                              o_orderkey ASC) AS rn
-    FROM orders
-    """,
-)
-def sort_nulls_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: reference sort null placement (ascending → nulls LAST,
-    dataframe.py:180 — the opposite of Spark's default) materialized as
-    a rank so the order-insensitive hash can verify ordering.
-
-    Ranked via operators/selection.global_rank — the repo's two-phase
-    range-partitioned plan — NOT a bare Window.orderBy, which funnels
-    the whole table through one task (the last single-partition sort in
-    the registry until r5; r4 VERDICT "What's wrong" #1). NULLS LAST is
-    encoded as a leading is-null boolean sort key (false < true), so the
-    range exchange, the within-partition sort, and the oracle's
-    ASC NULLS LAST agree on one total order with o_orderkey as the
-    unique tiebreak."""
-    from covid_custom_sql_engine_spark.operators.selection import global_rank
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.when(F.col("o_orderstatus") == "O", F.lit(None))
-        .otherwise(F.col("o_totalprice"))
-        .alias("_v"),
-    ).withColumn("_vnull", F.col("_v").isNull())
-    return global_rank(o, ["_vnull", "_v", "o_orderkey"], "rn").select(
-        "o_orderkey", F.col("rn").cast("bigint").alias("rn")
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.2 composite capabilities
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "latest_per_group",
-    oracle="""
-    SELECT o_custkey,
-           max(o_totalprice) AS max_totalprice,
-           strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date
-    FROM orders
-    GROUP BY o_custkey
-    """,
-)
-def latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: the LATEST_TBL workhorse — max per group for many metrics in
-    one aggregation pass (vs. one groupby per metric in the reference,
-    app.py:129-158)."""
-    o = load_table(spark, sf_dir, "orders")
-    out = comp.latest_per_group(o, "o_custkey", ["o_totalprice", "o_orderdate"])
-    return out.select(
-        "o_custkey",
-        F.col("o_totalprice").alias("max_totalprice"),
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_order_date"),
-    )
-
-
-@query(
-    "distinct_sorted",
-    oracle="SELECT DISTINCT o_orderpriority FROM orders",
-)
-def distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: sorted(set(col)) (app.py:143)."""
-    return comp.distinct_sorted(load_table(spark, sf_dir, "orders"), "o_orderpriority")
-
-
-@query(
-    "argmax_latest",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice,
-           strftime(o_orderdate, '%Y-%m-%d') AS order_date
-    FROM orders
-    QUALIFY row_number() OVER (PARTITION BY o_custkey
-                               ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
-    """,
-)
-def argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8/A9: latest non-null row per group via one window idiom
-    (app.py:712-729 forward scan / 812-828 reverse scan)."""
-    o = load_table(spark, sf_dir, "orders")
-    out = comp.argmax_latest(o, "o_custkey", "o_orderdate", "o_orderkey")
-    return out.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_totalprice",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-    )
-
-
-@query(
-    "topk_orders",
-    oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-)
-def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 limit + deterministic top-k (TakeOrderedAndProject — no full
-    sort, per-partition heaps then merge)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select("o_orderkey", "o_totalprice")
-    )
-
-
-@query(
-    "minmax_dates",
-    oracle="""
-    SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
-           strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
-    FROM orders
-    """,
-)
-def minmax_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12: global date bounds (app.py:247-251)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
-        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# §2.2 composites, continued
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "pivot_wide",
-    oracle=f"""
-    SELECT l_returnflag,
-           {_sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
-           {_sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: long→wide pivot (app.py:1013-1024) with explicit pivot values
-    (unbounded pivot = a driver-side distinct collect; bound it at scale)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    out = comp.pivot_wide(l, "l_returnflag", "l_linestatus", ["O", "F"], "l_quantity", agg="sum_det")
-    return out.select("l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
-
-
-@query(
-    "locf_fill",
-    oracle="""
-    SELECT event_id,
-           coalesce(
-             last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             0.0) AS value_filled
-    FROM events
-    """,
-)
-def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11: forward-fill / LOCF with initial 0 (app.py:1038-1046) — the
-    reference's only window-shaped computation. Nulls are synthesized by
-    blanking 'click' values so the fill path is actually exercised."""
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "_v", F.when(F.col("event_type") == "click", F.lit(None)).otherwise(F.col("value"))
-    )
-    out = comp.locf(e, "user_id", ["ts", "event_id"], "_v", out_col="value_filled")
-    return out.select("event_id", "value_filled")
-
-
-@query(
-    "rolling_avg_7",
-    oracle="""
-    SELECT event_id,
-           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS value_smoothed
-    FROM events
-    """,
-)
-def rolling_avg_7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A19: trailing 7-row rolling mean (the OWID smoothing, derived)."""
-    e = load_table(spark, sf_dir, "events")
-    out = comp.rolling_avg(e, "user_id", ["ts", "event_id"], "value", 7, out_col="value_smoothed")
-    return out.select("event_id", F.round("value_smoothed", 6).alias("value_smoothed"))
-
-
-@query(
-    "time_weighted_avg",
-    oracle=f"""
-    WITH x AS (SELECT user_id, value, ts,
-                      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
-               FROM events),
-    y AS (SELECT user_id, value,
-                 (epoch_us(nts) - epoch_us(ts)) AS dt_us
-          FROM x WHERE nts IS NOT NULL)
-    SELECT user_id,
-           round(CASE WHEN {_sql_dsum('dt_us')} != 0
-                 THEN {_sql_dsum('value * dt_us')} / {_sql_dsum('dt_us')} END, 6) AS twa,
-           count(*) AS n_intervals
-    FROM y GROUP BY user_id
-    """,
-)
-def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user time-weighted average of the event value
-    (operators/composites.time_weighted_avg): each value held until the
-    user's next event, Σ value·Δt / Σ Δt — the irregular-sampling
-    aggregate a plain avg gets wrong. Exact µs holding times +
-    fixed-point sums → bit-identical across engines."""
-    e = load_table(spark, sf_dir, "events")
-    out = comp.time_weighted_avg(e, "user_id", "ts", "value", tiebreak="event_id")
-    # ~1e13-magnitude value*µs products round differently at the
-    # decimal cast's 6th fractional digit between engines — round the
-    # quotient (convention: computed doubles rounded on both sides).
-    return out.withColumn("twa", F.round("twa", 6))
-
-
-@query(
-    "topn_per_group",
-    oracle="""
-    WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
-                      row_number() OVER (PARTITION BY o_orderpriority
-                                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
-               FROM orders)
-    SELECT o_orderkey, o_orderpriority, o_totalprice, rn
-    FROM r WHERE rn <= 3
-    """,
-)
-def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders by price within each priority — the N>1 complement
-    of latest-per-group. Per-group window row_number: one shuffle on
-    the group key, and the rank predicate becomes a per-partition
-    top-N heap (WindowGroupLimit) rather than a full sort+filter."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
-    )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), "o_orderkey"
-    )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice", "rn")
-    )
-
-
-@query(
-    "debounce_events",
-    oracle="""
-    WITH x AS (SELECT event_id, user_id, event_type, ts, value,
-                      CASE WHEN lag(ts) OVER w IS NULL
-                                OR ts >= lag(ts) OVER w + INTERVAL '5 minutes'
-                           THEN 1 ELSE 0 END AS brk
-               FROM events
-               WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
-    y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id, event_type
-                                   ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS burst
-          FROM x),
-    z AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst
-                                       ORDER BY ts, event_id) AS rn
-          FROM y)
-    SELECT event_id, user_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value
-    FROM z WHERE rn = 1
-    """,
-)
-def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Burst debounce (operators/composites.debounce_events): collapse
-    each rapid same-user same-type chain (successive events < 5 min
-    apart) to its first row — the clickstream double-fire/retry-storm
-    cleaner."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts", "value"
-    )
-    out = comp.debounce_events(
-        e, ["user_id", "event_type"], ["ts", "event_id"], "ts", "5 minutes"
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
-        "value",
-    )
-
-
-@query(
-    "rolling_zscore_anomalies",
-    oracle="""
-    WITH s AS (SELECT event_id, event_type, value,
-                      count(value) OVER w AS n,
-                      CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
-                      CAST(sum(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx
-               FROM events
-               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-                            ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
-    z AS (SELECT event_id, event_type, value,
-                 (value - sx / n)
-                 / round(sqrt(greatest((n * sxx - sx * sx) / (n * (n - 1)), 0.0)), 6) AS z
-          FROM s
-          WHERE n >= 30
-            AND round(sqrt(greatest((n * sxx - sx * sx) / (n * (n - 1)), 0.0)), 6) > 0)
-    SELECT event_id, event_type, value, round(z, 6) AS z
-    FROM z WHERE abs(z) > 3
-    """,
-)
-def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling anomaly flags: each event scored against the mean/std of
-    the PREVIOUS 100 same-type events (trailing window excludes the
-    current row so an outlier can't mask itself); |z| > 3 with ≥30
-    history rows flags it. The windowed complement of the global
-    zscore_outliers. Window sums run as fixed-point decimals — exact
-    and order-independent, so both engines derive bit-identical stats;
-    the std carries the same round(6) as the global formula (the n·Σx²
-    cancellation amplifies last-ulp cast differences)."""
-    e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-100, -1)
-    )
-    dec = lambda c: F.sum(c.cast("decimal(38,6)")).over(w).cast("double")
-    s = e.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.count("value").over(w).alias("n"),
-        dec(F.col("value")).alias("sx"),
-        dec(F.col("value") * F.col("value")).alias("sxx"),
-    )
-    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
-        F.col("n") * (F.col("n") - 1)
-    )
-    std = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
-    z = (F.col("value") - F.col("sx") / F.col("n")) / std
-    return (
-        s.filter((F.col("n") >= 30) & (std > 0))
-        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
-        .filter(F.abs("z") > 3)
-    )
-
-
-@query(
-    "interevent_gap_percentiles",
-    oracle="""
-    WITH g AS (SELECT event_type,
-                      epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
-                                                            ORDER BY ts, event_id)) AS gap_us
-               FROM events)
-    SELECT event_type,
-           count(gap_us) AS n_gaps,
-           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_s,
-           round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_s,
-           round(quantile_cont(gap_us, 0.99) / 1e6, 6) AS p99_s
-    FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
-    """,
-)
-def interevent_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latency distribution of the event stream: per event type, exact
-    p50/p90/p99 of the seconds since the same user's previous event —
-    the arrival-process profile capacity planning reads. One shuffle on
-    user_id for the lag window, then grouped two-phase bucketed
-    selection (operators/selection.grouped_exact_quantiles) for the
-    order statistics: Spark's exact ``percentile`` aggregate buffers a
-    value→count map per group that grows with the group's DISTINCT
-    value count and merges on ONE reducer — near-continuous microsecond
-    gaps with a handful of event types is precisely its OOM shape at
-    100 TB (SCALE.md documents the same trap for F.median). The
-    bucketed plan keeps per-group state at O(buckets) and returns the
-    same quantile_cont-interpolated values exactly."""
-    from covid_custom_sql_engine_spark.operators.selection import (
-        grouped_exact_quantiles,
-    )
-
-    e = load_table(spark, sf_dir, "events")
-    # exact integer microsecond gaps on both engines (a SECOND-unit
-    # diff truncates in Spark but counts boundary crossings in DuckDB);
-    # divide to seconds only after the percentile.
-    g = e.withColumn(
-        "gap_us", F.expr("timestampdiff(MICROSECOND, lag(ts) over (partition by user_id order by ts, event_id), ts)")
-    ).filter(F.col("gap_us").isNotNull())
-    q = grouped_exact_quantiles(
-        g, "event_type", "gap_us", [0.5, 0.9, 0.99], ["_p50", "_p90", "_p99"],
-        count_col="n_gaps",
-    )
-    return q.select(
-        "event_type",
-        "n_gaps",
-        F.round(F.col("_p50") / F.lit(1e6), 6).alias("p50_s"),
-        F.round(F.col("_p90") / F.lit(1e6), 6).alias("p90_s"),
-        F.round(F.col("_p99") / F.lit(1e6), 6).alias("p99_s"),
-    )
-
-
-@query(
-    "event_transitions",
-    oracle="""
-    WITH x AS (SELECT event_type,
-                      lead(event_type) OVER (PARTITION BY user_id
-                                             ORDER BY ts, event_id) AS nxt
-               FROM events)
-    SELECT event_type AS from_state, nxt AS to_state,
-           count(*) AS n_transitions
-    FROM x WHERE nxt IS NOT NULL GROUP BY 1, 2
-    """,
-)
-def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event-type transition bigrams
-    (operators/composites.event_transitions) — the Markov-chain /
-    user-path matrix over the events log."""
-    e = load_table(spark, sf_dir, "events")
-    return comp.event_transitions(e, "user_id", ["ts", "event_id"], "event_type")
-
-
-@query(
-    "retention_cohorts",
-    oracle="""
-    WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
-               FROM events GROUP BY 1)
-    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
-           date_diff('week', f.cohort, date_trunc('week', e.ts)) AS period_offset,
-           count(DISTINCT e.user_id) AS n_active
-    FROM events e JOIN f USING (user_id)
-    GROUP BY 1, 2
-    """,
-)
-def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly retention triangle
-    (operators/composites.retention_cohorts): users bucketed by
-    first-active week, distinct-counted per week offset."""
-    e = load_table(spark, sf_dir, "events")
-    out = comp.retention_cohorts(e, "user_id", "ts", "week")
-    return out.select(
-        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
-        "period_offset",
-        "n_active",
-    )
-
-
-@query(
-    "stat_summary",
-    oracle=f"""
-    SELECT 'l_quantity' AS metric, CAST(count(*) AS DOUBLE) AS count,
-           {_sql_dsum('l_quantity')} AS sum, {_sql_davg('l_quantity')} AS avg,
-           min(l_quantity) AS min, max(l_quantity) AS max,
-           median(l_quantity) AS median, {_sql_dstd('l_quantity')} AS std
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_extendedprice', CAST(count(*) AS DOUBLE),
-           {_sql_dsum('l_extendedprice')}, {_sql_davg('l_extendedprice')},
-           min(l_extendedprice), max(l_extendedprice),
-           median(l_extendedprice), {_sql_dstd('l_extendedprice')}
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_discount', CAST(count(*) AS DOUBLE),
-           {_sql_dsum('l_discount')}, {_sql_davg('l_discount')},
-           min(l_discount), max(l_discount),
-           median(l_discount), {_sql_dstd('l_discount')}
-    FROM lineitem
-    """,
-)
-def stat_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14: multi-metric 7-fn statistical summary, one aggregation pass
-    then unpivot (app.py:1343-1379 loops metrics).
-
-    The testdata parquet is a single row group (1-split scan), so the
-    exact-median object aggregate would run its partial phase on one
-    core; parallelize_small spreads the 3 projected columns across the
-    cluster first — measured ~20% faster at sf0.1 despite the extra
-    exchange. On a many-row-group production table the scan itself is
-    parallel and the repartition is unnecessary."""
-    metrics = ["l_quantity", "l_extendedprice", "l_discount"]
-    l = parallelize_small(load_table(spark, sf_dir, "lineitem").select(*metrics))
-    return comp.stat_summary(l, metrics, deterministic=True)
-
-
-@query(
-    "exact_medians_scalable",
-    oracle="""
-    SELECT median(l_quantity) AS median_l_quantity,
-           median(l_extendedprice) AS median_l_extendedprice,
-           median(l_discount) AS median_l_discount
-    FROM lineitem
-    """,
-)
-def exact_medians_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact multi-column medians via declarative two-phase bucketed
-    selection (operators/selection.exact_medians_plan) — the 100 TB path
-    for order statistics. F.median/percentile merge every partition's
-    value→count map on ONE reducer, so memory grows with the global
-    distinct count; this plan's phases are a codegen (n, lo, hi)
-    aggregate, a bounded bucket-count hash aggregate, and a sliver scan
-    touching ~n/buckets rows — memory O(buckets), values identical to
-    the built-in to the last bit (same even-count interpolation)."""
-    metrics = ["l_quantity", "l_extendedprice", "l_discount"]
-    l = parallelize_small(load_table(spark, sf_dir, "lineitem").select(*metrics))
-    from covid_custom_sql_engine_spark.operators.selection import exact_medians_plan
-
-    return exact_medians_plan(l, metrics)
-
-
-@query(
-    "global_rank_orders",
-    oracle="""
-    SELECT o_orderkey, o_totalprice,
-           row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
-    FROM orders
-    """,
-)
-def global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global 1-based ranking of every order by total price WITHOUT a
-    single-partition window (operators/selection.global_rank) — the
-    100 TB path for ROW_NUMBER() OVER (ORDER BY ...). A bare
-    Window.orderBy funnels the whole table through one task; this plan
-    range-partitions, ranks locally in parallel, and broadcast-adds the
-    per-partition offsets (an O(num_partitions)-row cumulative window)."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    from covid_custom_sql_engine_spark.operators.selection import global_rank
-
-    return global_rank(o, ["o_totalprice", "o_orderkey"], "rnk").select(
-        "o_orderkey", "o_totalprice", "rnk"
-    )
-
-
-@query(
-    "equidepth_histogram",
-    oracle="""
-    WITH r AS (SELECT o_totalprice,
-                      ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-               FROM orders)
-    SELECT bucket, count(*) AS n_rows,
-           min(o_totalprice) AS lo, max(o_totalprice) AS hi
-    FROM r GROUP BY bucket
-    """,
-)
-def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-depth (NTILE) histogram of order totals WITHOUT the
-    single-partition window NTILE needs
-    (operators/selection.equidepth_buckets over the distributed
-    global_rank): 10 buckets of equal row count, each reporting its
-    value range — the quantile-sketch building block expressed exactly."""
-    from covid_custom_sql_engine_spark.operators.selection import equidepth_buckets
-
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    b = equidepth_buckets(o, ["o_totalprice", "o_orderkey"], 10)
-    return b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("o_totalprice").alias("lo"),
-        F.max("o_totalprice").alias("hi"),
-    )
-
-
-@query(
-    "rename_pretty",
-    oracle="""
-    SELECT n_nationkey AS nation_key, n_name AS nation_name, n_regionkey AS region_key
-    FROM nation
-    """,
-)
-def rename_pretty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15: display-name projection (PRETTY map, app.py:160-167)."""
-    n = load_table(spark, sf_dir, "nation")
-    return comp.rename_pretty(
-        n,
-        {"n_nationkey": "nation_key", "n_name": "nation_name", "n_regionkey": "region_key"},
-    )
-
-
-def _sql_lag_corr(k: int) -> str:
-    return f"""
-    SELECT {k} AS lag,
-           count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS n_pairs,
-           round({_sql_safe_corr('x', 'y')}, 6) AS corr
-    FROM (SELECT value AS x,
-                 lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
-          FROM events)"""
-
-
-@query(
-    "lagged_corr_best",
-    oracle=" UNION ALL ".join(_sql_lag_corr(k) for k in range(6)),
-)
-def lagged_corr_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A20: best-lag correlation search over per-user series (the implied
-    lagged vaccination-effect analysis; corr primitive dataframe.py:250-273)."""
-    e = load_table(spark, sf_dir, "events")
-    return comp.lagged_corr_best(e, "user_id", ["ts", "event_id"], "value", "value", max_lag=5)
-
-
-# ---------------------------------------------------------------------------
-# Phase 3 — extended join family / set ops / multi-dim aggregates
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "semi_join",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
-    """,
-)
-def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi = EXISTS (out-of-reference-scope join family)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@query(
-    "anti_join",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
-    """,
-)
-def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti = NOT EXISTS."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
-
-
-@query(
-    "setop_union",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) set semantics."""
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@query(
-    "setop_intersect",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    """,
-)
-def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct)."""
-    o = load_table(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
-    b = o.filter(F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
-    return a.intersect(b)
-
-
-@query(
-    "setop_except",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct)."""
-    o = load_table(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
-    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
-    return a.subtract(b)
-
-
-@query(
-    "rollup_agg",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n_rows,
-           {_sql_dsum('l_quantity')} AS sum_qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (out-of-reference multi-dim aggregate)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        ops.dsum(F.col("l_quantity")).alias("sum_qty"),
-    )
-
-
-@query(
-    "cube_agg",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n_rows,
-           {_sql_dsum('l_quantity')} AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE cross-totals."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        ops.dsum(F.col("l_quantity")).alias("sum_qty"),
-    )
-
-
-@query(
-    "window_running_sum",
-    oracle="""
-    SELECT o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-             AS running_total
-    FROM orders
-    """,
-)
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-customer total — general window-function surface."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return o.select(
-        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
-    )
-
-
-@query(
-    "asof_join",
-    oracle="""
-    SELECT l.event_id,
-           r.value AS r_value,
-           strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS r_ts
-    FROM (SELECT * FROM events WHERE event_type = 'click') l
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-      ON l.user_id = r.user_id AND l.ts >= r.ts
-    """,
-)
-def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of (backward) join: each click matched to the user's latest
-    prior purchase. Merge-scan formulation (union + window carry-forward)
-    — linear, one shuffle on the key, no inequality join blow-up."""
-    e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click")
-    purchases = e.filter(F.col("event_type") == "purchase")
-    out = xjoins.asof_join(
-        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
-        value_cols=["ts", "value"],
-    )
-    return out.select(
-        "event_id",
-        F.col("r_value"),
-        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("r_ts"),
-    )
-
-
-@query(
-    "range_join_bands",
-    oracle="""
-    SELECT e.event_id, b.band
-    FROM events e
-    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1e12))
-         AS b(band, lo, hi)
-      ON e.value >= b.lo AND e.value < b.hi
-    """,
-)
-def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range/interval join: point-in-band, broadcast nested-loop with the
-    band predicate in codegen (small ranges side)."""
-    e = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
-        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e12)],
-        "band string, lo double, hi double",
-    )
-    out = xjoins.range_join(e, bands, "value", "lo", "hi")
-    return out.select("event_id", "band")
-
-
-# ---------------------------------------------------------------------------
-# Phase 3 — text analysis over `documents`
-# ---------------------------------------------------------------------------
-
-_SQL_TOKS = (
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
-)
-_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-_SQL_SW_EN = "['the','and','of','to','in','is','that','it','for','was']"
-
-
-@query(
-    "text_profile",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks, length(text) AS n FROM documents),
-    m AS (
-      SELECT doc_id, n,
-             len(toks) AS n_tokens,
-             (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS n_punct,
-             len(list_filter(toks, t -> list_contains({_SQL_SW_EN}, t))) AS n_sw,
-             md5({_SQL_NORM}) AS fp
-      FROM t)
-    SELECT doc_id,
-           CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(n AS BIGINT) AS n_chars_measured,
-           CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END AS punct_ratio,
-           CASE WHEN n_tokens > 0 THEN n_sw / n_tokens ELSE 0.0 END AS stopword_ratio,
-           (least(n / 500.0, 1.0)
-            + (1.0 - CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END)
-            + least((CASE WHEN n_tokens > 0 THEN n_sw / n_tokens ELSE 0.0 END) * 5.0, 1.0)
-           ) / 3.0 AS quality,
-           fp
-    FROM m
-    """,
-)
-def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-quality profile: token/char counts, punctuation ratio,
-    stopword ratio, composite quality score, exact-dup fingerprint —
-    all built-in expressions (codegen), zero Python in the hot path."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    out = tx.text_profile(d)
-    return out.select(
-        "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.col("n_chars_measured").cast("bigint").alias("n_chars_measured"),
-        "punct_ratio",
-        "stopword_ratio",
-        "quality",
-        "fp",
-    )
-
-
-_SQL_LANG_SCORES = {
-    "de": "['der','die','das','und','ist','nicht','ein','mit','sich','auf']",
-    "en": _SQL_SW_EN,
-    "es": "['el','la','los','y','es','no','una','por','que','con']",
-    "fr": "['le','la','les','et','est','pas','une','pour','que','dans']",
-}
-_SQL_LANG_CTE = ", ".join(
-    f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains({lst}, t))) / len(toks) ELSE 0.0 END AS s_{lang}"
-    for lang, lst in _SQL_LANG_SCORES.items()
-)
-
-
-@query(
-    "lang_id",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    s AS (SELECT doc_id, {_SQL_LANG_CTE} FROM t)
-    SELECT doc_id,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
-                WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
-                WHEN s_es >= greatest(s_de, s_en) THEN 'es'
-                WHEN s_en >= s_de THEN 'en'
-                ELSE 'de' END AS lang_pred,
-           s_de AS score_de, s_en AS score_en, s_es AS score_es, s_fr AS score_fr
-    FROM s
-    """,
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/stopword language-ID heuristic: per-language stopword hit
-    ratio, argmax wins (ties → lexicographically last code), all-zero →
-    'und'. Pure expression — langid at 100 TB is a codegen'd map stage."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id",
-        tx.lang_id("text").alias("lang_pred"),
-        *[s.alias(f"score_{lang}") for s, lang in zip(tx.lang_scores("text"), sorted(tx.LANG_STOPWORDS))],
-    )
-
-
-# ---------------------------------------------------------------------------
-# Phase 3 — deduplication over `documents`
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "dedup_exact",
-    oracle=f"""
-    WITH u AS (SELECT doc_id, text FROM documents
-               UNION ALL SELECT doc_id + 1000000, text FROM documents)
-    SELECT md5({_SQL_NORM}) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
-    FROM u GROUP BY 1
-    """,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via fingerprint hash-groupBy (min-id representative).
-    Input is the corpus unioned with a shifted copy of itself so the
-    dup-collapse path actually collapses (testdata texts are unique)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1000000))
-    return dd.exact_dedup(doubled)
-
-
-def _sql_minhash_cte(source: str = "documents", lead: str = "WITH ") -> str:
-    """Shared CTE chain: tokens → shingles → 12 minhashes → 4 bands.
-
-    Mirrors dedup.minhash_signatures' Kirsch–Mitzenmacher double hashing:
-    one md5 per shingle split into two 60-bit hex halves, h_i =
-    (h1 + i·h2) mod KM_MODULUS, min per i.
-
-    ``source``/``lead`` let a composite oracle embed the chain mid-query
-    over a filtered CTE (lead=", ") instead of heading it over the raw
-    table."""
-    m = dd.KM_MODULUS
-    mh = ",\n             ".join(
-        f"list_aggregate(list_transform(hs, h -> (h[1] + {i} * h[2]) % {m}), 'min') AS mh_{i}"
-        for i in range(12)
-    )
-    bands = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(mh_{3*b} || '_' || mh_{3*b+1} || '_' || mh_{3*b+2}) AS band_hash FROM sigs"
-        for b in range(4)
-    )
-    return f"""
-    {lead}toks AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM {source}),
-    sh AS (SELECT doc_id,
-                  list_distinct(CASE WHEN len(toks) >= 3
-                    THEN list_transform(range(0, len(toks) - 2),
-                                        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-                    ELSE [array_to_string(toks, ' ')] END) AS sh
-           FROM toks),
-    hsets AS (SELECT doc_id, sh,
-                     list_transform(sh, s ->
-                       [CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {m},
-                        CAST('0x' || substr(md5(s), 16, 15) AS BIGINT) % {m}]) AS hs
-              FROM sh),
-    sigs AS (SELECT doc_id, {mh} FROM hsets),
-    bands0 AS ({bands}),
-    okb AS (SELECT band, band_hash FROM bands0
-            GROUP BY band, band_hash HAVING count(*) <= {dd.MAX_BAND_BUCKET}),
-    bands AS (SELECT bands0.* FROM bands0 JOIN okb USING (band, band_hash)),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b
-               ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-    """
-
-
-@query(
-    "minhash_lsh_pairs",
-    oracle=f"""
-    {_sql_minhash_cte()}
-    SELECT c.id_a, c.id_b,
-           CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
-                THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(x.sh, y.sh)))
-                ELSE 0.0 END AS jaccard
-    FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-    """,
-)
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates with exact Jaccard verify.
-
-    Pipeline: word 3-gram shingles → 12 md5-minhashes → 4 bands × 3 rows
-    → equi-join on (band, band_hash) for candidates (never all-pairs) →
-    shingle-set Jaccard on candidates only. All hashes are md5-derived →
-    portable and deterministic."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return dd.minhash_near_dups(d, threshold=None)
-
-
-@query(
-    "containment_pairs",
-    oracle=f"""
-    {_sql_minhash_cte()}
-    SELECT c.id_a, c.id_b,
-           round(CASE WHEN len(x.sh) > 0
-                THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh)
-                ELSE 0.0 END, 6) AS containment_a_in_b,
-           round(CASE WHEN len(y.sh) > 0
-                THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh)
-                ELSE 0.0 END, 6) AS containment_b_in_a
-    FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-    """,
-)
-def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ASYMMETRIC overlap for LSH candidate pairs: |A∩B|/|A| and
-    |A∩B|/|B| on the shingle sets — the partial-copy detector. Jaccard
-    misses a short document wholly quoted inside a long one (union
-    dominates); containment flags it from either side. Same equi-join
-    candidate generation as minhash_lsh_pairs (never all-pairs); the
-    two ratios come from one array_intersect per candidate. The shingle
-    sets are cached — three subtrees consume them (candidate
-    generation + both join sides), same rationale as
-    minhash_near_dups."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    sh = dd.shingle_sets(d).cache()
-    cand = dd.candidate_pairs_from_bands(
-        dd._bands_from_signatures(dd.minhash_signatures(sh, "doc_id", 12), "doc_id", 12, 3)
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    c_ab = F.when(F.size("sh_a") > 0, inter / F.size("sh_a")).otherwise(0.0)
-    c_ba = F.when(F.size("sh_b") > 0, inter / F.size("sh_b")).otherwise(0.0)
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(c_ab, 6).alias("containment_a_in_b"),
-            F.round(c_ba, 6).alias("containment_b_in_a"),
-        )
-    )
-
-
-def _sql_simhash() -> str:
-    votes = ",\n           ".join(
-        f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v_{j}"
-        for j in range(32)
-    )
-    bits = " || ".join(
-        f"CASE WHEN v_{j} > 0 THEN '1' ELSE '0' END" for j in range(32)
-    )
-    return f"""
-    WITH toks AS (SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents),
-    f AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
-    v AS (SELECT doc_id, {votes} FROM f GROUP BY doc_id)
-    SELECT doc_id, {bits} AS simhash FROM v
-    """
-
-
-@query("simhash", oracle=_sql_simhash())
-def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup fingerprint: 32-bit per-token-md5 majority vote,
-    emitted as a bitstring (hamming distance = simhash distance).
-    One explode + one hash aggregate — shuffle on doc_id only."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return dd.simhash(d)
-
-
-# ---------------------------------------------------------------------------
-# Phase 3 — similarity search over `embeddings`
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "embedding_norms",
-    oracle="""
-    SELECT vec_id, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
-    FROM embeddings
-    """,
-)
-def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-math warm-up: L2 norm via zip_with/aggregate fold (JVM
-    higher-order functions, no UDF)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = sim.as_double("embedding")
-    return e.select("vec_id", F.round(F.sqrt(sim.dot(v, v)), 6).alias("norm"))
-
-
-@query(
-    "cosine_topk",
-    oracle="""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id <= 4),
-    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
-    scored AS (SELECT query_id, vec_id,
-                      list_dot_product(qv, cv)
-                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
-               FROM q CROSS JOIN c WHERE vec_id != query_id)
-    SELECT query_id, vec_id, round(cos, 6) AS cos_sim,
-           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5
-    """,
-)
-def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (the exact ANN baseline): broadcast the
-    query set, scan the corpus once for all queries, per-query top-k
-    window. Self-matches excluded, ties break on neighbor id."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = sim.brute_force_topk(e, q, k=5)
-    return out.select(
-        "query_id",
-        "vec_id",
-        F.round("cos_sim", 6).alias("cos_sim"),
-        F.col("rank").cast("bigint").alias("rank"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Phase 3 — event-time windows (batch form of the streaming builders;
-# the same builders run under readStream+watermark in tests/)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "tumbling_window",
-    oracle=f"""
-    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n_events,
-           {_sql_dsum('value')} AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 10-minute event-time windows per event_type."""
-    e = load_table(spark, sf_dir, "events")
-    from covid_custom_sql_engine_spark.streaming import tumbling_counts
-
-    out = tumbling_counts(e, det=True)
-    return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-        "sum_value",
-    )
-
-
-@query(
-    "attribution_join",
-    oracle="""
-    SELECT c.user_id,
-           c.event_id AS click_id,
-           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
-           p.event_id AS purchase_id,
-           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-           p.value AS purchase_value
-    FROM events c JOIN events p
-      ON c.user_id = p.user_id
-     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
-    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-    """,
-)
-def attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch form of the stream-stream attribution join: every click
-    matched to same-user purchases within 1 hour after it
-    (streaming/windows.attribution_join; the identical builder runs
-    under readStream with watermarks on BOTH sides in tests/ — the
-    time bound is what lets streaming evict join state)."""
-    e = load_table(spark, sf_dir, "events")
-    from covid_custom_sql_engine_spark.streaming import attribution_join as aj
-
-    out = aj(
-        e.filter(F.col("event_type") == "click"),
-        e.filter(F.col("event_type") == "purchase"),
-    )
-    return out.select(
-        "user_id",
-        "click_id",
-        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        "purchase_id",
-        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        "purchase_value",
-    )
-
-
-@query(
-    "window_distinct_users",
-    oracle="""
-    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n_events,
-           count(DISTINCT user_id) AS n_users
-    FROM events GROUP BY 1, 2
-    """,
-)
-def window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly active-user counts per event type: count + COUNT(DISTINCT
-    user_id) in one tumbling-window aggregate. Spark plans the distinct
-    via expand + two-phase aggregation (partial per partition, merge on
-    the (window, type) key) — no per-group set materialization. For
-    sketch-sized memory at extreme cardinality, approx_count_distinct
-    swaps in (see approx_distinct_parts)."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("user_id").alias("n_users"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n_events",
-            "n_users",
-        )
-    )
-
-
-@query(
-    "snapshot_diff",
-    oracle="""
-    WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
-                 WHERE o_orderkey % 3 != 0),
-    new AS (SELECT o_orderkey,
-                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
-                        ELSE o_totalprice END AS o_totalprice,
-                   o_orderstatus
-            FROM orders WHERE o_orderkey % 5 != 0)
-    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-           CASE WHEN o.o_orderkey IS NULL THEN 'added'
-                WHEN n.o_orderkey IS NULL THEN 'removed'
-                WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
-                          AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
-                THEN 'changed' END AS change_type
-    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
-    WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'added'
-                WHEN n.o_orderkey IS NULL THEN 'removed'
-                WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
-                          AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
-                THEN 'changed' END) IS NOT NULL
-    """,
-)
-def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change data feed between two snapshot versions
-    (operators/merge.snapshot_diff): added/removed/changed keys from one
-    full-outer join, null-safe column compare. Snapshots derived
-    deterministically from orders (drop every 3rd / 5th key, double
-    price on every 7th)."""
-    from covid_custom_sql_engine_spark.operators.merge import snapshot_diff as sd
-
-    o = load_table(spark, sf_dir, "orders")
-    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
-        "o_orderkey",
-        F.when(
-            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
-        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
-        "o_orderstatus",
-    )
-    return sd(old, new, "o_orderkey")
-
-
-@query(
-    "attribution_left",
-    oracle="""
-    SELECT c.user_id,
-           c.event_id AS click_id,
-           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
-           p.event_id AS purchase_id,
-           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-           p.value AS purchase_value
-    FROM (SELECT * FROM events WHERE event_type = 'click') c
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON c.user_id = p.user_id
-     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
-    """,
-)
-def attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-outer attribution: every click, converted or not (purchase
-    columns NULL for unconverted). The same builder's streaming mode
-    emits an unmatched click only once the watermark proves no match
-    can arrive (tests/test_streaming.py)."""
-    e = load_table(spark, sf_dir, "events")
-    from covid_custom_sql_engine_spark.streaming import attribution_join as aj
-
-    out = aj(
-        e.filter(F.col("event_type") == "click"),
-        e.filter(F.col("event_type") == "purchase"),
-        how="left_outer",
-    )
-    return out.select(
-        "user_id",
-        "click_id",
-        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        "purchase_id",
-        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
-        "purchase_value",
-    )
-
-
-@query(
-    "stream_static_join",
-    oracle=f"""
-    SELECT strftime(time_bucket(INTERVAL '6 hours', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           c.c_nationkey AS nationkey,
-           count(*) AS n_events,
-           {_sql_dsum('e.value')} AS sum_value
-    FROM events e JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY 1, 2
-    """,
-)
-def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static enrichment join (batch twin): events broadcast-join
-    the customer dimension on user_id, then tumbling 6-hour windows per
-    nation. The same builder runs under readStream in tests/ — the
-    static side re-broadcasts per micro-batch."""
-    from covid_custom_sql_engine_spark.streaming import enriched_window_totals
-
-    e = load_table(spark, sf_dir, "events")
-    c = load_table(spark, sf_dir, "customer")
-    out = enriched_window_totals(e, c, det=True)
-    return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "nationkey",
-        "n_events",
-        "sum_value",
-    )
-
-
-@query(
-    "sliding_window",
-    oracle="""
-    WITH b AS (
-      SELECT time_bucket(INTERVAL '10 minutes', ts) AS w, event_type FROM events
-      UNION ALL
-      SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes'), event_type FROM events)
-    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n_events
-    FROM b GROUP BY 1, 2
-    """,
-)
-def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 10-minute windows every 5 minutes (each event in 2)."""
-    e = load_table(spark, sf_dir, "events")
-    from covid_custom_sql_engine_spark.streaming import sliding_counts
-
-    out = sliding_counts(e)
-    return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-    )
-
-
-@query(
-    "session_window",
-    oracle=f"""
-    WITH o AS (SELECT user_id, ts, value,
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
-               FROM events),
-    m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '15 minutes' THEN 1 ELSE 0 END AS new_s FROM o),
-    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
-    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-           strftime(max(ts) + INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-           user_id, count(*) AS n_events, {_sql_dsum('value')} AS sum_value
-    FROM s GROUP BY user_id, sid
-    """,
-)
-def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows per user (15-minute inactivity gap): session =
-    [first event, last event + gap). The oracle reproduces gaps-and-
-    islands in SQL; Spark uses the native session_window expression."""
-    e = load_table(spark, sf_dir, "events")
-    from covid_custom_sql_engine_spark.streaming import session_windows
-
-    out = session_windows(e, det=True)
-    return out.select(
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
-        "user_id",
-        "n_events",
-        "sum_value",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Phase 3 — UDAF surface + approximate aggregates
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "udaf_geometric_mean",
-    oracle="""
-    SELECT o_orderpriority,
-           round(exp(avg(ln(o_totalprice))), 6) AS gmean_o_totalprice
-    FROM orders WHERE o_totalprice > 0
-    GROUP BY o_orderpriority
-    """,
-)
-def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G3 UDAF surface: arbitrary-callable aggregation as a grouped-agg
-    Pandas UDF (Arrow-batched — the reference's DataFrame.agg(callable),
-    dataframe.py:207-212, distributed)."""
-    from covid_custom_sql_engine_spark.functions.udafs import grouped_geometric_mean
-
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    out = grouped_geometric_mean(o, "o_orderpriority", "o_totalprice")
-    return out.select(
-        "o_orderpriority", F.round("gmean_o_totalprice", 6).alias("gmean_o_totalprice")
-    )
-
-
-@query(
-    "approx_distinct_parts",
-    oracle="""
-    SELECT l_returnflag,
-           count(DISTINCT l_partkey) AS exact_parts,
-           CAST(1 AS BIGINT) AS within_tol
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the scale path for
-    COUNT(DISTINCT) without a global shuffle of all distinct values.
-
-    The raw HLL++ estimate is engine-specific, so the checked output is
-    exact: the exact distinct count, plus a ``within_tol`` flag
-    asserting the estimate landed within 3σ of default rsd=0.05 (1 on
-    both sides — the oracle emits the literal, we emit the measured
-    check, so a wildly-off sketch fails the hash)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("_approx"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
-        .select(
-            "l_returnflag",
-            "exact_parts",
-            (
-                F.abs(F.col("_approx") - F.col("exact_parts"))
-                <= 0.15 * F.col("exact_parts")
-            )
-            .cast("bigint")
-            .alias("within_tol"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Batch 4 — scalar function library, full window surface, grouping sets,
-# percentiles, embedding near-dups, IVF ANN, multimodal plumbing
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "scalar_functions",
-    oracle="""
-    SELECT p_partkey,
-           upper(p_brand) AS brand_u,
-           lower(substring(p_name, 1, 8)) AS name_head,
-           CAST(length(p_name) AS BIGINT) AS name_len,
-           concat(p_brand, '/', p_type) AS brand_type,
-           abs(p_retailprice - 1000.0) AS price_dev,
-           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
-           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
-           round(sqrt(p_retailprice), 6) AS price_sqrt,
-           round(ln(p_retailprice + 1.0), 6) AS price_ln,
-           round(pow(p_size, 2.0), 6) AS size_sq
-    FROM part
-    """,
-)
-def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar string/math function library passthrough (SURVEY §2.1
-    'not implemented by the reference, in-Spark-scope'). libm-sensitive
-    fns (sqrt/ln/pow) round(6) on both sides."""
-    p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_brand").alias("brand_u"),
-        F.lower(F.substring("p_name", 1, 8)).alias("name_head"),
-        F.length("p_name").cast("bigint").alias("name_len"),
-        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
-        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
-        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
-        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
-        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
-        F.round(F.log(F.col("p_retailprice") + 1.0), 6).alias("price_ln"),
-        F.round(F.pow("p_size", F.lit(2.0)), 6).alias("size_sq"),
-    )
-
-
-@query(
-    "datetime_functions",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
-           CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
-           CAST(extract(day FROM o_orderdate) AS BIGINT) AS d,
-           CAST(extract(hour FROM o_orderdate) AS BIGINT) AS h,
-           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-           strftime(o_orderdate + INTERVAL '90 days', '%Y-%m-%d') AS due_date
-    FROM orders
-    """,
-)
-def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Datetime function passthrough: extract/trunc/interval arithmetic."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").cast("bigint").alias("y"),
-        F.month("o_orderdate").cast("bigint").alias("m"),
-        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
-        F.hour("o_orderdate").cast("bigint").alias("h"),
-        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
-        F.date_format(
-            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd"
-        ).alias("due_date"),
-    )
-
-
-@query(
-    "window_functions",
-    oracle="""
-    SELECT o_orderkey,
-           rank() OVER wp AS rnk,
-           dense_rank() OVER wp AS drnk,
-           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders,
-           lead(o_orderkey) OVER wu AS next_key,
-           lag(o_orderkey) OVER wu AS prev_key,
-           first_value(o_orderkey) OVER wu AS first_key
-    FROM orders
-    WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
-           wu AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full ranking/navigation window surface: rank/dense_rank over a
-    tying order (tie-stable), lead/lag/first_value over a unique order
-    (deterministic)."""
-    o = load_table(spark, sf_dir, "orders")
-    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
-    wu = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.rank().over(wp).cast("bigint").alias("rnk"),
-        F.dense_rank().over(wp).cast("bigint").alias("drnk"),
-        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
-        F.lead("o_orderkey").over(wu).alias("next_key"),
-        F.lag("o_orderkey").over(wu).alias("prev_key"),
-        F.first("o_orderkey").over(wu).alias("first_key"),
-    )
-
-
-@query(
-    "grouping_sets",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
-           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
-           count(*) AS n_rows, {_sql_dsum('l_quantity')} AS sum_qty
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-)
-def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS with grouping() flags (distinguishes NULL
-    key values from subtotal rows)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    l.createOrReplaceTempView("_gs_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
-               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
-               count(*) AS n_rows,
-               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
-        FROM _gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
-    )
-
-
-@query(
-    "percentiles",
-    oracle="""
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
-           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles per group (the exact
-    counterpart of approx_percentile; both exist in the engine)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
-    )
-
-
-def _plane_subquery(i: int) -> str:
-    return f"(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = {i})"
-
-
-_SQL_BUCKET = " || ".join(
-    f"(CASE WHEN list_dot_product(v, {_plane_subquery(i)}) >= 0 THEN '1' ELSE '0' END)"
-    for i in range(5)
-)
-
-
-@query(
-    "cosine_near_dups",
-    oracle=f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM c)
-    SELECT a.vec_id AS id_a, x.vec_id AS id_b,
-           round(list_dot_product(a.v, x.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))), 6)
-             AS cos_sim
-    FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
-    WHERE list_dot_product(a.v, x.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))) >= 0.35
-    """,
-)
-def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via hyperplane-LSH bucket equi-join +
-    exact cosine verify on bucket-mates only (approximate by design;
-    deterministic given the fixed planes = corpus vectors 0-4)."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    planes = [
-        [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") <= 4).orderBy("vec_id").collect()
-    ]
-    out = sim.cosine_near_dup_pairs(e, planes, threshold=0.35)
-    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
-
-
-# Shared IVF coarse-quantizer oracle fragment: label-mean centroids,
-# 1-nearest cell per corpus vector, n_probe=2 probed cells per query —
-# used by ivf_topk AND ivfpq_topk_recall so the two stay in lockstep.
-_SQL_IVF_COARSE = """c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    el AS (SELECT label, generate_subscripts(embedding, 1) AS i,
-                  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
-    ce AS (SELECT label, i, avg(x) AS ax FROM el GROUP BY label, i),
-    cent AS (SELECT label AS cell, list(ax ORDER BY i) AS cv FROM ce GROUP BY label),
-    asn AS (
-      SELECT vec_id, cell, v, row_number() OVER (
-        PARTITION BY vec_id
-        ORDER BY (list_dot_product(v, cv)
-                  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))))
-                 DESC NULLS FIRST, cell ASC) AS rn
-      FROM c CROSS JOIN cent),
-    corpus AS (SELECT vec_id, cell, v FROM asn WHERE rn = 1),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id <= 4),
-    pr AS (
-      SELECT query_id, cell, qv FROM (
-        SELECT query_id, cell, qv, row_number() OVER (
-          PARTITION BY query_id
-          ORDER BY (list_dot_product(qv, cv)
-                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))))
-                   DESC NULLS FIRST, cell ASC) AS rn
-        FROM q CROSS JOIN cent) WHERE rn <= 2)"""
-
-
-@query(
-    "ivf_topk",
-    oracle=f"""
-    WITH {_SQL_IVF_COARSE},
-    sc AS (
-      SELECT p.query_id, s.vec_id,
-             list_dot_product(p.qv, s.v)
-             / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v))) AS cs
-      FROM corpus s JOIN pr p ON s.cell = p.cell
-      WHERE s.vec_id <> p.query_id)
-    SELECT query_id, vec_id, round(cs, 6) AS cos_sim, CAST(rn AS BIGINT) AS rank
-    FROM (SELECT query_id, vec_id, cs,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cs DESC NULLS LAST, vec_id ASC) AS rn
-          FROM sc)
-    WHERE rn <= 5
-    """,
-)
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: label-mean centroids, n_probe=2 cells per query.
-    Approximate vs brute force but deterministic given the fixed
-    centroid rule, so the oracle reimplements centroid-assignment +
-    probed-cell scan with DuckDB list functions (tests additionally
-    assert recall vs the exact baseline)."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") <= 4).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = sim.ivf_topk(e, q, k=5, n_probe=2)
-    return out.select(
-        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
-        F.col("rank").cast("bigint").alias("rank"),
-    )
-
-
-@query(
-    "multimodal_features",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'image'
-                WHEN doc_id % 3 = 1 THEN 'audio'
-                ELSE 'video' END AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           substring(lower(hex(encode(text))), 1, 16) AS head_hex
-    FROM documents
-    """,
-)
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: opaque binary payload + typed metadata →
-    mapInPandas feature extraction (Arrow batches). Codec is the
-    deterministic byte-stat stub; real decode is the NotImplementedError
-    integration point (no image/audio libs in this container)."""
-    from covid_custom_sql_engine_spark.functions import multimodal as mm
-
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    media = mm.documents_as_media(d)
-    feats = mm.extract_features(media)
-    return feats.select("media_id", "media_type", "n_bytes", "head_hex")
-
-
-@query(
-    "frame_sample_plan",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CAST(unnest(range(0, greatest(CAST(floor((n_chars * 40) / 1000) AS BIGINT), 1))) * 1000 AS BIGINT)
-             AS frame_ts_ms
-    FROM documents WHERE doc_id % 3 = 2
-    """,
-)
-def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling fan-out: one row per frame timestamp from
-    metadata (the per-frame decode is the stubbed step)."""
-    from covid_custom_sql_engine_spark.functions import multimodal as mm
-
-    d = load_table(spark, sf_dir, "documents")
-    out = mm.frame_sample_plan(mm.documents_as_media(d))
-    return out.select("media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
-
-
-# ---------------------------------------------------------------------------
-# Batch 5 — n-gram Jaccard dedup, LSH top-k ANN, custom stateful operator,
-# JSON property extraction
-# ---------------------------------------------------------------------------
-
-
-def _sql_shingle_cte(shingle_n: int = 2) -> str:
-    """tokens → distinct word n-gram shingle sets (mirrors
-    dedup.word_shingles for arbitrary n)."""
-    return f"""
-    WITH toks AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id,
-                  list_distinct(CASE WHEN len(toks) >= {shingle_n}
-                    THEN list_transform(range(0, len(toks) - {shingle_n - 1}),
-                                        i -> array_to_string(list_slice(toks, i + 1, i + {shingle_n}), ' '))
-                    ELSE [array_to_string(toks, ' ')] END) AS sh
-           FROM toks)
-    """
-
-
-@query(
-    "ngram_jaccard_pairs",
-    oracle=f"""
-    {_sql_shingle_cte(2)},
-    postings AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
-    rare AS (SELECT shingle FROM postings GROUP BY shingle HAVING count(*) <= 50),
-    p AS (SELECT postings.doc_id, postings.shingle FROM postings JOIN rare USING (shingle)),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
-    SELECT c.id_a, c.id_b,
-           CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
-                THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(x.sh, y.sh)))
-                ELSE 0.0 END AS jaccard
-    FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-    WHERE CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
-               THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                    / len(list_distinct(list_concat(x.sh, y.sh)))
-               ELSE 0.0 END >= 0.05
-    """,
-)
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard dedup via inverted shingle index: postings
-    self-join on rare shingles (doc-frequency cap bounds fan-out) →
-    exact shingle-set Jaccard on candidates only. The non-MinHash
-    member of the dedup family (2-gram shingles here so the sparse
-    testdata corpus actually yields candidates)."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return dd.ngram_jaccard_pairs(d, shingle_n=2, threshold=0.05, max_df=50)
-
-
-@query(
-    "lsh_topk",
-    oracle=f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM c),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id <= 4),
-    scored AS (SELECT q.query_id, b.vec_id,
-                      list_dot_product(qv, b.v)
-                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-               FROM q JOIN b USING (bucket) WHERE b.vec_id != q.query_id)
-    SELECT query_id, vec_id, round(cos, 6) AS cos_sim,
-           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5
-    """,
-)
-def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH top-k ANN (the bucketed scale path next to the
-    brute-force baseline): queries only score corpus vectors in their
-    own bucket. Deterministic given the fixed planes (= corpus vectors
-    0-4), so the DuckDB oracle reproduces it exactly."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    planes = [
-        [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") <= 4).orderBy("vec_id").collect()
-    ]
-    q = e.filter(F.col("vec_id") <= 4).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = sim.lsh_topk(e, q, planes, k=5)
-    return out.select(
-        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"),
-        F.col("rank").cast("bigint").alias("rank"),
-    )
-
-
-@query(
-    "stateful_running_total",
-    oracle="""
-    SELECT user_id, event_id,
-           CAST(row_number() OVER w AS BIGINT) AS seq,
-           round(sum(coalesce(value, 0.0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def stateful_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator (applyInPandas grouped-map; the
-    applyInPandasWithState twin runs the same arithmetic under
-    readStream in tests/): per-user event-ordered running (count, sum).
-    Oracle = SQL running-window sum, proving the custom operator
-    preserves declarative semantics."""
-    from covid_custom_sql_engine_spark.streaming import running_totals_batch
-
-    e = load_table(spark, sf_dir, "events")
-    # pin the grouped-map stage width (see running_totals_batch docstring)
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    out = running_totals_batch(e, num_partitions=n_parts)
-    return out.select(
-        "user_id", "event_id", "seq", F.round("running_total", 6).alias("running_total")
-    )
-
-
-@query(
-    "json_props",
-    oracle="""
-    SELECT event_type,
-           count(*) AS n_events,
-           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-    FROM events GROUP BY event_type
-    """,
-)
-def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured JSON property column: parse `props` with an
-    explicit schema (from_json — JVM-side Jackson, no Python), then
-    aggregate the extracted field per event_type."""
-    e = load_table(spark, sf_dir, "events")
-    k = F.from_json("props", "k BIGINT")["k"]
-    return (
-        e.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("k").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Batch 6 — full SQL surface widening: outer join, array/map functions,
-# unpivot, subqueries/CTE, deterministic sampling, BPE-ish token counts
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "join_full_outer",
-    oracle="""
-    WITH cc AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
-    sc AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
-    SELECT coalesce(cc.nk, sc.nk) AS nationkey, cc.n_cust, sc.n_supp
-    FROM cc FULL OUTER JOIN sc ON cc.nk = sc.nk
-    """,
-)
-def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-outer join (completes the inner/left/semi/anti/asof/range
-    family): customer counts ⋈ supplier counts per nation, keys present
-    on either side survive."""
-    c = (
-        load_table(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("nk"))
-        .agg(F.count(F.lit(1)).alias("n_cust"))
-    )
-    s = (
-        load_table(spark, sf_dir, "supplier")
-        .groupBy(F.col("s_nationkey").alias("nk"))
-        .agg(F.count(F.lit(1)).alias("n_supp"))
-    )
-    return c.join(s, "nk", "full_outer").select(
-        F.col("nk").alias("nationkey"), "n_cust", "n_supp"
-    )
-
-
-@query(
-    "array_functions",
-    oracle="""
-    WITH a AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys FROM lineitem GROUP BY 1)
-    SELECT l_orderkey,
-           CAST(len(qtys) AS INTEGER) AS n_items,
-           qtys[1] AS min_qty,
-           qtys[-1] AS max_qty,
-           list_contains(qtys, 50.0) AS has_50,
-           array_to_string(list_transform(qtys[1:3], x -> CAST(CAST(x AS INTEGER) AS VARCHAR)), ',') AS head_csv
-    FROM a
-    """,
-)
-def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-column surface: collect_list → array_sort, element_at (both
-    ends), array_contains, slice + transform. One shuffle (the groupBy);
-    every array op is a codegen expression."""
-    l = load_table(spark, sf_dir, "lineitem")
-    qtys = F.array_sort(F.collect_list("l_quantity"))
-    return (
-        l.groupBy("l_orderkey")
-        .agg(qtys.alias("qtys"))
-        .select(
-            "l_orderkey",
-            F.size("qtys").alias("n_items"),
-            F.element_at("qtys", 1).alias("min_qty"),
-            F.element_at("qtys", -1).alias("max_qty"),
-            F.array_contains("qtys", 50.0).alias("has_50"),
-            F.concat_ws(
-                ",", F.transform(F.slice("qtys", 1, 3), lambda x: x.cast("int").cast("string"))
-            ).alias("head_csv"),
-        )
-    )
-
-
-@query(
-    "map_functions",
-    oracle="""
-    SELECT event_id, k.key AS key,
-           CAST(json_extract(props, '$.' || k.key) AS BIGINT) AS val
-    FROM events, unnest(json_keys(props)) AS k(key)
-    WHERE props IS NOT NULL
-    """,
-)
-def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-column surface: parse the JSON props into map<string,bigint>
-    and explode to (key, value) rows — the generic shape for arbitrary
-    property bags (JVM-side Jackson parse + generator, no Python)."""
-    e = load_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
-    return (
-        e.filter(F.col("props").isNotNull())
-        .select("event_id", F.explode(m).alias("key", "val"))
-    )
-
-
-@query(
-    "unpivot_metrics",
-    oracle=f"""
-    WITH w AS (SELECT l_returnflag, {_sql_dsum('l_quantity')} AS qty,
-                      {_sql_dsum('l_discount')} AS disc
-               FROM lineitem GROUP BY 1)
-    SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w
-    UNION ALL SELECT l_returnflag, 'disc', disc FROM w
-    """,
-)
-def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide→long unpivot (the inverse of A10's pivot): per-flag metric
-    sums melted to (flag, metric, value) rows via df.unpivot."""
-    l = load_table(spark, sf_dir, "lineitem")
-    wide = l.groupBy("l_returnflag").agg(
-        ops.dsum(F.col("l_quantity")).alias("qty"),
-        ops.dsum(F.col("l_discount")).alias("disc"),
-    )
-    return wide.unpivot("l_returnflag", ["qty", "disc"], "metric", "value")
-
-
-@query(
-    "subquery_exists_cte",
-    oracle="""
-    WITH big AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) >= 10)
-    SELECT c.c_custkey, c.c_name, b.n AS n_orders
-    FROM customer c JOIN big b ON b.o_custkey = c.c_custkey
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-      AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)
-    """,
-)
-def subquery_exists_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-surface query: CTE + correlated EXISTS + scalar subquery.
-    Catalyst rewrites EXISTS to a left-semi join and the scalar subquery
-    to a broadcast one-row join — no per-row re-execution."""
-    for t in ("customer", "orders"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"_sq_{t}")
-    return spark.sql(
-        """
-        WITH big AS (SELECT o_custkey, count(*) AS n FROM _sq_orders GROUP BY 1 HAVING count(*) >= 10)
-        SELECT c.c_custkey, c.c_name, b.n AS n_orders
-        FROM _sq_customer c JOIN big b ON b.o_custkey = c.c_custkey
-        WHERE EXISTS (SELECT 1 FROM _sq_orders o
-                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-          AND c.c_acctbal > (SELECT avg(c_acctbal) FROM _sq_customer)
-        """
-    )
-
-
-@query(
-    "hash_sample",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_orderpriority
-    FROM orders
-    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
-    """,
-)
-def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~10% sample by content hash (md5 of the key), the
-    reproducible alternative to TABLESAMPLE for training-data pipelines:
-    stable across runs, engines, and partitionings; no shuffle at all."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.filter(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "19"
-    ).select("o_orderkey", "o_custkey", "o_orderpriority")
-
-
-@query(
-    "stratified_sample",
-    oracle="""
-    SELECT o_orderpriority, o_orderkey
-    FROM orders
-    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
-                               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) <= 100
-    """,
-)
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sample: exactly 100 rows per stratum,
-    chosen by content-hash order (reproducible, unbiased w.r.t. any
-    data ordering). One shuffle on the stratum key."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
-    )
-    return (
-        o.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 100)
-        .select("o_orderpriority", "o_orderkey")
-    )
-
-
-@query(
-    "token_counts",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS INTEGER)
-             AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS INTEGER)
-             AS bpe_ish_tokens
-    FROM documents
-    """,
-)
-def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting both ways: whitespace tokens and the BPE-style
-    pre-tokenizer regex (letter runs / single digits / punct runs) —
-    the cost estimator for LLM training pipelines."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id",
-        tx.token_count("text").alias("ws_tokens"),
-        tx.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
-    )
-
-
-@query(
-    "udtf_tokens",
-    oracle=r"""
-    WITH t AS (SELECT doc_id,
-                      list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
-               FROM documents WHERE doc_id < 100)
-    SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos, unnest(toks) AS token
-    FROM t
-    """,
-)
-def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Python UDTF via LATERAL join: one (pos, token) row per token per
-    document. API-surface demo of table-valued functions — the hot-path
-    twin is the codegen expression in text.tokens."""
-    from covid_custom_sql_engine_spark.functions.udtfs import register_udtfs
-
-    register_udtfs(spark)
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    d.filter(F.col("doc_id") < 100).createOrReplaceTempView("_udtf_docs")
-    return spark.sql(
-        "SELECT doc_id, pos, token FROM _udtf_docs, LATERAL tokenize_udtf(text)"
-    )
-
-
-_MINHASH_RECURSIVE_CTE = _sql_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
-
-
-@query(
-    "near_dup_clusters",
-    oracle=f"""
-    {_MINHASH_RECURSIVE_CTE},
-    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
-              UNION SELECT id_b, id_a FROM cand),
-    reach(id, r) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
-    ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-    SELECT d.doc_id AS id,
-           coalesce(c.component, d.doc_id) AS component,
-           d.doc_id = coalesce(c.component, d.doc_id) AS keep
-    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
-    """,
-)
-def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering end-to-end: MinHash+LSH candidate pairs →
-    connected components (iterative min-label propagation) → keep the
-    min-id representative per cluster. The oracle reproduces the
-    components with a recursive CTE — same fixpoint, declarative form."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    pairs = dd.lsh_candidate_pairs(d)
-    return dd.near_dup_keep(d, pairs)
-
-
-@query(
-    "incremental_dedup_pairs",
-    oracle=f"""
-    {_MINHASH_RECURSIVE_CTE}
-    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_hash = b.band_hash
-    WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-    """,
-)
-def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingest dedup (functions/dedup.incremental_lsh_pairs):
-    a new batch (even doc_ids) checked against the accepted corpus (odd
-    doc_ids) — band join emits ONLY new×corpus pairs, so corpus-internal
-    work never repeats across batches."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return dd.incremental_lsh_pairs(
-        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
-    )
-
-
-@query(
-    "lsh_band_skew_monitor",
-    oracle=f"""
-    {_sql_minhash_cte()},
-    sz AS (SELECT band, band_hash, count(*) AS sz FROM bands0 GROUP BY 1, 2),
-    stats AS (SELECT band::BIGINT AS band, sum(sz)::BIGINT AS n_rows,
-                     count(*)::BIGINT AS n_buckets,
-                     max(sz)::BIGINT AS max_bucket_size,
-                     sum(CASE WHEN sz > {dd.MAX_BAND_BUCKET} THEN 1 ELSE 0 END)::BIGINT
-                       AS n_oversized
-              FROM sz GROUP BY 1),
-    hll AS ({sks.sql_hll_grouped("bands0", "band_hash", "band::BIGINT", "band")})
-    SELECT s.band, s.n_rows, s.n_buckets, hll.hll_distinct AS hll_buckets,
-           round(abs(hll.hll_distinct - s.n_buckets) / s.n_buckets, 4) AS hll_rel_err,
-           s.max_bucket_size, s.n_oversized
-    FROM stats s JOIN hll USING (band)
-    """,
-)
-def lsh_band_skew_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-pair-generation skew telemetry for the LSH dedup path
-    (dedup.band_skew_monitor): per band, exact bucket stats (rows,
-    buckets, hottest bucket, count over MAX_BAND_BUCKET) PLUS a grouped
-    HyperLogLog distinct-bucket estimate with its live error vs the
-    exact count — the mergeable-sketch monitor that runs unchanged over
-    streaming ingest micro-batches, composed with the same
-    minhash_bands frame incremental_lsh_pairs consumes."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return dd.band_skew_monitor(dd.minhash_bands(d))
-
-
-@query(
-    "guarded_incremental_dedup",
-    oracle=f"""
-    {_MINHASH_RECURSIVE_CTE},
-    jsz AS (SELECT band, band_hash, count(*) AS sz FROM bands0 GROUP BY 1, 2),
-    gate AS (SELECT count(*) > 0 AS predrop FROM jsz WHERE sz > {dd.MAX_BAND_BUCKET})
-    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id,
-           (SELECT predrop FROM gate) AS predrop_used
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_hash = b.band_hash
-    WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-    """,
-)
-def guarded_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CLOSED ingest loop the r5 verdict asked for
-    (dedup.guarded_incremental_lsh_pairs): band_skew_monitor scans the
-    joint (new ∪ corpus) bands first, and its n_oversized telemetry
-    flips pair generation onto the constant-memory predrop path exactly
-    when a joint bucket exceeds MAX_BAND_BUCKET — on healthy corpora the
-    faster single-aggregation mode runs. Output is the incremental
-    new×corpus pair set plus the gate decision as a column, so the
-    oracle checks BOTH that the pairs are mode-independent and that the
-    gate matches SQL's own oversized-bucket count. The adversarial flip
-    (5k identical docs → predrop) is pytest-covered on a skewed
-    fixture."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    pairs, predrop = dd.guarded_incremental_lsh_pairs(
-        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
-    )
-    return pairs.withColumn("predrop_used", F.lit(predrop))
-
-
-@query(
-    "hourly_spine_zero_fill",
-    oracle="""
-    WITH b AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
-               FROM events GROUP BY 1, 2),
-    bounds AS (SELECT min(time_bucket(INTERVAL '1 hour', ts)) AS lo,
-                      max(time_bucket(INTERVAL '1 hour', ts)) AS hi FROM events),
-    spine AS (SELECT et.event_type, g.h
-              FROM (SELECT DISTINCT event_type FROM events) et
-              CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
-                          FROM bounds) g)
-    SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
-           coalesce(b.n, 0) AS n_events
-    FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h
-    """,
-)
-def hourly_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense time grid: hourly spine per event_type (sequence + explode
-    — no driver loop) left-joined to actual counts, gaps zero-filled.
-    The resample-to-grid op charting/feature pipelines need; the spine
-    side is tiny (groups × hours) so it broadcasts."""
-    e = load_table(spark, sf_dir, "events")
-    hours = e.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
-    counts = hours.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("n_events"))
-    bounds = hours.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    spine = (
-        bounds.select(
-            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
-        )
-        .crossJoin(e.select("event_type").distinct())
-    )
-    return (
-        F.broadcast(spine)
-        .join(counts, ["event_type", "h"], "left")
-        .select(
-            "event_type",
-            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        )
-    )
-
-
-@query(
-    "hourly_change",
-    oracle="""
-    WITH b AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
-               FROM events GROUP BY 1, 2)
-    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n AS n_events,
-           n - lag(n) OVER (PARTITION BY event_type ORDER BY h) AS delta,
-           round((n - lag(n) OVER (PARTITION BY event_type ORDER BY h))
-                 / lag(n) OVER (PARTITION BY event_type ORDER BY h) * 100, 6) AS pct_change
-    FROM b
-    """,
-)
-def hourly_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group period-over-period deltas (lag window): absolute and
-    percent change of hourly event counts — the derived-metric pattern
-    behind the reference's new_cases columns (README.md:123-131)."""
-    e = load_table(spark, sf_dir, "events")
-    b = (
-        e.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
-        .groupBy("event_type", "h")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy("event_type").orderBy("h")
-    prev = F.lag("n").over(w)
-    return b.select(
-        "event_type",
-        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
-        F.col("n").alias("n_events"),
-        (F.col("n") - prev).alias("delta"),
-        F.round((F.col("n") - prev) / prev * 100, 6).alias("pct_change"),
-    )
-
-
-@query(
-    "window_distribution",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(ntile(4) OVER wu AS BIGINT) AS quartile,
-           round(percent_rank() OVER wu, 6) AS pr,
-           round(cume_dist() OVER wu, 6) AS cd
-    FROM orders
-    WINDOW wu AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-    """,
-)
-def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: ntile quartiles, percent_rank,
-    cume_dist over a deterministic (tie-broken) order."""
-    o = load_table(spark, sf_dir, "orders")
-    wu = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(wu).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(wu), 6).alias("pr"),
-        F.round(F.cume_dist().over(wu), 6).alias("cd"),
-    )
-
-
-@query(
-    "cohort_retention",
-    oracle="""
-    WITH e AS (SELECT DISTINCT user_id,
-                      CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
-    f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
-    sizes AS (SELECT cohort_wk, count(*) AS cohort_size FROM f GROUP BY cohort_wk),
-    per AS (
-        SELECT f.cohort_wk,
-               CAST(datediff('day', f.cohort_wk, e.wk) // 7 AS BIGINT) AS week_offset,
-               count(DISTINCT e.user_id) AS n_active
-        FROM e JOIN f USING (user_id)
-        GROUP BY f.cohort_wk, week_offset
-    )
-    SELECT strftime(per.cohort_wk, '%Y-%m-%d') AS cohort_week,
-           week_offset, n_active, cohort_size,
-           n_active / cohort_size AS retention
-    FROM per JOIN sizes USING (cohort_wk)
-    """,
-)
-def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix (operators/composites.retention_matrix):
-    users grouped by first-activity week, tracked by distinct-active
-    count at each week offset, normalized by cohort size — the
-    product-analytics staple. Shape: one per-user first-seen aggregate,
-    an equi-join back onto the activity scan, a (cohort, offset)
-    distinct-count grid, and a broadcast of the offset-0 row as the
-    cohort size (every user is active in their own first week, so no
-    extra pass). Retention = exact int/int division, identical IEEE on
-    both engines."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    m = comp.retention_matrix(e, "user_id", "ts", "week")
-    return m.select(
-        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
-        F.col("period_offset").alias("week_offset"),
-        "n_active",
-        "cohort_size",
-        "retention",
-    )
-
-
-EWMA_ALPHA = 0.9  # per-step decay
-EWMA_SPAN = 32  # truncation window: 0.9^32 ≈ 0.034 residual weight
-
-
-@query(
-    "ewma_smooth",
-    oracle=f"""
-    WITH a AS (
-        SELECT event_id, event_type, value,
-               list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
-                                 ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS arr
-        FROM events WHERE value IS NOT NULL
-    )
-    SELECT event_id, event_type,
-           list_reduce(list_prepend(0.0::DOUBLE, arr),
-                       (acc, x) -> acc * {EWMA_ALPHA}::DOUBLE + x)
-           / list_reduce(list_prepend(0.0::DOUBLE,
-                                      list_transform(arr, x -> 1.0::DOUBLE)),
-                         (acc, x) -> acc * {EWMA_ALPHA}::DOUBLE + x) AS ewma
-    FROM a
-    """,
-)
-def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truncated exponentially-weighted moving average per event type
-    (operators/composites.ewma) — the time-series smoother whose
-    textbook form (an order-dependent recurrence over the whole
-    history) cannot distribute; see the composite's docstring for the
-    window-fold formulation and the no-pow() determinism argument.
-    NULL values are pre-filtered on BOTH engines because Spark's
-    collect_list drops NULLs while DuckDB's list() keeps them."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull()
-    )
-    return comp.ewma(
-        e,
-        "value",
-        ["ts", "event_id"],
-        partition_col="event_type",
-        alpha=EWMA_ALPHA,
-        span=EWMA_SPAN,
-    ).select("event_id", "event_type", "ewma")
-
-
-ROLLMED_SPAN = 15
-
-
-@query(
-    "rolling_median",
-    oracle=f"""
-    WITH a AS (
-        SELECT event_id, event_type,
-               list_sort(list(value) OVER (
-                   PARTITION BY event_type ORDER BY ts, event_id
-                   ROWS BETWEEN {ROLLMED_SPAN - 1} PRECEDING AND CURRENT ROW
-               )) AS ls
-        FROM events WHERE value IS NOT NULL
-    )
-    SELECT event_id, event_type,
-           CASE WHEN len(ls) % 2 = 1 THEN ls[(len(ls) + 1) // 2]
-                ELSE (ls[len(ls) // 2] + ls[len(ls) // 2 + 1]) / 2.0::DOUBLE
-           END AS roll_median
-    FROM a
-    """,
-)
-def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling median per event type over a {ROLLMED_SPAN}-row trailing
-    frame — the robust companion to `ewma_smooth` (a median shrugs off
-    the outliers an EWMA chases). No distributed-median machinery is
-    needed at window granularity: the frame's values sort INSIDE each
-    row's array (O(span log span) per row, zero extra shuffle) and the
-    middle element(s) read out exactly — bit-identical on both engines
-    since no arithmetic happens beyond one even-case average. NULLs
-    pre-filtered for the same collect_list-vs-list() parity reason as
-    ewma_smooth."""
-    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(ROLLMED_SPAN - 1), 0)
-    )
-    ls = F.array_sort(F.collect_list("value").over(w))
-    n = F.size("_ls")
-    med = F.when(
-        n % 2 == 1, F.element_at("_ls", ((n + 1) / 2).cast("int"))
-    ).otherwise(
-        (
-            F.element_at("_ls", (n / 2).cast("int"))
-            + F.element_at("_ls", (n / 2 + 1).cast("int"))
-        )
-        / F.lit(2.0)
-    )
-    return e.select("event_id", "event_type", ls.alias("_ls")).select(
-        "event_id", "event_type", med.alias("roll_median")
-    )
-
-
-@query(
-    "seasonal_baseline",
-    oracle=f"""
-    WITH b AS (
-        SELECT event_type, hour(ts) AS hr,
-               count(value) AS n,
-               {_sql_davg('value')} AS mean_value,
-               {_sql_dstd('value')} AS std_value
-        FROM events GROUP BY event_type, hour(ts)
-    )
-    SELECT e.event_type, hour(e.ts) AS hr,
-           any_value(b.n) AS n,
-           any_value(b.mean_value) AS mean_value,
-           any_value(b.std_value) AS std_value,
-           sum(CASE WHEN b.std_value > 0
-                     AND abs(e.value - b.mean_value) > 2 * b.std_value
-                    THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
-    FROM events e JOIN b ON e.event_type = b.event_type
-                        AND hour(e.ts) = b.hr
-    GROUP BY e.event_type, hour(e.ts)
-    """,
-)
-def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonal-baseline anomaly screen: learn the hour-of-day profile
-    per event type (mean/std of value), then count readings more than
-    2σ from their seasonal slot's mean — the de-seasonalized cousin of
-    `rolling_zscore_anomalies`. Shape: one hash aggregate builds the
-    O(types × 24) profile, which broadcasts back onto a second pass of
-    the same scan; the anomaly count is a conditional-sum pivot. Means
-    are exact decimal sums / counts, std uses the deterministic
-    round(6) formula — both engines flag the identical rows."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type", F.hour("ts").alias("hr"), "value"
-    )
-    b = e.groupBy("event_type", "hr").agg(
-        F.count("value").alias("n"),
-        ops.davg(F.col("value")).alias("mean_value"),
-        *ops._agg_exprs("value", ("std",), True),
-    )
-    j = e.join(
-        F.broadcast(
-            b.select(
-                F.col("event_type").alias("_et"),
-                F.col("hr").alias("_hr"),
-                "n",
-                "mean_value",
-                "std_value",
-            )
-        ),
-        (F.col("event_type") == F.col("_et")) & (F.col("hr") == F.col("_hr")),
-    )
-    # when(cond, 1).otherwise(0), NOT cond.cast("long"): a NULL value
-    # makes the comparison NULL, and summing NULLs would return NULL
-    # where the oracle's CASE returns 0 for an all-NULL slot
-    anom = F.when(
-        (F.col("std_value") > 0)
-        & (F.abs(F.col("value") - F.col("mean_value")) > 2 * F.col("std_value")),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    return j.groupBy("event_type", "hr").agg(
-        F.first("n").alias("n"),
-        F.first("mean_value").alias("mean_value"),
-        F.first("std_value").alias("std_value"),
-        F.sum(anom).alias("n_anomalies"),
-    )
-
-
-@query(
-    "benford_audit",
-    oracle="""
-    WITH d AS (
-        SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-                              AS VARCHAR), 1, 1) AS digit
-        FROM orders WHERE o_totalprice > 0
-    ),
-    obs AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
-    tot AS (SELECT sum(n_obs)::BIGINT AS n FROM obs)
-    SELECT digit, n_obs,
-           round(n * log10(1 + 1.0::DOUBLE / CAST(digit AS BIGINT)), 6)
-             AS expected,
-           round(pow(n_obs - n * log10(1 + 1.0::DOUBLE / CAST(digit AS BIGINT)), 2)
-                 / (n * log10(1 + 1.0::DOUBLE / CAST(digit AS BIGINT))), 6)
-             AS chi_term
-    FROM obs CROSS JOIN tot
-    """,
-)
-def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law first-digit audit of order totals — the classic
-    fabricated-data screen. The leading digit comes from the STRING of
-    an exact integer (cents as BIGINT): integer-to-string rendering is
-    identical across engines, where float-to-string and
-    floor(log10(x)) at power-of-10 boundaries are not. One hash
-    aggregate over ≤9 groups plus a 1-row total broadcast; expected
-    counts and χ² terms round(6) because log10 of the digit constants
-    is libm-dependent in the last ulp."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    d = o.select(
-        F.substring(
-            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
-            1,
-            1,
-        ).alias("digit")
-    )
-    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
-    tot = F.broadcast(obs.agg(F.sum("n_obs").alias("n")))
-    expected = F.col("n") * F.log10(1 + F.lit(1.0) / F.col("digit").cast("bigint"))
-    return obs.crossJoin(tot).select(
-        "digit",
-        "n_obs",
-        F.round(expected, 6).alias("expected"),
-        F.round(
-            F.pow(F.col("n_obs") - expected, 2) / expected, 6
-        ).alias("chi_term"),
-    )
-
-
-@query(
-    "levenshtein_pairs",
-    oracle=f"""
-    {_sql_minhash_cte()}
-    SELECT c.id_a, c.id_b,
-           CAST(levenshtein(substring(x.t, 1, 80), substring(y.t, 1, 80)) AS BIGINT) AS edit_dist
-    FROM cand c
-    JOIN (SELECT doc_id, lower(trim(text)) AS t FROM documents) x ON c.id_a = x.doc_id
-    JOIN (SELECT doc_id, lower(trim(text)) AS t FROM documents) y ON c.id_b = y.doc_id
-    """,
-)
-def levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance verify on LSH candidates (the character-level
-    near-dup check next to shingle Jaccard). Prefix-bounded (80 chars)
-    so the O(len²) DP stays constant-cost per pair at corpus scale."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    cand = dd.lsh_candidate_pairs(d)
-    t = d.select(
-        "doc_id", F.lower(F.trim(F.col("text"))).substr(1, 80).alias("t")
-    )
-    a = t.select(F.col("doc_id").alias("id_a"), F.col("t").alias("t_a"))
-    b = t.select(F.col("doc_id").alias("id_b"), F.col("t").alias("t_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a", "id_b",
-            F.levenshtein("t_a", "t_b").cast("bigint").alias("edit_dist"),
-        )
-    )
-
-
-@query(
-    "embedding_normalize",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-    SELECT vec_id,
-           round(CASE WHEN nrm > 0 THEN list_dot_product(
-                     list_transform(v, x -> x / nrm),
-                     list_transform(v, x -> x / nrm)) ELSE 0.0 END, 6) AS unit_dot,
-           round(nrm, 6) AS norm
-    FROM n
-    """,
-)
-def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-normalize embedding vectors with pure array expressions
-    (transform / aggregate — JVM, no Python): emits the unit vector's
-    self-dot (≡1, proves normalization) and the original norm."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = sim.as_double("embedding")
-    nrm = F.sqrt(sim.dot(v, v))
-    unit = F.transform(v, lambda x: x / nrm)
-    return e.select(
-        "vec_id",
-        F.round(
-            F.when(nrm > 0, sim.dot(unit, unit)).otherwise(F.lit(0.0)), 6
-        ).alias("unit_dot"),
-        F.round(nrm, 6).alias("norm"),
-    )
-
-
-@query(
-    "session_ids",
-    oracle="""
-    WITH o AS (SELECT event_id, user_id, ts,
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
-               FROM events),
-    m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '15 minutes'
-                         THEN 1 ELSE 0 END AS new_s FROM o)
-    SELECT event_id, user_id,
-           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-    FROM m
-    """,
-)
-def session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event session assignment (gaps-and-islands): a new session
-    starts after 15 idle minutes; session_id = running count of starts.
-    The row-level complement of the session_window aggregate — one
-    shuffle on user_id, two window passes over the same sort."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    new_s = F.when(
-        F.lag("ts").over(w).isNull()
-        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 15 MINUTES")),
-        1,
-    ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return e.select(
-        "event_id",
-        "user_id",
-        F.sum(new_s).over(run).cast("bigint").alias("session_id"),
-    )
-
-
-@query(
-    "range_window_rolling",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(count(*) OVER w AS BIGINT) AS n_prev_hour
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-    """,
-)
-def range_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-framed window (value-based, not row-based): per event, how
-    many of the same user's events fall in the trailing hour. Epoch
-    seconds give both engines the identical numeric range frame."""
-    e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
-    )
-    return e.select(
-        "event_id",
-        "user_id",
-        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
-    )
-
-
-@query(
-    "corpus_filter_pipeline",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, lang,
-                      {_SQL_TOKS} AS toks, length(text) AS n FROM documents),
-    m AS (SELECT doc_id, text, lang, len(toks) AS n_tokens, n,
-                 (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) AS n_punct,
-                 len(list_filter(toks, x -> list_contains({_SQL_SW_EN}, x))) AS n_sw
-          FROM t),
-    q AS (SELECT doc_id, text, lang, n_tokens,
-                 (least(n / 500.0, 1.0)
-                  + (1.0 - CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END)
-                  + least((CASE WHEN n_tokens > 0 THEN n_sw / n_tokens ELSE 0.0 END) * 5.0, 1.0)
-                 ) / 3.0 AS quality
-          FROM m),
-    f AS (SELECT * FROM q WHERE lang = 'en' AND n_tokens BETWEEN 5 AND 10000 AND quality >= 0.5),
-    d AS (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-                 min(doc_id) AS doc_id FROM f GROUP BY 1)
-    SELECT f.doc_id, f.n_tokens AS n_tokens, round(f.quality, 6) AS quality
-    FROM f JOIN d ON f.doc_id = d.doc_id
-    """,
-)
-def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical LLM training-data preprocessing chain as one lazy
-    plan: language filter → token-length bounds → quality threshold →
-    exact dedup keeping min-id representatives. One scan feeds every
-    predicate (conjunctions fuse); the only shuffle is the dedup
-    fingerprint group-by."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    scored = d.select(
-        "doc_id",
-        "text",
-        "lang",
-        tx.token_count("text").alias("n_tokens"),
-        tx.quality_score("text").alias("quality"),
-    ).filter(
-        (F.col("lang") == "en")
-        & F.col("n_tokens").between(5, 10000)
-        & (F.col("quality") >= 0.5)
-    )
-    keep = (
-        scored.groupBy(tx.fingerprint("text").alias("fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    return scored.join(keep, "doc_id").select(
-        "doc_id",
-        F.col("n_tokens").cast("int").alias("n_tokens"),
-        F.round("quality", 6).alias("quality"),
-    )
-
-
-@query(
-    "redact_pii",
-    oracle=r"""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
-             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g')
-             AS redacted
-    FROM documents
-    """,
-)
-def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction (emails → phones → IPv4, chained JVM regexes) —
-    the scrub step of a training-data pipeline; one projection, no
-    shuffle, pushes through any downstream operator."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", tx.redact_pii("text").alias("redacted"))
-
-
-@query(
-    "repetition_ratio",
-    oracle=r"""
-    WITH t AS (SELECT doc_id,
-                      list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS toks
-               FROM documents),
-    g AS (SELECT doc_id,
-                 CASE WHEN len(toks) >= 3
-                      THEN list_transform(range(0, len(toks) - 2),
-                                          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-                      ELSE [] END AS grams
-          FROM t)
-    SELECT doc_id,
-           round(CASE WHEN len(grams) > 0
-                      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
-                      ELSE 0.0 END, 6) AS rep_ratio
-    FROM g
-    """,
-)
-def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-document repetition (boilerplate) ratio over word 3-grams —
-    the gopher-style repetition quality filter."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", F.round(tx.repetition_ratio("text"), 6).alias("rep_ratio")
-    )
-
-
-@query(
-    "asof_join_forward_tol",
-    oracle="""
-    SELECT l.event_id,
-           CASE WHEN r.ts IS NOT NULL AND epoch(r.ts) - epoch(l.ts) <= 600.0
-                THEN r.value END AS r_value,
-           CASE WHEN r.ts IS NOT NULL AND epoch(r.ts) - epoch(l.ts) <= 600.0
-                THEN strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') END AS r_ts
-    FROM (SELECT * FROM events WHERE event_type = 'click') l
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-      ON l.user_id = r.user_id AND l.ts <= r.ts
-    """,
-)
-def asof_join_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of with tolerance: each click matched to the user's
-    NEXT purchase only if within 10 minutes (pandas merge_asof
-    direction='forward' semantics). Same linear merge-scan, reversed
-    time order."""
-    e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click")
-    purchases = e.filter(F.col("event_type") == "purchase")
-    out = xjoins.asof_join(
-        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
-        value_cols=["ts", "value"], direction="forward", tolerance_seconds=600,
-    )
-    return out.select(
-        "event_id",
-        F.col("r_value"),
-        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("r_ts"),
-    )
-
-
-@query(
-    "interval_overlap_join",
-    oracle=f"""
-    WITH o AS (SELECT user_id, ts,
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
-               FROM events),
-    m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '15 minutes' THEN 1 ELSE 0 END AS new_s FROM o),
-    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
-    sessions AS (SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL '15 minutes' AS s_end
-                 FROM s GROUP BY user_id, sid),
-    incidents AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS i_start,
-                         time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS i_end
-                  FROM events WHERE event_type = 'error'
-                  GROUP BY 1 HAVING count(*) >= 3)
-    SELECT sess.user_id,
-           strftime(sess.s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-           strftime(i.i_start, '%Y-%m-%d %H:%M:%S') AS incident_hour
-    FROM sessions sess JOIN incidents i
-      ON sess.s_start < i.i_end AND i.i_start < sess.s_end
-    """,
-)
-def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval×interval overlap join via time-bucketing: user sessions
-    (15-min gap) × incident hours (≥3 error events). The oracle is the
-    direct theta join; the engine runs the bucketed equi-join + exact
-    verify (no nested-loop product at scale)."""
-    e = load_table(spark, sf_dir, "events")
-    from covid_custom_sql_engine_spark.streaming import session_windows
-
-    sessions = session_windows(e).select(
-        "user_id", F.col("session_start").alias("s_start"), F.col("session_end").alias("s_end")
-    )
-    incidents = (
-        e.filter(F.col("event_type") == "error")
-        .groupBy(F.date_trunc("hour", "ts").alias("i_start"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 3)
-        .select("i_start", (F.col("i_start") + F.expr("INTERVAL 1 HOUR")).alias("i_end"))
-    )
-    out = xjoins.interval_join(sessions, incidents, "s_start", "s_end", "i_start", "i_end")
-    return out.select(
-        "user_id",
-        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
-        F.date_format("i_start", "yyyy-MM-dd HH:mm:ss").alias("incident_hour"),
-    )
-
-
-@query(
-    "setop_except_all",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    EXCEPT ALL
-    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    """,
-)
-def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiset EXCEPT ALL (bag semantics — per-row multiplicity
-    subtraction, unlike the distinct EXCEPT): urgent-order customers
-    minus low-order customers, duplicates preserved."""
-    o = load_table(spark, sf_dir, "orders")
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
-    return urgent.exceptAll(low)
-
-
-@query(
-    "value_histogram",
-    oracle="""
-    SELECT CAST(CASE WHEN l_extendedprice < 0 THEN 0
-                     WHEN l_extendedprice >= 110000.0 THEN 23
-                     ELSE floor(l_extendedprice / 5000.0) + 1 END AS BIGINT) AS bucket,
-           count(*) AS n,
-           round(min(l_extendedprice), 2) AS lo,
-           round(max(l_extendedprice), 2) AS hi
-    FROM lineitem GROUP BY 1
-    """,
-)
-def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width histogram via width_bucket — one codegen hash
-    aggregate, the building block of the distributed median/selection
-    operator (operators/selection.py)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    b = F.width_bucket("l_extendedprice", F.lit(0.0), F.lit(110000.0), F.lit(22))
-    return l.groupBy(b.cast("bigint").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("l_extendedprice"), 2).alias("lo"),
-        F.round(F.max("l_extendedprice"), 2).alias("hi"),
-    )
-
-
-@query(
-    "tfidf_top_terms",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                                x -> x <> '')) AS term
-      FROM documents
-    ),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf,
-             row_number() OVER (PARTITION BY tf.doc_id
-                                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rk
-      FROM tf JOIN dfreq USING (term) CROSS JOIN n
-    )
-    SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rk <= 3
-    """,
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF top-3 terms per document (text-analysis / feature step of
-    an LLM-data pipeline).
-
-    Rank key is integer-only (tf DESC, df ASC, term ASC) — monotone in
-    tf·idf for fixed tf and cross-engine deterministic, unlike ordering
-    by the double score itself. The doc-frequency table is a grouped
-    count of the tf table (no second tokenize pass); at real scale the
-    vocab side stays a shuffle join and AQE broadcasts it when it fits
-    — locally it is a few thousand terms.
-    """
-    docs = parallelize_small(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
-        ).alias("term"),
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("tf"), F.asc("df"), F.asc("term")
-    )
-    return (
-        tf.join(dfreq, "term")
-        .join(F.broadcast(n_docs))
-        .withColumn(
-            "tfidf",
-            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("doc_id", "term", "tf", "df", "tfidf")
-    )
-
-
-@query(
-    "zscore_outliers",
-    oracle=f"""
-    WITH stats AS (
-      SELECT event_type,
-             count(value) AS n,
-             {_sql_dsum('value')} AS sx,
-             {_sql_dsum('value * value')} AS sxx
-      FROM events GROUP BY event_type
-    ),
-    z AS (
-      SELECT e.event_id, e.event_type, e.value,
-             (e.value - sx / n)
-               / sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS zs
-      FROM events e JOIN stats USING (event_type)
-      WHERE e.value IS NOT NULL
-    )
-    SELECT event_id, event_type, value, round(zs, 6) AS z
-    FROM z WHERE abs(zs) > 2.0
-    """,
-)
-def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group z-score outlier detection (data-quality filter): events
-    whose value is >2σ from their event_type mean.
-
-    Two-pass shape: tiny grouped-stats aggregate (5 rows) broadcast back
-    onto the fact scan — no window, no second shuffle, scales as one
-    scan + one map-side join. Stats use the deterministic decimal-sum
-    mode (ops.dsum) so both engines compute bit-identical doubles;
-    sqrt/division are IEEE-exact, so the >2.0 cut is cross-engine safe.
-    """
-    e = load_table(spark, sf_dir, "events")
-    n = F.count("value")
-    stats = e.groupBy("event_type").agg(
-        n.alias("n"),
-        ops.dsum(F.col("value")).alias("sx"),
-        ops.dsum(F.col("value") * F.col("value")).alias("sxx"),
-    )
-    z = (
-        F.col("value") - F.col("sx") / F.col("n")
-    ) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        / (F.col("n") * (F.col("n") - 1))
-    )
-    return (
-        e.filter(F.col("value").isNotNull())
-        .join(F.broadcast(stats), "event_type")
-        .withColumn("zs", z)
-        .filter(F.abs(F.col("zs")) > 2.0)
-        .select(
-            "event_id", "event_type", "value", F.round("zs", 6).alias("z")
-        )
-    )
-
-
-@query(
-    "column_profile",
-    oracle="""
-    SELECT 'l_quantity' AS col, count(*) - count(l_quantity) AS n_nulls,
-           count(DISTINCT l_quantity) AS n_distinct FROM lineitem
-    UNION ALL
-    SELECT 'l_extendedprice', count(*) - count(l_extendedprice),
-           count(DISTINCT l_extendedprice) FROM lineitem
-    UNION ALL
-    SELECT 'l_returnflag', count(*) - count(l_returnflag),
-           count(DISTINCT l_returnflag) FROM lineitem
-    UNION ALL
-    SELECT 'l_linestatus', count(*) - count(l_linestatus),
-           count(DISTINCT l_linestatus) FROM lineitem
-    UNION ALL
-    SELECT 'l_shipdate', count(*) - count(l_shipdate),
-           count(DISTINCT l_shipdate) FROM lineitem
-    """,
-)
-def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dataset profiling (null count + exact distinct cardinality per
-    column) — the health-check step before a training-data pipeline run.
-
-    One pass: stack() unpivots k columns in the scan stage (values cast
-    to string — injective, so cardinality is preserved), then a single
-    hash aggregate by column name. The oracle's k scans express the same
-    result; ours reads the parquet once regardless of k.
-    """
-    l = load_table(spark, sf_dir, "lineitem")
-    cols = ["l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate"]
-    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
-    stacked = l.select(F.expr(f"stack({len(cols)}, {pairs}) AS (col, val)"))
-    return stacked.groupBy("col").agg(
-        (F.count(F.lit(1)) - F.count("val")).alias("n_nulls"),
-        F.countDistinct("val").alias("n_distinct"),
-    )
-
-
-def _splitmix_mulmod_sql(e: str, k: int) -> str:
-    """(e * k) mod 2^64 over UBIGINT operands via 32-bit limbs; each
-    partial product fits UBIGINT, the final carry-sum runs in HUGEINT."""
-    klo, khi = k & 0xFFFFFFFF, k >> 32
-    return (
-        f"CAST((CAST((({e}) % 4294967296) * {klo} AS HUGEINT)"
-        f" + ((CAST((({e}) % 4294967296) * {khi} AS HUGEINT)"
-        f" + CAST((({e}) // 4294967296) * {klo} AS HUGEINT)) % 4294967296)"
-        f" * 4294967296) % 18446744073709551616 AS UBIGINT)"
-    )
-
-
-def _splitmix_seed_const(seed: int) -> int:
-    z = (seed + 0x9E3779B97F4A7C15) % 2**64
-    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % 2**64
-    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % 2**64
-    return z ^ (z >> 31)
-
-
-_SYNTH_ORACLE = f"""
-    WITH ids AS (SELECT CAST(unnest(range(0, 50000)) AS UBIGINT) AS id),
-    m1 AS (SELECT id, CAST((CAST(xor(id, CAST({_splitmix_seed_const(42)} AS UBIGINT)) AS HUGEINT)
-                            + {0x9E3779B97F4A7C15}) % 18446744073709551616 AS UBIGINT) AS z FROM ids),
-    m2 AS (SELECT id, {_splitmix_mulmod_sql('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z FROM m1),
-    m3 AS (SELECT id, {_splitmix_mulmod_sql('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z FROM m2),
-    r AS (SELECT id, xor(z, z >> 31) AS r FROM m3),
-    ev AS (SELECT id, r % 1000 AS user_id,
-                  list_extract(['view','click','signup','purchase','error'],
-                               CAST((r >> 16) % 5 AS INT) + 1) AS event_type,
-                  CAST(r >> 11 AS DOUBLE) / 9007199254740992.0 * 100.0 AS value
-           FROM r)
-    SELECT event_type, count(*) AS n,
-           round({_sql_dsum('value')}, 6) AS sum_value,
-           count(DISTINCT user_id) AS n_users
-    FROM ev GROUP BY event_type
-"""
-
-
-@query("synth_source_agg", oracle=_SYNTH_ORACLE)
-def synth_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom Python Data Source (sources/python_datasource.py): generate
-    100k deterministic events, push an event_id range into the source
-    (pushFilters prunes the generated range itself — the scan only
-    produces 50k ids), then aggregate. The generator is counter-mode
-    splitmix64, a closed form the oracle re-derives in SQL (64-bit
-    wraparound arithmetic via 32-bit limbs) — bit-identical ids/values
-    on both engines. The full source contract (Arrow batches, partition
-    invariance, stream/batch equality) is pinned by
-    tests/test_python_datasource.py."""
-    from covid_custom_sql_engine_spark.sources import register_synth_events
-
-    register_synth_events(spark)
-    df = (
-        spark.read.format("synth_events")
-        .option("n_rows", 100_000)
-        .option("n_partitions", 16)
-        .load()
-        .filter(F.col("event_id") < 50_000)
-    )
-    return df.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(ops.dsum(F.col("value")), 6).alias("sum_value"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
-
-
-@query(
-    "salted_join",
-    oracle="""
-    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
-           l.l_extendedprice * (1 - l.l_discount) AS net
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    """,
-)
-def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-defeating salted equi-join (operators/joins.py:salted_join):
-    right rows exploded into ``salt`` tagged copies, left rows tagged by
-    key-hash, joined on (key, salt) so a hot key spreads over ``salt``
-    shuffle partitions. Semantically identical to the plain join — the
-    oracle IS the plain join. The explicit tool for extreme known-hot
-    keys; AQE's skew-split covers the moderate case."""
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    out = xjoins.salted_join(l, o, "l_orderkey", "o_orderkey", salt=4)
-    return out.select(
-        "l_orderkey",
-        "l_linenumber",
-        "o_custkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
-    )
-
-
-_WINNOW_POLY_SQL = " + ".join(
-    f"ord(substr(t, i + {j}, 1))::BIGINT * {tx._WINNOW_B ** j}" for j in range(tx.WINNOW_K)
-)
-
-# Shared DuckDB CTEs mirroring functions/text.py::winnow_fingerprints —
-# t0 = normalized text, g0 = k-gram rolling hashes, _WINNOW_WINS_SQL =
-# the deduped window-min fingerprint list over a g0 row's `g`.
-_WINNOW_CTES_SQL = f"""
-    t0 AS (
-      SELECT doc_id,
-             regexp_replace(regexp_replace(lower(trim(coalesce(text, ''))),
-                            '[^ -~]', '', 'g'), ' +', ' ', 'g') AS t
-      FROM documents
-    ),
-    g0 AS (
-      SELECT doc_id,
-             CASE WHEN length(t) < {tx.WINNOW_K} THEN []
-                  ELSE list_transform(range(1, length(t) - {tx.WINNOW_K} + 2),
-                                      i -> ({_WINNOW_POLY_SQL}) % {tx._WINNOW_M})
-             END AS g
-      FROM t0
-    )"""
-
-_WINNOW_WINS_SQL = f"""list_distinct(
-                    list_transform(range(1, greatest(len(g) - {tx.WINNOW_W} + 1, 1) + 1),
-                                   i -> list_min(list_slice(g, i, i + {tx.WINNOW_W} - 1))))"""
-
-
-@query(
-    "winnow_fingerprint",
-    oracle=f"""
-    WITH {_WINNOW_CTES_SQL}
-    SELECT doc_id,
-           array_to_string(
-             CASE WHEN len(g) = 0 THEN []
-                  ELSE list_sort({_WINNOW_WINS_SQL})
-             END, ',') AS fps,
-           CASE WHEN len(g) = 0 THEN 0
-                ELSE len({_WINNOW_WINS_SQL})
-           END AS n_fps
-    FROM g0
-    """,
-)
-def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (functions/text.py) — the
-    SIGMOD'03 local document fingerprint: any shared substring of length
-    >= k+w-1 between two docs yields a shared fingerprint. One narrow
-    projection, zero shuffles; emitted as a comma-joined string for the
-    cross-engine hash compare."""
-    d = load_table(spark, sf_dir, "documents")
-    fps = tx.winnow_fingerprints("text")
-    return d.select(
-        "doc_id",
-        F.array_join(F.transform(fps, lambda x: x.cast("string")), ",").alias("fps"),
-        F.size(fps).alias("n_fps"),
-    )
-
-
-_WINNOW_MAX_DF = 50  # stop-gram cap: a fingerprint in > this many docs is boilerplate
-_WINNOW_MIN_SHARED = 10
-
-
-@query(
-    "winnow_pairs",
-    oracle=f"""
-    WITH {_WINNOW_CTES_SQL},
-    f AS (
-      SELECT doc_id, unnest({_WINNOW_WINS_SQL}) AS fp
-      FROM g0 WHERE len(g) > 0
-    ),
-    rare AS (
-      SELECT fp FROM f GROUP BY fp HAVING count(*) <= {_WINNOW_MAX_DF}
-    ),
-    f2 AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
-    FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    HAVING count(*) >= {_WINNOW_MIN_SHARED}
-    """,
-)
-def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs from shared winnowing fingerprints —
-    explode fingerprints, drop boilerplate fingerprints whose document
-    frequency exceeds {MAX_DF} (the stop-gram guard that keeps the
-    fp self-join from going quadratic on a hot bucket at scale), then
-    self-join on fp and keep pairs sharing >= {MIN_SHARED} fingerprints.
-    Both shuffles key on `fp`, so doc-frequency filter and pair join
-    co-partition; the cap bounds any bucket's pair fan-out at
-    MAX_DF^2 regardless of corpus size."""
-    d = load_table(spark, sf_dir, "documents")
-    f = d.select(
-        "doc_id", F.explode(tx.winnow_fingerprints("text")).alias("fp")
-    )
-    rare = (
-        f.groupBy("fp")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _WINNOW_MAX_DF)
-        .select("fp")
-    )
-    f2 = f.join(rare, "fp")
-    a, b = f2.alias("a"), f2.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count("*").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= _WINNOW_MIN_SHARED)
-    )
-
-
-@query(
-    "embedding_quantize_int8",
-    oracle="""
-    WITH b AS (
-      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      FROM embeddings
-    ),
-    s AS (
-      SELECT vec_id, v,
-             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
-                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
-             END AS scale
-      FROM b
-    ),
-    q AS (
-      SELECT vec_id, v, scale,
-             list_transform(v,
-               x -> greatest(-127.0, least(127.0, floor(x / scale + 0.5)))::INT) AS qv
-      FROM s
-    )
-    SELECT vec_id,
-           round(scale, 6) AS scale6,
-           array_to_string(qv, ',') AS q_str,
-           round(list_max(list_transform(range(1, len(v) + 1),
-                 i -> abs(v[i] - qv[i] * scale))), 6) AS max_err6
-    FROM q
-    """,
-)
-def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 absmax quantization of the embedding column — the
-    4x storage/bandwidth reduction step a training-data pipeline applies
-    before shipping vectors. Per-vector scale = absmax/127; round via
-    floor(x/scale + 0.5) (identical in Spark and DuckDB, unlike the
-    engines' differing round() tie rules); clamp to [-127, 127];
-    max reconstruction error verified cross-engine. Pure higher-order
-    JVM expressions — one narrow projection, zero shuffles, linear
-    scale-out."""
-    e = load_table(spark, sf_dir, "embeddings")
-    e = e.withColumn(
-        "v", F.expr("transform(embedding, x -> cast(x AS double))")
-    ).withColumn(
-        "scale",
-        F.expr(
-            "CASE WHEN array_max(transform(v, x -> abs(x))) = 0 THEN 1.0D "
-            "ELSE array_max(transform(v, x -> abs(x))) / 127.0D END"
-        ),
-    ).withColumn(
-        "qv",
-        F.expr(
-            "transform(v, x -> cast(greatest(-127.0D, "
-            "least(127.0D, floor(x / scale + 0.5D))) AS int))"
-        ),
-    )
-    return e.select(
-        "vec_id",
-        F.round("scale", 6).alias("scale6"),
-        F.array_join(F.transform("qv", lambda x: x.cast("string")), ",").alias("q_str"),
-        F.round(
-            F.expr("array_max(zip_with(v, qv, (x, qi) -> abs(x - qi * scale)))"), 6
-        ).alias("max_err6"),
-    )
-
-
-@query(
-    "demo_showcase",
-    oracle=f"""
-    WITH f AS (SELECT o_custkey, o_totalprice FROM orders
-               WHERE o_totalprice > 100000),
-    g AS (SELECT o_custkey, count(*) AS n_orders,
-                 {_sql_dsum('o_totalprice')} AS sum_totalprice
-          FROM f GROUP BY o_custkey)
-    SELECT g.o_custkey, g.n_orders, g.sum_totalprice,
-           c.c_mktsegment AS r_c_mktsegment,
-           c.c_nationkey AS r_c_nationkey
-    FROM g JOIN customer c ON g.o_custkey = c.c_custkey
-    """,
-)
-def demo_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's 'SQL Operations Demo' tab (app.py:347-898) as a
-    composed pipeline: CSV parse → WHERE → SELECT → group/agg → hash
-    join, each step materialized and timed through the A17 execution
-    log (demo.py). The CSV round-trip is value-exact (shortest-repr
-    doubles reparse identically), so the oracle works straight off the
-    parquet tables."""
-    from covid_custom_sql_engine_spark.demo import sql_operations_demo
-
-    out = sql_operations_demo(spark, sf_dir)
-    return out["result"]
-
-
-# ---------------------------------------------------------------------------
-# Phase 7 — corpus-preparation operators (decontamination, chunking,
-# packing, k-means step): the stage between dedup and tokenization in a
-# training-data pipeline.
-# ---------------------------------------------------------------------------
-
-# NOTE: _SQL_TOKS is defined ONCE (phase-3 header above) as the \s+
-# whitespace-regex tokenizer — the exact DuckDB twin of
-# functions/text.tokens. Do NOT shadow it with a single-space
-# string_split variant: that passes only while fixture text contains no
-# tabs/newlines/double-spaces, and a shadowed binding silently changes
-# every oracle registered after it (r4 ADVICE).
-
-
-def _sql_shingles(n: int) -> str:
-    """DuckDB mirror of dedup.word_shingles at gram length ``n``
-    (same shape as _sql_minhash_cte's 3-gram CTE)."""
-    return f"""
-    toks AS (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= {n}
-             THEN list_transform(range(0, len(toks) - {n - 1}),
-                                 i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))
-             ELSE [array_to_string(toks, ' ')] END) AS sh
-          FROM toks)"""
-
-
-@query(
-    "decontaminate_ngrams",
-    oracle=f"""
-    WITH {_sql_shingles(cp.DECONTAM_N)},
-    eg AS (SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 97 = 0),
-    dg AS (SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 97 <> 0),
-    hits AS (SELECT dg.doc_id, count(*) AS n FROM dg JOIN eg USING (gram) GROUP BY dg.doc_id)
-    SELECT d.doc_id, coalesce(h.n, 0) AS n_contaminated_grams,
-           coalesce(h.n, 0) > 0 AS contaminated
-    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-    WHERE d.doc_id % 97 <> 0
-    """,
-)
-def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag corpus documents sharing any word
-    8-gram with a held-out eval set (here the doc_id % 97 == 0 slice —
-    a stand-in for a benchmark suite). Eval grams broadcast against one
-    exploded corpus scan; no document-pair comparison."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    ev = d.filter(F.col("doc_id") % 97 == 0)
-    corpus = d.filter(F.col("doc_id") % 97 != 0)
-    return cp.ngram_decontaminate(corpus, ev)
-
-
-@query(
-    "chunk_documents",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    nz AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
-    st AS (SELECT doc_id, toks, n,
-                  unnest(generate_series(1, greatest(n - {cp.CHUNK_WINDOW - cp.CHUNK_STRIDE}, 1),
-                                         {cp.CHUNK_STRIDE})) AS s
-           FROM nz)
-    SELECT doc_id,
-           (s - 1) // {cp.CHUNK_STRIDE} AS chunk_idx,
-           s AS start_token,
-           len(list_slice(toks, s, least(s + {cp.CHUNK_WINDOW - 1}, n))) AS n_tokens,
-           md5(array_to_string(list_slice(toks, s, least(s + {cp.CHUNK_WINDOW - 1}, n)), ' ')) AS chunk_fp
-    FROM st
-    """,
-)
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking (32-token windows every 24):
-    the pre-tokenizer splitting step. Pure per-row sequence/slice
-    expressions — no shuffle at any corpus size."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return cp.chunk_tokens(d)
-
-
-@query(
-    "pack_token_budget",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents),
-    c AS (SELECT doc_id, n_tokens,
-                 coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-          FROM t)
-    SELECT doc_id, n_tokens, (cum // {cp.PACK_BUDGET})::BIGINT AS shard,
-           (cum % {cp.PACK_BUDGET})::BIGINT AS shard_offset
-    FROM c
-    """,
-)
-def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget shard assignment in stable doc_id order via a
-    distributed two-phase prefix sum (per-partition cumsums + an
-    O(num_partitions) broadcast offset table) — never a single-partition
-    global window."""
-    d = load_table(spark, sf_dir, "documents")
-    return cp.pack_token_budget(d)
-
-
-@query(
-    "kmeans_step",
-    oracle=f"""
-    WITH c AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
-    scored AS (SELECT vec_id, vv, cell,
-                      list_dot_product(vv, cv)
-                        / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))) AS sim
-               FROM v CROSS JOIN c),
-    assigned AS (SELECT vec_id, vv, cell FROM scored
-                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1),
-    expl AS (SELECT cell, generate_subscripts(vv, 1) - 1 AS dim, unnest(vv) AS val FROM assigned)
-    SELECT cell, dim, round({_sql_dsum('val')} / count(*), 6) AS centroid,
-           count(*) AS n_members
-    FROM expl GROUP BY cell, dim
-    """,
-)
-def kmeans_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One spherical k-means Lloyd iteration over the embeddings table
-    (centroids: vec_id < 8). Assignment is a pure projection against
-    driver-inlined centroid literals (no join, no shuffle); the update
-    is one posexplode + hash aggregate."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    return sim.kmeans_step(e, k=8)
-
-
-@query(
-    "funnel_steps",
-    oracle="""
-    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
-    s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
-           WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
-    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
-           WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
-    c AS (SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users FROM s0
-          UNION ALL SELECT 1, 'click', count(*) FROM s1
-          UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
-    SELECT CAST(step_idx AS BIGINT) AS step_idx, step, n_users,
-           round(CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
-                      THEN n_users::DOUBLE / first_value(n_users) OVER (ORDER BY step_idx)
-                 END, 6) AS conversion
-    FROM c
-    """,
-)
-def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view→click→purchase funnel over the events log: users
-    completing each step strictly after their first completion of the
-    previous one, with conversion relative to step 0. Every shuffle is
-    on the user key (operators/composites.funnel_counts)."""
-    e = load_table(spark, sf_dir, "events")
-    return comp.funnel_counts(e, ["view", "click", "purchase"])
-
-
-@query(
-    "merge_upsert",
-    oracle="""
-    WITH latest AS (
-      SELECT user_id, value FROM events
-      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-    ), upd AS (
-      SELECT user_id AS k, value FROM latest
-      UNION ALL
-      SELECT user_id + 2000, value FROM latest
-    )
-    SELECT coalesce(c.c_custkey, u.k) AS c_custkey,
-           c.c_name, c.c_nationkey,
-           coalesce(u.value, c.c_acctbal) AS c_acctbal,
-           c.c_mktsegment
-    FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.k
-    """,
-)
-def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO the customer dimension: each user's latest event value
-    becomes their new account balance (matched → partial-column update);
-    the same change set shifted past the key range exercises the
-    not-matched → insert path. One broadcast full-outer join on the key
-    (operators/merge.merge_upsert)."""
-    from covid_custom_sql_engine_spark.operators.merge import merge_upsert
-    from pyspark.sql import Window
-
-    c = load_table(spark, sf_dir, "customer")
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    latest = (
-        e.select("user_id", "ts", "event_id", "value")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "value")
-    )
-    updates = latest.select(
-        F.col("user_id").alias("c_custkey"), F.col("value").alias("c_acctbal")
-    ).unionAll(
-        latest.select(
-            (F.col("user_id") + 2000).alias("c_custkey"),
-            F.col("value").alias("c_acctbal"),
-        )
-    )
-    return merge_upsert(c, updates, "c_custkey")
-
-
-@query(
-    "scd2_intervals",
-    oracle="""
-    SELECT user_id, event_type, value,
-           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type, value),
-                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type, value) IS NULL
-             AS is_current
-    FROM events
-    """,
-)
-def scd2_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension type 2 from the events change log: one
-    validity interval per change (valid_from/valid_to/is_current), one
-    window pass partitioned by user (operators/merge.scd2_intervals)."""
-    from covid_custom_sql_engine_spark.operators.merge import scd2_intervals
-
-    e = load_table(spark, sf_dir, "events")
-    out = scd2_intervals(e, "user_id", "ts", ["event_type", "value"])
-    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    return out.select(
-        "user_id",
-        "event_type",
-        "value",
-        F.date_format("valid_from", fmt).alias("valid_from"),
-        F.date_format("valid_to", fmt).alias("valid_to"),
-        "is_current",
-    )
-
-
-def _pagerank_oracle(iterations: int = 3) -> str:
-    """Statically-unrolled PageRank oracle matching functions/graph.py:
-    identical IEEE expression tree ((1.0 - 0.85) evaluated in DOUBLE on
-    both engines), identical DECIMAL(38,18) contribution folding."""
-    base = """
-    WITH pairs AS (
-        SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ),
-    edges AS (
-        SELECT c AS src, s AS dst FROM pairs
-        UNION ALL
-        SELECT s AS src, c AS dst FROM pairs
-    ),
-    deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
-    ew AS (SELECT e.src, e.dst, 1.0::DOUBLE / d.out_deg AS w
-           FROM edges e JOIN deg d USING (src)),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    n AS (SELECT count(*) AS _n FROM nodes),
-    r0 AS (SELECT node, 1.0::DOUBLE / (SELECT _n FROM n) AS pr FROM nodes)"""
-    for i in range(1, iterations + 1):
-        base += f""",
-    r{i} AS (
-        SELECT ew.dst AS node,
-               (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT _n FROM n)
-               + 0.85::DOUBLE * CAST(sum(CAST(r{i-1}.pr * ew.w
-                                              AS DECIMAL(38,18))) AS DOUBLE)
-                 AS pr
-        FROM r{i-1} JOIN ew ON r{i-1}.node = ew.src
-        GROUP BY ew.dst
-    )"""
-    # round(10): double→DECIMAL(38,18) quantization rounds half-way
-    # cases differently across engines (~1e-18 absolute skew, last ulp
-    # of a ~1e-2 rank); 10 dp keeps full ranking signal and is 8 orders
-    # of magnitude above the skew.
-    return base + f"\n    SELECT node, round(pr, 10) AS pr FROM r{iterations}"
-
-
-def _hits_oracle(iterations: int = 3) -> str:
-    """Unrolled HITS oracle matching functions/graph.hits: identical
-    DECIMAL(38,18) folds and L1 normalizations, round(10) at the end
-    for the same double→decimal half-way-rounding reason as PageRank."""
-    ds = "CAST(sum(CAST({x} AS DECIMAL(38,18))) AS DOUBLE)"
-    base = """
-    WITH pairs AS (
-        SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ),
-    e AS (SELECT c AS src, s AS dst FROM pairs),
-    h0 AS (SELECT DISTINCT src AS node, 1.0::DOUBLE AS h FROM e)"""
-    prev_h = "h0"
-    for i in range(1, iterations + 1):
-        # totals via CROSS JOIN of a 1-row CTE, NOT a scalar subquery in
-        # the projection — DuckDB re-evaluates the latter per row
-        # (measured 10 s → 0.1 s at sf0.01)
-        base += f""",
-    a{i}r AS (SELECT e.dst AS node, {ds.format(x=f'{prev_h}.h')} AS a
-              FROM e JOIN {prev_h} ON e.src = {prev_h}.node GROUP BY e.dst),
-    a{i}t AS (SELECT {ds.format(x='a')} AS t FROM a{i}r),
-    a{i} AS (SELECT node, a / t AS a FROM a{i}r CROSS JOIN a{i}t),
-    h{i}r AS (SELECT e.src AS node, {ds.format(x=f'a{i}.a')} AS h
-              FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY e.src),
-    h{i}t AS (SELECT {ds.format(x='h')} AS t FROM h{i}r),
-    h{i} AS (SELECT node, h / t AS h FROM h{i}r CROSS JOIN h{i}t)"""
-        prev_h = f"h{i}"
-    return base + f"""
-    SELECT node, 'hub' AS side, round(h, 10) AS score FROM h{iterations}
-    UNION ALL
-    SELECT node, 'authority' AS side, round(a, 10) AS score FROM a{iterations}"""
-
-
-@query("hits_bipartite", oracle=_hits_oracle(3))
-def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS on the directed customer→supplier purchase graph — hubs are
-    broad-basket customers, authorities are widely-bought-from
-    suppliers. 3 unrolled iterations of the mutual-reinforcement
-    recurrence (functions/graph.hits), each an equi-join + combinable
-    aggregate + 1-row L1-normalizer broadcast; per-round pinning keeps
-    the plan linear in iteration count."""
-    from covid_custom_sql_engine_spark.functions import graph as gr
-
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    out = gr.hits(edges, iterations=3)
-    return out.select(
-        "node", "side", F.round(F.col("score"), 10).alias("score")
-    )
-
-
-@query("pagerank_bipartite", oracle=_pagerank_oracle(3))
-def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the customer↔supplier bipartite graph (an edge per
-    distinct customer/supplier trading pair, both directions, supplier
-    nodes kept disjoint from customers via typed 'c:'/'s:' id prefixes
-    — an arithmetic offset would silently alias the two key spaces once
-    o_custkey outgrows it at larger scale factors, r4 ADVICE), 3 unrolled iterations,
-    damping 0.85 (functions/graph.pagerank). The iterative-algorithm
-    family member beyond connected components: each round is one
-    equi-join + one map-side-combinable hash aggregate — the shuffle
-    profile that survives 100 TB — and the DECIMAL(38,18) contribution
-    fold makes ranks bit-identical to the oracle's unrolled SQL."""
-    from covid_custom_sql_engine_spark.functions import graph as gr
-
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    return gr.pagerank(edges, iterations=3, damping=0.85).select(
-        "node", F.round(F.col("rank"), 10).alias("pr")
-    )
-
-
-@query(
-    "triangle_counts",
-    oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e0 AS (
-        SELECT a.l_partkey AS pa, b.l_partkey AS pb
-        FROM li a JOIN li b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY pa, pb HAVING count(*) >= 2
-    ),
-    und AS (SELECT pa AS src FROM e0 UNION ALL SELECT pb FROM e0),
-    deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
-    orient AS (
-        SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
-                    THEN e.pa ELSE e.pb END AS src,
-               CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
-                    THEN e.pb ELSE e.pa END AS dst,
-               CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
-                    THEN db.d ELSE da.d END AS dd
-        FROM e0 e JOIN deg da ON e.pa = da.src JOIN deg db ON e.pb = db.src
-    ),
-    tri AS (
-        SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
-        FROM orient o1 JOIN orient o2 ON o1.src = o2.src
-        WHERE (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
-          AND EXISTS (SELECT 1 FROM orient o3
-                      WHERE o3.src = o1.dst AND o3.dst = o2.dst)
-    )
-    SELECT vertex, count(*) AS n_triangles
-    FROM (SELECT unnest([u, v, w]) AS vertex FROM tri)
-    GROUP BY vertex
-    """,
-)
-def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-part triangle counts in the co-purchase graph (parts bought
-    together in ≥2 orders) via degree-ordered orientation
-    (functions/graph.triangle_counts): every wedge generates at its
-    ordering-minimal vertex so hub fan-out is bounded ~O(√m) — the
-    formulation that keeps triangle counting feasible on power-law
-    graphs at 100 TB. Each triangle closes with one equi-join; counts
-    explode to the three corners and hash-aggregate."""
-    from covid_custom_sql_engine_spark.functions import graph as gr
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("ea"))
-    b = li.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("eb")
-    )
-    edges = (
-        a.join(b, (a.l_orderkey == b._ok) & (F.col("ea") < F.col("eb")))
-        .groupBy("ea", "eb")
-        .agg(F.count(F.lit(1)).alias("_support"))
-        .filter(F.col("_support") >= 2)
-        .select("ea", "eb")
-    )
-    return gr.triangle_counts(edges, "ea", "eb")
-
-
-@query(
-    "incremental_mv_rollup",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           count(l_quantity) AS n_l_quantity,
-           {_sql_dsum('l_quantity')} AS sum_l_quantity,
-           {_sql_davg('l_quantity')} AS avg_l_quantity,
-           min(l_quantity) AS min_l_quantity,
-           max(l_quantity) AS max_l_quantity
-    FROM lineitem
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def incremental_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized-view maintenance: the lineitem rollup is
-    built as three per-batch partial states (shipdate < 1997 as the
-    "historical" view, 1997–98 and ≥ 1999 as two later ingest batches),
-    key-wise merged, then finalized — and the oracle recomputes the view
-    DIRECTLY from the full table. Equality is exact because every state
-    field is a commutative monoid and the sum is fixed-point decimal:
-    merge(state(A), state(B)) == state(A ∪ B) to the bit under any
-    batch split (operators/merge.rollup_state/merge_rollup_states/
-    finalize_rollup). At 100 TB only the newest batch is ever scanned;
-    history lives as O(|keys|) state."""
-    from covid_custom_sql_engine_spark.operators.merge import (
-        finalize_rollup,
-        merge_rollup_states,
-        rollup_state,
-    )
-
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"
-    )
-    cut1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
-    cut2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
-    keys = ["l_returnflag", "l_linestatus"]
-    batches = [
-        l.filter(F.col("l_shipdate") < cut1),
-        l.filter((F.col("l_shipdate") >= cut1) & (F.col("l_shipdate") < cut2)),
-        l.filter(F.col("l_shipdate") >= cut2),
-    ]
-    states = [rollup_state(b, keys, "l_quantity") for b in batches]
-    return finalize_rollup(merge_rollup_states(*states), "l_quantity")
-
-
-@query(
-    "bpe_pair_counts",
-    oracle=f"""
-    WITH toks AS (SELECT {_SQL_TOKS} AS toks FROM documents)
-    SELECT toks[i] AS token_a, toks[i + 1] AS token_b, count(*) AS cnt
-    FROM toks, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
-    WHERE len(toks) >= 2
-    GROUP BY 1, 2
-    ORDER BY cnt DESC, token_a, token_b
-    LIMIT {cp.BPE_TOP_K}
-    """,
-)
-def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 adjacent token pairs — the BPE merge-candidate scan. One
-    explode + hash aggregate keyed by pair (group count = distinct
-    observed pairs), top-k via TakeOrdered, never a global sort."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return cp.bpe_pair_counts(d)
-
-
-@query(
-    "bigram_logprob",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
-    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-           FROM tk2, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
-    occ2 AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bg GROUP BY 1, 2, 3),
-    big AS (SELECT w1, w2, sum(occ)::BIGINT AS c12 FROM occ2 GROUP BY 1, 2),
-    uni AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM big GROUP BY 1),
-    voc AS (SELECT count(*) AS v FROM
-            (SELECT w1 AS w FROM big UNION SELECT w2 FROM big))
-    SELECT occ2.doc_id, sum(occ)::BIGINT AS n_bigrams,
-           round({_sql_dsum(
-               "occ * (-ln((c12 + 0.5::DOUBLE) / (c1 + 0.5::DOUBLE * v)))"
-           )} / CAST(sum(occ) AS DOUBLE), 6) AS avg_neg_logprob
-    FROM occ2 JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc
-    GROUP BY occ2.doc_id
-    """,
-)
-def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document average −ln P(w₂|w₁) under the corpus's own add-k
-    smoothed bigram LM (corpus.bigram_logprob) — the order-sensitive
-    upgrade of `unigram_logprob` as a perplexity-style quality screen.
-    Bigram occurrences pre-aggregate per doc before any join; V is a
-    1-row broadcast."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return cp.bigram_logprob(d)
-
-
-@query(
-    "unigram_logprob",
-    oracle=f"""
-    WITH occ0 AS (SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
-    o2 AS (SELECT doc_id, token, count(*) AS occ FROM occ0 GROUP BY 1, 2),
-    uni AS (SELECT token, sum(occ) AS cnt FROM o2 GROUP BY 1),
-    tot AS (SELECT sum(cnt) AS total FROM uni)
-    SELECT o2.doc_id, CAST(sum(o2.occ) AS BIGINT) AS n_tokens,
-           round({_sql_dsum('o2.occ * (-ln(uni.cnt::DOUBLE / tot.total::DOUBLE))')}
-                 / CAST(sum(o2.occ) AS DOUBLE), 6) AS avg_neg_logprob
-    FROM o2 JOIN uni USING (token) CROSS JOIN tot
-    GROUP BY o2.doc_id
-    """,
-)
-def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document average −ln p(token) under the corpus's own unigram
-    LM — the cheap perplexity-style quality filter. Occurrences are
-    pre-aggregated per (doc, token) so stopword hot keys carry ≤1 row
-    per document into the unigram join."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return cp.unigram_logprob(d)
-
-
-@query(
-    "dataset_split",
-    oracle="""
-    WITH b AS (
-      SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
-                  ELSE 'test' END AS split,
-             lang AS stratum, n_chars
-      FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h,
-                   lang, n_chars
-            FROM documents)
-    ), per AS (
-      SELECT split, stratum, count(*) AS n_docs,
-             CAST(sum(n_chars) AS BIGINT) AS tot_chars
-      FROM b GROUP BY 1, 2
-    )
-    SELECT split, stratum, n_docs, tot_chars,
-           round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY stratum), 6)
-             AS frac_of_stratum
-    FROM per
-    """,
-)
-def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic md5-bucket train/val/test split (80/10/10) with a
-    per-language audit row — stable under reruns and any partitioning,
-    unlike rand() splits."""
-    d = load_table(spark, sf_dir, "documents")
-    return cp.dataset_split(d)
-
-
-@query(
-    "negative_samples",
-    oracle="""
-    WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk
-               FROM documents),
-    n AS (SELECT count(*) AS n FROM documents),
-    s AS (SELECT r.doc_id, r.rnk, n.n, i.sample_idx
-          FROM r CROSS JOIN n
-          CROSS JOIN (SELECT unnest(range(3)) AS sample_idx) i
-          WHERE n.n >= 2),
-    h AS (SELECT *, ('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR)
-                       || ':' || CAST(sample_idx AS VARCHAR)), 1, 15))::BIGINT
-                    % (n - 1) AS hv
-          FROM s),
-    x AS (SELECT doc_id, sample_idx, 1 + (rnk + hv) % n AS neg_rnk FROM h)
-    SELECT x.doc_id, x.sample_idx, r2.doc_id AS neg_id
-    FROM x JOIN r r2 ON r2.rnk = x.neg_rnk
-    """,
-)
-def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3 deterministic uniform negative partners per document
-    (functions/corpus.negative_samples) — contrastive-training pairing
-    as pure hash arithmetic over a distributed dense rank, reproducible
-    under any partitioning."""
-    d = load_table(spark, sf_dir, "documents")
-    out = cp.negative_samples(d, "doc_id", 3)
-    return out.select(
-        "doc_id", F.col("sample_idx").cast("bigint").alias("sample_idx"), "neg_id"
-    )
-
-
-@query(
-    "quota_sample",
-    oracle="""
-    WITH r AS (
-      SELECT doc_id, lang, n_chars,
-             row_number() OVER (
-               PARTITION BY lang
-               ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
-             ) AS rn
-      FROM documents)
-    SELECT doc_id, lang, n_chars FROM r WHERE rn <= 30
-    """,
-)
-def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language quota sample (functions/corpus.quota_sample): at
-    most 30 documents per lang, chosen by deterministic md5 hash order —
-    the corpus-balancing cap applied before training, stable under
-    reruns and any partitioning."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    return cp.quota_sample(d, ["lang"], 30)
-
-
-@query(
-    "pca_power_step",
-    oracle=f"""
-    WITH v AS (SELECT embedding::DOUBLE[] AS vv FROM embeddings),
-    w AS (SELECT list_transform(range(64), i -> 1.0 / sqrt(64)) AS ww),
-    pr AS (SELECT vv, list_dot_product(vv, ww) AS proj FROM v CROSS JOIN w),
-    ex AS (SELECT generate_subscripts(vv, 1) - 1 AS dim, unnest(vv) AS val, proj FROM pr),
-    s AS (SELECT dim, {_sql_dsum('val * proj')} AS s, count(*) AS n FROM ex GROUP BY dim),
-    nr AS (SELECT sqrt({_sql_dsum('s * s')}) AS nrm, max(n) AS cnt FROM s)
-    SELECT CAST(dim AS BIGINT) AS dim,
-           round(CASE WHEN nrm > 0 THEN s / nrm END, 6) AS component,
-           round(nrm / cnt, 6) AS score
-    FROM s CROSS JOIN nr
-    """,
-)
-def pca_power_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One power-iteration step toward the top principal direction of
-    the embedding corpus: per-row literal-vector projection (no join),
-    posexplode + hash aggregate update, 1-row normalizer broadcast —
-    one scan per iteration, driver state O(dim)."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    return sim.pca_power_step(e, dim=64)
-
-
-_SQL_RECALL_TAIL = """
-    hits AS (SELECT ex.query_id, count(*) AS n_hits
-             FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
-             GROUP BY ex.query_id),
-    per AS (SELECT query_id, count(*) AS k FROM ex GROUP BY query_id)
-    SELECT per.query_id, per.k, coalesce(hits.n_hits, 0) AS n_hits,
-           round(coalesce(hits.n_hits, 0)::DOUBLE / per.k, 6) AS recall
-    FROM per LEFT JOIN hits ON per.query_id = hits.query_id"""
-
-
-def _recall_vs_exact(ex: DataFrame, ap: DataFrame) -> DataFrame:
-    """Shared recall@k scaffold — per query, |exact ∩ approx| / |exact|
-    over (query_id, vec_id) frames. Used by ann_recall /
-    int8_topk_recall / pq_topk_recall so the formula exists ONCE per
-    engine side; its SQL twin is `_SQL_RECALL_TAIL` (expects `ex` and
-    `ap` CTEs in scope)."""
-    hits = ex.join(ap, ["query_id", "vec_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    per = ex.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
-    n_hits = F.coalesce("n_hits", F.lit(0))
-    return per.join(hits, "query_id", "left").select(
-        "query_id",
-        "k",
-        n_hits.alias("n_hits"),
-        F.round(n_hits / F.col("k"), 6).alias("recall"),
-    )
-
-
-@query(
-    "ann_recall",
-    oracle=f"""
-    WITH ex AS ({ORACLES['cosine_topk']}),
-    ap AS ({ORACLES['lsh_topk']}),{_SQL_RECALL_TAIL}
-    """,
-)
-def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN evaluation as a first-class query: recall@k of the
-    hyperplane-LSH top-k against the exact brute-force baseline, per
-    query vector. The oracle COMPOSES the two queries' own oracle SQL
-    as CTEs, so all three stay in lockstep. Both result sets are k·5
-    rows — the join and aggregate are trivial; the cost is the two
-    top-k pipelines themselves."""
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    ap = QUERIES["lsh_topk"](spark, sf_dir).select("query_id", "vec_id")
-    return _recall_vs_exact(ex, ap)
-
-
-# ---------------------------------------------------------------------------
-# Canonical TPC-H join shapes (beyond-reference relational surface):
-# the classic OLAP patterns a reference user upgrading to Spark expects
-# — top-k over a 3-way join (Q3), nation-pair volume (Q7), returned-item
-# ranking (Q10), conditional-aggregate share (Q14), argmax-by-scalar-
-# subquery (Q15), decorrelated per-group-average filter (Q17), HAVING
-# subquery (Q18), anti-join + scalar subquery (Q22). Adapted to the
-# driver schema (no partsupp/commitdate; p_type/p_brand/c_mktsegment as
-# generated). Join strategy notes per query; dims broadcast so the only
-# full-width shuffles are lineitem⋈orders equi-joins and final aggs.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "tpch_q3_shipping_priority",
-    oracle=f"""
-    SELECT l_orderkey,
-           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
-           strftime(o_orderdate, '%Y-%m-%d') AS order_date
-    FROM customer, orders, lineitem
-    WHERE c_mktsegment = 'BUILDING'
-      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-      AND o_orderdate < TIMESTAMP '1998-06-01'
-      AND l_shipdate > TIMESTAMP '1998-06-01'
-    GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey
-    LIMIT 10
-    """,
-)
-def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: unshipped-order revenue top-10. Customer (segment
-    filter, tiny) broadcasts into orders; the one real shuffle is
-    lineitem⋈orders; top-10 via TakeOrderedAndProject (per-partition
-    heaps + driver merge of 10×partitions rows — no global sort at any
-    scale). Deterministic tiebreak on l_orderkey; revenue via decimal
-    sum so the sort key is bit-identical cross-engine."""
-    c = F.broadcast(
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < "1998-06-01"
-    ).select("o_orderkey", "o_custkey", "o_orderdate")
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > "1998-06-01"
-    ).select("l_orderkey", "l_extendedprice", "l_discount")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        )
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(10)
-    )
-
-
-@query(
-    "tpch_q7_nation_volume",
-    oracle=f"""
-    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-           year(l_shipdate) AS l_year,
-           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
-    FROM lineitem
-    JOIN supplier ON s_suppkey = l_suppkey
-    JOIN nation sn ON sn.n_nationkey = s_nationkey
-    JOIN orders ON o_orderkey = l_orderkey
-    JOIN customer ON c_custkey = o_custkey
-    JOIN nation cn ON cn.n_nationkey = c_nationkey
-    WHERE ((sn.n_name = 'NATION_10' AND cn.n_name = 'NATION_12')
-        OR (sn.n_name = 'NATION_12' AND cn.n_name = 'NATION_10'))
-      AND l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate < TIMESTAMP '1998-01-01'
-    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
-    """,
-)
-def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: bilateral trade volume by year. Supplier, customer and
-    both nation copies broadcast (all dims); lineitem⋈orders is the one
-    shuffle; the nation-pair predicate lands post-broadcast-join as a
-    cheap codegen filter. Final agg groups ≤ 2 pairs × years."""
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    s = F.broadcast(
-        load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    c = F.broadcast(
-        load_table(spark, sf_dir, "customer")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
-    )
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pair = (
-        (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12")
-    ) | ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10"))
-    return (
-        l.join(s, l.l_suppkey == s.s_suppkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(
-            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-    )
-
-
-@query(
-    "tpch_q10_returned_items",
-    oracle=f"""
-    SELECT c_custkey, c_name,
-           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
-           c_acctbal, n_name
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN nation ON n_nationkey = c_nationkey
-    WHERE l_returnflag = 'R'
-      AND o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate < TIMESTAMP '1997-04-01'
-    GROUP BY c_custkey, c_name, c_acctbal, n_name
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
-)
-def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: top-20 customers by returned-item revenue in a
-    quarter. Return-flag filter pushes into the lineitem scan; the
-    quarter filter pushes into orders; customer/nation broadcast. Top-k
-    by TakeOrderedAndProject with c_custkey tiebreak."""
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_returnflag") == "R"
-    ).select("l_orderkey", "l_extendedprice", "l_discount")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
-    ).select("o_orderkey", "o_custkey")
-    c = F.broadcast(
-        load_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_name", "c_acctbal", "c_nationkey"
-        )
-    )
-    n = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(
-            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.desc("revenue"), "c_custkey")
-        .limit(20)
-    )
-
-
-@query(
-    "tpch_q14_promo_share",
-    oracle=f"""
-    SELECT round(100.0 * {_sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
-                 / {_sql_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS promo_revenue_pct
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
-      AND l_shipdate < TIMESTAMP '1997-04-01'
-    """,
-)
-def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share for one ship-month. Part (2k rows)
-    broadcasts; the month filter pushes into the lineitem scan; one
-    whole-table conditional aggregate — no shuffle beyond the 1-row
-    final agg. Decimal sums then one rounded division."""
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
-    )
-    p = F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_type"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        l.join(p, l.l_partkey == p.p_partkey)
-        .agg(
-            F.round(
-                100.0
-                * ops.dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / ops.dsum(rev),
-                6,
-            ).alias("promo_revenue_pct")
-        )
-    )
-
-
-@query(
-    "tpch_q15_top_supplier",
-    oracle=f"""
-    WITH revenue AS (
-        SELECT l_suppkey AS supplier_no,
-               {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1996-04-01'
-        GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-)
-def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) at max quarterly revenue — the scalar-
-    subquery-on-an-aggregate shape. One shuffle (per-supplier agg); the
-    1-row max broadcasts back onto the ≤|supplier| aggregate, and the
-    double equality is safe because both branches reuse the SAME
-    decimal-sum values (and the oracle reproduces them bit-for-bit)."""
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
-    )
-    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
-    )
-    mx = F.broadcast(revenue.agg(F.max("total_revenue").alias("_mx")))
-    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
-    return (
-        revenue.crossJoin(mx)
-        .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
-        .select(
-            "s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue")
-        )
-    )
-
-
-@query(
-    "tpch_q17_small_qty_revenue",
-    oracle=f"""
-    WITH pa AS (
-        SELECT l_partkey AS a_partkey,
-               0.2 * ({_sql_davg('l_quantity')}) AS qty_cut
-        FROM lineitem GROUP BY l_partkey
-    )
-    SELECT round({_sql_dsum('l_extendedprice')} / 7.0, 6) AS avg_yearly
-    FROM lineitem
-    JOIN part ON p_partkey = l_partkey
-    JOIN pa ON a_partkey = l_partkey
-    WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut
-    """,
-)
-def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17: revenue lost to small-quantity orders — the classic
-    correlated subquery (per-part average), DECORRELATED as a self-agg
-    + equi-join, exactly Catalyst's own rewrite. The per-part aggregate
-    (≤|part| rows) broadcasts; brand filter via broadcast part join;
-    single final 1-row agg. No correlated per-row re-scan at any
-    scale."""
-    l = load_table(spark, sf_dir, "lineitem")
-    pa = F.broadcast(
-        l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-            (0.2 * ops.davg(F.col("l_quantity"))).alias("qty_cut")
-        )
-    )
-    p = F.broadcast(
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#1")
-        .select("p_partkey")
-    )
-    return (
-        l.join(p, l.l_partkey == p.p_partkey)
-        .join(pa, l.l_partkey == pa.a_partkey)
-        .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(ops.dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
-    )
-
-
-@query(
-    "tpch_q18_large_orders",
-    oracle=f"""
-    SELECT c_custkey, c_name, o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           o_totalprice,
-           {_sql_dsum('l_quantity')} AS sum_qty
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE o_orderkey IN (
-        SELECT l_orderkey FROM lineitem
-        GROUP BY l_orderkey HAVING sum(l_quantity) > 250
-    )
-    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
-    """,
-)
-def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: customers with very large orders (HAVING-subquery
-    semi-join). The qualifying-keys aggregate reuses lineitem's own
-    shuffle partitioning; the IN becomes a leftsemi equi-join (hash,
-    never a subquery re-execution); customer broadcasts."""
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_sq"))
-        .filter(F.col("_sq") > 250)
-        .select("l_orderkey")
-    )
-    o = load_table(spark, sf_dir, "orders")
-    c = F.broadcast(load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"))
-    return (
-        l.join(big.withColumnRenamed("l_orderkey", "_bk"), l.l_orderkey == F.col("_bk"), "leftsemi")
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(ops.dsum(F.col("l_quantity")).alias("sum_qty"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-            "o_totalprice",
-            "sum_qty",
-        )
-    )
-
-
-@query(
-    "tpch_q22_idle_customers",
-    oracle=f"""
-    WITH avg_bal AS (
-        SELECT {_sql_davg('CASE WHEN c_acctbal > 0.0 THEN c_acctbal END')} AS ab
-        FROM customer
-    )
-    SELECT c_nationkey,
-           count(*) AS numcust,
-           {_sql_dsum('c_acctbal')} AS totacctbal
-    FROM customer, avg_bal
-    WHERE c_acctbal > ab
-      AND NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey
-                        AND o_orderdate >= TIMESTAMP '2000-01-01')
-    GROUP BY c_nationkey
-    """,
-)
-def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22: above-average-balance customers with no RECENT order
-    (no order since 2000 — the generated data gives every customer some
-    order, so idleness is windowed to keep the anti-join non-vacuous).
-    Scalar positive-balance average (1-row broadcast) + ANTI join
-    against the orders custkey set, grouped by nation. The anti join is
-    a hash equi-join on o_custkey — at scale the orders side
-    deduplicates map-side to ≤|customer| keys before shuffling."""
-    c = load_table(spark, sf_dir, "customer")
-    ab = F.broadcast(
-        c.agg(
-            ops.davg(
-                F.when(F.col("c_acctbal") > 0.0, F.col("c_acctbal"))
-            ).alias("ab")
-        )
-    )
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= "2000-01-01")
-        .select(F.col("o_custkey"))
-    )
-    return (
-        c.crossJoin(ab)
-        .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            ops.dsum(F.col("c_acctbal")).alias("totacctbal"),
-        )
-    )
-
-
-@query(
-    "tpch_q5_local_supplier_volume",
-    oracle=f"""
-    SELECT n.n_name,
-           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-                   AND c.c_nationkey = s.s_nationkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate < TIMESTAMP '1997-01-01'
-    GROUP BY n.n_name
-    """,
-)
-def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: revenue from LOCAL supplier-customer pairs per nation
-    of one region and year. The six-table star: lineitem is the only
-    big fact — orders carries the date filter into its scan, and the
-    c_nationkey = s_nationkey residual rides the l↔s equi-join. All
-    four dims (customer at this SF, supplier, nation, region) broadcast
-    under the 64 MB threshold; at 100 TB customer would exceed it and
-    AQE falls back to a shuffle join on custkey — the plan stays
-    correct either way because nothing here pins a strategy."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
-    ).select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
-        "r_regionkey"
-    )
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-    )
-
-
-@query(
-    "tpch_q6_forecast_revenue",
-    oracle=f"""
-    SELECT {_sql_dsum('l_extendedprice * l_discount')} AS revenue,
-           count(*) AS n_lines
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6: the forecasting-revenue-change scan — a pure
-    filter+aggregate with NO join, the query whose entire cost is how
-    much of the scan the predicates eliminate. All three filters push
-    into the parquet reader (PushedFilters on shipdate/discount/
-    quantity), the projection prunes to 4 columns, and the single
-    global sum combines map-side: at 100 TB this runs at storage
-    bandwidth with row-group skipping doing most of the work."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1997-01-01")
-            & (F.col("l_discount").between(0.05, 0.07))
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            ops.dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@query(
-    "tpch_q8_market_share",
-    oracle=f"""
-    WITH vol AS (
-        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume,
-               sn.n_name AS supp_nation
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-        JOIN region r ON cn.n_regionkey = r.r_regionkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-        WHERE r.r_name = 'AMERICA'
-    )
-    SELECT o_year,
-           round({_sql_dsum("CASE WHEN supp_nation = 'NATION_6' THEN volume ELSE 0 END")}
-                 / {_sql_dsum('volume')}, 6) AS mkt_share
-    FROM vol GROUP BY o_year
-    """,
-)
-def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 adapted (no part-type filter in the driver schema):
-    NATION_6 suppliers' share of revenue delivered to AMERICA-region
-    customers, per order year. The two nation roles join the SAME dim
-    twice under different aliases (customer nation routes the region
-    filter, supplier nation feeds the share flag) — the classic
-    role-playing-dimension shape. One fact shuffle on orderkey; the
-    conditional share is a sum(CASE)/sum() pair in a single aggregate,
-    decimal-summed so the division is engine-stable."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation")
-    cn = n.select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
-    )
-    sn = n.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select(
-        "r_regionkey"
-    )
-    vol = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
-        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
-        .select(
-            F.year("o_orderdate").cast("bigint").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
-            "supp_nation",
-        )
-    )
-    share = F.when(F.col("supp_nation") == "NATION_6", F.col("volume")).otherwise(0.0)
-    return vol.groupBy("o_year").agg(
-        F.round(ops.dsum(share) / ops.dsum(F.col("volume")), 6).alias("mkt_share")
-    )
-
-
-@query(
-    "tpch_q9_nation_profit",
-    oracle=f"""
-    SELECT n.n_name AS nation,
-           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS profit
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE p.p_name LIKE '%widget%'
-    GROUP BY n.n_name, year(o.o_orderdate)
-    """,
-)
-def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 adapted (no partsupp/supplycost in the driver schema —
-    profit is gross revenue): per supplier nation and order year over
-    the parts whose name matches a substring. The LIKE filter prunes
-    the part dim BEFORE its broadcast, so the fact scan is filtered by
-    the join itself (at 100 TB: a Bloom/DPP-style reduction, here a
-    broadcast hash semi-reduction); one shuffle on orderkey for the
-    orders date column, one final small aggregate."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like("%widget%")
-    ).select("p_partkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("bigint").alias("o_year"),
-        )
-        .agg(
-            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "profit"
-            )
-        )
-    )
-
-
-@query(
-    "tpch_q19_disjunctive_filter",
-    oracle=f"""
-    SELECT {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-           count(*) AS n_lines
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
-           AND l.l_quantity BETWEEN 1 AND 11)
-       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
-           AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
-           AND l.l_quantity BETWEEN 20 AND 30)
-    """,
-)
-def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19: the disjunctive (OR-of-ANDs) predicate spanning both
-    join sides — the query Catalyst must NOT evaluate as a residual
-    after a cartesian. The equi-join on partkey still extracts cleanly;
-    the cross-side disjunction stays a post-join filter, while the
-    part-only conjuncts (brand ∈ {…}) are pushed by Catalyst as a
-    derived disjunction into the part scan. Verifies with
-    check_plans that no nested-loop appears."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-    clause = lambda brand, smax, qlo, qhi: (
-        (F.col("p_brand") == brand)
-        & F.col("p_size").between(1, smax)
-        & F.col("l_quantity").between(qlo, qhi)
-    )
-    return (
-        j.filter(
-            clause("Brand#1", 15, 1, 11)
-            | clause("Brand#2", 25, 10, 20)
-            | clause("Brand#3", 35, 20, 30)
-        )
-        .agg(
-            ops.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@query(
-    "tpch_q21_waiting_supplier",
-    oracle="""
-    WITH l1 AS (
-        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-        WHERE l_returnflag = 'R'
-    ),
-    multi AS (SELECT l1.l_orderkey, l1.l_suppkey FROM l1
-              WHERE EXISTS (SELECT 1 FROM lineitem l2
-                            WHERE l2.l_orderkey = l1.l_orderkey
-                              AND l2.l_suppkey <> l1.l_suppkey)),
-    sole AS (SELECT m.l_orderkey, m.l_suppkey FROM multi m
-             WHERE NOT EXISTS (SELECT 1 FROM lineitem l3
-                               WHERE l3.l_orderkey = m.l_orderkey
-                                 AND l3.l_suppkey <> m.l_suppkey
-                                 AND l3.l_returnflag = 'R'))
-    SELECT s.s_name, count(*) AS numwait
-    FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
-    GROUP BY s.s_name
-    """,
-)
-def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 adapted to the driver schema (no receipt/commit dates
-    — "late" becomes returnflag 'R'): suppliers who were the ONLY
-    returning supplier on a multi-supplier order. The signature shape:
-    one EXISTS (semi join: another supplier touched the order) and one
-    NOT EXISTS (anti join: no OTHER supplier returned) against the same
-    fact, both decorrelating to hash joins on orderkey. The returning
-    pairs deduplicate map-side BEFORE the joins; supplier broadcasts
-    for the name."""
-    li = load_table(spark, sf_dir, "lineitem")
-    l1 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
-    )
-    multi = l1.join(
-        l2, (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")), "left_semi"
-    )
-    sole = multi.join(
-        l3, (multi.l_orderkey == F.col("o3")) & (multi.l_suppkey != F.col("s3")), "left_anti"
-    )
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-    )
-
-
-@query(
-    "tpch_q1_pricing_summary",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           {_sql_dsum('l_quantity')} AS sum_qty,
-           {_sql_dsum('l_extendedprice')} AS sum_base_price,
-           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           {_sql_davg('l_quantity')} AS avg_qty,
-           {_sql_davg('l_extendedprice')} AS avg_price,
-           {_sql_davg('l_discount')} AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary: the canonical wide-aggregate scan.
-
-    One pass over lineitem, zero joins, one hash-agg shuffle of
-    |returnflag × linestatus| groups (≤ 6 rows). At 100 TB this is
-    the map-side-combine showcase: every map task reduces its split
-    to ≤ 6 partial rows before the exchange, so shuffle volume is
-    O(partitions), independent of data size. The shipdate filter and
-    the 7-column projection both reach the parquet scan."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-        "l_discount", "l_tax", "l_shipdate",
-    )
-    price, disc, tax = (
-        F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
-    )
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            ops.dsum(F.col("l_quantity")).alias("sum_qty"),
-            ops.dsum(price).alias("sum_base_price"),
-            ops.dsum(price * (1 - disc)).alias("sum_disc_price"),
-            ops.dsum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
-            ops.davg(F.col("l_quantity")).alias("avg_qty"),
-            ops.davg(price).alias("avg_price"),
-            ops.davg(disc).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@query(
-    "tpch_q2_min_cost_supplier",
-    oracle="""
-    WITH ps AS (
-        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-               round(min(l_extendedprice / l_quantity), 6) AS supplycost
-        FROM lineitem WHERE l_quantity > 0
-        GROUP BY l_partkey, l_suppkey
-    ),
-    best AS (
-        SELECT partkey, min(supplycost) AS min_cost FROM ps
-        JOIN supplier s ON ps.suppkey = s.s_suppkey
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-        WHERE r.r_name = 'AMERICA'
-        GROUP BY partkey
-    )
-    SELECT s.s_name, n.n_name AS nation, p.p_partkey, p.p_name,
-           ps.supplycost
-    FROM ps
-    JOIN best ON ps.partkey = best.partkey AND ps.supplycost = best.min_cost
-    JOIN part p ON ps.partkey = p.p_partkey
-    JOIN supplier s ON ps.suppkey = s.s_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'AMERICA' AND p.p_size < 10 AND p.p_type = 'PROMO'
-    """,
-)
-def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 adapted (no partsupp — the part×supplier relation and
-    its supplycost derive from lineitem: min observed unit price per
-    (partkey, suppkey)): cheapest AMERICA supplier per small PROMO part.
-
-    The correlated-min subquery decorrelates to a grouped min + equi-
-    join back on (partkey, cost) — the classic argmin-per-key plan. The
-    derived ps relation is one hash aggregate of the fact; region/
-    nation/supplier/part dims all broadcast, so the only fact-sized
-    shuffles are the ps groupBy and the ps⋈best equi-join (AQE usually
-    broadcasts `best` too at this selectivity). Unit price is rounded
-    to 6dp on both engines before the min/equality so double division
-    noise can't split the argmin tie."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
-    )
-    ps = (
-        l.filter(F.col("l_quantity") > 0)
-        .groupBy(
-            F.col("l_partkey").alias("partkey"),
-            F.col("l_suppkey").alias("suppkey"),
-        )
-        .agg(
-            F.round(
-                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
-            ).alias("supplycost")
-        )
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey"
-    )
-    n = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
-    r = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "AMERICA"
-    ).select("r_regionkey")
-    america = (
-        ps.join(F.broadcast(s), ps.suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
-    best = america.groupBy(F.col("partkey").alias("b_partkey")).agg(
-        F.min("supplycost").alias("min_cost")
-    )
-    p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") < 10) & (F.col("p_type") == "PROMO")
-    ).select("p_partkey", "p_name")
-    return (
-        america.join(
-            best,
-            (F.col("partkey") == F.col("b_partkey"))
-            & (F.col("supplycost") == F.col("min_cost")),
-        )
-        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
-        .select(
-            "s_name", F.col("n_name").alias("nation"), "p_partkey",
-            "p_name", "supplycost",
-        )
-    )
-
-
-@query(
-    "tpch_q11_important_parts",
-    oracle="""
-    WITH pv AS (
-        SELECT l.l_partkey AS partkey,
-               CAST(sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS value
-        FROM lineitem l
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        WHERE n.n_name = 'NATION_7'
-        GROUP BY l.l_partkey
-    )
-    SELECT partkey, value FROM pv
-    WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 2.0
-                          / count(*) FROM pv)
-    """,
-)
-def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 adapted (no partsupp — a part's "stock value" is the
-    summed extendedprice×quantity shipped by one nation's suppliers):
-    parts whose value exceeds 2× the mean part value. The original's
-    fixed fraction-of-total threshold selects a cardinality-dependent
-    slice (0 rows at 10× the parts); a mean-relative threshold keeps
-    the filter meaningful at every scale factor.
-
-    The scalar subquery is the shape of interest: the per-part hash
-    aggregate computes once, the global threshold folds from the SAME
-    grouped result (a second O(groups) aggregate, not a second fact
-    scan), then crosses back as a 1-row broadcast — the whitelisted
-    scalar-normalizer pattern. Supplier/nation broadcast, so the fact
-    shuffles once, on partkey."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
-    )
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name") == "NATION_7"
-    ).select("n_nationkey")
-    pv = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(
-            ops.dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias(
-                "value"
-            )
-        )
-    )
-    total = pv.agg(
-        (ops.dsum(F.col("value")) * F.lit(2.0) / F.count(F.lit(1))).alias("_thr")
-    )
-    return (
-        pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("_thr"))
-        .select("partkey", "value")
-    )
-
-
-@query(
-    "tpch_q12_ship_priority_classes",
-    oracle="""
-    SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
-                THEN 'FAST' ELSE 'SLOW' END AS ship_class,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l.l_shipdate < TIMESTAMP '1997-01-01'
-    GROUP BY 1
-    """,
-)
-def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 adapted (no l_shipmode/commitdate/receiptdate — the
-    mode split becomes a ship-latency class: ≤30 days from order to
-    ship is 'FAST'): per class, how many high- vs low-priority order
-    lines. The Q12 signature is the conditional-count pivot (SUM of
-    CASE) — both counts come from the same hash aggregate, one pass,
-    one fact-fact shuffle on orderkey with the one-year shipdate
-    window pushed to the lineitem scan."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate"
-    ).filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-    )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .withColumn(
-            "ship_class",
-            F.when(
-                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30,
-                "FAST",
-            ).otherwise("SLOW"),
-        )
-        .groupBy("ship_class")
-        .agg(
-            # F.when(..).otherwise(0) mirrors the oracle's CASE ... ELSE 0:
-            # a NULL o_orderpriority counts as 0 in BOTH sums, whereas
-            # sum(hi.cast("long")) would skip it (and an all-NULL group
-            # would return NULL) — the NULL-safety gap flagged in r4 ADVICE.
-            F.sum(F.when(hi, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(~hi, F.lit(1)).otherwise(F.lit(0))).cast("bigint").alias("low_line_count"),
-        )
-    )
-
-
-@query(
-    "tpch_q16_supplier_part_counts",
-    oracle="""
-    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-    SELECT p.p_brand, p.p_type, p.p_size,
-           count(DISTINCT ps.l_suppkey) AS supplier_cnt
-    FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
-    WHERE p.p_brand <> 'Brand#1'
-      AND p.p_type <> 'PROMO'
-      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
-      AND ps.l_suppkey NOT IN (
-          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
-      )
-    GROUP BY p.p_brand, p.p_type, p.p_size
-    """,
-)
-def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 adapted (no partsupp — the part×supplier relation is
-    the distinct (partkey, suppkey) pairs observed in lineitem; the
-    "complaints" exclusion becomes negative-balance suppliers):
-    distinct supplier count per (brand, type, size) bucket.
-
-    Shape: map-side distinct of the fact pairs, a broadcast hash join
-    against the filtered part dim (brand/type/size predicates pushed to
-    the part scan), a broadcast ANTI join for the NOT IN (null-safe
-    here: s_suppkey is a key, never NULL), then count(DISTINCT) — which
-    Spark expands to a two-level aggregate, both levels map-side
-    combinable. No fact-fact shuffle anywhere."""
-    ps = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1")
-        & (F.col("p_type") != "PROMO")
-        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
-    ).select("p_partkey", "p_brand", "p_type", "p_size")
-    bad = load_table(spark, sf_dir, "supplier").filter(
-        F.col("s_acctbal") < 0
-    ).select("s_suppkey")
-    return (
-        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-@query(
-    "tpch_q20_heavy_shippers",
-    oracle="""
-    WITH shipped AS (
-        SELECT l.l_suppkey AS suppkey,
-               CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
-        FROM lineitem l
-        JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE p.p_name LIKE '%widget%'
-          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l.l_shipdate < TIMESTAMP '1997-01-01'
-        GROUP BY l.l_suppkey
-    )
-    SELECT s.s_name, n.n_name AS nation, shipped.qty
-    FROM shipped
-    JOIN supplier s ON shipped.suppkey = s.s_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    WHERE shipped.qty > (
-        SELECT CAST(sum(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) * 0.5
-                 / count(*) FROM shipped
-    )
-    """,
-)
-def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 adapted (no partsupp/availqty — "has excess stock"
-    becomes "shipped more than half the mean supplier volume"):
-    suppliers who moved an outsized share of widget parts in 1996.
-
-    The original's correlated >0.5×sum(qty) subquery keeps its shape:
-    the per-supplier aggregate computes once, the threshold is a second
-    O(suppliers) fold of that SAME result re-crossed as a 1-row
-    broadcast. The name-filtered part dim broadcasts ahead of the fact
-    scan (semi-reduction), the shipdate window pushes down, and the
-    supplier/nation enrichment broadcasts."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
-    ).filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-    )
-    p = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").like("%widget%")
-    ).select("p_partkey")
-    shipped = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .groupBy(F.col("l_suppkey").alias("suppkey"))
-        .agg(ops.dsum(F.col("l_quantity")).alias("qty"))
-    )
-    thr = shipped.agg(
-        (ops.dsum(F.col("qty")) * F.lit(0.5) / F.count(F.lit(1))).alias("_thr")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey"
-    )
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
-        shipped.crossJoin(F.broadcast(thr))
-        .filter(F.col("qty") > F.col("_thr"))
-        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select("s_name", F.col("n_name").alias("nation"), "qty")
-    )
-
-
-@query(
-    "semdedup_prune",
-    oracle="""
-    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    el AS (SELECT label, generate_subscripts(embedding, 1) AS i,
-                  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
-    ce AS (SELECT label, i, avg(x) AS ax FROM el GROUP BY label, i),
-    cent AS (SELECT label AS cell, list(ax ORDER BY i) AS cv FROM ce GROUP BY label),
-    asn AS (
-      SELECT vec_id, cell, v, row_number() OVER (
-        PARTITION BY vec_id
-        ORDER BY (list_dot_product(v, cv)
-                  / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))))
-                 DESC NULLS FIRST, cell ASC) AS rn
-      FROM c CROSS JOIN cent),
-    corpus AS (SELECT vec_id, cell, v FROM asn WHERE rn = 1),
-    dup AS (
-      SELECT b.vec_id, min(a.vec_id) AS dup_of
-      FROM corpus a JOIN corpus b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-            >= 0.35
-      GROUP BY b.vec_id)
-    SELECT s.vec_id, s.cell, d.dup_of IS NOT NULL AS dropped, d.dup_of
-    FROM corpus s LEFT JOIN dup d ON s.vec_id = d.vec_id
-    """,
-)
-def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style embedding dedup (functions/similarity.
-    semdedup_prune): assign every vector to its nearest label-mean
-    centroid, compare cosines ONLY within a cell, and greedily drop
-    vectors with a lower-id cell-mate at cosine ≥ 0.35. The all-pairs
-    product is confined to cluster cells (~N^1.5 comparisons with
-    √N-sized cells, every step an equi-join on the cell key) — the
-    scale path for embedding-space near-dup removal where the LSH
-    bucket join (cosine_near_dups) is the recall-oriented alternative."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    return sim.semdedup_prune(e, threshold=0.35)
-
-
-def _kmeans_rounds_sql(iterations: int) -> str:
-    """The statically-unrolled Lloyd rounds shared by the pinned-k and
-    scale-parameterized SemDeDup oracles: each round is the kmeans_step
-    oracle's expression tree (cosine argmax with ties to the smaller
-    cell, DECIMAL(38,6) mean fold, round(6)), reading c{i-1} → c{i}."""
-    out = ""
-    for i in range(1, iterations + 1):
-        out += f""",
-    s{i} AS (SELECT vec_id, vv, cell,
-                    list_dot_product(vv, cv)
-                      / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))) AS sim
-             FROM v CROSS JOIN c{i - 1}),
-    a{i} AS (SELECT vec_id, vv, cell FROM s{i}
-             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) = 1),
-    e{i} AS (SELECT cell, generate_subscripts(vv, 1) AS di, unnest(vv) AS val FROM a{i}),
-    m{i} AS (SELECT cell, di, round({_sql_dsum('val')} / count(*), 6) AS ax
-             FROM e{i} GROUP BY cell, di),
-    c{i} AS (SELECT cell, list(ax ORDER BY di) AS cv FROM m{i} GROUP BY cell)"""
-    return out
-
-
-def _kmeans_semdedup_oracle(k: int = 8, iterations: int = 3, threshold: float = 0.35) -> str:
-    """Statically-unrolled iterated-k-means → SemDeDup oracle matching
-    functions/similarity.kmeans_centroids + semdedup_prune(centroids=..):
-    each Lloyd round is the kmeans_step oracle's expression tree
-    (cosine argmax with ties to the smaller cell, DECIMAL(38,6) mean
-    fold, round(6)); the final section is the semdedup_prune oracle
-    against the trained centroids instead of label means."""
-    base = f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
-    c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {k})"""
-    base += _kmeans_rounds_sql(iterations)
-    cn = f"c{iterations}"
-    return base + f""",
-    asn AS (
-      SELECT v.vec_id, {cn}.cell, v.vv AS vx, row_number() OVER (
-        PARTITION BY v.vec_id
-        ORDER BY (list_dot_product(v.vv, {cn}.cv)
-                  / (sqrt(list_dot_product(v.vv, v.vv)) * sqrt(list_dot_product({cn}.cv, {cn}.cv))))
-                 DESC NULLS FIRST, {cn}.cell ASC) AS rn
-      FROM v CROSS JOIN {cn}),
-    corpus AS (SELECT vec_id, cell, vx FROM asn WHERE rn = 1),
-    dup AS (
-      SELECT b.vec_id, min(a.vec_id) AS dup_of
-      FROM corpus a JOIN corpus b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.vx, b.vx)
-            / (sqrt(list_dot_product(a.vx, a.vx)) * sqrt(list_dot_product(b.vx, b.vx)))
-            >= {threshold}
-      GROUP BY b.vec_id)
-    SELECT s.vec_id, s.cell, d.dup_of IS NOT NULL AS dropped, d.dup_of
-    FROM corpus s LEFT JOIN dup d ON s.vec_id = d.vec_id
-    """
-
-
-@query("kmeans_semdedup", oracle=_kmeans_semdedup_oracle(8, 3, 0.35))
-def kmeans_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup against TRAINED cells: 3 Lloyd iterations of spherical
-    k-means (similarity.kmeans_centroids — assignment is a projection
-    against ≤k·dim driver-inlined literals, update one posexplode hash
-    aggregate, per-round collect pins the round) feed semdedup_prune as
-    its centroid table — the production composition the r4 verdict
-    asked for, replacing the per-label centroid stand-in. Oracle:
-    the same rounds unrolled in SQL, bit-identical via DECIMAL folds
-    + round(6) centroids."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    cents = sim.kmeans_centroids(e, k=8, iterations=3)
-    return sim.semdedup_prune(e, threshold=0.35, centroids=cents)
-
-
-def _kmeans_semdedup_scaled_oracle(iterations: int = 3, threshold: float = 0.35) -> str:
-    """The kmeans_semdedup oracle with k derived IN SQL from corpus
-    size (k = ceil(sqrt(N)), the SCALE.md 100 TB configuration) and the
-    max_cell = 4k guard applied to pair generation: oversized cells are
-    excluded from the self-join (their members all kept), exactly
-    mirroring semdedup_prune(max_cell=...)'s broadcast anti-join. k
-    never appears as a literal — the same statically-unrolled Lloyd
-    rounds read a c0 seeded by a scalar subquery, so the oracle tracks
-    whatever corpus size the driver runs it at."""
-    base = """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
-    kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-    c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings
-           WHERE vec_id < (SELECT k FROM kk))"""
-    base += _kmeans_rounds_sql(iterations)
-    cn = f"c{iterations}"
-    return base + f""",
-    asn AS (
-      SELECT v.vec_id, {cn}.cell, v.vv AS vx, row_number() OVER (
-        PARTITION BY v.vec_id
-        ORDER BY (list_dot_product(v.vv, {cn}.cv)
-                  / (sqrt(list_dot_product(v.vv, v.vv)) * sqrt(list_dot_product({cn}.cv, {cn}.cv))))
-                 DESC NULLS FIRST, {cn}.cell ASC) AS rn
-      FROM v CROSS JOIN {cn}),
-    corpus AS (SELECT vec_id, cell, vx FROM asn WHERE rn = 1),
-    oversized AS (SELECT cell FROM corpus GROUP BY cell
-                  HAVING count(*) > 4 * (SELECT k FROM kk)),
-    psrc AS (SELECT * FROM corpus WHERE cell NOT IN (SELECT cell FROM oversized)),
-    dup AS (
-      SELECT b.vec_id, min(a.vec_id) AS dup_of
-      FROM psrc a JOIN psrc b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.vx, b.vx)
-            / (sqrt(list_dot_product(a.vx, a.vx)) * sqrt(list_dot_product(b.vx, b.vx)))
-            >= {threshold}
-      GROUP BY b.vec_id)
-    SELECT s.vec_id, s.cell, d.dup_of IS NOT NULL AS dropped, d.dup_of
-    FROM corpus s LEFT JOIN dup d ON s.vec_id = d.vec_id
-    """
-
-
-@query("kmeans_semdedup_scaled", oracle=_kmeans_semdedup_scaled_oracle(3, 0.35))
-def kmeans_semdedup_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup at the SCALE configuration: k ≈ √N cells (so per-cell
-    population stays ~√N and total in-cell comparisons are ~N^1.5
-    regardless of corpus size — the 100 TB path SCALE.md documents)
-    plus the max_cell = 4k hard cap excluding any adversarial
-    mega-cell from pair generation. The r5 verdict's one perf-weak
-    plan was the k=8 pin of kmeans_semdedup, whose in-cell work grows
-    quadratically when cell count is constant; this registration
-    proves the knob-driven configuration with an official row. The
-    corpus count feeding k is one bounded action (a count, like the
-    IVF query-vector fetch); everything downstream is the proven
-    kmeans_centroids + semdedup_prune(max_cell=..) composition."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    k = math.ceil(math.sqrt(e.count()))
-    cents = sim.kmeans_centroids(e, k=k, iterations=3)
-    return sim.semdedup_prune(e, threshold=0.35, centroids=cents, max_cell=4 * k)
-
-
-# ---------------------------------------------------------------------------
-# BM25 retrieval + mixture resampling (functions/text.py, functions/
-# corpus.py — beyond-reference LLM-pipeline operators)
-# ---------------------------------------------------------------------------
-
-BM25_QUERIES: list[tuple[str, str]] = [
-    ("q1", "fast"), ("q1", "hash"),
-    ("q2", "table"), ("q2", "scan"),
-    ("q3", "merge"), ("q3", "sort"),
-    ("q4", "window"), ("q4", "agg"),
-]
-
-
-@query(
-    "bm25_search",
-    oracle=f"""
-    WITH q(query_id, term) AS (VALUES {', '.join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)}),
-    tk AS (SELECT doc_id, {_SQL_TOKS} AS tks FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(len(tks)::DOUBLE) AS avgdl FROM tk),
-    toks AS (SELECT doc_id, len(tks) AS dl, unnest(tks) AS term FROM tk),
-    tf AS (SELECT q.query_id, t.doc_id, t.term, count(*) AS tf, min(t.dl) AS dl
-           FROM toks t JOIN q USING (term) GROUP BY 1, 2, 3),
-    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-    scored AS (
-        SELECT tf.query_id, tf.doc_id,
-               sum(CAST(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                        * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
-                        AS DECIMAL(38,18))) AS s
-        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-        GROUP BY 1, 2
-    )
-    SELECT query_id, doc_id, round(s::DOUBLE, 6) + 0.0 AS score,
-           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rk
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) <= 5
-    """,
-)
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-5 per query over the documents corpus
-    (functions/text.bm25_topk) — the lexical-retrieval leg of a RAG /
-    data-curation pipeline. Query terms broadcast; postings prune to
-    query terms at the map stage; per-(query, doc) scores fold through
-    DECIMAL(38,18) so the ranking is order-independent and engine-
-    stable; ties break on doc_id."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    qdf = spark.createDataFrame(BM25_QUERIES, ["query_id", "term"])
-    out = tx.bm25_topk(d, qdf, k=5)
-    return out.select(
-        "query_id", "doc_id", "score", F.col("rk").cast("bigint").alias("rk")
-    )
-
-
-@query(
-    "repeated_chunks",
-    oracle=f"""
-    WITH nz AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-                WHERE len({_SQL_TOKS}) > 0),
-    g AS (SELECT doc_id,
-                 md5(array_to_string(list_slice(toks, s, least(s + 7, len(toks))), ' ')) AS chunk_fp
-          FROM nz, unnest(generate_series(1, greatest(len(toks) - 4, 1), 4)) AS t(s))
-    SELECT chunk_fp,
-           count(*) AS n_occurrences,
-           count(DISTINCT doc_id) AS n_docs,
-           min(doc_id) AS first_doc
-    FROM g GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
-    """,
-)
-def repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document repeated token windows — the chunk-fingerprint
-    approximation of exact-substring dedup (the suffix-array technique
-    of Lee et al. 2022, arXiv:2107.06499, reduced to strided 8-token
-    windows so it stays a hash aggregate): any 11+-token substring
-    shared between documents must produce a shared window fingerprint.
-    One explode + one groupBy on the 32-char fp — bounded by distinct
-    chunks, map-side-combinable, no joins; the output lists each
-    cross-document fingerprint with occurrence/document counts and its
-    first (keeper) document."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    ch = cp.chunk_tokens(d, window=8, stride=4)
-    return (
-        ch.groupBy("chunk_fp")
-        .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.min("doc_id").alias("first_doc"),
-        )
-        .filter(F.col("n_docs") >= 2)
-    )
-
-
-# The shared span-detection CTE chain (8-token shared grams → marked
-# positions → gaps-and-islands merge) — used by repeated_span_removal
-# (the edit PLAN) and repeated_span_apply (the plan EXECUTED), so the
-# two oracles derive spans identically and cannot drift.
-_SQL_SPAN_CTES = f"""nz AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-                WHERE len({_SQL_TOKS}) >= 8),
-    g AS (SELECT doc_id, s AS p,
-                 md5(array_to_string(list_slice(toks, s, s + 7), ' ')) AS fp
-          FROM nz, unnest(generate_series(1, len(toks) - 7, 1)) AS t(s)),
-    dup AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
-    rp AS (SELECT g.doc_id, g.p FROM g JOIN dup ON g.fp = dup.fp),
-    fl AS (SELECT doc_id, p,
-                  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
-                       THEN 1 ELSE 0 END AS brk
-           FROM rp),
-    isl AS (SELECT doc_id, p,
-                   sum(brk) OVER (PARTITION BY doc_id ORDER BY p
-                                  ROWS UNBOUNDED PRECEDING) AS island
-            FROM fl)"""
-
-
-@query(
-    "repeated_span_removal",
-    oracle=f"""
-    WITH {_SQL_SPAN_CTES}
-    SELECT doc_id, min(p)::BIGINT AS span_start,
-           (max(p) + 8)::BIGINT AS span_end,
-           (max(p) + 8 - min(p))::BIGINT AS span_tokens
-    FROM isl GROUP BY doc_id, island
-    """,
-)
-def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring dedup as an actionable EDIT PLAN (the removal
-    step of Lee et al. 2022, arXiv:2107.06499): every 8-token window
-    shared across ≥2 documents marks its positions, and overlapping/
-    adjacent marked windows merge into per-document token spans
-    [span_start, span_end) to cut — the operation `repeated_chunks`
-    only detects. Plan shape: one gram explode + one hash aggregate for
-    the cross-doc fingerprint set, an equi-join back, then PER-DOCUMENT
-    windows (partitioned by doc_id — state bounded by document length,
-    never corpus size) for the classic gaps-and-islands interval
-    merge. Token indices are 1-based; span_end is exclusive. The
-    operator is corpus.repeated_token_spans (shared with the unit
-    semantics test)."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return cp.repeated_token_spans(d, k=8)
-
-
-@query(
-    "repeated_span_apply",
-    oracle=f"""
-    WITH {_SQL_SPAN_CTES},
-    spans AS (SELECT doc_id, min(p) AS span_start, max(p) + 8 AS span_end
-              FROM isl GROUP BY doc_id, island),
-    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tk
-            FROM t),
-    keep AS (SELECT tok.doc_id, tok.i, tok.tk FROM tok
-             WHERE NOT EXISTS (SELECT 1 FROM spans s
-                               WHERE s.doc_id = tok.doc_id
-                                 AND s.span_start <= tok.i AND tok.i < s.span_end))
-    SELECT t.doc_id,
-           coalesce(string_agg(keep.tk, ' ' ORDER BY keep.i), '') AS text_clean,
-           len(t.toks)::BIGINT AS n_tokens,
-           count(keep.i)::BIGINT AS n_kept,
-           (len(t.toks) - count(keep.i))::BIGINT AS n_cut
-    FROM t LEFT JOIN keep ON t.doc_id = keep.doc_id
-    GROUP BY t.doc_id, len(t.toks)
-    """,
-)
-def repeated_span_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Lee-2022 loop CLOSED from detection to a cleaned corpus:
-    repeated_token_spans produces the per-document edit plan and
-    corpus.remove_spans executes it — every document comes back with
-    its cross-document repeated spans cut and the text rebuilt from
-    the kept tokens (canonical single-space form), plus kept/cut token
-    accounting. Documents with no repeated spans pass through with
-    n_cut = 0. Executing the plan is one equi-join (plan ⋈ corpus) and
-    one higher-order-filter map pass — no UDF, so cleaning a 100 TB
-    corpus costs one join beyond the detection it already ran."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    spans = cp.repeated_token_spans(d, k=8)
-    return cp.remove_spans(d, spans)
-
-
-@query(
-    "oov_rate",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
-    vocab AS (SELECT term FROM toks GROUP BY term HAVING count(*) >= 100)
-    SELECT t.doc_id,
-           count(*) AS n_tokens,
-           sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-           round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
-                 / count(*), 6) AS oov_rate
-    FROM toks t LEFT JOIN vocab v ON t.term = v.term
-    GROUP BY t.doc_id
-    """,
-)
-def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document OOV rate vs a frequency-derived corpus vocabulary
-    (functions/text.oov_rate_report) — the tokenizer-coverage screen.
-    The vocab aggregate is bounded by vocabulary size and broadcasts
-    back onto the token stream; no data-sized shuffle."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return tx.oov_rate_report(d, min_count=100)
-
-
-@query(
-    "mixture_resample_lang",
-    oracle="""
-    WITH counts AS (SELECT lang, count(*) AS gn FROM documents GROUP BY lang),
-    tot AS (SELECT count(*) AS t FROM documents),
-    probs AS (SELECT lang, least(1.0, 0.2 * t / gn) AS p FROM counts, tot)
-    SELECT d.doc_id, d.lang, round(p.p, 6) AS accept_prob
-    FROM documents d JOIN probs p USING (lang)
-    WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-          / 1152921504606846976.0 < p.p
-    """,
-)
-def mixture_resample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic mixture resampling to equal language shares
-    (functions/corpus.mixture_resample): the domain-reweighting step of
-    a pretraining pipeline. Over-represented languages are thinned with
-    an md5(doc_id) acceptance draw (reproducible under any
-    partitioning); the acceptance table is a ≤|langs|-row broadcast and
-    the sample is a map-side filter on one corpus scan — no data
-    shuffle at any scale."""
-    d = load_table(spark, sf_dir, "documents")
-    return cp.mixture_resample(
-        d, "lang", {"en": 0.2, "de": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2}
-    )
-
-
-# ---------------------------------------------------------------------------
-# Z-order layout (operators/layout.py — beyond-reference storage
-# clustering for multi-dimensional data skipping)
-# ---------------------------------------------------------------------------
-
-
-def _zorder_oracle() -> str:
-    from covid_custom_sql_engine_spark.operators.layout import sql_zvalue
-
-    zv = sql_zvalue(["user_id", "value"], [(0.0, 1500.0), (0.0, 600.0)], bits=8)
-    return f"""
-    SELECT ({zv} >> 8) AS z_tile,
-           count(*) AS n_events,
-           min(user_id) AS min_user, max(user_id) AS max_user,
-           min(value) AS min_value, max(value) AS max_value
-    FROM events
-    GROUP BY 1
-    """
-
-
-@query("zorder_cluster_stats", oracle=_zorder_oracle())
-def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Morton-curve tile profile of events over (user_id, value): the
-    16-bit interleaved z-key's top 8 bits define 256 tiles; per tile the
-    report shows the bounding box each output file would carry as
-    parquet min-max stats after :func:`layout.zorder_by` — compact on
-    BOTH dimensions, which is the whole point (a linear sort keeps only
-    its leading column tight). Pure unrolled integer bit ops in
-    codegen; one hash aggregate."""
-    from covid_custom_sql_engine_spark.operators.layout import zvalue
-
-    e = load_table(spark, sf_dir, "events")
-    z = zvalue(
-        [F.col("user_id"), F.col("value")], [(0.0, 1500.0), (0.0, 600.0)], bits=8
-    )
-    return (
-        e.select(F.shiftright(z, 8).alias("z_tile"), "user_id", "value")
-        .groupBy("z_tile")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("user_id").alias("min_user"),
-            F.max("user_id").alias("max_user"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Data-quality expectations (operators/quality.py — beyond-reference;
-# the reference's only validation is load-time schema checking,
-# src/schema.py)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "data_quality_report",
-    oracle="""
-    WITH t AS (
-        SELECT count(*) AS total,
-               sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
-               sum(CASE WHEN NOT (l_returnflag IN ('A','N','R') OR l_returnflag IS NULL)
-                        THEN 1 ELSE 0 END)::BIGINT AS v1,
-               sum(CASE WHEN NOT ((l_quantity BETWEEN 1 AND 45) OR l_quantity IS NULL)
-                        THEN 1 ELSE 0 END)::BIGINT AS v2,
-               sum(CASE WHEN NOT (l_discount <= 0.08) THEN 1 ELSE 0 END)::BIGINT AS v3,
-               count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v4
-        FROM lineitem
-    ),
-    refv AS (
-        SELECT count(*) AS rv FROM lineitem
-        WHERE l_orderkey IS NOT NULL
-          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
-    ),
-    rows_out AS (
-        SELECT 'l_orderkey_not_null' AS rule, 'not_null' AS kind, v0 AS violations, total FROM t
-        UNION ALL
-        SELECT 'l_returnflag_in_set', 'in_set', v1, total FROM t
-        UNION ALL
-        SELECT 'l_quantity_in_range', 'in_range', v2, total FROM t
-        UNION ALL
-        SELECT 'discount_at_most_8pct', 'satisfies', v3, total FROM t
-        UNION ALL
-        SELECT 'unique_l_orderkey_l_linenumber', 'unique', v4, total FROM t
-        UNION ALL
-        SELECT 'l_orderkey_ref_integrity', 'ref_integrity', rv, total FROM refv, t
-    )
-    SELECT rule, kind, violations, total, violations = 0 AS passed FROM rows_out
-    """,
-)
-def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expectation-suite run over lineitem: nullability, set membership,
-    range, an arbitrary boolean contract, composite-key uniqueness, and
-    referential integrity against orders. All non-referential rules fold
-    into ONE aggregation pass (conditional counters + a distinct-count,
-    all map-side-combinable); the FK rule is a key-pruned broadcast
-    anti-join count. The generated data REALLY violates the uniqueness
-    and range rules — the report proves the detector, not just the
-    plumbing."""
-    from covid_custom_sql_engine_spark.operators import quality as dq
-
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    return dq.validate(
-        l,
-        [
-            dq.expect_not_null("l_orderkey"),
-            dq.expect_in_set("l_returnflag", ["A", "N", "R"]),
-            dq.expect_in_range("l_quantity", 1, 45),
-            dq.expect_satisfies("discount_at_most_8pct", F.col("l_discount") <= 0.08),
-            dq.expect_unique("l_orderkey", "l_linenumber"),
-            dq.expect_ref_integrity("l_orderkey", o, "o_orderkey"),
-        ],
-    )
-
-
-# ---------------------------------------------------------------------------
-# Sketches: sublinear-state frequency / cardinality estimation
-# (functions/sketches.py — beyond-reference; the reference has only
-# exact aggregates, src/dataframe.py)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "xmr_control_limits",
-    oracle=f"""
-    WITH mr AS (
-        SELECT event_type, value,
-               abs(value - lag(value) OVER (PARTITION BY event_type
-                                            ORDER BY ts, event_id)) AS moving_range
-        FROM events
-    ),
-    s AS (
-        SELECT event_type, count(*) AS n,
-               {_sql_davg('value')} AS xbar,
-               {_sql_davg('moving_range')} AS mrbar
-        FROM mr GROUP BY event_type
-    )
-    SELECT mr.event_type, max(s.n) AS n,
-           round(max(s.xbar), 6) AS xbar,
-           round(max(s.mrbar), 6) AS mrbar,
-           sum(CASE WHEN mr.value > s.xbar + 2.66 * s.mrbar THEN 1 ELSE 0 END)::BIGINT
-             AS n_above_ucl,
-           sum(CASE WHEN mr.value < s.xbar - 2.66 * s.mrbar THEN 1 ELSE 0 END)::BIGINT
-             AS n_below_lcl
-    FROM mr JOIN s USING (event_type)
-    GROUP BY mr.event_type
-    """,
-)
-def xmr_control_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XmR (individuals / moving-range) control chart per event type:
-    mean, mean consecutive |Δ|, and the count of points breaching the
-    ±2.66·mR̄ natural process limits — the SPC screen for metric
-    streams. One shuffle on the type key covers the lag window AND the
-    per-type stats; the ≤|types|-row limits frame broadcasts back onto
-    the same partitioning for the breach count. Decimal-summed means →
-    hash-stable limits cross-engine."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    mr = e.select(
-        "event_type",
-        "value",
-        F.abs(F.col("value") - F.lag("value").over(w)).alias("moving_range"),
-    )
-    s = F.broadcast(
-        mr.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"),
-            ops.davg(F.col("value")).alias("xbar"),
-            ops.davg(F.col("moving_range")).alias("mrbar"),
-        )
-    )
-    return (
-        mr.join(s, "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("n").alias("n"),
-            F.round(F.max("xbar"), 6).alias("xbar"),
-            F.round(F.max("mrbar"), 6).alias("mrbar"),
-            F.sum(
-                F.when(
-                    F.col("value") > F.col("xbar") + 2.66 * F.col("mrbar"), 1
-                ).otherwise(0)
-            ).alias("n_above_ucl"),
-            F.sum(
-                F.when(
-                    F.col("value") < F.col("xbar") - 2.66 * F.col("mrbar"), 1
-                ).otherwise(0)
-            ).alias("n_below_lcl"),
-        )
-    )
-
-
-@query(
-    "tpch_q13_order_count_dist",
-    oracle="""
-    WITH per_cust AS (
-        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-        FROM customer c LEFT JOIN orders o
-          ON c.c_custkey = o.o_custkey
-         AND o.o_orderpriority <> '5-LOW'
-        GROUP BY c.c_custkey
-    )
-    SELECT c_count, count(*) AS custdist
-    FROM per_cust GROUP BY c_count
-    """,
-)
-def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13: distribution of per-customer order counts (excluding
-    one priority class), zero-order customers included. Orders are
-    pre-aggregated to per-custkey counts FIRST (map-side-combinable
-    shuffle on o_custkey — the join then moves ≤|customers| count rows,
-    not raw orders), then LEFT-joined onto customer with COALESCE(…, 0)
-    supplying the zero-order customers. Spark cannot build-broadcast
-    the row-preserving side of a left outer join, so hinting customer
-    would be ignored; the shrunken counts side is the broadcastable one
-    and AQE picks that up when it fits. Second aggregate collapses to
-    ≤max-orders-per-customer groups."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o_counts = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") != "5-LOW")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-    per_cust = c.join(
-        o_counts, c.c_custkey == o_counts.o_custkey, "left"
-    ).select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@query(
-    "tpch_q4_order_priority",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS order_count
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate < TIMESTAMP '1997-07-01'
-      AND EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey
-                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-    GROUP BY o_orderpriority
-    """,
-)
-def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 adapted (no commitdate in the driver schema): orders
-    per priority having at least one line shipped >60 days after
-    ordering. The EXISTS is a LEFTSEMI hash join on the order key with
-    the date comparison as the join-side filter — one shuffle, no
-    correlated re-scan, the decorrelation Catalyst applies to every
-    EXISTS at any scale."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
-    )
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = o.join(
-        l,
-        (o.o_orderkey == l.l_orderkey)
-        & (l.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")),
-        "leftsemi",
-    )
-    return late.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("order_count")
-    )
-
-
-@query(
-    "conversion_delay_quantiles",
-    oracle="""
-    WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
-                WHERE event_type = 'view' GROUP BY 1),
-    s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
-           WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
-    d AS (SELECT dayofweek(s0.t0) + 1 AS first_view_dow,
-                 CAST(epoch_us(s1.t1) - epoch_us(s0.t0) AS DOUBLE) AS delay_us
-          FROM s0 JOIN s1 USING (user_id))
-    SELECT CAST(first_view_dow AS INT) AS first_view_dow,
-           count(*) AS n,
-           round(quantile_cont(delay_us, 0.5) / 1e6, 6) AS p50_s,
-           round(quantile_cont(delay_us, 0.9) / 1e6, 6) AS p90_s
-    FROM d GROUP BY 1
-    """,
-)
-def conversion_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Funnel LATENCY, not just counts: exact p50/p90 of each user's
-    first-view → first-subsequent-click delay, grouped by the weekday
-    of first view. The near-continuous second-scale delays are exactly
-    the distribution that OOMs Spark's object-path percentile aggregate
-    at scale, so the quantiles come from the grouped two-phase bucketed
-    selection (O(buckets) state per group) — same values to the last
-    bit as DuckDB's quantile_cont."""
-    from covid_custom_sql_engine_spark.operators.selection import (
-        grouped_exact_quantiles,
-    )
-
-    e = load_table(spark, sf_dir, "events")
-    s0 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
-    )
-    s1 = (
-        e.join(s0, "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t0")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    d = (
-        s0.join(s1, "user_id")
-        .select(
-            F.dayofweek("t0").alias("first_view_dow"),
-            F.expr("CAST(timestampdiff(MICROSECOND, t0, t1) AS DOUBLE)").alias(
-                "delay_us"
-            ),
-        )
-    )
-    q = grouped_exact_quantiles(
-        d, "first_view_dow", "delay_us", [0.5, 0.9], ["_p50", "_p90"]
-    )
-    return q.select(
-        F.col("first_view_dow").cast("int").alias("first_view_dow"),
-        F.col("n"),
-        F.round(F.col("_p50") / 1e6, 6).alias("p50_s"),
-        F.round(F.col("_p90") / 1e6, 6).alias("p90_s"),
-    )
-
-
-@query(
-    "revenue_concentration",
-    oracle=f"""
-    WITH pc AS (
-        SELECT o_custkey, {_sql_dsum('o_totalprice')} AS rev
-        FROM orders GROUP BY o_custkey
-    ),
-    r AS (
-        SELECT rev,
-               row_number() OVER (ORDER BY rev, o_custkey) AS rnk,
-               count(*) OVER () AS n
-        FROM pc
-    )
-    SELECT max(n) AS n_customers,
-           round(2.0 * {_sql_dsum('rnk * rev')} / (max(n) * {_sql_dsum('rev')})
-                 - (max(n) + 1.0) / max(n), 6) AS gini,
-           round({_sql_dsum('CASE WHEN rnk > 0.9 * n THEN rev ELSE 0 END')}
-                 / {_sql_dsum('rev')}, 6) AS top_decile_share
-    FROM r
-    """,
-)
-def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue-concentration profile: exact Gini coefficient and the
-    top-decile share of per-customer revenue. The rank-weighted Gini
-    formula needs a GLOBAL ascending rank — supplied by
-    selection.global_rank (pinned range exchange + bit-unpacked local
-    ranks, never a single-partition window), then one decimal-summed
-    fold. The whale-vs-long-tail report for any metric at any scale."""
-    from covid_custom_sql_engine_spark.operators.selection import global_rank
-
-    o = load_table(spark, sf_dir, "orders")
-    pc = o.groupBy("o_custkey").agg(ops.dsum(F.col("o_totalprice")).alias("rev"))
-    ranked = global_rank(pc, ["rev", "o_custkey"], out_col="rnk")
-    cnt = F.broadcast(ranked.agg(F.count(F.lit(1)).alias("n")))
-    r = ranked.crossJoin(cnt)
-    n = F.max("n")
-    return r.agg(
-        n.alias("n_customers"),
-        F.round(
-            2.0 * ops.dsum(F.col("rnk") * F.col("rev")) / (n * ops.dsum(F.col("rev")))
-            - (n + 1.0) / n,
-            6,
-        ).alias("gini"),
-        F.round(
-            ops.dsum(
-                F.when(F.col("rnk") > 0.9 * F.col("n"), F.col("rev")).otherwise(0.0)
-            )
-            / ops.dsum(F.col("rev")),
-            6,
-        ).alias("top_decile_share"),
-    )
-
-
-@query(
-    "ols_trend_by_type",
-    oracle=f"""
-    WITH x AS (
-        SELECT event_type,
-               CAST(datediff('second', TIMESTAMP '2024-01-01', ts) AS DOUBLE) AS xs,
-               value AS y
-        FROM events
-    ),
-    s AS (
-        SELECT event_type,
-               count(*) AS n,
-               {_sql_dsum('xs')} AS sx, {_sql_dsum('y')} AS sy,
-               {_sql_dsum('xs * xs')} AS sxx, {_sql_dsum('xs * y')} AS sxy
-        FROM x GROUP BY event_type
-    )
-    SELECT event_type, n,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS slope_per_sec,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-             AS intercept
-    FROM s
-    """,
-)
-def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type least-squares trend of value over event time, from the
-    closed-form normal equations — five decimal-summed moments per
-    group in ONE hash aggregate (map-side combinable; nothing iterative,
-    nothing collected). The decimal sums make the cancellation-prone
-    n·Σx²−(Σx)² arithmetic bit-identical cross-engine, so even the
-    ~1e-9-scale slope hash-matches. The drift detector for metric
-    streams at any scale."""
-    e = load_table(spark, sf_dir, "events")
-    xs = F.expr("CAST(timestampdiff(SECOND, TIMESTAMP '2024-01-01', ts) AS DOUBLE)")
-    x = e.select("event_type", xs.alias("xs"), F.col("value").alias("y"))
-    s = x.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        ops.dsum(F.col("xs")).alias("sx"),
-        ops.dsum(F.col("y")).alias("sy"),
-        ops.dsum(F.col("xs") * F.col("xs")).alias("sxx"),
-        ops.dsum(F.col("xs") * F.col("y")).alias("sxy"),
-    )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return s.select(
-        "event_type",
-        "n",
-        F.round(slope, 12).alias("slope_per_sec"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
-            "intercept"
-        ),
-    )
-
-
-@query(
-    "mad_outliers",
-    oracle="""
-    WITH med AS (SELECT median(l_quantity) AS m FROM lineitem),
-    dev AS (SELECT l_quantity, abs(l_quantity - med.m) AS d, med.m FROM lineitem, med),
-    mad AS (SELECT median(d) AS mad, max(m) AS m FROM dev)
-    SELECT round(mad.m, 6) AS median_qty,
-           round(mad.mad, 6) AS mad_qty,
-           sum(CASE WHEN abs(dev.l_quantity - mad.m) > 3 * 1.4826 * mad.mad
-                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
-           count(*) AS n_rows
-    FROM dev, mad
-    GROUP BY mad.m, mad.mad
-    """,
-)
-def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier count via Median Absolute Deviation — two chained
-    exact medians (quantity, then |quantity − median|), each the
-    two-phase bucketed selection (selection.exact_medians_plan:
-    O(buckets) state, 1-row broadcast back — never a single-partition
-    sort), then one counting pass with the 3·1.4826·MAD fence. The
-    robust alternative to z-scores when the metric has heavy tails;
-    three scans total at any scale."""
-    from covid_custom_sql_engine_spark.operators.selection import exact_medians_plan
-
-    l = load_table(spark, sf_dir, "lineitem").select("l_quantity")
-    med = F.broadcast(
-        exact_medians_plan(l, ["l_quantity"]).select(
-            F.col("median_l_quantity").alias("m")
-        )
-    )
-    dev = l.crossJoin(med).select(
-        "l_quantity", F.abs(F.col("l_quantity") - F.col("m")).alias("d"), "m"
-    )
-    mad = F.broadcast(
-        exact_medians_plan(dev.select("d"), ["d"]).select(
-            F.col("median_d").alias("mad")
-        )
-    )
-    return (
-        dev.crossJoin(mad)
-        .groupBy("m", "mad")
-        .agg(
-            F.sum(
-                F.when(
-                    F.abs(F.col("l_quantity") - F.col("m"))
-                    > 3 * 1.4826 * F.col("mad"),
-                    1,
-                ).otherwise(0)
-            ).alias("n_outliers"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .select(
-            F.round("m", 6).alias("median_qty"),
-            F.round("mad", 6).alias("mad_qty"),
-            "n_outliers",
-            "n_rows",
-        )
-    )
-
-
-@query(
-    "frequent_part_pairs",
-    oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
-        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-        FROM li a JOIN li b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    )
-    SELECT part_a, part_b, count(*) AS support
-    FROM pairs GROUP BY 1, 2
-    HAVING count(*) >= 2
-    ORDER BY support DESC, part_a, part_b
-    LIMIT 20
-    """,
-)
-def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket co-occurrence: the top part pairs bought together.
-    The pair blow-up is the per-basket C(items,2) — bounded by basket
-    size, never corpus size — generated by a self equi-join on the
-    order key (the standard first pass of frequent-itemset mining);
-    candidates aggregate with map-side combine, top-20 by
-    TakeOrderedAndProject with full tiebreaks. At 100 TB the only
-    watch-item is a pathological mega-basket, the same guard class as
-    the LSH bucket cap."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = li.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("part_b"))
-    return (
-        a.join(b, (a.l_orderkey == b._ok) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .orderBy(F.desc("support"), "part_a", "part_b")
-        .limit(20)
-    )
-
-
-_SQL_SURFACE = f"""
-    SELECT l_returnflag,
-           count(*) AS n_rows,
-           {{dsum}} AS sum_revenue,
-           min(l_shipdate) AS min_ship,
-           max(l_shipdate) AS max_ship
-    FROM lineitem
-    WHERE l_quantity >= 10
-    GROUP BY l_returnflag
-"""
-
-
-@query(
-    "sql_surface",
-    oracle=f"""
-    SELECT l_returnflag, n_rows, sum_revenue,
-           strftime(min_ship, '%Y-%m-%d') AS min_ship_date,
-           strftime(max_ship, '%Y-%m-%d') AS max_ship_date
-    FROM ({_SQL_SURFACE.format(dsum=_sql_dsum('l_extendedprice * (1 - l_discount)'))})
-    """,
-)
-def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL front door: register the catalog as temp views and run a
-    TEXTUAL SQL query through ``spark.sql`` — proving a reference user
-    can bring plain SQL, not just the DataFrame API, and Catalyst plans
-    it identically (same pushdown/pruning guards apply). The statement
-    text is shared with the DuckDB oracle modulo each engine's
-    decimal-sum/strftime rendering."""
-    from covid_custom_sql_engine_spark.catalog import register_views
-
-    register_views(spark, sf_dir, ["lineitem"])
-    spark_sql = _SQL_SURFACE.format(
-        dsum="CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)"
-    )
-    return spark.sql(spark_sql).select(
-        "l_returnflag",
-        "n_rows",
-        "sum_revenue",
-        F.date_format("min_ship", "yyyy-MM-dd").alias("min_ship_date"),
-        F.date_format("max_ship", "yyyy-MM-dd").alias("max_ship_date"),
-    )
-
-
-@query(
-    "chi_square_flags",
-    oracle=f"""
-    WITH obs AS (
-        SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS o
-        FROM lineitem GROUP BY 1, 2
-    ),
-    tot AS (SELECT sum(o) AS n FROM obs),
-    margins AS (
-        SELECT obs.rf, obs.ls, obs.o,
-               sum(obs.o) OVER (PARTITION BY obs.rf) AS row_tot,
-               sum(obs.o) OVER (PARTITION BY obs.ls) AS col_tot,
-               tot.n
-        FROM obs, tot
-    )
-    SELECT count(*) AS n_cells,
-           round(sum(CAST(
-               (o - row_tot * col_tot / CAST(n AS DOUBLE))
-               * (o - row_tot * col_tot / CAST(n AS DOUBLE))
-               / (row_tot * col_tot / CAST(n AS DOUBLE))
-               AS DECIMAL(38,18)))::DOUBLE, 6) AS chi2
-    FROM margins
-    """,
-)
-def chi_square_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square independence statistic for the (returnflag ×
-    linestatus) contingency table: observed cell counts from one hash
-    aggregate (bounded by category-pair cardinality), margins from
-    windows over those few rows, the statistic folded with a
-    DECIMAL(38,18) sum so the result is order-independent. The
-    categorical-drift screen for ingest QA — at 100 TB only the tiny
-    contingency table ever leaves the scan."""
-    l = load_table(spark, sf_dir, "lineitem")
-    obs = l.groupBy(
-        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
-    ).agg(F.count(F.lit(1)).alias("o"))
-    tot = F.broadcast(obs.agg(F.sum("o").alias("n")))
-    wr = Window.partitionBy("rf")
-    wc = Window.partitionBy("ls")
-    m = (
-        obs.crossJoin(tot)
-        .withColumn("row_tot", F.sum("o").over(wr))
-        .withColumn("col_tot", F.sum("o").over(wc))
-    )
-    exp = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
-    term = (F.col("o") - exp) * (F.col("o") - exp) / exp
-    return m.agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.round(
-            F.sum(term.cast("decimal(38,18)")).cast("double"), 6
-        ).alias("chi2"),
-    )
-
-
-_SQL_INT8_NORM = (
-    "CASE WHEN list_dot_product(vd, vd) = 0 THEN list_transform(vd, x -> 0.0) "
-    "ELSE list_transform(vd, x -> x / sqrt(list_dot_product(vd, vd))) END"
-)
-_SQL_INT8_SCALE = (
-    "CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0 "
-    "ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END"
-)
-_SQL_INT8_QV = (
-    "list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / s + 0.5)))::BIGINT)"
-)
-
-
-@query(
-    "int8_topk_recall",
-    oracle=f"""
-    WITH nq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS vd
-                FROM embeddings WHERE vec_id <= 4),
-    nc AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
-    pq0 AS (SELECT query_id, {_SQL_INT8_NORM} AS v FROM nq),
-    pq1 AS (SELECT query_id, v, {_SQL_INT8_SCALE} AS s FROM pq0),
-    pq AS (SELECT query_id, s AS sq, {_SQL_INT8_QV} AS qq FROM pq1),
-    pc0 AS (SELECT vec_id, {_SQL_INT8_NORM} AS v FROM nc),
-    pc1 AS (SELECT vec_id, v, {_SQL_INT8_SCALE} AS s FROM pc0),
-    pc AS (SELECT vec_id, s AS sc, {_SQL_INT8_QV} AS qc FROM pc1),
-    scored AS (SELECT query_id, vec_id,
-                      list_dot_product(qq, qc) * sq * sc AS q_cos
-               FROM pq CROSS JOIN pc WHERE vec_id != query_id),
-    ap AS (SELECT query_id, vec_id FROM scored
-           QUALIFY row_number() OVER (PARTITION BY query_id
-                                      ORDER BY q_cos DESC, vec_id) <= 5),
-    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
-    """,
-)
-def int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantized-retrieval audit: recall@5 of int8 inner-product top-k
-    (similarity.int8_topk — 4× smaller vectors, exact bigint hot loop)
-    against the float cosine baseline, per query. The evaluation that
-    licenses scanning a quantized corpus at 100 TB and re-ranking only
-    the survivors in float."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    ap = sim.int8_topk(e, qs, k=5).select("query_id", "vec_id")
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    return _recall_vs_exact(ex, ap)
-
-
-# The ONE set of PQ knobs driving both engine sides: the Python
-# pq_topk/ivfpq_topk/ivfpq_rerank_topk calls AND the generated SQL
-# fragments below read these, so changing a knob cannot desynchronize
-# the oracle (it regenerates). _PQ_SUB is derived, never set.
-_PQ_M = 4  # subspaces
-_PQ_KCODES = 16  # codewords per subspace (seed ids 0..k-1)
-_PQ_DIM = 64  # embedding dimension of the testdata corpus
-assert _PQ_DIM % _PQ_M == 0
-_PQ_SUB = _PQ_DIM // _PQ_M
-
-
-# Shared PQ oracle fragments: the code-derivation CTE chain (normalize →
-# seed codebooks → per-subspace argmin codes → wide code row) and the
-# m-term ADC distance — used by pq_topk_recall, ivfpq_topk_recall AND
-# ivfpq_rerank_recall so the oracles cannot drift. The ADC fragments
-# expect the query rows aliased `q` (with normalized vector `v`) and the
-# wide code row aliased `cw`.
-def _pq_codes_sql(m: int, k: int, sub: int) -> str:
-    code_cols = ",\n             ".join(
-        f"max(CASE WHEN s={s} THEN code END) AS c{s}" for s in range(m)
-    )
-    return f"""nc AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
-    nv AS (SELECT vec_id,
-             CASE WHEN list_dot_product(vd, vd) = 0
-                  THEN list_transform(vd, x -> 0.0::DOUBLE)
-                  ELSE list_transform(vd, x -> x / sqrt(list_dot_product(vd, vd))) END AS v
-           FROM nc),
-    cb AS (SELECT s, vec_id AS j, list_slice(v, s*{sub} + 1, (s+1)*{sub}) AS c
-           FROM nv, (SELECT unnest(range(0, {m})) AS s) WHERE vec_id < {k}),
-    enc AS (SELECT nv.vec_id, cb.s, cb.j,
-              -2 * list_dot_product(list_slice(nv.v, cb.s*{sub} + 1, (cb.s+1)*{sub}), cb.c)
-              + list_dot_product(cb.c, cb.c) AS d
-            FROM nv CROSS JOIN cb),
-    codes AS (SELECT vec_id, s, j AS code FROM enc
-              QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1),
-    cw AS (SELECT vec_id,
-             {code_cols}
-           FROM codes GROUP BY vec_id)"""
-
-
-def _pq_adc_terms_sql(m: int, sub: int) -> str:
-    return (
-        "\n              + ".join(
-            f"(-2 * list_dot_product(list_slice(q.v, {s * sub + 1}, {(s + 1) * sub}), b{s}.c)"
-            f" + list_dot_product(b{s}.c, b{s}.c))"
-            for s in range(m)
-        )
-        + " AS d"
-    )
-
-
-def _pq_adc_joins_sql(m: int) -> str:
-    return "\n            ".join(
-        f"JOIN cb b{s} ON b{s}.s = {s} AND b{s}.j = cw.c{s}" for s in range(m)
-    )
-
-
-_SQL_PQ_CODES = _pq_codes_sql(_PQ_M, _PQ_KCODES, _PQ_SUB)
-_SQL_PQ_ADC_TERMS = _pq_adc_terms_sql(_PQ_M, _PQ_SUB)
-_SQL_PQ_ADC_JOINS = _pq_adc_joins_sql(_PQ_M)
-
-
-@query(
-    "pq_topk_recall",
-    oracle=f"""
-    WITH {_SQL_PQ_CODES},
-    qs AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
-    adc AS (SELECT q.query_id, cw.vec_id,
-              {_SQL_PQ_ADC_TERMS}
-            FROM qs q CROSS JOIN cw
-            {_SQL_PQ_ADC_JOINS}
-            WHERE cw.vec_id != q.query_id),
-    ap AS (SELECT query_id, vec_id FROM adc
-           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
-    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
-    """,
-)
-def pq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization retrieval audit: recall@5 of PQ/ADC top-k
-    (similarity.pq_topk — m=4 subspaces x 16 codewords, so each corpus
-    vector is scanned as 4 small ints instead of 64 floats, the
-    memory-bandwidth layout of billion-scale ANN) against the float
-    cosine baseline, per query. Codebooks are the deterministic
-    low-id-seed subvectors (the kmeans_step init convention), encoding
-    is a shuffle-free map-side projection, and the ADC distance sums
-    subspaces in fixed order — so the oracle derives identical codes
-    and distances and the comparison is exact, not statistical."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    ap = sim.pq_topk(e, qs, m=_PQ_M, k_codes=_PQ_KCODES, k=5).select(
-        "query_id", "vec_id"
-    )
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    return _recall_vs_exact(ex, ap)
-
-
-@query(
-    "ivfpq_topk_recall",
-    oracle=f"""
-    WITH {_SQL_IVF_COARSE},
-    {_SQL_PQ_CODES},
-    nq AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
-    adc AS (SELECT p.query_id, s.vec_id,
-              {_SQL_PQ_ADC_TERMS}
-            FROM pr p
-            JOIN nq q ON q.query_id = p.query_id
-            JOIN corpus s ON s.cell = p.cell
-            JOIN cw ON cw.vec_id = s.vec_id
-            {_SQL_PQ_ADC_JOINS}
-            WHERE s.vec_id != p.query_id),
-    ap AS (SELECT query_id, vec_id FROM adc
-           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
-    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
-    """,
-)
-def ivfpq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC audit — the full billion-scale ANN composition in one
-    query: IVF coarse cells prune the corpus to n_probe=2 probed cells
-    per query, the in-cell scan reads only PQ codes (4 bytes/vector),
-    and recall@5 is measured against the float cosine baseline
-    (similarity.ivfpq_topk). The oracle COMPOSES the shared fragments
-    of its two parents — `_SQL_IVF_COARSE` (ivf_topk's cell
-    assignment/probing) and `_SQL_PQ_CODES` + ADC terms
-    (pq_topk_recall's code derivation/distance) — so all three queries
-    stay in lockstep, and the composition's comparison is exact, not
-    statistical. Both reduction factors (cell pruning × code
-    compression) are what a 100 TB vector store actually deploys;
-    exact re-ranking of survivors is the trivial follow-up join."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    ap = sim.ivfpq_topk(e, qs, k=5, n_probe=2, m=_PQ_M, k_codes=_PQ_KCODES).select(
-        "query_id", "vec_id"
-    )
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    return _recall_vs_exact(ex, ap)
-
-
-@query(
-    "ivfpq_rerank_recall",
-    oracle=f"""
-    WITH {_SQL_IVF_COARSE},
-    {_SQL_PQ_CODES},
-    nq AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
-    adc AS (SELECT p.query_id, s.vec_id,
-              {_SQL_PQ_ADC_TERMS}
-            FROM pr p
-            JOIN nq q ON q.query_id = p.query_id
-            JOIN corpus s ON s.cell = p.cell
-            JOIN cw ON cw.vec_id = s.vec_id
-            {_SQL_PQ_ADC_JOINS}
-            WHERE s.vec_id != p.query_id),
-    cand AS (SELECT query_id, vec_id FROM adc
-             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 20),
-    rescored AS (SELECT cand.query_id, cand.vec_id,
-                   list_dot_product(qf.qv, cf.v)
-                     / (sqrt(list_dot_product(qf.qv, qf.qv)) * sqrt(list_dot_product(cf.v, cf.v))) AS cos
-                 FROM cand
-                 JOIN q qf ON qf.query_id = cand.query_id
-                 JOIN c cf ON cf.vec_id = cand.vec_id),
-    ap AS (SELECT query_id, vec_id FROM rescored
-           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5),
-    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
-    """,
-)
-def ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE three-stage retrieval stack a 100 TB vector store
-    deploys, audited end-to-end: IVF coarse cells prune to n_probe=2
-    probed cells, the in-cell ADC scan over PQ codes shortlists
-    k·cand_factor = 20 candidates per query, and ONLY those survivors
-    are joined back to their float vectors and re-scored with the
-    exact cosine (similarity.ivfpq_rerank_topk). Reported as recall@5
-    vs the float brute-force baseline — by construction ≥ the ADC-only
-    `ivfpq_topk_recall` (re-ranking a superset that contains every
-    ADC top-5 can only fix ordering, not lose hits... unless the true
-    neighbor was pruned by the coarse stage, which is exactly what the
-    audit measures). The oracle composes the same shared fragments as
-    its two parents plus an exact-cosine re-score on the raw vectors,
-    so the comparison is exact, not statistical."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    ap = sim.ivfpq_rerank_topk(
-        e, qs, k=5, cand_factor=4, n_probe=2, m=_PQ_M, k_codes=_PQ_KCODES
-    ).select("query_id", "vec_id")
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    return _recall_vs_exact(ex, ap)
-
-
-@query(
-    "ivf_incremental_assign",
-    oracle="""
-    WITH corpus AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-                    FROM embeddings WHERE vec_id % 2 = 0),
-    el AS (SELECT label, generate_subscripts(embedding, 1) AS i,
-                  unnest(embedding::DOUBLE[]) AS x
-           FROM embeddings WHERE vec_id % 2 = 0),
-    ce AS (SELECT label, i, avg(x) AS ax FROM el GROUP BY label, i),
-    cent AS (SELECT label AS cell, list(ax ORDER BY i) AS cv FROM ce GROUP BY label),
-    nw AS (SELECT vec_id, embedding::DOUBLE[] AS v
-           FROM embeddings WHERE vec_id % 2 = 1),
-    asn AS (
-      SELECT nw.vec_id, cent.cell, row_number() OVER (
-        PARTITION BY nw.vec_id
-        ORDER BY (list_dot_product(nw.v, cent.cv)
-                  / (sqrt(list_dot_product(nw.v, nw.v)) * sqrt(list_dot_product(cent.cv, cent.cv))))
-                 DESC NULLS FIRST, cent.cell ASC) AS rn
-      FROM nw CROSS JOIN cent)
-    SELECT vec_id, cell FROM asn WHERE rn = 1
-    """,
-)
-def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-index MAINTENANCE path (the ANN sibling of
-    guarded_incremental_dedup's parity-split convention): the corpus
-    (even vec_ids) already has trained cells; an ingest batch (odd
-    vec_ids) is assigned against the FROZEN centroids — the existing
-    corpus is never rescanned and the centroids never retrained, so
-    daily index upkeep at 100 TB costs |batch| · cells map-side work
-    via the zero-shuffle HOF argmax (similarity._assign_nearest,
-    nulls_first to mirror the oracle's DESC NULLS FIRST), not a corpus
-    rebuild. Periodic re-clustering (when drift telemetry like
-    psi_drift warrants) is kmeans_centroids on a snapshot — a separate,
-    scheduled cost."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    corpus = e.filter(F.col("vec_id") % 2 == 0)
-    new = e.filter(F.col("vec_id") % 2 == 1)
-    cents = sim.label_centroids(corpus, "label", "embedding")
-    return sim.assign_cells(new, cents, id_col="vec_id", vec_col="embedding")
-
-
-@query(
-    "rrf_fusion",
-    oracle=f"""
-    WITH {_SQL_PQ_CODES},
-    qs AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
-    adc AS (SELECT q.query_id, cw.vec_id,
-              {_SQL_PQ_ADC_TERMS}
-            FROM qs q CROSS JOIN cw
-            {_SQL_PQ_ADC_JOINS}
-            WHERE cw.vec_id != q.query_id),
-    pqr AS (SELECT query_id, vec_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) AS rank
-            FROM adc
-            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
-    lshr AS ({ORACLES['lsh_topk']}),
-    terms AS (
-        SELECT query_id, vec_id, 1.0::DOUBLE / (60 + rank) AS t FROM lshr
-        UNION ALL
-        SELECT query_id, vec_id, 1.0::DOUBLE / (60 + rank) AS t FROM pqr),
-    fused AS (SELECT query_id, vec_id, {_sql_dsum('t')} AS s
-              FROM terms GROUP BY 1, 2)
-    SELECT query_id, vec_id, round(s, 6) + 0.0 AS rrf_score,
-           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
-    FROM fused
-    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) <= 5
-    """,
-)
-def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid-retrieval rank ensemble (similarity.rrf_fuse — reciprocal
-    rank fusion, Cormack et al. 2009, k=60): the hyperplane-LSH top-5
-    and the PQ/ADC top-5 are two INDEPENDENT approximate candidate
-    generators with different failure modes (bucket boundaries vs
-    quantization error); each contributes 1/(60+rank) per candidate and
-    the fused top-5 re-ranks by the summed score. The fusion layer
-    itself never touches vectors: a union of two tiny top-k frames + one
-    hash aggregate on (query, candidate) — at 100 TB the cost is the two
-    retrieval pipelines, not the ensemble. Scores fold through the
-    fixed-point dsum so the oracle reproduces them bit-for-bit; ties
-    break on the candidate id."""
-    lsh = QUERIES["lsh_topk"](spark, sf_dir).select("query_id", "vec_id", "rank")
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    pq = sim.pq_topk(e, qs, m=_PQ_M, k_codes=_PQ_KCODES, k=5).select(
-        "query_id", "vec_id", "rank"
-    )
-    return sim.rrf_fuse([lsh, pq], k_const=60, k=5)
-
-
-# Residual-IVFADC oracle fragments: unit-normalized centroids, the
-# residual frame r = nv − cn(assigned cell), residual seed codebooks
-# (id<k on the RESIDUAL frame — same determinism convention), residual
-# codes, and the wide code row. Expects _SQL_IVF_COARSE's cent/corpus
-# and _SQL_PQ_CODES' nv in scope.
-def _pq_resid_sql(m: int, k: int, sub: int) -> str:
-    code_cols = ",\n             ".join(
-        f"max(CASE WHEN s={s} THEN code END) AS c{s}" for s in range(m)
-    )
-    return f"""cnn AS (SELECT cell,
-             CASE WHEN list_dot_product(cv, cv) = 0
-                  THEN list_transform(cv, x -> 0.0::DOUBLE)
-                  ELSE list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) END AS cn
-           FROM cent),
-    rv AS (SELECT nv.vec_id, co.cell,
-             list_transform(nv.v, (x, i) -> x - cnn.cn[i]) AS r
-           FROM nv JOIN corpus co ON co.vec_id = nv.vec_id
-                   JOIN cnn ON cnn.cell = co.cell),
-    rcb AS (SELECT s, vec_id AS j, list_slice(r, s*{sub} + 1, (s+1)*{sub}) AS c
-           FROM rv, (SELECT unnest(range(0, {m})) AS s) WHERE vec_id < {k}),
-    renc AS (SELECT rv.vec_id, rcb.s, rcb.j,
-              -2 * list_dot_product(list_slice(rv.r, rcb.s*{sub} + 1, (rcb.s+1)*{sub}), rcb.c)
-              + list_dot_product(rcb.c, rcb.c) AS d
-            FROM rv CROSS JOIN rcb),
-    rcodes AS (SELECT vec_id, s, j AS code FROM renc
-              QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1),
-    rcw AS (SELECT vec_id,
-             {code_cols}
-           FROM rcodes GROUP BY vec_id)"""
-
-
-_SQL_PQ_RESID = _pq_resid_sql(_PQ_M, _PQ_KCODES, _PQ_SUB)
-# residual ADC: ⟨qr, qr⟩ is NOT constant across probed cells (each cell
-# has its own query residual), so multi-probe ranking keeps it
-_SQL_PQR_ADC_TERMS = (
-    "list_dot_product(q.qr, q.qr)\n              + "
-    + "\n              + ".join(
-        f"(-2 * list_dot_product(list_slice(q.qr, {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB}), b{s}.c)"
-        f" + list_dot_product(b{s}.c, b{s}.c))"
-        for s in range(_PQ_M)
-    )
-    + " AS d"
-)
-_SQL_PQR_ADC_JOINS = "\n            ".join(
-    f"JOIN rcb b{s} ON b{s}.s = {s} AND b{s}.j = rcw.c{s}"
-    for s in range(_PQ_M)
-)
-
-
-@query(
-    "ivfpq_residual_recall",
-    oracle=f"""
-    WITH {_SQL_IVF_COARSE},
-    {_SQL_PQ_CODES},
-    nq AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
-    {_SQL_PQ_RESID},
-    qres AS (SELECT p.query_id, p.cell,
-               list_transform(nq.v, (x, i) -> x - cnn.cn[i]) AS qr
-             FROM pr p JOIN nq ON nq.query_id = p.query_id
-                       JOIN cnn ON cnn.cell = p.cell),
-    adc AS (SELECT q.query_id, s.vec_id,
-              {_SQL_PQR_ADC_TERMS}
-            FROM qres q
-            JOIN corpus s ON s.cell = q.cell
-            JOIN rcw ON rcw.vec_id = s.vec_id
-            {_SQL_PQR_ADC_JOINS}
-            WHERE s.vec_id != q.query_id),
-    ap AS (SELECT query_id, vec_id FROM adc
-           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
-    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
-    """,
-)
-def ivfpq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Residual-IVFADC audit — the canonical Jégou et al. 2011
-    composition: each corpus vector is PQ-encoded as its RESIDUAL
-    against the assigned cell's unit-normalized centroid instead of
-    the raw normalized vector (similarity.ivfpq_residual_topk).
-    When the coarse quantizer explains real variance, residuals
-    concentrate near the origin and the same m-byte code budget
-    resolves what the cells haven't already explained — the standard
-    recall improvement at identical storage
-    (test_residual_ivfpq_beats_raw_on_clustered_corpus pins the win
-    end-to-end on a clustered corpus: 0.53 vs 0.20). On THIS fixture
-    the embeddings are near-random (mean cosine to own centroid
-    ≈ 0.22; residual norms 1.25 > 1.0), so the premise fails and the
-    audit honestly reports residual ≤ raw here — exactly the
-    data-dependence a recall audit exists to expose. The ADC distance keeps the
-    per-cell ⟨qr, qr⟩ term because the query's residual differs per
-    probed cell — multi-probe ranking would be wrong without it. The
-    oracle composes `_SQL_IVF_COARSE` + the residual chain
-    (`_SQL_PQ_RESID`: centroid normalization → residual frame → id<k
-    residual seed codebooks → argmin codes), so the comparison is
-    exact, not statistical."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    ap = sim.ivfpq_residual_topk(
-        e, qs, k=5, n_probe=2, m=_PQ_M, k_codes=_PQ_KCODES
-    ).select("query_id", "vec_id")
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    return _recall_vs_exact(ex, ap)
-
-
-# Lloyd-refined codebook oracle fragments: one refinement round
-# unrolled — members of each (subspace, codeword) from the SEED codes
-# CTE, per-position mean, coalesce to the seed for empty codewords,
-# then re-encode against the refined codebooks. Expects _SQL_PQ_CODES'
-# nv/cb/codes in scope.
-def _pq_refined_sql(m: int, k: int, sub: int) -> str:
-    code_cols = ",\n             ".join(
-        f"max(CASE WHEN s={s} THEN code END) AS c{s}" for s in range(m)
-    )
-    return f"""rmem AS (SELECT c.s, c.code AS j,
-             generate_subscripts(list_slice(nv.v, c.s*{sub} + 1, (c.s+1)*{sub}), 1) AS p,
-             unnest(list_slice(nv.v, c.s*{sub} + 1, (c.s+1)*{sub})) AS x
-           FROM codes c JOIN nv ON nv.vec_id = c.vec_id),
-    ravg AS (SELECT s, j, p,
-               round({_sql_dsum('x')} / count(*), 6) AS ax
-             FROM rmem GROUP BY s, j, p),
-    rlist AS (SELECT s, j, list(ax ORDER BY p) AS c FROM ravg GROUP BY s, j),
-    cb2 AS (SELECT cb.s, cb.j, coalesce(rlist.c, cb.c) AS c
-            FROM cb LEFT JOIN rlist ON rlist.s = cb.s AND rlist.j = cb.j),
-    enc2 AS (SELECT nv.vec_id, cb2.s, cb2.j,
-              -2 * list_dot_product(list_slice(nv.v, cb2.s*{sub} + 1, (cb2.s+1)*{sub}), cb2.c)
-              + list_dot_product(cb2.c, cb2.c) AS d
-            FROM nv CROSS JOIN cb2),
-    codes2 AS (SELECT vec_id, s, j AS code FROM enc2
-              QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1),
-    cw2 AS (SELECT vec_id,
-             {code_cols}
-           FROM codes2 GROUP BY vec_id)"""
-
-
-_SQL_PQ_REFINED = _pq_refined_sql(_PQ_M, _PQ_KCODES, _PQ_SUB)
-_SQL_PQ2_ADC_JOINS = "\n            ".join(
-    f"JOIN cb2 b{s} ON b{s}.s = {s} AND b{s}.j = cw2.c{s}"
-    for s in range(_PQ_M)
-)
-
-
-@query(
-    "pq_refined_recall",
-    oracle=f"""
-    WITH {_SQL_PQ_CODES},
-    {_SQL_PQ_REFINED},
-    qs AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
-    adc AS (SELECT q.query_id, cw2.vec_id,
-              {_SQL_PQ_ADC_TERMS}
-            FROM qs q CROSS JOIN cw2
-            {_SQL_PQ2_ADC_JOINS}
-            WHERE cw2.vec_id != q.query_id),
-    ap AS (SELECT query_id, vec_id FROM adc
-           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
-    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
-    """,
-)
-def pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd-refined PQ audit — the production codebook path
-    pq_codebooks' docstring names, now implemented
-    (similarity.pq_codebooks_refined): one Lloyd round per subspace
-    (encode against the seed codebooks → replace every codeword with
-    the per-position mean of its assigned subvectors, empty codewords
-    keep their seed), then PQ/ADC top-k against the REFINED codebooks,
-    reported as recall@5 vs the float baseline (tests assert ≥ the
-    seed-codebook `pq_topk_recall` on this fixture). Per refinement
-    round the engine pays one map-side encode scan + one k·dim-row
-    hash aggregate + a bounded k·dim driver fetch. The oracle unrolls
-    the round exactly (seed codes CTE → per-(s, j, pos) avg →
-    coalesce → re-encode), so the comparison is exact, not
-    statistical."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    rcbs = sim.pq_codebooks_refined(e, m=_PQ_M, k=_PQ_KCODES, rounds=1)
-    ap = sim.pq_topk(
-        e, qs, m=_PQ_M, k_codes=_PQ_KCODES, k=5, codebooks=rcbs
-    ).select("query_id", "vec_id")
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    return _recall_vs_exact(ex, ap)
-
-
-# Filtered-ANN predicate (ONE constant driving the Spark calls AND the
-# generated SQL, the _PQ_* convention)
-_FANN_LABEL = 2
-
-
-@query(
-    "filtered_ann_topk",
-    oracle=f"""
-    WITH {_SQL_IVF_COARSE},
-    {_SQL_PQ_CODES},
-    nq AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
-    adc AS (SELECT p.query_id, s.vec_id,
-              {_SQL_PQ_ADC_TERMS}
-            FROM pr p
-            JOIN nq q ON q.query_id = p.query_id
-            JOIN corpus s ON s.cell = p.cell
-            JOIN c cl ON cl.vec_id = s.vec_id AND cl.label = {_FANN_LABEL}
-            JOIN cw ON cw.vec_id = s.vec_id
-            {_SQL_PQ_ADC_JOINS}
-            WHERE s.vec_id != p.query_id)
-    SELECT query_id, vec_id, round(d, 6) + 0.0 AS pq_dist,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) AS BIGINT) AS rank
-    FROM adc
-    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5
-    """,
-)
-def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered ANN — the query shape every production vector store
-    serves: top-k under a metadata predicate (here ``label = 2``). The
-    index (coarse cells + PQ codebooks) stays trained on the FULL
-    corpus; the predicate prunes the scan side BEFORE the cell-scoped
-    ADC (similarity.ivfpq_topk's corpus_predicate), so the result is
-    the exact ADC top-k among MATCHING vectors — pre-filtering, not
-    the silently-under-returning post-filter of an unfiltered top-k
-    (that gap is measured by `filtered_ann_audit`). At 100 TB the
-    predicate is an ordinary pushed filter on the codes table's
-    metadata columns — the scan cost drops to the predicate's
-    selectivity × n_probe/n_cells × m bytes per vector."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = sim.ivfpq_topk(
-        e,
-        qs,
-        k=5,
-        n_probe=2,
-        m=_PQ_M,
-        k_codes=_PQ_KCODES,
-        corpus_predicate=(F.col("label") == _FANN_LABEL),
-    )
-    return out.select(
-        "query_id",
-        "vec_id",
-        (F.round("pq_dist", 6) + 0.0).alias("pq_dist"),
-        F.col("rank").cast("bigint").alias("rank"),
-    )
-
-
-@query(
-    "filtered_ann_audit",
-    oracle=f"""
-    WITH {_SQL_IVF_COARSE},
-    {_SQL_PQ_CODES},
-    nq AS (SELECT vec_id AS query_id, v FROM nv WHERE vec_id <= 4),
-    exf AS (SELECT q.query_id, cf.vec_id FROM q
-            CROSS JOIN (SELECT vec_id, v FROM c WHERE label = {_FANN_LABEL}) cf
-            WHERE cf.vec_id != q.query_id
-            QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
-              list_dot_product(q.qv, cf.v)
-                / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cf.v, cf.v)))
-              DESC, cf.vec_id) <= 5),
-    adc AS (SELECT p.query_id, s.vec_id, cl.label,
-              {_SQL_PQ_ADC_TERMS}
-            FROM pr p
-            JOIN nq q ON q.query_id = p.query_id
-            JOIN corpus s ON s.cell = p.cell
-            JOIN c cl ON cl.vec_id = s.vec_id
-            JOIN cw ON cw.vec_id = s.vec_id
-            {_SQL_PQ_ADC_JOINS}
-            WHERE s.vec_id != p.query_id),
-    pre AS (SELECT query_id, vec_id FROM adc WHERE label = {_FANN_LABEL}
-            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
-    post AS (SELECT query_id, vec_id FROM (
-               SELECT query_id, vec_id, label FROM adc
-               QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5)
-             WHERE label = {_FANN_LABEL}),
-    hp AS (SELECT exf.query_id, count(*) AS n FROM exf
-           JOIN pre ON pre.query_id = exf.query_id AND pre.vec_id = exf.vec_id
-           GROUP BY exf.query_id),
-    hq AS (SELECT exf.query_id, count(*) AS n FROM exf
-           JOIN post ON post.query_id = exf.query_id AND post.vec_id = exf.vec_id
-           GROUP BY exf.query_id),
-    per AS (SELECT query_id, count(*) AS k FROM exf GROUP BY query_id)
-    SELECT per.query_id, per.k,
-           coalesce(hp.n, 0) AS hits_pre,
-           round(coalesce(hp.n, 0)::DOUBLE / per.k, 6) AS recall_pre,
-           coalesce(hq.n, 0) AS hits_post,
-           round(coalesce(hq.n, 0)::DOUBLE / per.k, 6) AS recall_post
-    FROM per LEFT JOIN hp ON hp.query_id = per.query_id
-             LEFT JOIN hq ON hq.query_id = per.query_id
-    """,
-)
-def filtered_ann_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pre-filter vs post-filter gap, measured: per query, recall
-    of (a) PRE-filtering — the predicate prunes the scan before the
-    cell-scoped ADC (`filtered_ann_topk`'s path) and (b)
-    POST-filtering — take the unfiltered ADC top-5, then keep matches
-    (the naive approach) — both against the exact filtered cosine
-    top-5. Post-filter hits are PROVABLY a subset of pre-filter hits
-    (a match in the unfiltered top-5 is among the 5 best matches of
-    the probed cells), so recall_post ≤ recall_pre row by row; the
-    audit shows how much the naive path under-returns on a selective
-    predicate (~1-in-10 here). Fully oracled — both paths and the
-    exact baseline are deterministic."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    pred = F.col("label") == _FANN_LABEL
-    exf = sim.brute_force_topk(e.filter(pred), qs, k=5).select(
-        "query_id", "vec_id"
-    )
-    kw = dict(k=5, n_probe=2, m=_PQ_M, k_codes=_PQ_KCODES)
-    pre = sim.ivfpq_topk(e, qs, corpus_predicate=pred, **kw).select(
-        "query_id", "vec_id"
-    )
-    post = (
-        sim.ivfpq_topk(e, qs, **kw)
-        .select("query_id", "vec_id")
-        .join(e.filter(pred).select("vec_id"), "vec_id")
-    )
-    per = exf.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
-    hp = exf.join(pre, ["query_id", "vec_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("hits_pre")
-    )
-    hq = exf.join(post, ["query_id", "vec_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("hits_post")
-    )
-    n_pre = F.coalesce("hits_pre", F.lit(0))
-    n_post = F.coalesce("hits_post", F.lit(0))
-    return (
-        per.join(hp, "query_id", "left")
-        .join(hq, "query_id", "left")
-        .select(
-            "query_id",
-            "k",
-            n_pre.alias("hits_pre"),
-            F.round(n_pre / F.col("k"), 6).alias("recall_pre"),
-            n_post.alias("hits_post"),
-            F.round(n_post / F.col("k"), 6).alias("recall_post"),
-        )
-    )
-
-
-@query(
-    "hierarchical_assign_agreement",
-    oracle="""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cent AS (SELECT vec_id AS cell, v AS cv FROM c WHERE vec_id < 16),
-    sup AS (SELECT cell AS scell, cv AS scv FROM cent
-            QUALIFY row_number() OVER (ORDER BY cell) <= 4),
-    cs AS (SELECT cent.cell, sup.scell, row_number() OVER (
-             PARTITION BY cent.cell
-             ORDER BY (list_dot_product(cent.cv, sup.scv)
-                       / (sqrt(list_dot_product(cent.cv, cent.cv)) * sqrt(list_dot_product(sup.scv, sup.scv))))
-                      DESC NULLS FIRST, sup.scell ASC) AS rn
-           FROM cent CROSS JOIN sup),
-    csel0 AS (SELECT cell, scell FROM cs WHERE rn = 1),
-    -- a childless super-seed stays selectable as its own single child
-    -- (mirrors hierarchical_assign's left-join + coalesce-to-self)
-    csel AS (SELECT cell, scell FROM csel0
-             UNION ALL
-             SELECT scell AS cell, scell FROM sup
-             WHERE scell NOT IN (SELECT scell FROM csel0)),
-    vs AS (SELECT c.vec_id, sup.scell, row_number() OVER (
-             PARTITION BY c.vec_id
-             ORDER BY (list_dot_product(c.v, sup.scv)
-                       / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(sup.scv, sup.scv))))
-                      DESC NULLS FIRST, sup.scell ASC) AS rn
-           FROM c CROSS JOIN sup),
-    vsel AS (SELECT vec_id, scell FROM vs WHERE rn = 1),
-    vc AS (SELECT v.vec_id, cent.cell, row_number() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY (list_dot_product(v.v, cent.cv)
-                       / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cent.cv, cent.cv))))
-                      DESC NULLS FIRST, cent.cell ASC) AS rn
-           FROM c v JOIN vsel ON vsel.vec_id = v.vec_id
-                    JOIN csel ON csel.scell = vsel.scell
-                    JOIN cent ON cent.cell = csel.cell),
-    hier AS (SELECT vec_id, cell FROM vc WHERE rn = 1),
-    exv AS (SELECT c.vec_id, cent.cell, row_number() OVER (
-             PARTITION BY c.vec_id
-             ORDER BY (list_dot_product(c.v, cent.cv)
-                       / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cent.cv, cent.cv))))
-                      DESC NULLS FIRST, cent.cell ASC) AS rn
-           FROM c CROSS JOIN cent),
-    ex AS (SELECT vec_id, cell FROM exv WHERE rn = 1)
-    SELECT ex.cell, count(*) AS n_vectors,
-           CAST(sum(CASE WHEN hier.cell = ex.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
-           round(sum(CASE WHEN hier.cell = ex.cell THEN 1 ELSE 0 END)::DOUBLE
-                 / count(*), 6) AS agreement
-    FROM ex JOIN hier ON hier.vec_id = ex.vec_id
-    GROUP BY ex.cell
-    """,
-)
-def hierarchical_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Agreement audit for two-level coarse assignment
-    (similarity.hierarchical_assign): 16 deterministic seed centroids
-    (vec_id < 16), 4 super-seeds (the ⌈√k⌉ smallest cell ids), and
-    per exact-cell agreement between hierarchical and exact
-    assignment. The hierarchical path does n_super + k/n_super ≈ 2√k
-    dots per vector instead of k — the standard fix for flat
-    assignment's O(N·k) work at the k ≈ √N SemDeDup/IVF configuration
-    (~100× less at N = 10⁹, k ≈ 31k; cost model in SCALE.md). It is
-    APPROXIMATE (a vector whose true cell lives under a different
-    super-seed is misassigned), so the exact zero-shuffle HOF path
-    stays the default for every oracled dataflow; this audit reports
-    where and how often the cheap path diverges. Both paths and the
-    oracle are deterministic, so the comparison is exact."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    cents = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cell"), sim.as_double("embedding").alias("_cv")
-    )
-    exact = sim.assign_cells(e, cents).select(
-        "vec_id", F.col("cell").alias("_ex")
-    )
-    hier = sim.hierarchical_assign(e, cents, n_super=4).select(
-        "vec_id", F.col("cell").alias("_hr")
-    )
-    agree = F.sum(
-        F.when(F.col("_hr") == F.col("_ex"), 1).otherwise(0)
-    )
-    return (
-        exact.join(hier, "vec_id")
-        .groupBy(F.col("_ex").alias("cell"))
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            agree.alias("n_agree"),
-            F.round(agree / F.count(F.lit(1)), 6).alias("agreement"),
-        )
-    )
-
-
-# Binary-signature plane count (drives the Spark call AND the oracle)
-_BSIG_PLANES = 32
-
-
-@query(
-    "binary_hamming_recall",
-    oracle=f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pl AS (SELECT vec_id AS pid, v AS pv FROM c WHERE vec_id < {_BSIG_PLANES}),
-    sig AS (SELECT c.vec_id,
-              CAST(sum(CASE WHEN list_dot_product(c.v, pl.pv) >= 0
-                            THEN CAST(2::DOUBLE ^ ({_BSIG_PLANES - 1} - pl.pid) AS BIGINT)
-                            ELSE 0 END) AS BIGINT) AS s
-            FROM c CROSS JOIN pl GROUP BY c.vec_id),
-    qsig AS (SELECT vec_id AS query_id, s FROM sig WHERE vec_id <= 4),
-    hd AS (SELECT q.query_id, c.vec_id,
-                  CAST(bit_count(xor(q.s, c.s)) AS INTEGER) AS d
-           FROM qsig q JOIN sig c ON c.vec_id != q.query_id),
-    ap AS (SELECT query_id, vec_id FROM hd
-           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
-    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
-    """,
-)
-def binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-quantization audit — the 4th rung of the quantization
-    ladder (float → int8 → PQ → binary: 8 bytes/vector at 32 planes,
-    32× smaller than float32 dim=64): corpus vectors reduce to packed
-    sign-bit signatures against the 32 deterministic seed hyperplanes
-    (corpus vectors id < 32 — the plane convention of lsh_topk,
-    widened), candidates rank by Hamming distance (one xor + popcount
-    per pair), and recall@5 is measured against the float cosine
-    baseline (similarity.hamming_topk). The signature fold, the xor,
-    and the popcount are all exact integer arithmetic, so the oracle
-    reproduces every signature and distance bit-for-bit — the
-    comparison is exact, not statistical. The production composition
-    is binary scan → shortlist → exact re-rank, same contract as
-    PQ/IVFADC."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    planes = [
-        [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") < _BSIG_PLANES)
-        .orderBy("vec_id")
-        .collect()
-    ]
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    ap = sim.hamming_topk(e, qs, planes, k=5).select("query_id", "vec_id")
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    return _recall_vs_exact(ex, ap)
-
-
-@query(
-    "binary_rerank_recall",
-    oracle=f"""
-    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pl AS (SELECT vec_id AS pid, v AS pv FROM c WHERE vec_id < {_BSIG_PLANES}),
-    sig AS (SELECT c.vec_id,
-              CAST(sum(CASE WHEN list_dot_product(c.v, pl.pv) >= 0
-                            THEN CAST(2::DOUBLE ^ ({_BSIG_PLANES - 1} - pl.pid) AS BIGINT)
-                            ELSE 0 END) AS BIGINT) AS s
-            FROM c CROSS JOIN pl GROUP BY c.vec_id),
-    qsig AS (SELECT vec_id AS query_id, s FROM sig WHERE vec_id <= 4),
-    hd AS (SELECT q.query_id, c.vec_id,
-                  CAST(bit_count(xor(q.s, c.s)) AS INTEGER) AS d
-           FROM qsig q JOIN sig c ON c.vec_id != q.query_id),
-    cand AS (SELECT query_id, vec_id FROM hd
-             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 20),
-    qv AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id <= 4),
-    rescored AS (SELECT cand.query_id, cand.vec_id,
-                   list_dot_product(qv.v, cf.v)
-                     / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cf.v, cf.v))) AS cos
-                 FROM cand
-                 JOIN qv ON qv.query_id = cand.query_id
-                 JOIN c cf ON cf.vec_id = cand.vec_id),
-    ap AS (SELECT query_id, vec_id FROM rescored
-           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 5),
-    ex AS ({ORACLES['cosine_topk']}),{_SQL_RECALL_TAIL}
-    """,
-)
-def binary_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deployed binary-quantization retrieval contract, audited
-    end-to-end (similarity.hamming_rerank_topk — the Hamming sibling
-    of `ivfpq_rerank_recall`): 8-byte signatures shortlist
-    k·cand_factor = 20 candidates per query by xor+popcount alone,
-    then ONLY those survivors join back to float vectors for exact
-    cosine re-ranking; recall@5 vs the float brute-force baseline. By
-    construction ≥ the signature-only `binary_hamming_recall` (exact
-    re-scoring of a superset can only fix ordering — pytest asserts
-    it). All shortlist arithmetic is integer, the re-score is the
-    proven cosine chain, so the oracle is exact."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    planes = [
-        [float(x) for x in r.embedding]
-        for r in e.filter(F.col("vec_id") < _BSIG_PLANES)
-        .orderBy("vec_id")
-        .collect()
-    ]
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    ap = sim.hamming_rerank_topk(e, qs, planes, k=5, cand_factor=4).select(
-        "query_id", "vec_id"
-    )
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    return _recall_vs_exact(ex, ap)
-
-
-@query(
-    "ivf_cell_stats",
-    oracle=f"""
-    WITH {_SQL_IVF_COARSE},
-    cnt AS (SELECT cell, count(*) AS n_vectors FROM corpus GROUP BY cell),
-    s AS (SELECT sum(n_vectors) AS n_rows, count(*) AS n_cells,
-                 max(n_vectors) AS max_cnt FROM cnt)
-    SELECT cnt.cell, cnt.n_vectors,
-           round(cnt.n_vectors::DOUBLE / s.n_rows, 6) AS row_share,
-           round(s.max_cnt::DOUBLE * s.n_cells / s.n_rows, 6) AS imbalance_ratio
-    FROM cnt, s
-    """,
-)
-def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-index health telemetry — the ANN sibling of
-    `key_skew_profile`: per IVF cell, its posting-list size and row
-    share, plus the global imbalance ratio (max cell / mean cell). An
-    imbalanced index makes probe cost unpredictable (a hot cell turns
-    every probe into a near-full scan) and is the signal to re-train
-    centroids or split cells; at 100 TB this is the number an index
-    operator watches daily. One zero-shuffle HOF assignment + one
-    bounded hash aggregate + a 1-row stats broadcast."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    cents = sim.label_centroids(e, "label", "embedding")
-    cells = sim.assign_cells(e, cents)
-    cnt = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
-    s = F.broadcast(
-        cnt.agg(
-            F.sum("n_vectors").alias("n_rows"),
-            F.count(F.lit(1)).alias("n_cells"),
-            F.max("n_vectors").alias("max_cnt"),
-        )
-    )
-    return cnt.crossJoin(s).select(
-        "cell",
-        "n_vectors",
-        F.round(F.col("n_vectors") / F.col("n_rows"), 6).alias("row_share"),
-        F.round(
-            F.col("max_cnt") * F.col("n_cells") / F.col("n_rows"), 6
-        ).alias("imbalance_ratio"),
-    )
-
-
-@query(
-    "retrieval_rr_at_k",
-    oracle=f"""
-    WITH ex AS ({ORACLES['cosine_topk']}),
-    ap AS ({ORACLES['lsh_topk']}),
-    hit AS (SELECT ap.query_id, min(ap.rank) AS first_rel
-            FROM ap JOIN ex ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
-            GROUP BY ap.query_id),
-    per AS (SELECT DISTINCT query_id FROM ex)
-    SELECT per.query_id,
-           CAST(coalesce(hit.first_rel, 0) AS BIGINT) AS first_rel_rank,
-           round(coalesce(1.0 / hit.first_rel, 0.0), 6) AS reciprocal_rank
-    FROM per LEFT JOIN hit ON hit.query_id = per.query_id
-    """,
-)
-def retrieval_rr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal rank — the ordering-sensitive retrieval metric
-    recall@k can't see: per query, 1/rank of the FIRST approximate
-    result (hyperplane-LSH top-5) that is truly relevant (in the exact
-    cosine top-5); 0 when none is. Two systems with equal recall can
-    differ badly in MRR when one buries its hits at rank 5 — this is
-    the metric that catches it. Composes the two parents' own oracle
-    SQL (the ann_recall convention), so all three stay in lockstep;
-    both result sets are k·|queries| rows, so the metric costs one
-    tiny join + aggregate beyond the retrieval pipelines."""
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    ap = QUERIES["lsh_topk"](spark, sf_dir).select(
-        "query_id", "vec_id", "rank"
-    )
-    hit = (
-        ap.join(ex, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.min("rank").alias("first_rel"))
-    )
-    per = ex.select("query_id").distinct()
-    return per.join(hit, "query_id", "left").select(
-        "query_id",
-        F.coalesce("first_rel", F.lit(0)).cast("bigint").alias(
-            "first_rel_rank"
-        ),
-        F.round(
-            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
-        ).alias("reciprocal_rank"),
-    )
-
-
-# Binary-relevance DCG weights 1/log2(rank+1), materialized ONCE as
-# Python doubles and injected as identical literals into BOTH engine
-# sides — immune to any cross-engine log2 ulp difference. IDCG is
-# their sum (the exact baseline always returns k=5 relevant items).
-_DCG_W = [1.0, 0.6309297535714575, 0.5, 0.43067655807339306, 0.38685280723454163]
-_IDCG = 2.9484591188793923
-
-
-@query(
-    "retrieval_ndcg_at_k",
-    oracle=f"""
-    WITH ex AS ({ORACLES['cosine_topk']}),
-    ap AS ({ORACLES['lsh_topk']}),
-    rel AS (SELECT ap.query_id, ap.rank
-            FROM ap JOIN ex ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id),
-    dcg AS (SELECT query_id,
-              sum(CASE rank {' '.join(f'WHEN {i + 1} THEN {w!r}' for i, w in enumerate(_DCG_W))} END) AS d
-            FROM rel GROUP BY query_id),
-    per AS (SELECT DISTINCT query_id FROM ex)
-    SELECT per.query_id,
-           round(coalesce(dcg.d, 0.0) / {_IDCG!r}, 6) AS ndcg
-    FROM per LEFT JOIN dcg ON dcg.query_id = per.query_id
-    """,
-)
-def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nDCG@5 with binary relevance — the position-weighted retrieval
-    metric that completes the audit triad (recall@k = set overlap,
-    RR = first hit, nDCG = ALL hits weighted by position): each
-    truly-relevant result (in the exact cosine top-5) contributes
-    1/log2(rank+1) at the rank the LSH ranking placed it, normalized
-    by the ideal DCG. The weights are materialized once as Python
-    doubles and injected as identical literals into both engines, so
-    the comparison is exact regardless of either engine's log2
-    implementation. Costs one tiny join + aggregate beyond the two
-    top-k pipelines (the ann_recall composition convention)."""
-    ex = QUERIES["cosine_topk"](spark, sf_dir).select("query_id", "vec_id")
-    ap = QUERIES["lsh_topk"](spark, sf_dir).select(
-        "query_id", "vec_id", "rank"
-    )
-    w = F.col("rank")
-    weight = F.lit(None).cast("double")
-    for i, wv in enumerate(_DCG_W):
-        weight = F.when(w == i + 1, F.lit(wv)).otherwise(weight)
-    dcg = (
-        ap.join(ex, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.sum(weight).alias("d"))
-    )
-    per = ex.select("query_id").distinct()
-    return per.join(dcg, "query_id", "left").select(
-        "query_id",
-        F.round(
-            F.coalesce(F.col("d"), F.lit(0.0)) / F.lit(_IDCG), 6
-        ).alias("ndcg"),
-    )
-
-
-@query(
-    "diversified_topk",
-    oracle="""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id <= 4),
-    c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
-    scored AS (SELECT query_id, vec_id, label,
-                      list_dot_product(qv, cv)
-                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
-               FROM q CROSS JOIN c WHERE vec_id != query_id),
-    capped AS (SELECT query_id, vec_id, label, cos FROM scored
-               QUALIFY row_number() OVER (PARTITION BY query_id, label
-                                          ORDER BY cos DESC NULLS LAST, vec_id) <= 1)
-    SELECT query_id, vec_id, label, round(cos, 6) AS cos_sim,
-           CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC NULLS LAST, vec_id) AS BIGINT) AS rank
-    FROM capped
-    QUALIFY row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC NULLS LAST, vec_id) <= 5
-    """,
-)
-def diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Diversity-constrained retrieval — at most ONE result per label
-    per query (the "diversify by field" policy: one passage per
-    source, one product per brand), then the global top-5 among the
-    survivors (similarity.diversified_topk). Fully declarative — two
-    stacked ranking windows, the per-group stage running on
-    (query, group) slices — so unlike greedy MMR it needs no
-    iteration and its oracle is exact. Guarantees ≥ (k distinct
-    labels) coverage where plain top-k can return 5 near-duplicates
-    from one cluster."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = sim.diversified_topk(e, qs, k=5, per_group=1, group_col="label")
-    return out.select(
-        "query_id",
-        "vec_id",
-        "label",
-        F.round("cos_sim", 6).alias("cos_sim"),
-        F.col("rank").cast("bigint").alias("rank"),
-    )
-
-
-# Greedy-MMR oracle generator: unrolls the k selection steps as CTE
-# blocks (selN = selected set after N picks). λ and 1−λ inject as the
-# same Python doubles the Spark side multiplies with, and every sim
-# reuses the bit-exact cosine chain, so the comparison is exact.
-def _mmr_sql(k: int, shortlist: int, lam: float) -> str:
-    one_m = 1.0 - lam
-    parts = [
-        f"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id <= 4),
-    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
-    scored AS (SELECT query_id, vec_id,
-                      list_dot_product(qv, cv)
-                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS rel
-               FROM q CROSS JOIN c WHERE vec_id != query_id),
-    cand AS (SELECT query_id, vec_id, rel FROM scored
-             QUALIFY row_number() OVER (PARTITION BY query_id
-                                        ORDER BY rel DESC NULLS LAST, vec_id) <= {shortlist}),
-    pair AS (SELECT a.query_id, a.vec_id AS pa, b.vec_id AS pb,
-                    list_dot_product(va.cv, vb.cv)
-                      / (sqrt(list_dot_product(va.cv, va.cv)) * sqrt(list_dot_product(vb.cv, vb.cv))) AS sim
-             FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id != b.vec_id
-             JOIN c va ON va.vec_id = a.vec_id
-             JOIN c vb ON vb.vec_id = b.vec_id),
-    s1 AS (SELECT query_id, vec_id, {lam!r} * rel AS score, 1 AS rank FROM cand
-           QUALIFY row_number() OVER (PARTITION BY query_id
-                                      ORDER BY {lam!r} * rel DESC NULLS LAST, vec_id) = 1),
-    sel1 AS (SELECT query_id, vec_id, score, rank FROM s1)"""
-    ]
-    for n in range(2, k + 1):
-        parts.append(
-            f"""mx{n} AS (SELECT cd.query_id, cd.vec_id, cd.rel, max(p.sim) AS msim
-            FROM cand cd
-            JOIN pair p ON p.query_id = cd.query_id AND p.pa = cd.vec_id
-            JOIN sel{n - 1} s ON s.query_id = cd.query_id AND s.vec_id = p.pb
-            WHERE NOT EXISTS (SELECT 1 FROM sel{n - 1} x
-                              WHERE x.query_id = cd.query_id AND x.vec_id = cd.vec_id)
-            GROUP BY cd.query_id, cd.vec_id, cd.rel),
-    s{n} AS (SELECT query_id, vec_id,
-                    {lam!r} * rel - {one_m!r} * msim AS score, {n} AS rank FROM mx{n}
-           QUALIFY row_number() OVER (PARTITION BY query_id
-                                      ORDER BY {lam!r} * rel - {one_m!r} * msim DESC NULLS LAST, vec_id) = 1),
-    sel{n} AS (SELECT * FROM sel{n - 1} UNION ALL SELECT * FROM s{n})"""
-        )
-    body = ",\n    ".join(parts)
-    return f"""{body}
-    SELECT query_id, vec_id, round(score, 6) + 0.0 AS mmr_score,
-           CAST(rank AS BIGINT) AS rank
-    FROM sel{k}"""
-
-
-@query("mmr_topk", oracle=f"WITH {_mmr_sql(5, 10, 0.5)}")
-def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy maximal-marginal-relevance re-ranking (Carbonell &
-    Goldstein 1998), k=5 over the exact top-10 shortlist, λ=0.5
-    (similarity.mmr_topk): each pick maximizes λ·rel − (1−λ)·max sim
-    to the already-selected set — the standard diversifier when
-    there is no grouping column to cap on (contrast
-    `diversified_topk`). The greedy loop runs over the PINNED
-    shortlist (bounded localCheckpoint, the centroid-pinning
-    convention) — the corpus is touched once by the exact top-10
-    stage — and the k steps are unrolled identically on both engines
-    (same λ literals, bit-exact cosine chain, id tie-breaks), so this
-    inherently ITERATIVE operator still carries an exact value
-    oracle."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qs = e.filter(F.col("vec_id") <= 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return sim.mmr_topk(e, qs, k=5, shortlist=10, lam=0.5)
-
-
-@query(
-    "hybrid_search",
-    oracle=f"""
-    WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS tks FROM documents),
-    q AS (SELECT DISTINCT doc_id AS query_id, unnest(tks) AS term
-          FROM tk WHERE doc_id <= 4),
-    stats AS (SELECT count(*) AS n_docs, avg(len(tks)::DOUBLE) AS avgdl FROM tk),
-    toks AS (SELECT doc_id, len(tks) AS dl, unnest(tks) AS term FROM tk),
-    tf AS (SELECT q.query_id, t.doc_id, t.term, count(*) AS tf, min(t.dl) AS dl
-           FROM toks t JOIN q USING (term) GROUP BY 1, 2, 3),
-    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-    bscored AS (
-        SELECT tf.query_id, tf.doc_id,
-               sum(CAST(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                        * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
-                        AS DECIMAL(38,18))) AS s
-        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-        WHERE tf.doc_id != tf.query_id
-        GROUP BY 1, 2
-    ),
-    lex AS (SELECT query_id, doc_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
-            FROM bscored
-            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) <= 5),
-    vecr AS ({ORACLES['lsh_topk']}),
-    terms AS (
-        SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS t FROM lex
-        UNION ALL
-        SELECT query_id, vec_id AS doc_id, 1.0::DOUBLE / (60 + rank) AS t FROM vecr),
-    fused AS (SELECT query_id, doc_id, {_sql_dsum('t')} AS s
-              FROM terms GROUP BY 1, 2)
-    SELECT query_id, doc_id, round(s, 6) + 0.0 AS rrf_score,
-           row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
-    FROM fused
-    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) <= 5
-    """,
-)
-def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE hybrid retrieval — the flagship query shape of every
-    production search system: a LEXICAL leg (Okapi BM25 over the
-    documents table, query terms = the query document's own distinct
-    tokens, self excluded — more-like-this) and a SEMANTIC leg
-    (hyperplane-LSH ANN over the aligned embeddings table, doc_id ≡
-    vec_id) fused by reciprocal-rank fusion. The two legs have
-    orthogonal failure modes (vocabulary mismatch vs quantization
-    boundaries); RRF needs no score calibration between them — only
-    ranks cross the fusion, so at 100 TB the ensemble costs the two
-    retrieval pipelines plus one tiny hash aggregate
-    (similarity.rrf_fuse). Every stage reuses a proven primitive
-    (bm25_topk with exclude_self, lsh_topk's oracle, the fixed-point
-    dsum fold), so the end-to-end oracle is exact."""
-    from covid_custom_sql_engine_spark.functions.text import tokens
-
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    qdf = (
-        d.filter(F.col("doc_id") <= 4)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(tokens("text")).alias("term"),
-        )
-        .distinct()
-    )
-    lex = tx.bm25_topk(d, qdf, k=5, exclude_self=True).select(
-        "query_id", "doc_id", F.col("rk").alias("rank")
-    )
-    vec = QUERIES["lsh_topk"](spark, sf_dir).select(
-        "query_id", F.col("vec_id").alias("doc_id"), "rank"
-    )
-    return sim.rrf_fuse(
-        [lex, vec], k_const=60, k=5, id_col="doc_id"
-    ).select(
-        "query_id",
-        "doc_id",
-        "rrf_score",
-        F.col("rank").cast("bigint").alias("rank"),
-    )
-
-
-@query(
-    "key_skew_profile",
-    oracle="""
-    WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
-    s AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt FROM c)
-    SELECT c.key, c.cnt,
-           round(c.cnt::DOUBLE / s.n_rows, 6) AS row_share,
-           round(s.max_cnt::DOUBLE * s.n_keys / s.n_rows, 6) AS skew_ratio
-    FROM c, s
-    ORDER BY c.cnt DESC, c.key
-    LIMIT 5
-    """,
-)
-def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-key skew diagnostic: the 5 heaviest order keys with their
-    row share, plus the global skew ratio (max key count / mean key
-    count) — the number that decides between a plain shuffle join, AQE
-    skew split, and joins.salted_join. One bounded hash aggregate + a
-    1-row stats broadcast + TakeOrdered; run it on any prospective join
-    key before committing a 100 TB shuffle strategy."""
-    o = load_table(spark, sf_dir, "orders")
-    c = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
-    s = F.broadcast(
-        c.agg(
-            F.sum("cnt").alias("n_rows"),
-            F.count(F.lit(1)).alias("n_keys"),
-            F.max("cnt").alias("max_cnt"),
-        )
-    )
-    return (
-        c.crossJoin(s)
-        .select(
-            "key",
-            "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6).alias("row_share"),
-            F.round(
-                F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
-            ).alias("skew_ratio"),
-        )
-        .orderBy(F.desc("cnt"), "key")
-        .limit(5)
-    )
-
-
-@query(
-    "k_anonymity_audit",
-    oracle="""
-    WITH g AS (
-        SELECT c_nationkey, c_mktsegment, count(*) AS sz
-        FROM customer GROUP BY 1, 2
-    )
-    SELECT 8 AS k,
-           count(*) AS n_groups,
-           sum(CASE WHEN sz < 8 THEN 1 ELSE 0 END)::BIGINT AS n_risky_groups,
-           sum(CASE WHEN sz < 8 THEN sz ELSE 0 END)::BIGINT AS n_risky_rows,
-           round(sum(CASE WHEN sz < 8 THEN sz ELSE 0 END)::DOUBLE / sum(sz), 6)
-             AS risky_row_frac
-    FROM g
-    """,
-)
-def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Privacy gate for a release/training set: group by the quasi-
-    identifier tuple (nation, market segment) and report how many
-    equivalence classes — and rows — fall below k=8 (re-identifiable
-    cohorts). One hash aggregate bounded by QI-combination cardinality
-    + a ≤groups fold; run it before any export the same way
-    data_quality_report gates schema contracts."""
-    c = load_table(spark, sf_dir, "customer")
-    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("sz"))
-    risky = F.when(F.col("sz") < 8, F.col("sz")).otherwise(0)
-    return g.agg(
-        F.lit(8).alias("k"),
-        F.count(F.lit(1)).alias("n_groups"),
-        F.sum(F.when(F.col("sz") < 8, 1).otherwise(0)).alias("n_risky_groups"),
-        F.sum(risky).cast("bigint").alias("n_risky_rows"),
-        F.round(F.sum(risky).cast("double") / F.sum("sz"), 6).alias("risky_row_frac"),
-    )
-
-
-@query(
-    "winsorize_values",
-    oracle=f"""
-    WITH q AS (
-        SELECT event_type,
-               quantile_cont(value, 0.01) AS p01,
-               quantile_cont(value, 0.99) AS p99
-        FROM events GROUP BY event_type
-    )
-    SELECT e.event_type,
-           count(*) AS n_events,
-           sum(CASE WHEN value < p01 THEN 1 ELSE 0 END)::BIGINT AS n_capped_low,
-           sum(CASE WHEN value > p99 THEN 1 ELSE 0 END)::BIGINT AS n_capped_high,
-           round({_sql_davg('value')}, 6) AS avg_raw,
-           round({_sql_davg('greatest(p01, least(p99, value))')}, 6) AS avg_winsorized
-    FROM events e JOIN q USING (event_type)
-    GROUP BY e.event_type
-    """,
-)
-def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outlier capping at exact per-group p01/p99 — computed with the
-    scale-safe two-phase bucketed selection (selection.
-    grouped_exact_quantiles: O(buckets) state per group, never the
-    object-path percentile aggregate), broadcast back onto one event
-    scan. Reports cap counts and the raw vs winsorized mean per type —
-    the robust-statistics preprocessing step for noisy telemetry."""
-    from covid_custom_sql_engine_spark.operators.selection import (
-        grouped_exact_quantiles,
-    )
-
-    e = load_table(spark, sf_dir, "events")
-    q = grouped_exact_quantiles(
-        e, "event_type", "value", [0.01, 0.99], ["p01", "p99"]
-    ).select("event_type", "p01", "p99")
-    j = e.join(F.broadcast(q), "event_type")
-    capped = F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("value")))
-    return j.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0)).alias(
-            "n_capped_low"
-        ),
-        F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0)).alias(
-            "n_capped_high"
-        ),
-        F.round(ops.davg(F.col("value")), 6).alias("avg_raw"),
-        F.round(ops.davg(capped), 6).alias("avg_winsorized"),
-    )
-
-
-@query(
-    "split_divergence",
-    oracle=f"""
-    WITH tk AS (
-        SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' END AS split,
-               unnest({_SQL_TOKS}) AS tok
-        FROM (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                     % 100 AS h,
-                     text
-              FROM documents)
-    ),
-    counts AS (
-        SELECT tok,
-               sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
-               sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv
-        FROM tk WHERE split IS NOT NULL GROUP BY tok
-    ),
-    tot AS (SELECT sum(ct) AS tt, sum(cv) AS tv, count(*) AS vocab FROM counts),
-    pq AS (
-        SELECT vocab, ct, cv,
-               (ct + 1.0) / (tt + vocab) AS p,
-               (cv + 1.0) / (tv + vocab) AS q
-        FROM counts, tot
-    )
-    SELECT max(vocab) AS vocab_size,
-           sum(CASE WHEN ct > 0 AND cv > 0 THEN 1 ELSE 0 END)::BIGINT AS overlap_tokens,
-           round(sum(CAST(p * ln(p / q) AS DECIMAL(38,18)))::DOUBLE, 6) AS kl_train_val,
-           round(sum(CAST(q * ln(q / p) AS DECIMAL(38,18)))::DOUBLE, 6) AS kl_val_train,
-           round(sum(CAST(p * ln(p / ((p + q) / 2)) / 2 AS DECIMAL(38,18)))::DOUBLE
-                 + sum(CAST(q * ln(q / ((p + q) / 2)) / 2 AS DECIMAL(38,18)))::DOUBLE,
-                 6) AS js_divergence
-    FROM pq
-    """,
-)
-def split_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val distribution drift on unigrams (corpus.split_divergence):
-    add-one-smoothed KL both ways + Jensen–Shannon + vocab overlap.
-    Aggregates bounded by vocab, never corpus size; KL terms summed as
-    DECIMAL(38,18) so the fold is order-independent cross-engine."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return cp.split_divergence(d)
-
-
-@query(
-    "length_bucket_stats",
-    oracle=f"""
-    WITH n AS (
-        SELECT len({_SQL_TOKS}) AS n_tokens FROM documents
-        WHERE len({_SQL_TOKS}) >= 1
-    ),
-    b AS (SELECT n_tokens, length(bin(n_tokens)) AS blen FROM n)
-    SELECT CAST((1::BIGINT) << (blen - 1) AS BIGINT) AS bucket_min,
-           CAST(((1::BIGINT) << blen) - 1 AS BIGINT) AS bucket_max,
-           count(*) AS n_docs,
-           sum(n_tokens)::BIGINT AS total_tokens,
-           round(sum(n_tokens)::DOUBLE / (count(*) * (((1::BIGINT) << blen) - 1)), 6)
-             AS fill_ratio
-    FROM b GROUP BY blen
-    """,
-)
-def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-length power-of-two bucketing for batch packing: per
-    bucket [2^(b−1), 2^b), document count, token total, and the fill
-    ratio if every doc pads to the bucket cap — the padding-efficiency
-    report that decides batching geometry before a training run. The
-    bucket index is the integer bit-length of the token count (exact,
-    no float log); one scan + a ≤64-group aggregate."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    n = d.select(tx.token_count("text").cast("bigint").alias("n_tokens")).filter(
-        F.col("n_tokens") >= 1
-    )
-    b = n.withColumn("blen", F.length(F.bin(F.col("n_tokens"))).cast("int"))
-    cap = F.expr("shiftleft(1L, blen)") - 1
-    return (
-        b.groupBy("blen")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-        )
-        .select(
-            F.expr("shiftleft(1L, blen - 1)").alias("bucket_min"),
-            cap.alias("bucket_max"),
-            "n_docs",
-            "total_tokens",
-            F.round(
-                F.col("total_tokens").cast("double") / (F.col("n_docs") * cap), 6
-            ).alias("fill_ratio"),
-        )
-    )
-
-
-@query(
-    "windowed_hll_users",
-    oracle=f"""
-    WITH hll AS (
-        {sks.sql_hll_grouped(
-            "events",
-            "user_id",
-            "strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')",
-            "window_start",
-        )}
-    ),
-    ex AS (
-        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-               count(DISTINCT user_id) AS n_users
-        FROM events GROUP BY 1
-    )
-    SELECT hll.window_start, hll.hll_distinct AS hll_users, ex.n_users,
-           round(abs(hll.hll_distinct - ex.n_users) / ex.n_users, 4) AS rel_err
-    FROM hll JOIN ex USING (window_start)
-    """,
-)
-def windowed_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-hour sketched active users: grouped HyperLogLog (≤1024
-    registers PER WINDOW, built in one map-side-combinable aggregate,
-    folded with the exact-integer harmonic mean) next to the exact
-    COUNT(DISTINCT) and the relative error. At 100 TB the exact column
-    is the expensive audit you run once; the sketch column is what the
-    hourly dashboard computes forever after — and because registers
-    merge by max, late data or per-datacenter partial sketches fold in
-    without recounting anything."""
-    e = load_table(spark, sf_dir, "events")
-    frame = e.select(
-        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-            "window_start"
-        ),
-        "user_id",
-    )
-    hll = sks.hll_distinct_grouped(frame, "user_id", ["window_start"]).select(
-        "window_start", F.col("hll_distinct").alias("hll_users")
-    )
-    ex = frame.groupBy("window_start").agg(
-        F.count_distinct("user_id").alias("n_users")
-    )
-    return hll.join(ex, "window_start").select(
-        "window_start",
-        "hll_users",
-        "n_users",
-        F.round(F.abs(F.col("hll_users") - F.col("n_users")) / F.col("n_users"), 4).alias(
-            "rel_err"
-        ),
-    )
-
-
-@query(
-    "minhash_accuracy",
-    oracle=f"""
-    {_sql_minhash_cte()}
-    , est AS (
-        SELECT c.id_a, c.id_b,
-               round(({' + '.join(f'CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END' for i in range(12))}) / 12.0, 6) AS est_jaccard
-        FROM cand c JOIN sigs a ON c.id_a = a.doc_id JOIN sigs b ON c.id_b = b.doc_id
-    ),
-    ex AS (
-        SELECT c.id_a, c.id_b,
-               round(CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) > 0
-                    THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                         / len(list_distinct(list_concat(x.sh, y.sh)))
-                    ELSE 0.0 END, 6) AS jaccard
-        FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-    )
-    SELECT est.id_a, est.id_b, est.est_jaccard, ex.jaccard,
-           round(abs(est.est_jaccard - ex.jaccard), 6) AS abs_err
-    FROM est JOIN ex ON est.id_a = ex.id_a AND est.id_b = ex.id_b
-    """,
-)
-def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash ESTIMATOR audit, the dedup analogue of ann_recall: for
-    every LSH candidate pair, the signature-agreement Jaccard estimate
-    (matching rows / 12) next to the exact shingle Jaccard and the
-    absolute error — the evaluation that justifies trusting signature
-    agreement as the cheap similarity at 100 TB (12 ints per doc
-    instead of the shingle set). All three frames reuse the candidate
-    generation's equi-join shape; no all-pairs anywhere."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    sh = dd.shingle_sets(d)
-    sigs = dd.minhash_signatures(sh, "doc_id", 12)
-    bands = dd._bands_from_signatures(sigs, "doc_id", 12, 3)
-    cand = dd.candidate_pairs_from_bands(bands)
-    a = sigs.select(
-        F.col("doc_id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(12)]
-    )
-    b = sigs.select(
-        F.col("doc_id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(12)]
-    )
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(12)
-    )
-    est = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", F.round(matches / 12.0, 6).alias("est_jaccard"))
-    )
-    ex = dd.jaccard_from_shingles(sh, cand).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
-    return est.join(ex, ["id_a", "id_b"]).select(
-        "id_a",
-        "id_b",
-        "est_jaccard",
-        "jaccard",
-        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
-    )
-
-
-_BLOOM_M = 65536
-_BLOOM_K = 3
-
-
-def _bloom_oracle() -> str:
-    def pos_case(expr: str) -> str:
-        whens = " ".join(
-            f"WHEN {i} THEN {sks.sql_bloom_position(expr, _BLOOM_M, i)}"
-            for i in range(_BLOOM_K)
-        )
-        return f"CASE u.i {whens} END"
-
-    return f"""
-    WITH build AS (
-        SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice >= 400000
-    ),
-    hashes AS (SELECT unnest(range({_BLOOM_K})) AS i),
-    bits AS (
-        SELECT DISTINCT {pos_case('o_orderkey')} AS bit
-        FROM build, hashes u
-    ),
-    probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
-    probed AS (
-        SELECT p.l_orderkey,
-               min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 1 AS maybe_present
-        FROM (SELECT l_orderkey, {pos_case('l_orderkey')} AS bit
-              FROM probe p, hashes u) p
-        LEFT JOIN bits b USING (bit)
-        GROUP BY p.l_orderkey
-    ),
-    flagged AS (
-        SELECT pr.l_orderkey, pr.maybe_present,
-               (bu.o_orderkey IS NOT NULL) AS is_member
-        FROM probed pr LEFT JOIN build bu ON pr.l_orderkey = bu.o_orderkey
-    )
-    SELECT count(*) AS n_probe_keys,
-           sum(CASE WHEN maybe_present THEN 1 ELSE 0 END)::BIGINT AS n_pass,
-           sum(CASE WHEN is_member THEN 1 ELSE 0 END)::BIGINT AS n_members,
-           sum(CASE WHEN maybe_present AND NOT is_member THEN 1 ELSE 0 END)::BIGINT AS n_false_pos,
-           sum(CASE WHEN is_member AND NOT maybe_present THEN 1 ELSE 0 END)::BIGINT AS n_false_neg
-    FROM flagged
-    """
-
-
-@query("bloom_filter_join_stats", oracle=_bloom_oracle())
-def bloom_filter_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom pre-join filter, end to end with its own audit: build a
-    {m}-bit filter from the high-value order keys, probe every lineitem
-    order key, and report pass/membership/false-positive counts —
-    n_false_neg MUST be 0 (the Bloom guarantee the pre-filter pattern
-    rests on; false positives only cost the downstream join some extra
-    rows). The bit table (≤m rows after a map-side-combinable distinct)
-    broadcasts; the probe side shuffles only its per-key aggregate. At
-    100 TB this is how a selective join avoids shuffling the big
-    side: ship KBs of filter, drop most probe rows at the scan."""
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
-    build = o.filter(F.col("o_totalprice") >= 400000).select("o_orderkey").distinct()
-    bits = sks.bloom_bits(build, "o_orderkey", _BLOOM_M, _BLOOM_K)
-    probe = l.select("l_orderkey").distinct()
-    probed = sks.bloom_probe(bits, probe, "l_orderkey", _BLOOM_M, _BLOOM_K)
-    flagged = probed.join(
-        F.broadcast(build.withColumnRenamed("o_orderkey", "l_orderkey")
-                    .withColumn("_m", F.lit(1))),
-        "l_orderkey",
-        "left",
-    ).select(
-        "maybe_present", (F.col("_m").isNotNull()).alias("is_member")
-    )
-    one = lambda c: F.sum(F.when(c, 1).otherwise(0))
-    return flagged.agg(
-        F.count(F.lit(1)).alias("n_probe_keys"),
-        one(F.col("maybe_present")).alias("n_pass"),
-        one(F.col("is_member")).alias("n_members"),
-        one(F.col("maybe_present") & ~F.col("is_member")).alias("n_false_pos"),
-        one(F.col("is_member") & ~F.col("maybe_present")).alias("n_false_neg"),
-    )
-
-
-@query(
-    "weighted_sample_docs",
-    oracle="""
-    SELECT doc_id, n_chars,
-           round(ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
-                    / 1152921504606846976.0) / n_chars, 6) + 0.0 AS es_key
-    FROM documents
-    WHERE n_chars > 0
-    ORDER BY ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1.0)
-                / 1152921504606846976.0) / n_chars DESC, doc_id
-    LIMIT 50
-    """,
-)
-def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Efraimidis–Spirakis weighted sample of 50 documents ∝ length —
-    the reproducible mixture-sampling primitive (functions/corpus.
-    weighted_sample): md5-hashed uniforms, key = ln(u)/w, top-k by
-    per-partition heaps (TakeOrderedAndProject — no global sort)."""
-    d = load_table(spark, sf_dir, "documents")
-    return cp.weighted_sample(d, "n_chars", 50)
-
-
-@query(
-    "cms_heavy_hitters",
-    oracle=sks.sql_cms_heavy_hitters(
-        "lineitem", "l_partkey", "l_partkey", threshold=45
-    ),
-)
-def cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min heavy hitters over lineitem part keys: a 4×1024-cell
-    sketch (ONE bounded shuffle with map-side combine — O(sketch), not
-    O(data)) probed by the distinct keys via a broadcast join. The
-    estimate never undercounts, so the result is a guaranteed superset
-    of the true ≥45-occurrence parts — the cheap 100 TB first pass that
-    shrinks an exact follow-up to the candidate set."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return sks.cms_heavy_hitters(l, "l_partkey", threshold=45)
-
-
-@query(
-    "hll_distinct_orders",
-    oracle=sks.sql_hll_distinct("lineitem", "l_orderkey", p=10),
-)
-def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog order-key cardinality from 1024 registers: one
-    map-side-combinable max aggregate (mergeable state — union of
-    datasets = cell-wise max), then exact-integer harmonic-mean folding
-    (Σ 2^(Rmax−M_j) as a bigint — order-independent, hash-stable) with
-    one final double division. ~1 KB of state for any input size; the
-    exact `COUNT(DISTINCT)` it replaces shuffles every key."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return sks.hll_distinct(l, "l_orderkey", p=10)
-
-
-# ---------------------------------------------------------------------------
-# Round 5 — pipeline analytics: ordered funnels, Markov transitions,
-# distribution profiling (entropy, PSI), cluster-representative policy
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "funnel_conversion",
-    oracle=f"""
-    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-                WHERE event_type = 'view' GROUP BY 1),
-    s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
-           FROM events e JOIN s1 USING (user_id)
-           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-    s3 AS (SELECT e.user_id, min(e.ts) AS t3, min(s2.t2) AS t2
-           FROM events e JOIN s2 USING (user_id)
-           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
-    SELECT '1_view' AS stage, count(*)::BIGINT AS n_users,
-           CAST(NULL AS DOUBLE) AS avg_delay_sec FROM s1
-    UNION ALL
-    SELECT '2_click', count(*)::BIGINT,
-           round({_sql_dsum('CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE)')}
-                 / count(*) / 1e6, 6) FROM s2
-    UNION ALL
-    SELECT '3_purchase', count(*)::BIGINT,
-           round({_sql_dsum('CAST(epoch_us(t3) - epoch_us(t2) AS DOUBLE)')}
-                 / count(*) / 1e6, 6) FROM s3
-    """,
-)
-def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strictly-ordered 3-stage funnel (view → click → purchase): users
-    reaching each stage with each later stage's first event strictly
-    after the prior stage's, plus mean stage-to-stage latency. Each
-    stage is one filtered aggregate equi-joined to the previous stage
-    on user_id — the per-stage frames shrink monotonically, every
-    shuffle keys on user_id, and nothing is windowed over the full
-    event stream (the classic sessionize-then-scan funnel would sort
-    every user's history; this touches only stage-relevant events)."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        e.join(s1, "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
-    )
-    s3 = (
-        e.join(s2, "user_id")
-        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
-    )
-
-    def stage(df, name, a, b):
-        n = F.count(F.lit(1)).cast("bigint").alias("n_users")
-        if a is None:
-            return df.agg(n).select(
-                F.lit(name).alias("stage"),
-                "n_users",
-                F.lit(None).cast("double").alias("avg_delay_sec"),
-            )
-        us = F.expr(f"CAST(timestampdiff(MICROSECOND, {a}, {b}) AS DOUBLE)")
-        return df.agg(
-            n,
-            F.round(ops.dsum(us) / F.count(F.lit(1)) / F.lit(1e6), 6).alias(
-                "avg_delay_sec"
-            ),
-        ).select(F.lit(name).alias("stage"), "n_users", "avg_delay_sec")
-
-    return (
-        stage(s1, "1_view", None, None)
-        .unionByName(stage(s2, "2_click", "t1", "t2"))
-        .unionByName(stage(s3, "3_purchase", "t2", "t3"))
-    )
-
-
-@query(
-    "event_transition_matrix",
-    oracle="""
-    WITH t AS (
-        SELECT event_type AS src,
-               lead(event_type) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS dst
-        FROM events),
-    c AS (SELECT src, dst, count(*) AS n FROM t WHERE dst IS NOT NULL
-          GROUP BY 1, 2)
-    SELECT src, dst, n,
-           round(n::DOUBLE / sum(n) OVER (PARTITION BY src), 6) AS p
-    FROM c
-    """,
-)
-def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix over per-user event
-    sequences: P(next event type | current), the session-shape
-    fingerprint behind next-action prediction and bot detection. The
-    lead() window is partitioned BY USER (bounded history per key —
-    never a global sort); the transition aggregate is |types|² rows, so
-    the probability normalization window runs over a dimension-sized
-    frame, not the data."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = e.select(
-        F.col("event_type").alias("src"),
-        F.lead("event_type").over(w).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    c = t.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
-    ws = Window.partitionBy("src")
-    return c.select(
-        "src",
-        "dst",
-        "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(ws), 6).alias("p"),
-    )
-
-
-@query(
-    "column_entropy_profile",
-    oracle=f"""
-    WITH lv AS (
-        SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
-        UNION ALL
-        SELECT 'o_orderpriority', o_orderpriority FROM orders),
-    c AS (SELECT col_name, val, count(*) AS c FROM lv GROUP BY 1, 2),
-    p AS (SELECT col_name, sum(c)::BIGINT AS n_values,
-                 count(*)::BIGINT AS n_distinct,
-                 {_sql_dsum('c * ln(c)')} AS s
-          FROM c GROUP BY 1)
-    SELECT col_name, n_values, n_distinct,
-           round(ln(n_values) - s / n_values, 6) AS entropy,
-           round(CASE WHEN n_distinct > 1
-                      THEN (ln(n_values) - s / n_values) / ln(n_distinct)
-                      ELSE 0.0 END, 6) AS norm_entropy
-    FROM p
-    """,
-)
-def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shannon entropy per categorical column (H = ln n − Σc·ln c / n,
-    plus H/ln(distinct) normalized to [0,1]) — the column-level
-    skew/informativeness profile feature stores compute before
-    encoding decisions. One stack projection + one (column, value)
-    hash aggregate; per-column state is one row per distinct value,
-    folded with the same c·ln c identity on both engines so no
-    per-value probability division ever happens (n is only applied
-    once, at the end, on dimension-sized rows)."""
-    o = load_table(spark, sf_dir, "orders")
-    lv = o.select(
-        F.expr(
-            "stack(2, 'o_orderstatus', o_orderstatus,"
-            " 'o_orderpriority', o_orderpriority) AS (col_name, val)"
-        )
-    )
-    c = lv.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
-    prof = c.groupBy("col_name").agg(
-        F.sum("c").cast("bigint").alias("n_values"),
-        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-        ops.dsum(F.col("c") * F.log(F.col("c"))).alias("s"),
-    )
-    h = F.log(F.col("n_values")) - F.col("s") / F.col("n_values")
-    return prof.select(
-        "col_name",
-        "n_values",
-        "n_distinct",
-        F.round(h, 6).alias("entropy"),
-        F.round(
-            F.when(F.col("n_distinct") > 1, h / F.log(F.col("n_distinct"))).otherwise(
-                F.lit(0.0)
-            ),
-            6,
-        ).alias("norm_entropy"),
-    )
-
-
-@query(
-    "psi_drift",
-    oracle="""
-    WITH d AS (SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                      % 100 AS h,
-                      (n_chars // 200)::BIGINT AS bin
-               FROM documents),
-    b AS (SELECT bin, CASE WHEN h < 80 THEN 'train' ELSE 'val' END AS split
-          FROM d WHERE h < 90),
-    c AS (SELECT bin,
-                 sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
-                 sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val
-          FROM b GROUP BY 1),
-    t AS (SELECT sum(n_train)::BIGINT AS nt, sum(n_val)::BIGINT AS nv,
-                 count(*)::BIGINT AS nb FROM c)
-    SELECT c.bin, c.n_train, c.n_val,
-           round(((c.n_train + 0.5::DOUBLE) / (t.nt + 0.5::DOUBLE * t.nb)
-                  - (c.n_val + 0.5::DOUBLE) / (t.nv + 0.5::DOUBLE * t.nb))
-                 * ln(((c.n_train + 0.5::DOUBLE) / (t.nt + 0.5::DOUBLE * t.nb))
-                      / ((c.n_val + 0.5::DOUBLE) / (t.nv + 0.5::DOUBLE * t.nb))),
-                 6) AS psi_contrib
-    FROM c CROSS JOIN t
-    """,
-)
-def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Population Stability Index between the train and val splits of
-    the corpus over document-length bins — the drift score that gates
-    "is the new batch distributed like what the model trained on".
-    Splits are the same deterministic md5 percentile hash dataset_split
-    uses; bins are fixed-width (200 chars). One hash aggregate keyed by
-    bin (both split counts in the same pass — no pivot join), then the
-    0.5-Laplace-smoothed PSI contribution against a 1-row broadcast of
-    the totals, so empty-on-one-side bins stay finite. Σ psi_contrib =
-    the headline PSI; per-bin rows keep the drivers visible."""
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
-    d = load_table(spark, sf_dir, "documents").select(
-        bucket.alias("h"),
-        F.floor(F.col("n_chars") / F.lit(200)).cast("bigint").alias("bin"),
-    ).filter(F.col("h") < 90)
-    c = d.groupBy("bin").agg(
-        F.sum(F.when(F.col("h") < 80, 1).otherwise(0)).cast("bigint").alias("n_train"),
-        F.sum(F.when(F.col("h") >= 80, 1).otherwise(0)).cast("bigint").alias("n_val"),
-    # the bin-count subtree feeds BOTH the per-bin rows and the totals
-    # broadcast; pin it so the corpus scans once (multi-consumer
-    # lazy-checkpoint pattern, cf. semdedup_prune/bm25)
-    ).localCheckpoint(eager=False)
-    t = c.agg(
-        F.sum("n_train").cast("bigint").alias("nt"),
-        F.sum("n_val").cast("bigint").alias("nv"),
-        F.count(F.lit(1)).cast("bigint").alias("nb"),
-    )
-    half = F.lit(0.5)
-    pt = (F.col("n_train") + half) / (F.col("nt") + half * F.col("nb"))
-    pv = (F.col("n_val") + half) / (F.col("nv") + half * F.col("nb"))
-    return c.crossJoin(F.broadcast(t)).select(
-        "bin",
-        "n_train",
-        "n_val",
-        F.round((pt - pv) * F.log(pt / pv), 6).alias("psi_contrib"),
-    )
-
-
-@query(
-    "dedup_representative",
-    oracle=f"""
-    {_MINHASH_RECURSIVE_CTE},
-    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
-              UNION SELECT id_b, id_a FROM cand),
-    reach(id, r) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
-    ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-    m AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
-          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
-    rep AS (SELECT component, doc_id AS rep_id FROM m
-            QUALIFY row_number() OVER (PARTITION BY component
-                                       ORDER BY n_chars DESC, doc_id ASC) = 1)
-    SELECT m.doc_id, m.component, rep.rep_id,
-           m.doc_id = rep.rep_id AS is_rep
-    FROM m JOIN rep USING (component)
-    """,
-)
-def dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware canonical selection per near-dup cluster: instead
-    of near_dup_clusters' min-id policy, each cluster keeps its LONGEST
-    member (ties → smallest id) — the "keep the best copy" step a
-    curation pipeline runs after clustering, where quality can be any
-    per-doc score. Clustering reuses the LSH → connected-components
-    path; the representative comes from one combinable max-of-struct
-    aggregate per component ((n_chars, −id) lexicographic argmax), not
-    a per-component sort window."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    comp_df = dd.near_dup_keep(d, dd.lsh_candidate_pairs(d))
-    m = comp_df.select("id", "component").join(
-        d.select(F.col("doc_id").alias("id"), "n_chars"), "id"
-    )
-    rep = (
-        m.groupBy("component")
-        .agg(F.max(F.struct(F.col("n_chars"), (-F.col("id")).alias("_nid"))).alias("_m"))
-        .select("component", (-F.col("_m._nid")).cast("bigint").alias("rep_id"))
-    )
-    return m.join(rep, "component").select(
-        F.col("id").alias("doc_id"),
-        "component",
-        "rep_id",
-        (F.col("id") == F.col("rep_id")).alias("is_rep"),
-    )
-
-
-@query(
-    "ngram_diversity",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    g AS (SELECT doc_id, list_transform(range(1, len(toks)),
-                                        i -> toks[i] || ' ' || toks[i + 1]) AS g
-          FROM t WHERE len(toks) >= 2)
-    SELECT doc_id, len(g)::BIGINT AS n_bigrams,
-           len(list_distinct(g))::BIGINT AS n_distinct,
-           round(len(list_distinct(g))::DOUBLE / len(g), 6) AS distinct_ratio
-    FROM g
-    """,
-)
-def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document bigram diversity (corpus.ngram_diversity): the
-    distinct-n self-repetition screen — low distinct/total bigram
-    ratio = phrase-looping text. Pure per-row HOFs on the token array
-    (offset-slice zip + array_distinct): map-side only, zero shuffle."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return cp.ngram_diversity(d)
-
-
-@query(
-    "zipf_slope",
-    oracle=f"""
-    WITH occ AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents),
-    v AS (SELECT token, count(*) AS cnt FROM occ GROUP BY 1),
-    r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM v),
-    xy AS (SELECT ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM r),
-    a AS (SELECT count(*)::BIGINT AS n_terms,
-                 {_sql_dsum('x')} AS sx, {_sql_dsum('y')} AS sy,
-                 {_sql_dsum('x * x')} AS sxx, {_sql_dsum('x * y')} AS sxy
-          FROM xy)
-    SELECT n_terms,
-           round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
-           round((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx)
-                 / n_terms, 6) AS intercept
-    FROM a
-    """,
-)
-def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zipf rank-frequency OLS fit over the corpus vocabulary
-    (corpus.zipf_slope): slope ≈ −1 is healthy natural language;
-    deviations flag boilerplate floods or truncated vocabularies. Term
-    ranks come from the two-phase distributed global rank (a web-scale
-    vocabulary is itself huge — never a bare global ROW_NUMBER), and
-    the OLS reduction is one fixed-point-summed aggregate."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return cp.zipf_slope(d)
-
-
-@query(
-    "token_fertility_by_lang",
-    oracle=f"""
-    WITH t AS (SELECT lang, len({_SQL_TOKS})::BIGINT AS nt, n_chars FROM documents)
-    SELECT lang, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS total_tokens,
-           sum(n_chars)::BIGINT AS total_chars,
-           round(sum(nt)::DOUBLE / sum(n_chars), 6) AS tokens_per_char
-    FROM t GROUP BY lang
-    """,
-)
-def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokens-per-character by language — the fertility profile that
-    sizes per-language token budgets and flags scripts a
-    whitespace-ish tokenizer undersegments. One per-row token count +
-    one |langs|-group hash aggregate; nothing scales past the
-    dimension."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    t = d.select(
-        "lang",
-        F.size(tx.tokens("text")).cast("bigint").alias("nt"),
-        "n_chars",
-    )
-    return t.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("nt").cast("bigint").alias("total_tokens"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.round(
-            F.sum("nt").cast("double") / F.sum("n_chars"), 6
-        ).alias("tokens_per_char"),
-    )
-
-
-@query(
-    "source_scorecard",
-    oracle=f"""
-    WITH m AS (SELECT source, lang, n_chars, text, length(text) AS n,
-                      {_SQL_TOKS} AS toks, md5({_SQL_NORM}) AS fp
-               FROM documents),
-    q AS (SELECT source, lang, n_chars, fp,
-                 (least(n / 500.0, 1.0)
-                  + (1.0 - CASE WHEN n > 0
-                                THEN (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n
-                                ELSE 0.0 END)
-                  + least((CASE WHEN len(toks) > 0
-                                THEN len(list_filter(toks, t -> list_contains({_SQL_SW_EN}, t)))
-                                     / len(toks)
-                                ELSE 0.0 END) * 5.0, 1.0)
-                 ) / 3.0 AS q
-          FROM m)
-    SELECT source, count(*)::BIGINT AS n_docs,
-           round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_rate,
-           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
-                 / count(*), 6) AS en_share,
-           round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
-           round({_sql_dsum('q')} / count(*), 6) AS avg_quality
-    FROM q GROUP BY source
-    """,
-)
-def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source curation dashboard: volume, exact-dup rate (1 −
-    distinct fingerprints / docs), language share, mean length, mean
-    heuristic quality — the one-pass scorecard that decides which
-    sources to upweight, cap, or drop. Everything rides one hash
-    aggregate keyed by source (the dup-rate COUNT DISTINCT expands to
-    a (source, fp) pre-aggregate — still equi-keyed, no joins); quality
-    is the same codegen expression text_profile uses."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    prof = d.select(
-        "source",
-        "lang",
-        "n_chars",
-        tx.quality_score("text").alias("_q"),
-        tx.fingerprint("text").alias("_fp"),
-    )
-    cnt = F.count(F.lit(1))
-    return prof.groupBy("source").agg(
-        cnt.cast("bigint").alias("n_docs"),
-        F.round(
-            F.lit(1.0) - F.countDistinct("_fp").cast("double") / cnt, 6
-        ).alias("dup_rate"),
-        F.round(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double") / cnt,
-            6,
-        ).alias("en_share"),
-        F.round(F.sum("n_chars").cast("double") / cnt, 6).alias("avg_chars"),
-        F.round(ops.dsum(F.col("_q")) / cnt, 6).alias("avg_quality"),
-    )
-
-
-@query(
-    "embedding_outliers",
-    oracle=f"""
-    WITH c AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS v
-               FROM embeddings),
-    el AS (SELECT label::BIGINT AS label, generate_subscripts(embedding, 1) AS i,
-                  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
-    ce AS (SELECT label, i, avg(x) AS ax FROM el GROUP BY label, i),
-    cent AS (SELECT label, list(ax ORDER BY i) AS cv FROM ce GROUP BY label),
-    s AS (SELECT c.vec_id, c.label,
-                 list_dot_product(v, cv)
-                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cs
-          FROM c JOIN cent USING (label)),
-    st AS (SELECT label, count(*) AS n,
-                  {_sql_dsum('cs')} / count(*) AS m,
-                  CASE WHEN count(*) < 2 THEN NULL
-                       ELSE round(sqrt(greatest(
-                            (count(*) * {_sql_dsum('cs * cs')}
-                             - {_sql_dsum('cs')} * {_sql_dsum('cs')})
-                            / (count(*) * (count(*) - 1)), 0.0)), 6) END AS sd
-           FROM s GROUP BY label)
-    SELECT s.vec_id, s.label, round(cs, 6) AS cos_centroid,
-           round(CASE WHEN sd > 0 THEN (cs - m) / sd END, 6) AS z,
-           coalesce((CASE WHEN sd > 0 THEN (cs - m) / sd END) < -2.0, FALSE)
-             AS is_outlier
-    FROM s JOIN st USING (label)
-    """,
-)
-def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space quality screen: cosine of every vector to its
-    own label centroid, z-scored within the label; z < −2 flags
-    mislabeled/corrupted vectors — the QA sibling of semdedup (which
-    removes near-DUPLICATES; this removes near-NOTHING-LIKE-ITS-GROUP).
-    Centroids broadcast; the per-vector similarity frame is pinned once
-    for its two consumers (stats + join-back); label stats are a
-    |labels|-row broadcast. Std uses the repo's deterministic
-    fixed-point computational formula with round(6)."""
-    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
-    cents = F.broadcast(
-        sim.label_centroids(e).withColumnRenamed("cell", "label")
-    )
-    sims = (
-        e.select(
-            "vec_id",
-            F.col("label").cast("bigint").alias("label"),
-            sim.as_double("embedding").alias("_v"),
-        )
-        .join(cents, "label")
-        .select(
-            "vec_id", "label", sim.cosine(F.col("_v"), F.col("_cv")).alias("_cos")
-        )
-        .localCheckpoint(eager=False)
-    )
-    n = F.count(F.lit(1))
-    sx = ops.dsum(F.col("_cos"))
-    sxx = ops.dsum(F.col("_cos") * F.col("_cos"))
-    stats = sims.groupBy("label").agg(
-        (sx / n).alias("_m"),
-        F.when(n < 2, F.lit(None))
-        .otherwise(
-            F.round(
-                F.sqrt(
-                    F.greatest(
-                        (n * sxx - sx * sx) / (n * (n - 1)), F.lit(0.0)
-                    )
-                ),
-                6,
-            )
-        )
-        .alias("_sd"),
-    )
-    z = F.when(F.col("_sd") > 0, (F.col("_cos") - F.col("_m")) / F.col("_sd"))
-    return sims.join(F.broadcast(stats), "label").select(
-        "vec_id",
-        "label",
-        F.round(F.col("_cos"), 6).alias("cos_centroid"),
-        F.round(z, 6).alias("z"),
-        F.coalesce(z < -2.0, F.lit(False)).alias("is_outlier"),
-    )
-
-
-@query(
-    "vocab_stats",
-    oracle=f"""
-    WITH occ AS (SELECT unnest({_SQL_TOKS}) AS token FROM documents),
-    v AS (SELECT token, count(*) AS cnt FROM occ GROUP BY 1)
-    SELECT sum(cnt)::BIGINT AS n_tokens,
-           count(*)::BIGINT AS n_terms,
-           round(count(*)::DOUBLE / sum(cnt), 6) AS type_token_ratio,
-           sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count,
-           round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE
-                 / count(*), 6) AS hapax_ratio
-    FROM v
-    """,
-)
-def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary health in one row: token/term totals,
-    type-token ratio, and the hapax-legomena share (terms seen exactly
-    once — a high rate means OCR noise/typos/IDs polluting the vocab;
-    a collapsing rate means boilerplate flooding). Zipf's slope
-    (zipf_slope) fits the same table's SHAPE; this reads its tails.
-    One explode + one term-keyed aggregate + one scalar fold — state
-    bounded by vocabulary, order statistics nowhere."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    v = (
-        d.select(F.explode(tx.tokens("text")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    hap = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
-    return v.agg(
-        F.sum("cnt").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        F.round(F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6).alias(
-            "type_token_ratio"
-        ),
-        hap.cast("bigint").alias("hapax_count"),
-        F.round(hap.cast("double") / F.count(F.lit(1)), 6).alias("hapax_ratio"),
-    )
-
-
-@query(
-    "user_entropy_histogram",
-    oracle=f"""
-    WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
-    u AS (SELECT user_id, sum(c)::BIGINT AS n, {_sql_dsum('c * ln(c)')} AS s
-          FROM c GROUP BY 1),
-    h AS (SELECT user_id, round(ln(n) - s / n, 6) AS ent FROM u)
-    SELECT CAST(floor(ent / 0.25::DOUBLE) AS BIGINT) AS bucket,
-           count(*)::BIGINT AS n_users,
-           round(min(ent), 6) AS min_entropy,
-           round(max(ent), 6) AS max_entropy
-    FROM h GROUP BY 1
-    """,
-)
-def user_entropy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavioral-diversity fingerprint: Shannon entropy of each user's
-    event-type mix (the c·ln c identity again — per-user state is one
-    row per (user, type)), bucketed into a 0.25-nat histogram. Near-zero
-    entropy = single-action bots; the histogram keeps the output
-    dimension-sized no matter how many users exist. Two combinable hash
-    aggregates keyed (user, type) then (user) — the same partitioning
-    family, so AQE coalesces the second exchange."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
-    u = c.groupBy("user_id").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        ops.dsum(F.col("c") * F.log(F.col("c"))).alias("s"),
-    )
-    h = u.select(
-        F.round(F.log(F.col("n")) - F.col("s") / F.col("n"), 6).alias("ent")
-    )
-    return h.groupBy(
-        F.floor(F.col("ent") / F.lit(0.25)).cast("bigint").alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.round(F.min("ent"), 6).alias("min_entropy"),
-        F.round(F.max("ent"), 6).alias("max_entropy"),
-    )
-
-
-@query(
-    "event_burstiness",
-    oracle=f"""
-    WITH hc AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
-                       count(*) AS c
-                FROM events GROUP BY 1, 2)
-    SELECT event_type, count(*)::BIGINT AS n_hours,
-           round({_sql_dsum('c')} / count(*), 6) AS mean_per_hour,
-           round((count(*) * {_sql_dsum('(c::DOUBLE) * c')} - {_sql_dsum('c')} * {_sql_dsum('c')})
-                 / (count(*) * (count(*) - 1))
-                 / ({_sql_dsum('c')} / count(*)), 6) AS fano_factor
-    FROM hc GROUP BY event_type
-    """,
-)
-def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Traffic burstiness per event type: the Fano factor
-    (variance-to-mean ratio) of hourly arrival counts — ≈1 is
-    Poisson-like steady traffic, ≫1 is bursty (flash crowds,
-    batch-replay artifacts), ≪1 is suspiciously metronomic (synthetic
-    load). One (type, hour) pre-aggregate then a |types|-row
-    variance fold with the deterministic fixed-point sums."""
-    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
-    hc = e.groupBy(
-        "event_type", F.window("ts", "1 hour").getField("start").alias("h")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    n = F.count(F.lit(1))
-    sx = ops.dsum(F.col("c"))
-    # square in DOUBLE: a >3e9-count bucket would overflow the raw
-    # BIGINT product before the decimal cast (oracle casts identically)
-    sxx = ops.dsum(F.col("c").cast("double") * F.col("c"))
-    return hc.groupBy("event_type").agg(
-        n.cast("bigint").alias("n_hours"),
-        F.round(sx / n, 6).alias("mean_per_hour"),
-        F.round(
-            (n * sxx - sx * sx) / (n * (n - 1)) / (sx / n), 6
-        ).alias("fano_factor"),
-    )
-
-
-@query(
-    "image_stats_real",
-    oracle="""
-    WITH g AS (SELECT d.doc_id, x, y
-               FROM documents d,
-                    (SELECT unnest(range(0, 8)) AS x),
-                    (SELECT unnest(range(0, 6)) AS y))
-    SELECT doc_id AS media_id, 6::BIGINT AS height, 8::BIGINT AS width,
-           round(avg(((doc_id * 7 + x * 3 + y * 5) % 256)::DOUBLE), 6) AS mean_r,
-           round(avg(((doc_id * 7 + x * 3 + y * 5 + 11) % 256)::DOUBLE), 6) AS mean_g,
-           round(avg(((doc_id * 7 + x * 3 + y * 5 + 22) % 256)::DOUBLE), 6) AS mean_b
-    FROM g GROUP BY doc_id
-    """,
-)
-def image_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image codec round-trip, hash-matched: deterministic P6 PPM
-    payloads are ENCODED per document id (multimodal.synth_ppm_media),
-    DECODED by the real numpy PPM parser, and reduced to per-channel
-    means (multimodal.image_features) — the full binary-media path
-    through Arrow-batched mapInPandas with a closed-form SQL oracle
-    over the same pixel formula. Only (media_id, payload) crosses the
-    Python boundary; 48-pixel integer means are exact in float64, so
-    the values hash-match to the last bit."""
-    from covid_custom_sql_engine_spark.functions import multimodal as mm
-
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    feats = mm.image_features(mm.synth_ppm_media(d))
-    return feats.select(
-        "media_id",
-        F.col("height").cast("bigint").alias("height"),
-        F.col("width").cast("bigint").alias("width"),
-        F.round("mean_r", 6).alias("mean_r"),
-        F.round("mean_g", 6).alias("mean_g"),
-        F.round("mean_b", 6).alias("mean_b"),
-    )
-
-
-@query(
-    "audio_stats_real",
-    oracle="""
-    WITH s AS (SELECT d.doc_id, i,
-                      ((doc_id * 13 + i * 17) % 65536) - 32768 AS v
-               FROM documents d, (SELECT unnest(range(0, 256)) AS i)),
-    w AS (SELECT doc_id, v,
-                 lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
-          FROM s)
-    SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
-           256::BIGINT AS n_samples, 1::BIGINT AS channels,
-           round(sqrt(sum((v * v)::DOUBLE) / 256), 6) AS rms,
-           sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
-                    THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
-    FROM w GROUP BY doc_id
-    """,
-)
-def audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio codec round-trip, hash-matched: deterministic mono
-    PCM-16 RIFF/WAVE payloads encoded per document id
-    (multimodal.synth_wav_media), decoded by the real numpy WAV chunk
-    walker, and reduced to RMS + zero-crossings
-    (multimodal.audio_features), with a closed-form SQL oracle over the
-    same sample formula. Integer squares sum exactly in float64 (256
-    samples ≪ 2^53), so RMS matches bitwise before the shared
-    round(6)."""
-    from covid_custom_sql_engine_spark.functions import multimodal as mm
-
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    feats = mm.audio_features(mm.synth_wav_media(d))
-    return feats.select(
-        "media_id",
-        F.col("sample_rate").cast("bigint").alias("sample_rate"),
-        "n_samples",
-        F.col("channels").cast("bigint").alias("channels"),
-        F.round("rms", 6).alias("rms"),
-        "zero_crossings",
-    )
-
-
-@query(
-    "jpeg_stats_real",
-    oracle="""
-    WITH c AS (SELECT doc_id, ((doc_id*7)%256)::DOUBLE AS r,
-                      ((doc_id*11)%256)::DOUBLE AS g, ((doc_id*13)%256)::DOUBLE AS b
-               FROM documents),
-    ycc AS (SELECT doc_id,
-      LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
-        floor(0.299::DOUBLE*r + 0.587::DOUBLE*g + 0.114::DOUBLE*b + 0.5::DOUBLE))) AS y,
-      LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
-        floor(128.0::DOUBLE - 0.168736::DOUBLE*r - 0.331264::DOUBLE*g + 0.5::DOUBLE*b + 0.5::DOUBLE))) AS cb,
-      LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
-        floor(128.0::DOUBLE + 0.5::DOUBLE*r - 0.418688::DOUBLE*g - 0.081312::DOUBLE*b + 0.5::DOUBLE))) AS cr
-    FROM c)
-    SELECT doc_id AS media_id, 8::BIGINT AS height, 16::BIGINT AS width,
-      round(LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
-        floor(y + 1.402::DOUBLE*(cr-128.0::DOUBLE) + 0.5::DOUBLE))), 6) AS mean_r,
-      round(LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
-        floor(y - 0.344136::DOUBLE*(cb-128.0::DOUBLE) - 0.714136::DOUBLE*(cr-128.0::DOUBLE) + 0.5::DOUBLE))), 6) AS mean_g,
-      round(LEAST(255.0::DOUBLE, GREATEST(0.0::DOUBLE,
-        floor(y + 1.772::DOUBLE*(cb-128.0::DOUBLE) + 0.5::DOUBLE))), 6) AS mean_b
-    FROM ycc
-    """,
-)
-def jpeg_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL **compressed** codec round-trip, hash-matched: baseline
-    JFIF JPEG payloads are ENCODED per document id
-    (multimodal.synth_jpeg_media — constant-color 16×8 RGB, all-8
-    quant tables), DECODED by the pure-numpy T.81 baseline decoder
-    (functions/jpeg_codec: marker parse → canonical Huffman → zigzag →
-    dequant → IDCT → YCbCr→RGB), and reduced to per-channel means.
-    Constant blocks make the round-trip closed-form — DC step 8
-    divides DC = 8·(v−128) exactly, so decoded RGB is the literal
-    double-rounding chain RGB→YCbCr→RGB with floor(x+0.5)+clip at
-    each step, which the oracle replicates term-for-term (IEEE-double
-    identical in DuckDB, verified over 600 ids). The decoder itself
-    has no constant-image shortcut: every payload runs real entropy
-    decoding. PNG/MP3 remain documented integration points (ADR in
-    functions/multimodal.py)."""
-    from covid_custom_sql_engine_spark.functions import multimodal as mm
-
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    feats = mm.image_features(mm.synth_jpeg_media(d))
-    return feats.select(
-        "media_id",
-        F.col("height").cast("bigint").alias("height"),
-        F.col("width").cast("bigint").alias("width"),
-        F.round("mean_r", 6).alias("mean_r"),
-        F.round("mean_g", 6).alias("mean_g"),
-        F.round("mean_b", 6).alias("mean_b"),
-    )
-
-
-@query(
-    "png_stats_real",
-    oracle="""
-    WITH g AS (SELECT d.doc_id, x, y
-               FROM documents d,
-                    (SELECT unnest(range(0, 9)) AS x),
-                    (SELECT unnest(range(0, 7)) AS y))
-    SELECT doc_id AS media_id, 7::BIGINT AS height, 9::BIGINT AS width,
-           round(avg(((doc_id * 7 + x * 3 + y * 5) % 256)::DOUBLE), 6) AS mean_r,
-           round(avg(((doc_id * 7 + x * 3 + y * 5 + 11) % 256)::DOUBLE), 6) AS mean_g,
-           round(avg(((doc_id * 7 + x * 3 + y * 5 + 22) % 256)::DOUBLE), 6) AS mean_b
-    FROM g GROUP BY doc_id
-    """,
-)
-def png_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL lossless-compressed codec round-trip, hash-matched: PNG
-    payloads encoded per document id (multimodal.synth_png_media — the
-    PPM pixel formula, filter_mode='cycle' so every decode runs all
-    five scanline filters), decompressed by the numpy + stdlib-zlib
-    PNG decoder (functions/png_codec: chunk walk with CRC verify →
-    inflate → unfilter), and reduced to per-channel means. PNG is
-    lossless, so the oracle is the raw pixel formula itself — the
-    63-pixel integer means are exact in float64 and hash-match to the
-    last bit, same as image_stats_real but through a real DEFLATE
-    compression layer and the full filter reconstruction path."""
-    from covid_custom_sql_engine_spark.functions import multimodal as mm
-
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    feats = mm.image_features(mm.synth_png_media(d))
-    return feats.select(
-        "media_id",
-        F.col("height").cast("bigint").alias("height"),
-        F.col("width").cast("bigint").alias("width"),
-        F.round("mean_r", 6).alias("mean_r"),
-        F.round("mean_g", 6).alias("mean_g"),
-        F.round("mean_b", 6).alias("mean_b"),
-    )
-
-
-@query(
-    "video_stats_real",
-    oracle="""
-    WITH g AS (SELECT d.doc_id, t, x, y, p,
-                      (d.doc_id*7 + x*3 + y*5 + p*11 + 97*(t//3)) % 256 AS v
-               FROM documents d,
-                    (SELECT unnest(range(0, 6)) AS t),
-                    (SELECT unnest(range(0, 8)) AS x),
-                    (SELECT unnest(range(0, 6)) AS y),
-                    (SELECT unnest(range(0, 3)) AS p)),
-    fm AS (SELECT doc_id, t,
-                  round(avg(CASE WHEN p=0 THEN v END)::DOUBLE, 6) AS mean_y,
-                  round(avg(CASE WHEN p=1 THEN v END)::DOUBLE, 6) AS mean_cb,
-                  round(avg(CASE WHEN p=2 THEN v END)::DOUBLE, 6) AS mean_cr
-           FROM g GROUP BY doc_id, t),
-    fd AS (SELECT a.doc_id, a.t, avg(abs(a.v - b.v))::DOUBLE AS fd
-           FROM g a JOIN g b
-             ON a.doc_id = b.doc_id AND a.x = b.x AND a.y = b.y AND a.p = b.p
-                AND b.t = a.t - 1
-           GROUP BY a.doc_id, a.t)
-    SELECT fm.doc_id AS media_id, fm.t::INTEGER AS frame_idx,
-           (fm.t * 250)::BIGINT AS ts_ms, mean_y, mean_cb, mean_cr,
-           round(coalesce(fd.fd, 0.0::DOUBLE), 6) AS frame_diff,
-           coalesce(fd.fd, 0.0::DOUBLE) > 48.0::DOUBLE AS is_cut
-    FROM fm LEFT JOIN fd ON fm.doc_id = fd.doc_id AND fm.t = fd.t
-    """,
-)
-def video_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video path, hash-matched: YUV4MPEG2 (y4m C444) payloads —
-    a genuine public container format — encoded per document id with
-    two scenes (every pixel shifts +97 mod 256 at frame 3), decoded by
-    the real numpy stream parser (multimodal.decode_y4m), and fanned
-    out ONE ROW PER FRAME with per-plane means and the mean-absolute
-    frame-difference shot-boundary signal
-    (multimodal.video_frame_features). is_cut flags the scene change;
-    the oracle reproduces the per-pixel formula, the per-frame means,
-    and the lag-join diff in closed form (integer sums exact in
-    float64). This replaces the former decode-stubbed story for video:
-    container parse, frame explode, temporal state (one frame pair per
-    doc, never the whole video) are all real; only inter-frame CODEC
-    decompression (H.264 etc.) remains the documented ffmpeg
-    integration point (ADR in functions/multimodal.py)."""
-    from covid_custom_sql_engine_spark.functions import multimodal as mm
-
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    feats = mm.video_frame_features(mm.synth_y4m_media(d))
-    return feats.select(
-        "media_id",
-        "frame_idx",
-        "ts_ms",
-        F.round("mean_y", 6).alias("mean_y"),
-        F.round("mean_cb", 6).alias("mean_cb"),
-        F.round("mean_cr", 6).alias("mean_cr"),
-        F.round("frame_diff", 6).alias("frame_diff"),
-        (F.col("frame_diff") > 48.0).alias("is_cut"),
-    )
-
-
-@query(
-    "video_stats_c420",
-    oracle="""
-    WITH g AS (SELECT d.doc_id, t, x, y, p,
-                      (d.doc_id*7
-                       + (CASE WHEN p = 0 THEN x ELSE x // 2 END)*3
-                       + (CASE WHEN p = 0 THEN y ELSE y // 2 END)*5
-                       + p*11 + 97*(t//3)) % 256 AS v
-               FROM documents d,
-                    (SELECT unnest(range(0, 6)) AS t),
-                    (SELECT unnest(range(0, 8)) AS x),
-                    (SELECT unnest(range(0, 6)) AS y),
-                    (SELECT unnest(range(0, 3)) AS p)),
-    fm AS (SELECT doc_id, t,
-                  round(avg(CASE WHEN p=0 THEN v END)::DOUBLE, 6) AS mean_y,
-                  round(avg(CASE WHEN p=1 THEN v END)::DOUBLE, 6) AS mean_cb,
-                  round(avg(CASE WHEN p=2 THEN v END)::DOUBLE, 6) AS mean_cr
-           FROM g GROUP BY doc_id, t),
-    fd AS (SELECT a.doc_id, a.t, avg(abs(a.v - b.v))::DOUBLE AS fd
-           FROM g a JOIN g b
-             ON a.doc_id = b.doc_id AND a.x = b.x AND a.y = b.y AND a.p = b.p
-                AND b.t = a.t - 1
-           GROUP BY a.doc_id, a.t)
-    SELECT fm.doc_id AS media_id, fm.t::INTEGER AS frame_idx,
-           (fm.t * 250)::BIGINT AS ts_ms, mean_y, mean_cb, mean_cr,
-           round(coalesce(fd.fd, 0.0::DOUBLE), 6) AS frame_diff,
-           coalesce(fd.fd, 0.0::DOUBLE) > 48.0::DOUBLE AS is_cut
-    FROM fm LEFT JOIN fd ON fm.doc_id = fd.doc_id AND fm.t = fd.t
-    """,
-)
-def video_stats_c420(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 4:2:0 decode path hash-matched — the chroma layout that
-    carries most real-world video: y4m C420 payloads (chroma planes
-    written on the half-resolution grid), decoded through
-    multimodal.decode_y4m's nearest-neighbor chroma upsampler (each
-    chroma sample replicated over its 2×2 luma block), then the same
-    per-frame means + shot-boundary diff as video_stats_real. The
-    oracle evaluates the synth formula at (x//2, y//2) for the chroma
-    planes — exactly what NN upsampling reconstructs — so the lossy-
-    layout round-trip is exact, not approximate. Closes the r6
-    verdict's one reconsidered codec gap (the C420 upsampler);
-    interlaced/alpha layouts and inter-frame codecs remain the
-    documented ADR boundary."""
-    from covid_custom_sql_engine_spark.functions import multimodal as mm
-
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    feats = mm.video_frame_features(mm.synth_y4m_media(d, colorspace="C420"))
-    return feats.select(
-        "media_id",
-        "frame_idx",
-        "ts_ms",
-        F.round("mean_y", 6).alias("mean_y"),
-        F.round("mean_cb", 6).alias("mean_cb"),
-        F.round("mean_cr", 6).alias("mean_cr"),
-        F.round("frame_diff", 6).alias("frame_diff"),
-        (F.col("frame_diff") > 48.0).alias("is_cut"),
-    )
-
-
-@query(
-    "audio_spectrum_real",
-    oracle="""
-    WITH s AS (SELECT d.doc_id, i,
-                      CASE WHEN ((i // (1 + d.doc_id % 6)) % 2) = 0
-                           THEN 8000 ELSE -8000 END AS v
-               FROM documents d, (SELECT unnest(range(0, 120)) AS i)),
-    p AS (SELECT s.doc_id, b,
-                 pow(sum(v * cos(2 * pi() * b * i / 120.0::DOUBLE)), 2)
-                 + pow(sum(v * sin(2 * pi() * b * i / 120.0::DOUBLE)), 2) AS pw
-          FROM s, (SELECT unnest(range(1, 61)) AS b)
-          GROUP BY s.doc_id, b),
-    r AS (SELECT doc_id, b,
-                 row_number() OVER (PARTITION BY doc_id ORDER BY pw DESC, b ASC) AS rn
-          FROM p)
-    SELECT doc_id AS media_id, 120::INTEGER AS n_samples, b::INTEGER AS dominant_bin,
-           round((b * 8000) / 120.0::DOUBLE, 6) AS dominant_hz
-    FROM r WHERE rn = 1
-    """,
-)
-def audio_spectrum_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL spectral analysis round-trip: deterministic square-wave
-    PCM-16 WAV payloads (multimodal.synth_square_wav_media — period
-    P = 2·(1 + id mod 6) samples, all-integer, no transcendentals in
-    the fixture), decoded by the real WAV chunk walker, then direct-DFT
-    dominant-bin detection (multimodal.audio_spectrum_features) — the
-    tone/voicedness screen of an audio curation pipeline. A square
-    wave's fundamental n/P strictly dominates its harmonics (≥ 3×
-    power), so the argmax is immune to the 1-ulp libm sin/cos
-    differences between numpy and DuckDB: the oracle computes the same
-    spectrum independently and must land on the same bin; only
-    exact-arithmetic columns (bin, bin-derived Hz) cross the hash
-    comparison."""
-    from covid_custom_sql_engine_spark.functions import multimodal as mm
-
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    feats = mm.audio_spectrum_features(mm.synth_square_wav_media(d))
-    return feats.select(
-        "media_id",
-        "n_samples",
-        "dominant_bin",
-        F.round("dominant_hz", 6).alias("dominant_hz"),
-    )
-
-
-@query(
-    "collocation_pmi",
-    oracle=f"""
-    WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents WHERE len({_SQL_TOKS}) >= 2),
-    bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
-           FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
-    big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-    l AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
-    r AS (SELECT w2, sum(c12) AS c2 FROM big GROUP BY 1),
-    n AS (SELECT sum(c12) AS n FROM big)
-    SELECT big.w1, big.w2, big.c12::BIGINT AS c12,
-           round(ln(big.c12::DOUBLE * n.n / (l.c1::DOUBLE * r.c2)), 6) AS pmi
-    FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
-    WHERE big.c12 >= 5
-    ORDER BY pmi DESC, w1 ASC, w2 ASC
-    LIMIT 50
-    """,
-)
-def collocation_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 collocations by PMI with a min-support floor
-    (corpus.collocation_pmi) — the multi-word-expression detector where
-    raw pair counts just resurface stopword pairs. Vocabulary-bounded
-    aggregates, slot-marginal equi-joins, 1-row N broadcast, top-k via
-    TakeOrdered."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    return cp.collocation_pmi(d)
-
-
-@query(
-    "source_overlap_matrix",
-    oracle=f"""
-    WITH toks AS (SELECT source, string_split({_SQL_NORM}, ' ') AS toks FROM documents),
-    sh AS (SELECT source,
-                  unnest(list_distinct(CASE WHEN len(toks) >= 3
-                    THEN list_transform(range(0, len(toks) - 2),
-                                        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-                    ELSE [array_to_string(toks, ' ')] END)) AS g
-           FROM toks),
-    f AS (SELECT DISTINCT source, g FROM sh),
-    p AS (SELECT a.g, a.source AS source_a, b.source AS source_b
-          FROM f a JOIN f b ON a.g = b.g AND a.source < b.source)
-    SELECT source_a, source_b, count(*)::BIGINT AS shared_shingles
-    FROM p GROUP BY 1, 2
-    """,
-)
-def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source content-overlap matrix: for every source pair, how
-    many distinct word 3-gram shingles both emit — the mirror-site/
-    syndication detector that tells a curation pipeline which
-    "independent" sources are actually reprinting each other (dedup
-    them jointly, or downweight one; exact-dup fingerprints are the
-    degenerate all-or-nothing case — shingle overlap grades partial
-    reuse too). Same single-shuffle formulation as
-    candidate_pairs_from_bands: hash-partition once on the shingle,
-    gather each shingle's distinct sources with collect_set, emit
-    sorted-array pair combinations with higher-order functions — no
-    self-join, and per-shingle state is bounded by |sources|, so a
-    boilerplate phrase present in millions of docs still contributes
-    O(|sources|²) rows, never O(docs²)."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    fps = d.select(
-        "source", F.explode(dd.word_shingles("text")).alias("g")
-    ).distinct()
-    buckets = (
-        fps.groupBy("g")
-        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
-        .filter(F.size("srcs") >= 2)
-    )
-    return (
-        buckets.select(
-            F.explode(dd.pair_combinations("srcs", "source_a", "source_b")).alias("p")
-        )
-        .groupBy("p.source_a", "p.source_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_shingles"))
-    )
-
-
-_CURATION_Q_THRESHOLD = 0.45
-
-
-def _curation_pipeline_oracle() -> str:
-    """End-to-end curation pipeline oracle: quality gate → exact dedup
-    (min-id per fingerprint) → near-dup CC keep, every input doc
-    labeled with the stage that dropped it. The minhash/band chain is
-    the shared generator embedded over the post-exact-dedup survivors
-    (source='s2'); the corpus is doubled with offset clones (the
-    simhash fixture pattern) so the exact-dup stage has real work."""
-    thr = _CURATION_Q_THRESHOLD
-    mh = _sql_minhash_cte("s2", ", ")
-    return f"""
-    WITH RECURSIVE d2 AS (SELECT doc_id, text FROM documents
-                          UNION ALL
-                          SELECT doc_id + 1000000, text FROM documents),
-    t0 AS (SELECT doc_id, text, length(text) AS n,
-                  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                              x -> x != '') AS toks
-           FROM d2),
-    q AS (SELECT doc_id, text,
-                 (least(n / 500.0, 1.0)
-                  + (1.0 - CASE WHEN n > 0
-                                THEN (n - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / n
-                                ELSE 0.0 END)
-                  + least((CASE WHEN len(toks) > 0
-                                THEN len(list_filter(toks, t -> list_contains({_SQL_SW_EN}, t)))
-                                     / len(toks)
-                                ELSE 0.0 END) * 5.0, 1.0)) / 3.0 AS q
-          FROM t0),
-    s1 AS (SELECT doc_id, text FROM q WHERE q >= {thr}),
-    f AS (SELECT doc_id, text, md5({_SQL_NORM}) AS fp FROM s1),
-    k2 AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp),
-    s2 AS (SELECT f.doc_id, f.text FROM f
-           JOIN k2 ON f.fp = k2.fp AND f.doc_id = k2.keep_id)
-    {mh},
-    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
-              UNION SELECT id_b, id_a FROM cand),
-    reach(id, r) AS (
-        SELECT DISTINCT src, src FROM edges
-        UNION
-        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
-    ),
-    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-    SELECT d2.doc_id,
-           CASE WHEN q.q < {thr} THEN 'quality'
-                WHEN s2x.doc_id IS NULL THEN 'exact_dup'
-                WHEN coalesce(c.component, d2.doc_id) = d2.doc_id THEN 'kept'
-                ELSE 'near_dup' END AS stage
-    FROM d2
-    JOIN q USING (doc_id)
-    LEFT JOIN s2 s2x ON d2.doc_id = s2x.doc_id
-    LEFT JOIN comp c ON d2.doc_id = c.id
-    """
-
-
-@query("corpus_curation_pipeline", oracle=_curation_pipeline_oracle())
-def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation pipeline END-TO-END, one query: heuristic quality
-    gate → exact dedup (min-id representative per normalized
-    fingerprint) → MinHash/LSH near-dup clustering with min-id keep —
-    every input document labeled with the stage that removed it
-    ('quality' | 'exact_dup' | 'near_dup' | 'kept'). The input corpus
-    is doubled with offset clones (the simhash fixture pattern;
-    documents is fixed-size at driver scale, so the offset cannot
-    alias) so the exact-dup stage does real work.
-
-    Stage plans compose exactly as the standalone queries do: the
-    quality gate is per-row codegen, exact dedup is one fingerprint
-    hash aggregate + equi-join, near-dup is the banded LSH equi-join →
-    iterative min-label CC — each stage's input strictly shrinks, and
-    nothing in the composition introduces a shuffle the standalone ops
-    don't have. This is the flagship composition a user of the
-    standalone pieces would actually run nightly."""
-    d0 = parallelize_small(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "text"
-    )
-    d2 = d0.unionByName(
-        d0.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
-    )
-    # the composition itself is the engine API corpus.curation_pipeline
-    # (extracted r6 so it is property-testable on arbitrary corpora);
-    # stage pinning lives inside it
-    return cp.curation_pipeline(d2, q_threshold=_CURATION_Q_THRESHOLD)
-
-
-@query(
-    "bfs_distances",
-    oracle="""
-    WITH RECURSIVE pairs AS (
-      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
-      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    edges AS (SELECT c AS src, s AS dst FROM pairs
-              UNION ALL SELECT s, c FROM pairs),
-    bfs AS (
-      SELECT 'c:' || c_custkey AS node, 0 AS dist
-      FROM customer WHERE c_custkey <= 3
-      UNION
-      SELECT e.dst AS node, b.dist + 1 AS dist
-      FROM bfs b JOIN edges e ON e.src = b.node
-      WHERE b.dist < 3)
-    SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY node
-    """,
-)
-def bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-source BFS over the customer↔supplier trading graph — the
-    engine's recursive-query surface (graph.bfs_layers; the oracle IS
-    a WITH RECURSIVE CTE, and frontier BFS's first-touch distance
-    equals the recursion's min(dist) by construction). Sources are the
-    customers with c_custkey ≤ 3; edges are the distinct trading pairs
-    both directions with the typed 'c:'/'s:' node prefixes
-    (pagerank_bipartite's aliasing-proof convention); depth capped at
-    3. Per level the engine pays one frontier⋈edges equi-join, one
-    distinct, and one anti-join against the visited set — frontier and
-    visited eagerly pinned so lineage stays flat (the
-    connected-components discipline with a FIXED round count). All
-    integer arithmetic: the comparison is exact."""
-    from covid_custom_sql_engine_spark.functions import graph as gr
-
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    srcs = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") <= 3)
-        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
-    )
-    return gr.bfs_layers(edges, srcs, max_depth=3)
-
-
-@query(
-    "skyline_parts",
-    oracle="""
-    WITH pp AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
-                       p_retailprice + 0.0 AS p_retailprice,
-                       CAST(p_size AS BIGINT) AS p_size
-                FROM part
-                WHERE p_brand = 'Brand#23'
-                  AND p_retailprice IS NOT NULL AND p_size IS NOT NULL)
-    SELECT p_partkey, p_retailprice, p_size FROM pp p
-    WHERE NOT EXISTS (
-      SELECT 1 FROM pp q
-      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
-        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-    """,
-)
-def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D skyline (Pareto frontier) of one brand's parts — no part in
-    the result is both cheaper AND larger than another
-    (selection.skyline_2d: minimize p_retailprice, maximize p_size).
-    The oracle states the dominance semantics directly (NOT EXISTS, a
-    deliberate O(n²) spec); the engine instead runs the distributed
-    sort-order sweep — collapse to (distinct price, max size) with one
-    combinable hash aggregate, strict prefix-max over price order via
-    the two-phase global_rank discipline (range partition + pinned
-    exchange + per-physical-partition window keyed on partition id +
-    a ≤num_partitions-row carry), then one join back — O(n log n)
-    work, never a pairwise comparison, the shape that survives a
-    100 TB candidate table where the quadratic spec cannot."""
-    from covid_custom_sql_engine_spark.operators import selection as sel
-
-    pt = (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#23")
-        .select(
-            F.col("p_partkey").cast("bigint").alias("p_partkey"),
-            (F.col("p_retailprice") + F.lit(0.0)).alias("p_retailprice"),
-            F.col("p_size").cast("bigint").alias("p_size"),
-        )
-    )
-    return sel.skyline_2d(pt, "p_retailprice", "p_size")
-
-
-@query(
-    "apriori_triples",
-    oracle="""
-    WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    fp AS (SELECT a.p AS p1, b.p AS p2 FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
-           GROUP BY 1, 2 HAVING count(*) >= 2),
-    tri AS (SELECT a.p AS p1, b.p AS p2, c.p AS p3, count(*) AS n_orders
-            FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
-                      JOIN it c ON a.o = c.o AND b.p < c.p
-            JOIN fp f1 ON f1.p1 = a.p AND f1.p2 = b.p
-            JOIN fp f2 ON f2.p1 = b.p AND f2.p2 = c.p
-            JOIN fp f3 ON f3.p1 = a.p AND f3.p2 = c.p
-            GROUP BY 1, 2, 3)
-    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
-           CAST(p3 AS BIGINT) AS p3, n_orders
-    FROM tri
-    ORDER BY n_orders DESC, p1, p2, p3 LIMIT 20
-    """,
-)
-def apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent 3-itemsets with A-PRIORI candidate pruning — the
-    market-basket step beyond frequent_part_pairs: a part triple
-    qualifies only if EVERY cohabiting pair inside it is itself
-    frequent (support ≥ 2 orders) — the downward-closure property that
-    makes frequent-itemset mining tractable at scale. The engine
-    prunes EARLY: the (p1, p2) leg is gated on the broadcast frequent-
-    pair set BEFORE the third self-join fans out (at sf0.01 that cuts
-    the candidate stream from ~157k raw triples to the ~3% whose
-    first pair is frequent), then the (p1, p3)/(p2, p3) gates run as
-    two more broadcast semi-joins before the counting aggregate — the
-    oracle applies the same three gates after generation, same final
-    set. Top 20 by (support, keys): a total order, so the row set is
-    deterministic. At 100 TB the frequent-pair set is the small side
-    by construction (HAVING ≥ minsup) and broadcasts; the self-joins
-    shuffle on the order key only."""
-    it = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"),
-            F.col("l_partkey").cast("bigint").alias("p"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    a = it.select(F.col("o").alias("oa"), F.col("p").alias("p1"))
-    b = it.select(F.col("o").alias("ob"), F.col("p").alias("p2"))
-    c = it.select(F.col("o").alias("oc"), F.col("p").alias("p3"))
-    prs = a.join(
-        b, (F.col("oa") == F.col("ob")) & (F.col("p1") < F.col("p2"))
-    ).select("oa", "p1", "p2")
-    fp = (
-        prs.groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("p1", "p2")
-        .localCheckpoint(eager=False)
-    )
-    # gate 1 BEFORE the fan-out join: only frequent first-pairs expand
-    pruned = prs.join(F.broadcast(fp), ["p1", "p2"], "left_semi")
-    tri = pruned.join(
-        c, (F.col("oa") == F.col("oc")) & (F.col("p2") < F.col("p3"))
-    ).select("oa", "p1", "p2", "p3")
-    # gates 2+3: the remaining sub-pairs must be frequent too
-    tri = tri.join(
-        F.broadcast(fp.select(F.col("p1").alias("p2"), F.col("p2").alias("p3"))),
-        ["p2", "p3"],
-        "left_semi",
-    ).join(
-        F.broadcast(fp.select("p1", F.col("p2").alias("p3"))),
-        ["p1", "p3"],
-        "left_semi",
-    )
-    counted = tri.groupBy("p1", "p2", "p3").agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    return counted.orderBy(
-        F.col("n_orders").desc(), "p1", "p2", "p3"
-    ).limit(20)
-
-
-@query(
-    "top_session_paths",
-    oracle="""
-    WITH o AS (SELECT event_id, user_id, ts, event_type,
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
-               FROM events),
-    m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '15 minutes'
-                         THEN 1 ELSE 0 END AS new_s FROM o),
-    s AS (SELECT event_id, user_id, ts, event_type,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-          FROM m),
-    r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
-                                       ORDER BY ts, event_id) AS rn FROM s),
-    paths AS (SELECT user_id, session_id,
-                     string_agg(event_type, '>' ORDER BY rn) AS path
-              FROM r WHERE rn <= 5 GROUP BY user_id, session_id)
-    SELECT path, count(*) AS n_sessions
-    FROM paths GROUP BY path
-    ORDER BY n_sessions DESC, path LIMIT 15
-    """,
-)
-def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clickstream sequence mining: the most common session PATHS —
-    each session's first ≤5 event types in time order, joined into one
-    'a>b>c' string — ranked by session count (the funnel-discovery
-    complement of event_transitions' pairwise matrix: paths show WHOLE
-    journeys, transitions show edges). Sessionization is the 15-minute
-    gaps-and-islands rule of session_ids, re-derived here so the query
-    is self-contained.
-
-    Plan: ONE shuffle on user_id serves the lag pass, the running-sum
-    pass, the per-session row_number, AND the per-session path
-    aggregate (grouping on (user_id, session_id) is satisfied by the
-    existing user_id hash distribution — no second exchange; the
-    order-sensitive collect is made deterministic by sorting the
-    collected (rn, type) structs, never by collect order). The path
-    histogram then shuffles ≤ distinct-path rows, and top-15 by
-    (count, path) — a total order — is a TakeOrdered, never a global
-    sort. Path length is capped at 5 so the path string is bounded
-    state per session at any scale."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    new_s = F.when(
-        F.lag("ts").over(w).isNull()
-        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 15 MINUTES")),
-        1,
-    ).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    s = e.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "event_type",
-        F.sum(new_s).over(run).alias("session_id"),
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
-    )
-    paths = (
-        s.withColumn("rn", rn)
-        .filter(F.col("rn") <= 5)
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("rn", "event_type"))
-                    ),
-                    lambda t: t["event_type"],
-                ),
-                ">",
-            ).alias("path")
-        )
-    )
-    return (
-        paths.groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .orderBy(F.col("n_sessions").desc(), "path")
-        .limit(15)
-    )
-
-
-@query(
-    "prefix_jaccard_pairs",
-    oracle=f"""
-    WITH t0 AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS t
-                FROM documents WHERE doc_id < 1000),
-    t AS (SELECT doc_id, t FROM t0 WHERE len(t) > 0)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
-    FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.t, b.t))) >= 0.95
-    """,
-)
-def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT Jaccard similarity join via prefix filtering
-    (dedup.prefix_filter_pairs — the AllPairs/PPJoin candidate rule,
-    Bayardo et al. 2007): every pair of documents with token-set
-    Jaccard ≥ 0.95, found WITHOUT an all-pairs product. Unlike the
-    df-capped shingle index (ngram_jaccard_pairs, which can MISS pairs
-    whose shared shingles are all frequent) or MinHash banding
-    (probabilistic), prefix filtering is provably lossless: a
-    qualifying pair's smallest-global-order shared token always lands
-    in both documents' rarity-ordered prefixes — so the ORACLE is the
-    pure all-pairs SPEC with no algorithm mirrored, the strongest
-    oracle shape in the registry. Each document contributes only
-    ~|T|·(1−τ)+1 of its RAREST tokens to the posting join, so per-token
-    fan-out is small by construction at any corpus size. Corpus capped
-    at doc_id < 1000 so the oracle's quadratic spec stays cheap; the
-    engine path has no such need (SCALE.md measures it uncapped)."""
-    d = parallelize_small(load_table(spark, sf_dir, "documents")).filter(
-        F.col("doc_id") < 1000
-    )
-    out = dd.prefix_filter_pairs(d, threshold=0.95)
-    return out.select("id_a", "id_b", "jaccard")
-
-
-def _label_prop_oracle(rounds: int = 2) -> str:
-    """Unrolled label-propagation rounds over the bipartite trading
-    graph — each round is the same vote→max-count→min-label→left-join
-    block the engine runs (graph.label_propagation)."""
-    ctes = [
-        """WITH pairs AS (
-      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
-      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    edges AS (SELECT c AS src, s AS dst FROM pairs
-              UNION ALL SELECT s, c FROM pairs),
-    l0 AS (SELECT node, node AS label FROM
-           (SELECT src AS node FROM edges UNION SELECT dst FROM edges))"""
-    ]
-    for r in range(1, rounds + 1):
-        p = r - 1
-        ctes.append(
-            f"""v{r} AS (SELECT e.dst AS node, l.label, count(*) AS n
-           FROM l{p} l JOIN edges e ON e.src = l.node GROUP BY 1, 2),
-    t{r} AS (SELECT node, max(n) AS m FROM v{r} GROUP BY node),
-    b{r} AS (SELECT v{r}.node, min(v{r}.label) AS new
-           FROM v{r} JOIN t{r} ON t{r}.node = v{r}.node AND v{r}.n = t{r}.m
-           GROUP BY v{r}.node),
-    l{r} AS (SELECT l{p}.node, coalesce(b{r}.new, l{p}.label) AS label
-           FROM l{p} LEFT JOIN b{r} ON b{r}.node = l{p}.node)"""
-        )
-        final = r
-    return ",\n    ".join(ctes) + f"\nSELECT node, label FROM l{final}"
-
-
-@query("label_propagation_communities", oracle=_label_prop_oracle(2))
-def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous label propagation over the
-    customer↔supplier trading graph (graph.label_propagation, 2
-    rounds): every node starts as its own community, then adopts the
-    most frequent in-neighbor label, ties toward the smaller label —
-    the deterministic variant of an algorithm usually run with random
-    tie-breaks, so the oracle unrolls the identical rounds (the
-    k-means/pagerank convention). Per round: one O(nodes)⋈edges
-    equi-join, one (node, label) hash aggregate, one combinable
-    max-count + min-label argmax (never a window), one left join back
-    — the connected-components shuffle profile with a FIXED round
-    count, labels eagerly pinned per round."""
-    from covid_custom_sql_engine_spark.functions import graph as gr
-
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    return gr.label_propagation(edges, rounds=2)
-
-
-@query(
-    "l_diversity_audit",
-    oracle="""
-    WITH g AS (
-        SELECT c_nationkey, c_mktsegment,
-               count(*) AS sz,
-               count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l
-        FROM customer GROUP BY 1, 2
-    )
-    SELECT 3 AS l,
-           count(*) AS n_groups,
-           sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT AS n_homogeneous_groups,
-           sum(CASE WHEN l < 3 THEN sz ELSE 0 END)::BIGINT AS n_exposed_rows,
-           round(sum(CASE WHEN l < 3 THEN sz ELSE 0 END)::DOUBLE / sum(sz), 6)
-             AS exposed_row_frac,
-           CAST(min(l) AS BIGINT) AS min_l
-    FROM g
-    """,
-)
-def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The second privacy gate after k_anonymity_audit: k-anonymity
-    stops re-identification of a ROW but not attribute disclosure — a
-    quasi-identifier group where everyone shares the same sensitive
-    value leaks it to anyone who can place a person in the group.
-    ℓ-diversity requires ≥ ℓ distinct sensitive values (here the
-    coarse account-balance band, floor(acctbal/1000)) per
-    (nation, segment) equivalence class; reported: groups below ℓ=3,
-    rows exposed by them, and the corpus-wide minimum ℓ. Same plan
-    economics as the k gate — one hash aggregate bounded by QI
-    cardinality (count DISTINCT inside the group is a per-group
-    shuffle-free partial) + a ≤groups fold."""
-    c = load_table(spark, sf_dir, "customer")
-    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
-    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("sz"),
-        F.countDistinct(band).alias("l"),
-    )
-    exposed = F.when(F.col("l") < 3, F.col("sz")).otherwise(0)
-    return g.agg(
-        F.lit(3).alias("l"),
-        F.count(F.lit(1)).alias("n_groups"),
-        F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).alias(
-            "n_homogeneous_groups"
-        ),
-        F.sum(exposed).cast("bigint").alias("n_exposed_rows"),
-        F.round(
-            F.sum(exposed).cast("double") / F.sum("sz"), 6
-        ).alias("exposed_row_frac"),
-        F.min("l").cast("bigint").alias("min_l"),
-    )
-
-
-@query(
-    "fd_audit",
-    oracle="""
-    WITH f1 AS (SELECT c_name AS lhs, CAST(c_nationkey AS VARCHAR) AS rhs
-                FROM customer),
-    f2 AS (SELECT CAST(c_nationkey AS VARCHAR) AS lhs, c_mktsegment AS rhs
-           FROM customer),
-    f3 AS (SELECT p_type AS lhs, p_brand AS rhs FROM part),
-    a AS (SELECT 'c_name->c_nationkey' AS fd, lhs, count(DISTINCT rhs) AS k,
-                 count(*) AS sz FROM f1 GROUP BY lhs
-          UNION ALL
-          SELECT 'c_nationkey->c_mktsegment', lhs, count(DISTINCT rhs), count(*)
-          FROM f2 GROUP BY lhs
-          UNION ALL
-          SELECT 'p_type->p_brand', lhs, count(DISTINCT rhs), count(*)
-          FROM f3 GROUP BY lhs)
-    SELECT fd,
-           count(*) AS n_lhs_groups,
-           sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_groups,
-           sum(CASE WHEN k > 1 THEN sz ELSE 0 END)::BIGINT AS n_violating_rows,
-           CAST(max(k) AS BIGINT) AS max_rhs_distinct,
-           CAST(max(k) AS BIGINT) = 1 AS holds
-    FROM a GROUP BY fd
-    """,
-)
-def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Functional-dependency audit — the schema-inference side of data
-    profiling: for each candidate FD lhs→rhs, count the lhs groups
-    carrying more than one distinct rhs (violations), the rows inside
-    them, and whether the dependency HOLDS exactly. Candidates here:
-    c_name→c_nationkey (holds — names are unique, so every key FD
-    passes), c_nationkey→c_mktsegment and p_type→p_brand (both
-    violated — the counter-examples prove the audit distinguishes).
-    Per candidate: one hash aggregate on the lhs (count-distinct rhs is
-    a per-group partial) + a ≤groups fold — the k_anonymity_audit plan
-    economics, unioned across candidates so one scan pass per FD."""
-    pt = load_table(spark, sf_dir, "part")
-    cu = load_table(spark, sf_dir, "customer")
-    parts = [
-        cu.select(
-            F.lit("c_name->c_nationkey").alias("fd"),
-            F.col("c_name").alias("lhs"),
-            F.col("c_nationkey").cast("string").alias("rhs"),
-        ),
-        cu.select(
-            F.lit("c_nationkey->c_mktsegment").alias("fd"),
-            F.col("c_nationkey").cast("string").alias("lhs"),
-            F.col("c_mktsegment").alias("rhs"),
-        ),
-        pt.select(
-            F.lit("p_type->p_brand").alias("fd"),
-            F.col("p_type").alias("lhs"),
-            F.col("p_brand").alias("rhs"),
-        ),
-    ]
-    a = (
-        parts[0]
-        .unionAll(parts[1])
-        .unionAll(parts[2])
-        .groupBy("fd", "lhs")
-        .agg(
-            F.countDistinct("rhs").alias("k"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-    )
-    viol = F.when(F.col("k") > 1, 1).otherwise(0)
-    return a.groupBy("fd").agg(
-        F.count(F.lit(1)).alias("n_lhs_groups"),
-        F.sum(viol).cast("bigint").alias("n_violating_groups"),
-        F.sum(F.when(F.col("k") > 1, F.col("sz")).otherwise(0))
-        .cast("bigint")
-        .alias("n_violating_rows"),
-        F.max("k").cast("bigint").alias("max_rhs_distinct"),
-        (F.max("k").cast("bigint") == 1).alias("holds"),
-    )
-
-
-@query(
-    "ks_drift_promo",
-    oracle="""
-    WITH j AS (SELECT l.l_extendedprice AS v,
-                      CASE WHEN p.p_type LIKE 'PROMO%' THEN 'promo'
-                           ELSE 'other' END AS g
-               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-               WHERE l.l_extendedprice IS NOT NULL),
-    pv AS (SELECT v,
-                  sum(CASE WHEN g = 'promo' THEN 1 ELSE 0 END) AS ca,
-                  sum(CASE WHEN g = 'other' THEN 1 ELSE 0 END) AS cb
-           FROM j GROUP BY v),
-    c AS (SELECT sum(ca) OVER w AS fa, sum(cb) OVER w AS fb
-          FROM pv WINDOW w AS (ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-    t AS (SELECT CAST(sum(CASE WHEN g = 'promo' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-                 CAST(sum(CASE WHEN g = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-          FROM j)
-    SELECT t.n_a, t.n_b,
-           round(max(abs(c.fa::DOUBLE / t.n_a - c.fb::DOUBLE / t.n_b)), 6)
-             AS d_stat
-    FROM c, t GROUP BY t.n_a, t.n_b
-    """,
-)
-def ks_drift_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample Kolmogorov–Smirnov drift test
-    (selection.ks_statistic): D = sup|ECDF_promo − ECDF_other| over
-    lineitem extended prices, promo-typed parts vs the rest — the
-    non-bucketed, bin-free counterpart of split_divergence's PSI/KL
-    monitors (sensitive to any distributional shift, no edge choices
-    to defend). The supremum needs a GLOBAL cumulative count, which
-    the oracle writes as the single-partition window it semantically
-    is; the engine instead collapses to per-distinct-value counts and
-    runs the pinned two-phase prefix-sum (the global_rank/skyline
-    discipline) — the reduced frame shuffles once, the carry is
-    ≤num_partitions rows, and no stage ever funnels the data through
-    one task."""
-    from covid_custom_sql_engine_spark.operators import selection as sel
-
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_extendedprice"
-    )
-    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = (
-        l.join(F.broadcast(pt), l.l_partkey == pt.p_partkey)
-        .filter(F.col("l_extendedprice").isNotNull())
-        .select(
-            F.col("l_extendedprice").alias("v"),
-            F.when(F.col("p_type").startswith("PROMO"), "promo")
-            .otherwise("other")
-            .alias("g"),
-        )
-    )
-    return sel.ks_statistic(j, "v", "g", "promo", "other")
-
-
-@query(
-    "bfs_shortest_path_tree",
-    oracle="""
-    WITH RECURSIVE pairs AS (
-      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
-      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    edges AS (SELECT c AS src, s AS dst FROM pairs
-              UNION ALL SELECT s, c FROM pairs),
-    bfs AS (
-      SELECT 'c:' || c_custkey AS node, 0 AS dist,
-             CAST(NULL AS VARCHAR) AS parent
-      FROM customer WHERE c_custkey <= 3
-      UNION
-      SELECT e.dst AS node, b.dist + 1 AS dist, b.node AS parent
-      FROM bfs b JOIN edges e ON e.src = b.node
-      WHERE b.dist < 3),
-    mn AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
-    SELECT mn.node, CAST(mn.dist AS BIGINT) AS dist, min(b.parent) AS parent
-    FROM mn JOIN bfs b ON b.node = mn.node AND b.dist = mn.dist
-    GROUP BY mn.node, mn.dist
-    """,
-)
-def bfs_shortest_path_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bfs_distances with PATH RECONSTRUCTION (graph.bfs_tree): every
-    reached node also carries its tree parent — the smallest frontier
-    node that first touched it (deterministic min-label tie-break,
-    NULL for sources) — so any node's actual route back to a source
-    is walkable ("HOW is this supplier 3 hops from customer 2?"). The
-    oracle extends the recursive CTE with an arg-min parent selection
-    at each node's minimum distance; a parent recorded at a node's
-    first-touch level provably has minimum distance exactly one less
-    (any shorter parent would have touched the node earlier), so the
-    two formulations agree exactly. Same per-level plan as bfs_layers
-    plus one combinable min aggregate on the frontier join."""
-    from covid_custom_sql_engine_spark.functions import graph as gr
-
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    srcs = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") <= 3)
-        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
-    )
-    return gr.bfs_tree(edges, srcs, max_depth=3)
-
-
-# --- Markov removal-effect attribution --------------------------------
-# Channel states (alphabetical), absorbing CONV (purchase) and NULL
-# (session ends unconverted). ONE expression builder feeds BOTH
-# engines, so the floating-point evaluation order is identical
-# opcode-for-opcode (the mmr_topk unroll convention).
-_MKV_CH = ["click", "error", "signup", "view"]
-_MKV_SRC = ["START"] + _MKV_CH
-_MKV_STEPS = 4
-
-
-def _mkv_absorb_expr(removed: str | None) -> str:
-    """Truncated-absorption expression over the p_{src}_{dst} columns:
-    P(reach CONV within _MKV_STEPS transitions from START), with the
-    ``removed`` channel's OUTGOING probabilities zeroed (mass entering
-    it dies — the classic removal effect, no renormalization)."""
-    v = {"START": "1.0"}
-    conv = "0.0"
-    for step in range(_MKV_STEPS):
-        srcs = [
-            s
-            for s in (_MKV_SRC if step == 0 else _MKV_CH)
-            if s != removed and v.get(s, "0.0") != "0.0"
-        ]
-        conv = (
-            "(" + conv + " + "
-            + " + ".join(f"({v[s]} * p_{s}_CONV)" for s in srcs)
-            + ")"
-        )
-        v = {
-            t: "(" + " + ".join(f"({v[s]} * p_{s}_{t})" for s in srcs) + ")"
-            for t in _MKV_CH
-        }
-    return conv
-
-
-def _mkv_variant_exprs() -> list[tuple[str, str, str, str]]:
-    """(channel, base, removal, effect) expression texts per channel."""
-    base = _mkv_absorb_expr(None)
-    out = []
-    for c in _MKV_CH:
-        rm = _mkv_absorb_expr(c)
-        eff = (
-            f"CASE WHEN ({base}) > 0 "
-            f"THEN (({base}) - ({rm})) / ({base}) END"
-        )
-        out.append((c, base, rm, eff))
-    return out
-
-
-def _mkv_p_sql() -> str:
-    cols = []
-    for s in _MKV_SRC:
-        tot = f"sum(CASE WHEN src = '{s}' THEN 1 ELSE 0 END)"
-        for d in _MKV_CH + ["CONV"]:
-            n = f"sum(CASE WHEN src = '{s}' AND dst = '{d}' THEN 1 ELSE 0 END)"
-            cols.append(
-                f"CASE WHEN {tot} > 0 THEN CAST({n} AS DOUBLE) / {tot} "
-                f"ELSE 0.0 END AS p_{s}_{d}"
-            )
-    return ",\n           ".join(cols)
-
-
-def _markov_oracle() -> str:
-    variants = "\n    UNION ALL\n    ".join(
-        f"SELECT '{c}' AS channel, round({b}, 6) AS base_p,"
-        f" round({r}, 6) AS removal_p, round({e}, 6) AS removal_effect"
-        f" FROM pr"
-        for c, b, r, e in _mkv_variant_exprs()
-    )
-    return f"""
-    WITH o AS (SELECT event_id, user_id, ts, event_type,
-                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
-               FROM events),
-    m AS (SELECT *, CASE WHEN pts IS NULL OR ts >= pts + INTERVAL '15 minutes'
-                         THEN 1 ELSE 0 END AS new_s FROM o),
-    s AS (SELECT event_id, user_id, ts, event_type,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-          FROM m),
-    r AS (SELECT user_id, session_id, ts, event_id,
-                 CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS st,
-                 row_number() OVER (PARTITION BY user_id, session_id
-                                    ORDER BY ts, event_id) AS rn
-          FROM s),
-    pz AS (SELECT user_id, session_id,
-                  min(CASE WHEN st = 'CONV' THEN rn END) AS prn,
-                  max(rn) AS mrn
-           FROM r GROUP BY 1, 2),
-    k AS (SELECT r.*, pz.prn, pz.mrn FROM r
-          JOIN pz ON pz.user_id = r.user_id AND pz.session_id = r.session_id
-          WHERE pz.prn IS NULL OR r.rn <= pz.prn),
-    t1 AS (SELECT coalesce(lag(st) OVER (PARTITION BY user_id, session_id
-                                         ORDER BY rn), 'START') AS src,
-                  st AS dst FROM k),
-    t2 AS (SELECT st AS src, 'NULL' AS dst FROM k
-           WHERE prn IS NULL AND rn = mrn),
-    tr AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
-    pr AS (SELECT {_mkv_p_sql()} FROM tr)
-    {variants}
-    """
-
-
-@query("markov_attribution", oracle=_markov_oracle())
-def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markov removal-effect attribution — the data-driven alternative
-    to last-touch: sessionize (15-minute gaps), map 'purchase' to the
-    absorbing CONV state and truncate each journey at its first
-    conversion (unconverted sessions absorb into NULL), estimate the
-    first-order channel transition matrix, then for every channel
-    compare P(convert within 4 transitions from START) with that
-    channel's outgoing edges removed — mass that enters a removed
-    channel dies, the classic removal effect. The absorption
-    polynomial is generated ONCE as expression text and fed verbatim
-    to both engines (F.expr here, the same string in the oracle), so
-    the float evaluation order is identical opcode-for-opcode — an
-    inherently iterative metric with an exact value oracle (the
-    mmr_topk convention).
-
-    Scale shape: sessionization + journey truncation ride ONE user_id
-    exchange (three window passes over the same sort); the transition
-    aggregate collapses the data to a ONE-ROW frame of |states|²
-    conditional probabilities, and all 5 absorption variants are pure
-    column arithmetic on that single row — whole-stage-codegen'd,
-    zero further data motion at any corpus size."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type"
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    new_s = F.when(
-        F.lag("ts").over(w).isNull()
-        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 15 MINUTES")),
-        1,
-    ).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    s = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(F.col("event_type") == "purchase", "CONV")
-        .otherwise(F.col("event_type"))
-        .alias("st"),
-        F.sum(new_s).over(run).alias("session_id"),
-    )
-    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
-    wsz = Window.partitionBy("user_id", "session_id")
-    r = s.select(
-        "user_id",
-        "session_id",
-        "st",
-        F.row_number().over(ws).alias("rn"),
-    ).select(
-        "*",
-        F.min(F.when(F.col("st") == "CONV", F.col("rn"))).over(wsz).alias("prn"),
-        F.max("rn").over(wsz).alias("mrn"),
-    )
-    k = r.filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
-    wk = Window.partitionBy("user_id", "session_id").orderBy("rn")
-    t1 = k.select(
-        F.coalesce(F.lag("st").over(wk), F.lit("START")).alias("src"),
-        F.col("st").alias("dst"),
-    )
-    t2 = k.filter(
-        F.col("prn").isNull() & (F.col("rn") == F.col("mrn"))
-    ).select(F.col("st").alias("src"), F.lit("NULL").alias("dst"))
-    tr = t1.unionAll(t2)
-    p_cols = []
-    for src in _MKV_SRC:
-        tot = F.sum(F.when(F.col("src") == src, 1).otherwise(0))
-        for dst in _MKV_CH + ["CONV"]:
-            n = F.sum(
-                F.when(
-                    (F.col("src") == src) & (F.col("dst") == dst), 1
-                ).otherwise(0)
-            )
-            p_cols.append(
-                F.when(tot > 0, n.cast("double") / tot)
-                .otherwise(F.lit(0.0))
-                .alias(f"p_{src}_{dst}")
-            )
-    pr = tr.agg(*p_cols)
-    out = None
-    for c, b, rm, eff in _mkv_variant_exprs():
-        row = pr.select(
-            F.lit(c).alias("channel"),
-            F.round(F.expr(b), 6).alias("base_p"),
-            F.round(F.expr(rm), 6).alias("removal_p"),
-            F.round(F.expr(eff), 6).alias("removal_effect"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Registration order = driver coverage order: the correctness driver
-# checks the first 50 registered queries, so the front of the dict is
-# reserved for entries that most need an official record this round —
-# queries that are new, newly-oracled, recently-fixed, or touched by
-# recent changes. Everything else keeps its relative source order (their
-# green records exist from earlier rounds).
-# ---------------------------------------------------------------------------
-
-_DRIVER_WINDOW_PRIORITY = [
-    # ---- ROUND 9 WINDOW (first 50 = the driver's official check set) ----
-    # flagship first — it's also the entry() smoke query
-    "flagship_revenue_by_nation",
-    # --- NEW in round 9 (never driver-checked): recursive-query BFS,
-    # the distributed Pareto sweep, a-priori 3-itemsets, session path
-    # mining, the lossless prefix-filtered Jaccard join, and
-    # label-propagation communities ---
-    "bfs_distances",
-    "skyline_parts",
-    "apriori_triples",
-    "top_session_paths",
-    "prefix_jaccard_pairs",
-    "label_propagation_communities",
-    "l_diversity_audit",
-    "markov_attribution",
-    "fd_audit",
-    # --- NEW late in round 8, never driver-checked: the hybrid
-    # retrieval + ranking-quality family ---
-    "hybrid_search",
-    "retrieval_ndcg_at_k",
-    "diversified_topk",
-    "mmr_topk",
-    # --- touched by the round-9 review fixes (childless-super rule +
-    # smallest-n oracle; fixed-point refined-codebook means; explicit-
-    # codebook shape validation in pq_topk) — values re-proven locally,
-    # official rows re-earn under the driver ---
-    "hierarchical_assign_agreement",
-    "pq_refined_recall",
-    "pq_topk_recall",
-    # --- the r4-stale refresh (oldest official rows; 33 of 38 — five
-    # deferred: winsorize_values/xmr_control_limits/zscore_outliers/
-    # array_functions/map_functions park first in line for round 10) ---
-    "containment_pairs",
-    "conversion_delay_quantiles",
-    "data_quality_report",
-    "embedding_normalize",
-    "hash_sample",
-    "hourly_change",
-    "incremental_mv_rollup",
-    "json_props",
-    "k_anonymity_audit",
-    "mad_outliers",
-    "mixture_resample_lang",
-    "oov_rate",
-    "repeated_chunks",
-    "revenue_concentration",
-    "setop_except_all",
-    "split_divergence",
-    "token_counts",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_count_dist",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_heavy_shippers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_profit",
-    "unpivot_metrics",
-    "value_histogram",
-    "window_distribution",
-    # ---------------- out-of-window below this line ----------------
-    # first in line for the round-10 refresh: the five deferred r4
-    # rows, then the oldest r5-era official rows
-    "winsorize_values",
-    "xmr_control_limits",
-    "zscore_outliers",
-    "array_functions",
-    "map_functions",
-    "argmax_latest",
-    "audio_stats_real",
-    "benford_audit",
-    "bigram_logprob",
-    "bloom_filter_join_stats",
-    "cohort_retention",
-]
-
-
-# The window rotates each round so every query eventually earns an
-# official driver row. Round-9 composition (exactly 50): the flagship
-# sentinel; the 9 queries NEW in r9 (BFS/recursive-CTE parity, the
-# distributed Pareto sweep, a-priori triples, session path mining,
-# the lossless prefix-filtered Jaccard join, label-propagation
-# communities); the 4 late-r8 never-checked retrieval queries
-# (hybrid_search, retrieval_ndcg_at_k, diversified_topk, mmr_topk —
-# never-checked beats stale-refresh, the standing precedent); the 3
-# queries touched by the round-9 review fixes (hierarchical
-# assignment's childless-super rule + smallest-n oracle, the
-# fixed-point refined-codebook means, pq_topk's explicit-codebook
-# validation); and 33 of the 38 r4-stale rows — the oldest official
-# records left (TPC-H tail, sampling, setops; the deferred
-# winsorize_values/xmr_control_limits/zscore_outliers/array_functions/
-# map_functions park first in line for round 10 with the oldest r5
-# rows). The two LATE round-9 additions (ks_drift_promo,
-# bfs_shortest_path_tree) land after the window filled — they are the
-# round-10 never-checked backlog, first in line there by the standing
-# never-checked-beats-stale rule.
-# Everything below the out-of-window line holds an r1-r8 green row and
-# is re-verified locally every round by check_oracle / check_bare
-# (235 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
-# README per round).
-
-
-def _reorder_registry() -> None:
-    assert set(_DRIVER_WINDOW_PRIORITY) <= set(QUERIES), sorted(
-        set(_DRIVER_WINDOW_PRIORITY) - set(QUERIES)
-    )
-    rest = [n for n in QUERIES if n not in set(_DRIVER_WINDOW_PRIORITY)]
-    order = _DRIVER_WINDOW_PRIORITY + rest
-    for d in (QUERIES, ORACLES):
-        snapshot = dict(d)
-        d.clear()
-        d.update({n: snapshot[n] for n in order if n in snapshot})
-
-
-_reorder_registry()
