@@ -332,6 +332,11 @@ EXPECT = {
     "ks_drift_promo": (2, True, True),
     # checkpoint-leaf final plan, as bfs_distances
     "bfs_shortest_path_tree": (2, False, False),
+    # --- implied derived analytics (functions/epi.py) ---
+    # ONE whole-table OLS aggregate: 2-col lineitem scan, no filter
+    "vaccination_effect_fit": (2, False, False),
+    # per-nation agg + ONE-row global-bounds broadcast cross: intended
+    "resilience_score_by_nation": (3, True, True),
 }
 
 
