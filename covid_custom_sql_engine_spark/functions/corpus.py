@@ -220,6 +220,88 @@ def bpe_pair_counts(
     )
 
 
+def _apply_bpe_merge(tcol: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right non-overlapping application of ONE BPE merge
+    (a, b) → "a_b" to a token array — a per-row fold, ZERO shuffle: at
+    any corpus size the apply step is embarrassingly parallel map work.
+    Canonical BPE greedy semantics: after a merge the produced token
+    cannot re-match as ``a`` within the same pass ([b,b,b] with (b,b) →
+    [b_b, b])."""
+    merged = F.concat(a, F.lit("_"), b)
+    return F.aggregate(
+        tcol,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (t == b),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterated BPE vocabulary induction: ``rounds`` merge rounds, each
+    = count adjacent pairs → argmax (count desc, pair asc — the
+    deterministic tie-break) → greedily apply the winning merge to
+    every document → recount. Returns the ordered merge table
+    (round, token_a, token_b, cnt) — the training artifact a tokenizer
+    pipeline persists. Word-level variant of the byte-level original
+    (Sennrich et al. 2016, public); merged tokens join with "_".
+
+    Shape per round: ONE hash aggregate keyed by pair (map-side
+    combine; group count = distinct pairs, far below corpus size), a
+    TakeOrdered(1) for the argmax — never a global sort — and the
+    apply step as a broadcast of the ONE winning row onto a per-row
+    array fold (zero shuffle). Token state is pinned per round (eager
+    localCheckpoint, the iterative-state convention), so lineage stays
+    flat and the next round's count starts from materialized arrays.
+    """
+    state = (
+        docs.select(tokens(text_col).alias("_t"))
+        .filter(F.size("_t") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        head = F.expr("slice(_t, 1, size(_t) - 1)")
+        tail = F.expr("slice(_t, 2, size(_t) - 1)")
+        pair = F.zip_with(
+            head, tail, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+        )
+        best = (
+            state.filter(F.size("_t") >= 2)
+            .select(F.explode(pair).alias("p"))
+            .groupBy(
+                F.col("p.a").alias("_ba"), F.col("p.b").alias("_bb")
+            )
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .orderBy(F.col("_bc").desc(), "_ba", "_bb")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        row = best.select(
+            F.lit(r).cast("bigint").alias("round"),
+            F.col("_ba").alias("token_a"),
+            F.col("_bb").alias("token_b"),
+            F.col("_bc").alias("cnt"),
+        )
+        out = row if out is None else out.unionByName(row)
+        state = (
+            state.crossJoin(F.broadcast(best))
+            .select(
+                _apply_bpe_merge(
+                    F.col("_t"), F.col("_ba"), F.col("_bb")
+                ).alias("_t")
+            )
+            .localCheckpoint(eager=True)
+        )
+    assert out is not None
+    return out
+
+
 def ngram_diversity(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1453,6 +1453,57 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "jaccard")
 
 
+@query(
+    "prefix_jaccard_zipf",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+    t0 AS (SELECT doc_id,
+                  ['t' || k for k in range(2, 50) if doc_id % k = 0] AS t
+           FROM d),
+    t AS (SELECT doc_id, t FROM t0 WHERE len(t) >= 2)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.t, b.t))) >= 0.7
+    """,
+)
+def prefix_jaccard_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefix_filter_pairs on a ZIPFIAN-vocabulary corpus — the regime
+    prefix filtering is built for, driver-verified uncapped through all
+    three lossless prunes (prefix + length + positional). The real
+    sf* documents corpus has a tiny uniform vocabulary (~24% of all
+    pairs qualify — no index can prune that), so prefix_jaccard_pairs
+    caps at 1k docs to keep its quadratic spec oracle cheap. Here the
+    corpus is synthesized deterministically INSIDE both engines from
+    doc_id arithmetic: token ``t{k}`` (k in 2..49) appears in doc i iff
+    k divides i, so token k's document frequency is N/k — an exact
+    harmonic (Zipf slope −1) profile, integer-only and bit-identical
+    across engines. The TRUE pair set at τ=0.7 is small, so the oracle
+    stays the pure all-pairs SPEC with no cap and no algorithm
+    mirrored (~500 pairs at sf0.01, ~13k at sf0.1)."""
+    d = parallelize_small(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    )
+    toks = F.filter(
+        F.transform(
+            F.sequence(F.lit(2), F.lit(49)),
+            lambda k: F.when(
+                F.col("doc_id") % k == 0, F.concat(F.lit("t"), k)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    corp = (
+        d.select("doc_id", toks.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select("doc_id", F.array_join("tk", " ").alias("text"))
+    )
+    out = dd.prefix_filter_pairs(corp, threshold=0.7)
+    return out.select("id_a", "id_b", "jaccard")
+
+
 def _label_prop_oracle(rounds: int = 2) -> str:
     """Unrolled label-propagation rounds over the bipartite trading
     graph — each round is the same vote→max-count→min-label→left-join

@@ -507,6 +507,72 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.bpe_pair_counts(d)
 
 
+def _bpe_round_cte(r: int) -> str:
+    """One unrolled BPE merge round: pairs → count → argmax (count
+    desc, pair asc) → greedy non-overlapping positional pick (matches
+    as gaps-and-islands runs; within a run of consecutive match
+    positions greedy takes every other one starting at the run head —
+    exactly the engine's left-to-right fold) → rebuild token arrays."""
+    p = r - 1
+    return f"""
+    pr{r} AS (SELECT doc_id, i, toks[i] AS x, toks[i + 1] AS y
+              FROM tk{p}, UNNEST(generate_series(1, len(toks) - 1)) u(i)
+              WHERE len(toks) >= 2),
+    bs{r} AS (SELECT x, y, count(*) AS c FROM pr{r} GROUP BY 1, 2
+              ORDER BY c DESC, x, y LIMIT 1),
+    mt{r} AS (SELECT p.doc_id, p.i FROM pr{r} p, bs{r} b
+              WHERE p.x = b.x AND p.y = b.y),
+    rn{r} AS (SELECT doc_id, i,
+                     i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+              FROM mt{r}),
+    pk{r} AS (SELECT doc_id, i FROM (
+                SELECT doc_id, i, min(i) OVER (PARTITION BY doc_id, g) AS s
+                FROM rn{r})
+              WHERE (i - s) % 2 = 0),
+    ex{r} AS (SELECT doc_id, i AS j, toks[i] AS tok
+              FROM tk{p}, UNNEST(generate_series(1, len(toks))) u(i)),
+    tk{r} AS (SELECT e.doc_id,
+                     list(CASE WHEN p.i IS NOT NULL THEN b.x || '_' || b.y
+                               ELSE e.tok END ORDER BY e.j) AS toks
+              FROM ex{r} e
+              CROSS JOIN bs{r} b
+              LEFT JOIN pk{r} p ON p.doc_id = e.doc_id AND p.i = e.j
+              LEFT JOIN pk{r} q ON q.doc_id = e.doc_id AND q.i = e.j - 1
+              WHERE q.i IS NULL
+              GROUP BY e.doc_id)"""
+
+
+_BPE_ROUNDS = 3
+
+_BPE_ORACLE = (
+    f"""
+    WITH tk0 AS (SELECT doc_id, toks FROM
+                 (SELECT doc_id, {{toks}} AS toks FROM documents)
+                 WHERE len(toks) >= 1),"""
+    + ",".join(_bpe_round_cte(r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, x AS token_a, y AS token_b,"
+        f" c AS cnt FROM bs{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+@query("bpe_train_merges", oracle=_BPE_ORACLE.format(toks=_SQL_TOKS))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE trainer (cp.bpe_train): 3 merge rounds — count
+    pairs, take the deterministic argmax, greedily apply the merge to
+    every document, recount. The ordered merge table is the training
+    artifact; the oracle unrolls the identical rounds with the greedy
+    fold expressed positionally (gaps-and-islands parity pick), the
+    label_propagation generated-oracle discipline. Per round: one
+    pair-count aggregate + a TakeOrdered(1) + a 1-row broadcast onto a
+    zero-shuffle per-row fold."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.bpe_train(d, rounds=_BPE_ROUNDS)
+
+
 @query(
     "bigram_logprob",
     oracle=f"""

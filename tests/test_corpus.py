@@ -392,3 +392,42 @@ def test_repeated_span_removal_semantics(spark):
     assert spans[1] == (4, 16)
     assert spans[2] == (1, 13)
     assert 3 not in spans
+
+
+def test_bpe_train_canonical_greedy(spark):
+    """Hand-built corpus pinning the canonical BPE semantics: the
+    argmax tie-break (count desc, pair asc), the greedy
+    non-overlapping apply ([b b b] with merge (b,b) -> [b_b, b]), and
+    that later rounds count MERGED tokens."""
+    from covid_custom_sql_engine_spark.functions.corpus import bpe_train
+
+    docs = [
+        (1, "a b a b a b"),   # (a,b) x3
+        (2, "b b b"),         # (b,b) x2 but greedy applies once
+        (3, "a b c"),         # (a,b) x1, (b,c) x1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.round: r for r in bpe_train(df, rounds=2).collect()}
+    # round 1: (a,b)=4 beats (b,a)=2, (b,b)=2, (b,c)=1
+    assert (out[1].token_a, out[1].token_b, out[1].cnt) == ("a", "b", 4)
+    # round 2 state: doc1 [a_b, a_b, a_b], doc2 [b, b, b], doc3 [a_b, c]
+    # pairs: (a_b,a_b)=2, (b,b)=2, (a_b,c)=1 -> tie 2/2 broken to a_b < b
+    assert (out[2].token_a, out[2].token_b, out[2].cnt) == ("a_b", "a_b", 2)
+
+
+def test_bpe_apply_greedy_overlap(spark):
+    """[b b b b] with (b,b): greedy left-to-right gives [b_b, b_b];
+    [b b b] gives [b_b, b] — the merged token never re-matches."""
+    from covid_custom_sql_engine_spark.functions.corpus import _apply_bpe_merge
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["b", "b", "b", "b"],), (["b", "b", "b"],), (["x", "b", "b"],)],
+        "t array<string>",
+    )
+    rows = df.select(
+        _apply_bpe_merge(F.col("t"), F.lit("b"), F.lit("b")).alias("m")
+    ).collect()
+    assert rows[0].m == ["b_b", "b_b"]
+    assert rows[1].m == ["b_b", "b"]
+    assert rows[2].m == ["x", "b_b"]

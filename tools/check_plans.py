@@ -314,6 +314,8 @@ EXPECT = {
     # leaf, so no parquet scan survives into the final plan (the
     # mmr_topk precedent); all joins are equi
     "prefix_jaccard_pairs": (2, False, False),
+    # same checkpoint-leaf shape, synthetic divisor corpus (1-col scan)
+    "prefix_jaccard_zipf": (2, False, False),
     # per-round labels are eagerly pinned; the final frame IS the
     # last checkpoint leaf — no parquet scan in the plan
     "label_propagation_communities": (2, False, False),
@@ -332,6 +334,8 @@ EXPECT = {
     "ks_drift_promo": (2, True, True),
     # checkpoint-leaf final plan, as bfs_distances
     "bfs_shortest_path_tree": (2, False, False),
+    # checkpoint-leaf union of per-round 1-row argmax frames: no scans
+    "bpe_train_merges": (2, False, False),
     # --- implied derived analytics (functions/epi.py) ---
     # ONE whole-table OLS aggregate: 2-col lineitem scan, no filter
     "vaccination_effect_fit": (2, False, False),
