@@ -337,6 +337,190 @@ def _assign_nearest(
     )
 
 
+def _probe_cells(
+    vecs: DataFrame, cents: DataFrame, n_probe: int
+) -> DataFrame:
+    """Top-``n_probe`` most-cosine-similar cells per ``(_id, _v)``
+    vector → (_id, cell): the multi-probe generalization of
+    :func:`_assign_nearest` (its ``n_probe=1`` case is exactly that
+    argmax). Same ONE-row broadcast centroid array, same per-row
+    higher-order scoring — ranking happens INSIDE a sorted array
+    (reverse(array_sort) of the (is-null, sim, −cell) structs = the
+    oracle's ``ORDER BY sim DESC NULLS FIRST, cell ASC``), so probing
+    adds NO shuffle and no N·k row materialization at any corpus
+    size — unlike the row_number-window probe shape, which exchanges
+    N·k scored rows."""
+    cents_arr = F.broadcast(
+        cents.select(
+            F.col("cell"), F.col("_cv"), norm(F.col("_cv")).alias("_cn")
+        ).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell"), F.col("_cv"), F.col("_cn")))
+            ).alias("_cents")
+        )
+    )
+    denom = lambda c: F.col("_vn") * c["_cn"]  # noqa: E731
+    sim = lambda c: F.when(  # noqa: E731
+        denom(c) > 0, dot(F.col("_v"), c["_cv"]) / denom(c)
+    )
+    scored = F.transform(
+        "_cents",
+        lambda c: F.struct(
+            sim(c).isNull().cast("int").alias("_nf"),
+            sim(c).alias("_sim"),
+            (-c["cell"]).cast("long").alias("_negc"),
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return (
+        vecs.withColumn("_vn", norm(F.col("_v")))
+        .crossJoin(cents_arr)
+        .select(F.col("_id"), F.explode(top).alias("_p"))
+        .select(F.col("_id"), (-F.col("_p")["_negc"]).alias("cell"))
+    )
+
+
+def _adc_dot(qvec: Column, m: int, sub: int) -> Column:
+    """ADC inner product ⟨q, ĉ⟩ of a float query vector against a PQ
+    code row (columns ``code_0..code_{m-1}``) under the broadcast
+    ``_cb`` codebooks: per subspace the exact dot of the query
+    subvector with the ASSIGNED codeword, summed in fixed subspace
+    order — the MIPS form of :func:`_adc_distance` (on unit vectors
+    ⟨q, ĉ⟩ estimates the cosine directly, so a similarity threshold
+    applies to it without the ‖ĉ‖² correction term)."""
+    out = None
+    for s in range(m):
+        sel = F.element_at(
+            F.element_at("_cb", s + 1), F.col(f"code_{s}") + 1
+        )
+        term = dot(F.slice(qvec, s * sub + 1, sub), sel)
+        out = term if out is None else out + term
+    return out
+
+
+def ann_join(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    margin: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: DataFrame | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Corpus × corpus ANN SIMILARITY JOIN — every pair of vectors with
+    cosine ≥ ``threshold``, found WITHOUT the all-pairs product: the
+    symmetric generalization of :func:`ivfpq_topk` (query set = the
+    corpus itself) and the pairs-producing sibling of
+    :func:`semdedup_prune` (which keeps only per-cell prunes). This is
+    the operator embedding-scale dedup actually needs at 100 TB.
+
+    Pipeline (each stage the established deterministic machinery):
+
+    1. IVF residence — every vector is assigned to its nearest coarse
+       cell (:func:`_assign_nearest`, zero-shuffle HOF argmax).
+    2. Multi-probe — every vector also probes its ``n_probe`` nearest
+       cells (:func:`_probe_cells`, zero-shuffle HOF top-n).
+    3. Candidates = probe ⋈ residence on the cell key — an EQUI-join:
+       pair volume is Σ_cell |probes(cell)|·|residents(cell)| ≈
+       (n_probe/n_cells)·N² instead of N², and every shuffle is on the
+       cell key. A pair is a candidate if EITHER endpoint probes the
+       other's residence cell.
+    4. ADC prefilter — candidates are screened against the PQ CODES of
+       the residence side (:func:`_adc_dot` — the corpus side is read
+       as m small ints, never floats), keeping pairs with approximate
+       cosine ≥ threshold − ``margin`` (safe-side slack for the
+       quantization error; bigger margin = more exact work, higher
+       recall).
+    5. Exact re-rank — only survivors join back to their float unit
+       vectors; exact cosine ≥ threshold decides. Found pairs are
+       therefore exact-verified (precision 1 by construction); recall
+       is what `ann_join_recall` audits — a true pair is missed only
+       when the coarse stage never co-locates it (or ADC under-
+       estimates past the margin), which is exactly what the audit
+       measures.
+
+    Returns (id_a, id_b, cos) with id_a < id_b, cos rounded to 6 for
+    display (the filter compares unrounded doubles; all arithmetic is
+    the fold-ordered chain both engines reproduce bit-for-bit).
+
+    Premise note (hierarchical_assign precedent): with the default
+    per-``label`` centroids on the synthetic near-random testdata
+    embeddings, cells barely align with cosine geometry — recall is
+    honest-but-modest there. On genuinely clustered corpora (or with
+    trained :func:`kmeans_centroids` passed as ``centroids``) the same
+    plan concentrates true pairs inside probed cells.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else label_centroids(embeddings, label_col, vec_col)
+    )
+    cbs = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(embeddings, m, k_codes, id_col, vec_col)
+    )
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    raw = embeddings.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+    )
+    # residence + probes + unit vectors each feed ≥2 consumers — pin
+    res = (
+        _assign_nearest(raw, cents, nulls_first=True)
+        .select(F.col("_id").alias("_rb"), "cell")
+        .localCheckpoint(eager=False)
+    )
+    probes = (
+        _probe_cells(raw, cents, n_probe)
+        .select(F.col("_id").alias("_qa"), "cell")
+        .localCheckpoint(eager=False)
+    )
+    nv = unit_norm_frame(embeddings, id_col, vec_col, "_nv").localCheckpoint(
+        eager=False
+    )
+    codes = _pq_encode_nv(
+        nv.select(F.col(id_col).alias("_id"), F.col("_nv")), cbs, "_id"
+    ).select(F.col("_id").alias("_rb"), *[f"code_{s}" for s in range(m)])
+    cand = (
+        probes.join(res, "cell")
+        .filter(F.col("_qa") != F.col("_rb"))
+        .select("_qa", "_rb")
+    )
+    qn = nv.select(F.col(id_col).alias("_qa"), F.col("_nv").alias("_qn"))
+    screened = (
+        cand.join(qn, "_qa")
+        .join(codes, "_rb")
+        .crossJoin(_codebook_frame(embeddings.sparkSession, cbs))
+        .filter(
+            _adc_dot(F.col("_qn"), m, sub)
+            >= F.lit(float(threshold) - float(margin))
+        )
+        .select(
+            F.least("_qa", "_rb").alias("_ia"),
+            F.greatest("_qa", "_rb").alias("_ib"),
+        )
+        .distinct()
+    )
+    a = nv.select(F.col(id_col).alias("_ia"), F.col("_nv").alias("_va"))
+    b = nv.select(F.col(id_col).alias("_ib"), F.col("_nv").alias("_vb"))
+    cos = dot(F.col("_va"), F.col("_vb"))
+    return (
+        screened.join(a, "_ia")
+        .join(b, "_ib")
+        .filter(cos >= F.lit(float(threshold)))
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.col("_ib").alias("id_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+
+
 def kmeans_step(
     embeddings: DataFrame,
     k: int = 8,

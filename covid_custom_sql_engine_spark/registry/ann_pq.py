@@ -1651,3 +1651,103 @@ def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+
+# --- Corpus × corpus ANN similarity join --------------------------------
+# ONE set of knobs driving both engines (the _PQ_* convention); the
+# ADC prefilter cut injects as the identical Python double on both
+# sides (including the 0.35 − 0.2 float-arithmetic representation).
+_AJ_TAU = 0.35  # the semdedup_prune threshold precedent
+_AJ_MARGIN = 0.2
+_AJ_NPROBE = 2
+_AJ_CUT = _AJ_TAU - _AJ_MARGIN
+
+
+def _adc_dot_terms_sql(m: int, sub: int) -> str:
+    """SQL twin of similarity._adc_dot: ⟨q, ĉ⟩ summed in fixed
+    subspace order (left-assoc +, the engine fold order)."""
+    return " + ".join(
+        f"list_dot_product(list_slice(q.v, {s * sub + 1}, {(s + 1) * sub}), b{s}.c)"
+        for s in range(m)
+    )
+
+
+_SQL_ADC_DOT_TERMS = _adc_dot_terms_sql(_PQ_M, _PQ_SUB)
+
+
+@query(
+    "ann_join_recall",
+    oracle=f"""
+    WITH {_SQL_IVF_COARSE},
+    {_SQL_PQ_CODES},
+    pro AS (SELECT vec_id, cell FROM asn WHERE rn <= {_AJ_NPROBE}),
+    cd AS (SELECT p.vec_id AS qa, s.vec_id AS rb
+           FROM pro p JOIN corpus s ON s.cell = p.cell AND s.vec_id <> p.vec_id),
+    sc AS (SELECT DISTINCT least(cd.qa, cd.rb) AS ia, greatest(cd.qa, cd.rb) AS ib
+           FROM cd JOIN nv q ON q.vec_id = cd.qa
+           JOIN cw ON cw.vec_id = cd.rb
+           {_SQL_PQ_ADC_JOINS}
+           WHERE {_SQL_ADC_DOT_TERMS} >= {_AJ_CUT!r}),
+    ap AS (SELECT sc.ia, sc.ib FROM sc
+           JOIN nv a ON a.vec_id = sc.ia JOIN nv b ON b.vec_id = sc.ib
+           WHERE list_dot_product(a.v, b.v) >= {_AJ_TAU!r}),
+    ex AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+           FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) >= {_AJ_TAU!r}),
+    nt AS (SELECT count(*) AS n_true FROM ex),
+    nf AS (SELECT count(*) AS n_found FROM ap)
+    SELECT n_true, n_found,
+           round(CASE WHEN n_true > 0
+                      THEN n_found::DOUBLE / n_true END, 6) AS recall
+    FROM nt, nf
+    """,
+)
+def ann_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus × corpus ANN similarity-join audit (similarity.ann_join —
+    IVF residence ⋈ multi-probe on the cell key, ADC-dot prefilter over
+    PQ codes, exact-cosine re-rank): recall of the cell-bounded join
+    against the exact τ-threshold all-pairs join. Found pairs are
+    exact-verified by construction (the final filter IS the exact
+    cosine, so found ⊆ true and precision = 1); what can be lost — and
+    what this audits — is a true pair the coarse stage never
+    co-locates or the ADC margin screens out. The oracle COMPOSES the
+    shared fragments (`_SQL_IVF_COARSE` cells/probes, `_SQL_PQ_CODES`
+    codes, the ADC joins) plus the MIPS-form ADC-dot terms, so the
+    pair sets match exactly, not statistically. Premise note
+    (hierarchical_assign precedent): the testdata embeddings are
+    near-random and per-label cells barely align with cosine geometry,
+    so recall here is honest-but-modest; on clustered corpora (or
+    trained kmeans_centroids) the same plan concentrates true pairs in
+    probed cells."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    ap = sim.ann_join(
+        e,
+        threshold=_AJ_TAU,
+        n_probe=_AJ_NPROBE,
+        m=_PQ_M,
+        k_codes=_PQ_KCODES,
+        margin=_AJ_MARGIN,
+    ).select(F.col("id_a").alias("_ia"), F.col("id_b").alias("_ib"))
+    nv = sim.unit_norm_frame(e, "vec_id", "embedding", "_nv").localCheckpoint(
+        eager=False
+    )
+    a = nv.select(F.col("vec_id").alias("_xa"), F.col("_nv").alias("_va"))
+    b = nv.select(F.col("vec_id").alias("_xb"), F.col("_nv").alias("_vb"))
+    ex = (
+        a.crossJoin(b)
+        .filter(F.col("_xa") < F.col("_xb"))
+        .filter(sim.dot(F.col("_va"), F.col("_vb")) >= F.lit(_AJ_TAU))
+        .select("_xa", "_xb")
+    )
+    nt = ex.agg(F.count(F.lit(1)).alias("n_true"))
+    nf = ap.agg(F.count(F.lit(1)).alias("n_found"))
+    return nt.crossJoin(nf).select(
+        "n_true",
+        "n_found",
+        F.round(
+            F.when(
+                F.col("n_true") > 0, F.col("n_found") / F.col("n_true")
+            ),
+            6,
+        ).alias("recall"),
+    )

@@ -334,6 +334,9 @@ EXPECT = {
     "ks_drift_promo": (2, True, True),
     # checkpoint-leaf final plan, as bfs_distances
     "bfs_shortest_path_tree": (2, False, False),
+    # exact all-pairs baseline is a deliberate broadcast cross (the
+    # cosine_topk convention) + the final 1-row×1-row count cross
+    "ann_join_recall": (3, False, True),
     # checkpoint-leaf union of per-round 1-row argmax frames: no scans
     "bpe_train_merges": (2, False, False),
     # --- implied derived analytics (functions/epi.py) ---
