@@ -6,6 +6,7 @@ from covid_custom_sql_engine_spark.streaming.windows import (
     dedup_within_watermark,
     enriched_window_totals,
     attribution_join,
+    interval_self_join,
     with_event_time_watermark,
 )
 from covid_custom_sql_engine_spark.streaming.stateful import (
@@ -22,6 +23,7 @@ __all__ = [
     "dedup_within_watermark",
     "enriched_window_totals",
     "attribution_join",
+    "interval_self_join",
     "with_event_time_watermark",
     "running_totals_batch",
     "running_totals_stream",

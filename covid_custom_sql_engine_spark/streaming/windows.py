@@ -166,6 +166,58 @@ def attribution_join(
     )
 
 
+def interval_self_join(
+    events: DataFrame,
+    lookback: str = "15 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Stream-stream INTERVAL SELF-JOIN: each event is matched with
+    every STRICTLY EARLIER event of the same user within ``lookback``
+    — the "what happened just before this" enrichment a sessionizing
+    pipeline asks right after stream-static joins. The SAME builder
+    runs in batch (oracle) and streaming mode; the round-trip parity
+    test is the attribution_join pattern.
+
+    One stream, two roles: the self-join reads the source twice (Spark
+    plans two scans of the same stream), each side watermarked. The
+    time bound on BOTH sides is what lets Spark evict join state — a
+    buffered left event can be dropped once the right-side watermark
+    passes its ts + lookback; without it, self-join state grows
+    forever.
+
+    Scale shape: an equi-join on user_id (one shuffle per side); the
+    interval predicate is a post-match filter on the pair, and state
+    size is bounded by (events per user per lookback) × watermark.
+    """
+    cur = events.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.col("ts"),
+        F.col("event_type"),
+    )
+    prev = events.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("prev_event_id"),
+        F.col("ts").alias("prev_ts"),
+        F.col("event_type").alias("prev_event_type"),
+    )
+    if streaming:
+        cur = with_event_time_watermark(cur, "ts", watermark)
+        prev = with_event_time_watermark(prev, "prev_ts", watermark)
+    joined = cur.join(
+        prev,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("prev_ts") < F.col("ts"))
+        & (F.col("prev_ts") >= F.col("ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    )
+    return joined.select(
+        "user_id", "event_id", "ts", "event_type",
+        "prev_event_id", "prev_ts", "prev_event_type",
+    )
+
+
 def enriched_window_totals(
     events: DataFrame,
     customers: DataFrame,

@@ -787,3 +787,34 @@ def test_streaming_vector_index_maintenance(spark, sf_dir, tmp_path):
         for r in sim.assign_cells(new_vecs, cents).collect()
     }
     assert got == want and len(got) == new_vecs.count()
+
+
+def test_interval_self_join_stream_matches_batch(spark, events_dir):
+    """Stream-stream interval SELF-join (each event x every strictly
+    earlier same-user event within 15 minutes, watermarks on both
+    sides of the one stream) reproduces the batch join row-for-row —
+    the attribution_join parity pattern."""
+    from covid_custom_sql_engine_spark.streaming import interval_self_join
+
+    src = spark.read.parquet(events_dir)
+    batch = interval_self_join(src).collect()
+
+    stream_src = spark.readStream.schema(src.schema).parquet(events_dir)
+    sdf = interval_self_join(stream_src, streaming=True)
+    assert sdf.isStreaming
+    out_dir = tempfile.mkdtemp(prefix="iselfjoin_out_")
+    sq = (
+        sdf.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", os.path.join(out_dir, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    key = lambda r: (r.event_id, r.prev_event_id)
+    assert len(batch) > 0
+    # strictly-earlier + lookback: no self-pairs, every pair ordered
+    assert all(r.prev_ts < r.ts for r in batch)
+    assert sorted(key(r) for r in got) == sorted(key(r) for r in batch)
