@@ -12,110 +12,110 @@ from covid_custom_sql_engine_spark.registry._base import ORACLES, QUERIES
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- ROUND 9 WINDOW (first 50 = the driver's official check set) ----
+    # ---- ROUND 10 WINDOW (first 50 = the driver's official check set) ----
     # flagship first — it's also the entry() smoke query
     "flagship_revenue_by_nation",
-    # --- NEW in round 9 (never driver-checked): recursive-query BFS,
-    # the distributed Pareto sweep, a-priori 3-itemsets, session path
-    # mining, the lossless prefix-filtered Jaccard join, and
-    # label-propagation communities ---
-    "bfs_distances",
-    "skyline_parts",
-    "apriori_triples",
-    "top_session_paths",
+    # --- landed late in round 9, never driver-checked (the standing
+    # never-checked-beats-stale rule) ---
+    "bfs_shortest_path_tree",
+    "ks_drift_promo",
+    # --- NEW in round 10 (never driver-checked): the corpus×corpus ANN
+    # similarity join audit, the reference's implied derived analytics,
+    # the Zipfian-corpus PPJoin (uncapped through all three filters),
+    # and the iterated BPE trainer ---
+    "ann_join_recall",
+    "vaccination_effect_fit",
+    "resilience_score_by_nation",
+    "prefix_jaccard_zipf",
+    "bpe_train_merges",
+    # --- touched by the round-10 advice fixes (PPJoin epsilon guards on
+    # the prefix-length ceil and the length filter; label_propagation's
+    # per-round vote pinning) — values re-proven locally, official rows
+    # re-earn under the driver ---
     "prefix_jaccard_pairs",
     "label_propagation_communities",
-    "l_diversity_audit",
-    "markov_attribution",
-    "fd_audit",
-    # --- NEW late in round 8, never driver-checked: the hybrid
-    # retrieval + ranking-quality family ---
-    "hybrid_search",
-    "retrieval_ndcg_at_k",
-    "diversified_topk",
-    "mmr_topk",
-    # --- touched by the round-9 review fixes (childless-super rule +
-    # smallest-n oracle; fixed-point refined-codebook means; explicit-
-    # codebook shape validation in pq_topk) — values re-proven locally,
-    # official rows re-earn under the driver ---
-    "hierarchical_assign_agreement",
-    "pq_refined_recall",
-    "pq_topk_recall",
-    # --- the r4-stale refresh (oldest official rows; 33 of 38 — five
-    # deferred: winsorize_values/xmr_control_limits/zscore_outliers/
-    # array_functions/map_functions park first in line for round 10) ---
-    "containment_pairs",
-    "conversion_delay_quantiles",
-    "data_quality_report",
-    "embedding_normalize",
-    "hash_sample",
-    "hourly_change",
-    "incremental_mv_rollup",
-    "json_props",
-    "k_anonymity_audit",
-    "mad_outliers",
-    "mixture_resample_lang",
-    "oov_rate",
-    "repeated_chunks",
-    "revenue_concentration",
-    "setop_except_all",
-    "split_divergence",
-    "token_counts",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_count_dist",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_heavy_shippers",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_profit",
-    "unpivot_metrics",
-    "value_histogram",
-    "window_distribution",
-    # ---------------- out-of-window below this line ----------------
-    # first in line for the round-10 refresh: the five deferred r4
-    # rows, then the oldest r5-era official rows
+    # --- the five r4 rows deferred from the round-9 refresh (the oldest
+    # official records left) ---
     "winsorize_values",
     "xmr_control_limits",
     "zscore_outliers",
     "array_functions",
     "map_functions",
+    # --- the r5-stale refresh, 35 of 45: the §2 core-parity rows the
+    # round-9 verdict called out by name first, then alphabetical. The
+    # ten parked rows (below the line) lead the round-11 refresh. ---
+    "filter_range_project",
+    "join_ref_inner",
+    "sort_nulls_rank",
+    "stat_summary",
+    "pivot_wide",
+    "udaf_geometric_mean",
+    "whole_table_agg",
+    "topk_orders",
+    "pagerank_bipartite",
+    "hits_bipartite",
+    "cohort_retention",
+    "benford_audit",
     "argmax_latest",
     "audio_stats_real",
-    "benford_audit",
     "bigram_logprob",
     "bloom_filter_join_stats",
-    "cohort_retention",
+    "collocation_pmi",
+    "column_entropy_profile",
+    "distinct_sorted",
+    "embedding_outliers",
+    "event_burstiness",
+    "event_transition_matrix",
+    "ewma_smooth",
+    "funnel_conversion",
+    "image_stats_real",
+    "latest_per_group",
+    "lsh_band_skew_monitor",
+    "minhash_lsh_pairs",
+    "minmax_dates",
+    "near_dup_clusters",
+    "ngram_diversity",
+    "pack_token_budget",
+    "psi_drift",
+    "rename_pretty",
+    "rolling_median",
+    # ---------------- out-of-window below this line ----------------
+    # first in line for the round-11 refresh: the ten parked r5 rows,
+    # then the oldest r6-era official rows
+    "safe_corr_qty_price",
+    "seasonal_baseline",
+    "source_overlap_matrix",
+    "source_scorecard",
+    "token_fertility_by_lang",
+    "tpch_q12_ship_priority_classes",
+    "triangle_counts",
+    "user_entropy_histogram",
+    "vocab_stats",
+    "zipf_slope",
 ]
 
 
 # The window rotates each round so every query eventually earns an
-# official driver row. Round-9 composition (exactly 50): the flagship
-# sentinel; the 9 queries NEW in r9 (BFS/recursive-CTE parity, the
-# distributed Pareto sweep, a-priori triples, session path mining,
-# the lossless prefix-filtered Jaccard join, label-propagation
-# communities); the 4 late-r8 never-checked retrieval queries
-# (hybrid_search, retrieval_ndcg_at_k, diversified_topk, mmr_topk —
-# never-checked beats stale-refresh, the standing precedent); the 3
-# queries touched by the round-9 review fixes (hierarchical
-# assignment's childless-super rule + smallest-n oracle, the
-# fixed-point refined-codebook means, pq_topk's explicit-codebook
-# validation); and 33 of the 38 r4-stale rows — the oldest official
-# records left (TPC-H tail, sampling, setops; the deferred
-# winsorize_values/xmr_control_limits/zscore_outliers/array_functions/
-# map_functions park first in line for round 10 with the oldest r5
-# rows). The two LATE round-9 additions (ks_drift_promo,
-# bfs_shortest_path_tree) land after the window filled — they are the
-# round-10 never-checked backlog, first in line there by the standing
-# never-checked-beats-stale rule.
-# Everything below the out-of-window line holds an r1-r8 green row and
+# official driver row. Round-10 composition (exactly 50): the flagship
+# sentinel; the 2 late-r9 additions that missed the r9 window snapshot
+# (bfs_shortest_path_tree, ks_drift_promo — never driver-checked); the
+# 5 queries NEW in r10 (the corpus×corpus ANN join audit, the
+# reference's implied vaccination-effect + resilience analytics, the
+# uncapped Zipfian PPJoin, the iterated BPE trainer); the 2 queries
+# touched by the r10 advice fixes (prefix_jaccard_pairs' epsilon
+# guards, label_propagation_communities' vote pinning); the 5 r4 rows
+# deferred from round 9 (winsorize/xmr/zscore/array/map — now the
+# oldest official records); and 35 of the 45 r5-stale rows — the §2
+# core-parity rows the round-9 verdict named (filter_range_project,
+# join_ref_inner, sort_nulls_rank, stat_summary, pivot_wide,
+# udaf_geometric_mean, whole_table_agg, topk_orders) plus the
+# graph/analytics tail it named (pagerank_bipartite, hits_bipartite,
+# cohort_retention, benford_audit), then alphabetical. The ten parked
+# r5 rows (safe_corr_qty_price … zipf_slope) sit first in the
+# out-of-window order for round 11, ahead of the oldest r6 rows.
+# Everything below the out-of-window line holds an r1-r9 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (235 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
+# (240 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
 # README per round).
 
 

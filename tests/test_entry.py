@@ -30,27 +30,28 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 9: the nine queries new this round (never driver-checked),
-    # the four late-r8 never-checked retrieval queries, the three
-    # queries touched by the r9 review fixes, and the oldest (r4)
-    # official rows (no new never-checked backlog may form)
+    # round 10: the five queries new this round plus the two late-r9
+    # additions (never driver-checked), the two advice-fix-touched
+    # queries, the five deferred r4 rows, and the oldest (r5) official
+    # rows (no new never-checked backlog may form)
     assert {
         # new this round
-        "bfs_distances", "skyline_parts", "apriori_triples",
-        "top_session_paths", "prefix_jaccard_pairs",
-        "label_propagation_communities", "l_diversity_audit",
-        "markov_attribution", "fd_audit",
-        # late r8, never driver-checked
-        "hybrid_search", "retrieval_ndcg_at_k", "diversified_topk",
-        "mmr_topk",
-        # touched by the r9 review fixes
-        "hierarchical_assign_agreement", "pq_refined_recall",
-        "pq_topk_recall",
-        # the r4-stale refresh (spot sample; the full 35-query slice is
-        # asserted by the prefix==window check above)
-        "tpch_q2_min_cost_supplier", "tpch_q9_nation_profit",
-        "data_quality_report", "tpch_q1_pricing_summary",
-        "mixture_resample_lang",
+        "ann_join_recall", "vaccination_effect_fit",
+        "resilience_score_by_nation", "prefix_jaccard_zipf",
+        "bpe_train_merges",
+        # late r9, never driver-checked
+        "bfs_shortest_path_tree", "ks_drift_promo",
+        # touched by the r10 advice fixes
+        "prefix_jaccard_pairs", "label_propagation_communities",
+        # the five r4 rows deferred from round 9
+        "winsorize_values", "xmr_control_limits", "zscore_outliers",
+        "array_functions", "map_functions",
+        # the r5-stale refresh (spot sample incl. the verdict-named §2
+        # core-parity rows; the full 35-query slice is asserted by the
+        # prefix==window check above)
+        "filter_range_project", "join_ref_inner", "sort_nulls_rank",
+        "stat_summary", "udaf_geometric_mean", "pagerank_bipartite",
+        "cohort_retention",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window
