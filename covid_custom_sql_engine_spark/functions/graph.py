@@ -377,6 +377,56 @@ def label_propagation(
     return labels
 
 
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-hop multi-source shortest paths — Bellman-Ford with a
+    FIXED number of relaxation rounds: after round k every node holds
+    the exact minimum-cost path using ≤ k edges (the weighted sibling
+    of :func:`bfs_layers`, which this reduces to at unit weights).
+    ``rounds`` is a hyper-parameter, so a SQL oracle unrolls the
+    identical rounds — the label_propagation convention; full SSSP is
+    the same loop run to the graph diameter with the BFS early-exit.
+
+    Per-round plan: ONE equi-join of the O(reached-nodes) distance
+    vector against the edge list on src, then ONE min hash aggregate
+    over (current ∪ relaxed) — every shuffle on the node key,
+    map-side combinable. Distances are pinned per round (eager
+    localCheckpoint, flat lineage). Integer weights → exact
+    cross-engine comparison, no float-sum ordering anywhere.
+
+    Returns (node, dist) for every node reachable within ``rounds``
+    edges; unreached nodes are absent (the BFS convention).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(weight_col).alias("_w"),
+    ).localCheckpoint(eager=False)
+    dist = sources.select(
+        F.col(node_col).alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = dist.join(e, dist.node == F.col("_s")).select(
+            F.col("_d").alias("node"),
+            (F.col("dist") + F.col("_w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def bfs_tree(
     edges: DataFrame,
     sources: DataFrame,

@@ -2002,3 +2002,71 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+def _sssp_oracle(rounds: int = 3) -> str:
+    """Unrolled Bellman-Ford rounds over the weighted trading graph —
+    each round the same relax-join + min aggregate the engine runs
+    (graph.sssp_bounded); all-integer arithmetic, exact comparison."""
+    ctes = [
+        """WITH pairs AS (
+      SELECT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s,
+             CAST(min(l_quantity) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    edges AS (SELECT c AS src, s AS dst, w FROM pairs
+              UNION ALL SELECT s, c, w FROM pairs),
+    d0 AS (SELECT 'c:' || c_custkey AS node, CAST(0 AS BIGINT) AS dist
+           FROM customer WHERE c_custkey <= 3)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""d{r} AS (SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{p}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{p} d JOIN edges e ON e.src = d.node) GROUP BY node)"""
+        )
+    return (
+        ",\n    ".join(ctes)
+        + f"\n    SELECT node, dist FROM d{rounds}"
+    )
+
+
+@query("sssp_bounded_costs", oracle=_sssp_oracle(3))
+def sssp_bounded_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths (graph.sssp_bounded —
+    Bellman-Ford, 3 relaxation rounds) over the customer↔supplier
+    trading graph, edge weight = the pair's minimum order quantity
+    (integral doubles cast to BIGINT — truncation and rounding agree
+    on integral values, so the cast is engine-identical). The weighted
+    sibling of bfs_distances: same per-round join + combinable min
+    aggregate with eagerly pinned state, exact integer arithmetic, and
+    an oracle that unrolls the identical rounds. Multi-source from the
+    c_custkey ≤ 3 customers (the BFS convention)."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .agg(F.min("l_quantity").cast("bigint").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    srcs = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    return gr.sssp_bounded(edges, srcs, rounds=3)

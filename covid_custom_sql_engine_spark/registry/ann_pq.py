@@ -1751,3 +1751,61 @@ def ann_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+_ANN_PAIRS_CTES = f"""{_SQL_IVF_COARSE},
+    {_SQL_PQ_CODES},
+    pro AS (SELECT vec_id, cell FROM asn WHERE rn <= {_AJ_NPROBE}),
+    cd AS (SELECT p.vec_id AS qa, s.vec_id AS rb
+           FROM pro p JOIN corpus s ON s.cell = p.cell AND s.vec_id <> p.vec_id),
+    sc AS (SELECT DISTINCT least(cd.qa, cd.rb) AS ia, greatest(cd.qa, cd.rb) AS ib
+           FROM cd JOIN nv q ON q.vec_id = cd.qa
+           JOIN cw ON cw.vec_id = cd.rb
+           {_SQL_PQ_ADC_JOINS}
+           WHERE {_SQL_ADC_DOT_TERMS} >= {_AJ_CUT!r}),
+    ap AS (SELECT sc.ia, sc.ib FROM sc
+           JOIN nv a ON a.vec_id = sc.ia JOIN nv b ON b.vec_id = sc.ib
+           WHERE list_dot_product(a.v, b.v) >= {_AJ_TAU!r})"""
+
+
+@query(
+    "ann_join_clusters",
+    oracle="WITH RECURSIVE "
+    + _ANN_PAIRS_CTES[len("WITH ") if _ANN_PAIRS_CTES.startswith("WITH ") else 0:]
+    + """,
+    uedges AS (SELECT ia AS src, ib AS dst FROM ap
+               UNION SELECT ib, ia FROM ap),
+    reach(id, r) AS (
+        SELECT DISTINCT src, src FROM uedges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN uedges e ON e.src = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT em.vec_id AS id,
+           coalesce(c.component, em.vec_id) AS component,
+           em.vec_id = coalesce(c.component, em.vec_id) AS keep
+    FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.id
+    """,
+)
+def ann_join_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup clustering END-TO-END at the embedding level:
+    the corpus×corpus ANN join's exact-verified pairs (similarity.
+    ann_join) feed connected components (iterative min-label
+    propagation) and the min-id-representative keep policy — the
+    embedding-space composition of near_dup_clusters (whose pairs come
+    from MinHash/LSH over text). This is what "dedup a 100 TB corpus
+    by embedding similarity" actually runs: cell-bounded pair
+    generation (2·N^1.5 candidates at k=√N cells, SCALE.md round-10),
+    CC rounds bounded by near-dup cluster diameter, one keep decision
+    per vector. Oracle: the ann_join pair chain + a recursive
+    reachability CTE (same fixpoint, declarative form)."""
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    pairs = sim.ann_join(
+        e,
+        threshold=_AJ_TAU,
+        n_probe=_AJ_NPROBE,
+        m=_PQ_M,
+        k_codes=_PQ_KCODES,
+        margin=_AJ_MARGIN,
+    ).select("id_a", "id_b")
+    return dd.near_dup_keep(e, pairs, id_col="vec_id")

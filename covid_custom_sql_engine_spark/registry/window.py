@@ -24,6 +24,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # the Zipfian-corpus PPJoin (uncapped through all three filters),
     # and the iterated BPE trainer ---
     "ann_join_recall",
+    "ann_join_clusters",
+    "sssp_bounded_costs",
     "vaccination_effect_fit",
     "resilience_score_by_nation",
     "prefix_jaccard_zipf",
@@ -77,11 +79,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_diversity",
     "pack_token_budget",
     "psi_drift",
+    # ---------------- out-of-window below this line ----------------
+    # first in line for the round-11 refresh: the twelve parked r5
+    # rows, then the oldest r6-era official rows
     "rename_pretty",
     "rolling_median",
-    # ---------------- out-of-window below this line ----------------
-    # first in line for the round-11 refresh: the ten parked r5 rows,
-    # then the oldest r6-era official rows
     "safe_corr_qty_price",
     "seasonal_baseline",
     "source_overlap_matrix",
@@ -99,23 +101,24 @@ _DRIVER_WINDOW_PRIORITY = [
 # official driver row. Round-10 composition (exactly 50): the flagship
 # sentinel; the 2 late-r9 additions that missed the r9 window snapshot
 # (bfs_shortest_path_tree, ks_drift_promo — never driver-checked); the
-# 5 queries NEW in r10 (the corpus×corpus ANN join audit, the
-# reference's implied vaccination-effect + resilience analytics, the
-# uncapped Zipfian PPJoin, the iterated BPE trainer); the 2 queries
-# touched by the r10 advice fixes (prefix_jaccard_pairs' epsilon
-# guards, label_propagation_communities' vote pinning); the 5 r4 rows
-# deferred from round 9 (winsorize/xmr/zscore/array/map — now the
-# oldest official records); and 35 of the 45 r5-stale rows — the §2
+# 7 queries NEW in r10 (the corpus×corpus ANN join audit + its CC
+# clustering composition, bounded-hop weighted SSSP, the reference's
+# implied vaccination-effect + resilience analytics, the uncapped
+# Zipfian PPJoin, the iterated BPE trainer); the 2 queries touched by
+# the r10 advice fixes (prefix_jaccard_pairs' epsilon guards,
+# label_propagation_communities' vote pinning); the 5 r4 rows deferred
+# from round 9 (winsorize/xmr/zscore/array/map — now the oldest
+# official records); and 33 of the 45 r5-stale rows — the §2
 # core-parity rows the round-9 verdict named (filter_range_project,
 # join_ref_inner, sort_nulls_rank, stat_summary, pivot_wide,
 # udaf_geometric_mean, whole_table_agg, topk_orders) plus the
 # graph/analytics tail it named (pagerank_bipartite, hits_bipartite,
-# cohort_retention, benford_audit), then alphabetical. The ten parked
-# r5 rows (safe_corr_qty_price … zipf_slope) sit first in the
+# cohort_retention, benford_audit), then alphabetical. The twelve
+# parked r5 rows (rename_pretty … zipf_slope) sit first in the
 # out-of-window order for round 11, ahead of the oldest r6 rows.
 # Everything below the out-of-window line holds an r1-r9 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (240 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
+# (242 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
 # README per round).
 
 

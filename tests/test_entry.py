@@ -30,13 +30,14 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 10: the five queries new this round plus the two late-r9
+    # round 10: the seven queries new this round plus the two late-r9
     # additions (never driver-checked), the two advice-fix-touched
     # queries, the five deferred r4 rows, and the oldest (r5) official
     # rows (no new never-checked backlog may form)
     assert {
         # new this round
-        "ann_join_recall", "vaccination_effect_fit",
+        "ann_join_recall", "ann_join_clusters", "sssp_bounded_costs",
+        "vaccination_effect_fit",
         "resilience_score_by_nation", "prefix_jaccard_zipf",
         "bpe_train_merges",
         # late r9, never driver-checked

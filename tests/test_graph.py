@@ -248,3 +248,34 @@ def test_bfs_tree_min_parent_and_walkable_paths(spark):
             steps += 1
             assert steps <= 5
         assert rows[node][0] == 0  # walk ends at a source
+
+
+def test_sssp_bounded_prefers_cheap_two_hop(spark):
+    """Weighted relaxation: a 2-edge path of total weight 3 beats a
+    direct edge of weight 10 — the behavior unit-weight BFS cannot
+    express; a node reachable only through MORE edges keeps the
+    bounded-hop cost until more rounds run; a node >3 edges out is
+    absent at rounds=3."""
+    from covid_custom_sql_engine_spark.functions.graph import sssp_bounded
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10),  # direct but expensive
+            ("a", "m", 1),
+            ("m", "b", 2),   # cheap detour
+            ("b", "c", 1),
+            ("c", "d", 1),
+            ("d", "e", 1),   # e is 4+ edges from a on every path
+        ],
+        "src string, dst string, w long",
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.dist for r in sssp_bounded(edges, srcs, rounds=3).collect()}
+    assert out["a"] == 0
+    assert out["m"] == 1
+    assert out["b"] == 3   # min(10, 1+2)
+    assert out["c"] == 4
+    # within 3 edges d is only reachable via the EXPENSIVE direct edge
+    # (a>b>c>d = 12); the cheap detour needs a 4th round to reach it
+    assert out["d"] == 12
+    assert "e" not in out  # >3 edges on every path

@@ -337,6 +337,11 @@ EXPECT = {
     # exact all-pairs baseline is a deliberate broadcast cross (the
     # cosine_topk convention) + the final 1-row×1-row count cross
     "ann_join_recall": (3, False, True),
+    # ann_join pairs → CC: 1-row centroid/codebook broadcast crosses
+    # inside the join stage are intended (the semdedup convention)
+    "ann_join_clusters": (3, False, True),
+    # checkpoint-leaf final plan, as bfs_distances
+    "sssp_bounded_costs": (2, False, False),
     # checkpoint-leaf union of per-round 1-row argmax frames: no scans
     "bpe_train_merges": (2, False, False),
     # --- implied derived analytics (functions/epi.py) ---
