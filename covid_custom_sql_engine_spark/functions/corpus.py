@@ -259,12 +259,24 @@ def bpe_train(
     localCheckpoint, the iterative-state convention), so lineage stays
     flat and the next round's count starts from materialized arrays.
     """
-    state = (
+    merges, _ = _bpe_train_loop(
         docs.select(tokens(text_col).alias("_t"))
         .filter(F.size("_t") >= 1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
+        rounds,
     )
+    return merges
+
+
+def _bpe_train_loop(
+    state: DataFrame, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """The shared BPE training loop over a pinned state frame carrying
+    a ``_t`` token-array column (plus any passenger columns, e.g. a
+    doc id — they ride through the apply step untouched). Returns
+    (ordered merge table, final state)."""
     out: DataFrame | None = None
+    passengers = [c for c in state.columns if c != "_t"]
     for r in range(1, rounds + 1):
         head = F.expr("slice(_t, 1, size(_t) - 1)")
         tail = F.expr("slice(_t, 2, size(_t) - 1)")
@@ -292,14 +304,45 @@ def bpe_train(
         state = (
             state.crossJoin(F.broadcast(best))
             .select(
+                *passengers,
                 _apply_bpe_merge(
                     F.col("_t"), F.col("_ba"), F.col("_bb")
-                ).alias("_t")
+                ).alias("_t"),
             )
             .localCheckpoint(eager=True)
         )
     assert out is not None
-    return out
+    return out, state
+
+
+def bpe_encode(
+    docs: DataFrame,
+    rounds: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-then-ENCODE: run :func:`bpe_train`'s merge rounds and
+    return the final per-document token arrays — the tokenizer's
+    encode step, closing the train→apply loop (a production pipeline
+    trains once and applies the frozen merge list with the same
+    per-row greedy fold; here both halves run in one call so the
+    result is self-consistent and oracle-able). Returns
+    (id, tokens, n_tokens_raw, n_tokens_bpe): every merge can only
+    shrink a document, so n_tokens_bpe ≤ n_tokens_raw with equality
+    iff no merge pair occurred in it."""
+    state = (
+        docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+        .filter(F.size("_t") >= 1)
+        .withColumn("n_tokens_raw", F.size("_t").cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    _, final = _bpe_train_loop(state, rounds)
+    return final.select(
+        id_col,
+        F.col("_t").alias("tokens"),
+        "n_tokens_raw",
+        F.size("_t").cast("bigint").alias("n_tokens_bpe"),
+    )
 
 
 def ngram_diversity(

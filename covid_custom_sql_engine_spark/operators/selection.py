@@ -666,3 +666,62 @@ def ks_statistic(
         ).alias("d_stat"),
     )
     return d
+
+
+def chi2_statistic(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Exact two-(or-more-)sample χ² homogeneity statistic over a
+    CATEGORICAL column — the categorical sibling of :func:`ks_statistic`
+    (which handles ordered values): χ² = Σ_cells (O − E)²/E with
+    E = row_total·col_total/n over the FULL group×category grid
+    (unobserved cells contribute their expected count — omitting them
+    understates drift). Returns one row (chi2 round 6, dof, n); dof =
+    (groups − 1)·(categories − 1).
+
+    Shape: one (group, category) hash aggregate collapses the input;
+    everything after runs on the ≤ groups×categories reduced grid
+    (margins are two tiny aggregates of IT, broadcast back — the input
+    is scanned ONCE). Expected counts are bigint·bigint/bigint single
+    divisions and the cell-term sum runs as fixed-point decimal
+    (:func:`ops.dsum`) — order-independent, bit-identical cross-engine.
+    NULL groups/categories are excluded (a NULL category is a data-
+    quality problem for the quality gate, not a drift cell).
+    """
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    gc, cc = F.col(group_col), F.col(cat_col)
+    base = df.filter(gc.isNotNull() & cc.isNotNull()).select(
+        gc.alias("_g"), cc.alias("_c")
+    )
+    obs = base.groupBy("_g", "_c").agg(F.count(F.lit(1)).alias("_o"))
+    obs = obs.localCheckpoint(eager=False)  # grid + both margins read it
+    rt = obs.groupBy("_g").agg(F.sum("_o").alias("_nr"))
+    ct = obs.groupBy("_c").agg(F.sum("_o").alias("_nc"))
+    nn = obs.agg(F.sum("_o").alias("_nn"))
+    grid = (
+        rt.select("_g", "_nr")
+        .crossJoin(F.broadcast(ct.select("_c", "_nc")))
+        .join(obs, ["_g", "_c"], "left")
+        .select(
+            "_g",
+            "_c",
+            "_nr",
+            "_nc",
+            F.coalesce("_o", F.lit(0)).alias("_o"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    e = (F.col("_nr") * F.col("_nc")) / F.col("_nn")
+    term = (F.col("_o") - e) * (F.col("_o") - e) / e
+    dof = (
+        (F.count_distinct(F.col("_g")) - 1)
+        * (F.count_distinct(F.col("_c")) - 1)
+    ).cast("bigint")
+    return grid.agg(
+        F.round(dsum(term), 6).alias("chi2"),
+        dof.alias("dof"),
+        F.first("_nn").alias("n"),
+    )

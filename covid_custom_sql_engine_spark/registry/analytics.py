@@ -2070,3 +2070,43 @@ def sssp_bounded_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
     )
     return gr.sssp_bounded(edges, srcs, rounds=3)
+
+
+@query(
+    "chi2_drift_source",
+    oracle=f"""
+    WITH d AS (SELECT doc_id % 2 AS grp, source AS cat FROM documents
+               WHERE source IS NOT NULL),
+    o AS (SELECT grp, cat, count(*) AS o FROM d GROUP BY 1, 2),
+    rt AS (SELECT grp, sum(o) AS nr FROM o GROUP BY 1),
+    ct AS (SELECT cat, sum(o) AS nc FROM o GROUP BY 1),
+    nn AS (SELECT sum(o) AS nn FROM o),
+    grid AS (SELECT rt.grp, ct.cat, rt.nr, ct.nc, coalesce(o.o, 0) AS o
+             FROM rt CROSS JOIN ct
+             LEFT JOIN o ON o.grp = rt.grp AND o.cat = ct.cat),
+    terms AS (SELECT (o - (nr * nc / nn.nn)) * (o - (nr * nc / nn.nn))
+                     / (nr * nc / nn.nn) AS t,
+                     grp, cat, nn.nn
+              FROM grid CROSS JOIN nn)
+    SELECT round({_sql_dsum('t')}, 6) AS chi2,
+           CAST((count(DISTINCT grp) - 1) * (count(DISTINCT cat) - 1)
+                AS BIGINT) AS dof,
+           CAST(first(nn) AS BIGINT) AS n
+    FROM terms
+    """,
+)
+def chi2_drift_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact χ² homogeneity drift test (selection.chi2_statistic) over
+    the documents source distribution between the doc_id-parity splits
+    — the CATEGORICAL member of the drift family (PSI/KL = binned
+    numeric, KS = exact ordered, χ² = exact categorical). One
+    (group, category) aggregate collapses the input; margins and the
+    full-grid expected counts run on the reduced frame; the cell-term
+    sum is a fixed-point decimal fold, so the statistic is
+    bit-identical cross-engine."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("grp"), F.col("source")
+    )
+    return sel.chi2_statistic(d, "grp", "source")

@@ -544,18 +544,33 @@ def _bpe_round_cte(r: int) -> str:
 
 _BPE_ROUNDS = 3
 
-_BPE_ORACLE = (
+_BPE_CTES = (
     f"""
     WITH tk0 AS (SELECT doc_id, toks FROM
                  (SELECT doc_id, {{toks}} AS toks FROM documents)
                  WHERE len(toks) >= 1),"""
     + ",".join(_bpe_round_cte(r) for r in range(1, _BPE_ROUNDS + 1))
+)
+
+_BPE_ORACLE = (
+    _BPE_CTES
     + "\n    "
     + "\n    UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, x AS token_a, y AS token_b,"
         f" c AS cnt FROM bs{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
+)
+
+# same unrolled rounds, different tail: per-document raw vs encoded
+# token counts off the first and last token-state CTEs
+_BPE_ENCODE_ORACLE = (
+    _BPE_CTES
+    + f"""
+    SELECT t0.doc_id,
+           CAST(len(t0.toks) AS BIGINT) AS n_tokens_raw,
+           CAST(len(tn.toks) AS BIGINT) AS n_tokens_bpe
+    FROM tk0 t0 JOIN tk{_BPE_ROUNDS} tn ON tn.doc_id = t0.doc_id"""
 )
 
 
@@ -571,6 +586,23 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle per-row fold."""
     d = parallelize_small(load_table(spark, sf_dir, "documents"))
     return cp.bpe_train(d, rounds=_BPE_ROUNDS)
+
+
+@query("bpe_encoded_lengths", oracle=_BPE_ENCODE_ORACLE.format(toks=_SQL_TOKS))
+def bpe_encoded_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ENCODE step (cp.bpe_encode): the same 3 trained
+    merge rounds applied through to the final per-document token
+    arrays, reported as raw vs encoded token counts (every merge can
+    only shrink a document). The oracle reuses bpe_train_merges'
+    unrolled round CTEs with a different tail — the two queries cannot
+    drift. Closing train→apply makes the merge table an artifact a
+    packing/budgeting pipeline can actually consume (chunk_tokens /
+    pack_token_budget read token counts; this is where post-BPE counts
+    come from)."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    return cp.bpe_encode(d, rounds=_BPE_ROUNDS).select(
+        "doc_id", "n_tokens_raw", "n_tokens_bpe"
+    )
 
 
 @query(

@@ -20,9 +20,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "bfs_shortest_path_tree",
     "ks_drift_promo",
     # --- NEW in round 10 (never driver-checked): the corpus×corpus ANN
-    # similarity join audit, the reference's implied derived analytics,
-    # the Zipfian-corpus PPJoin (uncapped through all three filters),
-    # and the iterated BPE trainer ---
+    # similarity join audit + its CC clustering composition, bounded-hop
+    # weighted SSSP, the reference's implied derived analytics, the
+    # Zipfian-corpus PPJoin (uncapped through all three filters), the
+    # iterated BPE trainer + its encode step, and the exact chi-square
+    # categorical drift test ---
     "ann_join_recall",
     "ann_join_clusters",
     "sssp_bounded_costs",
@@ -30,6 +32,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "resilience_score_by_nation",
     "prefix_jaccard_zipf",
     "bpe_train_merges",
+    "bpe_encoded_lengths",
+    "chi2_drift_source",
     # --- touched by the round-10 advice fixes (PPJoin epsilon guards on
     # the prefix-length ceil and the length filter; label_propagation's
     # per-round vote pinning) — values re-proven locally, official rows
@@ -43,9 +47,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "zscore_outliers",
     "array_functions",
     "map_functions",
-    # --- the r5-stale refresh, 35 of 45: the §2 core-parity rows the
+    # --- the r5-stale refresh, 31 of 45: the §2 core-parity rows the
     # round-9 verdict called out by name first, then alphabetical. The
-    # ten parked rows (below the line) lead the round-11 refresh. ---
+    # fourteen parked rows (below the line) lead the round-11 refresh. ---
     "filter_range_project",
     "join_ref_inner",
     "sort_nulls_rank",
@@ -77,11 +81,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "minmax_dates",
     "near_dup_clusters",
     "ngram_diversity",
+    # ---------------- out-of-window below this line ----------------
+    # first in line for the round-11 refresh: the fourteen parked r5
+    # rows, then the oldest r6-era official rows
     "pack_token_budget",
     "psi_drift",
-    # ---------------- out-of-window below this line ----------------
-    # first in line for the round-11 refresh: the twelve parked r5
-    # rows, then the oldest r6-era official rows
     "rename_pretty",
     "rolling_median",
     "safe_corr_qty_price",
@@ -101,24 +105,25 @@ _DRIVER_WINDOW_PRIORITY = [
 # official driver row. Round-10 composition (exactly 50): the flagship
 # sentinel; the 2 late-r9 additions that missed the r9 window snapshot
 # (bfs_shortest_path_tree, ks_drift_promo — never driver-checked); the
-# 7 queries NEW in r10 (the corpus×corpus ANN join audit + its CC
+# 9 queries NEW in r10 (the corpus×corpus ANN join audit + its CC
 # clustering composition, bounded-hop weighted SSSP, the reference's
 # implied vaccination-effect + resilience analytics, the uncapped
-# Zipfian PPJoin, the iterated BPE trainer); the 2 queries touched by
+# Zipfian PPJoin, the iterated BPE trainer + its encode step, the
+# exact chi-square categorical drift test); the 2 queries touched by
 # the r10 advice fixes (prefix_jaccard_pairs' epsilon guards,
 # label_propagation_communities' vote pinning); the 5 r4 rows deferred
 # from round 9 (winsorize/xmr/zscore/array/map — now the oldest
-# official records); and 33 of the 45 r5-stale rows — the §2
+# official records); and 31 of the 45 r5-stale rows — the §2
 # core-parity rows the round-9 verdict named (filter_range_project,
 # join_ref_inner, sort_nulls_rank, stat_summary, pivot_wide,
 # udaf_geometric_mean, whole_table_agg, topk_orders) plus the
 # graph/analytics tail it named (pagerank_bipartite, hits_bipartite,
-# cohort_retention, benford_audit), then alphabetical. The twelve
-# parked r5 rows (rename_pretty … zipf_slope) sit first in the
+# cohort_retention, benford_audit), then alphabetical. The fourteen
+# parked r5 rows (pack_token_budget … zipf_slope) sit first in the
 # out-of-window order for round 11, ahead of the oldest r6 rows.
 # Everything below the out-of-window line holds an r1-r9 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (242 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
+# (244 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
 # README per round).
 
 

@@ -30,7 +30,7 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 10: the seven queries new this round plus the two late-r9
+    # round 10: the nine queries new this round plus the two late-r9
     # additions (never driver-checked), the two advice-fix-touched
     # queries, the five deferred r4 rows, and the oldest (r5) official
     # rows (no new never-checked backlog may form)
@@ -39,7 +39,7 @@ def test_driver_window_priority_ordering():
         "ann_join_recall", "ann_join_clusters", "sssp_bounded_costs",
         "vaccination_effect_fit",
         "resilience_score_by_nation", "prefix_jaccard_zipf",
-        "bpe_train_merges",
+        "bpe_train_merges", "bpe_encoded_lengths", "chi2_drift_source",
         # late r9, never driver-checked
         "bfs_shortest_path_tree", "ks_drift_promo",
         # touched by the r10 advice fixes

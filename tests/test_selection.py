@@ -306,3 +306,26 @@ def test_ks_statistic_identical_and_empty_group(spark):
     one = spark.createDataFrame([(1.0, "a")], "v double, g string")
     r2 = ks_statistic(one, "v", "g", "a", "b").collect()[0]
     assert r2.n_b == 0 and r2.d_stat is None
+
+
+def test_chi2_statistic_zero_on_identical_split(spark):
+    """Identical category distributions across groups -> chi2 exactly
+    0; dof = (2-1)*(k-1); unobserved grid cells contribute E."""
+    from covid_custom_sql_engine_spark.operators.selection import chi2_statistic
+
+    rows = [(g, c) for g in (0, 1) for c in ("a", "b", "c") for _ in range(4)]
+    df = spark.createDataFrame(rows, "grp int, cat string")
+    out = chi2_statistic(df, "grp", "cat").collect()[0]
+    assert out.chi2 == 0.0 and out.dof == 2 and out.n == 24
+
+    # total separation: group 0 only 'a' (8 rows), group 1 only 'b'
+    # (8 rows) -> chi2 = n = 16 (the 2x2 maximum), dof 1
+    rows2 = [(0, "a")] * 8 + [(1, "b")] * 8
+    df2 = spark.createDataFrame(rows2, "grp int, cat string")
+    out2 = chi2_statistic(df2, "grp", "cat").collect()[0]
+    assert out2.chi2 == 16.0 and out2.dof == 1
+
+    # nulls excluded from both axes
+    rows3 = rows2 + [(None, "a"), (0, None)]
+    df3 = spark.createDataFrame(rows3, "grp int, cat string")
+    assert chi2_statistic(df3, "grp", "cat").collect()[0].n == 16

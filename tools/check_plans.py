@@ -344,6 +344,10 @@ EXPECT = {
     "sssp_bounded_costs": (2, False, False),
     # checkpoint-leaf union of per-round 1-row argmax frames: no scans
     "bpe_train_merges": (2, False, False),
+    # checkpoint-leaf final state select (the encode step): no scans
+    "bpe_encoded_lengths": (2, False, False),
+    # tiny margin frames broadcast-crossed onto the reduced grid: intended
+    "chi2_drift_source": (2, False, True),
     # --- implied derived analytics (functions/epi.py) ---
     # ONE whole-table OLS aggregate: 2-col lineitem scan, no filter
     "vaccination_effect_fit": (2, False, False),
