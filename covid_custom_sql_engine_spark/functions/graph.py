@@ -472,3 +472,55 @@ def bfs_tree(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of
+    "drop every node with degree < k, restrict edges to survivors".
+    After enough rounds this converges to the exact k-core (the
+    maximal subgraph where every node has degree ≥ k); with a FIXED
+    round count the result is a deterministic over-approximation
+    whose SQL oracle unrolls the identical rounds — the
+    label_propagation / sssp_bounded convention. The bounded form is
+    also what a 100 TB run would ship: each peel is one combinable
+    degree aggregate plus two semi-joins, and the frame only ever
+    SHRINKS, so round cost is monotonically decreasing (unlike
+    frontier algorithms whose state grows).
+
+    ``edges`` must be symmetric (both directions present — the
+    bipartite-graph convention used by pagerank/bfs here), so degree
+    is the out-degree on ``src``. Per round: ONE groupBy(src).count
+    (map-side combinable), a filter to ``deg >= k``, and two
+    semi-joins restricting the edge list on src and dst; the shrunken
+    edge list is pinned (eager localCheckpoint) so the next round's
+    degree count and the joins read one frozen evaluation.
+
+    Returns (node, degree) for nodes surviving all rounds, with their
+    residual degree (which can be < k until the peel has converged —
+    exactly what the unrolled oracle computes).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("_s")
+        )
+        e = (
+            e.join(keep, "_s", "left_semi")
+            .join(keep.withColumnRenamed("_s", "_d"), "_d", "left_semi")
+            .select("_s", "_d")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )

@@ -156,3 +156,52 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     return out.select(
         "rule", "kind", "violations", "total", (F.col("violations") == 0).alias("passed")
     )
+
+
+def inclusion_audit(
+    candidates: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Inclusion-dependency (candidate foreign-key) discovery: for each
+    ``(label, child_df, child_col, parent_df, parent_col)`` candidate,
+    test whether every non-NULL child value appears in the parent
+    column — the profiling primitive behind FK inference, referential-
+    integrity monitoring, and join-key validation before a backfill
+    (the IND sibling of the FD audit: FDs profile WITHIN a table, INDs
+    BETWEEN tables). NULLs are excluded on both sides (SQL IND
+    semantics — a NULL child never violates).
+
+    Per candidate: collapse BOTH sides to distinct values first (two
+    combinable aggregates — the full fact table never reaches the
+    join), then ONE left join keyed on the value, already
+    co-partitioned from the distincts, with a null-probe count. The
+    result is one row per candidate; the union of per-candidate
+    aggregates is a few-row frame regardless of input size.
+
+    Returns (candidate, n_lhs_distinct, n_unmatched, holds).
+    """
+    rows = []
+    for label, child, ccol, parent, pcol in candidates:
+        lhs = (
+            child.select(F.col(ccol).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .distinct()
+        )
+        rhs = (
+            parent.select(F.col(pcol).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        miss = F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        rows.append(
+            lhs.join(rhs, "_v", "left").agg(
+                F.lit(label).alias("candidate"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs_distinct"),
+                miss.cast("bigint").alias("n_unmatched"),
+                (miss == 0).alias("holds"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -725,3 +725,195 @@ def chi2_statistic(
         dof.alias("dof"),
         F.first("_nn").alias("n"),
     )
+
+
+def wasserstein_1(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between the
+    ``value_col`` distributions of two groups:
+    W1 = ∫ |F_a(v) − F_b(v)| dv — the AREA between the two ECDFs,
+    where :func:`ks_statistic` takes their supremum. KS saturates at
+    1 and ignores HOW FAR mass moved; W1 is the drift magnitude in
+    the value's own units, the quantity a "did prices shift by cents
+    or by dollars?" monitor actually wants.
+
+    Same reduced-frame discipline as KS: collapse to per-distinct-
+    value counts (one combinable aggregate), range-partition by value
+    with the exchange PINNED, per-partition running sums via the
+    monotonically_increasing_id arithmetic, ≤num_partitions-row carry
+    broadcast back. The integral discretizes exactly over distinct
+    values: Σ_i |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i). The next
+    distinct value crosses partition boundaries, so the same tiny
+    carry frame also ships each partition's MIN value to its
+    predecessor (a lead over ≤num_partitions rows) — no second
+    full-width exchange. Per-term arithmetic is IEEE-deterministic
+    (two exact-integer quotients, one subtract, one multiply); the
+    term SUM is fixed-point (:func:`ops.dsum`) so summation order
+    can't flip the hash. Returns one row (n_a, n_b, w1 round 6).
+    """
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    vc, gc = F.col(value_col), F.col(group_col)
+    base = df.filter(vc.isNotNull() & gc.isin([group_a, group_b]))
+    per_val = base.groupBy(vc.alias("_v")).agg(
+        F.sum(F.when(gc == group_a, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(gc == group_b, 1).otherwise(0)).alias("_cb"),
+    )
+    p = df.sparkSession.sparkContext.defaultParallelism
+    pinned = pin_single_evaluation(
+        per_val.repartitionByRange(p, F.col("_v")).sortWithinPartitions("_v")
+    )
+    mid = F.monotonically_increasing_id()
+    local = pinned.select(
+        "*",
+        F.shiftright(mid, _MID_ORDINAL_BITS).alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << _MID_ORDINAL_BITS) - 1)) + 1).alias(
+            "_lrn"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy("_pid").orderBy("_lrn")
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    per_pid = local.groupBy("_pid").agg(
+        F.sum("_ca").alias("_sa"),
+        F.sum("_cb").alias("_sb"),
+        F.min("_v").alias("_minv"),
+    )
+    offs = per_pid.select(
+        "_pid",
+        F.coalesce(F.sum("_sa").over(off_w), F.lit(0)).alias("_offa"),
+        F.coalesce(F.sum("_sb").over(off_w), F.lit(0)).alias("_offb"),
+        F.lead("_minv").over(Window.orderBy("_pid")).alias("_nextv"),
+    )
+    cum = (
+        local.withColumn("_ia", F.sum("_ca").over(w_in))
+        .withColumn("_ib", F.sum("_cb").over(w_in))
+        .withColumn("_lead", F.lead("_v").over(w_lead))
+        .join(F.broadcast(offs), "_pid")
+        .select(
+            (F.col("_ia") + F.col("_offa")).alias("_fa"),
+            (F.col("_ib") + F.col("_offb")).alias("_fb"),
+            (F.coalesce(F.col("_lead"), F.col("_nextv")) - F.col("_v")).alias(
+                "_gap"
+            ),
+        )
+    )
+    tot = base.agg(
+        F.sum(F.when(gc == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(gc == group_b, 1).otherwise(0)).alias("n_b"),
+    )
+    na = F.when(F.col("n_a") > 0, F.col("n_a"))
+    nb = F.when(F.col("n_b") > 0, F.col("n_b"))
+    term = (
+        F.abs(
+            F.col("_fa").cast("double") / na - F.col("_fb").cast("double") / nb
+        )
+        * F.col("_gap").cast("double")
+    )
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.round(dsum(term), 6).alias("w1"),
+    )
+
+
+def cusum_series(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM changepoint scan over an ordered series (one row per
+    ``order_col`` value — callers aggregate to the series grain
+    first): S_t = Σ_{i≤t} x_i − t·μ, the cumulative deviation from
+    the global mean. Under a stable level S_t random-walks near 0;
+    a level shift at time τ makes |S_t| ramp to a PEAK at τ — so the
+    row where |S_t| attains its maximum is the single-changepoint
+    estimate (Page 1954's classic offline form). Returns the full
+    series (t, cusum, is_peak) — every row auditable, the peak
+    flagged.
+
+    Scale shape: the series frame is already REDUCED (one row per
+    time grain, calendar-bounded regardless of fact-table size), but
+    the cumulative sum still runs the pinned two-phase prefix-sum
+    (the global_rank / ks_statistic discipline) rather than a
+    single-partition window, so nothing funnels the frame through
+    one task even at fine grains. Determinism: the running sum
+    accumulates in fixed-point (order-independent), t·μ = t·(T/n)
+    uses the fixed-point total T, and each S_t is then one subtract
+    of IEEE doubles — bit-identical cross-engine; is_peak compares
+    those identical doubles.
+    """
+    from covid_custom_sql_engine_spark.operators.core import _DECIMAL, dsum
+
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(order_col).alias("_t"), F.col(value_col).alias("_x"))
+    tot = base.agg(
+        dsum(F.col("_x")).alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    p = df.sparkSession.sparkContext.defaultParallelism
+    pinned = pin_single_evaluation(
+        base.repartitionByRange(p, F.col("_t")).sortWithinPartitions("_t")
+    )
+    mid = F.monotonically_increasing_id()
+    local = pinned.select(
+        "*",
+        F.shiftright(mid, _MID_ORDINAL_BITS).alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << _MID_ORDINAL_BITS) - 1)) + 1).alias(
+            "_lrn"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        local.groupBy("_pid")
+        .agg(
+            F.sum(F.col("_x").cast(_DECIMAL)).alias("_sx"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_sx").over(off_w), F.lit(0).cast(_DECIMAL)
+            ).alias("_offx"),
+            F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_offn"),
+        )
+    )
+    s = (
+        local.withColumn(
+            "_ix", F.sum(F.col("_x").cast(_DECIMAL)).over(w_in)
+        )
+        .join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_t",
+            (
+                (F.col("_ix") + F.col("_offx")).cast("double")
+                - (F.col("_lrn") + F.col("_offn")).cast("double")
+                * (F.col("_tot") / F.col("_n"))
+            ).alias("_s"),
+        )
+    )
+    s = s.localCheckpoint(eager=False)  # series + its max read one eval
+    mx = s.agg(F.max(F.abs(F.col("_s"))).alias("_m"))
+    return s.crossJoin(F.broadcast(mx)).select(
+        F.col("_t").alias("t"),
+        # + 0.0 canonicalizes IEEE −0.0 (the near-zero final row S_n
+        # rounds to a signed zero whose sign differs across engines)
+        (F.round("_s", 6) + F.lit(0.0)).alias("cusum"),
+        (F.abs(F.col("_s")) == F.col("_m")).alias("is_peak"),
+    )

@@ -2110,3 +2110,332 @@ def chi2_drift_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2).alias("grp"), F.col("source")
     )
     return sel.chi2_statistic(d, "grp", "source")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling rounds over the trading graph — each
+    round the same degree→filter→restrict block the engine runs
+    (graph.kcore_peel)."""
+    ctes = [
+        """WITH pairs AS (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e0 AS (SELECT c AS src, s AS dst FROM pairs
+           UNION ALL SELECT s, c FROM pairs)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""s{r} AS (SELECT src FROM e{p} GROUP BY src
+           HAVING count(*) >= {k}),
+    e{r} AS (SELECT e.src, e.dst FROM e{p} e
+           JOIN s{r} a ON a.src = e.src JOIN s{r} b ON b.src = e.dst)"""
+        )
+    return (
+        ",\n    ".join(ctes)
+        + f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY src"""
+    )
+
+
+@query("kcore_trading_graph", oracle=_kcore_oracle(4, 3))
+def kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (graph.kcore_peel, k=4, 3 rounds) over
+    the customer↔supplier trading graph: iteratively drop nodes with
+    degree < 4 and restrict edges to survivors — the standard dense-
+    subgraph / spam-cluster screen (a k-core survivor trades with ≥4
+    counterparties who EACH trade with ≥4 others). The round count is
+    a hyper-parameter, so the oracle unrolls the identical rounds
+    (the label_propagation convention). Per round: one combinable
+    degree aggregate + two semi-joins, all keyed on the node — and
+    the frame only SHRINKS, so unlike frontier algorithms the
+    per-round cost is monotonically decreasing at any scale."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return gr.kcore_peel(edges, k=4, rounds=3)
+
+
+@query(
+    "wasserstein_drift_promo",
+    oracle=f"""
+    WITH j AS (SELECT l.l_extendedprice AS v,
+                      CASE WHEN p.p_type LIKE 'PROMO%' THEN 'promo'
+                           ELSE 'other' END AS g
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+               WHERE l.l_extendedprice IS NOT NULL),
+    pv AS (SELECT v,
+                  sum(CASE WHEN g = 'promo' THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN g = 'other' THEN 1 ELSE 0 END) AS cb
+           FROM j GROUP BY v),
+    c AS (SELECT sum(ca) OVER w AS fa, sum(cb) OVER w AS fb,
+                 lead(v) OVER (ORDER BY v) - v AS gap
+          FROM pv WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT CAST(sum(CASE WHEN g = 'promo' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN g = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM j),
+    terms AS (SELECT abs(c.fa::DOUBLE / t.n_a - c.fb::DOUBLE / t.n_b)
+                     * c.gap AS trm, t.n_a, t.n_b
+              FROM c, t)
+    SELECT n_a, n_b, round({_sql_dsum('trm')}, 6) AS w1
+    FROM terms GROUP BY n_a, n_b
+    """,
+)
+def wasserstein_drift_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein drift distance (selection.wasserstein_1)
+    between promo-part and other-part extended prices — the AREA
+    between the two ECDFs where ks_drift_promo takes their supremum.
+    KS answers "did the distribution shift?"; W1 answers "by how many
+    DOLLARS did mass move?" — the drift magnitude in the value's own
+    units, robust to saturation when distributions barely overlap.
+    Same reduced-frame two-phase prefix-sum as KS (per-distinct-value
+    counts, pinned range exchange, ≤num_partitions-row carry — which
+    here also ships each partition's min value leftward so the
+    ECDF-step widths cross partition boundaries without a second
+    exchange); the term sum is fixed-point, so the statistic is
+    bit-identical cross-engine."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = (
+        l.join(F.broadcast(pt), l.l_partkey == pt.p_partkey)
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.col("l_extendedprice").alias("v"),
+            F.when(F.col("p_type").startswith("PROMO"), "promo")
+            .otherwise("other")
+            .alias("g"),
+        )
+    )
+    return sel.wasserstein_1(j, "v", "g", "promo", "other")
+
+
+@query(
+    "cusum_changepoint_revenue",
+    oracle=f"""
+    WITH d AS (SELECT o_orderdate AS t, {_sql_dsum('o_totalprice')} AS x
+               FROM orders
+               WHERE o_orderdate IS NOT NULL GROUP BY 1),
+    c AS (SELECT t,
+                 sum(CAST(x AS DECIMAL(38,6))) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+                 row_number() OVER (ORDER BY t) AS rn
+          FROM d),
+    tot AS (SELECT {_sql_dsum('x')} AS tt, count(*) AS n FROM d),
+    s AS (SELECT c.t,
+                 CAST(c.cx AS DOUBLE)
+                 - CAST(c.rn AS DOUBLE) * (tot.tt / tot.n) AS s
+          FROM c, tot),
+    m AS (SELECT max(abs(s)) AS m FROM s)
+    SELECT CAST(s.t AS VARCHAR) AS day, round(s.s, 6) + 0.0 AS cusum,
+           abs(s.s) = m.m AS is_peak
+    FROM s, m
+    """,
+)
+def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint scan (selection.cusum_series, Page
+    1954) over the daily order-revenue series: S_t = Σ_{i≤t} x_i −
+    t·μ peaks exactly where the series' level shifts, so the flagged
+    row is the single-changepoint estimate — the LEVEL-SHIFT member
+    of the drift family (PSI/KL/χ²/KS/W1 compare two snapshots; CUSUM
+    localizes WHEN the shift happened inside one series). Emits the
+    full series with the peak flagged, so every cumulative value is
+    driver-audited, not just the argmax. The daily frame is
+    calendar-reduced, but the cumulative sum still runs the pinned
+    two-phase prefix-sum — nothing funnels through one task at finer
+    grains; fixed-point accumulation keeps S_t bit-identical
+    cross-engine."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderdate", "o_totalprice")
+    )
+    daily = o.groupBy(F.col("o_orderdate").alias("t")).agg(
+        ops.dsum(F.col("o_totalprice")).alias("x")
+    )
+    out = sel.cusum_series(daily, "t", "x")
+    return out.select(
+        F.col("t").cast("string").alias("day"), "cusum", "is_peak"
+    )
+
+
+_IND_CANDIDATES = [
+    # (label, child table, child col, parent table, parent col)
+    ("orders.o_custkey in customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_partkey in part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey in supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey in nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("part.p_size in nation.n_nationkey", "part", "p_size", "nation", "n_nationkey"),
+    ("events.user_id in customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _ind_oracle() -> str:
+    blocks = []
+    for label, ct, cc, pt, pc in _IND_CANDIDATES:
+        blocks.append(
+            f"""SELECT '{label}' AS candidate,
+           CAST(count(*) AS BIGINT) AS n_lhs_distinct,
+           CAST(sum(CASE WHEN r.v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           sum(CASE WHEN r.v IS NULL THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) l
+    LEFT JOIN (SELECT DISTINCT {pc} AS v FROM {pt}
+               WHERE {pc} IS NOT NULL) r ON r.v = l.v"""
+        )
+    return "\n    UNION ALL\n    ".join(blocks)
+
+
+@query("ind_audit", oracle=_ind_oracle())
+def ind_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery (quality.inclusion_audit): test
+    six candidate foreign keys across the star schema — the four real
+    FK edges (orders→customer, lineitem→part, lineitem→supplier,
+    customer→nation), one decoy with overlapping domains
+    (part.p_size vs nation keys — 1..50 vs 0..24, so it VIOLATES with
+    a measurable unmatched count), and the cross-dataset probe
+    events.user_id vs customer keys. The BETWEEN-tables sibling of
+    fd_audit's within-table profiling: both distill to "does a
+    combinable distinct + one value-keyed join say the constraint
+    holds?", the shape that survives any scale because the fact table
+    collapses to distinct values before any join."""
+    from covid_custom_sql_engine_spark.operators import quality as ql
+
+    cands = [
+        (label, load_table(spark, sf_dir, ct), cc, load_table(spark, sf_dir, pt), pc)
+        for label, ct, cc, pt, pc in _IND_CANDIDATES
+    ]
+    return ql.inclusion_audit(cands)
+
+
+# Exact Shapley attribution: channels and bit assignments shared by the
+# engine and the generated oracle. weight(|S|) = |S|!·(n−1−|S|)! — the
+# integer numerator of the Shapley kernel; Σ_S weight = n! = 24.
+_SHAP_CH = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+_SHAP_WGT = {0: 6, 1: 2, 2: 2, 3: 6}  # s!·(3−s)! for n = 4
+
+
+def _shap_rows() -> list[tuple[str, int, int, int]]:
+    rows = []
+    for ch, bit in _SHAP_CH:
+        for s in range(16):
+            if s & bit == 0:
+                rows.append((ch, s, s | bit, _SHAP_WGT[bin(s).count("1")]))
+    return rows
+
+
+def _shapley_oracle() -> str:
+    wvals = ", ".join(f"('{c}', {s}, {si}, {w})" for c, s, si, w in _shap_rows())
+    coal = ", ".join(f"({s})" for s in range(16))
+    maskexpr = " + ".join(
+        f"max(CASE WHEN ch = '{c}' THEN {b} ELSE 0 END)" for c, b in _SHAP_CH
+    )
+    chans = ", ".join(f"'{c}'" for c, _ in _SHAP_CH)
+    return f"""
+    WITH fp AS (SELECT user_id, min(ts) AS fpt FROM events
+                WHERE event_type = 'purchase' GROUP BY 1),
+    tc AS (SELECT DISTINCT e.user_id, e.event_type AS ch
+           FROM events e JOIN fp ON fp.user_id = e.user_id
+           WHERE e.ts < fp.fpt AND e.event_type IN ({chans})),
+    um AS (SELECT user_id, {maskexpr} AS mask FROM tc GROUP BY user_id),
+    cnt AS (SELECT mask, count(*) AS c FROM um GROUP BY mask),
+    coal AS (SELECT * FROM (VALUES {coal}) t(s)),
+    v AS (SELECT coal.s, coalesce(sum(cnt.c), 0) AS v
+          FROM coal LEFT JOIN cnt ON (cnt.mask & coal.s) = cnt.mask
+          GROUP BY coal.s),
+    w AS (SELECT * FROM (VALUES {wvals}) t(channel, s, si, wgt))
+    SELECT w.channel, round(sum(w.wgt * (vi.v - vs.v)) / 24.0, 6) AS shapley
+    FROM w JOIN v vs ON vs.s = w.s JOIN v vi ON vi.s = w.si
+    GROUP BY w.channel
+    """
+
+
+@query("shapley_attribution", oracle=_shapley_oracle())
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution over pre-conversion
+    touchpoints — the axiomatic counterpart of markov_attribution's
+    removal effects: each channel's credit is its average marginal
+    contribution across all 2^(n−1) coalitions of the other channels,
+    the unique allocation satisfying efficiency/symmetry/dummy. Per
+    converted user (first 'purchase'), the touch SET is the distinct
+    channels seen strictly before that purchase; coalition value
+    v(S) = conversions whose touch set ⊆ S. With n = 4 channels the
+    kernel is fully enumerable: 16 coalition masks, 32 (channel,
+    S∌channel) terms with INTEGER weights |S|!(3−|S|)! (Σ = 4! = 24),
+    so φ = Σ w·(v(S∪i)−v(S))/24 is exact rational arithmetic —
+    bit-identical cross-engine, the markov exact-value convention.
+    Scale shape: the only full-width work is the first-purchase
+    aggregate and one user-keyed join + distinct; everything after
+    runs on a ≤15-row mask-count frame joined against 16-row literal
+    coalition tables (broadcast crosses of literals — never data)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    chans = [c for c, _ in _SHAP_CH]
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpt"))
+    )
+    tc = (
+        ev.join(fp, "user_id")
+        .filter((F.col("ts") < F.col("fpt")) & F.col("event_type").isin(chans))
+        .select("user_id", F.col("event_type").alias("ch"))
+        .distinct()
+    )
+    mask = None
+    for c, b in _SHAP_CH:
+        term = F.max(F.when(F.col("ch") == c, b).otherwise(0))
+        mask = term if mask is None else mask + term
+    um = tc.groupBy("user_id").agg(mask.alias("mask"))
+    cnt = um.groupBy("mask").agg(F.count(F.lit(1)).alias("c"))
+    spark_sess = ev.sparkSession
+    coal = spark_sess.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        coal.join(
+            F.broadcast(cnt),
+            F.expr("mask & s") == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
+    )
+    v = v.localCheckpoint(eager=False)  # both coalition branches read one eval
+    w = parallelize_small(
+        spark_sess.createDataFrame(
+            _shap_rows(), "channel string, s int, si int, wgt int"
+        )
+    )
+    vs = v.select(F.col("s").alias("s"), F.col("v").alias("v_s"))
+    vi = v.select(F.col("s").alias("si"), F.col("v").alias("v_si"))
+    return (
+        w.join(F.broadcast(vs), "s")
+        .join(F.broadcast(vi), "si")
+        .groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(F.col("wgt") * (F.col("v_si") - F.col("v_s"))) / 24.0, 6
+            ).alias("shapley")
+        )
+    )

@@ -222,3 +222,41 @@ def test_psi_drift_detects_synthetic_shift(spark, tmp_path):
     )
     assert same < 0.01          # identical bins -> only smoothing noise
     assert shifted > 1.0        # val entirely in a bin train never hits
+
+
+def test_shapley_attribution_unanimity_decomposition(spark, tmp_path):
+    """Shapley linearity over per-user unanimity games: u1 touches
+    {click}, u2 touches {click, view} pre-purchase -> click = 1.5,
+    view = 0.5, others 0; post-purchase touches never earn credit."""
+    import datetime as dt
+
+    from covid_custom_sql_engine_spark.registry import analytics as an
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def _ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: click -> purchase
+        (1, _ts(0), 1, "click", 0.0, None),
+        (2, _ts(5), 1, "purchase", 1.0, None),
+        # u2: click, view -> purchase
+        (3, _ts(0), 2, "click", 0.0, None),
+        (4, _ts(1), 2, "view", 0.0, None),
+        (5, _ts(9), 2, "purchase", 1.0, None),
+        # u3: purchase first, click only AFTER -> no credit anywhere
+        (6, _ts(0), 3, "purchase", 1.0, None),
+        (7, _ts(1), 3, "click", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.channel: r.shapley
+        for r in an.shapley_attribution(spark, str(tmp_path)).collect()
+    }
+    assert out == {"click": 1.5, "view": 0.5, "error": 0.0, "signup": 0.0}

@@ -100,3 +100,32 @@ def test_non_ref_rules_are_one_pass(spark, sf_dir):
     )
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_inclusion_audit_holds_and_violations(spark):
+    """IND audit: a holding FK, a violated candidate with a counted
+    unmatched set, and NULL children excluded from both sides."""
+    from covid_custom_sql_engine_spark.operators.quality import inclusion_audit
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (5,), (None,)], "k int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    out = {
+        r.candidate: r
+        for r in inclusion_audit(
+            [
+                ("child.k in parent.k", child, "k", parent, "k"),
+                ("parent.k in child.k", parent, "k", child, "k"),
+            ]
+        ).collect()
+    }
+    a = out["child.k in parent.k"]
+    # distinct non-null children {1,2,5}: 5 unmatched
+    assert (a.n_lhs_distinct, a.n_unmatched, a.holds) == (3, 1, False)
+    b = out["parent.k in child.k"]
+    assert (b.n_lhs_distinct, b.n_unmatched, b.holds) == (3, 1, False)
+    ok = inclusion_audit(
+        [("sub", spark.createDataFrame([(1,), (2,)], "k int"), "k", parent, "k")]
+    ).collect()[0]
+    assert ok.holds and ok.n_unmatched == 0

@@ -329,3 +329,71 @@ def test_chi2_statistic_zero_on_identical_split(spark):
     rows3 = rows2 + [(None, "a"), (0, None)]
     df3 = spark.createDataFrame(rows3, "grp int, cat string")
     assert chi2_statistic(df3, "grp", "cat").collect()[0].n == 16
+
+
+def test_wasserstein_1_exact_small(spark):
+    """W1 on a tiny two-group sample vs the hand-computed ECDF area."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.operators.selection import wasserstein_1
+
+    # a = {1,2,3}, b = {2,4}: distinct pooled v = 1,2,3,4
+    # F_a = 1/3, 2/3, 1, 1 ; F_b = 0, 1/2, 1/2, 1
+    # W1 = |1/3-0|*1 + |2/3-1/2|*1 + |1-1/2|*1 = 1/3 + 1/6 + 1/2 = 1.0
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "a"), (2.0, "b"), (4.0, "b")],
+        "v double, g string",
+    )
+    out = wasserstein_1(df, "v", "g", "a", "b").collect()[0]
+    assert out.n_a == 3 and out.n_b == 2
+    assert abs(out.w1 - 1.0) < 1e-6
+
+    # identical distributions -> 0; location shift by c -> exactly c
+    same = spark.createDataFrame(
+        [(float(i % 5), "a") for i in range(40)]
+        + [(float(i % 5), "b") for i in range(40)],
+        "v double, g string",
+    )
+    assert wasserstein_1(same, "v", "g", "a", "b").collect()[0].w1 == 0.0
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 100, 300).astype(float)
+    shift = spark.createDataFrame(
+        [(float(v), "a") for v in vals]
+        + [(float(v + 2.5), "b") for v in vals],
+        "v double, g string",
+    )
+    w = wasserstein_1(shift, "v", "g", "a", "b").collect()[0].w1
+    # the fixed-point term sum quantizes each of ~600 ECDF-step terms
+    # at 6dp, so exactness holds to ~terms*5e-7, not machine epsilon
+    assert abs(w - 2.5) < 1e-4
+
+
+def test_cusum_series_peak_at_level_shift(spark):
+    """A clean level shift at t=10: |S_t| peaks exactly at the shift."""
+    from covid_custom_sql_engine_spark.operators.selection import cusum_series
+
+    # 10 days at 0, then 10 days at 10: mean 5, S_t = -5t until the
+    # shift (min at t=10), then climbs back to 0
+    rows = [(i, 0.0) for i in range(1, 11)] + [
+        (i, 10.0) for i in range(11, 21)
+    ]
+    df = spark.createDataFrame(rows, "t int, x double")
+    out = {r.t: r for r in cusum_series(df, "t", "x").collect()}
+    assert len(out) == 20
+    peak = [t for t, r in out.items() if r.is_peak]
+    assert peak == [10]
+    assert out[10].cusum == -50.0
+    assert out[20].cusum == 0.0
+
+
+def test_kcore_peel_converges_on_clique_plus_tail(spark):
+    """A 5-clique with a pendant path: k=3 peeling keeps exactly the
+    clique (each clique node has degree 4; tail nodes peel away)."""
+    from covid_custom_sql_engine_spark.functions.graph import kcore_peel
+
+    clique = [(f"n{i}", f"n{j}") for i in range(5) for j in range(5) if i != j]
+    tail = [("n0", "t1"), ("t1", "n0"), ("t1", "t2"), ("t2", "t1")]
+    df = spark.createDataFrame(clique + tail, "src string, dst string")
+    out = {r.node: r.degree for r in kcore_peel(df, k=3, rounds=3).collect()}
+    assert set(out) == {f"n{i}" for i in range(5)}
+    assert all(d == 4 for d in out.values())

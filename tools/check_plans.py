@@ -353,6 +353,20 @@ EXPECT = {
     "vaccination_effect_fit": (2, False, False),
     # per-nation agg + ONE-row global-bounds broadcast cross: intended
     "resilience_score_by_nation": (3, True, True),
+    # checkpoint-leaf final plan (peeled edge list), as bfs_distances
+    "kcore_trading_graph": (2, False, False),
+    # ECDF side is the pinned two-phase prefix-sum (checkpoint leaf);
+    # the totals row re-scans lineitem⋈part and broadcasts ONE row
+    # onto the reduced frame: intended (the ks_drift_promo shape)
+    "wasserstein_drift_promo": (2, True, True),
+    # daily-reduced series; 1-row total + 1-row max broadcast crosses
+    # onto the pinned prefix-sum frame: intended
+    "cusum_changepoint_revenue": (2, True, True),
+    # six 1-col distinct scans + value-keyed left joins, notNull pushed
+    "ind_audit": (1, True, False),
+    # 16-row literal coalition table NLJ-joined on bitmask containment
+    # against the ≤15-row mask-count frame: literals, never data
+    "shapley_attribution": (3, True, True),
 }
 
 
