@@ -443,3 +443,62 @@ def sql_hll_grouped(
                  4) AS hll_distinct
     FROM folded
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: distinct counting with SET OPERATIONS
+# ---------------------------------------------------------------------------
+
+
+def kmv_minima(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    splits: int = 32,
+    prefix: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest 60-bit hash values of
+    the group's distinct keys (Bar-Yossef et al. 2002). Where HLL
+    (:func:`hll_registers`) only supports union, KMV sketches compose
+    under union AND intersection: merging two sketches and re-taking
+    the k minima gives the union sketch, and the fraction of those
+    minima present in both input sketches estimates Jaccard — so
+    |A∩B| ≈ ρ·|A∪B| falls out, the quantity overlap monitors actually
+    want. Deterministic: the hash is the shared md5-based
+    :func:`_h60`, so the sketch is a pure FUNCTION of the key set —
+    bit-identical cross-engine, no seeds.
+
+    Scale shape: distinct (group, hash) first (one combinable
+    aggregate), then the classic two-level distributed top-k — k
+    local minima per (group, hash-salt) bucket (each bucket sees
+    ~distinct/splits values, and only k of them survive the local
+    sort), then k global minima over the ≤splits·k survivors. The
+    group key never becomes a shuffle hot-spot because the first
+    level is salted; no window ever spans a whole group.
+
+    Returns (group, hs) with ``hs`` the sorted array of ≤k minima.
+    """
+    g = F.col(group_col).alias("_g")
+    d = df.select(g, _h60(prefix, F.col(key_col)).alias("_h")).distinct()
+    local = (
+        d.groupBy("_g", F.pmod(F.col("_h"), F.lit(splits)).alias("_salt"))
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_hs"))
+        .select("_g", F.explode("_hs").alias("_h"))
+    )
+    return local.groupBy("_g").agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("hs")
+    ).select(F.col("_g").alias(group_col), "hs")
+
+
+def kmv_estimate_expr(hs_col: str, k: int) -> Column:
+    """Distinct-count estimate from a KMV minima array: if the sketch
+    is not full the count is EXACT (= array size); otherwise
+    (k−1)·2^60 / h_k — the classic KMV estimator with h_k the k-th
+    minimum normalized to (0,1). Pure arithmetic on the sketch."""
+    hs = F.col(hs_col)
+    full = F.size(hs) >= k
+    hk = F.element_at(hs, k).cast("double")
+    return F.when(
+        full, (F.lit(float(k - 1)) * F.lit(float(1 << 60))) / hk
+    ).otherwise(F.size(hs).cast("double"))

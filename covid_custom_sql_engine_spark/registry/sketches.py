@@ -587,3 +587,121 @@ def int8_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(ex, ap)
 
 
+
+
+def _kmv_oracle() -> str:
+    from covid_custom_sql_engine_spark.functions.sketches import _sql_h60
+
+    two60 = float(1 << 60)
+    est = lambda s: (
+        f"(CASE WHEN {s}.n >= 64 THEN (63.0 * {two60!r}) / {s}.hk"
+        f" ELSE CAST({s}.n AS DOUBLE) END)"
+    )
+    return f"""
+    WITH base AS (SELECT DISTINCT
+                    CASE WHEN o_orderpriority = '1-URGENT' THEN 'a'
+                         ELSE 'b' END AS g,
+                    o_custkey AS key
+                  FROM orders
+                  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+    dd AS (SELECT DISTINCT g, {_sql_h60('kmv', 'key')} AS h FROM base),
+    r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM dd),
+    ka AS (SELECT h FROM r WHERE g = 'a' AND rn <= 64),
+    kb AS (SELECT h FROM r WHERE g = 'b' AND rn <= 64),
+    ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+           FROM (SELECT DISTINCT h FROM
+                 (SELECT h FROM ka UNION ALL SELECT h FROM kb))),
+    ku AS (SELECT h FROM ru WHERE rn <= 64),
+    sa AS (SELECT count(*) AS n, max(h) AS hk FROM ka),
+    sb AS (SELECT count(*) AS n, max(h) AS hk FROM kb),
+    su AS (SELECT count(*) AS n, max(h) AS hk FROM ku),
+    mm AS (SELECT count(*) AS m FROM ku
+           JOIN ka ON ka.h = ku.h JOIN kb ON kb.h = ku.h),
+    ex AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS exact_union,
+                  CAST(count(DISTINCT CASE WHEN g = 'a' THEN key END)
+                       AS BIGINT) AS exact_a,
+                  CAST(count(DISTINCT CASE WHEN g = 'b' THEN key END)
+                       AS BIGINT) AS exact_b
+           FROM base),
+    xi AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM
+           (SELECT key FROM base GROUP BY key
+            HAVING count(DISTINCT g) = 2))
+    SELECT CAST(64 AS BIGINT) AS k,
+           round({est('sa')}, 6) AS est_a,
+           round({est('sb')}, 6) AS est_b,
+           round({est('su')}, 6) AS est_union,
+           round((CAST(mm.m AS DOUBLE) / su.n) * {est('su')}, 6)
+             AS est_intersect,
+           ex.exact_a, ex.exact_b, ex.exact_union, xi.exact_intersect
+    FROM sa, sb, su, mm, ex, xi
+    """
+
+
+@query("kmv_setops_orders", oracle=_kmv_oracle())
+def kmv_setops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch SET OPERATIONS
+    (sketches.kmv_minima, k=64): estimate the distinct-customer
+    cardinalities of the URGENT and HIGH order-priority classes, their
+    UNION, and — the operation HLL cannot compose — their
+    INTERSECTION, via the merged sketch's Jaccard fraction
+    (|A∩B| ≈ ρ·|A∪B|, Bar-Yossef et al. 2002). The sketch is a pure
+    function of the key set (shared md5 hash), so estimates are
+    bit-identical cross-engine; the oracle replays the identical
+    minima selection and estimator arithmetic, and exact counts ride
+    along as audit columns (the minhash_accuracy convention). Scale
+    shape: one distinct + salted two-level top-k per group (no
+    whole-group window, no hot key), then all arithmetic runs on two
+    ≤64-element arrays in a 1-row frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    base = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+        .otherwise("b")
+        .alias("g"),
+        F.col("o_custkey").alias("key"),
+    )
+    base = base.localCheckpoint(eager=False)  # sketch + exact audits
+    k = 64
+    sk = sks.kmv_minima(base, "g", "key", k=k)
+    a = sk.filter(F.col("g") == "a").select(F.col("hs").alias("hs_a"))
+    b = sk.filter(F.col("g") == "b").select(F.col("hs").alias("hs_b"))
+    one = a.crossJoin(b).select(
+        "hs_a",
+        "hs_b",
+        F.slice(
+            F.array_sort(F.array_distinct(F.concat("hs_a", "hs_b"))), 1, k
+        ).alias("hs_u"),
+    )
+    est_a = sks.kmv_estimate_expr("hs_a", k)
+    est_b = sks.kmv_estimate_expr("hs_b", k)
+    est_u = sks.kmv_estimate_expr("hs_u", k)
+    m = F.size(F.array_intersect(F.array_intersect("hs_u", "hs_a"), "hs_b"))
+    ests = one.select(
+        F.lit(64).cast("bigint").alias("k"),
+        F.round(est_a, 6).alias("est_a"),
+        F.round(est_b, 6).alias("est_b"),
+        F.round(est_u, 6).alias("est_union"),
+        F.round(
+            (m.cast("double") / F.size("hs_u")) * est_u, 6
+        ).alias("est_intersect"),
+    )
+    ex = base.agg(
+        F.countDistinct(F.when(F.col("g") == "a", F.col("key")))
+        .cast("bigint")
+        .alias("exact_a"),
+        F.countDistinct(F.when(F.col("g") == "b", F.col("key")))
+        .cast("bigint")
+        .alias("exact_b"),
+        F.countDistinct("key").cast("bigint").alias("exact_union"),
+    )
+    xi = (
+        base.groupBy("key")
+        .agg(F.countDistinct("g").alias("_ng"))
+        .filter(F.col("_ng") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect"))
+    )
+    return ests.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(xi))

@@ -222,3 +222,36 @@ def test_hll_grouped_matches_global_per_group(spark):
     for g in range(3):
         solo = hll_distinct(df.filter(F.col("g") == g), "k").collect()[0].hll_distinct
         assert grouped[g] == solo
+
+
+def test_kmv_setops_accuracy_and_exact_below_k(spark):
+    """KMV: below k the sketch IS the distinct set (exact estimates);
+    at scale the union/intersection estimates land near truth."""
+    from covid_custom_sql_engine_spark.functions.sketches import (
+        kmv_estimate_expr,
+        kmv_minima,
+    )
+    from pyspark.sql import functions as F
+
+    # 30 distinct keys in group a < k=64 -> exact
+    small = spark.createDataFrame(
+        [("a", i) for i in range(30) for _ in range(3)], "g string, k bigint"
+    )
+    sk = kmv_minima(small, "g", "k", k=64)
+    row = sk.select(kmv_estimate_expr("hs", 64).alias("e")).collect()[0]
+    assert row.e == 30.0
+
+    # a = 0..1999, b = 1000..2999: union 3000, intersection 1000
+    big = spark.createDataFrame(
+        [("a", i) for i in range(2000)] + [("b", i) for i in range(1000, 3000)],
+        "g string, k bigint",
+    )
+    sk2 = {r.g: r.hs for r in kmv_minima(big, "g", "k", k=256).collect()}
+    merged = sorted(set(sk2["a"]) | set(sk2["b"]))[:256]
+    hk = merged[-1]
+    est_u = 255.0 * float(1 << 60) / hk
+    rho = len([h for h in merged if h in set(sk2["a"]) and h in set(sk2["b"])]) / 256.0
+    est_i = rho * est_u
+    # KMV standard error ~ 1/sqrt(k-2) ≈ 6.3% at k=256; allow 4 sigma
+    assert abs(est_u - 3000) / 3000 < 0.25
+    assert abs(est_i - 1000) / 1000 < 0.5

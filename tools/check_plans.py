@@ -367,6 +367,9 @@ EXPECT = {
     # 16-row literal coalition table NLJ-joined on bitmask containment
     # against the ≤15-row mask-count frame: literals, never data
     "shapley_attribution": (3, True, True),
+    # 1-row sketch frames crossed (the stat_summary convention); the
+    # data path is distinct + salted two-level top-k, priority pushed
+    "kmv_setops_orders": (2, True, True),
 }
 
 
