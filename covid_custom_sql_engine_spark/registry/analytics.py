@@ -2439,3 +2439,81 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shapley")
         )
     )
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH d AS (SELECT c_nationkey AS g1, c_mktsegment AS g2,
+                      CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+               FROM customer),
+    o AS (SELECT g1, g2, band, count(*) AS c FROM d GROUP BY 1, 2, 3),
+    gt AS (SELECT g1, g2, sum(c) AS ng FROM o GROUP BY 1, 2),
+    bt AS (SELECT band, sum(c) AS nb FROM o GROUP BY 1),
+    nn AS (SELECT sum(c) AS n FROM o),
+    grid AS (SELECT gt.g1, gt.g2, gt.ng, bt.band, bt.nb,
+                    coalesce(o.c, 0) AS c
+             FROM gt CROSS JOIN bt
+             LEFT JOIN o ON o.g1 = gt.g1 AND o.g2 = gt.g2
+                        AND o.band = bt.band),
+    tg AS (SELECT g1, g2,
+                  0.5 * {_sql_dsum('abs(CAST(c AS DOUBLE) / ng'
+                                   ' - CAST(nb AS DOUBLE) / nn.n)')} AS t
+           FROM grid CROSS JOIN nn GROUP BY g1, g2)
+    SELECT CAST(0.2 AS DOUBLE) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           round(max(t), 6) AS max_t
+    FROM tg
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third privacy gate, completing the triad: k-anonymity
+    bounds group SIZE, l-diversity bounds sensitive-value VARIETY,
+    t-closeness bounds sensitive-value DISTRIBUTION — a group whose
+    account-balance bands skew far from the table-wide distribution
+    leaks attribute information even when large and diverse. Per
+    quasi-identifier group (nation × market segment), t = total-
+    variation distance ½·Σ_band |p_group − p_global| (the categorical
+    Earth-Mover's distance the t-closeness paper defaults to — the
+    same ECDF-area idea as wasserstein_drift_promo, specialized to
+    categories). One (group, band) aggregate collapses the table;
+    margins and the zero-filled grid run on the reduced frame (the
+    chi2 discipline); per-group sums are fixed-point so max_t is
+    bit-identical cross-engine. Flags groups with t > 0.2."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("g1"),
+        F.col("c_mktsegment").alias("g2"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("band"),
+    )
+    o = c.groupBy("g1", "g2", "band").agg(F.count(F.lit(1)).alias("c"))
+    o = o.localCheckpoint(eager=False)  # grid + three margins read it
+    gt = o.groupBy("g1", "g2").agg(F.sum("c").alias("ng"))
+    bt = o.groupBy("band").agg(F.sum("c").alias("nb"))
+    nn = o.agg(F.sum("c").alias("n"))
+    grid = (
+        gt.crossJoin(F.broadcast(bt))
+        .join(o, ["g1", "g2", "band"], "left")
+        .select(
+            "g1",
+            "g2",
+            "ng",
+            "nb",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    term = F.abs(
+        F.col("c").cast("double") / F.col("ng")
+        - F.col("nb").cast("double") / F.col("n")
+    )
+    tg = grid.groupBy("g1", "g2").agg((0.5 * ops.dsum(term)).alias("t"))
+    return tg.agg(
+        F.lit(0.2).alias("threshold"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("t") > 0.2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.round(F.max("t"), 6).alias("max_t"),
+    )

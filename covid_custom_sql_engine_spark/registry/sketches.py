@@ -705,3 +705,92 @@ def kmv_setops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect"))
     )
     return ests.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(xi))
+
+
+@query(
+    "item_cf_topk",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ci AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+    pairs AS (SELECT a.l_partkey AS part, b.l_partkey AS neighbor,
+                     count(*) AS support
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey <> b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+    sim AS (SELECT p.part, p.neighbor, p.support,
+                   CAST(p.support AS DOUBLE)
+                   / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cos
+            FROM pairs p
+            JOIN ci na ON na.l_partkey = p.part
+            JOIN ci nb ON nb.l_partkey = p.neighbor
+            WHERE p.part < 100),
+    r AS (SELECT part, neighbor, support, cos,
+                 row_number() OVER (PARTITION BY part
+                     ORDER BY cos DESC, neighbor) AS rn
+          FROM sim)
+    SELECT part, neighbor, CAST(support AS BIGINT) AS support,
+           round(cos, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for each low-keyed part, its
+    top-3 co-purchase neighbors by COSINE similarity
+    c_ij / √(c_i·c_j) — the normalized sibling of
+    frequent_part_pairs' raw support (support favors popular items;
+    cosine surfaces genuinely CORRELATED ones — the classic
+    Amazon-style item-to-item recommender primitive, and the
+    association screen a training-data pipeline runs over co-citation
+    or co-click graphs). Pair generation is the per-basket C(items,2)
+    self equi-join on the order key (bounded by basket size, never
+    corpus size); marginals join back on the part key; ranking is a
+    per-part window (partitioned — never global) with the neighbor id
+    as a total-order tiebreak. Integer counts → one sqrt + one divide
+    per pair, bit-identical cross-engine."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li = li.localCheckpoint(eager=False)  # pairs + marginals read it
+    ci = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part"))
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("neighbor")
+    )
+    pairs = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("part") != F.col("neighbor")))
+        .groupBy("part", "neighbor")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter((F.col("support") >= 2) & (F.col("part") < 100))
+    )
+    na = ci.select(F.col("pk").alias("part"), F.col("n").alias("_na"))
+    nb = ci.select(F.col("pk").alias("neighbor"), F.col("n").alias("_nb"))
+    sim_df = (
+        pairs.join(na, "part")
+        .join(nb, "neighbor")
+        .select(
+            "part",
+            "neighbor",
+            "support",
+            (
+                F.col("support").cast("double")
+                / F.sqrt((F.col("_na") * F.col("_nb")).cast("double"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("cos"), "neighbor")
+    return (
+        sim_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "part",
+            "neighbor",
+            F.col("support").cast("bigint").alias("support"),
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+    )

@@ -260,3 +260,26 @@ def test_shapley_attribution_unanimity_decomposition(spark, tmp_path):
         for r in an.shapley_attribution(spark, str(tmp_path)).collect()
     }
     assert out == {"click": 1.5, "view": 0.5, "error": 0.0, "signup": 0.0}
+
+
+def test_t_closeness_exact_tv_distance(spark, tmp_path):
+    """Hand-computed total-variation: one balanced group (t=0) and one
+    fully-skewed group against a known global band distribution."""
+    rows = []
+    # group (0, 'A'): 2 rows band 0, 2 rows band 1 -> local p = (.5, .5)
+    rows += [(0, "A", 500.0), (0, "A", 900.0), (0, "A", 1500.0), (0, "A", 1900.0)]
+    # group (1, 'B'): 4 rows band 0 -> local p = (1, 0)
+    rows += [(1, "B", 100.0)] * 4
+    # global: band0 6/8, band1 2/8
+    # t(0,A) = .5*(|.5-.75| + |.5-.25|) = .25 ; t(1,B) = .5*(.25+.25) = .25
+    df = spark.createDataFrame(
+        [(i, n, m, b) for i, (n, m, b) in enumerate(rows)],
+        "c_custkey bigint, c_nationkey int, c_mktsegment string, c_acctbal double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    from covid_custom_sql_engine_spark.registry import analytics as an
+
+    out = an.t_closeness_audit(spark, str(tmp_path)).collect()[0]
+    assert out.n_groups == 2
+    assert out.max_t == 0.25
+    assert out.n_violating_groups == 2  # both exceed t > 0.2

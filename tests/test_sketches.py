@@ -255,3 +255,24 @@ def test_kmv_setops_accuracy_and_exact_below_k(spark):
     # KMV standard error ~ 1/sqrt(k-2) ≈ 6.3% at k=256; allow 4 sigma
     assert abs(est_u - 3000) / 3000 < 0.25
     assert abs(est_i - 1000) / 1000 < 0.5
+
+
+def test_item_cf_cosine_on_known_baskets(spark, tmp_path):
+    """Three baskets: parts 1,2 co-occur twice (c1=3, c2=2), parts 1,3
+    once (pruned by min support 2) -> cosine(1,2) = 2/sqrt(6)."""
+    import math
+
+    rows = [
+        (10, 1), (10, 2),
+        (20, 1), (20, 2),
+        (30, 1), (30, 3),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    from covid_custom_sql_engine_spark.registry import sketches as rsk
+
+    out = rsk.item_cf_topk(spark, str(tmp_path)).collect()
+    got = {(r.part, r.neighbor): (r.support, r.cosine, r.rn) for r in out}
+    assert set(got) == {(1, 2), (2, 1)}
+    c = round(2 / math.sqrt(3 * 2), 6)
+    assert got[(1, 2)] == (2, c, 1) and got[(2, 1)] == (2, c, 1)

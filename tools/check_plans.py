@@ -370,6 +370,11 @@ EXPECT = {
     # 1-row sketch frames crossed (the stat_summary convention); the
     # data path is distinct + salted two-level top-k, priority pushed
     "kmv_setops_orders": (2, True, True),
+    # tiny band-margin + 1-row total broadcast-crossed onto the
+    # reduced (group, band) grid: the chi2_drift_source shape
+    "t_closeness_audit": (3, False, True),
+    # basket self-join on the order key + per-part (partitioned) window
+    "item_cf_topk": (2, False, False),
 }
 
 
