@@ -2517,3 +2517,238 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_violating_groups"),
         F.round(F.max("t"), 6).alias("max_t"),
     )
+
+
+# A/B experimentation readout: the Wilson/z formulas are generated ONCE
+# as SQL text and fed verbatim to both engines (F.expr + the oracle) —
+# identical opcode order, so sqrt (correctly rounded per IEEE-754) and
+# arithmetic give bit-identical doubles with no decimal folds needed.
+_AB_P = "(CAST(x AS DOUBLE) / n)"
+_AB_Z2 = "(1.96 * 1.96)"
+_AB_MARG = (
+    f"(1.96 * sqrt({_AB_P} * (1.0 - {_AB_P}) / n"
+    f" + {_AB_Z2} / (4.0 * n * n)))"
+)
+
+
+def _ab_wilson(sign: str) -> str:
+    return (
+        f"(({_AB_P} + {_AB_Z2} / (2.0 * n) {sign} {_AB_MARG})"
+        f" / (1.0 + {_AB_Z2} / n))"
+    )
+
+
+# outcome: a HIGH-VALUE purchase (value >= 100) — plain "any purchase"
+# saturates at 100% on the synthetic log, which degenerates the pooled
+# z denominator (p(1-p) = 0)
+_AB_ARMS = """(SELECT user_id,
+                      CAST(user_id % 2 AS BIGINT) AS arm,
+                      max(CASE WHEN event_type = 'purchase'
+                               AND value >= 100.0
+                               THEN 1 ELSE 0 END) AS conv
+               FROM events GROUP BY user_id)"""
+
+
+@query(
+    "ab_wilson_bounds",
+    oracle=f"""
+    WITH u AS {_AB_ARMS},
+    a AS (SELECT arm, count(*) AS n, sum(conv) AS x FROM u GROUP BY arm)
+    SELECT arm, CAST(n AS BIGINT) AS n_users, CAST(x AS BIGINT) AS n_converted,
+           round({_AB_P}, 6) AS cvr,
+           round({_ab_wilson('-')}, 6) AS wilson_low,
+           round({_ab_wilson('+')}, 6) AS wilson_high
+    FROM a
+    """,
+)
+def ab_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two arms by id parity
+    (the split_divergence convention), outcome = converted (any
+    'purchase' event); per arm the conversion rate with its Wilson
+    95% score interval — the binomial CI that stays inside [0,1] and
+    behaves at small n where the normal approximation fails, i.e.
+    what an experimentation dashboard should actually print. Scale
+    shape: ONE per-user max aggregate collapses the event log, then a
+    two-row arm aggregate; the interval is pure per-row arithmetic on
+    (n, x) — sqrt is correctly rounded per IEEE-754, and the formula
+    text is shared verbatim with the oracle, so the bounds are
+    bit-identical cross-engine."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 100.0),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("arm"), "conv")
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    return a.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("x").cast("bigint").alias("n_converted"),
+        F.round(F.expr(_AB_P), 6).alias("cvr"),
+        F.round(F.expr(_ab_wilson("-")), 6).alias("wilson_low"),
+        F.round(F.expr(_ab_wilson("+")), 6).alias("wilson_high"),
+    )
+
+
+_AB_ZEXPR = (
+    "((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)"
+    " / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))"
+    " * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))"
+    " * (1.0 / n1 + 1.0 / n2)))"
+)
+
+
+@query(
+    "ab_ztest_conversion",
+    oracle=f"""
+    WITH u AS {_AB_ARMS},
+    a AS (SELECT arm, count(*) AS n, sum(conv) AS x FROM u GROUP BY arm),
+    p AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x1,
+                 CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x2
+          FROM a)
+    SELECT n1, x1, n2, x2,
+           round({_AB_ZEXPR}, 6) AS z_stat,
+           abs({_AB_ZEXPR}) > 1.96 AS significant
+    FROM p
+    """,
+)
+def ab_ztest_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision companion to ab_wilson_bounds: the pooled
+    two-proportion z-test between the arms' conversion rates, with
+    the 5%-level verdict — the "is the difference real?" gate an
+    experiment readout ends with. Same collapsed per-user frame; the
+    two-arm aggregate pivots to one row and the statistic is shared-
+    text arithmetic (IEEE sqrt), bit-identical cross-engine. On the
+    id-parity split of synthetic data the verdict should be NOT
+    significant — a seeded A/A test, which is itself the standard
+    sanity check that the pipeline doesn't manufacture lift."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 100.0),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).cast("bigint").alias("arm"), "conv")
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x")
+    )
+    p = a.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x"))).cast("bigint").alias("x1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x"))).cast("bigint").alias("x2"),
+    )
+    return p.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(F.expr(_AB_ZEXPR), 6).alias("z_stat"),
+        (F.abs(F.expr(_AB_ZEXPR)) > 1.96).alias("significant"),
+    )
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+    WITH d AS (SELECT o_orderdate AS t, {_sql_dsum('o_totalprice')} AS y
+               FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+    m AS (SELECT min(t) AS t0 FROM d),
+    dx AS (SELECT datediff('day', m.t0, d.t) AS x, d.y FROM d, m),
+    s AS (SELECT (b.y - a.y) / (b.x - a.x) AS sl
+          FROM dx a JOIN dx b ON a.x < b.x),
+    o AS (SELECT count(*) AS n,
+                 sum(x) AS sx, sum(CAST(x AS BIGINT) * x) AS sxx,
+                 {_sql_dsum('y')} AS sy, {_sql_dsum('x * y')} AS sxy
+          FROM dx),
+    ms AS (SELECT median(sl) AS med FROM s)
+    SELECT round(ms.med, 6) AS slope_theil_sen,
+           round((o.n * o.sxy - o.sx * o.sy)
+                 / (o.n * CAST(o.sxx AS DOUBLE) - CAST(o.sx AS DOUBLE) * o.sx),
+                 6) AS slope_ols,
+           CAST(o.n AS BIGINT) AS n_days
+    FROM o, ms
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily order revenue — the MEDIAN of
+    all pairwise slopes (y_j−y_i)/(x_j−x_i), the estimator with a 29%
+    breakdown point where OLS has 0% (one corrupted day can move OLS
+    arbitrarily; Theil–Sen shrugs off outliers) — reported next to
+    the OLS slope so the gap itself is the outlier diagnostic. Scale
+    shape: the fact table collapses to the calendar-bounded daily
+    frame FIRST, so the quadratic pair generation is over days, not
+    rows — bounded at any data scale (the deliberate reduced-frame
+    broadcast cross, the range_join_bands convention); the slope
+    median runs the two-phase distributed selection
+    (selection.exact_median — never a global sort), and the OLS side
+    is exact fixed-point/integer sums. Per-pair slope arithmetic is
+    IEEE-deterministic; median picks/averages two exact order
+    statistics, matching the oracle's median() semantics."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderdate", "o_totalprice")
+    )
+    d = o.groupBy(F.col("o_orderdate").alias("t")).agg(
+        ops.dsum(F.col("o_totalprice")).alias("y")
+    )
+    t0 = d.agg(F.min("t").alias("t0"))
+    dx = d.crossJoin(F.broadcast(t0)).select(
+        F.datediff("t", "t0").alias("x"), "y"
+    )
+    dx = dx.localCheckpoint(eager=False)  # pairs (x4 median passes) + OLS
+    a = dx.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = dx.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    # try_divide, not /: Catalyst merges downstream isNotNull(sl)
+    # filters into the join condition, where ANSI division would
+    # evaluate on the xa == xb rows the join itself excludes
+    slopes = a.join(b, F.col("xa") < F.col("xb")).select(
+        F.try_divide(
+            F.col("yb") - F.col("ya"),
+            (F.col("xb") - F.col("xa")).cast("double"),
+        ).alias("sl")
+    )
+    med = sel.exact_median(slopes, "sl")
+    ols = dx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("bigint") * F.col("x")).alias("sxx"),
+        ops.dsum(F.col("y")).alias("sy"),
+        ops.dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return ols.select(
+        F.round(F.lit(float(med)), 6).alias("slope_theil_sen"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.col("n") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx")
+            ),
+            6,
+        ).alias("slope_ols"),
+        F.col("n").cast("bigint").alias("n_days"),
+    )

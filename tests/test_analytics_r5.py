@@ -283,3 +283,78 @@ def test_t_closeness_exact_tv_distance(spark, tmp_path):
     assert out.n_groups == 2
     assert out.max_t == 0.25
     assert out.n_violating_groups == 2  # both exceed t > 0.2
+
+
+def test_wilson_and_ztest_hand_formula(spark, tmp_path):
+    """Arms by user parity: arm0 = 3 users (2 convert), arm1 = 2 users
+    (0 convert); bounds and z match the hand-evaluated formulas."""
+    import datetime as dt
+    import math
+
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(uid, typ, val):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t, uid, typ, val, None))
+
+    # arm 0: users 2, 4 convert (purchase >= 100); user 6 does not
+    ev(2, "purchase", 150.0)
+    ev(4, "purchase", 200.0)
+    ev(6, "purchase", 50.0)
+    # arm 1: users 1, 3 never high-value
+    ev(1, "view", 0.0)
+    ev(3, "purchase", 99.0)
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from covid_custom_sql_engine_spark.registry import analytics as an
+
+    w = {r.arm: r for r in an.ab_wilson_bounds(spark, str(tmp_path)).collect()}
+    assert (w[0].n_users, w[0].n_converted) == (3, 2)
+    assert (w[1].n_users, w[1].n_converted) == (2, 0)
+
+    def wilson(x, n, sign):
+        z2, p = 1.96 * 1.96, x / n
+        marg = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        return round((p + z2 / (2 * n) + sign * marg) / (1 + z2 / n), 6)
+
+    assert w[0].wilson_low == wilson(2, 3, -1)
+    assert w[0].wilson_high == wilson(2, 3, 1)
+    assert w[1].wilson_low == 0.0  # x = 0 -> exact lower bound 0
+
+    z = an.ab_ztest_conversion(spark, str(tmp_path)).collect()[0]
+    pp = 2 / 5
+    expect = (2 / 3 - 0.0) / math.sqrt(pp * (1 - pp) * (1 / 3 + 1 / 2))
+    assert z.z_stat == round(expect, 6)
+    assert bool(z.significant) == (abs(expect) > 1.96)
+
+
+def test_theil_sen_ignores_outlier_where_ols_moves(spark, tmp_path):
+    """y = 2x on 30 days plus one wild outlier day: the pairwise-slope
+    median stays ~2 while OLS is dragged away."""
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    k = 0
+    for i in range(31):
+        y = 2.0 * i if i != 30 else 1e6  # endpoint = max leverage
+        # one order per day carrying the day's revenue
+        rows.append((k, d0 + dt.timedelta(days=i), y))
+        k += 1
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate date, o_totalprice double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    from covid_custom_sql_engine_spark.registry import analytics as an
+
+    out = an.theil_sen_trend(spark, str(tmp_path)).collect()[0]
+    assert out.n_days == 31
+    assert abs(out.slope_theil_sen - 2.0) < 1e-6
+    assert abs(out.slope_ols - 2.0) > 100.0

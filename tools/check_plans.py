@@ -375,6 +375,12 @@ EXPECT = {
     "t_closeness_audit": (3, False, True),
     # basket self-join on the order key + per-part (partitioned) window
     "item_cf_topk": (2, False, False),
+    # one per-user max aggregate -> 2-row arm frame; pure arithmetic
+    "ab_wilson_bounds": (3, False, False),
+    "ab_ztest_conversion": (3, False, False),
+    # deliberate reduced-frame (calendar-days) broadcast cross for the
+    # pairwise slopes + 1-row min-date/median broadcasts: intended
+    "theil_sen_trend": (2, True, True),
 }
 
 
