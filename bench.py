@@ -97,6 +97,14 @@ HEADLINE = [
     "ann_join_recall",
     "prefix_jaccard_zipf",
     "bpe_train_merges",
+    # round 10 second wave: bounded k-core peeling (shrinking-frame
+    # iteration), the W1 drift statistic on the pinned prefix-sum, the
+    # item-item CF basket self-join, and the Theil-Sen pairwise-slope
+    # median over the calendar-reduced frame
+    "kcore_trading_graph",
+    "wasserstein_drift_promo",
+    "item_cf_topk",
+    "theil_sen_trend",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):

@@ -34,6 +34,22 @@ _DRIVER_WINDOW_PRIORITY = [
     "bpe_train_merges",
     "bpe_encoded_lengths",
     "chi2_drift_source",
+    # --- NEW in round 10, second wave (never driver-checked): bounded
+    # k-core peeling, the W1/CUSUM drift siblings, the IND audit, exact
+    # Shapley attribution, KMV set-operation sketches, the t-closeness
+    # privacy gate, item-item CF cosine, the A/B experimentation
+    # readout (Wilson + pooled z), and the Theil-Sen robust trend ---
+    "kcore_trading_graph",
+    "wasserstein_drift_promo",
+    "cusum_changepoint_revenue",
+    "ind_audit",
+    "shapley_attribution",
+    "kmv_setops_orders",
+    "t_closeness_audit",
+    "item_cf_topk",
+    "ab_wilson_bounds",
+    "ab_ztest_conversion",
+    "theil_sen_trend",
     # --- touched by the round-10 advice fixes (PPJoin epsilon guards on
     # the prefix-length ceil and the length filter; label_propagation's
     # per-round vote pinning) — values re-proven locally, official rows
@@ -70,6 +86,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "column_entropy_profile",
     "distinct_sorted",
     "embedding_outliers",
+    # ---------------- out-of-window below this line ----------------
+    # first in line for the round-11 refresh: the eleven r5 rows the
+    # second-wave round-10 queries displaced (never-checked beats
+    # stale), then the fourteen r5 rows parked in the first wave, then
+    # the oldest r6-era official rows
     "event_burstiness",
     "event_transition_matrix",
     "ewma_smooth",
@@ -81,9 +102,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "minmax_dates",
     "near_dup_clusters",
     "ngram_diversity",
-    # ---------------- out-of-window below this line ----------------
-    # first in line for the round-11 refresh: the fourteen parked r5
-    # rows, then the oldest r6-era official rows
     "pack_token_budget",
     "psi_drift",
     "rename_pretty",
@@ -105,25 +123,30 @@ _DRIVER_WINDOW_PRIORITY = [
 # official driver row. Round-10 composition (exactly 50): the flagship
 # sentinel; the 2 late-r9 additions that missed the r9 window snapshot
 # (bfs_shortest_path_tree, ks_drift_promo — never driver-checked); the
-# 9 queries NEW in r10 (the corpus×corpus ANN join audit + its CC
-# clustering composition, bounded-hop weighted SSSP, the reference's
-# implied vaccination-effect + resilience analytics, the uncapped
-# Zipfian PPJoin, the iterated BPE trainer + its encode step, the
-# exact chi-square categorical drift test); the 2 queries touched by
-# the r10 advice fixes (prefix_jaccard_pairs' epsilon guards,
-# label_propagation_communities' vote pinning); the 5 r4 rows deferred
-# from round 9 (winsorize/xmr/zscore/array/map — now the oldest
-# official records); and 31 of the 45 r5-stale rows — the §2
+# 20 queries NEW in r10 — first wave (the corpus×corpus ANN join audit
+# + its CC clustering composition, bounded-hop weighted SSSP, the
+# reference's implied vaccination-effect + resilience analytics, the
+# uncapped Zipfian PPJoin, the iterated BPE trainer + its encode step,
+# the exact chi-square categorical drift test) and second wave
+# (bounded k-core peeling, W1 + CUSUM drift, the IND audit, exact
+# Shapley attribution, KMV set-op sketches, t-closeness, item-item CF,
+# Wilson + pooled-z experimentation stats, Theil-Sen trend); the 2
+# queries touched by the r10 advice fixes (prefix_jaccard_pairs'
+# epsilon guards, label_propagation_communities' vote pinning); the 5
+# r4 rows deferred from round 9 (winsorize/xmr/zscore/array/map — the
+# oldest official records); and 20 of the 45 r5-stale rows — the §2
 # core-parity rows the round-9 verdict named (filter_range_project,
 # join_ref_inner, sort_nulls_rank, stat_summary, pivot_wide,
 # udaf_geometric_mean, whole_table_agg, topk_orders) plus the
 # graph/analytics tail it named (pagerank_bipartite, hits_bipartite,
-# cohort_retention, benford_audit), then alphabetical. The fourteen
-# parked r5 rows (pack_token_budget … zipf_slope) sit first in the
-# out-of-window order for round 11, ahead of the oldest r6 rows.
+# cohort_retention, benford_audit), then alphabetical through
+# embedding_outliers. The 11 r5 rows the second wave displaced
+# (event_burstiness … ngram_diversity) lead the round-11 refresh,
+# ahead of the 14 r5 rows parked in the first wave
+# (pack_token_budget … zipf_slope) and the oldest r6 rows.
 # Everything below the out-of-window line holds an r1-r9 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (244 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
+# (255 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
 # README per round).
 
 

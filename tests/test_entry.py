@@ -30,16 +30,21 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 10: the nine queries new this round plus the two late-r9
-    # additions (never driver-checked), the two advice-fix-touched
-    # queries, the five deferred r4 rows, and the oldest (r5) official
-    # rows (no new never-checked backlog may form)
+    # round 10: the twenty queries new this round (both waves) plus the
+    # two late-r9 additions (never driver-checked), the two
+    # advice-fix-touched queries, the five deferred r4 rows, and the
+    # oldest (r5) official rows (no new never-checked backlog may form)
     assert {
-        # new this round
+        # new this round, first wave
         "ann_join_recall", "ann_join_clusters", "sssp_bounded_costs",
         "vaccination_effect_fit",
         "resilience_score_by_nation", "prefix_jaccard_zipf",
         "bpe_train_merges", "bpe_encoded_lengths", "chi2_drift_source",
+        # new this round, second wave
+        "kcore_trading_graph", "wasserstein_drift_promo",
+        "cusum_changepoint_revenue", "ind_audit", "shapley_attribution",
+        "kmv_setops_orders", "t_closeness_audit", "item_cf_topk",
+        "ab_wilson_bounds", "ab_ztest_conversion", "theil_sen_trend",
         # late r9, never driver-checked
         "bfs_shortest_path_tree", "ks_drift_promo",
         # touched by the r10 advice fixes
