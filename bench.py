@@ -105,6 +105,11 @@ HEADLINE = [
     "wasserstein_drift_promo",
     "item_cf_topk",
     "theil_sen_trend",
+    # round 10 third wave: the censoring-aware survival curve (fact⋈fact
+    # collapse + two pinned prefix-sum passes) and seeded Adamic–Adar
+    # link prediction (broadcast-seeded neighborhood fan-out)
+    "kaplan_meier_fulfillment",
+    "adamic_adar_links",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):

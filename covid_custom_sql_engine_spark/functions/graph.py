@@ -524,3 +524,138 @@ def kcore_peel(
     return e.groupBy(F.col("_s").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Seeded Adamic–Adar link prediction over a bipartite graph:
+    for each seed node u (left side), score every other left node v
+    sharing at least one right-side neighbor w by
+    AA(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1 / ln(deg(w)) — common neighbors,
+    down-weighting promiscuous hubs logarithmically (Adamic & Adar
+    2003). The standard "who else behaves like these accounts /
+    which documents co-cite like this set" screen; in a training-data
+    pipeline it ranks candidate near-duplicate SOURCES sharing many
+    low-fanout mirrors.
+
+    Seeding is the scale posture: the all-pairs AA join explodes
+    through hub neighbors (Σ_w deg(w)²), so the API takes an explicit
+    (small, broadcastable) seed frame and fans out ONLY through the
+    seeds' neighborhoods — cost Σ_{w ∈ Γ(seeds)} deg(w), linear in
+    the touched edges at any graph size. Hubs with deg(w) < 2 cannot
+    contribute (ln 1 = 0 would divide by zero; a degree-1 neighbor is
+    touched by one node only, so it never witnesses a PAIR anyway) and
+    are filtered. The edge list is deduplicated and pinned so the
+    degree count and both fan-out joins read one evaluation.
+
+    Returns the top-``k`` candidates per seed as
+    (seed, candidate, score round 6, rank), rank deterministic via
+    (score DESC, candidate ASC) — the fixed-point score sum
+    (:func:`~covid_custom_sql_engine_spark.operators.core.dsum`
+    semantics) makes score ties exact, so the tie-break is total.
+    """
+    from covid_custom_sql_engine_spark.operators.core import dsum
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_w"))
+        .filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)  # deg + both fan-out joins
+    )
+    deg = e.groupBy("_w").agg(F.count(F.lit(1)).alias("_deg"))
+    s = seeds.select(F.col(seeds.columns[0]).alias("_seed")).distinct()
+    se = e.join(
+        F.broadcast(s), e["_u"] == F.col("_seed"), "inner"
+    ).select("_seed", "_w")
+    scored = (
+        se.join(deg.filter(F.col("_deg") >= 2), "_w")
+        .join(e, "_w")
+        .filter(F.col("_u") != F.col("_seed"))
+        .groupBy("_seed", F.col("_u").alias("_cand"))
+        .agg(dsum(F.lit(1.0) / F.log(F.col("_deg").cast("double"))).alias("_sc"))
+    )
+    w = Window.partitionBy("_seed").orderBy(
+        F.desc("_sc"), F.asc("_cand")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_seed").alias("seed"),
+            F.col("_cand").alias("candidate"),
+            F.round("_sc", 6).alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a node partition on an undirected simple
+    graph given as UNIQUE undirected edges (one row per pair, either
+    orientation): Q = Σ_c [ e_c/m − (deg_c / 2m)² ], where m is the
+    edge count, e_c the edges with both endpoints in community c, and
+    deg_c the total degree of c's nodes — the standard "is this
+    clustering better than chance?" score that grades the OUTPUT of
+    label_propagation / connected-components / attribute partitions
+    on one comparable scale. Nodes missing from ``communities`` drop
+    (their edges leave m too — Q is computed on the labeled subgraph).
+
+    Shape: one broadcast-sized community map joined onto both edge
+    endpoints (the map is O(nodes) — for attribute partitions it is a
+    dim-table projection; hint it broadcast at the call site when
+    small), then m / e_c / deg_c are three combinable aggregates of
+    the labeled edge list, and Q folds over the ≤|communities| reduced
+    frame in fixed point. Returns one row
+    (modularity round 6, m_edges, n_communities).
+    """
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    cm = communities.select(
+        F.col(node_col).alias("_n"), F.col(comm_col).alias("_c")
+    ).filter(F.col(node_col).isNotNull() & F.col(comm_col).isNotNull())
+    j = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .join(cm.select(F.col("_n").alias("_s"), F.col("_c").alias("_ca")), "_s")
+        .join(cm.select(F.col("_n").alias("_d"), F.col("_c").alias("_cb")), "_d")
+        .select("_ca", "_cb")
+        .localCheckpoint(eager=False)  # m + within + degrees read one eval
+    )
+    m = j.agg(F.count(F.lit(1)).alias("_m"))
+    within = j.filter(F.col("_ca") == F.col("_cb")).groupBy(
+        F.col("_ca").alias("_cc")
+    ).agg(F.count(F.lit(1)).alias("_ec"))
+    # degree contribution: each edge adds 1 to both endpoints' communities
+    deg = (
+        j.select(F.col("_ca").alias("_cc"))
+        .unionAll(j.select(F.col("_cb").alias("_cc")))
+        .groupBy("_cc")
+        .agg(F.count(F.lit(1)).alias("_dc"))
+    )
+    per_c = deg.join(within, "_cc", "left").select(
+        "_cc",
+        F.coalesce("_ec", F.lit(0)).alias("_ec"),
+        "_dc",
+    )
+    term = (
+        F.col("_ec").cast("double") / F.col("_m").cast("double")
+        - (F.col("_dc").cast("double") / (2.0 * F.col("_m").cast("double")))
+        * (F.col("_dc").cast("double") / (2.0 * F.col("_m").cast("double")))
+    )
+    return per_c.crossJoin(F.broadcast(m)).agg(
+        F.round(dsum(term), 6).alias("modularity"),
+        F.first("_m").cast("bigint").alias("m_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+    )

@@ -917,3 +917,125 @@ def cusum_series(
         (F.round("_s", 6) + F.lit(0.0)).alias("cusum"),
         (F.abs(F.col("_s")) == F.col("_m")).alias("is_peak"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator over a
+    time-to-event frame: one input row per subject with its observed
+    duration ``time_col`` (integer time units) and ``event_col`` = 1
+    if the event was observed, 0 if the subject is right-censored
+    (still open when observation stopped). Returns one row per
+    distinct observed time with the at-risk count, event count,
+    censored count, and the survival estimate
+    S(t) = Π_{t'≤t} (1 − d_{t'} / n_{t'}) — the standard censoring-
+    aware "how long until X" curve (here: order fulfillment; in an
+    LLM-data pipeline: time-to-label, time-to-takedown, crawl-refresh
+    age), where naive averages of completed durations are biased
+    because slow/open cases are exactly the ones not yet complete.
+
+    Scale shape: the subject frame collapses FIRST to one row per
+    distinct time (one combinable hash aggregate — d_t and the total
+    a_t ride the same pass), so everything after runs on a frame
+    bounded by the time-grain calendar, not the subject count. The
+    two cumulative quantities (at-risk counts, log-survival running
+    sum) both run the pinned two-phase prefix-sum discipline
+    (:func:`global_rank` / :func:`ks_statistic`): range-partition by
+    time with the exchange pinned, per-partition running sums via the
+    monotonically_increasing_id arithmetic, and a ≤num_partitions-row
+    carry broadcast back — no single-partition window at any grain.
+
+    Determinism: n_t and d_t are exact integers; each factor's
+    log-term ln(max(1 − d/n, 1e-300)) is one IEEE division + ln
+    (greatest guards the d = n final-time row where the naive log is
+    −∞); the running log-sum accumulates in fixed-point (order-
+    independent), and S(t) = round(exp(·), 6) on both engines.
+    """
+    from covid_custom_sql_engine_spark.operators.core import _DECIMAL
+
+    base = df.filter(
+        F.col(time_col).isNotNull()
+        & (F.col(time_col) >= 0)
+        & F.col(event_col).isNotNull()
+    ).select(F.col(time_col).alias("_t"), F.col(event_col).alias("_ev"))
+    g = base.groupBy("_t").agg(
+        F.sum("_ev").alias("_d"), F.count(F.lit(1)).alias("_a")
+    )
+    tot = g.agg(F.sum("_a").alias("_n"))
+    p = df.sparkSession.sparkContext.defaultParallelism
+    pinned = pin_single_evaluation(
+        g.repartitionByRange(p, F.col("_t")).sortWithinPartitions("_t")
+    )
+    mid = F.monotonically_increasing_id()
+    local = pinned.select(
+        "*",
+        F.shiftright(mid, _MID_ORDINAL_BITS).alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << _MID_ORDINAL_BITS) - 1)) + 1).alias(
+            "_lrn"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        local.groupBy("_pid")
+        .agg(F.sum("_a").alias("_sa"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_sa").over(off_w), F.lit(0)).alias("_offa"),
+        )
+    )
+    # n_t = subjects whose duration >= t  =  N − (cum count of times < t)
+    c = (
+        local.withColumn("_ia", F.sum("_a").over(w_in))
+        .join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_pid",
+            "_lrn",
+            "_t",
+            "_d",
+            "_a",
+            (F.col("_n") - (F.col("_ia") + F.col("_offa") - F.col("_a"))).alias(
+                "_nrisk"
+            ),
+        )
+    )
+    term = F.log(
+        F.greatest(
+            F.lit(1.0)
+            - F.col("_d").cast("double") / F.col("_nrisk").cast("double"),
+            F.lit(1e-300),
+        )
+    )
+    c2 = c.withColumn("_term", term.cast(_DECIMAL))
+    c2 = c2.localCheckpoint(eager=False)  # rows + per-pid carry read one eval
+    offs2 = (
+        c2.groupBy("_pid")
+        .agg(F.sum("_term").alias("_st"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_st").over(off_w), F.lit(0).cast(_DECIMAL)
+            ).alias("_offt"),
+        )
+    )
+    return (
+        c2.withColumn("_it", F.sum("_term").over(w_in))
+        .join(F.broadcast(offs2), "_pid")
+        .select(
+            F.col("_t").cast("bigint").alias("t_days"),
+            F.col("_nrisk").cast("bigint").alias("n_risk"),
+            F.col("_d").cast("bigint").alias("d_events"),
+            (F.col("_a") - F.col("_d")).cast("bigint").alias("c_censored"),
+            F.round(
+                F.exp((F.col("_it") + F.col("_offt")).cast("double")), 6
+            ).alias("survival"),
+        )
+    )

@@ -50,6 +50,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "ab_wilson_bounds",
     "ab_ztest_conversion",
     "theil_sen_trend",
+    # --- NEW in round 10, third wave (never driver-checked): the
+    # Kaplan–Meier censoring-aware survival curve, seeded Adamic–Adar
+    # link prediction, Newman modularity of a partition, the
+    # Benjamini–Hochberg step-up over the per-segment z-test family,
+    # the Fourier periodogram scan, and categorical mutual
+    # information ---
+    "kaplan_meier_fulfillment",
+    "adamic_adar_links",
+    "modularity_nations",
+    "bh_fdr_segments",
+    "dominant_period_dft",
+    "mutual_info_docs",
     # --- touched by the round-10 advice fixes (PPJoin epsilon guards on
     # the prefix-length ceil and the length filter; label_propagation's
     # per-round vote pinning) — values re-proven locally, official rows
@@ -63,9 +75,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "zscore_outliers",
     "array_functions",
     "map_functions",
-    # --- the r5-stale refresh, 31 of 45: the §2 core-parity rows the
-    # round-9 verdict called out by name first, then alphabetical. The
-    # fourteen parked rows (below the line) lead the round-11 refresh. ---
+    # --- the r5-stale refresh, 14 of 45: the §2 core-parity rows the
+    # round-9 verdict called out by name first, then alphabetical
+    # through audio_stats_real. The 17 rows the second and third waves
+    # displaced plus the 14 first-wave parked rows (all below the
+    # line) lead the round-11 refresh. ---
     "filter_range_project",
     "join_ref_inner",
     "sort_nulls_rank",
@@ -80,17 +94,17 @@ _DRIVER_WINDOW_PRIORITY = [
     "benford_audit",
     "argmax_latest",
     "audio_stats_real",
+    # ---------------- out-of-window below this line ----------------
+    # first in line for the round-11 refresh: the seventeen r5 rows the
+    # second- and third-wave round-10 queries displaced (never-checked
+    # beats stale), then the fourteen r5 rows parked in the first wave,
+    # then the oldest r6-era official rows
     "bigram_logprob",
     "bloom_filter_join_stats",
     "collocation_pmi",
     "column_entropy_profile",
     "distinct_sorted",
     "embedding_outliers",
-    # ---------------- out-of-window below this line ----------------
-    # first in line for the round-11 refresh: the eleven r5 rows the
-    # second-wave round-10 queries displaced (never-checked beats
-    # stale), then the fourteen r5 rows parked in the first wave, then
-    # the oldest r6-era official rows
     "event_burstiness",
     "event_transition_matrix",
     "ewma_smooth",
@@ -130,23 +144,26 @@ _DRIVER_WINDOW_PRIORITY = [
 # the exact chi-square categorical drift test) and second wave
 # (bounded k-core peeling, W1 + CUSUM drift, the IND audit, exact
 # Shapley attribution, KMV set-op sketches, t-closeness, item-item CF,
-# Wilson + pooled-z experimentation stats, Theil-Sen trend); the 2
-# queries touched by the r10 advice fixes (prefix_jaccard_pairs'
-# epsilon guards, label_propagation_communities' vote pinning); the 5
-# r4 rows deferred from round 9 (winsorize/xmr/zscore/array/map — the
-# oldest official records); and 20 of the 45 r5-stale rows — the §2
-# core-parity rows the round-9 verdict named (filter_range_project,
-# join_ref_inner, sort_nulls_rank, stat_summary, pivot_wide,
-# udaf_geometric_mean, whole_table_agg, topk_orders) plus the
-# graph/analytics tail it named (pagerank_bipartite, hits_bipartite,
-# cohort_retention, benford_audit), then alphabetical through
-# embedding_outliers. The 11 r5 rows the second wave displaced
-# (event_burstiness … ngram_diversity) lead the round-11 refresh,
-# ahead of the 14 r5 rows parked in the first wave
-# (pack_token_budget … zipf_slope) and the oldest r6 rows.
+# Wilson + pooled-z experimentation stats, Theil-Sen trend) and third
+# wave (Kaplan–Meier survival, seeded Adamic–Adar, Newman modularity,
+# Benjamini–Hochberg FDR, the Fourier periodogram, categorical mutual
+# information); the 2 queries touched by the r10 advice fixes
+# (prefix_jaccard_pairs' epsilon guards,
+# label_propagation_communities' vote pinning); the 5 r4 rows deferred
+# from round 9 (winsorize/xmr/zscore/array/map — the oldest official
+# records); and 14 of the 45 r5-stale rows — the §2 core-parity rows
+# the round-9 verdict named (filter_range_project, join_ref_inner,
+# sort_nulls_rank, stat_summary, pivot_wide, udaf_geometric_mean,
+# whole_table_agg, topk_orders) plus the graph/analytics tail it named
+# (pagerank_bipartite, hits_bipartite, cohort_retention,
+# benford_audit), then alphabetical through audio_stats_real. The 17
+# r5 rows the second and third waves displaced (bigram_logprob …
+# ngram_diversity) lead the round-11 refresh, ahead of the 14 r5 rows
+# parked in the first wave (pack_token_budget … zipf_slope) and the
+# oldest r6 rows.
 # Everything below the out-of-window line holds an r1-r9 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (255 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
+# (261 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
 # README per round).
 
 

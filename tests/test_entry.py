@@ -30,8 +30,8 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 10: the twenty queries new this round (both waves) plus the
-    # two late-r9 additions (never driver-checked), the two
+    # round 10: the twenty-six queries new this round (three waves)
+    # plus the two late-r9 additions (never driver-checked), the two
     # advice-fix-touched queries, the five deferred r4 rows, and the
     # oldest (r5) official rows (no new never-checked backlog may form)
     assert {
@@ -45,6 +45,10 @@ def test_driver_window_priority_ordering():
         "cusum_changepoint_revenue", "ind_audit", "shapley_attribution",
         "kmv_setops_orders", "t_closeness_audit", "item_cf_topk",
         "ab_wilson_bounds", "ab_ztest_conversion", "theil_sen_trend",
+        # new this round, third wave
+        "kaplan_meier_fulfillment", "adamic_adar_links",
+        "modularity_nations", "bh_fdr_segments", "dominant_period_dft",
+        "mutual_info_docs",
         # late r9, never driver-checked
         "bfs_shortest_path_tree", "ks_drift_promo",
         # touched by the r10 advice fixes

@@ -279,3 +279,82 @@ def test_sssp_bounded_prefers_cheap_two_hop(spark):
     # (a>b>c>d = 12); the cheap detour needs a 4th round to reach it
     assert out["d"] == 12
     assert "e" not in out  # >3 edges on every path
+
+
+def test_adamic_adar_hand_computed(spark):
+    """Two seeds on a tiny bipartite graph; scores = Σ 1/ln(deg(w))
+    over shared right-side neighbors, degree-1 neighbors contribute
+    nothing, the seed itself never appears as its own candidate."""
+    import math
+
+    from covid_custom_sql_engine_spark.functions.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [
+            ("u1", "w1"), ("u1", "w2"), ("u1", "w3"),
+            ("u2", "w1"), ("u2", "w2"),
+            ("u3", "w2"), ("u3", "w3"),
+            ("u4", "w4"),  # w4 has degree 1: contributes to nobody
+            ("u1", "w4"),
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("u1",)], "node string")
+    rows = {
+        (r.seed, r.candidate): (r.score, r.rank)
+        for r in adamic_adar(edges, seeds, k=5).collect()
+    }
+    # deg: w1=2, w2=3, w3=2, w4=2 (u4+u1)
+    s12 = 1 / math.log(2) + 1 / math.log(3)          # shares w1, w2
+    s13 = 1 / math.log(3) + 1 / math.log(2)          # shares w2, w3
+    s14 = 1 / math.log(2)                            # shares w4
+    assert abs(rows[("u1", "u2")][0] - round(s12, 6)) < 1e-6
+    assert abs(rows[("u1", "u3")][0] - round(s13, 6)) < 1e-6
+    assert abs(rows[("u1", "u4")][0] - round(s14, 6)) < 1e-6
+    assert ("u1", "u1") not in rows
+    # equal scores tie-break by candidate ascending
+    assert rows[("u1", "u2")][1] == 1
+    assert rows[("u1", "u3")][1] == 2
+    assert rows[("u1", "u4")][1] == 3
+
+
+def test_modularity_two_cliques(spark):
+    """Two triangles joined by one bridge edge, communities = the
+    triangles: Q = Σ_c (e_c/m − (deg_c/2m)²) with m=7 edges,
+    e_c=3 within each, deg_c=7 per community."""
+    from covid_custom_sql_engine_spark.functions.graph import modularity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("a", "c"),   # triangle 1
+            ("d", "e"), ("e", "f"), ("d", "f"),   # triangle 2
+            ("c", "d"),                            # bridge
+        ],
+        "src string, dst string",
+    )
+    comm = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t1"),
+         ("d", "t2"), ("e", "t2"), ("f", "t2")],
+        "node string, community string",
+    )
+    row = modularity(edges, comm).collect()[0]
+    expected = 2 * (3 / 7 - (7 / 14) ** 2)
+    assert row.m_edges == 7
+    assert row.n_communities == 2
+    assert abs(row.modularity - round(expected, 6)) < 1e-6
+
+
+def test_modularity_single_community_is_zero(spark):
+    """All nodes in one community: e_c = m and deg_c = 2m, so
+    Q = 1 − 1 = 0 exactly."""
+    from covid_custom_sql_engine_spark.functions.graph import modularity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    comm = spark.createDataFrame(
+        [("a", "one"), ("b", "one"), ("c", "one")],
+        "node string, community string",
+    )
+    row = modularity(edges, comm).collect()[0]
+    assert row.modularity == 0.0

@@ -397,3 +397,36 @@ def test_kcore_peel_converges_on_clique_plus_tail(spark):
     out = {r.node: r.degree for r in kcore_peel(df, k=3, rounds=3).collect()}
     assert set(out) == {f"n{i}" for i in range(5)}
     assert all(d == 4 for d in out.values())
+
+
+def test_kaplan_meier_textbook(spark):
+    """The classic worked example: durations (t, event) =
+    (1,1),(2,1),(2,0),(3,1),(4,0) — S(1)=4/5, S(2)=4/5·3/4=0.6,
+    S(3)=0.6·1/2=0.3, S(4) censored-only keeps 0.3; at-risk counts
+    5,4,2,1; censored rows counted but not event-weighted."""
+    from covid_custom_sql_engine_spark.operators.selection import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)], "t int, ev int"
+    )
+    rows = {r.t_days: r for r in kaplan_meier(df, "t", "ev").collect()}
+    assert rows[1].n_risk == 5 and rows[1].d_events == 1
+    assert abs(rows[1].survival - 0.8) < 1e-6
+    assert rows[2].n_risk == 4 and rows[2].d_events == 1
+    assert rows[2].c_censored == 1
+    assert abs(rows[2].survival - 0.6) < 1e-6
+    assert rows[3].n_risk == 2
+    assert abs(rows[3].survival - 0.3) < 1e-6
+    assert rows[4].n_risk == 1 and rows[4].d_events == 0
+    assert abs(rows[4].survival - 0.3) < 1e-6
+
+
+def test_kaplan_meier_all_events_hits_zero(spark):
+    """With no censoring the curve ends at 0 (the d=n final row is
+    guarded by the 1e-300 floor, not an ln(0) error)."""
+    from covid_custom_sql_engine_spark.operators.selection import kaplan_meier
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], "t int, ev int")
+    rows = {r.t_days: r for r in kaplan_meier(df, "t", "ev").collect()}
+    assert abs(rows[1].survival - 0.5) < 1e-6
+    assert rows[2].survival == 0.0

@@ -381,6 +381,25 @@ EXPECT = {
     # deliberate reduced-frame (calendar-days) broadcast cross for the
     # pairwise slopes + 1-row min-date/median broadcasts: intended
     "theil_sen_trend": (2, True, True),
+    # --- round 10, third wave ---
+    # these five pin a mid-plan frame with localCheckpoint, so the
+    # executed plan starts at the frozen RDD and shows no parquet scan
+    # (the mmr_topk precedent) → pushed-filters expectation is False
+    # 1-row total-at-risk broadcast cross onto the reduced per-time
+    # frame: intended
+    "kaplan_meier_fulfillment": (7, False, True),
+    "adamic_adar_links": (2, False, False),
+    # 1-row edge-count broadcast cross onto the ≤25-community frame:
+    # intended
+    "modularity_nations": (2, False, True),
+    # 1-row BH-cutoff broadcast cross onto the 5-segment frame: intended
+    "bh_fdr_segments": (3, False, True),
+    # 29-row period spine + 1-row mean broadcast crosses onto the
+    # calendar-bounded daily frame: intended
+    "dominant_period_dft": (2, False, True),
+    # 1-row margin/total broadcast crosses onto the reduced
+    # lang×source grid: intended
+    "mutual_info_docs": (3, False, True),
 }
 
 
