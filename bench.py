@@ -110,6 +110,9 @@ HEADLINE = [
     # link prediction (broadcast-seeded neighborhood fan-out)
     "kaplan_meier_fulfillment",
     "adamic_adar_links",
+    # round 10 fourth wave: seed-restart personalized PageRank (3
+    # unrolled rank⋈edge rounds with decimal folds)
+    "ppr_trusted_sources",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):

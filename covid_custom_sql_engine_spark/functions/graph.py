@@ -659,3 +659,87 @@ def modularity(
         F.first("_m").cast("bigint").alias("m_edges"),
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: identical per-iteration shape to
+    :func:`pagerank` (ranks ⋈ weighted edges on src, contribution
+    aggregate by dst, damping projection), but the teleport mass
+    (1−d) restarts at a SEED distribution — 1/|S| on each seed node,
+    0 elsewhere — instead of uniformly. Rank then measures proximity
+    to the seed set under random walks with restart: the standard
+    "expand this whitelist / find sources similar to these trusted
+    domains" primitive (TrustRank), where global PageRank measures
+    popularity regardless of whom you trust.
+
+    The seed frame is small by contract (a whitelist) — broadcast
+    into the per-iteration projection as a left join; the r0 vector
+    IS the seed distribution (the walk starts at the seeds). Same
+    pinning (edge weights and node list checkpointed once), same
+    DECIMAL(38,18) contribution folds, same statically-unrolled
+    round count so the oracle can replay the identical iterations.
+
+    Returns (node, rank) over nodes with out-degree ≥ 1 (the same
+    every-node-a-source contract as :func:`pagerank`); Σ rank ≤ 1,
+    with the deficit = mass teleported from non-seed dead weight.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ew = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    s = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    scnt = F.broadcast(s.agg(F.count(F.lit(1)).alias("_ns")))
+    # seed indicator rides the node list: 1/|S| for seeds, 0.0 otherwise
+    seeded = (
+        nodes.join(F.broadcast(s.withColumn("_is", F.lit(1))), "node", "left")
+        .crossJoin(scnt)
+        .select(
+            "node",
+            F.when(
+                F.col("_is").isNotNull(), F.lit(1.0) / F.col("_ns")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = seeded.select("node", F.col("s").alias("rank"))
+    for _ in range(iterations):
+        contribs = ranks.join(ew, ranks.node == ew.src).select(
+            F.col("dst"), (F.col("rank") * F.col("w")).alias("_c")
+        )
+        agg = contribs.groupBy(F.col("dst").alias("node")).agg(
+            _dsum18(F.col("_c")).alias("_s")
+        )
+        ranks = (
+            seeded.join(agg, "node", "left")
+            .select(
+                "node",
+                (
+                    (1.0 - damping) * F.col("s")
+                    + damping * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

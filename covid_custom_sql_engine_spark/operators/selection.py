@@ -1039,3 +1039,115 @@ def kaplan_meier(
             ).alias("survival"),
         )
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample log-rank (Mantel–Cox) test — the hypothesis-test
+    companion of :func:`kaplan_meier`: do two groups share one
+    survival curve, using EVERY subject including the right-censored
+    ones (a t-test on completed durations silently drops exactly the
+    slow/open cases)? At each distinct event time t, group a's
+    observed events d_a,t are compared with their hypergeometric
+    expectation d_t·n_a,t/n_t under the null; the statistic
+    χ² = (Σ_t (d_a,t − e_a,t))² / Σ_t v_t with
+    v_t = d_t·(n_a,t/n_t)·(n_b,t/n_t)·(n_t − d_t)/(n_t − 1)
+    is χ²(1 dof) under the null (5% critical value 3.841459).
+
+    Scale shape: identical to :func:`kaplan_meier` — one combinable
+    hash aggregate collapses subjects to per-distinct-time rows
+    carrying BOTH groups' event and total counts, the at-risk counts
+    come from ONE pinned two-phase prefix-sum pass (both groups'
+    cumulative counts ride the same window), and the two sums fold
+    fixed-point over the calendar-bounded reduced frame. Determinism:
+    integer counts, per-row IEEE divisions, fixed-point folds, one
+    final round(6) — bit-identical cross-engine; `significant`
+    compares the rounded value so both engines decide from the same
+    number. Returns one row
+    (n_a, n_b, chi2_logrank, significant)."""
+    from covid_custom_sql_engine_spark.operators.core import dsum
+
+    tc, gc, ec = F.col(time_col), F.col(group_col), F.col(event_col)
+    base = df.filter(
+        tc.isNotNull()
+        & (tc >= 0)
+        & ec.isNotNull()
+        & gc.isin([group_a, group_b])
+    ).select(
+        tc.alias("_t"),
+        ec.alias("_ev"),
+        F.when(gc == group_a, F.lit(1)).otherwise(F.lit(0)).alias("_ga"),
+    )
+    g = base.groupBy("_t").agg(
+        F.sum(F.col("_ev") * F.col("_ga")).alias("_d1"),
+        F.sum(F.col("_ev") * (1 - F.col("_ga"))).alias("_d2"),
+        F.sum(F.col("_ga")).alias("_a1"),
+        F.sum(1 - F.col("_ga")).alias("_a2"),
+    )
+    tot = g.agg(F.sum("_a1").alias("_n1t"), F.sum("_a2").alias("_n2t"))
+    p = df.sparkSession.sparkContext.defaultParallelism
+    pinned = pin_single_evaluation(
+        g.repartitionByRange(p, F.col("_t")).sortWithinPartitions("_t")
+    )
+    mid = F.monotonically_increasing_id()
+    local = pinned.select(
+        "*",
+        F.shiftright(mid, _MID_ORDINAL_BITS).alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << _MID_ORDINAL_BITS) - 1)) + 1).alias(
+            "_lrn"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        local.groupBy("_pid")
+        .agg(F.sum("_a1").alias("_s1"), F.sum("_a2").alias("_s2"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_s1").over(off_w), F.lit(0)).alias("_off1"),
+            F.coalesce(F.sum("_s2").over(off_w), F.lit(0)).alias("_off2"),
+        )
+    )
+    c = (
+        local.withColumn("_c1", F.sum("_a1").over(w_in))
+        .withColumn("_c2", F.sum("_a2").over(w_in))
+        .join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_d1",
+            "_d2",
+            (F.col("_n1t") - (F.col("_c1") + F.col("_off1") - F.col("_a1")))
+            .alias("_r1"),
+            (F.col("_n2t") - (F.col("_c2") + F.col("_off2") - F.col("_a2")))
+            .alias("_r2"),
+        )
+    )
+    d = (F.col("_d1") + F.col("_d2")).cast("double")
+    n = (F.col("_r1") + F.col("_r2")).cast("double")
+    r1d = F.col("_r1").cast("double")
+    r2d = F.col("_r2").cast("double")
+    ome = F.col("_d1").cast("double") - d * r1d / n
+    var = F.when(
+        (F.col("_r1") + F.col("_r2")) > 1,
+        d * (r1d / n) * (r2d / n) * (n - d) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    s = c.agg(dsum(ome).alias("_o"), dsum(var).alias("_v"))
+    chi2 = F.when(
+        F.col("_v") > 0, F.round(F.col("_o") * F.col("_o") / F.col("_v"), 6)
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("_n1t").cast("bigint").alias("n_a"),
+        F.col("_n2t").cast("bigint").alias("n_b"),
+        chi2.alias("chi2_logrank"),
+        (chi2 > 3.841459).alias("significant"),
+    )

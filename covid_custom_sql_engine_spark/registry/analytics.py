@@ -3258,3 +3258,175 @@ def mutual_info_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# shared log-rank term text: d = d1+d2, n = r1+r2 at each event time
+_LR_D = "CAST(d1 + d2 AS DOUBLE)"
+_LR_N = "CAST(r1 + r2 AS DOUBLE)"
+_LR_R1 = "CAST(r1 AS DOUBLE)"
+_LR_R2 = "CAST(r2 AS DOUBLE)"
+_LR_OME = f"(CAST(d1 AS DOUBLE) - {_LR_D} * {_LR_R1} / {_LR_N})"
+_LR_VAR = (
+    f"(CASE WHEN r1 + r2 > 1 THEN {_LR_D} * ({_LR_R1} / {_LR_N})"
+    f" * ({_LR_R2} / {_LR_N}) * ({_LR_N} - {_LR_D}) / ({_LR_N} - 1.0)"
+    f" ELSE 0.0 END)"
+)
+_LR_CHI2 = "(CASE WHEN v > 0 THEN round(o * o / v, 6) END)"
+
+
+@query(
+    "logrank_priority",
+    oracle=f"""
+    WITH per_o AS (
+      SELECT datediff('day', o.o_orderdate, max(l.l_shipdate)) AS t,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS ga
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus,
+               o.o_orderpriority
+      HAVING datediff('day', o.o_orderdate, max(l.l_shipdate)) >= 0),
+    g AS (SELECT t, sum(ev * ga) AS d1, sum(ev * (1 - ga)) AS d2,
+                 sum(ga) AS a1, sum(1 - ga) AS a2
+          FROM per_o GROUP BY t),
+    tot AS (SELECT sum(a1) AS n1t, sum(a2) AS n2t FROM g),
+    c AS (SELECT d1, d2,
+                 tot.n1t - (sum(a1) OVER w - a1) AS r1,
+                 tot.n2t - (sum(a2) OVER w - a2) AS r2
+          FROM g, tot WINDOW w AS (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (SELECT {_sql_dsum(_LR_OME)} AS o, {_sql_dsum(_LR_VAR)} AS v
+          FROM c)
+    SELECT CAST(tot.n1t AS BIGINT) AS n_a,
+           CAST(tot.n2t AS BIGINT) AS n_b,
+           {_LR_CHI2} AS chi2_logrank,
+           {_LR_CHI2} > 3.841459 AS significant
+    FROM s, tot
+    """,
+)
+def logrank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (selection.logrank_test) between the
+    fulfillment survival curves of high-priority ('1-URGENT'/'2-HIGH')
+    and other orders — the hypothesis-test companion of
+    kaplan_meier_fulfillment: do rush orders actually complete faster,
+    counting censored (still-open) orders correctly, where a t-test on
+    completed durations drops exactly the slow open ones? On synthetic
+    data with priority assigned independently of dates the verdict
+    should be NOT significant — the A/A-test discipline of
+    ab_ztest_conversion applied to durations. Scale shape: the same
+    per-order collapse as the KM curve, both groups' at-risk counts on
+    ONE pinned two-phase prefix-sum pass, fixed-point folds of the
+    observed-minus-expected and variance terms over the
+    calendar-bounded frame."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select("l_orderkey", "l_shipdate")
+    )
+    per_o = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority")
+        .agg(F.max("l_shipdate").alias("_last"))
+        .select(
+            F.datediff("_last", "o_orderdate").alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi"
+            )
+            .otherwise("lo")
+            .alias("grp"),
+        )
+    )
+    return sel.logrank_test(per_o, "t", "ev", "grp", "hi", "lo")
+
+
+def _ppr_oracle(iterations: int = 3) -> str:
+    """Statically-unrolled personalized-PageRank oracle matching
+    functions/graph.personalized_pagerank: identical IEEE expression
+    tree ((1.0 - 0.85) evaluated in DOUBLE on both engines), identical
+    DECIMAL(38,18) contribution folding, seed-restart teleport."""
+    base = """
+    WITH pairs AS (
+        SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst, 1.0::DOUBLE / d.out_deg AS w
+           FROM edges e JOIN deg d USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    seeds AS (SELECT 'c:' || c_custkey AS node FROM customer
+              ORDER BY c_acctbal DESC, c_custkey LIMIT 5),
+    ns AS (SELECT count(*) AS _ns FROM seeds),
+    sd AS (SELECT nodes.node,
+                  CASE WHEN seeds.node IS NOT NULL
+                       THEN 1.0::DOUBLE / ns._ns ELSE 0.0 END AS s
+           FROM nodes LEFT JOIN seeds USING (node), ns),
+    r0 AS (SELECT node, s AS pr FROM sd)"""
+    for i in range(1, iterations + 1):
+        base += f""",
+    r{i} AS (
+        SELECT sd.node,
+               (1.0::DOUBLE - 0.85::DOUBLE) * sd.s
+               + 0.85::DOUBLE * coalesce(ag{i}.c, 0.0) AS pr
+        FROM sd LEFT JOIN (
+            SELECT ew.dst AS node,
+                   CAST(sum(CAST(r{i-1}.pr * ew.w AS DECIMAL(38,18)))
+                        AS DOUBLE) AS c
+            FROM r{i-1} JOIN ew ON r{i-1}.node = ew.src
+            GROUP BY ew.dst) ag{i} USING (node)
+    )"""
+    # round(10): same double→DECIMAL(38,18) half-way-rounding rationale
+    # as the global-PageRank oracle.
+    return base + f"\n    SELECT node, round(pr, 10) AS pr FROM r{iterations}"
+
+
+@query("ppr_trusted_sources", oracle=_ppr_oracle(3))
+def ppr_trusted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank, 3 unrolled
+    rounds, d = 0.85) over the customer↔supplier trading graph with
+    the teleport restarting at the 5 largest accounts — random walks
+    with restart rank every node by proximity to the TRUSTED set
+    (TrustRank), where global pagerank_bipartite ranks by popularity
+    alone; the "expand this whitelist of curated sources" primitive
+    of corpus curation. Same per-round shape as PageRank (ONE rank⋈
+    edge join + ONE combinable DECIMAL(38,18) fold + the damping
+    projection against the broadcast seed distribution); seeds are a
+    5-row TakeOrdered broadcast. The oracle replays the identical
+    unrolled iterations (the pagerank/label_propagation convention)."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(5)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    pr = gr.personalized_pagerank(edges, seeds, iterations=3)
+    return pr.select("node", F.round("rank", 10).alias("pr"))

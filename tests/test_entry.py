@@ -30,7 +30,7 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 10: the twenty-six queries new this round (three waves)
+    # round 10: the twenty-eight queries new this round (four waves)
     # plus the two late-r9 additions (never driver-checked), the two
     # advice-fix-touched queries, the five deferred r4 rows, and the
     # oldest (r5) official rows (no new never-checked backlog may form)
@@ -49,6 +49,8 @@ def test_driver_window_priority_ordering():
         "kaplan_meier_fulfillment", "adamic_adar_links",
         "modularity_nations", "bh_fdr_segments", "dominant_period_dft",
         "mutual_info_docs",
+        # new this round, fourth wave
+        "logrank_priority", "ppr_trusted_sources",
         # late r9, never driver-checked
         "bfs_shortest_path_tree", "ks_drift_promo",
         # touched by the r10 advice fixes

@@ -358,3 +358,42 @@ def test_modularity_single_community_is_zero(spark):
     )
     row = modularity(edges, comm).collect()[0]
     assert row.modularity == 0.0
+
+
+def test_personalized_pagerank_restarts_at_seeds(spark):
+    """Teleport mass goes to the seed distribution only: on a graph
+    with two symmetric components, all rank stays in the seeded
+    component; values match a plain-Python reference loop."""
+    from covid_custom_sql_engine_spark.functions.graph import (
+        personalized_pagerank,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"),   # seeded component
+           ("x", "y")]                             # unseeded component
+    edges = spark.createDataFrame(
+        und + [(d, s) for s, d in und], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(edges, seeds, iterations=3).collect()
+    }
+    # python reference: same unrolled rounds, same restart vector
+    adj = {}
+    for s, d in und + [(d, s) for s, d in und]:
+        adj.setdefault(s, []).append(d)
+    svec = {n: (1.0 if n == "a" else 0.0) for n in adj}
+    r = dict(svec)
+    for _ in range(3):
+        nxt = {}
+        for s, outs in adj.items():
+            for d in outs:
+                nxt[d] = nxt.get(d, 0.0) + r[s] / len(outs)
+        r = {
+            n: (1.0 - 0.85) * svec[n] + 0.85 * nxt.get(n, 0.0)
+            for n in adj
+        }
+    for n in adj:
+        assert abs(got[n] - r[n]) < 1e-12, n
+    # the unseeded component holds zero rank after any round count
+    assert got["x"] == 0.0 and got["y"] == 0.0

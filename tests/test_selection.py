@@ -430,3 +430,43 @@ def test_kaplan_meier_all_events_hits_zero(spark):
     rows = {r.t_days: r for r in kaplan_meier(df, "t", "ev").collect()}
     assert abs(rows[1].survival - 0.5) < 1e-6
     assert rows[2].survival == 0.0
+
+
+def test_logrank_identical_groups_is_zero(spark):
+    """Two groups with identical (time, event) profiles: observed =
+    expected at every event time, so chi2 = 0 and not significant."""
+    from covid_custom_sql_engine_spark.operators.selection import logrank_test
+
+    rows = [(t, ev, g) for g in ("a", "b") for t, ev in
+            [(1, 1), (2, 1), (3, 0), (4, 1)]]
+    df = spark.createDataFrame(rows, "t int, ev int, g string")
+    r = logrank_test(df, "t", "ev", "g", "a", "b").collect()[0]
+    assert r.n_a == 4 and r.n_b == 4
+    assert r.chi2_logrank == 0.0
+    assert r.significant is False
+
+
+def test_logrank_hand_computed(spark):
+    """Cross-check against a plain-Python reference implementation of
+    the Mantel-Cox statistic on a small asymmetric fixture."""
+    from covid_custom_sql_engine_spark.operators.selection import logrank_test
+
+    data = [(1, 1, "a"), (2, 1, "a"), (2, 0, "a"), (5, 1, "a"),
+            (3, 1, "b"), (4, 0, "b"), (5, 1, "b"), (6, 1, "b"), (6, 0, "b")]
+    # reference: iterate distinct times ascending
+    times = sorted({t for t, _, _ in data})
+    o = v = 0.0
+    for t in times:
+        d1 = sum(1 for tt, ev, g in data if tt == t and ev and g == "a")
+        d2 = sum(1 for tt, ev, g in data if tt == t and ev and g == "b")
+        r1 = sum(1 for tt, _, g in data if tt >= t and g == "a")
+        r2 = sum(1 for tt, _, g in data if tt >= t and g == "b")
+        d, n = d1 + d2, r1 + r2
+        o += d1 - d * r1 / n
+        if n > 1:
+            v += d * (r1 / n) * (r2 / n) * (n - d) / (n - 1)
+    expected = round(o * o / v, 6)
+    df = spark.createDataFrame(data, "t int, ev int, g string")
+    r = logrank_test(df, "t", "ev", "g", "a", "b").collect()[0]
+    assert r.n_a == 4 and r.n_b == 5
+    assert abs(r.chi2_logrank - expected) < 1e-6

@@ -400,6 +400,12 @@ EXPECT = {
     # 1-row margin/total broadcast crosses onto the reduced
     # lang×source grid: intended
     "mutual_info_docs": (3, False, True),
+    # same pinned-prefix-sum checkpoint-leaf shape as
+    # kaplan_meier_fulfillment; 1-row totals broadcast cross: intended
+    "logrank_priority": (7, False, True),
+    # checkpoint-leaf final plan (pinned seed distribution), as
+    # pagerank_bipartite
+    "ppr_trusted_sources": (2, False, True),
 }
 
 
