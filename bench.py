@@ -113,6 +113,9 @@ HEADLINE = [
     # round 10 fourth wave: seed-restart personalized PageRank (3
     # unrolled rank⋈edge rounds with decimal folds)
     "ppr_trusted_sources",
+    # round 10 fifth wave: split-conformal calibration (fact collapse +
+    # exact percentile over the held-out half)
+    "conformal_interval",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):

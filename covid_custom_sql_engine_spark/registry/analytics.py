@@ -3430,3 +3430,247 @@ def ppr_trusted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = gr.personalized_pagerank(edges, seeds, iterations=3)
     return pr.select("node", F.round("rank", 10).alias("pr"))
+
+
+@query(
+    "conformal_interval",
+    oracle=f"""
+    WITH f AS (SELECT o.o_orderkey AS k, CAST(count(*) AS DOUBLE) AS x,
+                      o.o_totalprice AS y
+               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+               WHERE o.o_totalprice IS NOT NULL
+               GROUP BY o.o_orderkey, o.o_totalprice),
+    tr AS (SELECT * FROM f WHERE k % 2 = 0),
+    st AS (SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+                  {_sql_dsum('y')} AS sy, {_sql_dsum('x * y')} AS sxy
+           FROM tr),
+    co AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                  n, sx, sy
+           FROM st),
+    co2 AS (SELECT slope, (sy - slope * sx) / n AS icept, n FROM co),
+    cal AS (SELECT abs(f.y - (co2.slope * f.x + co2.icept)) AS r
+            FROM f, co2 WHERE k % 2 = 1),
+    q AS (SELECT round(quantile_cont(r, 0.9), 6) AS q90 FROM cal),
+    cv AS (SELECT count(*) AS nc,
+                  sum(CASE WHEN cal.r <= q.q90 THEN 1 ELSE 0 END) AS inq
+           FROM cal, q)
+    SELECT round(co2.slope, 6) AS slope,
+           round(co2.icept, 6) AS intercept,
+           q.q90 AS q90_resid,
+           CAST(co2.n AS BIGINT) AS n_train,
+           CAST(cv.nc AS BIGINT) AS n_cal,
+           round(CAST(cv.inq AS DOUBLE) / cv.nc, 6) AS cal_coverage
+    FROM co2, q, cv
+    """,
+)
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval around a closed-form OLS
+    fit: predict order value from its lineitem count, train on the
+    even-orderkey half, then calibrate the 90% interval half-width as
+    the empirical 90th percentile of |residual| on the held-out odd
+    half — the distribution-free calibration step every "model score
+    + guarantee" serving pipeline runs after training, with the
+    reported cal_coverage (≈0.9 by construction) as its self-check.
+    Scale shape: ONE fact⋈fact collapse to the per-order frame (the
+    kaplan_meier join), exact-sum OLS (no iteration), the 1-row
+    coefficient frame broadcast onto the calibration half, one exact
+    percentile and one coverage aggregate. Determinism: x-sums are
+    exact integers, y-folds fixed-point, slope/intercept shared
+    left-to-right expression order (the theil_sen convention), and
+    the coverage comparison uses the ROUNDED quantile on both engines
+    so the boundary row can't flip."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_totalprice")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    f = (
+        o.join(l, o.o_orderkey == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "x",
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    f = f.localCheckpoint(eager=False)  # train + calibration read one eval
+    tr = f.filter(F.col("k") % 2 == 0)
+    st = tr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        ops.dsum(F.col("y")).alias("sy"),
+        ops.dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    co = st.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("slope"),
+        "n",
+        "sx",
+        "sy",
+    )
+    co2 = co.select(
+        "slope",
+        ((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n")).alias(
+            "icept"
+        ),
+        "n",
+    )
+    cal = (
+        f.filter(F.col("k") % 2 == 1)
+        .crossJoin(F.broadcast(co2))
+        .select(
+            F.abs(
+                F.col("y") - (F.col("slope") * F.col("x") + F.col("icept"))
+            ).alias("r")
+        )
+    )
+    cal = cal.localCheckpoint(eager=False)  # quantile + coverage read one eval
+    q = cal.agg(F.round(F.percentile("r", F.lit(0.9)), 6).alias("q90"))
+    cv = cal.crossJoin(F.broadcast(q)).agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum(F.when(F.col("r") <= F.col("q90"), 1).otherwise(0)).alias(
+            "inq"
+        ),
+    )
+    return (
+        co2.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(cv))
+        .select(
+            F.round("slope", 6).alias("slope"),
+            F.round("icept", 6).alias("intercept"),
+            F.col("q90").alias("q90_resid"),
+            F.col("n").cast("bigint").alias("n_train"),
+            F.col("nc").cast("bigint").alias("n_cal"),
+            F.round(F.col("inq").cast("double") / F.col("nc"), 6).alias(
+                "cal_coverage"
+            ),
+        )
+    )
+
+
+def _sql_binent(a: str, b: str) -> str:
+    """Binary entropy −p·ln p − q·ln q over two exact counts, with the
+    0·ln 0 = 0 convention — shared-text arithmetic (both engines see
+    identical expression trees, the _sql_pnorm2 convention)."""
+    t = f"CAST({a} + {b} AS DOUBLE)"
+    pa = f"(CAST({a} AS DOUBLE) / {t})"
+    pb = f"(CAST({b} AS DOUBLE) / {t})"
+    return (
+        f"(CASE WHEN {a} + {b} = 0 THEN 0.0 ELSE "
+        f"(CASE WHEN {a} = 0 THEN 0.0 ELSE -{pa} * ln({pa}) END)"
+        f" + (CASE WHEN {b} = 0 THEN 0.0 ELSE -{pb} * ln({pb}) END) END)"
+    )
+
+
+_IG_EXPR = (
+    f"({_sql_binent('tp', 'tn')}"
+    f" - (CAST(lp + ln_ AS DOUBLE) / CAST(tp + tn AS DOUBLE))"
+    f" * {_sql_binent('lp', 'ln_')}"
+    f" - (CAST(rp + rn AS DOUBLE) / CAST(tp + tn AS DOUBLE))"
+    f" * {_sql_binent('rp', 'rn')})"
+)
+
+
+@query(
+    "info_gain_split",
+    oracle=f"""
+    WITH base AS (SELECT l_discount AS d,
+                         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                  FROM lineitem
+                  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+    g AS (SELECT d, sum(y) AS pos, count(*) - sum(y) AS neg
+          FROM base GROUP BY d),
+    tot AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM g),
+    sp AS (SELECT c.d AS c,
+                  sum(CASE WHEN g.d <= c.d THEN pos ELSE 0 END) AS lp,
+                  sum(CASE WHEN g.d <= c.d THEN neg ELSE 0 END) AS ln_
+           FROM (SELECT DISTINCT d FROM g) c CROSS JOIN g
+           GROUP BY c.d),
+    w AS (SELECT sp.c, sp.lp, sp.ln_,
+                 tot.tp - sp.lp AS rp, tot.tn - sp.ln_ AS rn,
+                 tot.tp, tot.tn
+          FROM sp, tot),
+    ig AS (SELECT c, lp, ln_, round({_IG_EXPR}, 9) AS gain FROM w),
+    r AS (SELECT c, lp, ln_, gain,
+                 row_number() OVER (ORDER BY gain DESC, c) AS rank
+          FROM ig)
+    SELECT round(c, 2) AS split_at,
+           CAST(lp AS BIGINT) AS pos_left,
+           CAST(ln_ AS BIGINT) AS neg_left,
+           gain AS info_gain,
+           CAST(rank AS BIGINT) AS rank
+    FROM r
+    """,
+)
+def info_gain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search by information gain: for every
+    candidate threshold c over l_discount, the gain
+    H(parent) − Σ weight·H(child) of splitting the binary label
+    (returned vs not) at discount ≤ c — the single-feature screen
+    behind tree induction AND the feature-audit companion of
+    mutual_info_docs for a NUMERIC feature (near-zero best gain =
+    the feature doesn't separate the label; the honest null on
+    synthetic data). Every candidate row is emitted with its gain and
+    rank, so the argmax is auditable, not asserted. Scale shape: ONE
+    (value, label) hash aggregate collapses the fact table to the
+    ≤|distinct discounts| grid; the candidate×grid cross runs on that
+    reduced frame (the theta-join-on-reduced-frame convention);
+    entropies are shared-text arithmetic on exact integer counts —
+    bit-identical cross-engine, ranking tie-broken by threshold."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_discount").isNotNull() & F.col("l_returnflag").isNotNull()
+        )
+        .select(
+            F.col("l_discount").alias("d"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+    )
+    g = base.groupBy("d").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    g = g.localCheckpoint(eager=False)  # totals + candidates + grid
+    tot = g.agg(F.sum("pos").alias("tp"), F.sum("neg").alias("tn"))
+    cand = g.select(F.col("d").alias("c")).distinct()
+    sp = (
+        cand.crossJoin(g)
+        .groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("c"), F.col("pos")).otherwise(0))
+            .alias("lp"),
+            F.sum(F.when(F.col("d") <= F.col("c"), F.col("neg")).otherwise(0))
+            .alias("ln_"),
+        )
+    )
+    w = sp.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "lp",
+        "ln_",
+        (F.col("tp") - F.col("lp")).alias("rp"),
+        (F.col("tn") - F.col("ln_")).alias("rn"),
+        "tp",
+        "tn",
+    )
+    ig = w.select(
+        "c", "lp", "ln_", F.round(F.expr(_IG_EXPR), 9).alias("gain")
+    )
+    r = ig.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("gain"), F.asc("c")))
+        .alias("rank"),
+    )
+    return r.select(
+        F.round("c", 2).alias("split_at"),
+        F.col("lp").cast("bigint").alias("pos_left"),
+        F.col("ln_").cast("bigint").alias("neg_left"),
+        F.col("gain").alias("info_gain"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -66,6 +66,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # log-rank survival test and seed-restart personalized PageRank ---
     "logrank_priority",
     "ppr_trusted_sources",
+    # --- NEW in round 10, fifth wave (never driver-checked): the
+    # split-conformal prediction-interval calibration and the
+    # information-gain decision-stump split search ---
+    "conformal_interval",
+    "info_gain_split",
     # --- touched by the round-10 advice fixes (PPJoin epsilon guards on
     # the prefix-length ceil and the length filter; label_propagation's
     # per-round vote pinning) — values re-proven locally, official rows
@@ -79,9 +84,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "zscore_outliers",
     "array_functions",
     "map_functions",
-    # --- the r5-stale refresh, 12 of 45: exactly the §2 core-parity
-    # rows and the graph/analytics tail the round-9 verdict called out
-    # by name. The 19 rows the second/third/fourth waves displaced
+    # --- the r5-stale refresh, 10 of 45: the §2 core-parity rows the
+    # round-9 verdict called out by name plus pagerank/hits from its
+    # graph tail. The 21 rows the second through fifth waves displaced
     # plus the 14 first-wave parked rows (all below the line) lead the
     # round-11 refresh. ---
     "filter_range_project",
@@ -94,13 +99,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "topk_orders",
     "pagerank_bipartite",
     "hits_bipartite",
-    "cohort_retention",
-    "benford_audit",
     # ---------------- out-of-window below this line ----------------
-    # first in line for the round-11 refresh: the nineteen r5 rows the
-    # second/third/fourth-wave round-10 queries displaced
+    # first in line for the round-11 refresh: the twenty-one r5 rows
+    # the second/third/fourth/fifth-wave round-10 queries displaced
     # (never-checked beats stale), then the fourteen r5 rows parked in
     # the first wave, then the oldest r6-era official rows
+    "cohort_retention",
+    "benford_audit",
     "argmax_latest",
     "audio_stats_real",
     "bigram_logprob",
@@ -151,23 +156,23 @@ _DRIVER_WINDOW_PRIORITY = [
 # Wilson + pooled-z experimentation stats, Theil-Sen trend), third
 # wave (Kaplan–Meier survival, seeded Adamic–Adar, Newman modularity,
 # Benjamini–Hochberg FDR, the Fourier periodogram, categorical mutual
-# information), and fourth wave (the log-rank survival test,
-# personalized PageRank); the 2 queries touched by the r10 advice
-# fixes (prefix_jaccard_pairs' epsilon guards,
+# information), fourth wave (the log-rank survival test, personalized
+# PageRank), and fifth wave (split-conformal interval calibration,
+# the information-gain stump split); the 2 queries touched by the r10
+# advice fixes (prefix_jaccard_pairs' epsilon guards,
 # label_propagation_communities' vote pinning); the 5 r4 rows deferred
 # from round 9 (winsorize/xmr/zscore/array/map — the oldest official
-# records); and 12 of the 45 r5-stale rows — exactly the §2
-# core-parity rows the round-9 verdict named (filter_range_project,
-# join_ref_inner, sort_nulls_rank, stat_summary, pivot_wide,
-# udaf_geometric_mean, whole_table_agg, topk_orders) plus the
-# graph/analytics tail it named (pagerank_bipartite, hits_bipartite,
-# cohort_retention, benford_audit). The 19 r5 rows the second, third,
-# and fourth waves displaced (argmax_latest … ngram_diversity) lead
-# the round-11 refresh, ahead of the 14 r5 rows parked in the first
-# wave (pack_token_budget … zipf_slope) and the oldest r6 rows.
+# records); and 10 of the 45 r5-stale rows — the §2 core-parity rows
+# the round-9 verdict named (filter_range_project, join_ref_inner,
+# sort_nulls_rank, stat_summary, pivot_wide, udaf_geometric_mean,
+# whole_table_agg, topk_orders) plus pagerank_bipartite and
+# hits_bipartite from its graph tail. The 21 r5 rows the second
+# through fifth waves displaced (cohort_retention … ngram_diversity)
+# lead the round-11 refresh, ahead of the 14 r5 rows parked in the
+# first wave (pack_token_budget … zipf_slope) and the oldest r6 rows.
 # Everything below the out-of-window line holds an r1-r9 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (263 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
+# (265 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
 # README per round).
 
 

@@ -358,3 +358,34 @@ def test_theil_sen_ignores_outlier_where_ols_moves(spark, tmp_path):
     assert out.n_days == 31
     assert abs(out.slope_theil_sen - 2.0) < 1e-6
     assert abs(out.slope_ols - 2.0) > 100.0
+
+
+def test_conformal_interval_coverage(spark, sf_dir):
+    """Split-conformal self-check: calibration coverage of the 90%
+    interval is ~0.9 by construction (exact percentile → at least 0.9
+    up to the boundary row), and the pieces are internally consistent."""
+    r = qr.QUERIES["conformal_interval"](spark, sf_dir).collect()[0]
+    assert r.n_train > 0 and r.n_cal > 0
+    assert r.q90_resid > 0
+    assert 0.88 <= r.cal_coverage <= 0.92
+    # the split is by orderkey parity: halves are comparable in size
+    assert abs(r.n_train - r.n_cal) < 0.2 * (r.n_train + r.n_cal)
+
+
+def test_info_gain_split_invariants(spark, sf_dir):
+    """Every candidate threshold is emitted with an auditable gain:
+    gains are non-negative (splitting never loses information), the
+    rank-1 row attains the maximum, and the left counts are monotone
+    in the threshold (cumulative by construction)."""
+    rows = sorted(
+        qr.QUERIES["info_gain_split"](spark, sf_dir).collect(),
+        key=lambda r: r.split_at,
+    )
+    assert len(rows) >= 2
+    assert all(r.info_gain >= 0 for r in rows)
+    best = max(r.info_gain for r in rows)
+    assert [r.info_gain for r in rows if r.rank == 1] == [best]
+    lefts = [(r.pos_left + r.neg_left) for r in rows]
+    assert lefts == sorted(lefts)
+    # the full-range "split" (max threshold) carries zero gain
+    assert rows[-1].info_gain == 0.0

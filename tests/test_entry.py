@@ -30,7 +30,7 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 10: the twenty-eight queries new this round (four waves)
+    # round 10: the thirty queries new this round (five waves)
     # plus the two late-r9 additions (never driver-checked), the two
     # advice-fix-touched queries, the five deferred r4 rows, and the
     # oldest (r5) official rows (no new never-checked backlog may form)
@@ -51,6 +51,8 @@ def test_driver_window_priority_ordering():
         "mutual_info_docs",
         # new this round, fourth wave
         "logrank_priority", "ppr_trusted_sources",
+        # new this round, fifth wave
+        "conformal_interval", "info_gain_split",
         # late r9, never driver-checked
         "bfs_shortest_path_tree", "ks_drift_promo",
         # touched by the r10 advice fixes
@@ -63,7 +65,7 @@ def test_driver_window_priority_ordering():
         # prefix==window check above)
         "filter_range_project", "join_ref_inner", "sort_nulls_rank",
         "stat_summary", "udaf_geometric_mean", "pagerank_bipartite",
-        "cohort_retention",
+        "hits_bipartite",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window

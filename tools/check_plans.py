@@ -406,6 +406,14 @@ EXPECT = {
     # checkpoint-leaf final plan (pinned seed distribution), as
     # pagerank_bipartite
     "ppr_trusted_sources": (2, False, True),
+    # checkpoint-leaf final plan (pinned per-order frame shared by the
+    # train/calibration halves); 1-row coefficient/quantile broadcast
+    # crosses: intended
+    "conformal_interval": (2, False, True),
+    # checkpoint-leaf final plan (pinned value×label grid); the
+    # candidate×grid cross runs on the ≤|distinct values| reduced
+    # frame: intended
+    "info_gain_split": (2, False, True),
 }
 
 
