@@ -96,7 +96,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "pivot_wide",
     "udaf_geometric_mean",
     "whole_table_agg",
-    "topk_orders",
+    "group_agg_ref7",
     "pagerank_bipartite",
     "hits_bipartite",
     # ---------------- out-of-window below this line ----------------
@@ -104,6 +104,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # the second/third/fourth/fifth-wave round-10 queries displaced
     # (never-checked beats stale), then the fourteen r5 rows parked in
     # the first wave, then the oldest r6-era official rows
+    "topk_orders",
     "cohort_retention",
     "benford_audit",
     "argmax_latest",
@@ -162,14 +163,15 @@ _DRIVER_WINDOW_PRIORITY = [
 # advice fixes (prefix_jaccard_pairs' epsilon guards,
 # label_propagation_communities' vote pinning); the 5 r4 rows deferred
 # from round 9 (winsorize/xmr/zscore/array/map — the oldest official
-# records); and 10 of the 45 r5-stale rows — the §2 core-parity rows
-# the round-9 verdict named (filter_range_project, join_ref_inner,
-# sort_nulls_rank, stat_summary, pivot_wide, udaf_geometric_mean,
-# whole_table_agg, topk_orders) plus pagerank_bipartite and
+# records); and 10 of the 45 r5-stale rows — ALL SEVEN §2 core-parity
+# rows the round-9 verdict named (filter_range_project, join_ref_inner,
+# sort_nulls_rank, group_agg_ref7, stat_summary, pivot_wide,
+# udaf_geometric_mean) plus whole_table_agg and pagerank_bipartite /
 # hits_bipartite from its graph tail. The 21 r5 rows the second
-# through fifth waves displaced (cohort_retention … ngram_diversity)
-# lead the round-11 refresh, ahead of the 14 r5 rows parked in the
-# first wave (pack_token_budget … zipf_slope) and the oldest r6 rows.
+# through fifth waves displaced (topk_orders, cohort_retention …
+# ngram_diversity) lead the round-11 refresh, ahead of the 14 r5 rows
+# parked in the first wave (pack_token_budget … zipf_slope) and the
+# oldest r6 rows.
 # Everything below the out-of-window line holds an r1-r9 green row and
 # is re-verified locally every round by check_oracle / check_bare
 # (265 registered; full-registry gates at sf0.001/0.01/0.1 recorded in

@@ -64,8 +64,8 @@ def test_driver_window_priority_ordering():
         # core-parity rows; the full 35-query slice is asserted by the
         # prefix==window check above)
         "filter_range_project", "join_ref_inner", "sort_nulls_rank",
-        "stat_summary", "udaf_geometric_mean", "pagerank_bipartite",
-        "hits_bipartite",
+        "group_agg_ref7", "stat_summary", "udaf_geometric_mean",
+        "pagerank_bipartite", "hits_bipartite",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window
