@@ -360,16 +360,20 @@ EXPECT = {
     # onto the reduced frame: intended (the ks_drift_promo shape)
     "wasserstein_drift_promo": (2, True, True),
     # daily-reduced series; 1-row total + 1-row max broadcast crosses
-    # onto the pinned prefix-sum frame: intended
-    "cusum_changepoint_revenue": (2, True, True),
+    # onto the pinned prefix-sum frame: intended. Checkpoint-leaf
+    # executed plan (every scan is behind the pin) — no visible
+    # parquet scan, the mmr_topk precedent
+    "cusum_changepoint_revenue": (2, False, True),
     # six 1-col distinct scans + value-keyed left joins, notNull pushed
     "ind_audit": (1, True, False),
     # 16-row literal coalition table NLJ-joined on bitmask containment
-    # against the ≤15-row mask-count frame: literals, never data
-    "shapley_attribution": (3, True, True),
+    # against the ≤15-row mask-count frame: literals, never data.
+    # Checkpoint-leaf executed plan — no visible parquet scan
+    "shapley_attribution": (3, False, True),
     # 1-row sketch frames crossed (the stat_summary convention); the
-    # data path is distinct + salted two-level top-k, priority pushed
-    "kmv_setops_orders": (2, True, True),
+    # data path is distinct + salted two-level top-k. Checkpoint-leaf
+    # executed plan — no visible parquet scan
+    "kmv_setops_orders": (2, False, True),
     # tiny band-margin + 1-row total broadcast-crossed onto the
     # reduced (group, band) grid: the chi2_drift_source shape
     "t_closeness_audit": (3, False, True),
@@ -379,8 +383,10 @@ EXPECT = {
     "ab_wilson_bounds": (3, False, False),
     "ab_ztest_conversion": (3, False, False),
     # deliberate reduced-frame (calendar-days) broadcast cross for the
-    # pairwise slopes + 1-row min-date/median broadcasts: intended
-    "theil_sen_trend": (2, True, True),
+    # pairwise slopes + 1-row min-date/median broadcasts: intended.
+    # Checkpoint-leaf executed plan (the daily frame is pinned for the
+    # pair join + OLS + median passes) — no visible parquet scan
+    "theil_sen_trend": (2, False, True),
     # --- round 10, third wave ---
     # these five pin a mid-plan frame with localCheckpoint, so the
     # executed plan starts at the frozen RDD and shows no parquet scan
