@@ -660,13 +660,24 @@ def connected_components(
     vertex id in the component.
 
     Scale shape: each round is one equi-join (edges ⋈ labels) + one
-    hash aggregate — all shuffles on the vertex id. Rounds needed =
-    graph diameter (near-dup clusters are small and dense, so 3-5
-    rounds in practice; ``max_iter`` bounds pathological chains).
-    Labels initialize at the 1-hop minimum (``least(src, min(dst))``,
-    one aggregate straight off the materialized edges) — the first
-    propagation round costs an aggregate instead of a join+aggregate
-    and the loop starts one hop ahead.
+    hash aggregate — all shuffles on the vertex id — followed by a
+    POINTER JUMP (component := label(component), one O(nodes)
+    self-join on the label frame). The jump halves remaining chain
+    depth every round, so convergence needs O(log diameter) rounds,
+    not diameter rounds: a 1M-hop chain converges inside ``max_iter``
+    = 20 (2^20 hops) where pure neighborhood-min propagation would
+    silently stop un-converged at round 20 — exactly what the sf0.1
+    ann_join_clusters graph exposed (thin τ-threshold chains with
+    diameter > 20; the round-10 red). Labels initialize at the 1-hop
+    minimum (``least(src, min(dst))``, one aggregate straight off the
+    materialized edges) — the first propagation round costs an
+    aggregate instead of a join+aggregate and the loop starts one hop
+    ahead. The jump is label-algebra only: a label is always a vertex
+    id inside the same component (initialization picks a neighbor or
+    self; neighbor-min and label-of-label both stay inside the
+    component), and labels only decrease, so the unique fixpoint —
+    every vertex at its component minimum — is unchanged; the jump
+    just reaches it exponentially faster.
 
     Lineage is truncated every round — the standard Spark idiom for
     iterative algorithms. Default is ``localCheckpoint`` (fast; blocks
@@ -713,10 +724,11 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
-        # carry the previous label through the checkpoint: the
-        # convergence test is then a scan of already-materialized data
-        # (limit-1 short-circuit) instead of a second join per round
-        new_labels = _ckpt(
+        # checkpoint the stepped labels: the pointer jump reads this
+        # frame from two branches (rows + the label lookup side), so
+        # the eager pin both severs the self-join lineage and freezes
+        # one evaluation for both readers
+        stepped = _ckpt(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
@@ -726,6 +738,27 @@ def connected_components(
                 F.col("component").alias("_prev"),
             )
         )
+        # pointer jump: component := label(component). Every label is a
+        # vertex id in the same component, so the lookup always lands
+        # (left join + coalesce is belt-and-braces); chain depth halves
+        # per round → O(log diameter) total rounds.
+        lut = stepped.select(
+            F.col("id").alias("_jid"), F.col("component").alias("_jcomp")
+        )
+        new_labels = _ckpt(
+            stepped.join(lut, stepped["component"] == lut["_jid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_jcomp"), F.col("component")),
+                ).alias("component"),
+                "_prev",
+            )
+        )
+        # carry the previous label through the checkpoint: the
+        # convergence test is then a scan of already-materialized data
+        # (limit-1 short-circuit) instead of a second join per round
         changed = (
             new_labels.filter(F.col("component") != F.col("_prev")).limit(1).count()
         )

@@ -621,3 +621,20 @@ def test_prefix_filter_prefix_is_small(spark):
     # prefix length for n=40 at tau .95: 40 - ceil(38) + 1 = 3 tokens
     assert 40 - int(-(-0.95 * 40 // 1)) + 1 == 3
     assert tk == 200 * 40
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Regression for the round-10 sf0.1 ann_join_clusters red: a path
+    graph with diameter far above max_iter must still converge to the
+    component minimum — the pointer jump (component := label(component))
+    makes rounds O(log diameter), where pure neighborhood-min
+    propagation silently stopped un-converged at max_iter=20."""
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+
+    n = 300  # diameter 299 >> max_iter=20; needs ~log2(300) jump rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in dd.connected_components(pairs).collect()}
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}
