@@ -1151,3 +1151,177 @@ def logrank_test(
         chi2.alias("chi2_logrank"),
         (chi2 > 3.841459).alias("significant"),
     )
+
+
+def running_sums(
+    per_val: DataFrame,
+    value_col: str,
+    cols: Sequence[str],
+    out_prefix: str = "_cum_",
+) -> DataFrame:
+    """Inclusive running totals of ``cols`` over the per-distinct-value
+    frame ``per_val`` ordered by ``value_col`` — the shared two-phase
+    prefix-sum pass behind :func:`ks_statistic` / :func:`kaplan_meier` /
+    :func:`logrank_test`, factored as a reusable primitive for new
+    rank-based consumers (:func:`mann_whitney_u`, :func:`average_ranks`).
+
+    ``per_val`` must already be collapsed to one row per distinct value
+    (one combinable hash aggregate upstream); this pass range-partitions
+    it by value with the exchange PINNED (see
+    :func:`pin_single_evaluation` for why), computes per-physical-
+    partition running sums via a window keyed on the partition id, and
+    broadcasts a ≤num_partitions-row cumulative carry back.  Never a
+    single-partition global window.  Each requested column ``c`` gains
+    an ``{out_prefix}{c}`` inclusive cumulative column; exclusive
+    (strictly-before) variants are ``cum - c`` at the call site.
+    """
+    p = per_val.sparkSession.sparkContext.defaultParallelism
+    pinned = pin_single_evaluation(
+        per_val.repartitionByRange(p, F.col(value_col)).sortWithinPartitions(
+            value_col
+        )
+    )
+    mid = F.monotonically_increasing_id()
+    local = pinned.select(
+        "*",
+        F.shiftright(mid, _MID_ORDINAL_BITS).alias("_pid"),
+        (mid.bitwiseAND(F.lit((1 << _MID_ORDINAL_BITS) - 1)) + 1).alias(
+            "_lrn"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy("_lrn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = local.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_s_{c}") for c in cols]
+    )
+    offs = offs.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_s_{c}").over(off_w), F.lit(0)).alias(
+                f"_off_{c}"
+            )
+            for c in cols
+        ],
+    )
+    out = local
+    for c in cols:
+        out = out.withColumn(f"_in_{c}", F.sum(c).over(w_in))
+    out = out.join(F.broadcast(offs), "_pid")
+    for c in cols:
+        out = out.withColumn(
+            f"{out_prefix}{c}", F.col(f"_in_{c}") + F.col(f"_off_{c}")
+        ).drop(f"_in_{c}", f"_off_{c}")
+    return out.drop("_pid", "_lrn")
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) test with
+    midranks for ties and the tie-corrected normal approximation — the
+    nonparametric "did the level shift?" companion of
+    :func:`ks_statistic` (which asks about the whole distribution
+    shape): U compares stochastic dominance between the two groups
+    without assuming normality, the test a t-test-shaped question
+    should use on skewed engagement/latency/value metrics.
+
+    Scale shape: one combinable hash aggregate collapses rows to
+    per-distinct-value counts for both groups, ONE pinned two-phase
+    prefix-sum pass (:func:`running_sums`) supplies the strictly-below
+    cumulative count, and the rank sum folds in exact integer
+    arithmetic: with t tied at a value and cb strictly below, the
+    midrank is cb + (t+1)/2, so twice group a's rank sum is
+    Σ ca·(2·cb + t + 1) — a BIGINT.  The tie-correction term
+    Σ (t³ − t) is likewise integral.  Determinism: everything up to the
+    final z is exact integers; U is an exact multiple of ½; z is shared
+    IEEE arithmetic on those integers, rounded to 6; ``significant``
+    compares the rounded value so both engines decide from the same
+    number.  Returns one row (n_a, n_b, u_stat, z_stat, significant).
+
+    NULL values are excluded; a group with zero rows (or an all-tied
+    frame with zero variance) yields NULL z_stat rather than a division
+    error.
+    """
+    vc, gc = F.col(value_col), F.col(group_col)
+    base = df.filter(vc.isNotNull() & gc.isin([group_a, group_b]))
+    per_val = base.groupBy(vc.alias("_v")).agg(
+        F.sum(F.when(gc == group_a, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(gc == group_b, 1).otherwise(0)).alias("_cb"),
+        F.count(F.lit(1)).alias("_t"),
+    )
+    cum = running_sums(per_val, "_v", ["_t"])
+    below = F.col("_cum__t") - F.col("_t")
+    s = cum.agg(
+        F.sum("_ca").cast("bigint").alias("n_a"),
+        F.sum("_cb").cast("bigint").alias("n_b"),
+        F.sum(F.col("_ca") * (2 * below + F.col("_t") + 1))
+        .cast("bigint")
+        .alias("_r2x"),
+        F.sum(
+            F.col("_t").cast("bigint") * F.col("_t") * F.col("_t")
+            - F.col("_t")
+        )
+        .cast("bigint")
+        .alias("_ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("_r2x").cast("double") / 2 - na * (na + 1) / 2
+    var = (na * nb / 12.0) * (
+        (n + 1) - F.col("_ties").cast("double") / (n * (n - 1))
+    )
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+        F.round((u - na * nb / 2) / F.sqrt(var), 6),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(u, 6).alias("u_stat"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.959964).alias("significant"),
+    )
+
+
+def average_ranks(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "avg_rank",
+) -> DataFrame:
+    """Global 1-based AVERAGE (mid-)ranks of ``value_col`` — the
+    tie-honest companion of :func:`global_rank` (which needs a total
+    order and assigns ties arbitrarily): every row tied at a value gets
+    the mean of the positions the tie block occupies, the rank
+    definition Spearman's ρ and rank-based tests require.
+
+    Scale shape: collapse to per-distinct-value counts (one combinable
+    hash aggregate), ONE pinned two-phase prefix-sum pass
+    (:func:`running_sums`) for the strictly-below count, then an
+    equi-join back onto the input rows by value — never a
+    single-partition window over the data.  The midrank
+    below + (cnt+1)/2 is an exact multiple of ½ (double-exact).
+    NULL values get a NULL rank (excluded from the count base).
+    """
+    vc = F.col(value_col)
+    per_val = (
+        df.filter(vc.isNotNull())
+        .groupBy(vc.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    cum = running_sums(per_val, "_v", ["_cnt"])
+    ranks = cum.select(
+        F.col("_v"),
+        (
+            (F.col("_cum__cnt") - F.col("_cnt")).cast("double")
+            + (F.col("_cnt").cast("double") + 1) / 2
+        ).alias(out_col),
+    )
+    return df.join(ranks, df[value_col] == ranks["_v"], "left").drop("_v")

@@ -25,6 +25,7 @@ from covid_custom_sql_engine_spark.registry import sketches as _sketches  # noqa
 from covid_custom_sql_engine_spark.registry import ann_pq as _ann_pq  # noqa: F401
 from covid_custom_sql_engine_spark.registry import analytics as _analytics  # noqa: F401
 from covid_custom_sql_engine_spark.registry import epi as _epi  # noqa: F401
+from covid_custom_sql_engine_spark.registry import stats_ml as _stats_ml  # noqa: F401
 from covid_custom_sql_engine_spark.registry.window import (  # noqa: F401
     _DRIVER_WINDOW_PRIORITY,
 )

@@ -1,0 +1,411 @@
+"""Round-10 continuation — rank statistics, time-series diagnostics,
+and closed-form ML-as-SQL query families.
+
+Same conventions as every family module (see _base): identical aliases
+both sides, deterministic fixed-point folds for double sums, round(6)
+on computed doubles, reduced-frame justification documented wherever a
+quadratic pair join or broadcast cross appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from covid_custom_sql_engine_spark.catalog import load_table
+from covid_custom_sql_engine_spark.operators import core as ops
+from covid_custom_sql_engine_spark.registry._base import (
+    _sql_dsum,
+    query,
+)
+
+
+# ---------------------------------------------------------------------------
+# Rank-based statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mann_whitney_value_shift",
+    oracle="""
+    WITH base AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ga
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
+    pv AS (SELECT v, sum(ga) AS ca, count(*) - sum(ga) AS cb,
+                  count(*) AS t
+           FROM base GROUP BY v),
+    c AS (SELECT *,
+                 sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+                 AS below
+          FROM pv),
+    s AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b,
+                 CAST(sum(ca * (2 * below + t + 1)) AS BIGINT) AS r2x,
+                 CAST(sum(t * t * t - t) AS BIGINT) AS ties
+          FROM c),
+    d AS (SELECT n_a, n_b, r2x, ties,
+                 CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+                 CAST(n_a + n_b AS DOUBLE) AS nd
+          FROM s),
+    e AS (SELECT n_a, n_b,
+                 CAST(r2x AS DOUBLE) / 2 - nad * (nad + 1) / 2 AS u,
+                 (nad * nbd / 12.0)
+                 * ((nd + 1) - CAST(ties AS DOUBLE) / (nd * (nd - 1)))
+                 AS var,
+                 nad, nbd
+          FROM d),
+    f AS (SELECT n_a, n_b, round(u, 6) AS u_stat,
+                 CASE WHEN n_a > 0 AND n_b > 0 AND var > 0
+                      THEN round((u - nad * nbd / 2) / sqrt(var), 6)
+                 END AS z_stat
+          FROM e)
+    SELECT n_a, n_b, u_stat, z_stat,
+           abs(z_stat) > 1.959964 AS significant
+    FROM f
+    """,
+)
+def mann_whitney_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U between purchase and view event values
+    (selection.mann_whitney_u) — the nonparametric level-shift test for
+    skewed metrics where a t-test's normality assumption is wrong, and
+    the median-shift companion of the shape-sensitive `ks_drift_promo`.
+    Scale shape: per-distinct-value group counts (one combinable hash
+    aggregate), ONE pinned two-phase prefix-sum pass for the
+    strictly-below counts (the ks_statistic discipline — never a
+    single-partition window), and an exact-integer rank-sum fold:
+    2·R_a = Σ ca·(2·below + t + 1) is a BIGINT, the tie term Σ(t³−t)
+    likewise. U is an exact multiple of ½; z is one-row shared IEEE
+    arithmetic on those integers, round(6) before the 5% verdict."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return sel.mann_whitney_u(e, "value", "event_type", "purchase", "view")
+
+
+@query(
+    "rank_correlation_daily",
+    oracle=f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS t,
+                      count(*) AS x,
+                      {_sql_dsum('o_totalprice')} AS y
+               FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+    r AS (SELECT t, x, y,
+                 rank() OVER (ORDER BY x)
+                   + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                 rank() OVER (ORDER BY y)
+                   + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+          FROM d),
+    s AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+                 sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+                 sum(rx * ry) AS sxy
+          FROM r),
+    p AS (SELECT CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                               OR (a.x > b.x AND a.y > b.y)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+                 CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                               OR (a.x > b.x AND a.y < b.y)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+                 CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tie_x,
+                 CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tie_y,
+                 count(*) AS n0
+          FROM d a JOIN d b ON a.t < b.t)
+    SELECT CAST(s.n AS BIGINT) AS n_days,
+           round((s.n * s.sxy - s.sx * s.sy)
+                 / sqrt((s.n * s.sxx - s.sx * s.sx)
+                        * (s.n * s.syy - s.sy * s.sy)), 6) AS spearman_rho,
+           round((p.conc - p.disc)
+                 / sqrt(CAST(p.n0 - p.tie_x AS DOUBLE)
+                        * CAST(p.n0 - p.tie_y AS DOUBLE)), 6)
+             AS kendall_tau_b
+    FROM s, p
+    """,
+)
+def rank_correlation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman's ρ and Kendall's τ-b between daily order COUNT and
+    daily order REVENUE — the monotone-association pair that survives
+    outliers and nonlinearity where Pearson (safe_corr_qty_price) does
+    not, and the natural "are volume and value moving together?"
+    readout.  Scale shape: the fact table collapses to the
+    calendar-bounded daily frame FIRST; Spearman's midranks come from
+    selection.average_ranks (per-distinct-value collapse + ONE pinned
+    two-phase prefix-sum each — never a global window over data rows),
+    and every rank is an exact multiple of ½ so the Pearson-on-ranks
+    sums are exact double arithmetic at any summation order; Kendall's
+    concordant/discordant counts are a quadratic pair join over DAYS
+    (the theil_sen_trend reduced-frame broadcast-cross convention),
+    all-integer until the final one-row τ-b quotient.  round(6) both."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(F.to_date("o_orderdate").alias("t"), "o_totalprice")
+    )
+    d = o.groupBy("t").agg(
+        F.count(F.lit(1)).alias("x"),
+        ops.dsum(F.col("o_totalprice")).alias("y"),
+    )
+    d = d.localCheckpoint(eager=False)  # ranks ×2 + pair join reuse
+    r = sel.average_ranks(d, "x", "rx")
+    r = sel.average_ranks(r, "y", "ry")
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    a = d.select(
+        F.col("t").alias("ta"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = d.select(
+        F.col("t").alias("tb"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    p = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+                    | (
+                        (F.col("xa") > F.col("xb"))
+                        & (F.col("ya") > F.col("yb"))
+                    ),
+                    one,
+                ).otherwise(zero)
+            )
+            .cast("bigint")
+            .alias("conc"),
+            F.sum(
+                F.when(
+                    ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+                    | (
+                        (F.col("xa") > F.col("xb"))
+                        & (F.col("ya") < F.col("yb"))
+                    ),
+                    one,
+                ).otherwise(zero)
+            )
+            .cast("bigint")
+            .alias("disc"),
+            F.sum(F.when(F.col("xa") == F.col("xb"), one).otherwise(zero))
+            .cast("bigint")
+            .alias("tie_x"),
+            F.sum(F.when(F.col("ya") == F.col("yb"), one).otherwise(zero))
+            .cast("bigint")
+            .alias("tie_y"),
+            F.count(one).alias("n0"),
+        )
+    )
+    return s.crossJoin(F.broadcast(p)).select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+        F.round(
+            (F.col("conc") - F.col("disc"))
+            / F.sqrt(
+                (F.col("n0") - F.col("tie_x")).cast("double")
+                * (F.col("n0") - F.col("tie_y")).cast("double")
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics on the zero-filled daily revenue spine
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = [1, 2, 7, 14, 28]
+
+_SQL_DAILY_SPINE = f"""
+    d0 AS (SELECT CAST(o_orderdate AS DATE) AS t,
+                  {_sql_dsum('o_totalprice')} AS y
+           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+    m AS (SELECT min(t) AS a, max(t) AS b FROM d0),
+    sp AS (SELECT unnest(generate_series(a, b, INTERVAL 1 DAY))::DATE AS d
+           FROM m),
+    s AS (SELECT sp.d, coalesce(d0.y, 0.0) AS y
+          FROM sp LEFT JOIN d0 ON d0.t = sp.d)
+"""
+
+
+@query(
+    "acf_daily_revenue",
+    oracle=f"""
+    WITH {_SQL_DAILY_SPINE},
+    g AS (SELECT count(*) AS n, {_sql_dsum('y')} AS sy FROM s),
+    mu AS (SELECT sy / n AS ybar FROM g),
+    den AS (SELECT {_sql_dsum('(s.y - mu.ybar) * (s.y - mu.ybar)')} AS d2
+            FROM s, mu),
+    lags AS (SELECT unnest([{", ".join(str(k) for k in _ACF_LAGS)}]) AS lag),
+    num AS (SELECT l.lag,
+                   count(*) AS n_pairs,
+                   {_sql_dsum(
+                       '(s1.y - mu.ybar) * (s2.y - mu.ybar)'
+                   )} AS nk
+            FROM s s1
+            CROSS JOIN lags l
+            JOIN s s2 ON s2.d = s1.d + l.lag * INTERVAL 1 DAY
+            CROSS JOIN mu
+            GROUP BY l.lag)
+    SELECT CAST(num.lag AS BIGINT) AS lag,
+           CAST(num.n_pairs AS BIGINT) AS n_pairs,
+           round(num.nk / den.d2, 6) AS acf
+    FROM num, den
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily order revenue at lags
+    {1, 2, 7, 14, 28} on the ZERO-FILLED calendar spine — the
+    periodicity diagnostic that motivates (and validates) the DFT scan
+    in `dominant_period_dft`: a weekly cycle surfaces as elevated
+    r(7)/r(14)/r(28).  Scale shape: the fact table collapses to the
+    daily frame first; the spine is one sequence-explode off a 1-row
+    min/max aggregate; each lag's numerator is ONE equi-join of the
+    spine against itself shifted by the broadcast 5-row lag table —
+    no window, no per-lag rescan of the fact table.  Sums of products
+    fold fixed-point (dsum) so the quotient is bit-identical
+    cross-engine; round(6)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(F.to_date("o_orderdate").alias("t"), "o_totalprice")
+    )
+    d0 = o.groupBy("t").agg(ops.dsum(F.col("o_totalprice")).alias("y"))
+    m = d0.agg(F.min("t").alias("a"), F.max("t").alias("b"))
+    sp = m.select(F.explode(F.sequence("a", "b")).alias("d"))
+    s = (
+        sp.join(d0, sp["d"] == d0["t"], "left")
+        .select("d", F.coalesce(F.col("y"), F.lit(0.0)).alias("y"))
+        .localCheckpoint(eager=False)  # reused by mean, denom, both join sides
+    )
+    g = s.agg(F.count(F.lit(1)).alias("n"), ops.dsum(F.col("y")).alias("sy"))
+    mu = F.broadcast(g.select((F.col("sy") / F.col("n")).alias("ybar")))
+    den = (
+        s.crossJoin(mu)
+        .agg(
+            ops.dsum(
+                (F.col("y") - F.col("ybar")) * (F.col("y") - F.col("ybar"))
+            ).alias("d2")
+        )
+    )
+    lags = F.broadcast(
+        spark.createDataFrame([(k,) for k in _ACF_LAGS], "lag int")
+    )
+    s1 = s.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
+    s2 = s.select(F.col("d").alias("d2x"), F.col("y").alias("y2"))
+    num = (
+        s1.crossJoin(lags)
+        .join(s2, F.date_add(F.col("d1"), F.col("lag")) == F.col("d2x"))
+        .crossJoin(mu)
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            ops.dsum(
+                (F.col("y1") - F.col("ybar")) * (F.col("y2") - F.col("ybar"))
+            ).alias("nk"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(F.col("nk") / F.col("d2"), 6).alias("acf"),
+    )
+
+
+@query(
+    "seasonal_dow_decompose",
+    oracle=f"""
+    WITH {_SQL_DAILY_SPINE},
+    offs AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS o),
+    tr AS (SELECT s1.d, {_sql_dsum('s2.y')} / 7 AS trend
+           FROM s s1
+           CROSS JOIN offs
+           JOIN s s2 ON s2.d = s1.d + offs.o * INTERVAL 1 DAY
+           GROUP BY s1.d
+           HAVING count(*) = 7),
+    det AS (SELECT s.d, s.y - tr.trend AS detr
+            FROM s JOIN tr ON tr.d = s.d),
+    raw AS (SELECT isodow(d) AS dow, count(*) AS n_days,
+                   {_sql_dsum('detr')} / count(*) AS raw_idx
+            FROM det GROUP BY 1),
+    gm AS (SELECT {_sql_dsum('raw_idx')} / count(*) AS mean_raw FROM raw)
+    SELECT CAST(raw.dow AS BIGINT) AS dow,
+           CAST(raw.n_days AS BIGINT) AS n_days,
+           round(raw.raw_idx - gm.mean_raw, 6) AS seasonal_idx
+    FROM raw, gm
+    """,
+)
+def seasonal_dow_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue,
+    day-of-week component: centered 7-day moving-average trend
+    (interior days only — exactly the textbook construction), detrend,
+    average the residual per ISO day-of-week, and normalize the seven
+    indices to mean zero so they read as pure ± revenue effects.  The
+    de-seasonalization companion of `seasonal_baseline` (hour-of-day
+    anomalies) and the structural readout behind `acf_daily_revenue`'s
+    weekly peaks.  Scale shape: everything runs on the reduced daily
+    spine; the centered MA is ONE equi-join against the broadcast 7-row
+    offset table with a count-7 gate (no global ordered window); the
+    seven-row index frame folds fixed-point and the grand-mean
+    adjustment is a 1-row broadcast.  ISO dow (1=Mon) on both engines;
+    round(6)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(F.to_date("o_orderdate").alias("t"), "o_totalprice")
+    )
+    d0 = o.groupBy("t").agg(ops.dsum(F.col("o_totalprice")).alias("y"))
+    m = d0.agg(F.min("t").alias("a"), F.max("t").alias("b"))
+    sp = m.select(F.explode(F.sequence("a", "b")).alias("d"))
+    s = (
+        sp.join(d0, sp["d"] == d0["t"], "left")
+        .select("d", F.coalesce(F.col("y"), F.lit(0.0)).alias("y"))
+        .localCheckpoint(eager=False)  # MA join (both sides) + detrend reuse
+    )
+    offs = F.broadcast(
+        spark.createDataFrame([(i,) for i in range(-3, 4)], "o int")
+    )
+    s1 = s.select(F.col("d").alias("d1"))
+    s2 = s.select(F.col("d").alias("d2x"), F.col("y").alias("y2"))
+    tr = (
+        s1.crossJoin(offs)
+        .join(s2, F.date_add(F.col("d1"), F.col("o")) == F.col("d2x"))
+        .groupBy("d1")
+        .agg(
+            F.count(F.lit(1)).alias("_k"),
+            (ops.dsum(F.col("y2")) / 7).alias("trend"),
+        )
+        .filter(F.col("_k") == 7)
+    )
+    det = s.join(tr, s["d"] == tr["d1"]).select(
+        "d", (F.col("y") - F.col("trend")).alias("detr")
+    )
+    raw = det.groupBy((F.weekday("d") + 1).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (ops.dsum(F.col("detr")) / F.count(F.lit(1))).alias("raw_idx"),
+    )
+    gm = F.broadcast(
+        raw.agg(
+            (ops.dsum(F.col("raw_idx")) / F.count(F.lit(1))).alias("mean_raw")
+        )
+    )
+    return raw.crossJoin(gm).select(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(F.col("raw_idx") - F.col("mean_raw"), 6).alias("seasonal_idx"),
+    )

@@ -420,6 +420,19 @@ EXPECT = {
     # candidate×grid cross runs on the ≤|distinct values| reduced
     # frame: intended
     "info_gain_split": (2, False, True),
+    # --- round-10 continuation: rank stats + time-series families ---
+    # pinned-prefix-sum checkpoint-leaf (midrank pass); 1-row totals
+    # broadcast cross: intended
+    "mann_whitney_value_shift": (2, False, True),
+    # checkpoint-leaf daily frame; Kendall pair join is the reduced
+    # daily-frame broadcast cross (theil_sen convention): intended
+    "rank_correlation_daily": (2, False, True),
+    # checkpoint-leaf zero-filled spine; 5-row lag table + 1-row mean
+    # broadcast crosses onto the reduced daily frame: intended
+    "acf_daily_revenue": (2, False, True),
+    # checkpoint-leaf spine; 7-row offset table + 1-row grand-mean
+    # broadcast crosses: intended
+    "seasonal_dow_decompose": (2, False, True),
 }
 
 
