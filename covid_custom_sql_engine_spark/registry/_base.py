@@ -57,6 +57,12 @@ def _sql_dsum(x: str) -> str:
     return f"CAST(sum(CAST(({x}) AS DECIMAL(38,6))) AS DOUBLE)"
 
 
+def _sql_dsum12(x: str) -> str:
+    """Oracle twin of ``ops.dsum12`` — 12 fractional digits for sums of
+    small-magnitude terms (second moments of fraction-valued columns)."""
+    return f"CAST(sum(CAST(({x}) AS DECIMAL(38,12))) AS DOUBLE)"
+
+
 def _sql_davg(x: str) -> str:
     return f"(CASE WHEN count({x}) > 0 THEN {_sql_dsum(x)} / count({x}) END)"
 

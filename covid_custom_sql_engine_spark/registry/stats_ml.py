@@ -15,6 +15,7 @@ from covid_custom_sql_engine_spark.catalog import load_table
 from covid_custom_sql_engine_spark.operators import core as ops
 from covid_custom_sql_engine_spark.registry._base import (
     _sql_dsum,
+    _sql_dsum12,
     query,
 )
 
@@ -408,4 +409,335 @@ def seasonal_dow_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dow").cast("bigint").alias("dow"),
         F.col("n_days").cast("bigint").alias("n_days"),
         F.round(F.col("raw_idx") - F.col("mean_raw"), 6).alias("seasonal_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form / compositional ML-as-SQL
+# ---------------------------------------------------------------------------
+
+# Shared expression text (verbatim on both engines — identical IEEE
+# opcode order, the MMR/Markov discipline) for the ridge closed form.
+_RIDGE_LAM = "10.0"
+_RIDGE_DET = (
+    f"((s11 + {_RIDGE_LAM}) * (s22 + {_RIDGE_LAM}) - s12 * s12)"
+)
+_RIDGE_B1 = f"((s1y * (s22 + {_RIDGE_LAM}) - s12 * s2y) / {_RIDGE_DET})"
+_RIDGE_B2 = f"(((s11 + {_RIDGE_LAM}) * s2y - s12 * s1y) / {_RIDGE_DET})"
+_RIDGE_B0 = "(my - b1 * m1 - b2 * m2)"
+_RIDGE_SSE = (
+    "(syy - 2 * b1 * s1y - 2 * b2 * s2y"
+    " + b1 * b1 * s11 + 2 * b1 * b2 * s12 + b2 * b2 * s22)"
+)
+
+
+@query(
+    "ridge_regression_price",
+    oracle=f"""
+    WITH m AS (SELECT count(*) AS n,
+                      {_sql_dsum('l_quantity')} / count(*) AS m1,
+                      {_sql_dsum('l_discount')} / count(*) AS m2,
+                      {_sql_dsum('l_extendedprice')} / count(*) AS my
+               FROM lineitem),
+    s AS (SELECT n, m1, m2, my,
+                 {_sql_dsum12('(l_quantity - m1) * (l_quantity - m1)')} AS s11,
+                 {_sql_dsum12('(l_quantity - m1) * (l_discount - m2)')} AS s12,
+                 {_sql_dsum12('(l_discount - m2) * (l_discount - m2)')} AS s22,
+                 {_sql_dsum12('(l_quantity - m1) * (l_extendedprice - my)')} AS s1y,
+                 {_sql_dsum12('(l_discount - m2) * (l_extendedprice - my)')} AS s2y,
+                 {_sql_dsum12('(l_extendedprice - my) * (l_extendedprice - my)')} AS syy
+          FROM lineitem, m
+          GROUP BY n, m1, m2, my),
+    b AS (SELECT *, {_RIDGE_B1} AS b1, {_RIDGE_B2} AS b2 FROM s),
+    o AS (SELECT *, {_RIDGE_B0} AS b0, {_RIDGE_SSE} AS sse FROM b)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(b1, 6) AS beta_quantity,
+           round(b2, 6) AS beta_discount,
+           round(b0, 6) AS intercept,
+           round(1 - sse / syy, 6) AS r2
+    FROM o
+    """,
+)
+def ridge_regression_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-feature RIDGE regression of extended price on
+    quantity and discount (λ = 10): centered normal equations solved by
+    Cramer's rule — the multivariate upgrade of the per-group OLS in
+    `ols_trend_by_type`, with the L2 term that keeps the solve stable
+    when features correlate.  Scale shape: two combinable full-scan
+    aggregates (means, then centered second moments against the 1-row
+    broadcast means) and a one-row solve — model fitting at 100 TB as
+    exactly two distributed passes, no gradient loop, no driver-side
+    matrix library.  The centered two-pass sums avoid the n·Σx²−(Σx)²
+    cancellation; every fold is fixed-point, and the solve/SSE
+    arithmetic is ONE shared expression string evaluated verbatim by
+    both engines (the MMR/Markov determinism discipline), so the
+    coefficients are bit-identical before the final round(6)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    n = F.count(F.lit(1))
+    m = li.agg(
+        n.alias("n"),
+        (ops.dsum(F.col("l_quantity")) / n).alias("m1"),
+        (ops.dsum(F.col("l_discount")) / n).alias("m2"),
+        (ops.dsum(F.col("l_extendedprice")) / n).alias("my"),
+    )
+    c = li.crossJoin(F.broadcast(m))
+    s = c.groupBy("n", "m1", "m2", "my").agg(
+        ops.dsum12(
+            (F.col("l_quantity") - F.col("m1"))
+            * (F.col("l_quantity") - F.col("m1"))
+        ).alias("s11"),
+        ops.dsum12(
+            (F.col("l_quantity") - F.col("m1"))
+            * (F.col("l_discount") - F.col("m2"))
+        ).alias("s12"),
+        ops.dsum12(
+            (F.col("l_discount") - F.col("m2"))
+            * (F.col("l_discount") - F.col("m2"))
+        ).alias("s22"),
+        ops.dsum12(
+            (F.col("l_quantity") - F.col("m1"))
+            * (F.col("l_extendedprice") - F.col("my"))
+        ).alias("s1y"),
+        ops.dsum12(
+            (F.col("l_discount") - F.col("m2"))
+            * (F.col("l_extendedprice") - F.col("my"))
+        ).alias("s2y"),
+        ops.dsum12(
+            (F.col("l_extendedprice") - F.col("my"))
+            * (F.col("l_extendedprice") - F.col("my"))
+        ).alias("syy"),
+    )
+    b = s.withColumn("b1", F.expr(_RIDGE_B1)).withColumn(
+        "b2", F.expr(_RIDGE_B2)
+    )
+    o = b.withColumn("b0", F.expr(_RIDGE_B0)).withColumn(
+        "sse", F.expr(_RIDGE_SSE)
+    )
+    return o.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("b1"), 6).alias("beta_quantity"),
+        F.round(F.col("b2"), 6).alias("beta_discount"),
+        F.round(F.col("b0"), 6).alias("intercept"),
+        F.round(F.expr("1 - sse / syy"), 6).alias("r2"),
+    )
+
+
+@query(
+    "knn_label_vote",
+    oracle="""
+    WITH te AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS true_label
+                FROM embeddings WHERE vec_id % 10 = 0),
+    tr AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings
+           WHERE vec_id % 10 != 0),
+    scored AS (SELECT te.query_id, te.true_label, tr.vec_id, tr.label,
+                      list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv))
+                           * sqrt(list_dot_product(cv, cv))) AS cos
+               FROM te CROSS JOIN tr),
+    nn AS (SELECT query_id, true_label, label
+           FROM scored
+           QUALIFY row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) <= 5),
+    votes AS (SELECT query_id, true_label, label AS pred_label,
+                     count(*) AS n_votes
+              FROM nn GROUP BY 1, 2, 3),
+    pick AS (SELECT query_id, true_label, pred_label, n_votes
+             FROM votes
+             QUALIFY row_number() OVER (PARTITION BY query_id
+                                        ORDER BY n_votes DESC, pred_label) = 1)
+    SELECT CAST(query_id AS BIGINT) AS vec_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           true_label = pred_label AS correct
+    FROM pick
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (k = 5, exact cosine, majority vote with
+    smallest-label tie-break) of the held-out tenth of the embeddings
+    table against the rest — the supervised consumer of the retrieval
+    stack: sim.brute_force_topk supplies the neighbors (broadcast query
+    side, ONE corpus scan for all queries, two-phase per-query top-k —
+    never a corpus sort), and the vote is a tiny per-query aggregate +
+    argmax window over ≤k rows per query.  At 100 TB the brute-force
+    stage swaps for the IVF/IVFPQ ladder unchanged (ann_recall measures
+    exactly that substitution's cost).  Vote counts are integers;
+    cosine ties break on neighbor id (the cosine_topk convention)."""
+    from covid_custom_sql_engine_spark.catalog import parallelize_small
+    from covid_custom_sql_engine_spark.functions import similarity as sim
+    from pyspark.sql import Window
+
+    e = parallelize_small(load_table(spark, sf_dir, "embeddings"))
+    te = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "embedding",
+        F.col("label").alias("true_label"),
+    )
+    tr = e.filter(F.col("vec_id") % 10 != 0)
+    nn = sim.brute_force_topk(tr, te.select("query_id", "embedding"), k=5)
+    votes = (
+        nn.join(
+            tr.select(F.col("vec_id"), F.col("label").alias("pred_label")),
+            "vec_id",
+        )
+        .join(F.broadcast(te.select("query_id", "true_label")), "query_id")
+        .groupBy("query_id", "true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("pred_label")
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("query_id").cast("bigint").alias("vec_id"),
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col("pred_label").cast("bigint").alias("pred_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+    )
+
+
+_NB_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+)
+
+
+@query(
+    "naive_bayes_lang",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, lang, {_NB_SQL_TOKS} AS toks FROM documents),
+    tr AS (SELECT * FROM docs WHERE doc_id % 5 != 0),
+    te AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+    trt AS (SELECT lang, unnest(toks) AS w FROM tr),
+    cwl AS (SELECT lang, w, count(*) AS cnt FROM trt GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM cwl GROUP BY 1),
+    voc AS (SELECT count(DISTINCT w) AS v FROM cwl),
+    pri AS (SELECT lang, round(ln(CAST(count(*) AS DOUBLE)
+                                  / (SELECT count(*) FROM tr)), 6) AS prior
+            FROM tr GROUP BY 1),
+    tet AS (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS w FROM te) GROUP BY 1, 2),
+    term AS (SELECT tet.doc_id, tot.lang,
+                    tet.c * ln((coalesce(cwl.cnt, 0) + 1.0)
+                               / CAST(tot.tot + voc.v AS DOUBLE)) AS tv
+             FROM tet
+             CROSS JOIN tot
+             CROSS JOIN voc
+             LEFT JOIN cwl ON cwl.w = tet.w AND cwl.lang = tot.lang),
+    ds AS (SELECT doc_id, lang, {_sql_dsum('tv')} AS s
+           FROM term GROUP BY 1, 2),
+    sc AS (SELECT te.doc_id, te.lang AS true_lang, pri.lang AS cand,
+                  pri.prior + coalesce(ds.s, 0.0) AS score
+           FROM te
+           CROSS JOIN pri
+           LEFT JOIN ds ON ds.doc_id = te.doc_id AND ds.lang = pri.lang),
+    pick AS (SELECT doc_id, true_lang, cand AS pred_lang
+             FROM sc
+             QUALIFY row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cand) = 1)
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pick GROUP BY 1, 2
+    """,
+)
+def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language identification trained ON THE
+    CORPUS ITSELF (doc_id % 5 ≠ 0 trains, the held-out fifth is
+    classified) with add-one smoothing — the learned companion of the
+    fixed-stopword-list `lang_id` heuristic, and "ML training as two
+    hash aggregates": the model IS the (lang, token) count table plus
+    per-lang totals and a vocabulary size.  Scoring joins each test
+    document's per-token counts against the 4-language model — tokens
+    collapse per (doc, token) BEFORE the join so hot stopwords carry
+    one row per doc, the language axis is a tiny broadcast cross, and
+    unseen tokens fall through the LEFT join to the smoothed floor
+    ln(1/(tot+V)).  Per-term log arithmetic folds fixed-point (dsum);
+    priors round(6); argmax breaks score ties on language code.
+    Output is the confusion matrix (true_lang, pred_lang, n_docs)."""
+    from covid_custom_sql_engine_spark.catalog import parallelize_small
+    from covid_custom_sql_engine_spark.functions import text as tx
+    from pyspark.sql import Window
+
+    docs = parallelize_small(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", tx.tokens("text").alias("toks")
+    )
+    tr = docs.filter(F.col("doc_id") % 5 != 0)
+    te = docs.filter(F.col("doc_id") % 5 == 0)
+    trt = tr.select("lang", F.explode("toks").alias("w"))
+    cwl = trt.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    cwl = cwl.localCheckpoint(eager=False)  # totals + vocab + score join
+    tot = cwl.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    voc = cwl.agg(F.countDistinct("w").alias("v"))
+    n_tr = tr.count()
+    pri = tr.groupBy("lang").agg(
+        F.round(
+            F.log(F.count(F.lit(1)).cast("double") / F.lit(n_tr)), 6
+        ).alias("prior")
+    )
+    tet = (
+        te.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = (
+        tet.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+        .join(
+            cwl.select(
+                F.col("lang").alias("_cl"),
+                F.col("w").alias("_cw"),
+                F.col("cnt"),
+            ),
+            (F.col("_cw") == F.col("w")) & (F.col("_cl") == F.col("lang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("c")
+                * F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                    / (F.col("tot") + F.col("v")).cast("double")
+                )
+            ).alias("tv"),
+        )
+    )
+    ds = term.groupBy("doc_id", "lang").agg(ops.dsum(F.col("tv")).alias("s"))
+    sc = (
+        te.select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(pri.select(F.col("lang").alias("cand"), "prior")))
+        .join(
+            ds.select(
+                F.col("doc_id").alias("_sd"),
+                F.col("lang").alias("_sl"),
+                F.col("s"),
+            ),
+            (F.col("_sd") == F.col("doc_id")) & (F.col("_sl") == F.col("cand")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.col("prior") + F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand")
+    )
+    pick = (
+        sc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pick.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )

@@ -1,0 +1,110 @@
+"""Differential tests for the ML-as-SQL queries: each query's result at
+sf0.001 is re-derived by an independent numpy / pure-Python reference
+implementation (not DuckDB — the oracle gate already covers that)."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from covid_custom_sql_engine_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ridge_matches_numpy(spark):
+    row = QUERIES["ridge_regression_price"](spark, SF).collect()[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    x1 = li["l_quantity"].to_numpy(dtype=float)
+    x2 = li["l_discount"].to_numpy(dtype=float)
+    y = li["l_extendedprice"].to_numpy(dtype=float)
+    lam = 10.0
+    m1, m2, my = x1.mean(), x2.mean(), y.mean()
+    c1, c2, cy = x1 - m1, x2 - m2, y - my
+    A = np.array(
+        [[c1 @ c1 + lam, c1 @ c2], [c1 @ c2, c2 @ c2 + lam]]
+    )
+    b = np.array([c1 @ cy, c2 @ cy])
+    beta = np.linalg.solve(A, b)
+    assert row["n_rows"] == len(li)
+    assert row["beta_quantity"] == pytest.approx(beta[0], rel=1e-5)
+    assert row["beta_discount"] == pytest.approx(beta[1], rel=1e-5)
+    assert row["intercept"] == pytest.approx(
+        my - beta[0] * m1 - beta[1] * m2, rel=1e-5
+    )
+    sse = cy @ cy - 2 * beta @ b + beta @ (A - lam * np.eye(2)) @ beta
+    assert row["r2"] == pytest.approx(1 - sse / (cy @ cy), abs=1e-5)
+
+
+def test_knn_matches_numpy(spark):
+    rows = QUERIES["knn_label_vote"](spark, SF).collect()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=float)
+        for r in emb.itertuples()
+    }
+    labels = {int(r.vec_id): int(r.label) for r in emb.itertuples()}
+    test_ids = sorted(v for v in vecs if v % 10 == 0)
+    train_ids = sorted(v for v in vecs if v % 10 != 0)
+    got = {r["vec_id"]: (r["pred_label"], r["n_votes"]) for r in rows}
+    assert sorted(got) == test_ids
+    for q in test_ids:
+        qv = vecs[q]
+        sims = sorted(
+            (
+                (
+                    -(vecs[c] @ qv)
+                    / (math.sqrt(vecs[c] @ vecs[c]) * math.sqrt(qv @ qv)),
+                    c,
+                )
+                for c in train_ids
+            ),
+        )[:5]
+        votes = collections.Counter(labels[c] for _, c in sims)
+        best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[q] == best, f"query {q}"
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.strip().lower().split() if t]
+
+
+def test_naive_bayes_matches_pure_python(spark):
+    rows = QUERIES["naive_bayes_lang"](spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    tr = docs[docs.doc_id % 5 != 0]
+    te = docs[docs.doc_id % 5 == 0]
+    cwl: dict = collections.defaultdict(collections.Counter)
+    for r in tr.itertuples():
+        cwl[r.lang].update(_tokens(r.text))
+    vocab = {w for c in cwl.values() for w in c}
+    tot = {lang: sum(c.values()) for lang, c in cwl.items()}
+    prior = {
+        lang: round(math.log(n / len(tr)), 6)
+        for lang, n in tr.lang.value_counts().items()
+    }
+    conf: collections.Counter = collections.Counter()
+    for r in te.itertuples():
+        counts = collections.Counter(_tokens(r.text))
+        scores = {}
+        for lang in sorted(prior):
+            s = sum(
+                c
+                * math.log(
+                    (cwl[lang][w] + 1.0) / (tot[lang] + len(vocab))
+                )
+                for w, c in counts.items()
+            )
+            scores[lang] = prior[lang] + s
+        pred = max(sorted(scores), key=lambda g: (scores[g], ))
+        # tie-break: smaller lang wins — max over sorted keys keeps the
+        # FIRST maximal value, matching ORDER BY score DESC, cand
+        best = max(scores.values())
+        pred = min(g for g in scores if scores[g] == best)
+        conf[(r.lang, pred)] += 1
+    got = {(r["true_lang"], r["pred_lang"]): r["n_docs"] for r in rows}
+    assert got == dict(conf)

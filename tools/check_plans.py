@@ -433,6 +433,15 @@ EXPECT = {
     # checkpoint-leaf spine; 7-row offset table + 1-row grand-mean
     # broadcast crosses: intended
     "seasonal_dow_decompose": (2, False, True),
+    # 1-row means broadcast cross onto the second centered-moment
+    # pass: intended (two full scans by construction)
+    "ridge_regression_price": (3, False, True),
+    # brute-force ANN baseline: broadcast query-set cross (the
+    # cosine_topk convention)
+    "knn_label_vote": (3, False, True),
+    # 4-row language-model axis + 1-row vocab broadcast crosses;
+    # checkpoint-leaf count-table reuse: intended
+    "naive_bayes_lang": (3, False, True),
 }
 
 
