@@ -743,3 +743,117 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def bfs_path_counts(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source shortest-path COUNTING — :func:`bfs_layers` upgraded
+    with the σ (number-of-shortest-paths) DP from Brandes' betweenness
+    forward pass: σ(v) = Σ σ(u) over in-neighbors u with
+    dist(u) = dist(v) − 1.  Returns (node, dist, n_paths).  Path
+    multiplicity is what separates "reachable" from "robustly
+    reachable" (one bridge vs many parallel routes) and is the building
+    block for centrality estimation.
+
+    Per level the plan is bfs_layers' join + anti-join with the
+    distinct swapped for a combinable SUM of σ (map-side combine keeps
+    hub fan-in cheap), frontier and visited eagerly pinned per round —
+    flat lineage at a FIXED depth cap with the empty-frontier early
+    exit.  Equivalence with the oracle's bounded walk enumeration:
+    every length-dist(v) walk to v is a shortest path (any shortcut
+    prefix would shorten the whole walk), so counting walks at the
+    minimal depth IS σ.  All-integer arithmetic — exact comparison.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_esrc"), F.col(dst_col).alias("_edst")
+    ).localCheckpoint(eager=False)
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .withColumn("n_paths", F.lit(1).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == F.col("_esrc"))
+            .groupBy(F.col("_edst").alias("node"))
+            .agg(F.sum("n_paths").cast("bigint").alias("n_paths"))
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+            .select("node", "dist", "n_paths")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-truss peeling over an undirected, canonically-oriented
+    (src < dst) edge list: iteratively drop every edge supported by
+    fewer than k−2 triangles, re-count, repeat — the EDGE analog of
+    :func:`kcore_peel` and a strictly stronger cohesion screen (every
+    edge in a k-truss joins two vertices with ≥ k−2 common neighbors;
+    spam/collusion rings survive k-core but rarely k-truss).  The round
+    count is a hyper-parameter; the oracle unrolls identical rounds
+    (the kcore/label_propagation convention).
+
+    Per round: ONE wedge join (edge list against the both-directions
+    adjacency on each endpoint, closing on the shared neighbor) + a
+    combinable count aggregate + one inner join back onto the edge
+    list — and the edge frame only SHRINKS, so per-round cost is
+    monotonically decreasing at any scale.  Support counting here is
+    per-EDGE (both wedge sides anchored at the edge's own endpoints),
+    so no degree-orientation is needed for correctness; hub cost is
+    bounded by the same adjacency the consumer graph already has.
+    Returns the surviving (src, dst) edges.  All-integer — exact.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        adj1 = e.select(F.col("_u").alias("_a1"), F.col("_v").alias("_b1")).unionAll(
+            e.select(F.col("_v").alias("_a1"), F.col("_u").alias("_b1"))
+        )
+        adj2 = adj1.select(
+            F.col("_a1").alias("_a2"), F.col("_b1").alias("_b2")
+        )
+        sup = (
+            e.join(adj1, F.col("_a1") == F.col("_u"))
+            .join(
+                adj2,
+                (F.col("_a2") == F.col("_v"))
+                & (F.col("_b2") == F.col("_b1")),
+            )
+            .groupBy("_u", "_v")
+            .agg(F.count(F.lit(1)).alias("_sup"))
+            .filter(F.col("_sup") >= k - 2)
+            .select(
+                F.col("_u").alias("_ku"), F.col("_v").alias("_kv")
+            )
+        )
+        e = (
+            e.join(
+                sup,
+                (F.col("_ku") == F.col("_u")) & (F.col("_kv") == F.col("_v")),
+            )
+            .select("_u", "_v")
+            .localCheckpoint(eager=True)
+        )
+    return e.select(F.col("_u").alias(src_col), F.col("_v").alias(dst_col))

@@ -741,3 +741,139 @@ def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pick.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: shortest-path counting and k-truss cohesion
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bfs_path_counts",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    walks AS (
+      SELECT 'c:' || c_custkey AS node, 0 AS d
+      FROM customer WHERE c_custkey <= 3
+      UNION ALL
+      SELECT e.dst, w.d + 1
+      FROM walks w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3),
+    md AS (SELECT node, min(d) AS dist FROM walks GROUP BY node)
+    SELECT w.node, CAST(md.dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM walks w JOIN md ON md.node = w.node AND w.d = md.dist
+    GROUP BY w.node, md.dist
+    """,
+)
+def bfs_path_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path COUNTS from the seed customers over the trading
+    graph (graph.bfs_path_counts) — bfs_distances upgraded with Brandes'
+    σ DP: how MANY minimum-hop routes reach each node, the
+    reachable-vs-robustly-reachable distinction and the betweenness
+    building block.  Same per-level join + combinable σ-sum + anti-join
+    discipline as bfs_layers (eager-pinned state, fixed depth 3, empty-
+    frontier early exit).  The oracle counts bounded walks at each
+    node's minimal depth — provably equal to σ because a length-dist(v)
+    walk cannot contain a non-shortest prefix.  All integers — exact."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    srcs = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    return gr.bfs_path_counts(edges, srcs, max_depth=3)
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-truss rounds (the kcore/label_propagation generated-
+    oracle convention): each round recomputes per-edge triangle support
+    over the surviving edges and keeps support ≥ k−2."""
+    parts = [
+        """
+    e_0 AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb HAVING count(*) >= 2
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+    a_{r} AS MATERIALIZED (SELECT pa AS x, pb AS y FROM e_{r}
+              UNION ALL SELECT pb, pa FROM e_{r}),
+    s_{r} AS MATERIALIZED (SELECT e.pa, e.pb, count(*) AS sup
+              FROM e_{r} e
+              JOIN a_{r} w1 ON w1.x = e.pa
+              JOIN a_{r} w2 ON w2.x = e.pb AND w2.y = w1.y
+              GROUP BY e.pa, e.pb),
+    e_{r + 1} AS MATERIALIZED (SELECT e.pa, e.pb FROM e_{r} e
+                  JOIN s_{r} s ON s.pa = e.pa AND s.pb = e.pb
+                  WHERE s.sup >= {k - 2})"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT CAST(pa AS BIGINT) AS src, CAST(pb AS BIGINT) AS dst
+    FROM e_{rounds}
+    """
+    )
+
+
+@query("ktruss_copurchase", oracle=_ktruss_oracle(3, 3))
+def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-truss peeling (graph.ktruss_edges, 3 rounds) of the
+    part co-purchase graph — every surviving edge sits in ≥ 1 triangle
+    among survivors, the edge-level cohesion screen that is strictly
+    stronger than `kcore_trading_graph`'s degree test and the standard
+    community-backbone extraction (`triangle_counts`' graph, upgraded
+    from counting to peeling).  Per round ONE wedge join over the
+    shrinking edge frame + a combinable support count + an inner join
+    back; state eagerly pinned per round; the oracle unrolls the
+    identical rounds.  All-integer — exact."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("ea"))
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("eb")
+    )
+    edges = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("ea") < F.col("eb")))
+        .groupBy(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    out = gr.ktruss_edges(edges, k=3, rounds=3)
+    return out.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    )

@@ -397,3 +397,66 @@ def test_personalized_pagerank_restarts_at_seeds(spark):
         assert abs(got[n] - r[n]) < 1e-12, n
     # the unseeded component holds zero rank after any round count
     assert got["x"] == 0.0 and got["y"] == 0.0
+
+
+def test_bfs_path_counts_diamond_multiplicity(spark):
+    """Diamond s→{a,b}→t plus a long way round: σ(t) = 2 at dist 2 (the
+    two parallel routes), σ(a) = σ(b) = 1, and a node behind t inherits
+    t's multiplicity."""
+    from covid_custom_sql_engine_spark.functions.graph import bfs_path_counts
+
+    e = _edges(
+        spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: (r.dist, r.n_paths)
+        for r in bfs_path_counts(e, srcs, max_depth=4).collect()
+    }
+    assert got == {0: (0, 1), 1: (1, 1), 2: (1, 1), 3: (2, 2), 4: (3, 2)}
+
+
+def test_bfs_path_counts_multi_source_and_shortcut(spark):
+    """Two sources; a node reachable from both sums their path counts;
+    an edge from a deeper node back to an already-visited node adds
+    nothing (only min-dist walks count)."""
+    from covid_custom_sql_engine_spark.functions.graph import bfs_path_counts
+
+    e = _edges(spark, [(0, 2), (1, 2), (2, 0)])
+    srcs = spark.createDataFrame([(0,), (1,)], "node long")
+    got = {
+        r.node: (r.dist, r.n_paths)
+        for r in bfs_path_counts(e, srcs, max_depth=3).collect()
+    }
+    assert got == {0: (0, 1), 1: (0, 1), 2: (1, 2)}
+
+
+def test_ktruss_peeling_cascades(spark):
+    """A triangle {0,1,2} with a pendant edge (2,3): the pendant edge
+    has zero support and is peeled in round 1; the triangle's edges
+    each keep support 1 and survive every 3-truss round. In a 4-truss
+    (support ≥ 2) even the triangle dissolves."""
+    from covid_custom_sql_engine_spark.functions.graph import ktruss_edges
+
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    kept3 = {
+        (r.src, r.dst) for r in ktruss_edges(e, k=3, rounds=2).collect()
+    }
+    assert kept3 == {(0, 1), (0, 2), (1, 2)}
+    assert ktruss_edges(e, k=4, rounds=2).count() == 0
+
+
+def test_ktruss_two_triangles_sharing_edge(spark):
+    """Two triangles sharing edge (1,2): the shared edge has support 2,
+    the outer edges support 1 — the 4-truss peel drops the outer edges
+    in round 1, which starves the shared edge in round 2."""
+    from covid_custom_sql_engine_spark.functions.graph import ktruss_edges
+
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+    kept = ktruss_edges(e, k=4, rounds=2)
+    assert kept.count() == 0
+    # one round only: the shared edge still sees support 2 and survives
+    one = {
+        (r.src, r.dst) for r in ktruss_edges(e, k=4, rounds=1).collect()
+    }
+    assert one == {(1, 2)}

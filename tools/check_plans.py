@@ -442,6 +442,10 @@ EXPECT = {
     # 4-row language-model axis + 1-row vocab broadcast crosses;
     # checkpoint-leaf count-table reuse: intended
     "naive_bayes_lang": (3, False, True),
+    # checkpoint-leaf frontier/visited unions, as bfs_distances
+    "bfs_path_counts": (2, False, False),
+    # checkpoint-leaf shrinking edge frame, as kcore_trading_graph
+    "ktruss_copurchase": (2, False, False),
 }
 
 
