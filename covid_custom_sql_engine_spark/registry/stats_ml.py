@@ -877,3 +877,267 @@ def ktruss_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial blocking join and pseudo-relevance-feedback retrieval
+# ---------------------------------------------------------------------------
+
+# Shared float-sensitive expression text (verbatim both engines).
+_SP_D2 = (
+    "((lat_a - lat_b) * (lat_a - lat_b)"
+    " + (lon_a - lon_b) * (lon_a - lon_b))"
+)
+
+_SP_COORDS_SQL = """
+    pts AS (SELECT c_custkey AS ck,
+                   ('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                     % 1200000 / 10000.0 - 60 AS lat,
+                   ('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                     % 3600000 / 10000.0 - 180 AS lon
+            FROM customer)
+"""
+
+
+@query(
+    "spatial_grid_join",
+    oracle=f"""
+    WITH {_SP_COORDS_SQL},
+    cells AS (SELECT ck, lat, lon,
+                     CAST(floor(lon) AS BIGINT) AS cx,
+                     CAST(floor(lat) AS BIGINT) AS cy
+              FROM pts),
+    offs AS (SELECT a.dx, b.dy
+             FROM (SELECT unnest([-1, 0, 1]) AS dx) a,
+                  (SELECT unnest([-1, 0, 1]) AS dy) b),
+    repl AS (SELECT ck AS ck_a, lat AS lat_a, lon AS lon_a,
+                    cx + dx AS jx, cy + dy AS jy
+             FROM cells CROSS JOIN offs),
+    cand AS (SELECT r.ck_a, r.lat_a, r.lon_a,
+                    c.ck AS ck_b, c.lat AS lat_b, c.lon AS lon_b
+             FROM repl r JOIN cells c ON c.cx = r.jx AND c.cy = r.jy
+             WHERE r.ck_a < c.ck)
+    SELECT CAST(ck_a AS BIGINT) AS cust_a, CAST(ck_b AS BIGINT) AS cust_b,
+           round(sqrt({_SP_D2}), 6) AS dist_deg
+    FROM cand
+    WHERE {_SP_D2} <= 1.0
+    """,
+)
+def spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join by GRID BLOCKING: deterministic synthetic
+    coordinates per customer (md5-hash arithmetic — the dataset_split
+    convention, identical on both engines), 1°×1° grid cells, each
+    point replicated to its 3×3 neighborhood so every ≤1°-radius pair
+    co-locates in at least one cell, then the exact planar-degree
+    distance filter keeps true neighbors — the classic distributed
+    spatial-join shape (replicate-left, partition-right equi-join on
+    the cell key; never an all-pairs cross).  At 100 TB the cell key IS
+    the shuffle/bucketing key and the 9× replication is the bounded
+    price of single-pass blocking; skewed cells (cities) ride AQE's
+    skew-join split.  Pair dedup by ck_a < ck_b keeps each unordered
+    pair exactly once (a pair is found in the left point's replica cell
+    that contains the right point, and the mirrored candidate fails the
+    id inequality).  Distance arithmetic is ONE shared expression
+    string; coordinates are md5-derived exact integers / 1e4 — bit-
+    identical cross-engine; round(6) on the reported distance."""
+    ck = F.col("c_custkey").cast("string")
+
+    def h(salt: str) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), ck)), 1, 15), 16, 10
+        ).cast("bigint")
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        (h("lat:") % 1200000 / 10000.0 - 60).alias("lat"),
+        (h("lon:") % 3600000 / 10000.0 - 180).alias("lon"),
+    )
+    cells = pts.select(
+        "ck",
+        "lat",
+        "lon",
+        F.floor("lon").cast("bigint").alias("cx"),
+        F.floor("lat").cast("bigint").alias("cy"),
+    ).localCheckpoint(eager=False)  # both join sides
+    offs = F.broadcast(
+        spark.createDataFrame(
+            [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+            "dx int, dy int",
+        )
+    )
+    repl = cells.crossJoin(offs).select(
+        F.col("ck").alias("ck_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("cx") + F.col("dx")).alias("jx"),
+        (F.col("cy") + F.col("dy")).alias("jy"),
+    )
+    right = cells.select(
+        F.col("ck").alias("ck_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    cand = repl.join(
+        right,
+        (F.col("bx") == F.col("jx"))
+        & (F.col("by") == F.col("jy"))
+        & (F.col("ck_a") < F.col("ck_b")),
+    )
+    return cand.filter(F.expr(_SP_D2) <= 1.0).select(
+        F.col("ck_a").cast("bigint").alias("cust_a"),
+        F.col("ck_b").cast("bigint").alias("cust_b"),
+        F.round(F.sqrt(F.expr(_SP_D2)), 6).alias("dist_deg"),
+    )
+
+
+def _bm25_scored_sql(qcte: str, pfx: str, k: int) -> str:
+    """The bm25_search oracle's scoring chain, parameterized on the
+    query-terms CTE so the PRF oracle runs it twice (seed + expanded)
+    without drift. Requires sibling CTEs tk/stats/toks."""
+    return f"""
+    {pfx}tf AS (SELECT q.query_id, t.doc_id, t.term, count(*) AS tf,
+                       min(t.dl) AS dl
+                FROM toks t JOIN {qcte} q USING (term) GROUP BY 1, 2, 3),
+    {pfx}df AS (SELECT term, count(DISTINCT doc_id) AS df
+                FROM {pfx}tf GROUP BY term),
+    {pfx}sc AS (
+        SELECT tf.query_id, tf.doc_id,
+               sum(CAST(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                        AS DECIMAL(38,18))) AS s
+        FROM {pfx}tf tf JOIN {pfx}df USING (term) CROSS JOIN stats
+        GROUP BY 1, 2
+    ),
+    {pfx}rk AS (
+        SELECT query_id, doc_id, round(s::DOUBLE, 6) + 0.0 AS score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, doc_id) AS rk
+        FROM {pfx}sc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id) <= {k}
+    )"""
+
+
+@query(
+    "rocchio_prf",
+    oracle=(
+        lambda QV: f"""
+    WITH q(query_id, term) AS (VALUES {QV}),
+    tk AS (SELECT doc_id, {_NB_SQL_TOKS} AS tks FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(tks)::DOUBLE) AS avgdl FROM tk),
+    toks AS (SELECT doc_id, len(tks) AS dl, unnest(tks) AS term FROM tk),
+    {_bm25_scored_sql('q', 'r1', 3)},
+    cand AS (SELECT r.query_id, t.term, count(*) AS occ
+             FROM r1rk r JOIN toks t USING (doc_id)
+             WHERE NOT EXISTS (SELECT 1 FROM q
+                               WHERE q.query_id = r.query_id
+                                 AND q.term = t.term)
+             GROUP BY 1, 2),
+    cdf AS (SELECT c.term, count(DISTINCT t.doc_id) AS df
+            FROM (SELECT DISTINCT term FROM cand) c
+            JOIN toks t USING (term) GROUP BY 1),
+    exp AS (SELECT query_id, term
+            FROM (SELECT cand.query_id, cand.term,
+                         cand.occ * ln(1 + (n_docs - cdf.df + 0.5)
+                                       / (cdf.df + 0.5)) AS es
+                  FROM cand JOIN cdf USING (term) CROSS JOIN stats)
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY es DESC, term) <= 2),
+    q2 AS (SELECT query_id, term FROM q
+           UNION ALL SELECT query_id, term FROM exp),
+    {_bm25_scored_sql('q2', 'r2', 5)},
+    es AS (SELECT query_id,
+                  string_agg(term, ',' ORDER BY term) AS expansion_terms
+           FROM exp GROUP BY 1)
+    SELECT r.query_id, r.doc_id, r.score, CAST(r.rk AS BIGINT) AS rk,
+           coalesce(es.expansion_terms, '') AS expansion_terms
+    FROM r2rk r LEFT JOIN es USING (query_id)
+    """
+    )(", ".join("('{}', '{}')".format(q, t) for q, t in (
+        ("q1", "fast"), ("q1", "hash"),
+        ("q2", "table"), ("q2", "scan"),
+        ("q3", "merge"), ("q3", "sort"),
+        ("q4", "window"), ("q4", "agg"),
+    ))),
+)
+def rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style query expansion): run
+    BM25, take each query's top-3 documents as assumed-relevant
+    feedback, pick the 2 highest idf-weighted non-query terms from
+    them, re-run BM25 with the expanded query — the classic recall
+    lever a lexical retrieval stack adds right after plain BM25 (and
+    the lexical sibling of embedding-side query refinement).  Both
+    retrieval rounds are functions/text.bm25_topk (broadcast query
+    terms, postings pruned at the map stage, DECIMAL(38,18) score
+    folds); the expansion stage is one join of the ≤3·|queries|
+    feedback rows against the postings + a per-query top-2 window, and
+    the term-selection idf reuses BM25's own Lucene form so no second
+    convention appears.  Output: expanded top-5 per query with the
+    chosen expansion terms alongside; ties break on doc_id / term."""
+    from covid_custom_sql_engine_spark.catalog import parallelize_small
+    from covid_custom_sql_engine_spark.functions import text as tx
+    from covid_custom_sql_engine_spark.registry.bm25_spans import (
+        BM25_QUERIES,
+    )
+    from pyspark.sql import Window
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    qdf = spark.createDataFrame(BM25_QUERIES, ["query_id", "term"])
+    r1 = tx.bm25_topk(d, qdf, k=3)
+    tk = d.select("doc_id", tx.tokens("text").alias("_tk"))
+    toks = tk.select(
+        "doc_id", F.explode("_tk").alias("term")
+    ).localCheckpoint(eager=False)  # feedback join + df join
+    stats = F.broadcast(tk.agg(F.count(F.lit(1)).alias("n_docs")))
+    cand = (
+        r1.select("query_id", "doc_id")
+        .join(toks, "doc_id")
+        .join(
+            F.broadcast(qdf.select("query_id", "term")),
+            ["query_id", "term"],
+            "left_anti",
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    cdf = (
+        cand.select("term")
+        .distinct()
+        .join(toks, "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    es = F.col("occ") * F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("es"), F.asc("term")
+    )
+    exp = (
+        cand.join(cdf, "term")
+        .crossJoin(stats)
+        .select("query_id", "term", es.alias("es"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .select("query_id", "term")
+        .localCheckpoint(eager=False)  # q2 + expansion-string reuse
+    )
+    q2 = qdf.unionByName(exp)
+    r2 = tx.bm25_topk(d, q2, k=5)
+    estr = exp.groupBy("query_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("term"))).alias(
+            "expansion_terms"
+        )
+    )
+    return r2.join(F.broadcast(estr), "query_id", "left").select(
+        "query_id",
+        "doc_id",
+        "score",
+        F.col("rk").cast("bigint").alias("rk"),
+        F.coalesce(F.col("expansion_terms"), F.lit("")).alias(
+            "expansion_terms"
+        ),
+    )

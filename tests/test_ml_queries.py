@@ -100,11 +100,67 @@ def test_naive_bayes_matches_pure_python(spark):
                 for w, c in counts.items()
             )
             scores[lang] = prior[lang] + s
-        pred = max(sorted(scores), key=lambda g: (scores[g], ))
-        # tie-break: smaller lang wins — max over sorted keys keeps the
-        # FIRST maximal value, matching ORDER BY score DESC, cand
+        # tie-break: smaller lang wins, matching ORDER BY score DESC, cand
         best = max(scores.values())
         pred = min(g for g in scores if scores[g] == best)
         conf[(r.lang, pred)] += 1
     got = {(r["true_lang"], r["pred_lang"]): r["n_docs"] for r in rows}
     assert got == dict(conf)
+
+
+def test_spatial_grid_join_matches_brute_force(spark):
+    """The grid-blocked join at sf0.001 must find EXACTLY the pairs a
+    brute-force all-pairs scan over the same md5-derived coordinates
+    finds — blocking must be lossless within the 1-degree radius."""
+    import hashlib
+
+    rows = QUERIES["spatial_grid_join"](spark, SF).collect()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")["c_custkey"]
+
+    def coord(salt, ck):
+        h = int(
+            hashlib.md5(f"{salt}{ck}".encode()).hexdigest()[:15], 16
+        )
+        return h
+
+    pts = {
+        int(ck): (
+            coord("lat:", ck) % 1200000 / 10000.0 - 60,
+            coord("lon:", ck) % 3600000 / 10000.0 - 180,
+        )
+        for ck in cust
+    }
+    expected = {}
+    ids = sorted(pts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+            if d2 <= 1.0:
+                expected[(a, b)] = round(math.sqrt(d2), 6)
+    got = {(r["cust_a"], r["cust_b"]): r["dist_deg"] for r in rows}
+    assert got == expected
+
+
+def test_rocchio_prf_shape_and_expansion_disjoint(spark):
+    """Each query returns exactly 5 ranked docs; expansion terms are
+    2 per query, never overlap the seed terms, and every row of one
+    query carries the same expansion string."""
+    from covid_custom_sql_engine_spark.registry.bm25_spans import (
+        BM25_QUERIES,
+    )
+
+    rows = QUERIES["rocchio_prf"](spark, SF).collect()
+    seeds: dict = {}
+    for q, t in BM25_QUERIES:
+        seeds.setdefault(q, set()).add(t)
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(seeds)
+    for q, rs in by_q.items():
+        assert sorted(r["rk"] for r in rs) == [1, 2, 3, 4, 5]
+        exps = {r["expansion_terms"] for r in rs}
+        assert len(exps) == 1
+        terms = next(iter(exps)).split(",")
+        assert len(terms) == 2
+        assert not (set(terms) & seeds[q])

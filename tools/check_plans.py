@@ -446,6 +446,12 @@ EXPECT = {
     "bfs_path_counts": (2, False, False),
     # checkpoint-leaf shrinking edge frame, as kcore_trading_graph
     "ktruss_copurchase": (2, False, False),
+    # 9-row neighbor-offset broadcast cross onto the checkpoint-leaf
+    # cell frame: intended (the grid-blocking replication)
+    "spatial_grid_join": (1, False, True),
+    # broadcast query-term/stats crosses (the bm25_search convention),
+    # checkpoint-leaf postings reuse: intended
+    "rocchio_prf": (2, False, True),
 }
 
 
