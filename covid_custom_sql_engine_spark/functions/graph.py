@@ -857,3 +857,86 @@ def ktruss_edges(
             .localCheckpoint(eager=True)
         )
     return e.select(F.col("_u").alias(src_col), F.col("_v").alias(dst_col))
+
+
+def seed_betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Brandes dependency accumulation (the BACKWARD pass paired with
+    :func:`bfs_path_counts`' forward σ DP) from a seed set, bounded at
+    ``max_depth``: δ(v) = Σ_{w : v→w, dist(w)=dist(v)+1}
+    (σ(v)/σ(w))·(1 + δ(w)) — how much of the seed set's shortest-path
+    traffic flows THROUGH each node, the exact per-node betweenness
+    contribution of these sources (full betweenness is the average of
+    this over a seed sample — the standard approximation at scale,
+    Brandes & Pich 2007).  Returns (node, dist, dependency) for
+    intermediate nodes (1 ≤ dist < max_depth); frontier-depth nodes
+    have δ = 0 by construction and are omitted.
+
+    Plan shape: the forward pass is bfs_path_counts (per-level join +
+    combinable σ sums, pinned state); the backward pass is one
+    level-filtered equi-join per depth, descending, each a combinable
+    DECIMAL(38,12) fold of per-edge ratio terms — the per-level state
+    is joined from the SAME pinned forward frame, so no recomputation
+    and flat lineage.  σ ratios are exact-integer-derived IEEE doubles;
+    folds are fixed-point → cross-engine deterministic."""
+    sig = bfs_path_counts(
+        edges, sources, max_depth=max_depth,
+        src_col=src_col, dst_col=dst_col, node_col=node_col,
+    )  # already an eager-checkpoint leaf
+    e = edges.select(
+        F.col(src_col).alias("_bsrc"), F.col(dst_col).alias("_bdst")
+    ).localCheckpoint(eager=False)
+    from covid_custom_sql_engine_spark.operators.core import dsum12
+
+    delta_next = None  # (node, delta) at depth d+1
+    out = None
+    for d in range(max_depth - 1, 0, -1):
+        v = sig.filter(F.col("dist") == d).select(
+            F.col("node").alias("_vn"), F.col("n_paths").alias("_vs")
+        )
+        w = sig.filter(F.col("dist") == d + 1).select(
+            F.col("node").alias("_wn"), F.col("n_paths").alias("_ws")
+        )
+        if delta_next is not None:
+            w = w.join(
+                delta_next.select(
+                    F.col("node").alias("_dn"), F.col("delta").alias("_dd")
+                ),
+                F.col("_dn") == F.col("_wn"),
+                "left",
+            ).select(
+                "_wn", "_ws", F.coalesce(F.col("_dd"), F.lit(0.0)).alias("_wd")
+            )
+        else:
+            w = w.select("_wn", "_ws", F.lit(0.0).alias("_wd"))
+        contrib = (
+            v.join(e, F.col("_bsrc") == F.col("_vn"))
+            .join(w, F.col("_bdst") == F.col("_wn"))
+            .groupBy(F.col("_vn").alias("node"))
+            .agg(
+                dsum12(
+                    F.col("_vs").cast("double")
+                    / F.col("_ws")
+                    * (1 + F.col("_wd"))
+                ).alias("delta")
+            )
+        )
+        lvl = (
+            v.select(F.col("_vn").alias("node"))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+            )
+            .withColumn("dist", F.lit(d).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        delta_next = lvl
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.select("node", "dist", "delta")

@@ -1141,3 +1141,281 @@ def rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expansion_terms"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommender training step, seed-set betweenness, bootstrap CI
+# ---------------------------------------------------------------------------
+
+# Per-user 2x2 ridge solve (Cramer), shared expression text.
+_ALS_LAM = "0.1"
+_ALS_DET = (
+    f"((s11 + {_ALS_LAM}) * (s22 + {_ALS_LAM}) - s12 * s12)"
+)
+_ALS_P1 = f"((b1 * (s22 + {_ALS_LAM}) - s12 * b2) / {_ALS_DET})"
+_ALS_P2 = f"(((s11 + {_ALS_LAM}) * b2 - s12 * b1) / {_ALS_DET})"
+
+
+@query(
+    "als_user_step",
+    oracle=f"""
+    WITH r AS (SELECT o.o_custkey AS u, l.l_partkey AS i,
+                      count(*) AS rating
+               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+               GROUP BY 1, 2),
+    qf AS (SELECT DISTINCT i,
+                  ('0x' || substr(md5('q1:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                    % 2000 / 1000.0 - 1 AS q1,
+                  ('0x' || substr(md5('q2:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                    % 2000 / 1000.0 - 1 AS q2
+           FROM r),
+    s AS (SELECT r.u,
+                 {_sql_dsum12('qf.q1 * qf.q1')} AS s11,
+                 {_sql_dsum12('qf.q1 * qf.q2')} AS s12,
+                 {_sql_dsum12('qf.q2 * qf.q2')} AS s22,
+                 {_sql_dsum12('r.rating * qf.q1')} AS b1,
+                 {_sql_dsum12('r.rating * qf.q2')} AS b2
+          FROM r JOIN qf USING (i) GROUP BY r.u)
+    SELECT CAST(u AS BIGINT) AS custkey,
+           round({_ALS_P1}, 6) AS p1,
+           round({_ALS_P2}, 6) AS p2
+    FROM s
+    """,
+)
+def als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step at rank 2 over the implicit
+    customer×part purchase-count matrix: item factors are fixed
+    (deterministic md5-hash initialization — the dataset_split hashing
+    convention), and every user's factor pair solves its own 2×2 ridge
+    normal equations in closed form (Cramer, λ=0.1) — alternating
+    least squares' defining property that the per-user solves are
+    EMBARRASSINGLY PARALLEL expressed as one groupBy: at 100 TB this is
+    a single combinable aggregate over the interaction table keyed by
+    user, no gradient loop, no parameter server.  The item half-step is
+    the identical query transposed.  Per-user second moments fold
+    fixed-point at 12 digits (factor products are ≪1); the solve is ONE
+    shared expression string both engines evaluate verbatim; round(6).
+    Complements `item_cf_topk` (memory-based CF) with model-based CF."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    r = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.count(F.lit(1)).alias("rating"))
+    )
+    ikey = F.col("i").cast("string")
+
+    def h(salt: str) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), ikey)), 1, 15), 16, 10
+        ).cast("bigint")
+
+    qf = r.select("i").distinct().select(
+        "i",
+        (h("q1:") % 2000 / 1000.0 - 1).alias("q1"),
+        (h("q2:") % 2000 / 1000.0 - 1).alias("q2"),
+    )
+    s = r.join(qf, "i").groupBy("u").agg(
+        ops.dsum12(F.col("q1") * F.col("q1")).alias("s11"),
+        ops.dsum12(F.col("q1") * F.col("q2")).alias("s12"),
+        ops.dsum12(F.col("q2") * F.col("q2")).alias("s22"),
+        ops.dsum12(F.col("rating") * F.col("q1")).alias("b1"),
+        ops.dsum12(F.col("rating") * F.col("q2")).alias("b2"),
+    )
+    return s.select(
+        F.col("u").cast("bigint").alias("custkey"),
+        F.round(F.expr(_ALS_P1), 6).alias("p1"),
+        F.round(F.expr(_ALS_P2), 6).alias("p2"),
+    )
+
+
+@query(
+    "seed_betweenness",
+    oracle="""
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    walks AS (
+      SELECT 'c:' || c_custkey AS node, 0 AS d
+      FROM customer WHERE c_custkey <= 3
+      UNION ALL
+      SELECT e.dst, w.d + 1
+      FROM walks w JOIN edges e ON e.src = w.node
+      WHERE w.d < 3),
+    md AS MATERIALIZED (SELECT node, min(d) AS dist FROM walks GROUP BY node),
+    sig AS MATERIALIZED (
+      SELECT w.node, md.dist, count(*) AS np
+      FROM walks w JOIN md ON md.node = w.node AND w.d = md.dist
+      GROUP BY w.node, md.dist),
+    c2 AS (SELECT v.node,
+                  CAST(sum(CAST(v.np::DOUBLE / w.np * (1 + 0.0)
+                                AS DECIMAL(38,12))) AS DOUBLE) AS delta
+           FROM sig v JOIN edges e ON e.src = v.node
+           JOIN sig w ON w.node = e.dst AND w.dist = 3
+           WHERE v.dist = 2 GROUP BY v.node),
+    l2 AS MATERIALIZED (
+      SELECT v.node, coalesce(c2.delta, 0.0) AS delta
+      FROM sig v LEFT JOIN c2 USING (node) WHERE v.dist = 2),
+    c1 AS (SELECT v.node,
+                  CAST(sum(CAST(v.np::DOUBLE / w.np * (1 + l2.delta)
+                                AS DECIMAL(38,12))) AS DOUBLE) AS delta
+           FROM sig v JOIN edges e ON e.src = v.node
+           JOIN sig w ON w.node = e.dst AND w.dist = 2
+           JOIN l2 ON l2.node = w.node
+           WHERE v.dist = 1 GROUP BY v.node),
+    l1 AS (SELECT v.node, coalesce(c1.delta, 0.0) AS delta
+           FROM sig v LEFT JOIN c1 USING (node) WHERE v.dist = 1)
+    SELECT node, CAST(2 AS BIGINT) AS dist, round(delta, 6) AS dependency
+    FROM l2
+    UNION ALL
+    SELECT node, CAST(1 AS BIGINT) AS dist, round(delta, 6) AS dependency
+    FROM l1
+    """,
+)
+def seed_betweenness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes dependency accumulation from the seed customers over the
+    trading graph (graph.seed_betweenness) — the backward pass paired
+    with `bfs_path_counts`' forward σ DP: how much of the seeds'
+    shortest-path traffic each intermediate node carries, i.e. the
+    exact betweenness CONTRIBUTION of this seed set (sampled-seed
+    averaging is the standard betweenness approximation at scale).
+    Per level one equi-join against the pinned forward frame +
+    a DECIMAL(38,12) fold of σ-ratio terms; levels descend with
+    eagerly pinned δ state.  round(6) on the reported dependency."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    srcs = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    out = gr.seed_betweenness(edges, srcs, max_depth=3)
+    return out.select(
+        "node", "dist", F.round(F.col("delta"), 6).alias("dependency")
+    )
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS t,
+                      {_sql_dsum('o_totalprice')} AS y
+               FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+    r AS MATERIALIZED (SELECT y, row_number() OVER (ORDER BY t) AS rk,
+                              count(*) OVER () AS n
+               FROM d),
+    b AS (SELECT unnest(generate_series(1, 50)) AS bi),
+    g AS (SELECT b.bi, r.rk AS i, max(r.n) OVER () AS n FROM b, r),
+    pick AS (SELECT bi,
+                    1 + ('0x' || substr(md5('boot:' || CAST(bi AS VARCHAR)
+                          || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % n
+                    AS idx
+             FROM g),
+    bm AS (SELECT pick.bi, {_sql_dsum('r.y')} / count(*) AS m
+           FROM pick JOIN r ON r.rk = pick.idx GROUP BY pick.bi),
+    ci AS (SELECT quantile_cont(m, 0.025) AS lo,
+                  quantile_cont(m, 0.975) AS hi,
+                  count(*) AS n_boot
+           FROM bm),
+    ob AS (SELECT count(*) AS n_days, {_sql_dsum('y')} / count(*) AS mo
+           FROM d)
+    SELECT CAST(ob.n_days AS BIGINT) AS n_days,
+           CAST(ci.n_boot AS BIGINT) AS n_boot,
+           round(ob.mo, 6) AS mean_obs,
+           round(ci.lo, 6) AS ci_low,
+           round(ci.hi, 6) AS ci_high
+    FROM ob, ci
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric bootstrap 95% CI for the mean daily revenue with
+    DETERMINISTIC md5-hash resampling (the dataset_split convention —
+    reproducible under reruns and any partitioning, unlike rand()):
+    50 replicates × n positions hash to day indices, each replicate
+    joins the globally-ranked daily frame by index and folds its mean
+    fixed-point, and the percentile CI reads off the 50-row replicate
+    frame.  Scale shape: the fact table collapses to the daily frame
+    first; ranking is the two-phase distributed global_rank (never a
+    single-partition window over data); the B×n resample grid lives
+    ONLY on the reduced frame and joins back by rank equality — at
+    100 TB the grid is (replicates × days), not (replicates × rows).
+    Uncertainty quantification as three hash aggregates."""
+    from covid_custom_sql_engine_spark.operators.selection import global_rank
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(F.to_date("o_orderdate").alias("t"), "o_totalprice")
+    )
+    d = o.groupBy("t").agg(ops.dsum(F.col("o_totalprice")).alias("y"))
+    d = d.localCheckpoint(eager=False)  # rank pass + observed-mean pass
+    r = global_rank(d, ["t"], out_col="rk").select("y", "rk")
+    r = r.localCheckpoint(eager=False)  # grid source + index-join target
+    n1 = F.broadcast(r.agg(F.count(F.lit(1)).alias("n")))
+    b = F.broadcast(
+        spark.createDataFrame([(i,) for i in range(1, 51)], "bi int")
+    )
+    g = r.select(F.col("rk").alias("i")).crossJoin(b).crossJoin(n1)
+    pick = g.select(
+        "bi",
+        (
+            1
+            + F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot:"),
+                            F.col("bi").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("n")
+        ).alias("idx"),
+    )
+    bm = pick.join(r, r["rk"] == pick["idx"]).groupBy("bi").agg(
+        (ops.dsum(F.col("y")) / F.count(F.lit(1))).alias("m")
+    )
+    ci = bm.agg(
+        F.expr("percentile(m, 0.025)").alias("lo"),
+        F.expr("percentile(m, 0.975)").alias("hi"),
+        F.count(F.lit(1)).alias("n_boot"),
+    )
+    ob = d.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (ops.dsum(F.col("y")) / F.count(F.lit(1))).alias("mo"),
+    )
+    return ob.crossJoin(F.broadcast(ci)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_boot").cast("bigint").alias("n_boot"),
+        F.round(F.col("mo"), 6).alias("mean_obs"),
+        F.round(F.col("lo"), 6).alias("ci_low"),
+        F.round(F.col("hi"), 6).alias("ci_high"),
+    )

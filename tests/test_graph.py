@@ -460,3 +460,27 @@ def test_ktruss_two_triangles_sharing_edge(spark):
         (r.src, r.dst) for r in ktruss_edges(e, k=4, rounds=1).collect()
     }
     assert one == {(1, 2)}
+
+
+def test_seed_betweenness_diamond_and_chain(spark):
+    """Diamond 0→{1,2}→3: nodes 1 and 2 each carry half of the traffic
+    to 3 (δ = 0.5). Chain 0→1→2→3: δ(1) accumulates through δ(2)."""
+    from covid_custom_sql_engine_spark.functions.graph import (
+        seed_betweenness,
+    )
+
+    srcs = spark.createDataFrame([(0,)], "node long")
+    diamond = _edges(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    got = {
+        r.node: (r.dist, r.delta)
+        for r in seed_betweenness(diamond, srcs, max_depth=2).collect()
+    }
+    assert got == {1: (1, 0.5), 2: (1, 0.5)}
+
+    chain = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {
+        r.node: (r.dist, r.delta)
+        for r in seed_betweenness(chain, srcs, max_depth=3).collect()
+    }
+    # δ(2) = 1·(1+0) = 1; δ(1) = 1·(1+δ(2)) = 2
+    assert got == {1: (1, 2.0), 2: (2, 1.0)}

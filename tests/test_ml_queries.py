@@ -164,3 +164,44 @@ def test_rocchio_prf_shape_and_expansion_disjoint(spark):
         terms = next(iter(exps)).split(",")
         assert len(terms) == 2
         assert not (set(terms) & seeds[q])
+
+
+def test_als_user_step_matches_numpy(spark):
+    """Every user's closed-form 2x2 ridge solve at sf0.001 re-derived
+    with numpy from the same md5 item factors."""
+    import hashlib
+
+    rows = QUERIES["als_user_step"](spark, SF).collect()
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    l = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    r = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")
+    cnt = (
+        r.groupby(["o_custkey", "l_partkey"]).size().rename("rating").reset_index()
+    )
+
+    def q(salt, i):
+        h = int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:15], 16)
+        return h % 2000 / 1000.0 - 1
+
+    lam = 0.1
+    got = {r_["custkey"]: (r_["p1"], r_["p2"]) for r_ in rows}
+    assert set(got) == set(cnt.o_custkey.unique())
+    for u, grp in cnt.groupby("o_custkey"):
+        q1 = np.array([q("q1:", i) for i in grp.l_partkey])
+        q2 = np.array([q("q2:", i) for i in grp.l_partkey])
+        rt = grp.rating.to_numpy(dtype=float)
+        A = np.array(
+            [[q1 @ q1 + lam, q1 @ q2], [q1 @ q2, q2 @ q2 + lam]]
+        )
+        b = np.array([rt @ q1, rt @ q2])
+        p = np.linalg.solve(A, b)
+        assert got[u][0] == pytest.approx(p[0], abs=2e-5), u
+        assert got[u][1] == pytest.approx(p[1], abs=2e-5), u
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    row = QUERIES["bootstrap_mean_ci"](spark, SF).collect()[0]
+    assert row["n_boot"] == 50
+    assert row["ci_low"] < row["ci_high"]
+    # the observed mean should fall inside (or at worst near) the CI
+    assert row["ci_low"] <= row["mean_obs"] <= row["ci_high"]

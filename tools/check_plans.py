@@ -452,6 +452,13 @@ EXPECT = {
     # broadcast query-term/stats crosses (the bm25_search convention),
     # checkpoint-leaf postings reuse: intended
     "rocchio_prf": (2, False, True),
+    # per-user closed-form solves: one interaction-table aggregate
+    "als_user_step": (2, False, False),
+    # checkpoint-leaf forward/backward frames, as bfs_path_counts
+    "seed_betweenness": (2, False, False),
+    # 50-row replicate table + 1-row n/CI broadcast crosses onto the
+    # checkpoint-leaf ranked daily frame: intended
+    "bootstrap_mean_ci": (2, False, True),
 }
 
 
