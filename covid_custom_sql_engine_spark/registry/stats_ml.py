@@ -1419,3 +1419,322 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo"), 6).alias("ci_low"),
         F.round(F.col("hi"), 6).alias("ci_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction and forecast backtesting
+# ---------------------------------------------------------------------------
+
+def _rake_sw_values() -> str:
+    from covid_custom_sql_engine_spark.functions.text import LANG_STOPWORDS
+
+    return ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(LANG_STOPWORDS)
+        for w in LANG_STOPWORDS[lang]
+    )
+
+
+@query(
+    "rake_keywords",
+    oracle=f"""
+    WITH sw(lang, word) AS (VALUES {_rake_sw_values()}),
+    tk AS (SELECT doc_id, lang, {_NB_SQL_TOKS} AS toks FROM documents),
+    pos AS (SELECT tk.doc_id, tk.lang, u.i, tk.toks[u.i] AS tok
+            FROM tk, UNNEST(generate_series(1, len(tk.toks))) AS u(i)),
+    ns AS (SELECT p.doc_id, p.lang, p.i, p.tok,
+                  row_number() OVER (PARTITION BY p.doc_id
+                                     ORDER BY p.i) AS rn
+           FROM pos p LEFT JOIN sw ON sw.lang = p.lang AND sw.word = p.tok
+           WHERE sw.word IS NULL),
+    pw AS (SELECT doc_id, lang, i - rn AS grp, i, tok FROM ns),
+    ph AS MATERIALIZED (
+      SELECT doc_id, lang, grp,
+             string_agg(tok, ' ' ORDER BY i) AS phrase,
+             count(*) AS plen
+      FROM pw GROUP BY 1, 2, 3),
+    ws AS (SELECT pw.lang, pw.tok, count(*) AS freq,
+                  CAST(sum(ph.plen) AS BIGINT) AS deg
+           FROM pw JOIN ph ON ph.doc_id = pw.doc_id AND ph.grp = pw.grp
+           GROUP BY 1, 2),
+    psc AS (SELECT pw.doc_id, pw.lang, pw.grp,
+                   {_sql_dsum12('CAST(ws.deg AS DOUBLE) / ws.freq')} AS sc
+            FROM pw JOIN ws ON ws.lang = pw.lang AND ws.tok = pw.tok
+            GROUP BY 1, 2, 3),
+    agg AS (SELECT ph.lang, ph.phrase,
+                   count(*) AS n_occurrences, max(psc.sc) AS sc
+            FROM ph JOIN psc ON psc.doc_id = ph.doc_id
+                            AND psc.grp = ph.grp
+            GROUP BY 1, 2)
+    SELECT lang, phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           round(sc, 6) AS score,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY sc DESC, phrase) AS rk
+    FROM agg
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY sc DESC, phrase) <= 10
+    """,
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), corpus-level per
+    language: candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands over token positions — the repeated-span
+    machinery's discipline), each word scores deg/freq over ALL
+    phrases of its language (deg = Σ length of phrases containing it),
+    and a phrase scores the sum of its words — top-10 per language.
+    The keyword-extraction member of the text-analysis family
+    (tfidf_top_terms ranks single tokens; RAKE surfaces multi-word
+    phrases without any n-gram enumeration).  Scale shape: islands
+    come from a per-DOCUMENT window (bounded partitions), word stats
+    are one hash aggregate keyed (lang, token), the per-phrase score
+    folds fixed-point at 12 digits, and the final top-10 is a window
+    over the per-language distinct-phrase frame.  Ties break on the
+    phrase text; deg/freq ratios are exact-integer-derived doubles."""
+    from covid_custom_sql_engine_spark.catalog import parallelize_small
+    from covid_custom_sql_engine_spark.functions import text as tx
+    from pyspark.sql import Window
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", tx.tokens("text").alias("toks")
+    )
+    sw = F.broadcast(
+        spark.createDataFrame(
+            [
+                (lang, w)
+                for lang in sorted(tx.LANG_STOPWORDS)
+                for w in tx.LANG_STOPWORDS[lang]
+            ],
+            "slang string, word string",
+        )
+    )
+    pos = d.select(
+        "doc_id", "lang", F.posexplode("toks").alias("i0", "tok")
+    ).select("doc_id", "lang", (F.col("i0") + 1).alias("i"), "tok")
+    ns = (
+        pos.join(
+            sw,
+            (F.col("slang") == F.col("lang")) & (F.col("word") == F.col("tok")),
+            "left",
+        )
+        .filter(F.col("word").isNull())
+        .select("doc_id", "lang", "i", "tok")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    pw = ns.withColumn("rn", F.row_number().over(w_doc)).select(
+        "doc_id", "lang", (F.col("i") - F.col("rn")).alias("grp"), "i", "tok"
+    )
+    pw = pw.localCheckpoint(eager=False)  # phrase agg + word stats + score
+    ph = pw.groupBy("doc_id", "lang", "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    ph = ph.localCheckpoint(eager=False)  # word-deg join + phrase agg
+    ws = (
+        pw.join(
+            ph.select(
+                F.col("doc_id").alias("_pd"),
+                F.col("grp").alias("_pg"),
+                "plen",
+            ),
+            (F.col("_pd") == F.col("doc_id")) & (F.col("_pg") == F.col("grp")),
+        )
+        .groupBy("lang", "tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    psc = (
+        pw.join(
+            ws.select(
+                F.col("lang").alias("_wl"),
+                F.col("tok").alias("_wt"),
+                "freq",
+                "deg",
+            ),
+            (F.col("_wl") == F.col("lang")) & (F.col("_wt") == F.col("tok")),
+        )
+        .groupBy("doc_id", "lang", "grp")
+        .agg(
+            ops.dsum12(
+                F.col("deg").cast("double") / F.col("freq")
+            ).alias("sc")
+        )
+    )
+    agg = (
+        ph.join(
+            psc.select(
+                F.col("doc_id").alias("_sd"),
+                F.col("grp").alias("_sg"),
+                "sc",
+            ),
+            (F.col("_sd") == F.col("doc_id")) & (F.col("_sg") == F.col("grp")),
+        )
+        .groupBy("lang", "phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("sc").alias("sc"),
+        )
+    )
+    w_l = Window.partitionBy("lang").orderBy(
+        F.desc("sc"), F.asc("phrase")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w_l))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "lang",
+            "phrase",
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.round(F.col("sc"), 6).alias("score"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+# Shared OLS/prediction expression text (verbatim both engines).
+_FB_SLOPE = (
+    "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+)
+_FB_ICEPT = "((sy - slope * sx) / n)"
+_FB_PRED = "(icept + slope * x)"
+
+
+@query(
+    "forecast_backtest",
+    oracle=f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      {_sql_dsum('value')} AS y
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT min(day) AS a,
+                 min(day) + CAST(floor(0.8 * datediff('day', min(day), max(day)))
+                                 AS INTEGER) * INTERVAL 1 DAY AS split
+          FROM d),
+    dx AS (SELECT d.event_type, datediff('day', m.a, d.day) AS x, d.y,
+                  d.day <= m.split AS is_train
+           FROM d, m),
+    tr AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(x) AS DOUBLE) AS sx,
+                  {_sql_dsum('y')} AS sy,
+                  CAST(sum(CAST(x AS BIGINT) * x) AS DOUBLE) AS sxx,
+                  {_sql_dsum('x * y')} AS sxy
+           FROM dx WHERE is_train GROUP BY 1),
+    co AS (SELECT event_type, n, {_FB_SLOPE} AS slope
+           FROM tr),
+    co2 AS (SELECT co.event_type, co.n, co.slope,
+                   ((tr.sy - co.slope * tr.sx) / co.n) AS icept
+            FROM co JOIN tr USING (event_type)),
+    te AS (SELECT dx.event_type, count(*) AS n_test,
+                  {_sql_dsum12('abs(y - ' + _FB_PRED + ') / abs(y)')} / count(*) AS mape,
+                  sqrt({_sql_dsum('(y - ' + _FB_PRED + ') * (y - ' + _FB_PRED + ')')}
+                       / count(*)) AS rmse
+           FROM dx JOIN co2 USING (event_type)
+           WHERE NOT is_train AND y != 0
+           GROUP BY 1)
+    SELECT co2.event_type,
+           CAST(co2.n AS BIGINT) AS n_train,
+           CAST(te.n_test AS BIGINT) AS n_test,
+           round(co2.slope, 6) AS slope,
+           round(co2.icept, 6) AS intercept,
+           round(te.mape, 6) AS mape,
+           round(te.rmse, 6) AS rmse
+    FROM co2 JOIN te USING (event_type)
+    """,
+)
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-split forecast BACKTEST per event type: fit the per-type
+    OLS daily-value trend on the first 80% of the calendar (the
+    ols_trend_by_type model), score the held-out tail, and report
+    MAPE + RMSE — the train/validate discipline (`dataset_split`)
+    applied on the TIME axis, which is the only split that doesn't
+    leak for forecasting.  Scale shape: the fact table collapses to
+    the per-(type, day) frame first; the calendar split is a 1-row
+    broadcast min/max; training sums are one combinable aggregate per
+    type; the 5-row coefficient table broadcasts back onto the test
+    slice.  OLS solve and prediction are shared expression strings
+    (the ridge convention); error sums fold fixed-point (12 digits for
+    the ≪1 APE terms); round(6)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    d = e.groupBy("event_type", "day").agg(
+        ops.dsum(F.col("value")).alias("y")
+    )
+    d = d.localCheckpoint(eager=False)  # min/max + train + test passes
+    m = F.broadcast(
+        d.agg(
+            F.min("day").alias("a"),
+            F.date_add(
+                F.min("day"),
+                F.floor(
+                    0.8 * F.datediff(F.max("day"), F.min("day"))
+                ).cast("int"),
+            ).alias("split"),
+        )
+    )
+    dx = d.crossJoin(m).select(
+        "event_type",
+        F.datediff("day", "a").alias("x"),
+        "y",
+        (F.col("day") <= F.col("split")).alias("is_train"),
+    )
+    dx = dx.localCheckpoint(eager=False)  # train + test branches
+    tr = (
+        dx.filter(F.col("is_train"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            ops.dsum(F.col("y")).alias("sy"),
+            F.sum(F.col("x").cast("bigint") * F.col("x"))
+            .cast("double")
+            .alias("sxx"),
+            ops.dsum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    co = tr.withColumn("slope", F.expr(_FB_SLOPE))
+    co2 = co.withColumn("icept", F.expr(_FB_ICEPT)).select(
+        F.col("event_type").alias("_et"), "n", "slope", "icept"
+    )
+    te = (
+        dx.join(
+            F.broadcast(co2), F.col("_et") == F.col("event_type")
+        )
+        .filter(~F.col("is_train") & (F.col("y") != 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            (
+                ops.dsum12(
+                    F.expr(f"abs(y - {_FB_PRED}) / abs(y)")
+                )
+                / F.count(F.lit(1))
+            ).alias("mape"),
+            F.sqrt(
+                ops.dsum(
+                    F.expr(f"(y - {_FB_PRED}) * (y - {_FB_PRED})")
+                )
+                / F.count(F.lit(1))
+            ).alias("rmse"),
+        )
+    )
+    return (
+        co2.join(te, co2["_et"] == te["event_type"])
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_train"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.round(F.col("slope"), 6).alias("slope"),
+            F.round(F.col("icept"), 6).alias("intercept"),
+            F.round(F.col("mape"), 6).alias("mape"),
+            F.round(F.col("rmse"), 6).alias("rmse"),
+        )
+    )

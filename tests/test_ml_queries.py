@@ -205,3 +205,46 @@ def test_bootstrap_ci_brackets_mean(spark):
     assert row["ci_low"] < row["ci_high"]
     # the observed mean should fall inside (or at worst near) the CI
     assert row["ci_low"] <= row["mean_obs"] <= row["ci_high"]
+
+
+def test_rake_keywords_structure(spark):
+    """Top-10 phrases per language; no phrase contains a stopword of
+    its own language; ranks are 1..k without gaps."""
+    from covid_custom_sql_engine_spark.functions.text import LANG_STOPWORDS
+
+    rows = QUERIES["rake_keywords"](spark, SF).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert sorted(r["rk"] for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 10
+        sw = set(LANG_STOPWORDS.get(lang, []))
+        for r in rs:
+            assert not (set(r["phrase"].split()) & sw), (lang, r["phrase"])
+            assert r["score"] > 0
+
+
+def test_forecast_backtest_matches_pandas(spark):
+    rows = QUERIES["forecast_backtest"](spark, SF).collect()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = pd.to_datetime(ev.ts).dt.date
+    d = ev.groupby(["event_type", "day"])["value"].sum().reset_index()
+    a, bmax = d.day.min(), d.day.max()
+    split = a + pd.Timedelta(days=int(0.8 * (bmax - a).days))
+    got = {r["event_type"]: r for r in rows}
+    for et, grp in d.groupby("event_type"):
+        x = np.array([(dd - a).days for dd in grp.day], dtype=float)
+        y = grp.value.to_numpy(dtype=float)
+        trn = np.array([dd <= split for dd in grp.day])
+        tst = ~trn & (y != 0)
+        n, sx, sy = trn.sum(), x[trn].sum(), y[trn].sum()
+        sxx, sxy = (x[trn] ** 2).sum(), (x[trn] * y[trn]).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        icept = (sy - slope * sx) / n
+        pred = icept + slope * x[tst]
+        mape = float(np.mean(np.abs(y[tst] - pred) / np.abs(y[tst])))
+        r = got[et]
+        assert r["n_train"] == n and r["n_test"] == tst.sum()
+        assert r["slope"] == pytest.approx(slope, rel=1e-4)
+        assert r["mape"] == pytest.approx(mape, rel=1e-4)

@@ -459,6 +459,12 @@ EXPECT = {
     # 50-row replicate table + 1-row n/CI broadcast crosses onto the
     # checkpoint-leaf ranked daily frame: intended
     "bootstrap_mean_ci": (2, False, True),
+    # 40-row stopword broadcast; checkpoint-leaf phrase frames;
+    # per-document islands window: intended
+    "rake_keywords": (3, False, False),
+    # 1-row calendar split + 5-row coefficient broadcast crosses onto
+    # the checkpoint-leaf per-(type, day) frame: intended
+    "forecast_backtest": (3, False, True),
 }
 
 
