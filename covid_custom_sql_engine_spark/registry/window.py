@@ -174,8 +174,17 @@ _DRIVER_WINDOW_PRIORITY = [
 # oldest r6 rows.
 # Everything below the out-of-window line holds an r1-r9 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (265 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
+# (281 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
 # README per round).
+#
+# Round-10 CONTINUATION queries (registered after the window snapshot,
+# never driver-checked — by the standing never-checked-beats-stale rule
+# they lead the round-11 window AHEAD of the displaced r5 rows):
+# mann_whitney_value_shift, rank_correlation_daily, acf_daily_revenue,
+# seasonal_dow_decompose, ridge_regression_price, knn_label_vote,
+# naive_bayes_lang, bfs_path_counts, ktruss_copurchase,
+# spatial_grid_join, rocchio_prf, als_user_step, seed_betweenness,
+# bootstrap_mean_ci, rake_keywords, forecast_backtest.
 
 
 def _reorder_registry() -> None:
