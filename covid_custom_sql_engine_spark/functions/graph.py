@@ -940,3 +940,53 @@ def seed_betweenness(
         delta_next = lvl
         out = lvl if out is None else out.unionByName(lvl)
     return out.select("node", "dist", "delta")
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    time_col: str = "edate",
+    node_col: str = "node",
+) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability over a temporal
+    edge list: a node is reached at time t if some edge (u, v, t)
+    departs at t ≥ u's own earliest arrival — paths must move forward
+    in time, which static BFS (:func:`bfs_layers`) gets wrong (it
+    happily chains a Monday edge after a Friday one).  The
+    contact-tracing / information-diffusion / fraud-flow primitive.
+    Bounded at ``rounds`` interactions (the sssp_bounded convention:
+    rounds are a hyper-parameter, the oracle unrolls them).
+
+    Per round ONE relax join (state ⋈ edges on the source key with the
+    time gate in the join condition) + a combinable MIN aggregate over
+    the union with the carried state — monotone (arrivals only
+    decrease), so the fixpoint is order-independent; state eagerly
+    pinned per round.  All date comparisons exact.  Returns
+    (node, earliest) with seeds at the sentinel epoch."""
+    e = edges.select(
+        F.col(src_col).alias("_tsrc"),
+        F.col(dst_col).alias("_tdst"),
+        F.col(time_col).alias("_td"),
+    ).localCheckpoint(eager=False)
+    state = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("earliest", F.to_date(F.lit("1970-01-01")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = state.join(
+            e,
+            (F.col("_tsrc") == F.col("node"))
+            & (F.col("_td") >= F.col("earliest")),
+        ).select(F.col("_tdst").alias("node"), F.col("_td").alias("earliest"))
+        state = (
+            state.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("earliest").alias("earliest"))
+            .localCheckpoint(eager=True)
+        )
+    return state

@@ -1738,3 +1738,194 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rmse"), 6).alias("rmse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal reachability and quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def _temporal_reach_oracle(rounds: int = 3) -> str:
+    """Unrolled earliest-arrival relaxation rounds (the sssp_bounded
+    generated-oracle convention); date comparisons are exact."""
+    ctes = [
+        """WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS MATERIALIZED (SELECT c AS src, s AS dst, d FROM pairs
+              UNION ALL SELECT s, c, d FROM pairs),
+    t0 AS (SELECT 'c:' || c_custkey AS node, DATE '1970-01-01' AS ea
+           FROM customer WHERE c_custkey <= 3)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (SELECT node, min(ea) AS ea FROM (
+        SELECT node, ea FROM t{p}
+        UNION ALL
+        SELECT e.dst AS node, e.d AS ea
+        FROM t{p} t JOIN edges e ON e.src = t.node AND e.d >= t.ea)
+        GROUP BY node)"""
+        )
+    return (
+        ",\n    ".join(ctes)
+        + f"""
+    SELECT node, strftime(t{rounds}.ea, '%Y-%m-%d') AS earliest
+    FROM t{rounds}"""
+    )
+
+
+@query("temporal_reachability", oracle=_temporal_reach_oracle(3))
+def temporal_reachability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest time-respecting arrival from the seed customers over
+    the DATED trading graph (graph.temporal_reachability, 3
+    interaction rounds): each hop must depart no earlier than the
+    node's own earliest arrival — the contact-tracing/diffusion
+    primitive static BFS gets wrong.  Per round one time-gated relax
+    join + a combinable MIN; monotone state, eagerly pinned; unrolled
+    identically in the oracle.  Dates compare exactly and are emitted
+    as formatted strings on both sides (the house timestamp rule)."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            "d",
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), F.col("d").alias("edate")
+    ).unionAll(
+        pairs.select(
+            F.col("s").alias("src"), F.col("c").alias("dst"), F.col("d").alias("edate")
+        )
+    )
+    srcs = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    out = gr.temporal_reachability(edges, srcs, rounds=3)
+    return out.select(
+        "node", F.date_format("earliest", "yyyy-MM-dd").alias("earliest")
+    )
+
+
+@query(
+    "quantile_normalize_events",
+    oracle="""
+    WITH e AS (SELECT event_id, event_type, value AS v FROM events
+               WHERE value IS NOT NULL),
+    gv AS (SELECT event_type, v, count(*) AS cnt FROM e GROUP BY 1, 2),
+    gw AS (SELECT event_type, v, cnt,
+                  sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+                  AS cumb
+           FROM gv),
+    ng AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_g
+           FROM gv GROUP BY 1),
+    gl AS (SELECT v, count(*) AS cnt,
+                  sum(count(*)) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - count(*) AS cumb
+           FROM e GROUP BY v),
+    nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM gl),
+    kk AS (SELECT v, cumb + u.i AS k
+           FROM gl, UNNEST(generate_series(1, cnt)) AS u(i)),
+    m AS (SELECT e.event_id, e.event_type,
+                 CAST(floor(((2 * gw.cumb + gw.cnt) * nn.n + 2 * ng.n_g - 1)
+                            / (2.0 * ng.n_g)) AS BIGINT) AS k
+          FROM e
+          JOIN gw ON gw.event_type = e.event_type AND gw.v = e.v
+          JOIN ng ON ng.event_type = e.event_type
+          CROSS JOIN nn)
+    SELECT m.event_id, m.event_type, kk.v AS mapped_value
+    FROM m JOIN kk ON kk.k = m.k
+    """,
+)
+def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of each event type's value distribution
+    onto the POOLED distribution: a row at within-group midrank r maps
+    to the pooled type-1 empirical quantile at p = (r−½)/n_g — after
+    the transform every group has (up to ties) the same marginal, the
+    batch-effect correction used before cross-source comparisons
+    (microarray lineage; here: cross-event-type value comparability).
+    Scale shape: both rank passes run on per-distinct-value collapsed
+    frames (the within-group cumulative is a window over the per-GROUP
+    reduced frame, bounded by distinct values; at hot-group scale swap
+    in the pinned prefix-sum of selection.running_sums); the pooled
+    quantile lookup EXPLODES the global reduced frame to one row per
+    rank and equi-joins on the integer rank index — never a per-row
+    range join.  Rank arithmetic is all-integer (2·midrank−1 is an
+    integer; k = ⌈(2r−1)·N / (2n_g)⌉ via exact integer/double floor);
+    mapped values are raw pass-through column values — exact."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", F.col("value").alias("v"))
+    )
+    e = e.localCheckpoint(eager=False)  # group ranks + global ranks + map
+    gv = e.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w_g = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gw = gv.select(
+        F.col("event_type").alias("_gt"),
+        F.col("v").alias("_gv"),
+        "cnt",
+        (F.sum("cnt").over(w_g) - F.col("cnt")).alias("cumb"),
+    )
+    ng = gv.groupBy(F.col("event_type").alias("_nt")).agg(
+        F.sum("cnt").cast("bigint").alias("n_g")
+    )
+    gl = e.groupBy(F.col("v").alias("_lv")).agg(
+        F.count(F.lit(1)).alias("lcnt")
+    )
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    glc = sel.running_sums(gl, "_lv", ["lcnt"]).select(
+        "_lv", "lcnt", (F.col("_cum_lcnt") - F.col("lcnt")).alias("lcumb")
+    )
+    nn = F.broadcast(gl.agg(F.sum("lcnt").cast("bigint").alias("n")))
+    kk = glc.select(
+        F.col("_lv").alias("mapped_value"),
+        F.explode(
+            F.sequence(F.col("lcumb") + 1, F.col("lcumb") + F.col("lcnt"))
+        ).alias("k"),
+    )
+    m = (
+        e.join(
+            gw,
+            (F.col("_gt") == F.col("event_type")) & (F.col("_gv") == F.col("v")),
+        )
+        .join(F.broadcast(ng), F.col("_nt") == F.col("event_type"))
+        .crossJoin(nn)
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(
+                ((2 * F.col("cumb") + F.col("cnt")) * F.col("n")
+                 + 2 * F.col("n_g") - 1)
+                / (2.0 * F.col("n_g"))
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    return m.join(kk, "k").select(
+        "event_id", "event_type", "mapped_value"
+    )

@@ -484,3 +484,36 @@ def test_seed_betweenness_diamond_and_chain(spark):
     }
     # δ(2) = 1·(1+0) = 1; δ(1) = 1·(1+δ(2)) = 2
     assert got == {1: (1, 2.0), 2: (2, 1.0)}
+
+
+def test_temporal_reachability_respects_time(spark):
+    """Static path 0→1→2 exists, but the second edge departs BEFORE
+    the first arrives — time-respecting reachability must not take it;
+    a later edge makes 2 reachable, and same-day chaining is allowed."""
+    import datetime
+
+    from covid_custom_sql_engine_spark.functions.graph import (
+        temporal_reachability,
+    )
+
+    def d(day):
+        return datetime.date(2024, 1, day)
+
+    srcs = spark.createDataFrame([(0,)], "node long")
+    bad = spark.createDataFrame(
+        [(0, 1, d(5)), (1, 2, d(3))], "src long, dst long, edate date"
+    )
+    got = {
+        r.node: str(r.earliest)
+        for r in temporal_reachability(bad, srcs, rounds=3).collect()
+    }
+    assert got == {0: "1970-01-01", 1: "2024-01-05"}
+
+    ok = spark.createDataFrame(
+        [(0, 1, d(5)), (1, 2, d(5))], "src long, dst long, edate date"
+    )
+    got = {
+        r.node: str(r.earliest)
+        for r in temporal_reachability(ok, srcs, rounds=3).collect()
+    }
+    assert got[2] == "2024-01-05"

@@ -248,3 +248,23 @@ def test_forecast_backtest_matches_pandas(spark):
         assert r["n_train"] == n and r["n_test"] == tst.sum()
         assert r["slope"] == pytest.approx(slope, rel=1e-4)
         assert r["mape"] == pytest.approx(mape, rel=1e-4)
+
+
+def test_quantile_normalize_matches_pure_python(spark):
+    """Every row's mapped value re-derived: within-group midrank →
+    pooled type-1 quantile at (r-0.5)/n_g."""
+    rows = QUERIES["quantile_normalize_events"](spark, SF).collect()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev[ev.value.notna()]
+    pooled = np.sort(ev.value.to_numpy())
+    N = len(pooled)
+    got = {r["event_id"]: r["mapped_value"] for r in rows}
+    assert len(got) == len(ev)
+    for et, grp in ev.groupby("event_type"):
+        vals = grp.value.to_numpy()
+        order = np.argsort(vals, kind="stable")
+        ranks = pd.Series(vals).rank(method="average").to_numpy()
+        n_g = len(vals)
+        for eid, v, r in zip(grp.event_id, vals, ranks):
+            k = -(-((int(2 * r - 1)) * N) // (2 * n_g))  # ceil
+            assert got[int(eid)] == pooled[k - 1], (et, eid)

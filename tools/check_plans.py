@@ -465,6 +465,11 @@ EXPECT = {
     # 1-row calendar split + 5-row coefficient broadcast crosses onto
     # the checkpoint-leaf per-(type, day) frame: intended
     "forecast_backtest": (3, False, True),
+    # checkpoint-leaf relax state, as sssp_bounded_costs
+    "temporal_reachability": (3, False, False),
+    # 1-row pooled-count broadcast cross; per-group window runs on the
+    # per-distinct-value reduced frame: intended
+    "quantile_normalize_events": (3, False, True),
 }
 
 
