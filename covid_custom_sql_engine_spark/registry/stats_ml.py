@@ -1929,3 +1929,133 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.join(kk, "k").select(
         "event_id", "event_type", "mapped_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# EM: two-component 1-D Gaussian mixture, fixed rounds
+# ---------------------------------------------------------------------------
+
+# E-step responsibility γ = π₁N(x|μ₁,v₁) / Σ — ONE shared expression
+# string (the MMR/Markov discipline); per-row IEEE exp/sqrt.
+_EM_G = (
+    "(pi1 / sqrt(v1) * exp(-((x - mu1) * (x - mu1)) / (2 * v1)))"
+    " / (pi1 / sqrt(v1) * exp(-((x - mu1) * (x - mu1)) / (2 * v1))"
+    " + (1 - pi1) / sqrt(v2) * exp(-((x - mu2) * (x - mu2)) / (2 * v2)))"
+)
+# M-step updates over the per-round sums (same text both engines).
+_EM_UPD = {
+    "pi1": "(sg / n)",
+    "mu1": "(sgx / sg)",
+    "v1": "greatest(sgx2 / sg - (sgx / sg) * (sgx / sg), 1e-6)",
+    "mu2": "(hgx / hg)",
+    "v2": "greatest(hgx2 / hg - (hgx / hg) * (hgx / hg), 1e-6)",
+}
+_EM_ROUNDS = 2
+
+
+def _em_oracle() -> str:
+    upd = ", ".join(f"{expr} AS {k}" for k, expr in _EM_UPD.items())
+    ctes = [
+        """x AS (SELECT value AS x FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL),
+    st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  min(x) AS xmin, max(x) AS xmax,
+                  CAST(sum(CAST((x) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST((x * x) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+           FROM x),
+    p0 AS (SELECT n,
+                  xmin + 0.25 * (xmax - xmin) AS mu1,
+                  xmin + 0.75 * (xmax - xmin) AS mu2,
+                  greatest((n * sxx - sx * sx) / (n * n), 1e-6) AS v1,
+                  greatest((n * sxx - sx * sx) / (n * n), 1e-6) AS v2,
+                  0.5 AS pi1
+           FROM st)"""
+    ]
+    for r in range(1, _EM_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""e{r} AS (SELECT x.x, {_EM_G} AS g FROM x, p{p}),
+    s{r} AS (SELECT max(p{p}.n) AS n,
+                    CAST(sum(CAST((g) AS DECIMAL(38,12))) AS DOUBLE) AS sg,
+                    CAST(sum(CAST((g * x) AS DECIMAL(38,12))) AS DOUBLE) AS sgx,
+                    CAST(sum(CAST((g * x * x) AS DECIMAL(38,12))) AS DOUBLE) AS sgx2,
+                    CAST(sum(CAST(((1 - g)) AS DECIMAL(38,12))) AS DOUBLE) AS hg,
+                    CAST(sum(CAST(((1 - g) * x) AS DECIMAL(38,12))) AS DOUBLE) AS hgx,
+                    CAST(sum(CAST(((1 - g) * x * x) AS DECIMAL(38,12))) AS DOUBLE) AS hgx2
+             FROM e{r}, p{p}),
+    p{r} AS (SELECT n, {upd} FROM s{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(n AS BIGINT) AS n,
+           round(pi1, 6) AS pi1,
+           round(mu1, 6) AS mu1, round(v1, 6) AS var1,
+           round(mu2, 6) AS mu2, round(v2, 6) AS var2
+    FROM p{_EM_ROUNDS}"""
+    )
+
+
+@query("em_gaussian_mixture", oracle=_em_oracle())
+def em_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of EM for a 1-D two-component Gaussian mixture over
+    purchase values — soft clustering where kmeans_step is hard: the
+    E-step computes per-row responsibilities from the previous round's
+    (π, μ, v) 1-row broadcast, the M-step is ONE combinable weighted
+    aggregate (responsibility-weighted count/mean/second-moment folds
+    at 12 digits for the ≪1 γ terms).  Deterministic quartile-spread
+    initialization (no rand()); the round count is a hyper-parameter
+    and the oracle unrolls identical rounds (the kmeans/label_prop
+    convention).  The E-step expression is ONE shared string evaluated
+    verbatim by both engines; M-step quotients mirror textually;
+    round(6) on the reported parameters."""
+    x = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select(F.col("value").alias("x"))
+    )
+    x = x.localCheckpoint(eager=False)  # reused every round
+    st = x.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        ops.dsum(F.col("x")).alias("sx"),
+        ops.dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    p = st.select(
+        "n",
+        F.expr("xmin + 0.25 * (xmax - xmin)").alias("mu1"),
+        F.expr("xmin + 0.75 * (xmax - xmin)").alias("mu2"),
+        F.expr("greatest((n * sxx - sx * sx) / (n * n), 1e-6)").alias("v1"),
+        F.expr("greatest((n * sxx - sx * sx) / (n * n), 1e-6)").alias("v2"),
+        F.lit(0.5).alias("pi1"),
+    )
+    for _ in range(_EM_ROUNDS):
+        e = x.crossJoin(F.broadcast(p)).select(
+            "x", F.expr(_EM_G).alias("g"), "n"
+        )
+        s = e.agg(
+            F.max("n").alias("n"),
+            ops.dsum12(F.col("g")).alias("sg"),
+            ops.dsum12(F.col("g") * F.col("x")).alias("sgx"),
+            ops.dsum12(F.col("g") * F.col("x") * F.col("x")).alias("sgx2"),
+            ops.dsum12(1 - F.col("g")).alias("hg"),
+            ops.dsum12((1 - F.col("g")) * F.col("x")).alias("hgx"),
+            ops.dsum12((1 - F.col("g")) * F.col("x") * F.col("x")).alias(
+                "hgx2"
+            ),
+        )
+        p = s.select(
+            "n", *[F.expr(expr).alias(k) for k, expr in _EM_UPD.items()]
+        )
+    return p.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("pi1"), 6).alias("pi1"),
+        F.round(F.col("mu1"), 6).alias("mu1"),
+        F.round(F.col("v1"), 6).alias("var1"),
+        F.round(F.col("mu2"), 6).alias("mu2"),
+        F.round(F.col("v2"), 6).alias("var2"),
+    )

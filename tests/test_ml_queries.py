@@ -268,3 +268,19 @@ def test_quantile_normalize_matches_pure_python(spark):
         for eid, v, r in zip(grp.event_id, vals, ranks):
             k = -(-((int(2 * r - 1)) * N) // (2 * n_g))  # ceil
             assert got[int(eid)] == pooled[k - 1], (et, eid)
+
+
+def test_em_mixture_parameters_sane(spark):
+    """Mixture weight in (0,1), variances positive, component means
+    inside the data range, and total mass conserved (pi1 + pi2 = 1 is
+    implicit — check the weighted means bracket the global mean)."""
+    row = QUERIES["em_gaussian_mixture"](spark, SF).collect()[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    vals = ev[(ev.event_type == "purchase") & ev.value.notna()].value
+    assert row["n"] == len(vals)
+    assert 0.0 < row["pi1"] < 1.0
+    assert row["var1"] > 0 and row["var2"] > 0
+    assert vals.min() <= row["mu1"] <= vals.max()
+    assert vals.min() <= row["mu2"] <= vals.max()
+    mix_mean = row["pi1"] * row["mu1"] + (1 - row["pi1"]) * row["mu2"]
+    assert mix_mean == pytest.approx(vals.mean(), rel=1e-3)

@@ -470,6 +470,9 @@ EXPECT = {
     # 1-row pooled-count broadcast cross; per-group window runs on the
     # per-distinct-value reduced frame: intended
     "quantile_normalize_events": (3, False, True),
+    # 1-row parameter broadcast cross per EM round onto the
+    # checkpoint-leaf value frame: intended
+    "em_gaussian_mixture": (2, False, True),
 }
 
 
