@@ -116,6 +116,16 @@ HEADLINE = [
     # round 10 fifth wave: split-conformal calibration (fact collapse +
     # exact percentile over the held-out half)
     "conformal_interval",
+    # round 10 continuation: the representative slice of the 19 new
+    # families — rank stats on the pinned prefix-sum primitive, the
+    # Brandes forward+backward pair (heaviest new graph shape), ALS
+    # closed-form solves (linear-in-interactions aggregate), the
+    # grid-blocked spatial join, and two-pass PRF retrieval
+    "mann_whitney_value_shift",
+    "seed_betweenness",
+    "als_user_step",
+    "spatial_grid_join",
+    "rocchio_prf",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):
