@@ -826,10 +826,34 @@ def prefix_filter_pairs(
     """
     from covid_custom_sql_engine_spark.functions.text import tokens
 
-    tk = (
+    return prefix_filter_pairs_sets(
         df.select(
             F.col(id_col), F.array_distinct(tokens(text_col)).alias("_t")
-        )
+        ),
+        threshold=threshold,
+        id_col=id_col,
+        set_col="_t",
+    )
+
+
+def prefix_filter_pairs_sets(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    set_col: str = "_t",
+) -> DataFrame:
+    """:func:`prefix_filter_pairs` on a PREBUILT distinct-element array
+    column — the same lossless AllPairs/PPJoin machinery (rarity-
+    ordered prefixes + length + positional filters + exact verify)
+    generalized beyond whitespace tokens, so character n-gram /
+    shingle / feature-set similarity joins reuse one implementation
+    (`trigram_name_match` feeds character trigrams through this).
+    Semantics, epsilon guards, and plan shape identical to the text
+    version; elements may contain any characters (including spaces)
+    since no tokenization happens here.
+    """
+    tk = (
+        df.select(F.col(id_col), F.array_distinct(F.col(set_col)).alias("_t"))
         .filter(F.size("_t") > 0)
         .localCheckpoint(eager=False)  # postings + both verify sides
     )

@@ -2059,3 +2059,454 @@ def em_gaussian_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mu2"), 6).alias("mu2"),
         F.round(F.col("v2"), 6).alias("var2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validated ridge (hyperparameter search as SQL)
+# ---------------------------------------------------------------------------
+
+# Leave-one-fold-out train moments from per-fold raw sums, then the
+# Cramer solve per λ — ALL shared expression text (both engines
+# evaluate these strings verbatim, in this chained order).
+_CV_STAGE1 = {
+    "tn": "(t_n - nf)",
+    "tmx1": "((t_sx1 - sx1) / (t_n - nf))",
+    "tmx2": "((t_sx2 - sx2) / (t_n - nf))",
+    "tmy": "((t_sy - sy) / (t_n - nf))",
+}
+_CV_STAGE2 = {
+    "c11": "((t_s11 - s11) - tn * tmx1 * tmx1)",
+    "c12": "((t_s12 - s12) - tn * tmx1 * tmx2)",
+    "c22": "((t_s22 - s22) - tn * tmx2 * tmx2)",
+    "c1y": "((t_s1y - s1y) - tn * tmx1 * tmy)",
+    "c2y": "((t_s2y - s2y) - tn * tmx2 * tmy)",
+}
+_CV_DET = "((c11 + lam) * (c22 + lam) - c12 * c12)"
+_CV_STAGE3 = {
+    "b1": f"((c1y * (c22 + lam) - c12 * c2y) / {_CV_DET})",
+    "b2": f"(((c11 + lam) * c2y - c12 * c1y) / {_CV_DET})",
+}
+_CV_B0 = "(tmy - b1 * tmx1 - b2 * tmx2)"
+_CV_ERR = "(y - (b0 + b1 * x1 + b2 * x2))"
+_CV_LAMBDAS = [0.1, 10.0, 1000.0]
+
+
+@query(
+    "ridge_cv_lambda",
+    oracle=f"""
+    WITH base AS (SELECT l_quantity AS x1, l_discount AS x2,
+                         l_extendedprice AS y,
+                         ('0x' || substr(md5('fold:' || CAST(l_orderkey AS VARCHAR)
+                            || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                           % 5 AS fold
+                  FROM lineitem),
+    pf AS (SELECT fold, CAST(count(*) AS DOUBLE) AS nf,
+                  {_sql_dsum12('x1')} AS sx1, {_sql_dsum12('x2')} AS sx2,
+                  {_sql_dsum12('y')} AS sy,
+                  {_sql_dsum12('x1 * x1')} AS s11,
+                  {_sql_dsum12('x1 * x2')} AS s12,
+                  {_sql_dsum12('x2 * x2')} AS s22,
+                  {_sql_dsum12('x1 * y')} AS s1y,
+                  {_sql_dsum12('x2 * y')} AS s2y
+           FROM base GROUP BY fold),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS t_n,
+                  {_sql_dsum12('x1')} AS t_sx1, {_sql_dsum12('x2')} AS t_sx2,
+                  {_sql_dsum12('y')} AS t_sy,
+                  {_sql_dsum12('x1 * x1')} AS t_s11,
+                  {_sql_dsum12('x1 * x2')} AS t_s12,
+                  {_sql_dsum12('x2 * x2')} AS t_s22,
+                  {_sql_dsum12('x1 * y')} AS t_s1y,
+                  {_sql_dsum12('x2 * y')} AS t_s2y
+           FROM base),
+    st1 AS (SELECT pf.*, tt.*, {", ".join(f"{e} AS {k}" for k, e in _CV_STAGE1.items())}
+            FROM pf, tt),
+    st2 AS (SELECT st1.*, {", ".join(f"{e} AS {k}" for k, e in _CV_STAGE2.items())}
+            FROM st1),
+    lams AS (SELECT unnest(CAST([{", ".join(str(v) for v in _CV_LAMBDAS)}] AS DOUBLE[])) AS lam),
+    st3 AS (SELECT st2.fold, lams.lam, st2.tmx1, st2.tmx2, st2.tmy,
+                   {", ".join(f"{e} AS {k}" for k, e in _CV_STAGE3.items())}
+            FROM st2, lams),
+    co AS (SELECT fold, lam, b1, b2, {_CV_B0} AS b0 FROM st3),
+    mse AS (SELECT co.lam,
+                   {_sql_dsum12(_CV_ERR + " * " + _CV_ERR)} / count(*) AS cv_mse
+            FROM base JOIN co ON co.fold = base.fold
+            GROUP BY co.lam),
+    best AS (SELECT min(cv_mse) AS mn FROM mse)
+    SELECT mse.lam, round(mse.cv_mse, 6) AS cv_mse,
+           mse.cv_mse = best.mn AS is_best
+    FROM mse, best
+    """,
+)
+def ridge_cv_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated λ selection for the 2-feature ridge
+    (`ridge_regression_price`'s model) over the grid {{0.1, 10, 1000}}
+    — hyperparameter search expressed as TWO distributed aggregates:
+    per-fold raw moment sums (md5-deterministic fold assignment, the
+    dataset_split convention) plus the grand totals, from which every
+    leave-one-fold-out training moment is EXACT ARITHMETIC
+    (train = total − fold), so 5 folds × 3 λ = 15 models cost the same
+    scan count as one.  The pooled held-out MSE joins each row to its
+    own fold's coefficients (15-row broadcast).  The entire
+    moments→solve→prediction chain is shared expression text evaluated
+    verbatim by both engines; per-row products fold fixed-point at 12
+    digits.  Output: one row per λ with the winner flagged."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fold:"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    base = base.localCheckpoint(eager=False)  # fold sums + totals + test join
+    sums = [
+        ("sx1", F.col("x1")),
+        ("sx2", F.col("x2")),
+        ("sy", F.col("y")),
+        ("s11", F.col("x1") * F.col("x1")),
+        ("s12", F.col("x1") * F.col("x2")),
+        ("s22", F.col("x2") * F.col("x2")),
+        ("s1y", F.col("x1") * F.col("y")),
+        ("s2y", F.col("x2") * F.col("y")),
+    ]
+    pf = base.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("nf"),
+        *[ops.dsum12(c).alias(k) for k, c in sums],
+    )
+    tt = base.agg(
+        F.count(F.lit(1)).cast("double").alias("t_n"),
+        *[ops.dsum12(c).alias(f"t_{k}") for k, c in sums],
+    )
+    st1 = pf.crossJoin(F.broadcast(tt))
+    for k, e in _CV_STAGE1.items():
+        st1 = st1.withColumn(k, F.expr(e))
+    st2 = st1
+    for k, e in _CV_STAGE2.items():
+        st2 = st2.withColumn(k, F.expr(e))
+    lams = F.broadcast(
+        spark.createDataFrame([(v,) for v in _CV_LAMBDAS], "lam double")
+    )
+    st3 = st2.crossJoin(lams)
+    for k, e in _CV_STAGE3.items():
+        st3 = st3.withColumn(k, F.expr(e))
+    co = st3.withColumn("b0", F.expr(_CV_B0)).select(
+        F.col("fold").alias("_cf"), "lam", "b1", "b2", "b0"
+    )
+    mse = (
+        base.join(F.broadcast(co), F.col("_cf") == F.col("fold"))
+        .groupBy("lam")
+        .agg(
+            (
+                ops.dsum12(F.expr(_CV_ERR + " * " + _CV_ERR))
+                / F.count(F.lit(1))
+            ).alias("cv_mse")
+        )
+    )
+    best = F.broadcast(mse.agg(F.min("cv_mse").alias("mn")))
+    return mse.crossJoin(best).select(
+        "lam",
+        F.round(F.col("cv_mse"), 6).alias("cv_mse"),
+        (F.col("cv_mse") == F.col("mn")).alias("is_best"),
+    )
+
+
+@query(
+    "permutation_test_weekend",
+    oracle=f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS t,
+                      {_sql_dsum('o_totalprice')} AS y,
+                      isodow(CAST(o_orderdate AS DATE)) >= 6 AS is_we
+               FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+    ob AS (SELECT count(*) AS n_days,
+                  CAST(sum(CASE WHEN is_we THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+                  abs({_sql_dsum('CASE WHEN is_we THEN y END')}
+                        / sum(CASE WHEN is_we THEN 1 END)
+                      - {_sql_dsum('CASE WHEN NOT is_we THEN y END')}
+                        / sum(CASE WHEN NOT is_we THEN 1 END)) AS obs
+           FROM d),
+    b AS (SELECT unnest(generate_series(1, 99)) AS bi),
+    g AS (SELECT b.bi, d.t, d.y,
+                 ('0x' || substr(md5('perm:' || CAST(b.bi AS VARCHAR)
+                    || ':' || strftime(d.t, '%Y-%m-%d')), 1, 15))::BIGINT AS h
+          FROM b, d),
+    r AS (SELECT bi, y,
+                 row_number() OVER (PARTITION BY bi ORDER BY h, t) AS rk
+          FROM g),
+    pm AS (SELECT r.bi,
+                  abs({_sql_dsum('CASE WHEN r.rk <= ob.n_we THEN r.y END')}
+                        / sum(CASE WHEN r.rk <= ob.n_we THEN 1 END)
+                      - {_sql_dsum('CASE WHEN r.rk > ob.n_we THEN r.y END')}
+                        / sum(CASE WHEN r.rk > ob.n_we THEN 1 END)) AS diff
+           FROM r, ob GROUP BY r.bi),
+    pv AS (SELECT count(*) AS n_perm,
+                  CAST(sum(CASE WHEN pm.diff >= ob.mx THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_ge
+           FROM pm, (SELECT max(obs) AS mx FROM ob) ob)
+    SELECT CAST(ob.n_days AS BIGINT) AS n_days, ob.n_we AS n_weekend,
+           round(ob.obs, 6) AS obs_diff,
+           round((1.0 + pv.n_ge) / (pv.n_perm + 1), 6) AS p_value
+    FROM ob, pv
+    """,
+)
+def permutation_test_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-label PERMUTATION test for a weekend effect on daily
+    revenue: the observed |weekend mean − weekday mean| is compared
+    against 99 deterministic md5-keyed permutations of the weekend
+    labels over the SAME days (each permutation preserves the exact
+    group sizes — a true relabeling, not a bootstrap), p = (1+#≥)/(B+1)
+    — the assumption-free significance companion of
+    `mann_whitney_value_shift` for the designed two-group question.
+    Scale shape: the fact table collapses to the calendar-bounded
+    daily frame first; the 99× grid and its per-replicate ranking
+    windows live ONLY on that reduced frame (99 bounded partitions);
+    all means fold fixed-point, so cross-engine the diff/threshold
+    comparisons see identical bits.  Deterministic under any
+    partitioning; round(6) on the reported statistic and p."""
+    from pyspark.sql import Window
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(F.to_date("o_orderdate").alias("t"), "o_totalprice")
+    )
+    d = o.groupBy("t").agg(ops.dsum(F.col("o_totalprice")).alias("y"))
+    d = d.select(
+        "t", "y", ((F.weekday("t") + 1) >= 6).alias("is_we")
+    ).localCheckpoint(eager=False)  # observed stat + 99x grid
+    we_y = F.when(F.col("is_we"), F.col("y"))
+    wd_y = F.when(~F.col("is_we"), F.col("y"))
+    ob = d.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("is_we"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_we"),
+        F.abs(
+            ops.dsum(we_y) / F.sum(F.when(F.col("is_we"), 1))
+            - ops.dsum(wd_y) / F.sum(F.when(~F.col("is_we"), 1))
+        ).alias("obs"),
+    )
+    b = F.broadcast(
+        spark.createDataFrame([(i,) for i in range(1, 100)], "bi int")
+    )
+    g = d.crossJoin(b).select(
+        "bi",
+        "t",
+        "y",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm:"),
+                        F.col("bi").cast("string"),
+                        F.lit(":"),
+                        F.date_format("t", "yyyy-MM-dd"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("bi").orderBy("h", "t")
+    r = g.withColumn("rk", F.row_number().over(w)).select("bi", "y", "rk")
+    a_y = F.when(F.col("rk") <= F.col("n_we"), F.col("y"))
+    b_y = F.when(F.col("rk") > F.col("n_we"), F.col("y"))
+    pm = (
+        r.crossJoin(F.broadcast(ob.select("n_we")))
+        .groupBy("bi")
+        .agg(
+            F.abs(
+                ops.dsum(a_y) / F.sum(F.when(F.col("rk") <= F.col("n_we"), 1))
+                - ops.dsum(b_y) / F.sum(F.when(F.col("rk") > F.col("n_we"), 1))
+            ).alias("diff")
+        )
+    )
+    pv = pm.crossJoin(F.broadcast(ob.select("obs"))).agg(
+        F.count(F.lit(1)).alias("n_perm"),
+        F.sum(F.when(F.col("diff") >= F.col("obs"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ge"),
+    )
+    return ob.crossJoin(F.broadcast(pv)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_we").alias("n_weekend"),
+        F.round(F.col("obs"), 6).alias("obs_diff"),
+        F.round((1.0 + F.col("n_ge")) / (F.col("n_perm") + 1), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: trigram fuzzy name matching (lossless PPJoin reuse)
+# ---------------------------------------------------------------------------
+
+_TRI_TAU = 0.45
+_TRI_SQL_GRAMS = (
+    "(SELECT list(DISTINCT substr({s}, i, 3)) "
+    "FROM UNNEST(generate_series(1, length({s}) - 2)) AS u(i))"
+)
+
+
+@query(
+    "trigram_name_match",
+    oracle=f"""
+    WITH orig AS (SELECT p_partkey AS id, p_name AS name FROM part),
+    corr AS (SELECT id + 1000000 AS cid, id AS true_id,
+                    substr(name, 1, pos - 1) || substr(name, pos + 1) AS cname
+             FROM (SELECT id, name,
+                          1 + ('0x' || substr(md5('typo:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                              % length(name) AS pos
+                   FROM orig)),
+    ot AS (SELECT id, {_TRI_SQL_GRAMS.format(s='name')} AS tg FROM orig),
+    ct AS (SELECT cid, true_id, {_TRI_SQL_GRAMS.format(s='cname')} AS tg
+           FROM corr),
+    oe AS (SELECT id, unnest(tg) AS t FROM ot),
+    ce AS (SELECT cid, unnest(tg) AS t FROM ct),
+    cand AS (SELECT DISTINCT ce.cid, oe.id FROM ce JOIN oe USING (t)),
+    sc AS (SELECT cand.cid, cand.id,
+                  len(list_intersect(ct.tg, ot.tg))::DOUBLE
+                    / len(list_distinct(list_concat(ct.tg, ot.tg))) AS j
+           FROM cand JOIN ct ON ct.cid = cand.cid
+                     JOIN ot ON ot.id = cand.id),
+    best AS (SELECT cid, id, j
+             FROM sc
+             WHERE j >= {_TRI_TAU}
+             QUALIFY row_number() OVER (PARTITION BY cid
+                                        ORDER BY j DESC, id) = 1)
+    SELECT CAST((SELECT count(*) FROM corr) AS BIGINT) AS n_names,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN om.name = ot2.name THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN om.name = ot2.name THEN 1 ELSE 0 END)
+                 / CAST((SELECT count(*) FROM corr) AS DOUBLE), 6)
+             AS accuracy
+    FROM best
+    JOIN corr ON corr.cid = best.cid
+    JOIN orig om ON om.id = best.id
+    JOIN orig ot2 ON ot2.id = corr.true_id
+    """,
+)
+def trigram_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by character-TRIGRAM fuzzy matching: every
+    part name gets a deterministic one-character-deletion typo (md5
+    position), and each corrupted name is matched back by trigram-set
+    Jaccard (τ = 0.45) with the LOSSLESS PPJoin prefix-filter engine
+    (dedup.prefix_filter_pairs_sets — the same rarity-ordered prefix +
+    length + positional pruning the token-level near-dup join uses,
+    now on character n-grams).  Ground truth is known by construction
+    and scored at the NAME level (part names repeat ~30× in TPC-H data,
+    so key-level identity is unrecoverable by design), so the output IS
+    the matcher's audited accuracy — the
+    data-integration record-linkage shape (match customer/vendor name
+    variants at 100 TB without an all-pairs cross).  The oracle is the
+    pure all-pairs specification (shared-trigram candidates + exact
+    Jaccard) — feasible at oracle scale, which is exactly why the
+    engine side must prune and the spec side need not.  Argmax ties
+    break on the original key; round(6) on the accuracy."""
+    orig = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    pos = 1 + F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("typo:"), F.col("id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint") % F.length("name")
+    corr = (
+        orig.withColumn("pos", pos)
+        .select(
+            (F.col("id") + 1000000).alias("cid"),
+            F.col("id").alias("true_id"),
+            F.concat(
+                F.expr("substr(name, 1, cast(pos - 1 as int))"),
+                F.expr("substr(name, cast(pos + 1 as int), length(name))"),
+            ).alias("cname"),
+        )
+        .localCheckpoint(eager=False)  # match join + truth join
+    )
+
+    def grams(col: str) -> F.Column:
+        return F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length({col}) - 2),"
+                f" i -> substr({col}, i, 3))"
+            )
+        )
+
+    both = orig.select(
+        F.col("id").alias("nid"), grams("name").alias("tg")
+    ).unionByName(
+        corr.select(F.col("cid").alias("nid"), grams("cname").alias("tg"))
+    )
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+
+    pairs = dd.prefix_filter_pairs_sets(
+        both, threshold=_TRI_TAU, id_col="nid", set_col="tg"
+    )
+    # id_a < id_b, originals < 1000000 < corrupted: keep cross pairs
+    m = pairs.filter(
+        (F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_b").orderBy(
+        F.desc("jaccard"), F.asc("id_a")
+    )
+    best = (
+        m.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("id_b").alias("cid"), F.col("id_a").alias("mid"))
+    )
+    n_names = F.broadcast(corr.agg(F.count(F.lit(1)).alias("n_names")))
+    return (
+        best.join(corr.select("cid", "true_id"), "cid")
+        .join(
+            orig.select(F.col("id").alias("mid"), F.col("name").alias("_mn")),
+            "mid",
+        )
+        .join(
+            orig.select(
+                F.col("id").alias("true_id"), F.col("name").alias("_tn")
+            ),
+            "true_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                F.when(F.col("_mn") == F.col("_tn"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .crossJoin(n_names)
+        .select(
+            F.col("n_names").cast("bigint").alias("n_names"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            "n_correct",
+            F.round(
+                F.col("n_correct") / F.col("n_names").cast("double"), 6
+            ).alias("accuracy"),
+        )
+    )

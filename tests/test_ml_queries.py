@@ -284,3 +284,85 @@ def test_em_mixture_parameters_sane(spark):
     assert vals.min() <= row["mu2"] <= vals.max()
     mix_mean = row["pi1"] * row["mu1"] + (1 - row["pi1"]) * row["mu2"]
     assert mix_mean == pytest.approx(vals.mean(), rel=1e-3)
+
+
+def test_ridge_cv_matches_numpy(spark):
+    """Pooled 5-fold CV MSE per lambda re-derived with numpy from the
+    same md5 fold assignment; the flagged winner must be the minimum."""
+    import hashlib
+
+    rows = QUERIES["ridge_cv_lambda"](spark, SF).collect()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    folds = np.array(
+        [
+            int(
+                hashlib.md5(f"fold:{ok}:{ln}".encode()).hexdigest()[:15], 16
+            )
+            % 5
+            for ok, ln in zip(li.l_orderkey, li.l_linenumber)
+        ]
+    )
+    x1 = li.l_quantity.to_numpy(float)
+    x2 = li.l_discount.to_numpy(float)
+    y = li.l_extendedprice.to_numpy(float)
+    got = {r["lam"]: (r["cv_mse"], r["is_best"]) for r in rows}
+    exp = {}
+    for lam in (0.1, 10.0, 1000.0):
+        sse, n_test = 0.0, 0
+        for f in range(5):
+            tr, te = folds != f, folds == f
+            m1, m2, my = x1[tr].mean(), x2[tr].mean(), y[tr].mean()
+            c1, c2, cy = x1[tr] - m1, x2[tr] - m2, y[tr] - my
+            A = np.array(
+                [[c1 @ c1 + lam, c1 @ c2], [c1 @ c2, c2 @ c2 + lam]]
+            )
+            beta = np.linalg.solve(A, np.array([c1 @ cy, c2 @ cy]))
+            b0 = my - beta[0] * m1 - beta[1] * m2
+            pred = b0 + beta[0] * x1[te] + beta[1] * x2[te]
+            sse += ((y[te] - pred) ** 2).sum()
+            n_test += te.sum()
+        exp[lam] = sse / n_test
+    for lam, mse in exp.items():
+        assert got[lam][0] == pytest.approx(mse, rel=1e-4), lam
+    best = min(exp, key=exp.get)
+    assert got[best][1] is True or got[best][1] == True  # noqa: E712
+    assert sum(1 for v in got.values() if v[1]) == 1
+
+
+def test_permutation_test_shape(spark):
+    row = QUERIES["permutation_test_weekend"](spark, SF).collect()[0]
+    assert 0 < row["p_value"] <= 1.0
+    assert row["obs_diff"] >= 0
+    # roughly 2/7 of days are weekend days on a dense-ish calendar
+    assert 0.15 < row["n_weekend"] / row["n_days"] < 0.45
+
+
+def test_prefix_filter_sets_handles_space_elements(spark):
+    """The set-input PPJoin variant must treat elements with embedded
+    spaces (character trigrams) atomically — verified against a direct
+    all-pairs Jaccard on a crafted frame."""
+    from covid_custom_sql_engine_spark.functions.dedup import (
+        prefix_filter_pairs_sets,
+    )
+
+    rows = [
+        (1, ["a b", "b c", "c d"]),
+        (2, ["a b", "b c", "x y"]),
+        (3, ["p q", "q r", "r s"]),
+    ]
+    df = spark.createDataFrame(rows, "nid long, tg array<string>")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_pairs_sets(
+            df, threshold=0.4, id_col="nid", set_col="tg"
+        ).collect()
+    }
+    # J(1,2) = 2/4 = 0.5; J(1,3) = J(2,3) = 0
+    assert got == {(1, 2): 0.5}
+
+
+def test_trigram_match_summary_sane(spark):
+    row = QUERIES["trigram_name_match"](spark, SF).collect()[0]
+    assert row["n_matched"] <= row["n_names"]
+    assert row["n_correct"] <= row["n_matched"]
+    assert 0 < row["accuracy"] <= 1.0

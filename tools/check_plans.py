@@ -473,6 +473,15 @@ EXPECT = {
     # 1-row parameter broadcast cross per EM round onto the
     # checkpoint-leaf value frame: intended
     "em_gaussian_mixture": (2, False, True),
+    # 1-row totals + 3-row lambda grid + 15-row coefficient broadcast
+    # crosses onto the checkpoint-leaf fold frame: intended
+    "ridge_cv_lambda": (5, False, True),
+    # 99-row replicate table + 1-row observed-stat broadcast crosses
+    # on the checkpoint-leaf daily frame: intended
+    "permutation_test_weekend": (2, False, True),
+    # checkpoint-leaf prefix-posting frames (PPJoin machinery); 1-row
+    # name-count broadcast cross: intended
+    "trigram_name_match": (2, False, True),
 }
 
 
