@@ -2510,3 +2510,230 @@ def trigram_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (KM-curve consumer)
+# ---------------------------------------------------------------------------
+
+_RMST_TAU = 90
+
+
+@query(
+    "rmst_fulfillment",
+    oracle=f"""
+    WITH per_o AS (
+      SELECT datediff('day', o.o_orderdate, max(l.l_shipdate)) AS t,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+      HAVING datediff('day', o.o_orderdate, max(l.l_shipdate)) >= 0),
+    g AS (SELECT t, sum(ev) AS d, count(*) AS a FROM per_o GROUP BY t),
+    tot AS (SELECT sum(a) AS n FROM g),
+    c AS (SELECT t, d, a,
+                 tot.n - (sum(a) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - a)
+                 AS nrisk
+          FROM g, tot),
+    s AS (SELECT t,
+                 sum(CAST(ln(greatest(
+                         1.0 - CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE),
+                         1e-300)) AS DECIMAL(38,6)))
+                   OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS ls
+          FROM c),
+    km AS (SELECT CAST(t AS BIGINT) AS t_days,
+                  round(exp(CAST(ls AS DOUBLE)), 6) AS survival
+           FROM s),
+    r AS (SELECT t_days, survival,
+                 lead(t_days) OVER (ORDER BY t_days) AS nt
+          FROM km),
+    area AS (SELECT {_sql_dsum12(
+        f'survival * (least(coalesce(nt, 1000000), {_RMST_TAU})'
+        f' - least(t_days, {_RMST_TAU}))')} AS a2,
+                    count(*) AS n_times
+             FROM r),
+    head AS (SELECT least(CAST(min(t_days) AS DOUBLE), {_RMST_TAU}) AS a1
+             FROM km)
+    SELECT CAST({_RMST_TAU} AS BIGINT) AS tau_days,
+           CAST(area.n_times AS BIGINT) AS n_times,
+           round(head.a1 + area.a2, 6) AS rmst_days
+    FROM area, head
+    """,
+)
+def rmst_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at τ = 90 days — the area under
+    the `kaplan_meier_fulfillment` curve up to τ: the expected days an
+    order stays open within the first 90, the single-number summary
+    clinicians/SLAs prefer over eyeballing the curve (and, unlike
+    median survival, always defined under heavy censoring).  The step
+    integral needs each distinct time's SUCCESSOR — obtained by an
+    equi-join on the two-phase distributed rank (rank ↔ rank+1), never
+    a single-partition lead() over data; segment areas are rounded-
+    survival × integer-width products folded fixed-point.  One-row
+    output, round(6)."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select("l_orderkey", "l_shipdate")
+    )
+    per_o = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(F.max("l_shipdate").alias("_last"))
+        .select(
+            F.datediff("_last", "o_orderdate").alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+        )
+    )
+    km = sel.kaplan_meier(per_o, "t", "ev").select("t_days", "survival")
+    rk = sel.global_rank(km, ["t_days"], out_col="rk").localCheckpoint(
+        eager=False
+    )  # both sides of the successor join + head min
+    nxt = rk.select(
+        (F.col("rk") - 1).alias("_prk"), F.col("t_days").alias("nt")
+    )
+    r = rk.join(nxt, F.col("_prk") == F.col("rk"), "left")
+    tau = F.lit(_RMST_TAU)
+    area = r.agg(
+        ops.dsum12(
+            F.col("survival")
+            * (
+                F.least(F.coalesce(F.col("nt"), F.lit(1000000)), tau)
+                - F.least(F.col("t_days"), tau)
+            )
+        ).alias("a2"),
+        F.count(F.lit(1)).alias("n_times"),
+    )
+    head = rk.agg(
+        F.least(F.min("t_days").cast("double"), tau.cast("double")).alias(
+            "a1"
+        )
+    )
+    return area.crossJoin(F.broadcast(head)).select(
+        F.lit(_RMST_TAU).cast("bigint").alias("tau_days"),
+        F.col("n_times").cast("bigint").alias("n_times"),
+        F.round(F.col("a1") + F.col("a2"), 6).alias("rmst_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression, two unrolled Newton–Raphson steps
+# ---------------------------------------------------------------------------
+
+_LOGIT_P = "(1.0 / (1.0 + exp(-(b0 + b1 * x))))"
+_LOGIT_DET = "(sw * swxx - swx * swx)"
+_LOGIT_NB0 = f"(b0 + (swxx * sg0 - swx * sg1) / {_LOGIT_DET})"
+_LOGIT_NB1 = f"(b1 + (sw * sg1 - swx * sg0) / {_LOGIT_DET})"
+_LOGIT_STEPS = 2
+
+
+def _logit_oracle() -> str:
+    ctes = [
+        """x AS (SELECT l_quantity AS x,
+                       CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+                FROM lineitem),
+    p0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
+    ]
+    for r in range(1, _LOGIT_STEPS + 1):
+        p = r - 1
+        ctes.append(
+            f"""e{r} AS (SELECT x.x, x.y, {_LOGIT_P} AS pr FROM x, p{p}),
+    s{r} AS (SELECT max(p{p}.b0) AS b0, max(p{p}.b1) AS b1,
+                    CAST(sum(CAST((pr * (1 - pr)) AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+                    CAST(sum(CAST((pr * (1 - pr) * x) AS DECIMAL(38,12))) AS DOUBLE) AS swx,
+                    CAST(sum(CAST((pr * (1 - pr) * x * x) AS DECIMAL(38,12))) AS DOUBLE) AS swxx,
+                    CAST(sum(CAST((y - pr) AS DECIMAL(38,12))) AS DOUBLE) AS sg0,
+                    CAST(sum(CAST(((y - pr) * x) AS DECIMAL(38,12))) AS DOUBLE) AS sg1
+             FROM e{r}, p{p}),
+    p{r} AS (SELECT {_LOGIT_NB0} AS b0, {_LOGIT_NB1} AS b1 FROM s{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , fin AS (SELECT count(*) AS n,
+                     CAST(sum(CASE WHEN (CASE WHEN b0 + b1 * x >= 0
+                                         THEN 1.0 ELSE 0.0 END) = y
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_right
+              FROM x, p{_LOGIT_STEPS})
+    SELECT CAST(fin.n AS BIGINT) AS n_rows,
+           round(p{_LOGIT_STEPS}.b0, 6) AS b0,
+           round(p{_LOGIT_STEPS}.b1, 6) AS b1,
+           round(CAST(fin.n_right AS DOUBLE) / fin.n, 6) AS train_acc
+    FROM fin, p{_LOGIT_STEPS}"""
+    )
+
+
+@query("logistic_newton", oracle=_logit_oracle())
+def logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of return probability on quantity, fit by
+    two unrolled Newton–Raphson steps from β = 0 — the DISCRIMINATIVE
+    classifier next to the generative `naive_bayes_lang`, and the IRLS
+    shape every GLM fit at scale reduces to: each step is ONE
+    combinable weighted aggregate (w = p(1−p) Hessian terms + score
+    terms, fixed-point folds at 12 digits) and a 1-row closed-form 2×2
+    solve (shared Cramer text).  The sigmoid/update expressions are
+    shared strings both engines evaluate verbatim; the train-accuracy
+    readout compares the linear score's sign — integer-stable.
+    Round(6) on the reported coefficients and accuracy."""
+    x = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    x = x.localCheckpoint(eager=False)  # reused every Newton step
+    p = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(_LOGIT_STEPS):
+        e = x.crossJoin(F.broadcast(p)).select(
+            "x", "y", "b0", "b1", F.expr(_LOGIT_P).alias("pr")
+        )
+        s = e.agg(
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            ops.dsum12(F.col("pr") * (1 - F.col("pr"))).alias("sw"),
+            ops.dsum12(F.col("pr") * (1 - F.col("pr")) * F.col("x")).alias(
+                "swx"
+            ),
+            ops.dsum12(
+                F.col("pr") * (1 - F.col("pr")) * F.col("x") * F.col("x")
+            ).alias("swxx"),
+            ops.dsum12(F.col("y") - F.col("pr")).alias("sg0"),
+            ops.dsum12((F.col("y") - F.col("pr")) * F.col("x")).alias("sg1"),
+        )
+        p = s.select(
+            F.expr(_LOGIT_NB0).alias("b0"), F.expr(_LOGIT_NB1).alias("b1")
+        )
+    fin = x.crossJoin(F.broadcast(p)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.when(F.col("b0") + F.col("b1") * F.col("x") >= 0, 1.0)
+                .otherwise(0.0)
+                == F.col("y"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_right"),
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+    )
+    return fin.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("b0"), 6).alias("b0"),
+        F.round(F.col("b1"), 6).alias("b1"),
+        F.round(F.col("n_right").cast("double") / F.col("n"), 6).alias(
+            "train_acc"
+        ),
+    )

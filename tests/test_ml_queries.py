@@ -366,3 +366,70 @@ def test_trigram_match_summary_sane(spark):
     assert row["n_matched"] <= row["n_names"]
     assert row["n_correct"] <= row["n_matched"]
     assert 0 < row["accuracy"] <= 1.0
+
+
+def test_rmst_matches_pure_python(spark):
+    """KM curve + restricted-mean integral re-derived in pure Python
+    (product-limit with rounded survival, tau = 90)."""
+    row = QUERIES["rmst_fulfillment"](spark, SF).collect()[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_shipdate"]
+    ].dropna()
+    m = o.dropna(subset=["o_orderdate"]).merge(
+        li, left_on="o_orderkey", right_on="l_orderkey"
+    )
+    per = m.groupby(["o_orderkey", "o_orderdate", "o_orderstatus"])[
+        "l_shipdate"
+    ].max()
+    rows_po = [
+        ((last - od).days, 1 if st == "F" else 0)
+        for (ok, od, st), last in per.items()
+        if (last - od).days >= 0
+    ]
+    from collections import Counter
+
+    d = Counter()
+    a = Counter()
+    for t, ev in rows_po:
+        d[t] += ev
+        a[t] += 1
+    times = sorted(a)
+    n = sum(a.values())
+    surv, ls, at_risk = {}, 0.0, n
+    import math as _m
+
+    for t in times:
+        # mirror the engine: per-step ln rounded into DECIMAL(38,6)
+        term = _m.log(max(1.0 - d[t] / at_risk, 1e-300))
+        ls += round(term, 6)
+        surv[t] = round(_m.exp(ls), 6)
+        at_risk -= a[t]
+    tau = 90
+    rmst = min(times[0], tau)
+    for i, t in enumerate(times):
+        nt = times[i + 1] if i + 1 < len(times) else 10**6
+        rmst += surv[t] * (min(nt, tau) - min(t, tau))
+    assert row["n_times"] == len(times)
+    assert row["rmst_days"] == pytest.approx(rmst, abs=1e-4)
+
+
+def test_logistic_newton_matches_numpy(spark):
+    row = QUERIES["logistic_newton"](spark, SF).collect()[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    x = li.l_quantity.to_numpy(float)
+    y = (li.l_returnflag == "R").to_numpy(float)
+    b0, b1 = 0.0, 0.0
+    for _ in range(2):
+        p = 1.0 / (1.0 + np.exp(-(b0 + b1 * x)))
+        w = p * (1 - p)
+        sw, swx, swxx = w.sum(), (w * x).sum(), (w * x * x).sum()
+        g0, g1 = (y - p).sum(), ((y - p) * x).sum()
+        det = sw * swxx - swx * swx
+        b0 += (swxx * g0 - swx * g1) / det
+        b1 += (sw * g1 - swx * g0) / det
+    assert row["n_rows"] == len(x)
+    assert row["b0"] == pytest.approx(b0, rel=1e-4)
+    assert row["b1"] == pytest.approx(b1, rel=1e-4, abs=1e-6)
+    acc = ((b0 + b1 * x >= 0).astype(float) == y).mean()
+    assert row["train_acc"] == pytest.approx(acc, abs=1e-5)

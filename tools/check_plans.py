@@ -482,6 +482,12 @@ EXPECT = {
     # checkpoint-leaf prefix-posting frames (PPJoin machinery); 1-row
     # name-count broadcast cross: intended
     "trigram_name_match": (2, False, True),
+    # checkpoint-leaf ranked KM frame; 1-row head-area broadcast
+    # cross: intended
+    "rmst_fulfillment": (3, False, True),
+    # 1-row coefficient broadcast cross per Newton step onto the
+    # checkpoint-leaf feature frame: intended
+    "logistic_newton": (2, False, True),
 }
 
 
