@@ -2737,3 +2737,342 @@ def logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_acc"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules, Neyman-allocated sampling, Markov entropy rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "association_rules",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+           FROM li),
+    item AS (SELECT l_partkey AS p, count(*) AS supp FROM li GROUP BY 1),
+    pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     count(*) AS supp_ab
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+    top AS (SELECT * FROM pairs
+            ORDER BY supp_ab DESC, pa, pb LIMIT 10),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, supp_ab,
+             ia.supp AS supp_a, ib.supp AS supp_b
+      FROM top JOIN item ia ON ia.p = top.pa
+               JOIN item ib ON ib.p = top.pb
+      UNION ALL
+      SELECT pb, pa, supp_ab, ib.supp, ia.supp
+      FROM top JOIN item ia ON ia.p = top.pa
+               JOIN item ib ON ib.p = top.pb)
+    SELECT CAST(antecedent AS BIGINT) AS antecedent,
+           CAST(consequent AS BIGINT) AS consequent,
+           CAST(supp_ab AS BIGINT) AS support,
+           round(CAST(supp_ab AS DOUBLE) / supp_a, 6) AS confidence,
+           round(nb.n * CAST(supp_ab AS DOUBLE) / (supp_a * CAST(supp_b AS DOUBLE)), 6)
+             AS lift,
+           round(CAST(supp_ab AS DOUBLE) / nb.n
+                 - (CAST(supp_a AS DOUBLE) / nb.n)
+                   * (CAST(supp_b AS DOUBLE) / nb.n), 6) AS leverage
+    FROM rules, nb
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association RULES over the top-10 co-purchase pairs — the
+    second half of market-basket mining that `frequent_part_pairs`
+    (support) and `apriori_triples` (candidate generation) set up:
+    per directed rule a→b, confidence supp(ab)/supp(a), lift
+    N·supp(ab)/(supp(a)·supp(b)), and leverage — the three measures
+    that separate "bought together often" from "bought together more
+    than chance".  Scale shape: item supports are one hash aggregate,
+    pair supports the basket-bounded self equi-join, the top-10 a
+    TakeOrdered, and the rule math integer ratios on a 20-row frame.
+    round(6)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li = li.localCheckpoint(eager=False)  # n + item + pair passes
+    nb = F.broadcast(
+        li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
+    )
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("supp")
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("pb")
+    )
+    top = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 2)
+        .orderBy(F.desc("supp_ab"), "pa", "pb")
+        .limit(10)
+    )
+    j = top.join(
+        F.broadcast(item.select(F.col("p").alias("pa"), F.col("supp").alias("supp_a"))),
+        "pa",
+    ).join(
+        F.broadcast(item.select(F.col("p").alias("pb"), F.col("supp").alias("supp_b"))),
+        "pb",
+    )
+    fwd = j.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "supp_ab",
+        F.col("supp_a").alias("s_ante"),
+        F.col("supp_b").alias("s_cons"),
+    )
+    rev = j.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        "supp_ab",
+        F.col("supp_b").alias("s_ante"),
+        F.col("supp_a").alias("s_cons"),
+    )
+    rules = fwd.unionByName(rev)
+    return rules.crossJoin(nb).select(
+        F.col("antecedent").cast("bigint").alias("antecedent"),
+        F.col("consequent").cast("bigint").alias("consequent"),
+        F.col("supp_ab").cast("bigint").alias("support"),
+        F.round(F.col("supp_ab").cast("double") / F.col("s_ante"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            F.col("n")
+            * F.col("supp_ab").cast("double")
+            / (F.col("s_ante") * F.col("s_cons").cast("double")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.col("supp_ab").cast("double") / F.col("n")
+            - (F.col("s_ante").cast("double") / F.col("n"))
+            * (F.col("s_cons").cast("double") / F.col("n")),
+            6,
+        ).alias("leverage"),
+    )
+
+
+@query(
+    "neyman_poisson_sample",
+    oracle=f"""
+    WITH e AS (SELECT event_id, event_type AS h, value AS v FROM events
+               WHERE value IS NOT NULL),
+    st AS (SELECT h, count(*) AS nh,
+                  {_sql_dsum('v')} / count(*) AS mean_h,
+                  round(sqrt(greatest(
+                      (count(*) * {_sql_dsum('v * v')}
+                       - {_sql_dsum('v')} * {_sql_dsum('v')})
+                      / (count(*) * (count(*) - 1.0)), 0.0)), 6) AS sh
+           FROM e GROUP BY h),
+    tot AS (SELECT {_sql_dsum12('nh * sh')} AS denom FROM st),
+    al AS (SELECT st.h, st.nh, st.sh, st.mean_h,
+                  least(500.0 * st.nh * st.sh / tot.denom / st.nh, 1.0)
+                    AS rate
+           FROM st, tot),
+    sm AS (SELECT al.h,
+                  count(*) AS n_sampled,
+                  {_sql_dsum('e.v')} / count(*) AS est_mean
+           FROM e JOIN al ON al.h = e.h
+           WHERE ('0x' || substr(md5('ney:' || CAST(e.event_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000000 < al.rate * 1000000
+           GROUP BY al.h)
+    SELECT al.h AS stratum,
+           CAST(al.nh AS BIGINT) AS n_stratum,
+           al.sh AS std_h,
+           round(al.rate, 6) AS rate,
+           CAST(sm.n_sampled AS BIGINT) AS n_sampled,
+           round(sm.est_mean, 6) AS est_mean,
+           round(al.mean_h, 6) AS true_mean
+    FROM al JOIN sm ON sm.h = al.h
+    """,
+)
+def neyman_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-ALLOCATED Poisson sampling: per-stratum inclusion rates
+    proportional to N_h·S_h (the variance-optimal survey allocation
+    for a fixed total budget of 500), realized as deterministic
+    md5-hash Bernoulli draws — every row decides its own membership
+    map-side, no per-stratum ranking or sort, which is what makes the
+    design scale where exact-n_h sampling needs a two-phase rank (the
+    quota_sample path).  Reports the allocation and the sampled-vs-
+    true stratum means so the estimator audit rides along.  Stratum
+    std uses the deterministic round(6) formula; rate comparisons are
+    exact integer-vs-scaled-rate; round(6) outputs."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", F.col("event_type").alias("h"), F.col("value").alias("v"))
+    )
+    e = e.localCheckpoint(eager=False)  # stats pass + sampling pass
+    n = F.count(F.lit(1))
+    sv, svv = ops.dsum(F.col("v")), ops.dsum(F.col("v") * F.col("v"))
+    st = e.groupBy("h").agg(
+        n.alias("nh"),
+        (sv / n).alias("mean_h"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (n * svv - sv * sv) / (n * (n - F.lit(1.0))),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("sh"),
+    )
+    tot = F.broadcast(
+        st.agg(ops.dsum12(F.col("nh") * F.col("sh")).alias("denom"))
+    )
+    al = st.crossJoin(tot).select(
+        "h",
+        "nh",
+        "sh",
+        "mean_h",
+        F.least(
+            F.lit(500.0) * F.col("nh") * F.col("sh") / F.col("denom") / F.col("nh"),
+            F.lit(1.0),
+        ).alias("rate"),
+    )
+    alb = F.broadcast(
+        al.select(
+            F.col("h").alias("_ah"), F.col("rate").alias("_rate")
+        )
+    )
+    hash_u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ney:"), F.col("event_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    sm = (
+        e.join(alb, F.col("_ah") == F.col("h"))
+        .filter(hash_u < F.col("_rate") * 1000000)
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            (ops.dsum(F.col("v")) / F.count(F.lit(1))).alias("est_mean"),
+        )
+    )
+    return al.join(sm, "h").select(
+        F.col("h").alias("stratum"),
+        F.col("nh").cast("bigint").alias("n_stratum"),
+        F.col("sh").alias("std_h"),
+        F.round(F.col("rate"), 6).alias("rate"),
+        F.col("n_sampled").cast("bigint").alias("n_sampled"),
+        F.round(F.col("est_mean"), 6).alias("est_mean"),
+        F.round(F.col("mean_h"), 6).alias("true_mean"),
+    )
+
+
+_MER_STEPS = 3
+
+
+def _markov_entropy_oracle() -> str:
+    ctes = [
+        """x AS (SELECT event_type AS cur,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events),
+    t AS (SELECT cur, nxt, count(*) AS c FROM x
+          WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    rs AS (SELECT cur, CAST(sum(c) AS DOUBLE) AS rc FROM t GROUP BY 1),
+    pm AS MATERIALIZED (SELECT t.cur, t.nxt, t.c / rs.rc AS p
+                        FROM t JOIN rs USING (cur)),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM rs),
+    pi0 AS (SELECT cur AS state, 1.0 / ns.k AS pi FROM rs, ns)"""
+    ]
+    for r in range(1, _MER_STEPS + 1):
+        p = r - 1
+        ctes.append(
+            f"""pi{r} AS (SELECT pm.nxt AS state,
+                    CAST(sum(CAST((pi{p}.pi * pm.p) AS DECIMAL(38,12))) AS DOUBLE) AS pi
+             FROM pi{p} JOIN pm ON pm.cur = pi{p}.state
+             GROUP BY pm.nxt)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , h AS (SELECT {_sql_dsum12('pi.pi * pm.p * (-ln(pm.p))')} AS ent,
+                   CAST(sum(pm.p * 0 + 1) AS BIGINT) AS n_cells
+            FROM pi{_MER_STEPS} pi JOIN pm ON pm.cur = pi.state),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_trans,
+                  CAST(count(DISTINCT cur) AS DOUBLE) AS k
+           FROM t)
+    SELECT nt.n_trans AS n_transitions,
+           CAST(nt.k AS BIGINT) AS n_states,
+           round(h.ent, 6) AS entropy_rate_nats,
+           round(1.0 - h.ent / ln(nt.k), 6) AS predictability
+    FROM h, nt"""
+    )
+
+
+@query("markov_entropy_rate", oracle=_markov_entropy_oracle())
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the user-behavior Markov chain — how
+    fundamentally predictable the next event is: H = Σᵢ πᵢ Σⱼ
+    −p_ij ln p_ij with the stationary distribution π approximated by
+    3 unrolled power steps from uniform (the ppr/pagerank convention;
+    the oracle unrolls the identical rounds), reported with the
+    normalized predictability 1 − H/ln k.  Consumes the same per-user
+    lead() transition bigrams as `event_transitions`; everything after
+    the transition-count aggregate runs on the k×k REDUCED matrix
+    frame (k = event types), so the π iteration and the entropy fold
+    cost nothing at any data scale.  Fixed-point folds; round(6)."""
+    from covid_custom_sql_engine_spark.operators import composites as comp
+
+    e = load_table(spark, sf_dir, "events")
+    t = (
+        comp.event_transitions(e, "user_id", ["ts", "event_id"], "event_type")
+        .select(
+            F.col("from_state").alias("cur"),
+            F.col("to_state").alias("nxt"),
+            F.col("n_transitions").alias("c"),
+        )
+    )
+    t = t.localCheckpoint(eager=False)  # row sums + pm + totals
+    rs = t.groupBy("cur").agg(F.sum("c").cast("double").alias("rc"))
+    pm = (
+        t.join(rs, "cur")
+        .select("cur", "nxt", (F.col("c") / F.col("rc")).alias("p"))
+        .localCheckpoint(eager=False)  # pi rounds + entropy fold
+    )
+    ns = rs.agg(F.count(F.lit(1)).cast("double").alias("k"))
+    pi = rs.crossJoin(F.broadcast(ns)).select(
+        F.col("cur").alias("state"), (F.lit(1.0) / F.col("k")).alias("pi")
+    )
+    for _ in range(_MER_STEPS):
+        pi = (
+            pi.join(pm, pm["cur"] == pi["state"])
+            .groupBy(F.col("nxt").alias("state"))
+            .agg(ops.dsum12(F.col("pi") * F.col("p")).alias("pi"))
+        )
+    h = pi.join(pm, pm["cur"] == pi["state"]).agg(
+        ops.dsum12(F.col("pi") * F.col("p") * (-F.log(F.col("p")))).alias(
+            "ent"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    nt = t.agg(
+        F.sum("c").cast("bigint").alias("n_trans"),
+        F.countDistinct("cur").cast("double").alias("k"),
+    )
+    return h.crossJoin(F.broadcast(nt)).select(
+        F.col("n_trans").alias("n_transitions"),
+        F.col("k").cast("bigint").alias("n_states"),
+        F.round(F.col("ent"), 6).alias("entropy_rate_nats"),
+        F.round(1.0 - F.col("ent") / F.log(F.col("k")), 6).alias(
+            "predictability"
+        ),
+    )

@@ -433,3 +433,47 @@ def test_logistic_newton_matches_numpy(spark):
     assert row["b1"] == pytest.approx(b1, rel=1e-4, abs=1e-6)
     acc = ((b0 + b1 * x >= 0).astype(float) == y).mean()
     assert row["train_acc"] == pytest.approx(acc, abs=1e-5)
+
+
+def test_association_rules_math(spark):
+    """Confidence/lift re-derived from raw basket counts for every
+    reported rule; each unordered pair appears in both directions."""
+    rows = QUERIES["association_rules"](spark, SF).collect()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    n = li.l_orderkey.nunique()
+    supp = li.groupby("l_partkey").size()
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(set)
+    pair_supp: dict = {}
+    for items in baskets:
+        s = sorted(items)
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                pair_supp[(a, b)] = pair_supp.get((a, b), 0) + 1
+    dirs = {(r["antecedent"], r["consequent"]) for r in rows}
+    assert all((b, a) in dirs for a, b in dirs)
+    for r in rows:
+        a, b = r["antecedent"], r["consequent"]
+        sab = pair_supp[tuple(sorted((a, b)))]
+        assert r["support"] == sab
+        assert r["confidence"] == pytest.approx(sab / supp[a], abs=1e-6)
+        assert r["lift"] == pytest.approx(
+            n * sab / (supp[a] * supp[b]), abs=1e-5
+        )
+
+
+def test_neyman_allocation_properties(spark):
+    rows = QUERIES["neyman_poisson_sample"](spark, SF).collect()
+    for r in rows:
+        assert 0 < r["rate"] <= 1.0
+        assert r["n_sampled"] <= r["n_stratum"]
+    # higher N_h * S_h => higher rate (proportional allocation)
+    rs = sorted(rows, key=lambda r: r["std_h"])
+    assert rs[0]["rate"] <= rs[-1]["rate"] + 1e-9
+
+
+def test_markov_entropy_bounds(spark):
+    row = QUERIES["markov_entropy_rate"](spark, SF).collect()[0]
+    assert 0 <= row["entropy_rate_nats"] <= math.log(row["n_states"]) + 1e-9
+    assert 0 <= row["predictability"] <= 1

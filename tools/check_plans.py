@@ -488,6 +488,15 @@ EXPECT = {
     # 1-row coefficient broadcast cross per Newton step onto the
     # checkpoint-leaf feature frame: intended
     "logistic_newton": (2, False, True),
+    # 1-row basket-count + item-support broadcast crosses onto the
+    # checkpoint-leaf basket frame: intended
+    "association_rules": (2, False, True),
+    # 1-row allocation-denominator + 5-row rate broadcast crosses on
+    # the checkpoint-leaf event frame: intended
+    "neyman_poisson_sample": (3, False, True),
+    # k-row stationary-vector crosses on the k x k reduced transition
+    # matrix (checkpoint leaves): intended
+    "markov_entropy_rate": (4, False, True),
 }
 
 
