@@ -3076,3 +3076,350 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "predictability"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Causal inference, graph statistics, and feature engineering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "did_estimator",
+    oracle=f"""
+    WITH m AS (SELECT min(ts) AS a, max(ts) AS b FROM events),
+    e AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+                 CASE WHEN ts >= m.a + to_microseconds(
+                        date_diff('microsecond', m.a, m.b) // 2)
+                      THEN 1 ELSE 0 END AS post,
+                 value AS v
+          FROM events, m WHERE value IS NOT NULL),
+    g AS (SELECT treat, post, count(*) AS n,
+                 {_sql_dsum('v')} / count(*) AS mu
+          FROM e GROUP BY 1, 2),
+    w AS (SELECT max(CASE WHEN treat = 1 AND post = 1 THEN mu END) AS tp,
+                 max(CASE WHEN treat = 1 AND post = 0 THEN mu END) AS tq,
+                 max(CASE WHEN treat = 0 AND post = 1 THEN mu END) AS cp,
+                 max(CASE WHEN treat = 0 AND post = 0 THEN mu END) AS cq,
+                 CAST(sum(n) AS BIGINT) AS n_rows
+          FROM g)
+    SELECT n_rows,
+           round(tp - tq, 6) AS delta_treated,
+           round(cp - cq, 6) AS delta_control,
+           round((tp - tq) - (cp - cq), 6) AS did
+    FROM w
+    """,
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences point estimate on an id-parity
+    treatment split with a calendar-midpoint pre/post boundary — the
+    workhorse quasi-experimental estimator: the treated group's
+    pre→post change minus the control group's, which nets out any
+    common time trend.  On synthetic data with a placebo treatment the
+    estimate should hover near zero — the standard DiD placebo check,
+    the causal sibling of `ab_ztest_conversion`'s A/A discipline.
+    Scale shape: ONE hash aggregate over (treat × post) after a 1-row
+    broadcast min/max for the boundary; the 2×2 pivot and the
+    estimate are one-row arithmetic.  Fixed-point means; round(6)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    m = F.broadcast(e.agg(F.min("ts").alias("a"), F.max("ts").alias("b")))
+    x = e.crossJoin(m).select(
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("treat"),
+        F.when(
+            F.col("ts")
+            >= F.expr(
+                "timestampadd(MICROSECOND,"
+                " CAST(timestampdiff(MICROSECOND, a, b) / 2 AS BIGINT), a)"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.col("value").alias("v"),
+    )
+    g = x.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        (ops.dsum(F.col("v")) / F.count(F.lit(1))).alias("mu"),
+    )
+    w = g.agg(
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1), F.col("mu"))).alias("tp"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0), F.col("mu"))).alias("tq"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 1), F.col("mu"))).alias("cp"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 0), F.col("mu"))).alias("cq"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    return w.select(
+        "n_rows",
+        F.round(F.col("tp") - F.col("tq"), 6).alias("delta_treated"),
+        F.round(F.col("cp") - F.col("cq"), 6).alias("delta_control"),
+        F.round(
+            (F.col("tp") - F.col("tq")) - (F.col("cp") - F.col("cq")), 6
+        ).alias("did"),
+    )
+
+
+@query(
+    "degree_assortativity",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY pa, pb HAVING count(*) >= 2),
+    und AS (SELECT pa AS u, pb AS v FROM e0
+            UNION ALL SELECT pb, pa FROM e0),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+    pairs AS (SELECT du.d AS dx, dv.d AS dy
+              FROM und JOIN deg du ON du.u = und.u
+                       JOIN deg dv ON dv.u = und.v),
+    s AS (SELECT count(*) AS m,
+                 CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(dx AS BIGINT) * dx) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(dy AS BIGINT) * dy) AS DOUBLE) AS syy,
+                 CAST(sum(CAST(dx AS BIGINT) * dy) AS DOUBLE) AS sxy
+          FROM pairs),
+    nn AS (SELECT count(*) AS n_nodes FROM deg)
+    SELECT CAST(s.m / 2 AS BIGINT) AS n_edges,
+           CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+           round((s.m * s.sxy - s.sx * s.sy)
+                 / sqrt((s.m * s.sxx - s.sx * s.sx)
+                        * (s.m * s.syy - s.sy * s.sy)), 6)
+             AS assortativity
+    FROM s, nn
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation of endpoint degrees across (both-orientation) edges:
+    do popular parts co-occur with other popular parts (r > 0, social-
+    network-like) or with niche ones (r < 0, hub-and-spoke)?  The
+    one-number structural summary next to `modularity_nations` and
+    `triangle_counts`.  Scale shape: degrees are one hash aggregate,
+    endpoint-degree pairs one double equi-join of the edge list
+    against it, and the correlation exact-integer one-row arithmetic.
+    round(6)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("pb")
+    )
+    e0 = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("pa", "pb")
+    )
+    und = e0.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        e0.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    und = und.localCheckpoint(eager=False)  # degree agg + pair join
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    pairs = und.join(
+        deg.select(F.col("u").alias("_du"), F.col("d").alias("dx")),
+        F.col("_du") == F.col("u"),
+    ).join(
+        deg.select(F.col("u").alias("_dv"), F.col("d").alias("dy")),
+        F.col("_dv") == F.col("v"),
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").cast("double").alias("sx"),
+        F.sum("dy").cast("double").alias("sy"),
+        F.sum(F.col("dx").cast("bigint") * F.col("dx")).cast("double").alias("sxx"),
+        F.sum(F.col("dy").cast("bigint") * F.col("dy")).cast("double").alias("syy"),
+        F.sum(F.col("dx").cast("bigint") * F.col("dy")).cast("double").alias("sxy"),
+    )
+    nn = F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    return s.crossJoin(nn).select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "woe_iv_binning",
+    oracle="""
+    WITH x AS (SELECT CAST(least(floor((l_quantity - 1) / 5), 9) AS BIGINT)
+                        AS bin,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+               FROM lineitem WHERE l_quantity IS NOT NULL),
+    g AS (SELECT bin, count(*) AS n, sum(bad) AS n_bad,
+                 count(*) - sum(bad) AS n_good
+          FROM x GROUP BY bin),
+    t AS (SELECT CAST(sum(n_bad) AS DOUBLE) AS tb,
+                 CAST(sum(n_good) AS DOUBLE) AS tg
+          FROM g),
+    w AS (SELECT g.bin, g.n, g.n_bad,
+                 ln((g.n_good / t.tg) / (g.n_bad / t.tb)) AS woe,
+                 (g.n_good / t.tg - g.n_bad / t.tb)
+                   * ln((g.n_good / t.tg) / (g.n_bad / t.tb)) AS ivc
+          FROM g, t),
+    iv AS (SELECT CAST(sum(CAST(ivc AS DECIMAL(38,12))) AS DOUBLE) AS iv
+           FROM w)
+    SELECT w.bin, CAST(w.n AS BIGINT) AS n,
+           CAST(w.n_bad AS BIGINT) AS n_bad,
+           round(w.woe, 6) AS woe,
+           round(iv.iv, 6) AS iv_total
+    FROM w, iv
+    """,
+)
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / Information-Value profile of quantity
+    against the return flag — the credit-scoring feature screen: per
+    bin, WOE = ln((good share)/(bad share)); the IV total (Σ(Δshare)·
+    WOE) grades the feature's separating power on the standard
+    <0.02 useless … >0.3 strong scale.  Deterministic integer binning
+    (width-5 buckets over the 1–50 quantity domain), one hash
+    aggregate, 1-row totals broadcast, fixed-point IV fold — the
+    feature-engineering audit shape for any (feature, binary target)
+    pair at any scale.  round(6)."""
+    x = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").isNotNull())
+        .select(
+            F.least(F.floor((F.col("l_quantity") - 1) / 5), F.lit(9))
+            .cast("bigint")
+            .alias("bin"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+        )
+    )
+    g = x.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bad").alias("n_bad"),
+        (F.count(F.lit(1)) - F.sum("bad")).alias("n_good"),
+    )
+    t = F.broadcast(
+        g.agg(
+            F.sum("n_bad").cast("double").alias("tb"),
+            F.sum("n_good").cast("double").alias("tg"),
+        )
+    )
+    woe = F.log(
+        (F.col("n_good") / F.col("tg")) / (F.col("n_bad") / F.col("tb"))
+    )
+    w = g.crossJoin(t).select(
+        "bin",
+        "n",
+        "n_bad",
+        woe.alias("woe"),
+        (
+            (F.col("n_good") / F.col("tg") - F.col("n_bad") / F.col("tb"))
+            * woe
+        ).alias("ivc"),
+    )
+    w = w.localCheckpoint(eager=False)  # iv fold + per-bin output
+    iv = F.broadcast(w.agg(ops.dsum12(F.col("ivc")).alias("iv")))
+    return w.crossJoin(iv).select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.round(F.col("woe"), 6).alias("woe"),
+        F.round(F.col("iv"), 6).alias("iv_total"),
+    )
+
+
+@query(
+    "target_encode_oof",
+    oracle="""
+    WITH x AS (SELECT p.p_brand AS brand,
+                      CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                      ('0x' || substr(md5('te:' || CAST(l.l_orderkey AS VARCHAR)
+                         || ':' || CAST(l.l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                        % 5 AS fold
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    bf AS (SELECT brand, fold, count(*) AS n, sum(y) AS s
+           FROM x GROUP BY 1, 2),
+    bt AS (SELECT brand, CAST(sum(n) AS BIGINT) AS nb,
+                  CAST(sum(s) AS BIGINT) AS sb
+           FROM bf GROUP BY 1),
+    gt AS (SELECT CAST(sum(n) AS DOUBLE) AS ng,
+                  CAST(sum(s) AS DOUBLE) AS sg
+           FROM bf)
+    SELECT bf.brand, CAST(bf.fold AS BIGINT) AS fold,
+           CAST(bf.n AS BIGINT) AS n_rows,
+           round((CAST(bt.sb - bf.s AS DOUBLE) + 20.0 * (gt.sg / gt.ng))
+                 / (CAST(bt.nb - bf.n AS DOUBLE) + 20.0), 6) AS oof_te
+    FROM bf JOIN bt USING (brand) CROSS JOIN gt
+    """,
+)
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-FOLD target encoding of part brand against the return
+    flag with prior smoothing (strength 20): each (brand, fold) cell's
+    encoding uses only the OTHER folds' rows — exactly how leakage-
+    free mean-target features are built for GBMs, and the same
+    total-minus-fold arithmetic trick as `ridge_cv_lambda` (one
+    aggregate serves all folds, no per-fold rescans).  md5 fold
+    assignment; all-integer counts into one final smoothed quotient;
+    round(6)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("te:"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    bf = x.groupBy("brand", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    bf = bf.localCheckpoint(eager=False)  # brand totals + global + output
+    bt = bf.groupBy("brand").agg(
+        F.sum("n").cast("bigint").alias("nb"),
+        F.sum("s").cast("bigint").alias("sb"),
+    )
+    gt = F.broadcast(
+        bf.agg(
+            F.sum("n").cast("double").alias("ng"),
+            F.sum("s").cast("double").alias("sg"),
+        )
+    )
+    return (
+        bf.join(bt, "brand")
+        .crossJoin(gt)
+        .select(
+            "brand",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(
+                (
+                    (F.col("sb") - F.col("s")).cast("double")
+                    + 20.0 * (F.col("sg") / F.col("ng"))
+                )
+                / ((F.col("nb") - F.col("n")).cast("double") + 20.0),
+                6,
+            ).alias("oof_te"),
+        )
+    )

@@ -184,7 +184,13 @@ _DRIVER_WINDOW_PRIORITY = [
 # seasonal_dow_decompose, ridge_regression_price, knn_label_vote,
 # naive_bayes_lang, bfs_path_counts, ktruss_copurchase,
 # spatial_grid_join, rocchio_prf, als_user_step, seed_betweenness,
-# bootstrap_mean_ci, rake_keywords, forecast_backtest.
+# bootstrap_mean_ci, rake_keywords, forecast_backtest,
+# temporal_reachability, quantile_normalize_events,
+# em_gaussian_mixture, ridge_cv_lambda, permutation_test_weekend,
+# trigram_name_match, rmst_fulfillment, logistic_newton,
+# association_rules, neyman_poisson_sample, markov_entropy_rate
+# (and any further continuation entries registered after this note —
+# everything in registry/stats_ml.py is round-10-continuation).
 
 
 def _reorder_registry() -> None:

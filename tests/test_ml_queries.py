@@ -477,3 +477,59 @@ def test_markov_entropy_bounds(spark):
     row = QUERIES["markov_entropy_rate"](spark, SF).collect()[0]
     assert 0 <= row["entropy_rate_nats"] <= math.log(row["n_states"]) + 1e-9
     assert 0 <= row["predictability"] <= 1
+
+
+def test_did_placebo_near_zero(spark):
+    """Id-parity placebo treatment: the DiD estimate should be small
+    relative to the overall value scale (no manufactured effect)."""
+    row = QUERIES["did_estimator"](spark, SF).collect()[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    scale = ev.value.dropna().mean()
+    assert abs(row["did"]) < scale  # placebo sanity, not a tight bound
+    assert row["n_rows"] == ev.value.notna().sum()
+
+
+def test_woe_iv_matches_pandas(spark):
+    rows = QUERIES["woe_iv_binning"](spark, SF).collect()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet").dropna(
+        subset=["l_quantity"]
+    )
+    li["bin"] = np.minimum(((li.l_quantity - 1) // 5), 9).astype(int)
+    li["bad"] = (li.l_returnflag == "R").astype(int)
+    g = li.groupby("bin").agg(n=("bad", "size"), n_bad=("bad", "sum"))
+    g["n_good"] = g.n - g.n_bad
+    tb, tg = g.n_bad.sum(), g.n_good.sum()
+    woe = np.log((g.n_good / tg) / (g.n_bad / tb))
+    iv = ((g.n_good / tg - g.n_bad / tb) * woe).sum()
+    got = {r["bin"]: r for r in rows}
+    for b in g.index:
+        assert got[b]["woe"] == pytest.approx(woe[b], abs=1e-5)
+        assert got[b]["iv_total"] == pytest.approx(iv, abs=1e-5)
+
+
+def test_target_encode_oof_no_leakage(spark):
+    """Every (brand, fold) encoding re-derived excluding that fold's
+    own rows — the defining no-leakage property."""
+    import hashlib
+
+    rows = QUERIES["target_encode_oof"](spark, SF).collect()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    p = pd.read_parquet(f"{SF}/part.parquet")[["p_partkey", "p_brand"]]
+    m = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    m["y"] = (m.l_returnflag == "R").astype(int)
+    m["fold"] = [
+        int(hashlib.md5(f"te:{ok}:{ln}".encode()).hexdigest()[:15], 16) % 5
+        for ok, ln in zip(m.l_orderkey, m.l_linenumber)
+    ]
+    g_rate = m.y.mean()
+    got = {(r["brand"], r["fold"]): r["oof_te"] for r in rows}
+    for (brand, fold), grp in m.groupby(["p_brand", "fold"]):
+        rest = m[(m.p_brand == brand) & (m.fold != fold)]
+        te = (rest.y.sum() + 20.0 * g_rate) / (len(rest) + 20.0)
+        assert got[(brand, fold)] == pytest.approx(te, abs=1e-5)
+
+
+def test_degree_assortativity_bounds(spark):
+    row = QUERIES["degree_assortativity"](spark, SF).collect()[0]
+    assert -1.0 <= row["assortativity"] <= 1.0
+    assert row["n_edges"] > 0 and row["n_nodes"] > 0

@@ -497,6 +497,17 @@ EXPECT = {
     # k-row stationary-vector crosses on the k x k reduced transition
     # matrix (checkpoint leaves): intended
     "markov_entropy_rate": (4, False, True),
+    # 1-row calendar-midpoint broadcast cross: intended
+    "did_estimator": (3, False, True),
+    # checkpoint-leaf both-direction edge frame; 1-row node-count
+    # broadcast cross: intended
+    "degree_assortativity": (2, False, True),
+    # 1-row class-totals + IV broadcast crosses onto the 10-bin frame:
+    # intended
+    "woe_iv_binning": (2, False, True),
+    # brand dim broadcast; 1-row global-prior cross on the
+    # checkpoint-leaf (brand, fold) frame: intended
+    "target_encode_oof": (4, False, True),
 }
 
 
