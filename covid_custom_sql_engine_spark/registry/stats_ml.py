@@ -3423,3 +3423,272 @@ def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oof_te"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data contracts and score calibration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "expectation_suite",
+    oracle="""
+    WITH o AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+                      CAST(sum(CASE WHEN o_orderdate IS NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+                      CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                                     OR o_orderstatus IS NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+                      CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                        AS v_unique
+               FROM orders),
+    l AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                                OR l_discount IS NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+                 CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                OR l_quantity IS NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+          FROM lineitem)
+    SELECT * FROM (
+      SELECT 'orders.totalprice_positive' AS expectation, o.n AS n_checked,
+             o.v_price AS n_violations, o.v_price = 0 AS passed FROM o
+      UNION ALL
+      SELECT 'orders.orderdate_not_null', o.n, o.v_date, o.v_date = 0 FROM o
+      UNION ALL
+      SELECT 'orders.status_in_domain', o.n, o.v_status, o.v_status = 0 FROM o
+      UNION ALL
+      SELECT 'orders.orderkey_unique', o.n, o.v_unique, o.v_unique = 0 FROM o
+      UNION ALL
+      SELECT 'lineitem.discount_in_range', l.n, l.v_disc, l.v_disc = 0 FROM l
+      UNION ALL
+      SELECT 'lineitem.quantity_in_range', l.n, l.v_qty, l.v_qty = 0 FROM l)
+    """,
+)
+def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract suite (the Great-Expectations shape):
+    six expectations — positivity, null policy, value domain, key
+    uniqueness, and two range contracts — each reported as (n_checked,
+    n_violations, passed).  ONE conditional-aggregation scan per table
+    evaluates every expectation on that table simultaneously (never
+    one scan per rule — at 100 TB the contract suite must amortize),
+    then a 6-row literal unpivot.  All-integer; exact."""
+    o = load_table(spark, sf_dir, "orders")
+    oa = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0)
+                | F.col("o_totalprice").isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_date"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("F", "O", "P")
+                | F.col("o_orderstatus").isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_status"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_unique"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    la = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 0.1)
+                | F.col("l_discount").isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_disc"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+                | F.col("l_quantity").isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_qty"),
+    )
+
+    def row(src, name, viol):
+        return src.select(
+            F.lit(name).alias("expectation"),
+            F.col("n").alias("n_checked"),
+            F.col(viol).alias("n_violations"),
+            (F.col(viol) == 0).alias("passed"),
+        )
+
+    return (
+        row(oa, "orders.totalprice_positive", "v_price")
+        .unionByName(row(oa, "orders.orderdate_not_null", "v_date"))
+        .unionByName(row(oa, "orders.status_in_domain", "v_status"))
+        .unionByName(row(oa, "orders.orderkey_unique", "v_unique"))
+        .unionByName(row(la, "lineitem.discount_in_range", "v_disc"))
+        .unionByName(row(la, "lineitem.quantity_in_range", "v_qty"))
+    )
+
+
+@query(
+    "calibration_report",
+    oracle="""
+    WITH x AS (SELECT p.p_brand AS brand,
+                      CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                      ('0x' || substr(md5('te:' || CAST(l.l_orderkey AS VARCHAR)
+                         || ':' || CAST(l.l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                        % 5 AS fold
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    bf AS (SELECT brand, fold, count(*) AS n, sum(y) AS s
+           FROM x GROUP BY 1, 2),
+    bt AS (SELECT brand, sum(n) AS nb, sum(s) AS sb FROM bf GROUP BY 1),
+    gt AS (SELECT CAST(sum(n) AS DOUBLE) AS ng,
+                  CAST(sum(s) AS DOUBLE) AS sg FROM bf),
+    te AS (SELECT bf.brand, bf.fold,
+                  (CAST(bt.sb - bf.s AS DOUBLE) + 20.0 * (gt.sg / gt.ng))
+                    / (CAST(bt.nb - bf.n AS DOUBLE) + 20.0) AS p
+           FROM bf JOIN bt USING (brand) CROSS JOIN gt),
+    sc AS (SELECT x.y, te.p FROM x JOIN te ON te.brand = x.brand
+                                         AND te.fold = x.fold),
+    mm AS (SELECT min(p) AS lo, max(p) AS hi FROM sc),
+    b AS (SELECT y, p,
+                 least(CAST(floor((p - mm.lo) / ((mm.hi - mm.lo) / 5 + 1e-12))
+                            AS BIGINT), 4) AS bin
+          FROM sc, mm),
+    cal AS (SELECT bin, count(*) AS n,
+                   CAST(sum(CAST((p) AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*) AS mean_pred,
+                   CAST(sum(y) AS DOUBLE) / count(*) AS obs_rate
+            FROM b GROUP BY bin),
+    br AS (SELECT CAST(sum(CAST(((p - y) * (p - y)) AS DECIMAL(38,12)))
+                       AS DOUBLE) / count(*) AS brier
+           FROM b)
+    SELECT cal.bin, CAST(cal.n AS BIGINT) AS n,
+           round(cal.mean_pred, 6) AS mean_pred,
+           round(cal.obs_rate, 6) AS obs_rate,
+           round(br.brier, 6) AS brier_total
+    FROM cal, br
+    """,
+)
+def calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the leakage-free `target_encode_oof`
+    score: rows join their own fold's out-of-fold encoding as a
+    predicted return probability, scores bin into 5 equal-width bins
+    over the observed score range, and each bin reports mean predicted
+    vs observed rate — the reliability-diagram table — with the
+    overall Brier score alongside.  A well-calibrated encoder tracks
+    the diagonal; this is the standard "can I trust the score as a
+    probability?" gate before thresholding.  Scale shape: the score
+    table is (brands × folds) and broadcasts back onto one fact pass;
+    binning bounds are a 1-row broadcast; fixed-point folds for the
+    fractional sums.  round(6)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("te:"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    x = x.localCheckpoint(eager=False)  # encoding pass + scoring pass
+    bf = x.groupBy("brand", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    bf = bf.localCheckpoint(eager=False)
+    bt = bf.groupBy("brand").agg(
+        F.sum("n").alias("nb"), F.sum("s").alias("sb")
+    )
+    gt = F.broadcast(
+        bf.agg(
+            F.sum("n").cast("double").alias("ng"),
+            F.sum("s").cast("double").alias("sg"),
+        )
+    )
+    te = (
+        bf.join(bt, "brand")
+        .crossJoin(gt)
+        .select(
+            F.col("brand").alias("_tb"),
+            F.col("fold").alias("_tf"),
+            (
+                (
+                    (F.col("sb") - F.col("s")).cast("double")
+                    + 20.0 * (F.col("sg") / F.col("ng"))
+                )
+                / ((F.col("nb") - F.col("n")).cast("double") + 20.0)
+            ).alias("p"),
+        )
+    )
+    sc = x.join(
+        F.broadcast(te),
+        (F.col("_tb") == F.col("brand")) & (F.col("_tf") == F.col("fold")),
+    ).select("y", "p")
+    sc = sc.localCheckpoint(eager=False)  # bounds + binning passes
+    mm = F.broadcast(sc.agg(F.min("p").alias("lo"), F.max("p").alias("hi")))
+    b = sc.crossJoin(mm).select(
+        "y",
+        "p",
+        F.least(
+            F.floor(
+                (F.col("p") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 5 + 1e-12)
+            ).cast("bigint"),
+            F.lit(4),
+        ).alias("bin"),
+    )
+    b = b.localCheckpoint(eager=False)  # per-bin + Brier passes
+    cal = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (ops.dsum12(F.col("p")) / F.count(F.lit(1))).alias("mean_pred"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("obs_rate"),
+    )
+    br = F.broadcast(
+        b.agg(
+            (
+                ops.dsum12((F.col("p") - F.col("y")) * (F.col("p") - F.col("y")))
+                / F.count(F.lit(1))
+            ).alias("brier")
+        )
+    )
+    return cal.crossJoin(br).select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("mean_pred"), 6).alias("mean_pred"),
+        F.round(F.col("obs_rate"), 6).alias("obs_rate"),
+        F.round(F.col("brier"), 6).alias("brier_total"),
+    )

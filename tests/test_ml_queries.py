@@ -533,3 +533,22 @@ def test_degree_assortativity_bounds(spark):
     row = QUERIES["degree_assortativity"](spark, SF).collect()[0]
     assert -1.0 <= row["assortativity"] <= 1.0
     assert row["n_edges"] > 0 and row["n_nodes"] > 0
+
+
+def test_expectation_suite_all_pass_on_clean_data(spark):
+    rows = QUERIES["expectation_suite"](spark, SF).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["passed"] is True or r["passed"] == True  # noqa: E712
+        assert r["n_violations"] == 0
+
+
+def test_calibration_bins_partition_rows(spark):
+    rows = QUERIES["calibration_report"](spark, SF).collect()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    assert sum(r["n"] for r in rows) == len(li)
+    # one Brier value repeated on every bin row; probabilities sane
+    assert len({r["brier_total"] for r in rows}) == 1
+    for r in rows:
+        assert 0.0 <= r["mean_pred"] <= 1.0
+        assert 0.0 <= r["obs_rate"] <= 1.0

@@ -508,6 +508,11 @@ EXPECT = {
     # brand dim broadcast; 1-row global-prior cross on the
     # checkpoint-leaf (brand, fold) frame: intended
     "target_encode_oof": (4, False, True),
+    # one conditional-aggregation scan per table, 6-row unpivot
+    "expectation_suite": (4, False, False),
+    # broadcast score table + 1-row bounds/Brier crosses on the
+    # checkpoint-leaf scored frame: intended
+    "calibration_report": (4, False, True),
 }
 
 
