@@ -3692,3 +3692,346 @@ def calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("obs_rate"), 6).alias("obs_rate"),
         F.round(F.col("brier"), 6).alias("brier_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering coefficient, grid DBSCAN, readability
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "clustering_coefficient",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM li a JOIN li b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY pa, pb HAVING count(*) >= 2),
+    und AS (SELECT pa AS u, pb AS v FROM e0
+            UNION ALL SELECT pb, pa FROM e0),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+    tri AS (SELECT x.u, count(*) AS t2
+            FROM und x JOIN und y ON y.u = x.v
+            JOIN e0 z ON z.pa = least(x.u, y.v) AND z.pb = greatest(x.u, y.v)
+            WHERE x.u != y.v
+            GROUP BY x.u),
+    cc AS (SELECT deg.u, deg.d,
+                  CASE WHEN deg.d >= 2
+                       THEN coalesce(tri.t2, 0)
+                            / (CAST(deg.d AS DOUBLE) * (deg.d - 1))
+                       ELSE 0.0 END AS c
+           FROM deg LEFT JOIN tri ON tri.u = deg.u)
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_eligible,
+           round(CAST(sum(CAST((c) AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 6) AS avg_clustering
+    FROM cc
+    """,
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average LOCAL clustering coefficient of the co-purchase graph —
+    per node, the fraction of its neighbor pairs that are themselves
+    connected (wedges closed into triangles, counted as ordered
+    neighbor pairs over d·(d−1)), averaged over all nodes (Watts–
+    Strogatz).  The "how cliquish is each neighborhood" companion of
+    the global `triangle_counts` / `degree_assortativity` statistics.
+    Scale shape: one wedge join anchored at each node (the adjacency
+    joined to itself on the shared neighbor) closed by an equi-join
+    against the canonical edge list, then one combinable aggregate;
+    per-node ratios fold fixed-point for the average.  round(6)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("pb")
+    )
+    e0 = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)  # adjacency + closure joins
+    )
+    und = e0.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        e0.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x = und.select(F.col("u").alias("xu"), F.col("v").alias("xv"))
+    y = und.select(F.col("u").alias("yu"), F.col("v").alias("yv"))
+    tri = (
+        x.join(y, F.col("yu") == F.col("xv"))
+        .filter(F.col("xu") != F.col("yv"))
+        .join(
+            e0,
+            (F.col("pa") == F.least(F.col("xu"), F.col("yv")))
+            & (F.col("pb") == F.greatest(F.col("xu"), F.col("yv"))),
+        )
+        .groupBy(F.col("xu").alias("u"))
+        .agg(F.count(F.lit(1)).alias("t2"))
+    )
+    cc = deg.join(tri, "u", "left").select(
+        "d",
+        F.when(
+            F.col("d") >= 2,
+            F.coalesce(F.col("t2"), F.lit(0))
+            / (F.col("d").cast("double") * (F.col("d") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("c"),
+    )
+    return cc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.when(F.col("d") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_eligible"),
+        F.round(ops.dsum12(F.col("c")) / F.count(F.lit(1)), 6).alias(
+            "avg_clustering"
+        ),
+    )
+
+
+_DB_D2 = (
+    "((ax - bx) * (ax - bx) + (ay - by) * (ay - by))"
+)
+
+
+@query(
+    "dbscan_spatial",
+    oracle=f"""
+    WITH RECURSIVE pts AS MATERIALIZED (
+      SELECT c_custkey AS id,
+             ('0x' || substr(md5('dbx:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 40000 / 1000.0 - 20 AS x,
+             ('0x' || substr(md5('dby:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+               % 40000 / 1000.0 - 20 AS y
+      FROM customer),
+    nb AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib
+      FROM (SELECT id, x AS ax, y AS ay FROM pts) a
+      JOIN (SELECT id, x AS bx, y AS by FROM pts) b
+        ON a.id != b.id AND {_DB_D2} <= 1.0),
+    core AS MATERIALIZED (
+      SELECT ia AS id FROM nb GROUP BY ia HAVING count(*) + 1 >= 4),
+    ce AS MATERIALIZED (
+      SELECT nb.ia, nb.ib FROM nb
+      JOIN core ca ON ca.id = nb.ia
+      JOIN core cb ON cb.id = nb.ib),
+    reach(id, r) AS (
+      SELECT id, id FROM core
+      UNION
+      SELECT reach.id, ce.ib FROM reach JOIN ce ON ce.ia = reach.r),
+    comp AS MATERIALIZED (
+      SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    border AS MATERIALIZED (
+      SELECT nb.ia AS id, min(comp.cluster) AS cluster
+      FROM nb JOIN comp ON comp.id = nb.ib
+      WHERE nb.ia NOT IN (SELECT id FROM core)
+      GROUP BY nb.ia),
+    agg AS (
+      SELECT comp.cluster, count(*) AS n_core FROM comp GROUP BY 1),
+    bagg AS (
+      SELECT cluster, count(*) AS n_border FROM border GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM pts),
+    lab AS (SELECT agg.cluster, agg.n_core,
+                   coalesce(bagg.n_border, 0) AS n_border
+            FROM agg LEFT JOIN bagg USING (cluster))
+    SELECT CAST(cluster AS BIGINT) AS cluster_id,
+           CAST(n_core AS BIGINT) AS n_core,
+           CAST(n_border AS BIGINT) AS n_border
+    FROM lab
+    UNION ALL
+    SELECT -1, 0,
+           CAST(tot.n - (SELECT coalesce(sum(n_core + n_border), 0) FROM lab)
+                AS BIGINT)
+    FROM tot
+    """,
+)
+def dbscan_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over deterministic synthetic planar points (md5
+    coordinates on [−20, 20]², ε = 1, minPts = 4): core points by
+    ε-neighborhood count, clusters as CONNECTED COMPONENTS of the
+    core-core adjacency (dedup.connected_components — the pointer-
+    jumping min-label machinery), borders assigned to their smallest
+    adjacent core cluster, the rest noise — density clustering built
+    ENTIRELY from pieces this engine already ships at scale: the grid-
+    blocked spatial join (`spatial_grid_join`'s replicate-to-3×3-cells
+    shape, cells of ε) for neighbor pairs, and the dedup CC loop for
+    cluster formation.  The oracle is the all-pairs spec + recursive
+    reachability — feasible at oracle scale only, which is the point.
+    Output: per-cluster core/border counts + the noise row (−1)."""
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+
+    ck = F.col("c_custkey").cast("string")
+
+    def h(salt: str) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), ck)), 1, 15), 16, 10
+        ).cast("bigint")
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (h("dbx:") % 40000 / 1000.0 - 20).alias("x"),
+        (h("dby:") % 40000 / 1000.0 - 20).alias("y"),
+    )
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.floor("x").cast("bigint").alias("cx"),
+        F.floor("y").cast("bigint").alias("cy"),
+    ).localCheckpoint(eager=False)  # both sides of the blocking join
+    offs = F.broadcast(
+        spark.createDataFrame(
+            [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+            "dx int, dy int",
+        )
+    )
+    left = cells.crossJoin(offs).select(
+        F.col("id").alias("ia"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("dx")).alias("jx"),
+        (F.col("cy") + F.col("dy")).alias("jy"),
+    )
+    right = cells.select(
+        F.col("id").alias("ib"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("rx"),
+        F.col("cy").alias("ry"),
+    )
+    nb = (
+        left.join(
+            right,
+            (F.col("rx") == F.col("jx"))
+            & (F.col("ry") == F.col("jy"))
+            & (F.col("ia") != F.col("ib")),
+        )
+        .filter(F.expr(_DB_D2) <= 1.0)
+        .select("ia", "ib")
+        .localCheckpoint(eager=False)  # core count + core edges + border
+    )
+    core = (
+        nb.groupBy("ia")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") + 1 >= 4)
+        .select(F.col("ia").alias("id"))
+        .localCheckpoint(eager=False)  # CC seed + border anti-join
+    )
+    ce = nb.join(
+        core.select(F.col("id").alias("ia")), "ia"
+    ).join(core.select(F.col("id").alias("ib")), "ib")
+    # CC over core-core edges; isolated cores keep their own label via
+    # the union with self-pairs
+    pairs = ce.select(
+        F.col("ia").alias("id_a"), F.col("ib").alias("id_b")
+    ).unionByName(
+        core.select(F.col("id").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    comp = dd.connected_components(pairs).select(
+        F.col("id"), F.col("component").alias("cluster")
+    )
+    comp = comp.localCheckpoint(eager=False)  # agg + border join
+    border = (
+        nb.join(core.select(F.col("id").alias("ia")), "ia", "left_anti")
+        .join(
+            comp.select(F.col("id").alias("ib"), F.col("cluster")), "ib"
+        )
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    agg = comp.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_core"))
+    bagg = border.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_border")
+    )
+    lab = agg.join(bagg, "cluster", "left").select(
+        "cluster",
+        "n_core",
+        F.coalesce(F.col("n_border"), F.lit(0)).alias("n_border"),
+    )
+    lab = lab.localCheckpoint(eager=False)  # output + noise total
+    tot = pts.agg(F.count(F.lit(1)).alias("n"))
+    assigned = lab.agg(
+        F.coalesce(F.sum(F.col("n_core") + F.col("n_border")), F.lit(0)).alias(
+            "a"
+        )
+    )
+    noise = tot.crossJoin(F.broadcast(assigned)).select(
+        F.lit(-1).cast("bigint").alias("cluster_id"),
+        F.lit(0).cast("bigint").alias("n_core"),
+        (F.col("n") - F.col("a")).cast("bigint").alias("n_border"),
+    )
+    return lab.select(
+        F.col("cluster").cast("bigint").alias("cluster_id"),
+        F.col("n_core").cast("bigint").alias("n_core"),
+        F.col("n_border").cast("bigint").alias("n_border"),
+    ).unionByName(noise)
+
+
+@query(
+    "readability_ari",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, text,
+                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x != '') AS toks,
+                      greatest(length(text)
+                               - length(regexp_replace(text, '[.!?]', '', 'g')),
+                               1) AS n_sent
+               FROM documents),
+    m AS (SELECT doc_id, lang,
+                 length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_chars,
+                 greatest(len(toks), 1) AS n_words,
+                 n_sent
+          FROM t),
+    r AS (SELECT lang,
+                 4.71 * (CAST(n_chars AS DOUBLE) / n_words)
+                 + 0.5 * (CAST(n_words AS DOUBLE) / n_sent) - 21.43 AS ari
+          FROM m)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round({_sql_dsum12('ari')} / count(*), 6) AS avg_ari
+    FROM r GROUP BY lang
+    """,
+)
+def readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per language — 4.71·(chars/word) +
+    0.5·(words/sentence) − 21.43 on alphanumeric character counts,
+    whitespace words, and terminal-punctuation sentence counts — the
+    syllable-free readability screen (ARI was designed for exactly
+    this: machine scoring without dictionaries), complementing the
+    length/punct/stopword heuristics in `text_profile` as a corpus-
+    quality gate.  One pass of per-row regexp/length codegen + one
+    hash aggregate; per-doc ratios fold fixed-point.  round(6)."""
+    from covid_custom_sql_engine_spark.catalog import parallelize_small
+    from covid_custom_sql_engine_spark.functions import text as tx
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents")).select(
+        "lang",
+        F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")).alias(
+            "n_chars"
+        ),
+        F.greatest(tx.token_count("text"), F.lit(1)).alias("n_words"),
+        F.greatest(
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[.!?]", "")),
+            F.lit(1),
+        ).alias("n_sent"),
+    )
+    r = d.select(
+        "lang",
+        (
+            4.71 * (F.col("n_chars").cast("double") / F.col("n_words"))
+            + 0.5 * (F.col("n_words").cast("double") / F.col("n_sent"))
+            - 21.43
+        ).alias("ari"),
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(ops.dsum12(F.col("ari")) / F.count(F.lit(1)), 6).alias(
+            "avg_ari"
+        ),
+    )

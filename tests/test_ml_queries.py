@@ -552,3 +552,121 @@ def test_calibration_bins_partition_rows(spark):
     for r in rows:
         assert 0.0 <= r["mean_pred"] <= 1.0
         assert 0.0 <= r["obs_rate"] <= 1.0
+
+
+def test_clustering_coefficient_matches_pure_python(spark):
+    row = QUERIES["clustering_coefficient"](spark, SF).collect()[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    from collections import defaultdict
+
+    per_order = li.groupby("l_orderkey")["l_partkey"].apply(list)
+    pair_cnt: dict = defaultdict(int)
+    for items in per_order:
+        s = sorted(set(items))
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                pair_cnt[(a, b)] += 1
+    edges = {p for p, c in pair_cnt.items() if c >= 2}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    cs = []
+    for u, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            cs.append(0.0)
+            continue
+        closed = sum(
+            1
+            for v in nbrs
+            for w in nbrs
+            if v != w and (min(v, w), max(v, w)) in edges
+        )
+        cs.append(closed / (d * (d - 1)))
+    assert row["n_nodes"] == len(adj)
+    assert row["avg_clustering"] == pytest.approx(
+        sum(cs) / len(cs), abs=1e-5
+    )
+
+
+def test_dbscan_matches_pure_python(spark):
+    import hashlib
+    from collections import defaultdict
+
+    rows = QUERIES["dbscan_spatial"](spark, SF).collect()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")["c_custkey"]
+
+    def h(salt, ck):
+        return int(
+            hashlib.md5(f"{salt}{ck}".encode()).hexdigest()[:15], 16
+        )
+
+    pts = {
+        int(ck): (
+            h("dbx:", ck) % 40000 / 1000.0 - 20,
+            h("dby:", ck) % 40000 / 1000.0 - 20,
+        )
+        for ck in cust
+    }
+    ids = sorted(pts)
+    nbrs = defaultdict(set)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+            if d2 <= 1.0:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+    core = {p for p in ids if len(nbrs[p]) + 1 >= 4}
+    # CC over core-core adjacency
+    comp = {c: c for c in core}
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for a in core:
+        for b in nbrs[a]:
+            if b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    comp[max(ra, rb)] = min(ra, rb)
+    clusters = defaultdict(lambda: [0, 0])
+    for c in core:
+        clusters[find(c)][0] += 1
+    for p in ids:
+        if p in core:
+            continue
+        adj_cores = [find(c) for c in nbrs[p] if c in core]
+        if adj_cores:
+            clusters[min(adj_cores)][1] += 1
+    noise = len(ids) - sum(a + b for a, b in clusters.values())
+    got = {r["cluster_id"]: (r["n_core"], r["n_border"]) for r in rows}
+    exp = {k: tuple(v) for k, v in clusters.items()}
+    exp[-1] = (0, noise)
+    assert got == exp
+
+
+def test_readability_matches_pure_python(spark):
+    import re as _re
+
+    rows = QUERIES["readability_ari"](spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    got = {r["lang"]: (r["n_docs"], r["avg_ari"]) for r in rows}
+    for lang, grp in docs.groupby("lang"):
+        aris = []
+        for t in grp.text:
+            n_chars = len(_re.sub(r"[^a-zA-Z0-9]", "", t))
+            n_words = max(len([w for w in t.strip().lower().split() if w]), 1)
+            n_sent = max(len(_re.findall(r"[.!?]", t)), 1)
+            aris.append(
+                4.71 * n_chars / n_words + 0.5 * n_words / n_sent - 21.43
+            )
+        assert got[lang][0] == len(grp)
+        assert got[lang][1] == pytest.approx(
+            sum(aris) / len(aris), abs=1e-5
+        ), lang

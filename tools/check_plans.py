@@ -513,6 +513,13 @@ EXPECT = {
     # broadcast score table + 1-row bounds/Brier crosses on the
     # checkpoint-leaf scored frame: intended
     "calibration_report": (4, False, True),
+    # checkpoint-leaf edge frame; wedge join + closure equi-join
+    "clustering_coefficient": (2, False, False),
+    # 9-row offset broadcast + checkpoint-leaf CC state; 1-row noise
+    # total cross: intended
+    "dbscan_spatial": (1, False, True),
+    # per-row codegen + one hash aggregate
+    "readability_ari": (3, False, False),
 }
 
 
