@@ -4035,3 +4035,86 @@ def readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_ari"
         ),
     )
+
+
+@query(
+    "abc_classification",
+    oracle=f"""
+    WITH pr AS (SELECT l_partkey AS p,
+                       {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS rev
+                FROM lineitem GROUP BY 1),
+    r AS (SELECT p, rev,
+                 row_number() OVER (ORDER BY rev DESC, p) AS rk
+          FROM pr),
+    t AS (SELECT {_sql_dsum('rev')} AS tot FROM pr),
+    c AS (SELECT p, rev,
+                 sum(CAST(rev AS DECIMAL(38,6)))
+                   OVER (ORDER BY rk
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+          FROM r),
+    k AS (SELECT p, rev,
+                 CASE WHEN CAST(cum AS DOUBLE) <= 0.7 * t.tot THEN 'A'
+                      WHEN CAST(cum AS DOUBLE) <= 0.9 * t.tot THEN 'B'
+                      ELSE 'C' END AS klass
+          FROM c, t)
+    SELECT klass, CAST(count(*) AS BIGINT) AS n_parts,
+           round({_sql_dsum('rev')} / max(t.tot), 6) AS revenue_share
+    FROM k, t GROUP BY klass
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by net
+    revenue, class A = the head covering 70% of cumulative revenue,
+    B to 90%, C the tail — the operational sibling of
+    `revenue_concentration`'s Gini (that one scores the whole curve,
+    this one CUTS it into actionable tiers).  Scale shape: one fact
+    aggregate to per-part revenue, the two-phase distributed
+    global_rank for the descending order, ONE pinned prefix-sum pass
+    (selection.running_sums on the rank axis) for the cumulative —
+    never a single-partition window over parts — and a 3-row class
+    aggregate.  Fixed-point folds make the cumulative and the cuts
+    bit-identical cross-engine; round(6) on the shares."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pr = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        ops.dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev")
+    )
+    # global_rank orders ascending; the oracle ranks by (rev DESC,
+    # p ASC) — mirror it by ranking the NEGATED revenue with the id
+    # tiebreak
+    r = sel.global_rank(
+        pr.select("p", "rev", (-F.col("rev")).alias("_neg")),
+        ["_neg", "p"],
+        out_col="rk",
+    ).drop("_neg")
+    pv = r.select("rk", "p", F.col("rev").alias("_rv"))
+    cum = sel.running_sums(
+        pv.select("rk", "p", F.col("_rv").cast("decimal(38,6)").alias("_rd")),
+        "rk",
+        ["_rd"],
+    ).select(
+        "p",
+        F.col("_rd").cast("double").alias("rev"),
+        F.col("_cum__rd").cast("double").alias("cum"),
+    )
+    t = F.broadcast(pr.agg(ops.dsum(F.col("rev")).alias("tot")))
+    k = cum.crossJoin(t).select(
+        "rev",
+        "tot",
+        F.when(F.col("cum") <= 0.7 * F.col("tot"), F.lit("A"))
+        .when(F.col("cum") <= 0.9 * F.col("tot"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("klass"),
+    )
+    return k.groupBy("klass").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(ops.dsum(F.col("rev")) / F.max("tot"), 6).alias(
+            "revenue_share"
+        ),
+    )

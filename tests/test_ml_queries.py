@@ -670,3 +670,21 @@ def test_readability_matches_pure_python(spark):
         assert got[lang][1] == pytest.approx(
             sum(aris) / len(aris), abs=1e-5
         ), lang
+
+
+def test_abc_classification_matches_pandas(spark):
+    rows = QUERIES["abc_classification"](spark, SF).collect()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["rev"] = li.l_extendedprice * (1 - li.l_discount)
+    pr = li.groupby("l_partkey")["rev"].sum().reset_index()
+    pr = pr.sort_values(["rev", "l_partkey"], ascending=[False, True])
+    tot = pr.rev.sum()
+    cum = pr.rev.cumsum()
+    klass = np.where(cum <= 0.7 * tot, "A", np.where(cum <= 0.9 * tot, "B", "C"))
+    exp = pd.DataFrame({"k": klass, "rev": pr.rev.to_numpy()}).groupby("k").agg(
+        n=("rev", "size"), share=("rev", "sum")
+    )
+    got = {r["klass"]: (r["n_parts"], r["revenue_share"]) for r in rows}
+    for k in exp.index:
+        assert got[k][0] == exp.loc[k, "n"]
+        assert got[k][1] == pytest.approx(exp.loc[k, "share"] / tot, abs=1e-4)

@@ -520,6 +520,9 @@ EXPECT = {
     "dbscan_spatial": (1, False, True),
     # per-row codegen + one hash aggregate
     "readability_ari": (3, False, False),
+    # checkpoint-leaf ranked/prefix frames; 1-row total broadcast
+    # cross: intended
+    "abc_classification": (3, False, True),
 }
 
 
