@@ -3809,7 +3809,7 @@ _DB_D2 = (
                % 40000 / 1000.0 - 20 AS x,
              ('0x' || substr(md5('dby:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
                % 40000 / 1000.0 - 20 AS y
-      FROM customer),
+      FROM customer WHERE c_custkey <= 1500),
     nb AS MATERIALIZED (
       SELECT a.id AS ia, b.id AS ib
       FROM (SELECT id, x AS ax, y AS ay FROM pts) a
@@ -3873,10 +3873,22 @@ def dbscan_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.concat(F.lit(salt), ck)), 1, 15), 16, 10
         ).cast("bigint")
 
-    pts = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"),
-        (h("dbx:") % 40000 / 1000.0 - 20).alias("x"),
-        (h("dby:") % 40000 / 1000.0 - 20).alias("y"),
+    pts = (
+        load_table(spark, sf_dir, "customer")
+        # fixed 1500-point universe at every SF: keeps the cluster
+        # structure (density) SF-stable and the quadratic all-pairs
+        # ORACLE bounded (the prefix_jaccard_pairs doc_id-cap
+        # precedent; 2000 points sit near the percolation threshold
+        # where the oracle's recursive reachability goes quadratic in
+        # the giant component — 1500 keeps clusters small); the engine
+        # path itself is cell-blocked + pointer-jump CC and needs no
+        # cap
+        .filter(F.col("c_custkey") <= 1500)
+        .select(
+            F.col("c_custkey").alias("id"),
+            (h("dbx:") % 40000 / 1000.0 - 20).alias("x"),
+            (h("dby:") % 40000 / 1000.0 - 20).alias("y"),
+        )
     )
     cells = pts.select(
         "id",
