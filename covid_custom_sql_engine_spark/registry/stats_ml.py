@@ -2371,7 +2371,8 @@ _TRI_SQL_GRAMS = (
 @query(
     "trigram_name_match",
     oracle=f"""
-    WITH orig AS (SELECT p_partkey AS id, p_name AS name FROM part),
+    WITH orig AS (SELECT p_partkey AS id, p_name AS name FROM part
+                  WHERE p_partkey <= 2000),
     corr AS (SELECT id + 1000000 AS cid, id AS true_id,
                     substr(name, 1, pos - 1) || substr(name, pos + 1) AS cname
              FROM (SELECT id, name,
@@ -2424,8 +2425,21 @@ def trigram_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard) — feasible at oracle scale, which is exactly why the
     engine side must prune and the spec side need not.  Argmax ties
     break on the original key; round(6) on the accuracy."""
-    orig = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    orig = (
+        load_table(spark, sf_dir, "part")
+        # fixed 2000-name universe at every SF: TPC-H names draw from a
+        # ~64-word vocabulary, so at sf0.1 the 20k-part corpus is 300×
+        # duplicated names — the degenerate-vocabulary PPJoin worst
+        # case (SCALE.md round-9: prefixes can't be rare when every
+        # set repeats), where candidate generation is inherently
+        # quadratic in the duplicate count. The capped universe keeps
+        # the audited matching task identical across SFs; realistic
+        # (Zipfian) vocabularies are the uncapped path, measured by
+        # prefix_jaccard_zipf.
+        .filter(F.col("p_partkey") <= 2000)
+        .select(
+            F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+        )
     )
     pos = 1 + F.conv(
         F.substring(
