@@ -91,3 +91,80 @@ def test_rank_correlation_perfect_monotone(spark, tmp_path):
         F.corr(F.col("rx"), F.col("ry")).alias("c")
     ).collect()[0]["c"]
     assert got == pytest.approx(1.0, abs=1e-12)
+
+
+# --- hypothesis property tests: the distributed rank primitives must
+# match brute-force references on arbitrary inputs ---
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_HSETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_vals = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+)
+
+
+@given(vs=_vals)
+@settings(**_HSETTINGS)
+def test_property_average_ranks(spark, vs):
+    df = spark.createDataFrame([(float(v),) for v in vs], "v double")
+    got = [
+        r["r"]
+        for r in sel.average_ranks(df, "v", "r").orderBy("v").collect()
+    ]
+    # brute-force midranks
+    s = sorted(vs)
+    exp = []
+    for v in s:
+        lo = s.index(v) + 1
+        hi = lo + s.count(v) - 1
+        exp.append((lo + hi) / 2.0)
+    assert got == exp
+
+
+@given(
+    a=st.lists(st.integers(0, 20), min_size=1, max_size=40),
+    b=st.lists(st.integers(0, 20), min_size=1, max_size=40),
+)
+@settings(**_HSETTINGS)
+def test_property_mann_whitney(spark, a, b):
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, g string")
+    row = sel.mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    # brute-force U: count pairs a<b as 1, ties as 1/2
+    u_b = sum(
+        1.0 if x < y else (0.5 if x == y else 0.0) for x in a for y in b
+    )
+    # engine reports U_a = R_a - n_a(n_a+1)/2 = #(a>b) + ties/2
+    u_a = len(a) * len(b) - u_b
+    assert row["u_stat"] == u_a
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(-30, 30), st.integers(1, 5)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_HSETTINGS)
+def test_property_running_sums(spark, pairs):
+    df = spark.createDataFrame(pairs, "v int, c int")
+    got = [
+        (r["v"], r["_cum_c"])
+        for r in sel.running_sums(df, "v", ["c"]).orderBy("v").collect()
+    ]
+    acc, exp = 0, []
+    for v, c in sorted(pairs):
+        acc += c
+        exp.append((v, acc))
+    assert got == exp
