@@ -4144,3 +4144,166 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional hazards (Breslow ties), two unrolled Newton steps
+# ---------------------------------------------------------------------------
+
+_COX_STEPS = 2
+_COX_D12 = "DECIMAL(38,12)"
+
+
+def _cox_oracle() -> str:
+    ctes = [
+        """base AS MATERIALIZED (
+      SELECT datediff('day', o.o_orderdate, max(l.l_shipdate)) AS t,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev,
+             max(o.o_totalprice) / 100000.0 AS x
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+      HAVING datediff('day', o.o_orderdate, max(l.l_shipdate)) >= 0),
+    p0 AS (SELECT 0.0 AS beta)"""
+    ]
+    for r in range(1, _COX_STEPS + 1):
+        p = r - 1
+        ctes.append(
+            f"""g{r} AS (SELECT t,
+             CAST(sum(ev) AS DOUBLE) AS d,
+             CAST(sum(CAST((ev * x) AS {_COX_D12})) AS DOUBLE) AS sx,
+             CAST(sum(CAST((exp(beta * x)) AS {_COX_D12})) AS DOUBLE) AS a0,
+             CAST(sum(CAST((x * exp(beta * x)) AS {_COX_D12})) AS DOUBLE) AS a1,
+             CAST(sum(CAST((x * x * exp(beta * x)) AS {_COX_D12})) AS DOUBLE) AS a2
+      FROM base, p{p} GROUP BY t),
+    c{r} AS (SELECT t, d, sx,
+                    tt.t0 - (sum(a0) OVER w - a0) AS s0,
+                    tt.t1 - (sum(a1) OVER w - a1) AS s1,
+                    tt.t2 - (sum(a2) OVER w - a2) AS s2
+             FROM g{r}, (SELECT CAST(sum(CAST((a0) AS {_COX_D12})) AS DOUBLE) AS t0,
+                                CAST(sum(CAST((a1) AS {_COX_D12})) AS DOUBLE) AS t1,
+                                CAST(sum(CAST((a2) AS {_COX_D12})) AS DOUBLE) AS t2
+                         FROM g{r}) tt
+             WINDOW w AS (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ui{r} AS (SELECT CAST(sum(CAST((sx - d * s1 / s0) AS {_COX_D12})) AS DOUBLE) AS u,
+                     CAST(sum(CAST((d * (s2 / s0 - (s1 / s0) * (s1 / s0)))
+                                   AS {_COX_D12})) AS DOUBLE) AS i
+              FROM c{r} WHERE d > 0),
+    p{r} AS (SELECT p{p}.beta + ui{r}.u / ui{r}.i AS beta
+             FROM p{p}, ui{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                    CAST(sum(ev) AS BIGINT) AS n_events FROM base)
+    SELECT nn.n_total, nn.n_events,
+           round(p{_COX_STEPS}.beta, 6) AS beta,
+           round(exp(p{_COX_STEPS}.beta), 6) AS hazard_ratio
+    FROM nn, p{_COX_STEPS}"""
+    )
+
+
+@query("cox_ph_newton", oracle=_cox_oracle())
+def cox_ph_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards regression of order fulfillment on
+    (scaled) order value — TWO unrolled Newton steps on the Breslow
+    partial likelihood, the regression companion of the
+    kaplan_meier/logrank/rmst survival stack: β answers "do expensive
+    orders complete faster?" with censoring handled correctly, and
+    exp(β) is the reported hazard ratio.  Scale shape per step: one
+    combinable per-distinct-time aggregate of the β-weighted sums
+    (e^{{βx}}, x·e^{{βx}}, x²·e^{{βx}} and the event-side d, Σx), ONE
+    pinned two-phase prefix-sum pass (selection.running_sums — the
+    kaplan_meier at-risk discipline) whose SUFFIX form total−before
+    yields every risk-set sum, and a 1-row score/information fold →
+    closed-form update.  All folds fixed-point at 12 digits; the
+    weight/update expressions mirror textually; round(6)."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select("l_orderkey", "l_shipdate")
+    )
+    base = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(
+            F.max("l_shipdate").alias("_last"),
+            (F.max("o_totalprice") / 100000.0).alias("x"),
+        )
+        .select(
+            F.datediff("_last", "o_orderdate").alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+            "x",
+        )
+        .filter(F.col("t") >= 0)
+        .localCheckpoint(eager=False)  # reused every Newton step
+    )
+    beta = spark.range(1).select(F.lit(0.0).alias("beta"))
+    for _ in range(_COX_STEPS):
+        g = (
+            base.crossJoin(F.broadcast(beta))
+            .groupBy("t")
+            .agg(
+                F.sum("ev").cast("double").alias("d"),
+                ops.dsum12(F.col("ev") * F.col("x")).alias("sx"),
+                ops.dsum12(F.exp(F.col("beta") * F.col("x"))).alias("a0"),
+                ops.dsum12(
+                    F.col("x") * F.exp(F.col("beta") * F.col("x"))
+                ).alias("a1"),
+                ops.dsum12(
+                    F.col("x") * F.col("x") * F.exp(F.col("beta") * F.col("x"))
+                ).alias("a2"),
+            )
+        )
+        g = g.localCheckpoint(eager=False)  # totals + prefix pass
+        tt = F.broadcast(
+            g.agg(
+                ops.dsum12(F.col("a0")).alias("t0"),
+                ops.dsum12(F.col("a1")).alias("t1"),
+                ops.dsum12(F.col("a2")).alias("t2"),
+            )
+        )
+        cum = sel.running_sums(g, "t", ["a0", "a1", "a2"])
+        c = cum.crossJoin(tt).select(
+            "t",
+            "d",
+            "sx",
+            (F.col("t0") - (F.col("_cum_a0") - F.col("a0"))).alias("s0"),
+            (F.col("t1") - (F.col("_cum_a1") - F.col("a1"))).alias("s1"),
+            (F.col("t2") - (F.col("_cum_a2") - F.col("a2"))).alias("s2"),
+        )
+        ui = c.filter(F.col("d") > 0).agg(
+            ops.dsum12(
+                F.col("sx") - F.col("d") * F.col("s1") / F.col("s0")
+            ).alias("u"),
+            ops.dsum12(
+                F.col("d")
+                * (
+                    F.col("s2") / F.col("s0")
+                    - (F.col("s1") / F.col("s0")) * (F.col("s1") / F.col("s0"))
+                )
+            ).alias("i"),
+        )
+        beta = beta.crossJoin(F.broadcast(ui)).select(
+            (F.col("beta") + F.col("u") / F.col("i")).alias("beta")
+        )
+    nn = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("ev").cast("bigint").alias("n_events"),
+    )
+    return nn.crossJoin(F.broadcast(beta)).select(
+        "n_total",
+        "n_events",
+        F.round(F.col("beta"), 6).alias("beta"),
+        F.round(F.exp(F.col("beta")), 6).alias("hazard_ratio"),
+    )

@@ -688,3 +688,45 @@ def test_abc_classification_matches_pandas(spark):
     for k in exp.index:
         assert got[k][0] == exp.loc[k, "n"]
         assert got[k][1] == pytest.approx(exp.loc[k, "share"] / tot, abs=1e-4)
+
+
+def test_cox_ph_matches_numpy(spark):
+    """Two Breslow-ties Newton steps re-derived with numpy from the
+    same per-order frame."""
+    row = QUERIES["cox_ph_newton"](spark, SF).collect()[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet").dropna(
+        subset=["o_orderdate"]
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_shipdate"]
+    ].dropna()
+    m = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    per = m.groupby(["o_orderkey", "o_orderdate", "o_orderstatus"]).agg(
+        lastship=("l_shipdate", "max"), price=("o_totalprice", "max")
+    )
+    t, ev, x = [], [], []
+    for (ok, od, st_), r in per.iterrows():
+        days = (r.lastship - od).days
+        if days >= 0:
+            t.append(days)
+            ev.append(1 if st_ == "F" else 0)
+            x.append(r.price / 100000.0)
+    t, ev, x = np.array(t), np.array(ev), np.array(x)
+    beta = 0.0
+    for _ in range(2):
+        u_acc, i_acc = 0.0, 0.0
+        w = np.exp(beta * x)
+        for tt in np.unique(t[ev == 1]):
+            risk = t >= tt
+            s0 = w[risk].sum()
+            s1 = (w * x)[risk].sum()
+            s2 = (w * x * x)[risk].sum()
+            at = (t == tt) & (ev == 1)
+            d = at.sum()
+            u_acc += x[at].sum() - d * s1 / s0
+            i_acc += d * (s2 / s0 - (s1 / s0) ** 2)
+        beta += u_acc / i_acc
+    assert row["n_total"] == len(t)
+    assert row["n_events"] == int(ev.sum())
+    assert row["beta"] == pytest.approx(beta, abs=1e-4)
+    assert row["hazard_ratio"] == pytest.approx(np.exp(beta), rel=1e-4)

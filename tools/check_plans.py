@@ -523,6 +523,10 @@ EXPECT = {
     # checkpoint-leaf ranked/prefix frames; 1-row total broadcast
     # cross: intended
     "abc_classification": (3, False, True),
+    # 1-row beta/totals broadcast crosses per Newton step onto the
+    # checkpoint-leaf per-order frame (kaplan_meier discipline):
+    # intended
+    "cox_ph_newton": (4, False, True),
 }
 
 
