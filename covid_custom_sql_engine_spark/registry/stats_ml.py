@@ -4307,3 +4307,132 @@ def cox_ph_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("beta"), 6).alias("beta"),
         F.round(F.exp(F.col("beta")), 6).alias("hazard_ratio"),
     )
+
+
+@query(
+    "auc_return_score",
+    oracle="""
+    WITH x AS (SELECT p.p_brand AS brand,
+                      CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+                      ('0x' || substr(md5('te:' || CAST(l.l_orderkey AS VARCHAR)
+                         || ':' || CAST(l.l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                        % 5 AS fold
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    bf AS (SELECT brand, fold, count(*) AS n, sum(y) AS s
+           FROM x GROUP BY 1, 2),
+    bt AS (SELECT brand, sum(n) AS nb, sum(s) AS sb FROM bf GROUP BY 1),
+    gt AS (SELECT CAST(sum(n) AS DOUBLE) AS ng,
+                  CAST(sum(s) AS DOUBLE) AS sg FROM bf),
+    te AS (SELECT bf.brand, bf.fold,
+                  (CAST(bt.sb - bf.s AS DOUBLE) + 20.0 * (gt.sg / gt.ng))
+                    / (CAST(bt.nb - bf.n AS DOUBLE) + 20.0) AS p
+           FROM bf JOIN bt USING (brand) CROSS JOIN gt),
+    sc AS (SELECT x.y, te.p FROM x JOIN te ON te.brand = x.brand
+                                         AND te.fold = x.fold),
+    pv AS (SELECT p AS v, sum(y) AS ca, count(*) - sum(y) AS cb,
+                  count(*) AS t
+           FROM sc GROUP BY p),
+    c AS (SELECT *,
+                 sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+                 AS below
+          FROM pv),
+    s AS (SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
+                 CAST(sum(cb) AS BIGINT) AS n_neg,
+                 CAST(sum(ca * (2 * below + t + 1)) AS BIGINT) AS r2x
+          FROM c)
+    SELECT n_pos, n_neg,
+           round((CAST(r2x AS DOUBLE) / 2
+                  - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+    FROM s
+    """,
+)
+def auc_return_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the leakage-free `target_encode_oof` score as a
+    return-probability ranker, computed EXACTLY via the Mann–Whitney
+    identity AUC = U/(n₊·n₋) on the same pinned prefix-sum rank-sum
+    machinery as `mann_whitney_value_shift` (selection.mann_whitney_u's
+    midrank arithmetic handles the heavy score ties a 25-brand encoder
+    produces — ties count ½, the textbook AUC convention).  Closes the
+    ML-evaluation family: train accuracy (`logistic_newton`),
+    reliability + Brier (`calibration_report`), and now
+    threshold-free ranking quality.  All-integer rank sums; one final
+    one-row quotient; round(6)."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("te:"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    x = x.localCheckpoint(eager=False)  # encoding + scoring passes
+    bf = x.groupBy("brand", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    bf = bf.localCheckpoint(eager=False)
+    bt = bf.groupBy("brand").agg(
+        F.sum("n").alias("nb"), F.sum("s").alias("sb")
+    )
+    gt = F.broadcast(
+        bf.agg(
+            F.sum("n").cast("double").alias("ng"),
+            F.sum("s").cast("double").alias("sg"),
+        )
+    )
+    te = (
+        bf.join(bt, "brand")
+        .crossJoin(gt)
+        .select(
+            F.col("brand").alias("_tb"),
+            F.col("fold").alias("_tf"),
+            (
+                (
+                    (F.col("sb") - F.col("s")).cast("double")
+                    + 20.0 * (F.col("sg") / F.col("ng"))
+                )
+                / ((F.col("nb") - F.col("n")).cast("double") + 20.0)
+            ).alias("p"),
+        )
+    )
+    sc = x.join(
+        F.broadcast(te),
+        (F.col("_tb") == F.col("brand")) & (F.col("_tf") == F.col("fold")),
+    ).select(
+        F.col("p").alias("score"),
+        F.when(F.col("y") == 1, F.lit("pos")).otherwise(F.lit("neg")).alias(
+            "cls"
+        ),
+    )
+    mw = sel.mann_whitney_u(sc, "score", "cls", "pos", "neg")
+    return mw.select(
+        F.col("n_a").alias("n_pos"),
+        F.col("n_b").alias("n_neg"),
+        F.round(
+            F.col("u_stat")
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+            6,
+        ).alias("auc"),
+    )

@@ -730,3 +730,34 @@ def test_cox_ph_matches_numpy(spark):
     assert row["n_events"] == int(ev.sum())
     assert row["beta"] == pytest.approx(beta, abs=1e-4)
     assert row["hazard_ratio"] == pytest.approx(np.exp(beta), rel=1e-4)
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """AUC re-derived as the pairwise win/tie probability over the
+    same OOF scores at sf0.001."""
+    import hashlib
+
+    row = QUERIES["auc_return_score"](spark, SF).collect()[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    p = pd.read_parquet(f"{SF}/part.parquet")[["p_partkey", "p_brand"]]
+    m = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    m["y"] = (m.l_returnflag == "R").astype(int)
+    m["fold"] = [
+        int(hashlib.md5(f"te:{ok}:{ln}".encode()).hexdigest()[:15], 16) % 5
+        for ok, ln in zip(m.l_orderkey, m.l_linenumber)
+    ]
+    g_rate = m.y.mean()
+    te = {}
+    for (brand, fold), grp in m.groupby(["p_brand", "fold"]):
+        rest = m[(m.p_brand == brand) & (m.fold != fold)]
+        te[(brand, fold)] = (rest.y.sum() + 20.0 * g_rate) / (
+            len(rest) + 20.0
+        )
+    m["score"] = [te[(b, f)] for b, f in zip(m.p_brand, m.fold)]
+    pos = m[m.y == 1].score.to_numpy()
+    neg = m[m.y == 0].score.to_numpy()
+    wins = sum((pos[:, None] > neg[None, :]).sum() for _ in [0])
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    assert row["auc"] == pytest.approx(auc, abs=1e-5)

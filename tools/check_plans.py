@@ -527,6 +527,9 @@ EXPECT = {
     # checkpoint-leaf per-order frame (kaplan_meier discipline):
     # intended
     "cox_ph_newton": (4, False, True),
+    # broadcast score table + pinned prefix-sum rank machinery; 1-row
+    # totals cross: intended
+    "auc_return_score": (4, False, True),
 }
 
 
