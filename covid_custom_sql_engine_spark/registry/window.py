@@ -174,7 +174,7 @@ _DRIVER_WINDOW_PRIORITY = [
 # oldest r6 rows.
 # Everything below the out-of-window line holds an r1-r9 green row and
 # is re-verified locally every round by check_oracle / check_bare
-# (303 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
+# (304 registered; full-registry gates at sf0.001/0.01/0.1 recorded in
 # README per round).
 #
 # Round-10 CONTINUATION queries (registered after the window snapshot,
