@@ -885,6 +885,12 @@ def seed_betweenness(
     is joined from the SAME pinned forward frame, so no recomputation
     and flat lineage.  σ ratios are exact-integer-derived IEEE doubles;
     folds are fixed-point → cross-engine deterministic."""
+    if max_depth < 2:
+        raise ValueError(
+            "seed_betweenness needs max_depth >= 2 (dependency only "
+            "accumulates onto intermediate nodes, which first exist at "
+            f"depth 1 below a depth-2 frontier), got {max_depth}"
+        )
     sig = bfs_path_counts(
         edges, sources, max_depth=max_depth,
         src_col=src_col, dst_col=dst_col, node_col=node_col,

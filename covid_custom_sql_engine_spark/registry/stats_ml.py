@@ -2368,6 +2368,23 @@ _TRI_SQL_GRAMS = (
 )
 
 
+def _trigrams(col: str) -> F.Column:
+    """Distinct character trigrams of ``col``. Guard length < 3:
+    Spark's sequence(1, 0) steps DOWN ([1, 0]), producing bogus
+    substrings, while the oracle's generate_series(1, 0) is empty —
+    gate to an empty array so both engines agree on sub-trigram
+    strings."""
+    return F.when(
+        F.length(col) >= 3,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length({col}) - 2),"
+                f" i -> substr({col}, i, 3))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @query(
     "trigram_name_match",
     oracle=f"""
@@ -2461,13 +2478,7 @@ def trigram_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # match join + truth join
     )
 
-    def grams(col: str) -> F.Column:
-        return F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, length({col}) - 2),"
-                f" i -> substr({col}, i, 3))"
-            )
-        )
+    grams = _trigrams
 
     both = orig.select(
         F.col("id").alias("nid"), grams("name").alias("tg")
@@ -3278,9 +3289,11 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum(n_good) AS DOUBLE) AS tg
           FROM g),
     w AS (SELECT g.bin, g.n, g.n_bad,
-                 ln((g.n_good / t.tg) / (g.n_bad / t.tb)) AS woe,
+                 ln(greatest(g.n_good / t.tg, 0.5 / t.tg)
+                    / greatest(g.n_bad / t.tb, 0.5 / t.tb)) AS woe,
                  (g.n_good / t.tg - g.n_bad / t.tb)
-                   * ln((g.n_good / t.tg) / (g.n_bad / t.tb)) AS ivc
+                   * ln(greatest(g.n_good / t.tg, 0.5 / t.tg)
+                        / greatest(g.n_bad / t.tb, 0.5 / t.tb)) AS ivc
           FROM g, t),
     iv AS (SELECT CAST(sum(CAST(ivc AS DECIMAL(38,12))) AS DOUBLE) AS iv
            FROM w)
@@ -3322,8 +3335,13 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_good").cast("double").alias("tg"),
         )
     )
+    # A bin with only goods (or only bads) would put a 0 inside the ln;
+    # the standard half-count adjustment clamps each share at 0.5/total
+    # — exact-unchanged for nonzero cells, finite for empty ones, and
+    # applied identically in the oracle.
     woe = F.log(
-        (F.col("n_good") / F.col("tg")) / (F.col("n_bad") / F.col("tb"))
+        F.greatest(F.col("n_good") / F.col("tg"), F.lit(0.5) / F.col("tg"))
+        / F.greatest(F.col("n_bad") / F.col("tb"), F.lit(0.5) / F.col("tb"))
     )
     w = g.crossJoin(t).select(
         "bin",

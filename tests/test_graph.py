@@ -486,6 +486,21 @@ def test_seed_betweenness_diamond_and_chain(spark):
     assert got == {1: (1, 2.0), 2: (2, 1.0)}
 
 
+def test_seed_betweenness_rejects_max_depth_below_2(spark):
+    """max_depth < 2 has no intermediate level for dependency to land
+    on — the API must refuse (it used to crash on out=None)."""
+    import pytest
+
+    from covid_custom_sql_engine_spark.functions.graph import (
+        seed_betweenness,
+    )
+
+    srcs = spark.createDataFrame([(0,)], "node long")
+    e = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="max_depth >= 2"):
+        seed_betweenness(e, srcs, max_depth=1)
+
+
 def test_temporal_reachability_respects_time(spark):
     """Static path 0→1→2 exists, but the second edge departs BEFORE
     the first arrives — time-respecting reachability must not take it;

@@ -368,6 +368,22 @@ def test_trigram_match_summary_sane(spark):
     assert 0 < row["accuracy"] <= 1.0
 
 
+def test_trigrams_empty_below_three_chars(spark):
+    """Spark's sequence(1, 0) steps DOWN, so unguarded trigram
+    extraction fabricates substrings for 1-2 char strings while the
+    DuckDB oracle's generate_series(1, 0) is empty — the guard must
+    return an empty array for both."""
+    from covid_custom_sql_engine_spark.registry.stats_ml import _trigrams
+
+    df = spark.createDataFrame(
+        [("",), ("a",), ("ab",), ("abc",), ("abca",)], "s string"
+    )
+    got = {r.s: r.g for r in df.select("s", _trigrams("s").alias("g")).collect()}
+    assert got[""] == [] and got["a"] == [] and got["ab"] == []
+    assert got["abc"] == ["abc"]
+    assert got["abca"] == ["abc", "bca"]
+
+
 def test_rmst_matches_pure_python(spark):
     """KM curve + restricted-mean integral re-derived in pure Python
     (product-limit with rounded survival, tau = 90)."""
