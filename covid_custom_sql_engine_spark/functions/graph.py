@@ -741,6 +741,12 @@ def personalized_pagerank(
                     + damping * F.coalesce(F.col("_s"), F.lit(0.0))
                 ).alias("rank"),
             )
+            # per-round pin (the label_propagation convention): at
+            # TrustRank-scale iteration counts (20+) an unpinned chain
+            # grows plan depth — and AQE re-optimization cost —
+            # linearly per round; the lazy checkpoint keeps each
+            # round's plan one join deep.
+            .localCheckpoint(eager=False)
         )
     return ranks
 

@@ -25,7 +25,12 @@ from covid_custom_sql_engine_spark.registry import sketches as _sketches  # noqa
 from covid_custom_sql_engine_spark.registry import ann_pq as _ann_pq  # noqa: F401
 from covid_custom_sql_engine_spark.registry import analytics as _analytics  # noqa: F401
 from covid_custom_sql_engine_spark.registry import epi as _epi  # noqa: F401
-from covid_custom_sql_engine_spark.registry import stats_ml as _stats_ml  # noqa: F401
+from covid_custom_sql_engine_spark.registry import rank_inference as _rank_inference  # noqa: F401
+from covid_custom_sql_engine_spark.registry import timeseries_stats as _timeseries_stats  # noqa: F401
+from covid_custom_sql_engine_spark.registry import glm_survival as _glm_survival  # noqa: F401
+from covid_custom_sql_engine_spark.registry import graph_spatial as _graph_spatial  # noqa: F401
+from covid_custom_sql_engine_spark.registry import ml_mining as _ml_mining  # noqa: F401
+from covid_custom_sql_engine_spark.registry import feature_quality as _feature_quality  # noqa: F401
 from covid_custom_sql_engine_spark.registry.window import (  # noqa: F401
     _DRIVER_WINDOW_PRIORITY,
 )

@@ -1,0 +1,687 @@
+"""GLMs and survival analysis as closed-form / unrolled-Newton SQL
+(round-10 continuation, split from stats_ml.py in round 11).
+
+Ridge (direct and total-minus-fold CV), logistic and Cox partial-
+likelihood Newton steps, and the restricted-mean survival time — every
+iteration unrolled so the oracle replays it exactly. Same conventions
+as every family module (see _base).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from covid_custom_sql_engine_spark.catalog import load_table
+from covid_custom_sql_engine_spark.operators import core as ops
+from covid_custom_sql_engine_spark.registry._base import (
+    _sql_dsum,
+    _sql_dsum12,
+    query,
+)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form / compositional ML-as-SQL
+# ---------------------------------------------------------------------------
+
+# Shared expression text (verbatim on both engines — identical IEEE
+# opcode order, the MMR/Markov discipline) for the ridge closed form.
+_RIDGE_LAM = "10.0"
+_RIDGE_DET = (
+    f"((s11 + {_RIDGE_LAM}) * (s22 + {_RIDGE_LAM}) - s12 * s12)"
+)
+_RIDGE_B1 = f"((s1y * (s22 + {_RIDGE_LAM}) - s12 * s2y) / {_RIDGE_DET})"
+_RIDGE_B2 = f"(((s11 + {_RIDGE_LAM}) * s2y - s12 * s1y) / {_RIDGE_DET})"
+_RIDGE_B0 = "(my - b1 * m1 - b2 * m2)"
+_RIDGE_SSE = (
+    "(syy - 2 * b1 * s1y - 2 * b2 * s2y"
+    " + b1 * b1 * s11 + 2 * b1 * b2 * s12 + b2 * b2 * s22)"
+)
+
+
+@query(
+    "ridge_regression_price",
+    oracle=f"""
+    WITH m AS (SELECT count(*) AS n,
+                      {_sql_dsum('l_quantity')} / count(*) AS m1,
+                      {_sql_dsum('l_discount')} / count(*) AS m2,
+                      {_sql_dsum('l_extendedprice')} / count(*) AS my
+               FROM lineitem),
+    s AS (SELECT n, m1, m2, my,
+                 {_sql_dsum12('(l_quantity - m1) * (l_quantity - m1)')} AS s11,
+                 {_sql_dsum12('(l_quantity - m1) * (l_discount - m2)')} AS s12,
+                 {_sql_dsum12('(l_discount - m2) * (l_discount - m2)')} AS s22,
+                 {_sql_dsum12('(l_quantity - m1) * (l_extendedprice - my)')} AS s1y,
+                 {_sql_dsum12('(l_discount - m2) * (l_extendedprice - my)')} AS s2y,
+                 {_sql_dsum12('(l_extendedprice - my) * (l_extendedprice - my)')} AS syy
+          FROM lineitem, m
+          GROUP BY n, m1, m2, my),
+    b AS (SELECT *, {_RIDGE_B1} AS b1, {_RIDGE_B2} AS b2 FROM s),
+    o AS (SELECT *, {_RIDGE_B0} AS b0, {_RIDGE_SSE} AS sse FROM b)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(b1, 6) AS beta_quantity,
+           round(b2, 6) AS beta_discount,
+           round(b0, 6) AS intercept,
+           round(1 - sse / syy, 6) AS r2
+    FROM o
+    """,
+)
+def ridge_regression_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2-feature RIDGE regression of extended price on
+    quantity and discount (λ = 10): centered normal equations solved by
+    Cramer's rule — the multivariate upgrade of the per-group OLS in
+    `ols_trend_by_type`, with the L2 term that keeps the solve stable
+    when features correlate.  Scale shape: two combinable full-scan
+    aggregates (means, then centered second moments against the 1-row
+    broadcast means) and a one-row solve — model fitting at 100 TB as
+    exactly two distributed passes, no gradient loop, no driver-side
+    matrix library.  The centered two-pass sums avoid the n·Σx²−(Σx)²
+    cancellation; every fold is fixed-point, and the solve/SSE
+    arithmetic is ONE shared expression string evaluated verbatim by
+    both engines (the MMR/Markov determinism discipline), so the
+    coefficients are bit-identical before the final round(6)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    n = F.count(F.lit(1))
+    m = li.agg(
+        n.alias("n"),
+        (ops.dsum(F.col("l_quantity")) / n).alias("m1"),
+        (ops.dsum(F.col("l_discount")) / n).alias("m2"),
+        (ops.dsum(F.col("l_extendedprice")) / n).alias("my"),
+    )
+    c = li.crossJoin(F.broadcast(m))
+    s = c.groupBy("n", "m1", "m2", "my").agg(
+        ops.dsum12(
+            (F.col("l_quantity") - F.col("m1"))
+            * (F.col("l_quantity") - F.col("m1"))
+        ).alias("s11"),
+        ops.dsum12(
+            (F.col("l_quantity") - F.col("m1"))
+            * (F.col("l_discount") - F.col("m2"))
+        ).alias("s12"),
+        ops.dsum12(
+            (F.col("l_discount") - F.col("m2"))
+            * (F.col("l_discount") - F.col("m2"))
+        ).alias("s22"),
+        ops.dsum12(
+            (F.col("l_quantity") - F.col("m1"))
+            * (F.col("l_extendedprice") - F.col("my"))
+        ).alias("s1y"),
+        ops.dsum12(
+            (F.col("l_discount") - F.col("m2"))
+            * (F.col("l_extendedprice") - F.col("my"))
+        ).alias("s2y"),
+        ops.dsum12(
+            (F.col("l_extendedprice") - F.col("my"))
+            * (F.col("l_extendedprice") - F.col("my"))
+        ).alias("syy"),
+    )
+    b = s.withColumn("b1", F.expr(_RIDGE_B1)).withColumn(
+        "b2", F.expr(_RIDGE_B2)
+    )
+    o = b.withColumn("b0", F.expr(_RIDGE_B0)).withColumn(
+        "sse", F.expr(_RIDGE_SSE)
+    )
+    return o.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("b1"), 6).alias("beta_quantity"),
+        F.round(F.col("b2"), 6).alias("beta_discount"),
+        F.round(F.col("b0"), 6).alias("intercept"),
+        F.round(F.expr("1 - sse / syy"), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validated ridge (hyperparameter search as SQL)
+# ---------------------------------------------------------------------------
+
+# Leave-one-fold-out train moments from per-fold raw sums, then the
+# Cramer solve per λ — ALL shared expression text (both engines
+# evaluate these strings verbatim, in this chained order).
+_CV_STAGE1 = {
+    "tn": "(t_n - nf)",
+    "tmx1": "((t_sx1 - sx1) / (t_n - nf))",
+    "tmx2": "((t_sx2 - sx2) / (t_n - nf))",
+    "tmy": "((t_sy - sy) / (t_n - nf))",
+}
+_CV_STAGE2 = {
+    "c11": "((t_s11 - s11) - tn * tmx1 * tmx1)",
+    "c12": "((t_s12 - s12) - tn * tmx1 * tmx2)",
+    "c22": "((t_s22 - s22) - tn * tmx2 * tmx2)",
+    "c1y": "((t_s1y - s1y) - tn * tmx1 * tmy)",
+    "c2y": "((t_s2y - s2y) - tn * tmx2 * tmy)",
+}
+_CV_DET = "((c11 + lam) * (c22 + lam) - c12 * c12)"
+_CV_STAGE3 = {
+    "b1": f"((c1y * (c22 + lam) - c12 * c2y) / {_CV_DET})",
+    "b2": f"(((c11 + lam) * c2y - c12 * c1y) / {_CV_DET})",
+}
+_CV_B0 = "(tmy - b1 * tmx1 - b2 * tmx2)"
+_CV_ERR = "(y - (b0 + b1 * x1 + b2 * x2))"
+_CV_LAMBDAS = [0.1, 10.0, 1000.0]
+
+
+@query(
+    "ridge_cv_lambda",
+    oracle=f"""
+    WITH base AS (SELECT l_quantity AS x1, l_discount AS x2,
+                         l_extendedprice AS y,
+                         ('0x' || substr(md5('fold:' || CAST(l_orderkey AS VARCHAR)
+                            || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                           % 5 AS fold
+                  FROM lineitem),
+    pf AS (SELECT fold, CAST(count(*) AS DOUBLE) AS nf,
+                  {_sql_dsum12('x1')} AS sx1, {_sql_dsum12('x2')} AS sx2,
+                  {_sql_dsum12('y')} AS sy,
+                  {_sql_dsum12('x1 * x1')} AS s11,
+                  {_sql_dsum12('x1 * x2')} AS s12,
+                  {_sql_dsum12('x2 * x2')} AS s22,
+                  {_sql_dsum12('x1 * y')} AS s1y,
+                  {_sql_dsum12('x2 * y')} AS s2y
+           FROM base GROUP BY fold),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS t_n,
+                  {_sql_dsum12('x1')} AS t_sx1, {_sql_dsum12('x2')} AS t_sx2,
+                  {_sql_dsum12('y')} AS t_sy,
+                  {_sql_dsum12('x1 * x1')} AS t_s11,
+                  {_sql_dsum12('x1 * x2')} AS t_s12,
+                  {_sql_dsum12('x2 * x2')} AS t_s22,
+                  {_sql_dsum12('x1 * y')} AS t_s1y,
+                  {_sql_dsum12('x2 * y')} AS t_s2y
+           FROM base),
+    st1 AS (SELECT pf.*, tt.*, {", ".join(f"{e} AS {k}" for k, e in _CV_STAGE1.items())}
+            FROM pf, tt),
+    st2 AS (SELECT st1.*, {", ".join(f"{e} AS {k}" for k, e in _CV_STAGE2.items())}
+            FROM st1),
+    lams AS (SELECT unnest(CAST([{", ".join(str(v) for v in _CV_LAMBDAS)}] AS DOUBLE[])) AS lam),
+    st3 AS (SELECT st2.fold, lams.lam, st2.tmx1, st2.tmx2, st2.tmy,
+                   {", ".join(f"{e} AS {k}" for k, e in _CV_STAGE3.items())}
+            FROM st2, lams),
+    co AS (SELECT fold, lam, b1, b2, {_CV_B0} AS b0 FROM st3),
+    mse AS (SELECT co.lam,
+                   {_sql_dsum12(_CV_ERR + " * " + _CV_ERR)} / count(*) AS cv_mse
+            FROM base JOIN co ON co.fold = base.fold
+            GROUP BY co.lam),
+    best AS (SELECT min(cv_mse) AS mn FROM mse)
+    SELECT mse.lam, round(mse.cv_mse, 6) AS cv_mse,
+           mse.cv_mse = best.mn AS is_best
+    FROM mse, best
+    """,
+)
+def ridge_cv_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated λ selection for the 2-feature ridge
+    (`ridge_regression_price`'s model) over the grid {{0.1, 10, 1000}}
+    — hyperparameter search expressed as TWO distributed aggregates:
+    per-fold raw moment sums (md5-deterministic fold assignment, the
+    dataset_split convention) plus the grand totals, from which every
+    leave-one-fold-out training moment is EXACT ARITHMETIC
+    (train = total − fold), so 5 folds × 3 λ = 15 models cost the same
+    scan count as one.  The pooled held-out MSE joins each row to its
+    own fold's coefficients (15-row broadcast).  The entire
+    moments→solve→prediction chain is shared expression text evaluated
+    verbatim by both engines; per-row products fold fixed-point at 12
+    digits.  Output: one row per λ with the winner flagged."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fold:"),
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    base = base.localCheckpoint(eager=False)  # fold sums + totals + test join
+    sums = [
+        ("sx1", F.col("x1")),
+        ("sx2", F.col("x2")),
+        ("sy", F.col("y")),
+        ("s11", F.col("x1") * F.col("x1")),
+        ("s12", F.col("x1") * F.col("x2")),
+        ("s22", F.col("x2") * F.col("x2")),
+        ("s1y", F.col("x1") * F.col("y")),
+        ("s2y", F.col("x2") * F.col("y")),
+    ]
+    pf = base.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("double").alias("nf"),
+        *[ops.dsum12(c).alias(k) for k, c in sums],
+    )
+    tt = base.agg(
+        F.count(F.lit(1)).cast("double").alias("t_n"),
+        *[ops.dsum12(c).alias(f"t_{k}") for k, c in sums],
+    )
+    st1 = pf.crossJoin(F.broadcast(tt))
+    for k, e in _CV_STAGE1.items():
+        st1 = st1.withColumn(k, F.expr(e))
+    st2 = st1
+    for k, e in _CV_STAGE2.items():
+        st2 = st2.withColumn(k, F.expr(e))
+    lams = F.broadcast(
+        spark.createDataFrame([(v,) for v in _CV_LAMBDAS], "lam double")
+    )
+    st3 = st2.crossJoin(lams)
+    for k, e in _CV_STAGE3.items():
+        st3 = st3.withColumn(k, F.expr(e))
+    co = st3.withColumn("b0", F.expr(_CV_B0)).select(
+        F.col("fold").alias("_cf"), "lam", "b1", "b2", "b0"
+    )
+    mse = (
+        base.join(F.broadcast(co), F.col("_cf") == F.col("fold"))
+        .groupBy("lam")
+        .agg(
+            (
+                ops.dsum12(F.expr(_CV_ERR + " * " + _CV_ERR))
+                / F.count(F.lit(1))
+            ).alias("cv_mse")
+        )
+    )
+    best = F.broadcast(mse.agg(F.min("cv_mse").alias("mn")))
+    return mse.crossJoin(best).select(
+        "lam",
+        F.round(F.col("cv_mse"), 6).alias("cv_mse"),
+        (F.col("cv_mse") == F.col("mn")).alias("is_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression, two unrolled Newton–Raphson steps
+# ---------------------------------------------------------------------------
+
+_LOGIT_P = "(1.0 / (1.0 + exp(-(b0 + b1 * x))))"
+_LOGIT_DET = "(sw * swxx - swx * swx)"
+_LOGIT_NB0 = f"(b0 + (swxx * sg0 - swx * sg1) / {_LOGIT_DET})"
+_LOGIT_NB1 = f"(b1 + (sw * sg1 - swx * sg0) / {_LOGIT_DET})"
+_LOGIT_STEPS = 2
+
+
+def _logit_oracle() -> str:
+    ctes = [
+        """x AS (SELECT l_quantity AS x,
+                       CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+                FROM lineitem),
+    p0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"""
+    ]
+    for r in range(1, _LOGIT_STEPS + 1):
+        p = r - 1
+        ctes.append(
+            f"""e{r} AS (SELECT x.x, x.y, {_LOGIT_P} AS pr FROM x, p{p}),
+    s{r} AS (SELECT max(p{p}.b0) AS b0, max(p{p}.b1) AS b1,
+                    CAST(sum(CAST((pr * (1 - pr)) AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+                    CAST(sum(CAST((pr * (1 - pr) * x) AS DECIMAL(38,12))) AS DOUBLE) AS swx,
+                    CAST(sum(CAST((pr * (1 - pr) * x * x) AS DECIMAL(38,12))) AS DOUBLE) AS swxx,
+                    CAST(sum(CAST((y - pr) AS DECIMAL(38,12))) AS DOUBLE) AS sg0,
+                    CAST(sum(CAST(((y - pr) * x) AS DECIMAL(38,12))) AS DOUBLE) AS sg1
+             FROM e{r}, p{p}),
+    p{r} AS (SELECT {_LOGIT_NB0} AS b0, {_LOGIT_NB1} AS b1 FROM s{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , fin AS (SELECT count(*) AS n,
+                     CAST(sum(CASE WHEN (CASE WHEN b0 + b1 * x >= 0
+                                         THEN 1.0 ELSE 0.0 END) = y
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_right
+              FROM x, p{_LOGIT_STEPS})
+    SELECT CAST(fin.n AS BIGINT) AS n_rows,
+           round(p{_LOGIT_STEPS}.b0, 6) AS b0,
+           round(p{_LOGIT_STEPS}.b1, 6) AS b1,
+           round(CAST(fin.n_right AS DOUBLE) / fin.n, 6) AS train_acc
+    FROM fin, p{_LOGIT_STEPS}"""
+    )
+
+
+@query("logistic_newton", oracle=_logit_oracle())
+def logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of return probability on quantity, fit by
+    two unrolled Newton–Raphson steps from β = 0 — the DISCRIMINATIVE
+    classifier next to the generative `naive_bayes_lang`, and the IRLS
+    shape every GLM fit at scale reduces to: each step is ONE
+    combinable weighted aggregate (w = p(1−p) Hessian terms + score
+    terms, fixed-point folds at 12 digits) and a 1-row closed-form 2×2
+    solve (shared Cramer text).  The sigmoid/update expressions are
+    shared strings both engines evaluate verbatim; the train-accuracy
+    readout compares the linear score's sign — integer-stable.
+    Round(6) on the reported coefficients and accuracy."""
+    x = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    x = x.localCheckpoint(eager=False)  # reused every Newton step
+    p = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1")
+    )
+    for _ in range(_LOGIT_STEPS):
+        e = x.crossJoin(F.broadcast(p)).select(
+            "x", "y", "b0", "b1", F.expr(_LOGIT_P).alias("pr")
+        )
+        s = e.agg(
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            ops.dsum12(F.col("pr") * (1 - F.col("pr"))).alias("sw"),
+            ops.dsum12(F.col("pr") * (1 - F.col("pr")) * F.col("x")).alias(
+                "swx"
+            ),
+            ops.dsum12(
+                F.col("pr") * (1 - F.col("pr")) * F.col("x") * F.col("x")
+            ).alias("swxx"),
+            ops.dsum12(F.col("y") - F.col("pr")).alias("sg0"),
+            ops.dsum12((F.col("y") - F.col("pr")) * F.col("x")).alias("sg1"),
+        )
+        p = s.select(
+            F.expr(_LOGIT_NB0).alias("b0"), F.expr(_LOGIT_NB1).alias("b1")
+        )
+    fin = x.crossJoin(F.broadcast(p)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.when(F.col("b0") + F.col("b1") * F.col("x") >= 0, 1.0)
+                .otherwise(0.0)
+                == F.col("y"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_right"),
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+    )
+    return fin.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("b0"), 6).alias("b0"),
+        F.round(F.col("b1"), 6).alias("b1"),
+        F.round(F.col("n_right").cast("double") / F.col("n"), 6).alias(
+            "train_acc"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (KM-curve consumer)
+# ---------------------------------------------------------------------------
+
+_RMST_TAU = 90
+
+
+@query(
+    "rmst_fulfillment",
+    oracle=f"""
+    WITH per_o AS (
+      SELECT datediff('day', o.o_orderdate, max(l.l_shipdate)) AS t,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+      HAVING datediff('day', o.o_orderdate, max(l.l_shipdate)) >= 0),
+    g AS (SELECT t, sum(ev) AS d, count(*) AS a FROM per_o GROUP BY t),
+    tot AS (SELECT sum(a) AS n FROM g),
+    c AS (SELECT t, d, a,
+                 tot.n - (sum(a) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - a)
+                 AS nrisk
+          FROM g, tot),
+    s AS (SELECT t,
+                 sum(CAST(ln(greatest(
+                         1.0 - CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE),
+                         1e-300)) AS DECIMAL(38,6)))
+                   OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS ls
+          FROM c),
+    km AS (SELECT CAST(t AS BIGINT) AS t_days,
+                  round(exp(CAST(ls AS DOUBLE)), 6) AS survival
+           FROM s),
+    r AS (SELECT t_days, survival,
+                 lead(t_days) OVER (ORDER BY t_days) AS nt
+          FROM km),
+    area AS (SELECT {_sql_dsum12(
+        f'survival * (least(coalesce(nt, 1000000), {_RMST_TAU})'
+        f' - least(t_days, {_RMST_TAU}))')} AS a2,
+                    count(*) AS n_times
+             FROM r),
+    head AS (SELECT least(CAST(min(t_days) AS DOUBLE), {_RMST_TAU}) AS a1
+             FROM km)
+    SELECT CAST({_RMST_TAU} AS BIGINT) AS tau_days,
+           CAST(area.n_times AS BIGINT) AS n_times,
+           round(head.a1 + area.a2, 6) AS rmst_days
+    FROM area, head
+    """,
+)
+def rmst_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at τ = 90 days — the area under
+    the `kaplan_meier_fulfillment` curve up to τ: the expected days an
+    order stays open within the first 90, the single-number summary
+    clinicians/SLAs prefer over eyeballing the curve (and, unlike
+    median survival, always defined under heavy censoring).  The step
+    integral needs each distinct time's SUCCESSOR — obtained by an
+    equi-join on the two-phase distributed rank (rank ↔ rank+1), never
+    a single-partition lead() over data; segment areas are rounded-
+    survival × integer-width products folded fixed-point.  One-row
+    output, round(6)."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select("l_orderkey", "l_shipdate")
+    )
+    per_o = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(F.max("l_shipdate").alias("_last"))
+        .select(
+            F.datediff("_last", "o_orderdate").alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+        )
+    )
+    km = sel.kaplan_meier(per_o, "t", "ev").select("t_days", "survival")
+    rk = sel.global_rank(km, ["t_days"], out_col="rk").localCheckpoint(
+        eager=False
+    )  # both sides of the successor join + head min
+    nxt = rk.select(
+        (F.col("rk") - 1).alias("_prk"), F.col("t_days").alias("nt")
+    )
+    r = rk.join(nxt, F.col("_prk") == F.col("rk"), "left")
+    tau = F.lit(_RMST_TAU)
+    area = r.agg(
+        ops.dsum12(
+            F.col("survival")
+            * (
+                F.least(F.coalesce(F.col("nt"), F.lit(1000000)), tau)
+                - F.least(F.col("t_days"), tau)
+            )
+        ).alias("a2"),
+        F.count(F.lit(1)).alias("n_times"),
+    )
+    head = rk.agg(
+        F.least(F.min("t_days").cast("double"), tau.cast("double")).alias(
+            "a1"
+        )
+    )
+    return area.crossJoin(F.broadcast(head)).select(
+        F.lit(_RMST_TAU).cast("bigint").alias("tau_days"),
+        F.col("n_times").cast("bigint").alias("n_times"),
+        F.round(F.col("a1") + F.col("a2"), 6).alias("rmst_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cox proportional hazards (Breslow ties), two unrolled Newton steps
+# ---------------------------------------------------------------------------
+
+_COX_STEPS = 2
+_COX_D12 = "DECIMAL(38,12)"
+
+
+def _cox_oracle() -> str:
+    ctes = [
+        """base AS MATERIALIZED (
+      SELECT datediff('day', o.o_orderdate, max(l.l_shipdate)) AS t,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev,
+             max(o.o_totalprice) / 100000.0 AS x
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+      HAVING datediff('day', o.o_orderdate, max(l.l_shipdate)) >= 0),
+    p0 AS (SELECT 0.0 AS beta)"""
+    ]
+    for r in range(1, _COX_STEPS + 1):
+        p = r - 1
+        ctes.append(
+            f"""g{r} AS (SELECT t,
+             CAST(sum(ev) AS DOUBLE) AS d,
+             CAST(sum(CAST((ev * x) AS {_COX_D12})) AS DOUBLE) AS sx,
+             CAST(sum(CAST((exp(beta * x)) AS {_COX_D12})) AS DOUBLE) AS a0,
+             CAST(sum(CAST((x * exp(beta * x)) AS {_COX_D12})) AS DOUBLE) AS a1,
+             CAST(sum(CAST((x * x * exp(beta * x)) AS {_COX_D12})) AS DOUBLE) AS a2
+      FROM base, p{p} GROUP BY t),
+    c{r} AS (SELECT t, d, sx,
+                    tt.t0 - (sum(a0) OVER w - a0) AS s0,
+                    tt.t1 - (sum(a1) OVER w - a1) AS s1,
+                    tt.t2 - (sum(a2) OVER w - a2) AS s2
+             FROM g{r}, (SELECT CAST(sum(CAST((a0) AS {_COX_D12})) AS DOUBLE) AS t0,
+                                CAST(sum(CAST((a1) AS {_COX_D12})) AS DOUBLE) AS t1,
+                                CAST(sum(CAST((a2) AS {_COX_D12})) AS DOUBLE) AS t2
+                         FROM g{r}) tt
+             WINDOW w AS (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ui{r} AS (SELECT CAST(sum(CAST((sx - d * s1 / s0) AS {_COX_D12})) AS DOUBLE) AS u,
+                     CAST(sum(CAST((d * (s2 / s0 - (s1 / s0) * (s1 / s0)))
+                                   AS {_COX_D12})) AS DOUBLE) AS i
+              FROM c{r} WHERE d > 0),
+    p{r} AS (SELECT p{p}.beta + ui{r}.u / ui{r}.i AS beta
+             FROM p{p}, ui{r})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                    CAST(sum(ev) AS BIGINT) AS n_events FROM base)
+    SELECT nn.n_total, nn.n_events,
+           round(p{_COX_STEPS}.beta, 6) AS beta,
+           round(exp(p{_COX_STEPS}.beta), 6) AS hazard_ratio
+    FROM nn, p{_COX_STEPS}"""
+    )
+
+
+@query("cox_ph_newton", oracle=_cox_oracle())
+def cox_ph_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards regression of order fulfillment on
+    (scaled) order value — TWO unrolled Newton steps on the Breslow
+    partial likelihood, the regression companion of the
+    kaplan_meier/logrank/rmst survival stack: β answers "do expensive
+    orders complete faster?" with censoring handled correctly, and
+    exp(β) is the reported hazard ratio.  Scale shape per step: one
+    combinable per-distinct-time aggregate of the β-weighted sums
+    (e^{{βx}}, x·e^{{βx}}, x²·e^{{βx}} and the event-side d, Σx), ONE
+    pinned two-phase prefix-sum pass (selection.running_sums — the
+    kaplan_meier at-risk discipline) whose SUFFIX form total−before
+    yields every risk-set sum, and a 1-row score/information fold →
+    closed-form update.  All folds fixed-point at 12 digits; the
+    weight/update expressions mirror textually; round(6)."""
+    from covid_custom_sql_engine_spark.operators import selection as sel
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select("l_orderkey", "l_shipdate")
+    )
+    base = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(
+            F.max("l_shipdate").alias("_last"),
+            (F.max("o_totalprice") / 100000.0).alias("x"),
+        )
+        .select(
+            F.datediff("_last", "o_orderdate").alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+            "x",
+        )
+        .filter(F.col("t") >= 0)
+        .localCheckpoint(eager=False)  # reused every Newton step
+    )
+    beta = spark.range(1).select(F.lit(0.0).alias("beta"))
+    for _ in range(_COX_STEPS):
+        g = (
+            base.crossJoin(F.broadcast(beta))
+            .groupBy("t")
+            .agg(
+                F.sum("ev").cast("double").alias("d"),
+                ops.dsum12(F.col("ev") * F.col("x")).alias("sx"),
+                ops.dsum12(F.exp(F.col("beta") * F.col("x"))).alias("a0"),
+                ops.dsum12(
+                    F.col("x") * F.exp(F.col("beta") * F.col("x"))
+                ).alias("a1"),
+                ops.dsum12(
+                    F.col("x") * F.col("x") * F.exp(F.col("beta") * F.col("x"))
+                ).alias("a2"),
+            )
+        )
+        g = g.localCheckpoint(eager=False)  # totals + prefix pass
+        tt = F.broadcast(
+            g.agg(
+                ops.dsum12(F.col("a0")).alias("t0"),
+                ops.dsum12(F.col("a1")).alias("t1"),
+                ops.dsum12(F.col("a2")).alias("t2"),
+            )
+        )
+        cum = sel.running_sums(g, "t", ["a0", "a1", "a2"])
+        c = cum.crossJoin(tt).select(
+            "t",
+            "d",
+            "sx",
+            (F.col("t0") - (F.col("_cum_a0") - F.col("a0"))).alias("s0"),
+            (F.col("t1") - (F.col("_cum_a1") - F.col("a1"))).alias("s1"),
+            (F.col("t2") - (F.col("_cum_a2") - F.col("a2"))).alias("s2"),
+        )
+        ui = c.filter(F.col("d") > 0).agg(
+            ops.dsum12(
+                F.col("sx") - F.col("d") * F.col("s1") / F.col("s0")
+            ).alias("u"),
+            ops.dsum12(
+                F.col("d")
+                * (
+                    F.col("s2") / F.col("s0")
+                    - (F.col("s1") / F.col("s0")) * (F.col("s1") / F.col("s0"))
+                )
+            ).alias("i"),
+        )
+        beta = beta.crossJoin(F.broadcast(ui)).select(
+            (F.col("beta") + F.col("u") / F.col("i")).alias("beta")
+        )
+    nn = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("ev").cast("bigint").alias("n_events"),
+    )
+    return nn.crossJoin(F.broadcast(beta)).select(
+        "n_total",
+        "n_events",
+        F.round(F.col("beta"), 6).alias("beta"),
+        F.round(F.exp(F.col("beta")), 6).alias("hazard_ratio"),
+    )

@@ -15,11 +15,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # ---- ROUND 11 WINDOW (first 50 = the driver's official check set) ----
     # flagship first — it's also the entry() smoke query
     "flagship_revenue_by_nation",
-    # --- the 39 round-10 CONTINUATION queries (everything registered in
-    # registry/stats_ml.py after the r10 window snapshot): never
-    # driver-checked, so by the standing never-checked-beats-stale rule
-    # they take the whole window ahead of any stale refresh. Listed in
-    # their stats_ml registration order. ---
+    # --- the 39 round-10 CONTINUATION queries (everything registered
+    # after the r10 window snapshot — now split across rank_inference /
+    # timeseries_stats / glm_survival / graph_spatial / ml_mining /
+    # feature_quality): never driver-checked, so by the standing
+    # never-checked-beats-stale rule they take the whole window ahead
+    # of any stale refresh. Listed in their original registration
+    # order. ---
     "mann_whitney_value_shift",
     "rank_correlation_daily",
     "acf_daily_revenue",
@@ -61,7 +63,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "auc_return_score",
     # --- NEW in round 11 (never driver-checked) slot here as they land,
     # displacing r5-stale rows below (never-checked beats stale) ---
-    # --- the r5-stale refresh, 10 of the displaced rows (oldest official
+    "trigram_match_scaled",
+    # --- the r5-stale refresh, 9 of the displaced rows (oldest official
     # records first; the rest lead the round-12 refresh) ---
     "topk_orders",
     "cohort_retention",
@@ -72,11 +75,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "bloom_filter_join_stats",
     "collocation_pmi",
     "column_entropy_profile",
-    "distinct_sorted",
     # ---------------- out-of-window below this line ----------------
     # first in line for the round-12 refresh: the remaining r5 rows the
     # round-10 waves displaced, then the fourteen r5 rows parked in the
     # r10 first wave, then the oldest r6-era official rows
+    "distinct_sorted",
     "embedding_outliers",
     "event_burstiness",
     "event_transition_matrix",
@@ -108,7 +111,7 @@ _DRIVER_WINDOW_PRIORITY = [
 
 # The window rotates each round so every query eventually earns an
 # official driver row. Round-11 composition (exactly 50): the flagship
-# sentinel; ALL 39 round-10-continuation queries (the registry/
+# sentinel; ALL 39 round-10-continuation queries (the former
 # stats_ml.py families — rank statistics, time-series diagnostics,
 # GLMs-as-SQL, survival analysis, causal inference, record linkage,
 # spatial clustering, data-quality suites, graph continuations) that

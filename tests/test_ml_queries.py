@@ -368,12 +368,34 @@ def test_trigram_match_summary_sane(spark):
     assert 0 < row["accuracy"] <= 1.0
 
 
+def test_trigram_match_summary_perfect_on_distinct_names(spark):
+    """On globally-distinct high-entropy names every corruption must
+    match back to exactly its own original (the trigram_match_scaled
+    regime, in miniature)."""
+    from covid_custom_sql_engine_spark.registry.feature_quality import (
+        _trigram_match_summary,
+    )
+
+    names = [
+        (1, "kx92fjq0aw7bzy3m"),
+        (2, "p0du85hcv1nt6rse"),
+        (3, "zq4wm7ybj2g9fxl0"),
+        (4, "a6tr31neck5vhd8u"),
+    ]
+    orig = spark.createDataFrame(names, "id long, name string")
+    row = _trigram_match_summary(orig, tau=0.6).collect()[0]
+    assert row["n_names"] == 4
+    assert row["n_matched"] == 4
+    assert row["n_correct"] == 4
+    assert row["accuracy"] == 1.0
+
+
 def test_trigrams_empty_below_three_chars(spark):
     """Spark's sequence(1, 0) steps DOWN, so unguarded trigram
     extraction fabricates substrings for 1-2 char strings while the
     DuckDB oracle's generate_series(1, 0) is empty — the guard must
     return an empty array for both."""
-    from covid_custom_sql_engine_spark.registry.stats_ml import _trigrams
+    from covid_custom_sql_engine_spark.registry.feature_quality import _trigrams
 
     df = spark.createDataFrame(
         [("",), ("a",), ("ab",), ("abc",), ("abca",)], "s string"
@@ -609,32 +631,28 @@ def test_clustering_coefficient_matches_pure_python(spark):
 
 
 def test_dbscan_matches_pure_python(spark):
+    """Full 5000-point universe (the query synthesizes its own ids, so
+    this differential runs at driver scale regardless of SF) re-derived
+    with a numpy all-pairs neighbor matrix + union-find."""
     import hashlib
     from collections import defaultdict
 
     rows = QUERIES["dbscan_spatial"](spark, SF).collect()
-    cust = pd.read_parquet(f"{SF}/customer.parquet")["c_custkey"]
 
     def h(salt, ck):
         return int(
             hashlib.md5(f"{salt}{ck}".encode()).hexdigest()[:15], 16
         )
 
-    pts = {
-        int(ck): (
-            h("dbx:", ck) % 40000 / 1000.0 - 20,
-            h("dby:", ck) % 40000 / 1000.0 - 20,
-        )
-        for ck in cust
-    }
-    ids = sorted(pts)
+    ids = list(range(1, 5001))
+    xs = np.array([h("dbx:", i) % 80000 / 1000.0 - 40 for i in ids])
+    ys = np.array([h("dby:", i) % 80000 / 1000.0 - 40 for i in ids])
+    d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    adj = d2 <= 1.0
     nbrs = defaultdict(set)
-    for i, a in enumerate(ids):
-        for b in ids[i + 1:]:
-            d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
-            if d2 <= 1.0:
-                nbrs[a].add(b)
-                nbrs[b].add(a)
+    for ai, bi in zip(*np.nonzero(adj)):
+        nbrs[ids[ai]].add(ids[bi])
     core = {p for p in ids if len(nbrs[p]) + 1 >= 4}
     # CC over core-core adjacency
     comp = {c: c for c in core}

@@ -482,6 +482,9 @@ EXPECT = {
     # checkpoint-leaf prefix-posting frames (PPJoin machinery); 1-row
     # name-count broadcast cross: intended
     "trigram_name_match": (2, False, True),
+    # same machinery on the synthesized 20k-name universe (no parquet
+    # scan at all — spark.range source): intended
+    "trigram_match_scaled": (2, False, True),
     # checkpoint-leaf ranked KM frame; 1-row head-area broadcast
     # cross: intended
     "rmst_fulfillment": (3, False, True),
