@@ -1989,7 +1989,11 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.lit(0.0))
                 .alias(f"p_{src}_{dst}")
             )
-    pr = tr.agg(*p_cols)
+    # ONE pin: the five absorption variants below each re-reference
+    # this 1-row frame, and without the checkpoint every union branch
+    # re-runs the whole sessionize→truncate→aggregate pipeline (5× the
+    # work and 5× the plan text)
+    pr = tr.agg(*p_cols).localCheckpoint(eager=False)
     out = None
     for c, b, rm, eff in _mkv_variant_exprs():
         row = pr.select(
