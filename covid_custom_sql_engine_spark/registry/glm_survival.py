@@ -685,3 +685,255 @@ def cox_ph_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("beta"), 6).alias("beta"),
         F.round(F.exp(F.col("beta")), 6).alias("hazard_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned quality gate: IRLS distillation of the heuristic filter
+# ---------------------------------------------------------------------------
+
+_QCG_STEPS = 3
+_QCG_LAM = "0.1"  # ridge damping on the Hessian diagonal (λI)
+_QCG_THR = "0.65"  # heuristic-label threshold on the composite score
+_QCG_Z = "(b0 + b1 * f1 + b2 * f2 + b3 * f3)"
+_QCG_P = f"(1.0 / (1.0 + exp(-{_QCG_Z})))"
+
+
+def _det_expr(m: list[list[str]]) -> str:
+    """Determinant of a small matrix of column-name strings, expanded
+    by Laplace cofactors along the first row — generated ONCE as
+    expression text so both engines evaluate the identical opcode
+    sequence (the mmr_topk / markov_attribution convention)."""
+    n = len(m)
+    if n == 1:
+        return m[0][0]
+    terms = []
+    for j in range(n):
+        minor = [
+            [m[i][k] for k in range(n) if k != j] for i in range(1, n)
+        ]
+        sign = "-" if j % 2 else "+"
+        terms.append(f"{sign} {m[0][j]} * ({_det_expr(minor)})")
+    s = " ".join(terms)
+    return s[2:] if s.startswith("+ ") else s
+
+
+def _qcg_h() -> list[list[str]]:
+    """The damped 4×4 IRLS Hessian (H + λI) as column-name text; only
+    the upper triangle h{i}{j} (i ≤ j) exists as columns."""
+    return [
+        [
+            f"(h{min(i, j)}{max(i, j)} + {_QCG_LAM})"
+            if i == j
+            else f"h{min(i, j)}{max(i, j)}"
+            for j in range(4)
+        ]
+        for i in range(4)
+    ]
+
+
+def _qcg_updates() -> list[str]:
+    """Newton update expressions b_i + [(H+λI)^{-1} g]_i via the
+    adjugate: Δ_i = Σ_j (−1)^{i+j} det(minor_{j,i}) · g_j / det."""
+    H = _qcg_h()
+    det = _det_expr(H)
+    out = []
+    for i in range(4):
+        terms = []
+        for j in range(4):
+            minor = [
+                [H[r][c] for c in range(4) if c != i]
+                for r in range(4)
+                if r != j
+            ]
+            sign = "- " if (i + j) % 2 else "+ "
+            terms.append(f"{sign}({_det_expr(minor)}) * g{j}")
+        num = " ".join(terms)
+        if num.startswith("+ "):
+            num = num[2:]
+        out.append(f"(b{i} + ({num}) / ({det}))")
+    return out
+
+
+_QCG_SQL_FEATS = """x0 AS (SELECT text,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t != '') AS toks
+    FROM documents),
+    x AS (SELECT least(length(text) / 500.0, 1.0) AS f1,
+                 CASE WHEN length(text) > 0
+                      THEN (length(text)
+                            - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                           / length(text)
+                      ELSE 0.0 END AS f2,
+                 least((CASE WHEN len(toks) > 0
+                             THEN len(list_filter(toks, t -> list_contains(
+                                      ['the','and','of','to','in','is','that','it','for','was'], t)))
+                                  / len(toks)
+                             ELSE 0.0 END) * 5.0, 1.0) AS f3
+          FROM x0),
+    xy AS (SELECT f1, f2, f3,
+                  CASE WHEN (f1 + (1.0 - f2) + f3) / 3.0 >= {thr}
+                       THEN 1.0 ELSE 0.0 END AS y
+           FROM x)"""
+
+
+def _qcg_oracle() -> str:
+    upds = _qcg_updates()
+    hg = {
+        "h00": "wt", "h01": "wt * f1", "h02": "wt * f2", "h03": "wt * f3",
+        "h11": "wt * f1 * f1", "h12": "wt * f1 * f2", "h13": "wt * f1 * f3",
+        "h22": "wt * f2 * f2", "h23": "wt * f2 * f3", "h33": "wt * f3 * f3",
+        "g0": "(y - pr)", "g1": "(y - pr) * f1",
+        "g2": "(y - pr) * f2", "g3": "(y - pr) * f3",
+    }
+    sums = ",\n                    ".join(
+        f"CAST(sum(CAST(({e}) AS DECIMAL(38,12))) AS DOUBLE) AS {k}"
+        for k, e in hg.items()
+    )
+    ctes = [
+        _QCG_SQL_FEATS.format(thr=_QCG_THR),
+        "p0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3)",
+    ]
+    for r in range(1, _QCG_STEPS + 1):
+        p = r - 1
+        ctes.append(
+            f"""e{r} AS (SELECT xy.*, wt0 * (1 - wt0) AS wt, wt0 AS pr
+           FROM (SELECT xy.*, {_QCG_P} AS wt0 FROM xy, p{p}) xy),
+    s{r} AS (SELECT max(p{p}.b0) AS b0, max(p{p}.b1) AS b1,
+                    max(p{p}.b2) AS b2, max(p{p}.b3) AS b3,
+                    {sums}
+             FROM e{r}, p{p}),
+    p{r} AS (SELECT {upds[0]} AS b0, {upds[1]} AS b1,
+                    {upds[2]} AS b2, {upds[3]} AS b3 FROM s{r})"""
+        )
+    last = f"p{_QCG_STEPS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , fin AS (SELECT count(*) AS n,
+                     CAST(sum(CASE WHEN {_QCG_Z} >= 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_kept,
+                     CAST(sum(CASE WHEN (CASE WHEN {_QCG_Z} >= 0
+                                         THEN 1.0 ELSE 0.0 END) = y
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_right
+              FROM xy, {last})
+    SELECT CAST(fin.n AS BIGINT) AS n_docs,
+           round({last}.b0, 6) AS b0, round({last}.b1, 6) AS b1,
+           round({last}.b2, 6) AS b2, round({last}.b3, 6) AS b3,
+           fin.n_kept,
+           round(CAST(fin.n_kept AS DOUBLE) / fin.n, 6) AS kept_rate,
+           round(CAST(fin.n_right AS DOUBLE) / fin.n, 6) AS train_acc
+    FROM fin, {last}"""
+    )
+
+
+@query("quality_classifier_gate", oracle=_qcg_oracle())
+def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned quality gate that upgrades the curation pipeline's
+    hand-tuned heuristic filter (corpus.curation_pipeline /
+    text.quality_score) to a TRAINED classifier — the standard
+    LLM-data-pipeline move (fastText-style filtering à la CCNet/DCLM):
+    label documents with the cheap heuristic gate (composite score ≥
+    0.65), train a logistic model on the heuristic's RAW statistics
+    (length component, punctuation ratio, stopword component) by
+    ridge-damped IRLS Newton (λ = 0.1, 3 unrolled steps from β = 0;
+    the logistic_newton machinery lifted from a 2×2 Cramer solve to a
+    generated 4×4 adjugate solve — determinant/cofactor expressions
+    emitted ONCE as text and evaluated verbatim by both engines), then
+    score and gate the corpus at σ(z) ≥ 0.5.  Hashed bag-of-words
+    bucket features were measured at the majority-class ceiling on
+    this synthetic uniform-vocabulary corpus (8-bucket shares carry no
+    quality signal when the vocabulary is ~uniform random — SCALE.md
+    round-11), so the feature block is the scalar statistics; on a
+    real corpus the same machinery takes hashed-bucket shares as extra
+    columns.  Scale shape: ONE combinable 14-term aggregate per step
+    (fixed-point 12-digit folds) + a 1-row closed-form solve, then one
+    counting pass — no data motion beyond the per-step aggregate at
+    any corpus size.  Output: learned coefficients, kept count/rate,
+    and train accuracy (sign agreement), round(6)."""
+    from covid_custom_sql_engine_spark.catalog import parallelize_small
+    from covid_custom_sql_engine_spark.functions import text as tx
+
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    n = tx.char_count("text")
+    f1 = F.least(n / F.lit(500.0), F.lit(1.0))
+    f2 = tx.punct_ratio("text")
+    f3 = F.least(tx.stopword_ratio("text", "en") * 5.0, F.lit(1.0))
+    xy = d.select(
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3")
+    ).select(
+        "f1",
+        "f2",
+        "f3",
+        F.when(
+            (F.col("f1") + (1.0 - F.col("f2")) + F.col("f3")) / 3.0
+            >= float(_QCG_THR),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    xy = xy.localCheckpoint(eager=False)  # reused every Newton step
+    b = spark.range(1).select(
+        F.lit(0.0).alias("b0"),
+        F.lit(0.0).alias("b1"),
+        F.lit(0.0).alias("b2"),
+        F.lit(0.0).alias("b3"),
+    )
+    hg = {
+        "h00": "wt", "h01": "wt * f1", "h02": "wt * f2", "h03": "wt * f3",
+        "h11": "wt * f1 * f1", "h12": "wt * f1 * f2", "h13": "wt * f1 * f3",
+        "h22": "wt * f2 * f2", "h23": "wt * f2 * f3", "h33": "wt * f3 * f3",
+        "g0": "(y - pr)", "g1": "(y - pr) * f1",
+        "g2": "(y - pr) * f2", "g3": "(y - pr) * f3",
+    }
+    upds = _qcg_updates()
+    for _ in range(_QCG_STEPS):
+        e = (
+            xy.crossJoin(F.broadcast(b))
+            .withColumn("pr", F.expr(_QCG_P))
+            .withColumn("wt", F.expr("pr * (1 - pr)"))
+        )
+        s = e.agg(
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            F.max("b2").alias("b2"),
+            F.max("b3").alias("b3"),
+            *[ops.dsum12(F.expr(expr)).alias(k) for k, expr in hg.items()],
+        )
+        b = s.select(
+            *[F.expr(upds[i]).alias(f"b{i}") for i in range(4)]
+        )
+    fin = xy.crossJoin(F.broadcast(b)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.expr(_QCG_Z) >= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(
+            F.when(
+                F.when(F.expr(_QCG_Z) >= 0, 1.0).otherwise(0.0)
+                == F.col("y"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_right"),
+        F.max("b0").alias("b0"),
+        F.max("b1").alias("b1"),
+        F.max("b2").alias("b2"),
+        F.max("b3").alias("b3"),
+    )
+    return fin.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("b0"), 6).alias("b0"),
+        F.round(F.col("b1"), 6).alias("b1"),
+        F.round(F.col("b2"), 6).alias("b2"),
+        F.round(F.col("b3"), 6).alias("b3"),
+        "n_kept",
+        F.round(F.col("n_kept").cast("double") / F.col("n"), 6).alias(
+            "kept_rate"
+        ),
+        F.round(F.col("n_right").cast("double") / F.col("n"), 6).alias(
+            "train_acc"
+        ),
+    )

@@ -64,7 +64,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- NEW in round 11 (never driver-checked) slot here as they land,
     # displacing r5-stale rows below (never-checked beats stale) ---
     "trigram_match_scaled",
-    # --- the r5-stale refresh, 9 of the displaced rows (oldest official
+    "quality_classifier_gate",
+    # --- the r5-stale refresh, 8 of the displaced rows (oldest official
     # records first; the rest lead the round-12 refresh) ---
     "topk_orders",
     "cohort_retention",
@@ -74,11 +75,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "bigram_logprob",
     "bloom_filter_join_stats",
     "collocation_pmi",
-    "column_entropy_profile",
     # ---------------- out-of-window below this line ----------------
     # first in line for the round-12 refresh: the remaining r5 rows the
     # round-10 waves displaced, then the fourteen r5 rows parked in the
     # r10 first wave, then the oldest r6-era official rows
+    "column_entropy_profile",
     "distinct_sorted",
     "embedding_outliers",
     "event_burstiness",

@@ -795,3 +795,43 @@ def test_auc_matches_pairwise_definition(spark):
     auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
     assert row["auc"] == pytest.approx(auc, abs=1e-5)
+
+
+def test_quality_classifier_gate_matches_numpy(spark):
+    """3 ridge-damped IRLS Newton steps re-derived with numpy linear
+    algebra from the same heuristic-labeled features."""
+    import re as _re
+
+    row = QUERIES["quality_classifier_gate"](spark, SF).collect()[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    SW = {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"}
+    feats = []
+    for t in docs.text:
+        n = len(t)
+        tt = [w for w in t.strip().lower().split() if w]
+        f1 = min(n / 500.0, 1.0)
+        f2 = (n - len(_re.sub(r"[.,;:!?]", "", t))) / n if n > 0 else 0.0
+        sw = (sum(1 for w in tt if w in SW) / len(tt)) if tt else 0.0
+        feats.append([f1, f2, min(sw * 5.0, 1.0)])
+    X3 = np.array(feats)
+    y = (((X3[:, 0] + (1 - X3[:, 1]) + X3[:, 2]) / 3.0) >= 0.65).astype(
+        float
+    )
+    X = np.hstack([np.ones((len(y), 1)), X3])
+    b = np.zeros(4)
+    for _ in range(3):
+        z = X @ b
+        p = 1 / (1 + np.exp(-z))
+        w = p * (1 - p)
+        H = (X * w[:, None]).T @ X + 0.1 * np.eye(4)
+        b = b + np.linalg.solve(H, X.T @ (y - p))
+    z = X @ b
+    assert row["n_docs"] == len(y)
+    for i in range(4):
+        assert row[f"b{i}"] == pytest.approx(b[i], abs=2e-4), i
+    assert row["n_kept"] == int((z >= 0).sum())
+    assert row["train_acc"] == pytest.approx(
+        ((z >= 0).astype(float) == y).mean(), abs=1e-6
+    )
+    # the learned gate must actually separate: better than majority
+    assert row["train_acc"] > max(y.mean(), 1 - y.mean())

@@ -485,6 +485,10 @@ EXPECT = {
     # same machinery on the synthesized 20k-name universe (no parquet
     # scan at all — spark.range source): intended
     "trigram_match_scaled": (2, False, True),
+    # 1-row coefficient broadcast cross per IRLS step onto the
+    # checkpoint-leaf feature frame (the logistic_newton shape):
+    # intended
+    "quality_classifier_gate": (1, False, True),
     # checkpoint-leaf ranked KM frame; 1-row head-area broadcast
     # cross: intended
     "rmst_fulfillment": (3, False, True),
