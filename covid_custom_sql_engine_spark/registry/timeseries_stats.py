@@ -555,3 +555,205 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.join(kk, "k").select(
         "event_id", "event_type", "mapped_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive one-step forecast (unrolled recurrence)
+# ---------------------------------------------------------------------------
+
+_HW_K = 28  # recurrence window: last 4 weekly cycles, unrolled
+_HW_A, _HW_B, _HW_G = "0.3", "0.1", "0.2"
+# s[dow] lookup and the update expressions, generated ONCE as text and
+# evaluated verbatim by both engines (the markov_attribution / mmr
+# convention) — identical opcode order, no decimal folds needed inside
+# the 1-row recurrence.
+_HW_SD = (
+    "(CASE dow WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4"
+    " WHEN 5 THEN s5 WHEN 6 THEN s6 ELSE s7 END)"
+)
+_HW_FC = f"(l + b + {_HW_SD})"
+_HW_NL = f"({_HW_A} * (y - {_HW_SD}) + (1 - {_HW_A}) * (l + b))"
+_HW_NB = f"({_HW_B} * ({_HW_NL} - l) + (1 - {_HW_B}) * b)"
+
+
+def _hw_ns(d: int) -> str:
+    return (
+        f"(CASE WHEN dow = {d} THEN {_HW_G} * (y - {_HW_NL})"
+        f" + (1 - {_HW_G}) * s{d} ELSE s{d} END)"
+    )
+
+
+def _hw_oracle() -> str:
+    upd = ",\n           ".join(
+        [f"{_HW_NL} AS l", f"{_HW_NB} AS b",
+         f"sae + abs(y - {_HW_FC}) AS sae"]
+        + [f"{_hw_ns(d)} AS s{d}" for d in range(1, 8)]
+    )
+    ctes = [
+        _SQL_DAILY_SPINE.strip(),
+        f"""tl AS (SELECT 28 - (m.b - s.d) AS i, s.y, isodow(s.d) AS dow
+          FROM s, m WHERE m.b - s.d < {_HW_K}),
+    pre AS (SELECT s.y, isodow(s.d) AS dow, (m.b - s.d) AS dd
+            FROM s, m WHERE m.b - s.d >= {_HW_K}),
+    l0c AS (SELECT {_sql_dsum('y')} / 7 AS l0 FROM pre
+            WHERE dd BETWEEN 28 AND 34),
+    pw AS (SELECT {_sql_dsum('y')} / 7 AS lp FROM pre
+           WHERE dd BETWEEN 35 AND 41),
+    mu AS (SELECT {_sql_dsum('y')} / count(*) AS mu FROM pre),
+    sea AS (SELECT dow, {_sql_dsum('y')} / count(*) - max(mu.mu) AS sd
+            FROM pre, mu GROUP BY dow),
+    p0 AS (SELECT l0c.l0 AS l, (l0c.l0 - pw.lp) / 7 AS b, 0.0 AS sae,
+       {", ".join(f"coalesce(max(CASE WHEN dow = {d} THEN sd END), 0.0) AS s{d}" for d in range(1, 8))}
+            FROM sea, l0c, pw GROUP BY l0c.l0, pw.lp)""",
+    ]
+    for r in range(1, _HW_K + 1):
+        ctes.append(
+            f"""p{r} AS (SELECT {upd}
+            FROM p{r - 1}, tl WHERE tl.i = {r})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    nxt AS (SELECT isodow(b + INTERVAL 1 DAY) AS dow FROM m),
+    cnt AS (SELECT count(*) AS n FROM s)
+    SELECT CAST(cnt.n AS BIGINT) AS n_days,
+           round(p.l, 6) AS level, round(p.b, 6) AS trend,
+           round(p.sae / {_HW_K}, 6) AS mae_1step,
+           round(p.l + p.b + (CASE nxt.dow WHEN 1 THEN p.s1 WHEN 2 THEN p.s2
+                 WHEN 3 THEN p.s3 WHEN 4 THEN p.s4 WHEN 5 THEN p.s5
+                 WHEN 6 THEN p.s6 ELSE p.s7 END), 6) AS forecast_next
+    FROM p{_HW_K} p, nxt, cnt"""
+    )
+
+
+@query("holt_winters_forecast", oracle=_hw_oracle())
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonality,
+    α=0.3 β=0.1 γ=0.2) one-step revenue forecast — the ORDER-DEPENDENT
+    smoothing recurrence `ewma_smooth` solved in closed form at window
+    scale, lifted to the seasonal case where no closed form exists:
+    the last 28 days of the zero-filled calendar spine run the exact
+    per-day recurrence UNROLLED (28 rounds, 1-row state of
+    level/trend/7 seasonal indices/absolute-error sum), initialized in
+    closed form from the prefix (level = last prefix week's mean,
+    trend = week-over-week delta / 7, seasonal = per-DOW prefix mean −
+    prefix mean — all decimal-fold aggregates).  The TPC-H calendar is
+    ~2,400 days at EVERY SF, so the 28-round unroll is a fixed cost
+    while init scales with data; day indexing is date arithmetic off
+    the 1-row min/max frame — no single-partition window.  All update
+    expressions are generated once as text and evaluated verbatim by
+    both engines; outputs round(6).  Beats-the-mean readout: mae_1step
+    is the 28-day one-step backtest next to `forecast_backtest`'s OLS
+    baseline."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(F.to_date("o_orderdate").alias("t"), "o_totalprice")
+    )
+    d0 = o.groupBy("t").agg(ops.dsum(F.col("o_totalprice")).alias("y"))
+    m = d0.agg(F.min("t").alias("a"), F.max("t").alias("b"))
+    sp = m.select(F.explode(F.sequence("a", "b")).alias("d"))
+    s = (
+        sp.join(d0, sp["d"] == d0["t"], "left")
+        .select("d", F.coalesce(F.col("y"), F.lit(0.0)).alias("y"))
+        .localCheckpoint(eager=False)  # tail + prefix + count reuse
+    )
+    bm = F.broadcast(m.select(F.col("b").alias("_b")))
+    dd = F.datediff(F.col("_b"), F.col("d"))
+    tl = (
+        s.crossJoin(bm)
+        .filter(dd < _HW_K)
+        .select(
+            (F.lit(_HW_K) - dd).alias("i"),
+            "y",
+            F.dayofweek(F.date_sub(F.col("d"), 1)).alias("dow"),
+        )
+        .localCheckpoint(eager=False)  # one 1-row probe per round
+    )
+    pre = (
+        s.crossJoin(bm)
+        .filter(dd >= _HW_K)
+        .select(
+            "y",
+            F.dayofweek(F.date_sub(F.col("d"), 1)).alias("dow"),
+            dd.alias("dd"),
+        )
+        .localCheckpoint(eager=False)  # four init aggregates
+    )
+    l0c = pre.filter(F.col("dd").between(28, 34)).agg(
+        (ops.dsum(F.col("y")) / 7).alias("l0")
+    )
+    pw = pre.filter(F.col("dd").between(35, 41)).agg(
+        (ops.dsum(F.col("y")) / 7).alias("lp")
+    )
+    mu = F.broadcast(
+        pre.agg((ops.dsum(F.col("y")) / F.count(F.lit(1))).alias("mu"))
+    )
+    sea = (
+        pre.crossJoin(mu)
+        .groupBy("dow")
+        .agg(
+            (ops.dsum(F.col("y")) / F.count(F.lit(1)) - F.max("mu")).alias(
+                "sd"
+            )
+        )
+    )
+    p = (
+        sea.crossJoin(F.broadcast(l0c))
+        .crossJoin(F.broadcast(pw))
+        .groupBy("l0", "lp")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("dow") == d, F.col("sd"))), F.lit(0.0)
+                ).alias(f"s{d}")
+                for d in range(1, 8)
+            ]
+        )
+        .select(
+            F.col("l0").alias("l"),
+            ((F.col("l0") - F.col("lp")) / 7).alias("b"),
+            F.lit(0.0).alias("sae"),
+            *[f"s{d}" for d in range(1, 8)],
+        )
+    )
+    upd = (
+        [F.expr(_HW_NL).alias("l"), F.expr(_HW_NB).alias("b"),
+         F.expr(f"sae + abs(y - {_HW_FC})").alias("sae")]
+        + [F.expr(_hw_ns(d)).alias(f"s{d}") for d in range(1, 8)]
+    )
+    for r in range(1, _HW_K + 1):
+        p = (
+            p.crossJoin(F.broadcast(tl.filter(F.col("i") == r)))
+            .select(*upd)
+            .localCheckpoint(eager=False)  # flat 1-row chain
+        )
+    nxt = F.broadcast(
+        m.select(
+            F.dayofweek(F.col("b")).alias("ndow")
+        )  # dayofweek(b+1-1): isodow(b+1) == dayofweek(b) shifted; see below
+    )
+    # isodow(b + 1) expressed via Spark: dayofweek is 1=Sunday..7=Saturday;
+    # isodow is 1=Monday..7=Sunday. isodow(x) = dayofweek(date_sub(x, 1)).
+    # So isodow(b + 1) = dayofweek(b).
+    cnt = F.broadcast(s.agg(F.count(F.lit(1)).alias("n")))
+    return (
+        p.crossJoin(nxt)
+        .crossJoin(cnt)
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(F.col("l"), 6).alias("level"),
+            F.round(F.col("b"), 6).alias("trend"),
+            F.round(F.col("sae") / _HW_K, 6).alias("mae_1step"),
+            F.round(
+                F.col("l")
+                + F.col("b")
+                + F.expr(
+                    "CASE ndow WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3"
+                    " WHEN 4 THEN s4 WHEN 5 THEN s5 WHEN 6 THEN s6 ELSE s7 END"
+                ),
+                6,
+            ).alias("forecast_next"),
+        )
+    )

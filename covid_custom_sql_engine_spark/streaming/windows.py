@@ -120,6 +120,7 @@ def attribution_join(
     watermark: str = "2 hours",
     streaming: bool = False,
     how: str = "inner",
+    purchase_watermark: str | None = None,
 ) -> DataFrame:
     """Stream-stream join: each click matched to every purchase by
     the same user within ``max_delay`` after the click (the attribution
@@ -135,6 +136,15 @@ def attribution_join(
     purchase-side watermark passes click_ts + max_delay. Without the
     time bound, stream-stream join state grows forever (and outer
     results could never be declared final).
+
+    The two streams are INDEPENDENT sources and may lag differently
+    (a purchase feed routed through a payment processor arrives later
+    than the click feed): ``purchase_watermark`` sets the
+    purchase-side delay separately (default: same as ``watermark``).
+    Spark's GLOBAL watermark is the minimum across inputs, so the
+    slower side's delay governs state eviction and outer-result
+    finality — per-side delays bound each side's buffered state to
+    what that side's lateness actually requires.
 
     Scale shape: an equi-join on user_id (one shuffle each side, no
     broadcast — both sides are unbounded); the time predicate is a
@@ -153,7 +163,9 @@ def attribution_join(
     )
     if streaming:
         c = with_event_time_watermark(c, "click_ts", watermark)
-        p = with_event_time_watermark(p, "purchase_ts", watermark)
+        p = with_event_time_watermark(
+            p, "purchase_ts", purchase_watermark or watermark
+        )
     joined = c.join(
         p,
         (F.col("user_id") == F.col("p_user_id"))

@@ -835,3 +835,44 @@ def test_quality_classifier_gate_matches_numpy(spark):
     )
     # the learned gate must actually separate: better than majority
     assert row["train_acc"] > max(y.mean(), 1 - y.mean())
+
+
+def test_holt_winters_matches_pure_python(spark):
+    """The 28 unrolled additive Holt-Winters updates + closed-form
+    prefix init re-derived in pure Python over the same zero-filled
+    calendar spine."""
+    row = QUERIES["holt_winters_forecast"](spark, SF).collect()[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet").dropna(
+        subset=["o_orderdate"]
+    )
+    d0 = o.groupby(o.o_orderdate.astype("datetime64[ns]").dt.date)[
+        "o_totalprice"
+    ].sum()
+    idx = pd.date_range(min(d0.index), max(d0.index), freq="D").date
+    y = {d: float(d0.get(d, 0.0)) for d in idx}
+    b_date = idx[-1]
+    dd = {d: (b_date - d).days for d in idx}
+    pre = [d for d in idx if dd[d] >= 28]
+    l0 = np.mean([y[d] for d in idx if 28 <= dd[d] <= 34])
+    lp = np.mean([y[d] for d in idx if 35 <= dd[d] <= 41])
+    b0 = (l0 - lp) / 7
+    mu = np.mean([y[d] for d in pre])
+    s = {}
+    for dw in range(1, 8):
+        vals = [y[d] for d in pre if d.isoweekday() == dw]
+        s[dw] = (np.mean(vals) - mu) if vals else 0.0
+    A, B, G = 0.3, 0.1, 0.2
+    l, b, sae = l0, b0, 0.0
+    for d in [d for d in idx if dd[d] < 28]:
+        dw = d.isoweekday()
+        sae += abs(y[d] - (l + b + s[dw]))
+        nl = A * (y[d] - s[dw]) + (1 - A) * (l + b)
+        nb = B * (nl - l) + (1 - B) * b
+        s[dw] = G * (y[d] - nl) + (1 - G) * s[dw]
+        l, b = nl, nb
+    nxt = (b_date + pd.Timedelta(days=1)).isoweekday()
+    assert row["n_days"] == len(idx)
+    assert row["level"] == pytest.approx(l, rel=1e-6)
+    assert row["trend"] == pytest.approx(b, rel=1e-6)
+    assert row["mae_1step"] == pytest.approx(sae / 28, rel=1e-6)
+    assert row["forecast_next"] == pytest.approx(l + b + s[nxt], rel=1e-6)

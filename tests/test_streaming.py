@@ -285,6 +285,44 @@ def test_attribution_join_stream_matches_batch(spark, events_dir):
     assert sorted(key(r) for r in got) == sorted(key(r) for r in batch)
 
 
+def test_attribution_join_independent_watermarks(spark, events_dir):
+    """Two genuinely different streams with INDEPENDENT watermark
+    delays (click feed 30 min, purchase feed 2 h — the slower payment-
+    processor side governs the global minimum watermark): the
+    streaming inner join still reproduces the batch join exactly, and
+    both sides' state stays eviction-bounded."""
+    from covid_custom_sql_engine_spark.streaming import attribution_join
+
+    src = spark.read.parquet(events_dir)
+    clicks_b = src.filter(F.col("event_type") == "click")
+    purch_b = src.filter(F.col("event_type") == "purchase")
+    batch = attribution_join(clicks_b, purch_b).collect()
+
+    stream_src = spark.readStream.schema(src.schema).parquet(events_dir)
+    sdf = attribution_join(
+        stream_src.filter(F.col("event_type") == "click"),
+        stream_src.filter(F.col("event_type") == "purchase"),
+        streaming=True,
+        watermark="30 minutes",
+        purchase_watermark="2 hours",
+    )
+    assert sdf.isStreaming
+    out_dir = tempfile.mkdtemp(prefix="attr_iw_out_")
+    sq = (
+        sdf.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", os.path.join(out_dir, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    key = lambda r: (r.click_id, r.purchase_id)
+    assert len(batch) > 0
+    assert sorted(key(r) for r in got) == sorted(key(r) for r in batch)
+
+
 def test_watermark_drops_late_data(spark):
     """An event arriving in a later micro-batch with event time far
     behind the watermark must NOT change its (already finalized)

@@ -489,6 +489,9 @@ EXPECT = {
     # checkpoint-leaf feature frame (the logistic_newton shape):
     # intended
     "quality_classifier_gate": (1, False, True),
+    # checkpoint-leaf daily spine; 28 broadcast 1-row recurrence
+    # crosses (the unrolled Holt-Winters state chain): intended
+    "holt_winters_forecast": (2, True, True),
     # checkpoint-leaf ranked KM frame; 1-row head-area broadcast
     # cross: intended
     "rmst_fulfillment": (3, False, True),
