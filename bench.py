@@ -126,6 +126,13 @@ HEADLINE = [
     "als_user_step",
     "spatial_grid_join",
     "rocchio_prf",
+    # round 11 additions: the learned IRLS quality gate (3 unrolled
+    # 4x4-Newton aggregate rounds) and the unrolled Holt-Winters
+    # seasonal recurrence on the daily spine; the 20k-name uncapped
+    # trigram matcher goes to the scale-rehearsal suite (its cost is
+    # the deliberately-degenerate audit, not steady-state throughput)
+    "quality_classifier_gate",
+    "holt_winters_forecast",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):
@@ -143,6 +150,9 @@ SCALE_REHEARSAL = [
     "ivfpq_rerank_recall",
     # round 8: residual IVFADC (runs the float baseline too — audit cost)
     "ivfpq_residual_recall",
+    # round 11: the uncapped 20k-name record-linkage row (PPJoin on a
+    # synthesized high-entropy universe — SF-independent by design)
+    "trigram_match_scaled",
 ]
 
 
