@@ -956,6 +956,7 @@ def curation_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     q_threshold: float = 0.45,
+    score_col: str | None = None,
 ) -> DataFrame:
     """The curation pipeline END-TO-END: heuristic quality gate → exact
     dedup (min-id representative per normalized fingerprint) → MinHash/
@@ -972,13 +973,21 @@ def curation_pipeline(
     the banded LSH equi-join → iterative min-label CC; each stage's
     input strictly shrinks. The quality frame and the survivor frame
     each feed multiple consumers, so both are pinned (lazy
-    localCheckpoint — the multi-consumer evaluate-once pattern)."""
+    localCheckpoint — the multi-consumer evaluate-once pattern).
+
+    ``score_col`` swaps the heuristic gate for a caller-supplied
+    quality score already present on ``df`` (e.g. the learned
+    classifier probability from the quality_classifier_gate
+    machinery) — the gate then keeps rows with score ≥ ``q_threshold``
+    and the rest of the pipeline is unchanged."""
     from covid_custom_sql_engine_spark.functions import dedup as dd
     from covid_custom_sql_engine_spark.functions import text as tx
 
+    score = (
+        F.col(score_col) if score_col is not None else tx.quality_score(text_col)
+    )
     q = (
-        df.select(id_col, text_col)
-        .withColumn("_q", tx.quality_score(text_col))
+        df.select(id_col, text_col, score.alias("_q"))
         .localCheckpoint(eager=False)
     )
     s1 = q.filter(F.col("_q") >= q_threshold)

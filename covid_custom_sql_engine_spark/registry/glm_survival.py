@@ -754,11 +754,17 @@ def _qcg_updates() -> list[str]:
     return out
 
 
-_QCG_SQL_FEATS = """x0 AS (SELECT text,
+def _qcg_sql_feat_ctes(name: str, src: str, id_cols: str = "") -> str:
+    """Feature-extraction CTE pair `{name}0, {name}` over ``src``:
+    (f1, f2, f3) plus any ``id_cols`` carried through — the SQL twin
+    of :func:`_qcg_features`, parameterized so the training chain and
+    the corpus-scoring pass share one definition."""
+    idsel = f"{id_cols}, " if id_cols else ""
+    return f"""{name}0 AS (SELECT {idsel}text,
            list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                        t -> t != '') AS toks
-    FROM documents),
-    x AS (SELECT least(length(text) / 500.0, 1.0) AS f1,
+    FROM {src}),
+    {name} AS (SELECT {idsel}least(length(text) / 500.0, 1.0) AS f1,
                  CASE WHEN length(text) > 0
                       THEN (length(text)
                             - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
@@ -769,25 +775,27 @@ _QCG_SQL_FEATS = """x0 AS (SELECT text,
                                       ['the','and','of','to','in','is','that','it','for','was'], t)))
                                   / len(toks)
                              ELSE 0.0 END) * 5.0, 1.0) AS f3
-          FROM x0),
+          FROM {name}0)"""
+
+
+_QCG_SQL_FEATS = (
+    _qcg_sql_feat_ctes("x", "documents")
+    + """,
     xy AS (SELECT f1, f2, f3,
                   CASE WHEN (f1 + (1.0 - f2) + f3) / 3.0 >= {thr}
                        THEN 1.0 ELSE 0.0 END AS y
            FROM x)"""
+)
 
 
-def _qcg_oracle() -> str:
+def _qcg_train_sql_ctes() -> list[str]:
+    """The full training chain (feature extraction + label + unrolled
+    IRLS rounds) as a CTE list ending at p{_QCG_STEPS} — shared by the
+    standalone gate oracle and the learned-curation composition."""
     upds = _qcg_updates()
-    hg = {
-        "h00": "wt", "h01": "wt * f1", "h02": "wt * f2", "h03": "wt * f3",
-        "h11": "wt * f1 * f1", "h12": "wt * f1 * f2", "h13": "wt * f1 * f3",
-        "h22": "wt * f2 * f2", "h23": "wt * f2 * f3", "h33": "wt * f3 * f3",
-        "g0": "(y - pr)", "g1": "(y - pr) * f1",
-        "g2": "(y - pr) * f2", "g3": "(y - pr) * f3",
-    }
     sums = ",\n                    ".join(
         f"CAST(sum(CAST(({e}) AS DECIMAL(38,12))) AS DOUBLE) AS {k}"
-        for k, e in hg.items()
+        for k, e in _QCG_HG.items()
     )
     ctes = [
         _QCG_SQL_FEATS.format(thr=_QCG_THR),
@@ -805,10 +813,14 @@ def _qcg_oracle() -> str:
     p{r} AS (SELECT {upds[0]} AS b0, {upds[1]} AS b1,
                     {upds[2]} AS b2, {upds[3]} AS b3 FROM s{r})"""
         )
+    return ctes
+
+
+def _qcg_oracle() -> str:
     last = f"p{_QCG_STEPS}"
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_qcg_train_sql_ctes())
         + f"""
     , fin AS (SELECT count(*) AS n,
                      CAST(sum(CASE WHEN {_QCG_Z} >= 0 THEN 1 ELSE 0 END)
@@ -825,6 +837,66 @@ def _qcg_oracle() -> str:
            round(CAST(fin.n_right AS DOUBLE) / fin.n, 6) AS train_acc
     FROM fin, {last}"""
     )
+
+
+def _qcg_features(d: DataFrame, keep_text: bool = False) -> DataFrame:
+    """Heuristic-labeled feature frame (f1, f2, f3, y) from a
+    documents-shaped frame with a `text` column; ``keep_text`` carries
+    the text through for downstream pipeline stages."""
+    from covid_custom_sql_engine_spark.functions import text as tx
+
+    n = tx.char_count("text")
+    f1 = F.least(n / F.lit(500.0), F.lit(1.0))
+    f2 = tx.punct_ratio("text")
+    f3 = F.least(tx.stopword_ratio("text", "en") * 5.0, F.lit(1.0))
+    return d.select(
+        *[c for c in d.columns if c != "text" or keep_text],
+        f1.alias("f1"),
+        f2.alias("f2"),
+        f3.alias("f3"),
+    ).withColumn(
+        "y",
+        F.when(
+            (F.col("f1") + (1.0 - F.col("f2")) + F.col("f3")) / 3.0
+            >= float(_QCG_THR),
+            1.0,
+        ).otherwise(0.0),
+    )
+
+
+_QCG_HG = {
+    "h00": "wt", "h01": "wt * f1", "h02": "wt * f2", "h03": "wt * f3",
+    "h11": "wt * f1 * f1", "h12": "wt * f1 * f2", "h13": "wt * f1 * f3",
+    "h22": "wt * f2 * f2", "h23": "wt * f2 * f3", "h33": "wt * f3 * f3",
+    "g0": "(y - pr)", "g1": "(y - pr) * f1",
+    "g2": "(y - pr) * f2", "g3": "(y - pr) * f3",
+}
+
+
+def _qcg_train(spark: SparkSession, xy: DataFrame) -> DataFrame:
+    """The unrolled ridge-damped IRLS loop: returns the 1-row
+    coefficient frame (b0..b3) after _QCG_STEPS Newton steps from 0.
+    ``xy`` must carry (f1, f2, f3, y) and should be pinned by the
+    caller if it feeds other consumers."""
+    upds = _qcg_updates()
+    b = spark.range(1).select(
+        *[F.lit(0.0).alias(f"b{i}") for i in range(4)]
+    )
+    for _ in range(_QCG_STEPS):
+        e = (
+            xy.crossJoin(F.broadcast(b))
+            .withColumn("pr", F.expr(_QCG_P))
+            .withColumn("wt", F.expr("pr * (1 - pr)"))
+        )
+        s = e.agg(
+            *[F.max(f"b{i}").alias(f"b{i}") for i in range(4)],
+            *[
+                ops.dsum12(F.expr(expr)).alias(k)
+                for k, expr in _QCG_HG.items()
+            ],
+        )
+        b = s.select(*[F.expr(upds[i]).alias(f"b{i}") for i in range(4)])
+    return b
 
 
 @query("quality_classifier_gate", oracle=_qcg_oracle())
@@ -852,58 +924,12 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size.  Output: learned coefficients, kept count/rate,
     and train accuracy (sign agreement), round(6)."""
     from covid_custom_sql_engine_spark.catalog import parallelize_small
-    from covid_custom_sql_engine_spark.functions import text as tx
 
     d = parallelize_small(load_table(spark, sf_dir, "documents"))
-    n = tx.char_count("text")
-    f1 = F.least(n / F.lit(500.0), F.lit(1.0))
-    f2 = tx.punct_ratio("text")
-    f3 = F.least(tx.stopword_ratio("text", "en") * 5.0, F.lit(1.0))
-    xy = d.select(
-        f1.alias("f1"), f2.alias("f2"), f3.alias("f3")
-    ).select(
-        "f1",
-        "f2",
-        "f3",
-        F.when(
-            (F.col("f1") + (1.0 - F.col("f2")) + F.col("f3")) / 3.0
-            >= float(_QCG_THR),
-            1.0,
-        )
-        .otherwise(0.0)
-        .alias("y"),
-    )
-    xy = xy.localCheckpoint(eager=False)  # reused every Newton step
-    b = spark.range(1).select(
-        F.lit(0.0).alias("b0"),
-        F.lit(0.0).alias("b1"),
-        F.lit(0.0).alias("b2"),
-        F.lit(0.0).alias("b3"),
-    )
-    hg = {
-        "h00": "wt", "h01": "wt * f1", "h02": "wt * f2", "h03": "wt * f3",
-        "h11": "wt * f1 * f1", "h12": "wt * f1 * f2", "h13": "wt * f1 * f3",
-        "h22": "wt * f2 * f2", "h23": "wt * f2 * f3", "h33": "wt * f3 * f3",
-        "g0": "(y - pr)", "g1": "(y - pr) * f1",
-        "g2": "(y - pr) * f2", "g3": "(y - pr) * f3",
-    }
-    upds = _qcg_updates()
-    for _ in range(_QCG_STEPS):
-        e = (
-            xy.crossJoin(F.broadcast(b))
-            .withColumn("pr", F.expr(_QCG_P))
-            .withColumn("wt", F.expr("pr * (1 - pr)"))
-        )
-        s = e.agg(
-            F.max("b0").alias("b0"),
-            F.max("b1").alias("b1"),
-            F.max("b2").alias("b2"),
-            F.max("b3").alias("b3"),
-            *[ops.dsum12(F.expr(expr)).alias(k) for k, expr in hg.items()],
-        )
-        b = s.select(
-            *[F.expr(upds[i]).alias(f"b{i}") for i in range(4)]
-        )
+    xy = _qcg_features(d.select("text")).localCheckpoint(
+        eager=False
+    )  # reused every Newton step + the final scoring pass
+    b = _qcg_train(spark, xy)
     fin = xy.crossJoin(F.broadcast(b)).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.expr(_QCG_Z) >= 0, 1).otherwise(0))
@@ -937,3 +963,91 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "train_acc"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# The learned gate composed INTO the curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def _curation_learned_oracle() -> str:
+    """Train on the raw corpus (the _qcg chain), score the DOUBLED
+    corpus with the learned sigmoid, gate at p ≥ 0.5, then run the
+    exact-dedup → MinHash/LSH near-dup stages of the curation-pipeline
+    oracle over the survivors — every input doc labeled with the stage
+    that dropped it."""
+    from covid_custom_sql_engine_spark.registry.text_dedup import (
+        _SQL_NORM,
+        _sql_minhash_cte,
+    )
+
+    train = ",\n    ".join(_qcg_train_sql_ctes())
+    last = f"p{_QCG_STEPS}"
+    mh = _sql_minhash_cte("ks", ", ")
+    return f"""
+    WITH RECURSIVE {train},
+    d2 AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents),
+    {_qcg_sql_feat_ctes("ft", "d2", id_cols="doc_id, text")},
+    sc AS (SELECT doc_id, text, {_QCG_P} AS p FROM ft, {last}),
+    kq AS (SELECT doc_id, text FROM sc WHERE p >= 0.5),
+    f AS (SELECT doc_id, text, md5({_SQL_NORM}) AS fp FROM kq),
+    k2 AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp),
+    ks AS (SELECT f.doc_id, f.text FROM f
+           JOIN k2 ON f.fp = k2.fp AND f.doc_id = k2.keep_id)
+    {mh},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT d2.doc_id,
+           CASE WHEN sc.p < 0.5 THEN 'quality'
+                WHEN ksx.doc_id IS NULL THEN 'exact_dup'
+                WHEN coalesce(c.component, d2.doc_id) = d2.doc_id THEN 'kept'
+                ELSE 'near_dup' END AS stage
+    FROM d2
+    JOIN sc USING (doc_id)
+    LEFT JOIN ks ksx ON d2.doc_id = ksx.doc_id
+    LEFT JOIN comp c ON d2.doc_id = c.id
+    """
+
+
+@query("curation_pipeline_learned", oracle=_curation_learned_oracle())
+def curation_pipeline_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline gated by the LEARNED quality score instead
+    of the hand-tuned heuristic — the composition the
+    quality_classifier_gate exists for (train a fastText-style filter
+    on heuristic labels, then let the MODEL decide what enters the
+    corpus, the CCNet/DCLM upgrade path): train the ridge-damped IRLS
+    logistic on the raw corpus, score the doubled corpus (the
+    simhash-fixture clone pattern so exact-dedup has real work) with
+    the shared sigmoid text, gate at p ≥ 0.5, then run the unchanged
+    exact-dedup → MinHash/LSH near-dup stages
+    (corpus.curation_pipeline with ``score_col`` — one code path for
+    both gates).  Scale shape: training is _QCG_STEPS combinable
+    aggregates + 1-row solves; scoring is per-row codegen against the
+    broadcast 1-row coefficient frame; downstream stages strictly
+    shrink — the learned gate adds NO data motion over the heuristic
+    pipeline.  Output: (doc_id, stage) as corpus_curation_pipeline."""
+    from covid_custom_sql_engine_spark.catalog import parallelize_small
+    from covid_custom_sql_engine_spark.functions import corpus as cp
+
+    d0 = parallelize_small(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    xy = _qcg_features(d0.select("text")).localCheckpoint(eager=False)
+    b = _qcg_train(spark, xy)
+    d2 = d0.unionByName(
+        d0.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+    scored = (
+        _qcg_features(d2, keep_text=True)
+        .crossJoin(F.broadcast(b))
+        .select("doc_id", "text", F.expr(_QCG_P).alias("_p"))
+    )
+    return cp.curation_pipeline(scored, q_threshold=0.5, score_col="_p")

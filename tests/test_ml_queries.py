@@ -876,3 +876,27 @@ def test_holt_winters_matches_pure_python(spark):
     assert row["trend"] == pytest.approx(b, rel=1e-6)
     assert row["mae_1step"] == pytest.approx(sae / 28, rel=1e-6)
     assert row["forecast_next"] == pytest.approx(l + b + s[nxt], rel=1e-6)
+
+
+def test_curation_pipeline_learned_consistent_with_gate(spark):
+    """The learned-gate pipeline must (a) label every doubled doc
+    exactly once, (b) drop at quality exactly 2x the standalone gate's
+    rejected docs (clones share features, so the learned score is
+    identical), and (c) send exactly one of every surviving clone pair
+    to exact_dup."""
+    rows = QUERIES["curation_pipeline_learned"](spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n = len(docs)
+    stages = {r["doc_id"]: r["stage"] for r in rows}
+    assert len(stages) == 2 * n
+    gate = QUERIES["quality_classifier_gate"](spark, SF).collect()[0]
+    n_quality_dropped = sum(1 for s in stages.values() if s == "quality")
+    assert n_quality_dropped == 2 * (gate["n_docs"] - gate["n_kept"])
+    for i in docs.doc_id:
+        a, b = stages[int(i)], stages[int(i) + 1000000]
+        assert (a == "quality") == (b == "quality"), i
+        if a != "quality":
+            # the clone pair survives the gate together; min-id wins
+            # the exact-dedup stage, so the clone is exact_dup unless
+            # the original itself fell to a smaller-id duplicate
+            assert b == "exact_dup", (i, a, b)

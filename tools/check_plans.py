@@ -492,6 +492,11 @@ EXPECT = {
     # checkpoint-leaf daily spine; 28 broadcast 1-row recurrence
     # crosses (the unrolled Holt-Winters state chain): intended
     "holt_winters_forecast": (2, True, True),
+    # checkpoint-leaf feature/survivor frames (training chain + the
+    # unchanged dedup stages); final frame is checkpoint-leaf-only —
+    # no parquet scan survives in the executed plan (mmr_topk
+    # precedent)
+    "curation_pipeline_learned": (2, False, False),
     # checkpoint-leaf ranked KM frame; 1-row head-area broadcast
     # cross: intended
     "rmst_fulfillment": (3, False, True),
