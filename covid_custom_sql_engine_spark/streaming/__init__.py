@@ -9,6 +9,11 @@ from covid_custom_sql_engine_spark.streaming.windows import (
     interval_self_join,
     with_event_time_watermark,
 )
+from covid_custom_sql_engine_spark.streaming.monitor import (
+    psi_row,
+    start_psi_monitor,
+    value_bins,
+)
 from covid_custom_sql_engine_spark.streaming.stateful import (
     running_totals_batch,
     running_totals_stream,
@@ -28,4 +33,7 @@ __all__ = [
     "running_totals_batch",
     "running_totals_stream",
     "running_totals_tws",
+    "psi_row",
+    "start_psi_monitor",
+    "value_bins",
 ]

@@ -856,3 +856,78 @@ def test_interval_self_join_stream_matches_batch(spark, events_dir):
     # strictly-earlier + lookback: no self-pairs, every pair ordered
     assert all(r.prev_ts < r.ts for r in batch)
     assert sorted(key(r) for r in got) == sorted(key(r) for r in batch)
+
+
+def test_psi_monitor_stream_matches_batch(spark):
+    """Per-micro-batch PSI vs a static baseline (foreachBatch): two
+    single-file micro-batches must each reproduce the batch-mode PSI
+    of that file's data against the same baseline, and a drifted batch
+    must score higher than an in-distribution one."""
+    import datetime as dt
+
+    from covid_custom_sql_engine_spark.streaming import (
+        psi_row,
+        start_psi_monitor,
+        value_bins,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    src_dir = tempfile.mkdtemp(prefix="psi_src_")
+    base_dir = tempfile.mkdtemp(prefix="psi_base_")
+    out_dir = tempfile.mkdtemp(prefix="psi_out_")
+
+    def rows(vals, off):
+        return [
+            (off + i, t0 + dt.timedelta(minutes=i), i % 7, "view", v)
+            for i, v in enumerate(vals)
+        ]
+
+    base_vals = [float(10 + (i * 37) % 200) for i in range(400)]
+    spark.createDataFrame(rows(base_vals, 0), schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(base_dir)
+    # batch 0: same generator (in-distribution); batch 1: shifted +400
+    b0 = [float(10 + (i * 53) % 200) for i in range(300)]
+    b1 = [float(410 + (i * 53) % 200) for i in range(300)]
+    spark.createDataFrame(rows(b0, 1000), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    spark.createDataFrame(rows(b1, 2000), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    baseline = spark.read.parquet(base_dir)
+    stream = (
+        spark.readStream.schema(baseline.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = start_psi_monitor(
+        stream,
+        baseline,
+        os.path.join(out_dir, "data"),
+        os.path.join(out_dir, "chk"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r.batch_id: (r.n_rows, r.psi)
+        for r in spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    }
+    assert len(got) == 2
+
+    # batch twin: same helper applied per file must agree row-for-row
+    base_bins = value_bins(baseline)
+    psis = sorted(v for _, v in got.values())
+    exp = []
+    for vals, off in ((b0, 1000), (b1, 2000)):
+        bdf = spark.createDataFrame(rows(vals, off), schema)
+        row = psi_row(value_bins(bdf), base_bins).collect()[0]
+        assert (row.n_rows, row.psi) in got.values()
+        exp.append(row.psi)
+    assert psis == sorted(exp)
+    # the shifted batch drifts hard; the in-distribution one does not
+    assert max(psis) > 1.0 and min(psis) < 0.25
