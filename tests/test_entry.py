@@ -30,42 +30,30 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 10: the thirty queries new this round (five waves)
-    # plus the two late-r9 additions (never driver-checked), the two
-    # advice-fix-touched queries, the five deferred r4 rows, and the
-    # oldest (r5) official rows (no new never-checked backlog may form)
+    # round 11: the 39 round-10-continuation queries (never driver-
+    # checked — the whole stats_ml backlog takes the window), the
+    # queries new in round 11, and the oldest r5-stale refresh rows
+    # (no new never-checked backlog may form)
     assert {
-        # new this round, first wave
-        "ann_join_recall", "ann_join_clusters", "sssp_bounded_costs",
-        "vaccination_effect_fit",
-        "resilience_score_by_nation", "prefix_jaccard_zipf",
-        "bpe_train_merges", "bpe_encoded_lengths", "chi2_drift_source",
-        # new this round, second wave
-        "kcore_trading_graph", "wasserstein_drift_promo",
-        "cusum_changepoint_revenue", "ind_audit", "shapley_attribution",
-        "kmv_setops_orders", "t_closeness_audit", "item_cf_topk",
-        "ab_wilson_bounds", "ab_ztest_conversion", "theil_sen_trend",
-        # new this round, third wave
-        "kaplan_meier_fulfillment", "adamic_adar_links",
-        "modularity_nations", "bh_fdr_segments", "dominant_period_dft",
-        "mutual_info_docs",
-        # new this round, fourth wave
-        "logrank_priority", "ppr_trusted_sources",
-        # new this round, fifth wave
-        "conformal_interval", "info_gain_split",
-        # late r9, never driver-checked
-        "bfs_shortest_path_tree", "ks_drift_promo",
-        # touched by the r10 advice fixes
-        "prefix_jaccard_pairs", "label_propagation_communities",
-        # the five r4 rows deferred from round 9
-        "winsorize_values", "xmr_control_limits", "zscore_outliers",
-        "array_functions", "map_functions",
-        # the r5-stale refresh (spot sample incl. the verdict-named §2
-        # core-parity rows; the full 35-query slice is asserted by the
-        # prefix==window check above)
-        "filter_range_project", "join_ref_inner", "sort_nulls_rank",
-        "group_agg_ref7", "stat_summary", "udaf_geometric_mean",
-        "pagerank_bipartite", "hits_bipartite",
+        # the round-10-continuation backlog (spot sample across the six
+        # split family modules; the full 39-entry slice is implied by
+        # the prefix==window check above)
+        "mann_whitney_value_shift", "rank_correlation_daily",
+        "acf_daily_revenue", "ridge_regression_price", "knn_label_vote",
+        "bfs_path_counts", "ktruss_copurchase", "spatial_grid_join",
+        "seed_betweenness", "forecast_backtest", "temporal_reachability",
+        "em_gaussian_mixture", "trigram_name_match", "rmst_fulfillment",
+        "logistic_newton", "markov_entropy_rate", "did_estimator",
+        "woe_iv_binning", "target_encode_oof", "expectation_suite",
+        "calibration_report", "clustering_coefficient", "dbscan_spatial",
+        "readability_ari", "abc_classification", "cox_ph_newton",
+        "auc_return_score",
+        # new in round 11, never driver-checked
+        "trigram_match_scaled", "quality_classifier_gate",
+        "holt_winters_forecast", "curation_pipeline_learned",
+        # the oldest r5-stale refresh rows
+        "topk_orders", "cohort_retention", "benford_audit",
+        "argmax_latest", "audio_stats_real", "bigram_logprob",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window
