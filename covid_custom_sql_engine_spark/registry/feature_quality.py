@@ -702,3 +702,154 @@ def calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("obs_rate"), 6).alias("obs_rate"),
         F.round(F.col("brier"), 6).alias("brier_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded edit-distance join (count-filtered trigram blocking)
+# ---------------------------------------------------------------------------
+
+_LEV_N = 10000
+
+
+@query(
+    "levenshtein_linkage",
+    oracle=f"""
+    WITH orig AS (SELECT i AS id,
+                         substr(md5('nm:' || CAST(i AS VARCHAR)), 1, 16) AS name
+                  FROM generate_series(1, {_LEV_N}) AS t(i)),
+    corr AS (SELECT id + 1000000 AS cid, id AS true_id,
+                    CASE WHEN id % 2 = 0
+                         THEN substr(name, 1, pos - 1) || substr(name, pos + 1)
+                         ELSE substr(name, 1, pos - 1) || 'z'
+                              || substr(name, pos + 1) END AS cname
+             FROM (SELECT id, name,
+                          1 + ('0x' || substr(md5('typo:' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                              % length(name) AS pos
+                   FROM orig)),
+    ot AS (SELECT id, name, {_TRI_SQL_GRAMS.format(s='name')} AS tg FROM orig),
+    ct AS (SELECT cid, true_id, cname,
+                  {_TRI_SQL_GRAMS.format(s='cname')} AS tg FROM corr),
+    oe AS (SELECT id, unnest(tg) AS t FROM ot),
+    ce AS (SELECT cid, unnest(tg) AS t FROM ct),
+    cand AS (SELECT ce.cid, oe.id, count(*) AS shared
+             FROM ce JOIN oe USING (t) GROUP BY ce.cid, oe.id),
+    blocked AS (SELECT cand.cid, cand.id
+                FROM cand JOIN ct ON ct.cid = cand.cid
+                          JOIN ot ON ot.id = cand.id
+                WHERE cand.shared >= least(len(ct.tg), len(ot.tg)) - 3),
+    pairs AS (SELECT b.cid, b.id,
+                     levenshtein(ct.cname, ot.name) AS d
+              FROM blocked b JOIN ct ON ct.cid = b.cid
+                             JOIN ot ON ot.id = b.id
+              WHERE levenshtein(ct.cname, ot.name) <= 1),
+    best AS (SELECT cid, id FROM pairs
+             QUALIFY row_number() OVER (PARTITION BY cid
+                                        ORDER BY d, id) = 1)
+    SELECT CAST((SELECT count(*) FROM corr) AS BIGINT) AS n_names,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN best.id = corr.true_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM best JOIN corr ON corr.cid = best.cid
+    """,
+)
+def levenshtein_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded EDIT-DISTANCE join — the record-linkage primitive where
+    set-similarity is the wrong metric (typos are edits, not token
+    swaps): match every corrupted name (even ids: one deletion, odd
+    ids: one substitution) back to originals within Levenshtein
+    distance ≤ 1, without an all-pairs scan.  Blocking is the
+    count-filtered trigram posting join, and the filter is PROVABLY
+    LOSSLESS for d ≤ 1: a single edit touches ≤ 3 trigram windows, so
+    any trigram in one set but not the other occurs only in touched
+    windows — |Ta ∩ Tb| ≥ min(|Ta|, |Tb|) − 3.  Survivors get the
+    exact `levenshtein` verification (a built-in on BOTH engines);
+    ties break (distance, id).  Scale shape: posting join on the
+    trigram key (posting lists ~N/4096 on the hex-digest universe),
+    one combinable pair-count aggregate, broadcast-free equi-joins —
+    the same candidates-then-verify discipline as the PPJoin stack,
+    with an absolute-edit budget instead of a Jaccard threshold."""
+    orig = spark.range(1, _LEV_N + 1).select(
+        F.col("id"),
+        F.substring(
+            F.md5(F.concat(F.lit("nm:"), F.col("id").cast("string"))), 1, 16
+        ).alias("name"),
+    )
+    pos = 1 + F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("typo:"), F.col("id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint") % F.length("name")
+    head = F.expr("substr(name, 1, cast(pos - 1 as int))")
+    tail = F.expr("substr(name, cast(pos + 1 as int), length(name))")
+    corr = (
+        orig.withColumn("pos", pos)
+        .select(
+            (F.col("id") + 1000000).alias("cid"),
+            F.col("id").alias("true_id"),
+            F.when(F.col("id") % 2 == 0, F.concat(head, tail))
+            .otherwise(F.concat(head, F.lit("z"), tail))
+            .alias("cname"),
+        )
+    )
+    ot = orig.select(
+        "id", "name", _trigrams("name").alias("tg")
+    ).localCheckpoint(eager=False)  # posting + size + verify joins
+    ct = corr.select(
+        "cid", "true_id", "cname", _trigrams("cname").alias("tg")
+    ).localCheckpoint(eager=False)
+    oe = ot.select("id", F.explode("tg").alias("t"))
+    ce = ct.select("cid", F.explode("tg").alias("t"))
+    cand = (
+        ce.join(oe, "t")
+        .groupBy("cid", "id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    blocked = (
+        cand.join(ot.select("id", F.size("tg").alias("_so")), "id")
+        .join(ct.select("cid", F.size("tg").alias("_sc")), "cid")
+        .filter(
+            F.col("shared") >= F.least(F.col("_so"), F.col("_sc")) - 3
+        )
+        .select("cid", "id")
+    )
+    pairs = (
+        blocked.join(ot.select("id", "name"), "id")
+        .join(ct.select("cid", "cname"), "cid")
+        .select(
+            "cid",
+            "id",
+            F.levenshtein(F.col("cname"), F.col("name")).alias("d"),
+        )
+        .filter(F.col("d") <= 1)
+        .localCheckpoint(eager=False)  # pair count + argmax
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid").orderBy("d", "id")
+    best = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cid", "id")
+    )
+    nn = F.broadcast(corr.agg(F.count(F.lit(1)).alias("n_names")))
+    np_ = F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+    return (
+        best.join(corr.select("cid", "true_id"), "cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum(F.when(F.col("id") == F.col("true_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .crossJoin(nn)
+        .crossJoin(np_)
+        .select(
+            F.col("n_names").cast("bigint").alias("n_names"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            "n_matched",
+            "n_correct",
+        )
+    )

@@ -900,3 +900,16 @@ def test_curation_pipeline_learned_consistent_with_gate(spark):
             # the exact-dedup stage, so the clone is exact_dup unless
             # the original itself fell to a smaller-id duplicate
             assert b == "exact_dup", (i, a, b)
+
+
+def test_levenshtein_linkage_blocking_lossless(spark):
+    """The count-filtered trigram blocker must pass every true d<=1
+    pair: on the synthesized universe every corruption is one edit
+    away from its original, so all n_names must match, each to its
+    own original (md5 names are globally distinct)."""
+    row = QUERIES["levenshtein_linkage"](spark, SF).collect()[0]
+    assert row["n_names"] == 10000
+    assert row["n_matched"] == row["n_names"]
+    assert row["n_correct"] == row["n_names"]
+    # exact verification leaves no false pairs on a hex-digest corpus
+    assert row["n_pairs"] == row["n_names"]

@@ -497,6 +497,9 @@ EXPECT = {
     # no parquet scan survives in the executed plan (mmr_topk
     # precedent)
     "curation_pipeline_learned": (2, False, False),
+    # checkpoint-leaf trigram posting frames (spark.range source, no
+    # parquet scan); 1-row name/pair-count broadcast crosses: intended
+    "levenshtein_linkage": (2, False, True),
     # checkpoint-leaf ranked KM frame; 1-row head-area broadcast
     # cross: intended
     "rmst_fulfillment": (3, False, True),
