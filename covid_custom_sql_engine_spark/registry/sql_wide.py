@@ -1516,3 +1516,124 @@ def demo_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# PII incidence audit (governance readout over injected ground truth)
+# ---------------------------------------------------------------------------
+
+_PII_E = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_P = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_PII_I = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@query(
+    "pii_incidence_audit",
+    oracle=rf"""
+    WITH d2 AS (SELECT source,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                    || '@example.com now' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' call 555-0100-'
+                                    || CAST(doc_id % 90 + 10 AS VARCHAR)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN ' from 192.168.'
+                                    || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                               ELSE '' END AS t
+                FROM documents),
+    m AS (SELECT source,
+                 len(regexp_extract_all(t, '{_PII_E}', 0)) AS ne,
+                 len(regexp_extract_all(t, '{_PII_P}', 0)) AS np,
+                 len(regexp_extract_all(t, '{_PII_I}', 0)) AS ni
+          FROM d2)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_email,
+           sum(CASE WHEN np > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_phone,
+           sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_ipv4,
+           sum(ne)::BIGINT AS n_email, sum(np)::BIGINT AS n_phone,
+           sum(ni)::BIGINT AS n_ipv4,
+           round(sum(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS pii_doc_rate
+    FROM m GROUP BY source
+    """,
+)
+def pii_incidence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII GOVERNANCE readout — the audit that decides
+    whether a source needs scrubbing before training: per source, the
+    count of documents containing each PII class (email / phone /
+    IPv4, the same patterns text.redact_pii removes), total match
+    counts, and the any-PII document rate.  The synthetic corpus
+    carries no natural PII, so ground truth is INJECTED inside both
+    engines with deterministic doc_id arithmetic (emails on id % 7,
+    phones on id % 11, IPv4s on id % 13 — the trigram-corruption
+    convention: the audit's expected values are known by construction
+    and the full extract-count pipeline is exercised end to end).
+    Match counting is `regexp_extract_all(..., 0)` — a built-in with
+    verified cross-engine parity on these patterns — so the audit is
+    one per-row codegen projection + ONE hash aggregate keyed by
+    source: no shuffle beyond the group-by at any corpus size, and the
+    redaction step (`redact_pii`) consumes the same patterns, so rate
+    and scrub stay consistent by construction."""
+    d = parallelize_small(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-0100-"), (did % 90 + 10).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 192.168."),
+                (did % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    m = d.select(
+        "source",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_E), 0)).alias("ne"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_P), 0)).alias("np"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_I), 0)).alias("ni"),
+    )
+    cnt = F.count(F.lit(1))
+    return m.groupBy("source").agg(
+        cnt.cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("ne") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_email"),
+        F.sum(F.when(F.col("np") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_phone"),
+        F.sum(F.when(F.col("ni") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_ipv4"),
+        F.sum("ne").cast("bigint").alias("n_email"),
+        F.sum("np").cast("bigint").alias("n_phone"),
+        F.sum("ni").cast("bigint").alias("n_ipv4"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("ne") > 0) | (F.col("np") > 0) | (F.col("ni") > 0),
+                    1,
+                ).otherwise(0)
+            )
+            / cnt.cast("double"),
+            6,
+        ).alias("pii_doc_rate"),
+    )

@@ -68,17 +68,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "holt_winters_forecast",
     "curation_pipeline_learned",
     "levenshtein_linkage",
-    # --- the r5-stale refresh, 5 of the displaced rows (oldest official
+    "pii_incidence_audit",
+    # --- the r5-stale refresh, 4 of the displaced rows (oldest official
     # records first; the rest lead the round-12 refresh) ---
     "topk_orders",
     "cohort_retention",
     "benford_audit",
     "argmax_latest",
-    "audio_stats_real",
     # ---------------- out-of-window below this line ----------------
     # first in line for the round-12 refresh: the remaining r5 rows the
     # round-10 waves displaced, then the fourteen r5 rows parked in the
     # r10 first wave, then the oldest r6-era official rows
+    "audio_stats_real",
     "bigram_logprob",
     "bloom_filter_join_stats",
     "collocation_pmi",
@@ -120,15 +121,16 @@ _DRIVER_WINDOW_PRIORITY = [
 # GLMs-as-SQL, survival analysis, causal inference, record linkage,
 # spatial clustering, data-quality suites, graph continuations) that
 # were registered after the r10 window snapshot and so had never been
-# driver-checked (round-10 verdict, "What's missing" #1); the 5
+# driver-checked (round-10 verdict, "What's missing" #1); the 6
 # queries NEW in round 11 (trigram_match_scaled — the uncapped 20k-name
 # record-linkage row, quality_classifier_gate — the learned IRLS
 # quality filter, holt_winters_forecast — the unrolled seasonal
 # recurrence, curation_pipeline_learned — the learned gate composed
 # into the curation pipeline, levenshtein_linkage — the provably-
-# lossless bounded edit-distance join); and 5 of the r5-stale rows
-# displaced by the round-10 waves (topk_orders … audio_stats_real —
-# the oldest official records). New round-11 queries slot in ahead of the r5
+# lossless bounded edit-distance join, pii_incidence_audit — the
+# per-source PII governance readout over injected ground truth); and
+# 4 of the r5-stale rows displaced by the round-10 waves (topk_orders
+# … argmax_latest — the oldest official records). New round-11 queries slot in ahead of the r5
 # refresh as they land, displacing its tail.
 # Everything below the out-of-window line holds an r1-r10 green row and
 # is re-verified locally every round by check_oracle / check_bare

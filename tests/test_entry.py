@@ -51,10 +51,10 @@ def test_driver_window_priority_ordering():
         # new in round 11, never driver-checked
         "trigram_match_scaled", "quality_classifier_gate",
         "holt_winters_forecast", "curation_pipeline_learned",
-        "levenshtein_linkage",
+        "levenshtein_linkage", "pii_incidence_audit",
         # the oldest r5-stale refresh rows
         "topk_orders", "cohort_retention", "benford_audit",
-        "argmax_latest", "audio_stats_real",
+        "argmax_latest",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window

@@ -913,3 +913,48 @@ def test_levenshtein_linkage_blocking_lossless(spark):
     assert row["n_correct"] == row["n_names"]
     # exact verification leaves no false pairs on a hex-digest corpus
     assert row["n_pairs"] == row["n_names"]
+
+
+def test_pii_incidence_matches_pure_python(spark):
+    """The injected-PII audit re-derived with Python `re` over the
+    same doc_id-arithmetic injection."""
+    import re as _re
+
+    rows = QUERIES["pii_incidence_audit"](spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    pats = {
+        "e": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "p": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+        "i": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    }
+    agg: dict = {}
+    for r in docs.itertuples():
+        t = r.text
+        if r.doc_id % 7 == 0:
+            t += f" contact user{r.doc_id}@example.com now"
+        if r.doc_id % 11 == 0:
+            t += f" call 555-0100-{r.doc_id % 90 + 10}"
+        if r.doc_id % 13 == 0:
+            t += f" from 192.168.{r.doc_id % 256}.7"
+        a = agg.setdefault(r.source, {"n": 0, "de": 0, "dp": 0, "di": 0,
+                                      "ne": 0, "np": 0, "ni": 0, "any": 0})
+        ne = len(_re.findall(pats["e"], t))
+        np_ = len(_re.findall(pats["p"], t))
+        ni = len(_re.findall(pats["i"], t))
+        a["n"] += 1
+        a["de"] += ne > 0
+        a["dp"] += np_ > 0
+        a["di"] += ni > 0
+        a["ne"] += ne
+        a["np"] += np_
+        a["ni"] += ni
+        a["any"] += (ne > 0 or np_ > 0 or ni > 0)
+    got = {r["source"]: r for r in rows}
+    assert set(got) == set(agg)
+    for src, a in agg.items():
+        g = got[src]
+        assert (g["n_docs"], g["docs_email"], g["docs_phone"],
+                g["docs_ipv4"], g["n_email"], g["n_phone"], g["n_ipv4"]) == (
+            a["n"], a["de"], a["dp"], a["di"], a["ne"], a["np"], a["ni"]
+        ), src
+        assert g["pii_doc_rate"] == pytest.approx(a["any"] / a["n"], abs=1e-6)

@@ -500,6 +500,8 @@ EXPECT = {
     # checkpoint-leaf trigram posting frames (spark.range source, no
     # parquet scan); 1-row name/pair-count broadcast crosses: intended
     "levenshtein_linkage": (2, False, True),
+    # per-row codegen regex extraction + one source-keyed hash agg
+    "pii_incidence_audit": (3, False, False),
     # checkpoint-leaf ranked KM frame; 1-row head-area broadcast
     # cross: intended
     "rmst_fulfillment": (3, False, True),
