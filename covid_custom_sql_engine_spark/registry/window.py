@@ -12,73 +12,17 @@ from covid_custom_sql_engine_spark.registry._base import ORACLES, QUERIES
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- ROUND 11 WINDOW (first 50 = the driver's official check set) ----
+    # ---- ROUND 12 WINDOW (first 50 = the driver's official check set) ----
     # flagship first — it's also the entry() smoke query
     "flagship_revenue_by_nation",
-    # --- the 39 round-10 CONTINUATION queries (everything registered
-    # after the r10 window snapshot — now split across rank_inference /
-    # timeseries_stats / glm_survival / graph_spatial / ml_mining /
-    # feature_quality): never driver-checked, so by the standing
-    # never-checked-beats-stale rule they take the whole window ahead
-    # of any stale refresh. Listed in their original registration
-    # order. ---
-    "mann_whitney_value_shift",
-    "rank_correlation_daily",
-    "acf_daily_revenue",
-    "seasonal_dow_decompose",
-    "ridge_regression_price",
-    "knn_label_vote",
-    "naive_bayes_lang",
-    "bfs_path_counts",
-    "ktruss_copurchase",
-    "spatial_grid_join",
-    "rocchio_prf",
-    "als_user_step",
-    "seed_betweenness",
-    "bootstrap_mean_ci",
-    "rake_keywords",
-    "forecast_backtest",
-    "temporal_reachability",
-    "quantile_normalize_events",
-    "em_gaussian_mixture",
-    "ridge_cv_lambda",
-    "permutation_test_weekend",
-    "trigram_name_match",
-    "rmst_fulfillment",
-    "logistic_newton",
-    "association_rules",
-    "neyman_poisson_sample",
-    "markov_entropy_rate",
-    "did_estimator",
-    "degree_assortativity",
-    "woe_iv_binning",
-    "target_encode_oof",
-    "expectation_suite",
-    "calibration_report",
-    "clustering_coefficient",
-    "dbscan_spatial",
-    "readability_ari",
-    "abc_classification",
-    "cox_ph_newton",
-    "auc_return_score",
-    # --- NEW in round 11 (never driver-checked) slot here as they land,
-    # displacing r5-stale rows below (never-checked beats stale) ---
-    "trigram_match_scaled",
-    "quality_classifier_gate",
-    "holt_winters_forecast",
-    "curation_pipeline_learned",
-    "levenshtein_linkage",
-    "pii_incidence_audit",
-    # --- the r5-stale refresh, 4 of the displaced rows (oldest official
-    # records first; the rest lead the round-12 refresh) ---
-    "topk_orders",
-    "cohort_retention",
-    "benford_audit",
-    "argmax_latest",
-    # ---------------- out-of-window below this line ----------------
-    # first in line for the round-12 refresh: the remaining r5 rows the
-    # round-10 waves displaced, then the fourteen r5 rows parked in the
-    # r10 first wave, then the oldest r6-era official rows
+    # --- NEW in round 12 (never driver-checked — the standing rule:
+    # never-checked beats stale) slot here as they land, displacing the
+    # tail of the r6 refresh slice below ---
+    # (uncommented one-by-one as each round-12 query lands)
+    # --- the r5-stale refresh: ALL 32 remaining rows whose official
+    # record dates to round 5 (age 7 = the new hard staleness ceiling in
+    # tools/check_window_debt.py — every one of these would fail the
+    # gate if parked out-of-window another round). Alphabetical. ---
     "audio_stats_real",
     "bigram_logprob",
     "bloom_filter_join_stats",
@@ -111,32 +55,77 @@ _DRIVER_WINDOW_PRIORITY = [
     "user_entropy_histogram",
     "vocab_stats",
     "zipf_slope",
+    # --- the r6-stale refresh, the first 13 of the 43 age-6 rows
+    # (alphabetical; the remaining 30 lead the round-13 refresh) ---
+    "anti_join",
+    "asof_join",
+    "asof_join_forward_tol",
+    "audio_spectrum_real",
+    "corpus_curation_pipeline",
+    "cosine_near_dups",
+    "cosine_topk",
+    "cube_agg",
+    "datetime_functions",
+    "dedup_exact",
+    "dedup_representative",
+    "embedding_norms",
+    "frame_sample_plan",
+    # ---------------- out-of-window below this line ----------------
+    # first in line for the round-13 refresh: the remaining r6-era rows
+    # (alphabetical), then the r7-era rows per check_window_debt.py's
+    # staleness listing
+    "grouping_sets",
+    "guarded_incremental_dedup",
+    "jpeg_stats_real",
+    "lagged_corr_best",
+    "lang_id",
+    "locf_fill",
+    "lsh_topk",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "pca_power_step",
+    "percentiles",
+    "png_stats_real",
+    "repeated_span_removal",
+    "rolling_avg_7",
+    "rollup_agg",
+    "scalar_functions",
+    "semi_join",
+    "session_window",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "simhash",
+    "sliding_window",
+    "stateful_running_total",
+    "stream_static_join",
+    "text_profile",
+    "tumbling_window",
+    "video_stats_real",
+    "window_functions",
+    "window_running_sum",
 ]
 
 
 # The window rotates each round so every query eventually earns an
-# official driver row. Round-11 composition (exactly 50): the flagship
-# sentinel; ALL 39 round-10-continuation queries (the former
-# stats_ml.py families — rank statistics, time-series diagnostics,
-# GLMs-as-SQL, survival analysis, causal inference, record linkage,
-# spatial clustering, data-quality suites, graph continuations) that
-# were registered after the r10 window snapshot and so had never been
-# driver-checked (round-10 verdict, "What's missing" #1); the 6
-# queries NEW in round 11 (trigram_match_scaled — the uncapped 20k-name
-# record-linkage row, quality_classifier_gate — the learned IRLS
-# quality filter, holt_winters_forecast — the unrolled seasonal
-# recurrence, curation_pipeline_learned — the learned gate composed
-# into the curation pipeline, levenshtein_linkage — the provably-
-# lossless bounded edit-distance join, pii_incidence_audit — the
-# per-source PII governance readout over injected ground truth); and
-# 4 of the r5-stale rows displaced by the round-10 waves (topk_orders
-# … argmax_latest — the oldest official records). New round-11 queries slot in ahead of the r5
-# refresh as they land, displacing its tail.
-# Everything below the out-of-window line holds an r1-r10 green row and
+# official driver row. Round-12 composition (exactly 50, per the
+# round-11 verdict's advice #1 — "fill the r12 window with flagship +
+# the 49 stalest rows"): the flagship sentinel; the 4 queries NEW in
+# round 12 (mjpeg_stats_real — the MJPEG-in-AVI compressed-video decode
+# rung, louvain_communities — one-level modularity ascent,
+# opq_topk_recall — learned-rotation PQ recall audit,
+# quality_classifier_lexical — the learned gate's hashed-BOW lexical
+# features proven on a vocabulary-separated corpus); ALL 32 rows whose
+# official record dates to round 5 (now age 7, the hard staleness
+# ceiling that tools/check_window_debt.py enforces as of round 12);
+# and the first 13 (alphabetical) of the 43 round-6-era rows.
+# Everything below the out-of-window line holds an r1-r11 green row and
 # is re-verified locally every round by check_oracle / check_bare
 # (full-registry gates at sf0.001/0.01/0.1 recorded in README per
 # round). tools/check_window_debt.py enforces that no registered query
-# goes more than 2 rounds without an official driver record.
+# goes more than 2 rounds without an official driver record, that no
+# official record ages past 7 rounds without being queued, and that the
+# registry counts stated in README/SURVEY match len(QUERIES).
 
 
 def _reorder_registry() -> None:

@@ -30,31 +30,22 @@ def test_driver_window_priority_ordering():
     # the priority list's 50-entry prefix IS the driver window; entries
     # beyond it are the explicit parking order for future rounds
     assert set(qr._DRIVER_WINDOW_PRIORITY[:50]) == window
-    # round 11: the 39 round-10-continuation queries (never driver-
-    # checked — the whole stats_ml backlog takes the window), the
-    # queries new in round 11, and the oldest r5-stale refresh rows
-    # (no new never-checked backlog may form)
+    # round 12: new never-driver-checked queries + ALL 32 r5-era stale
+    # rows (age 7 = the hard staleness ceiling check_window_debt.py now
+    # enforces) + the oldest r6-era refresh rows
     assert {
-        # the round-10-continuation backlog (spot sample across the six
-        # split family modules; the full 39-entry slice is implied by
-        # the prefix==window check above)
-        "mann_whitney_value_shift", "rank_correlation_daily",
-        "acf_daily_revenue", "ridge_regression_price", "knn_label_vote",
-        "bfs_path_counts", "ktruss_copurchase", "spatial_grid_join",
-        "seed_betweenness", "forecast_backtest", "temporal_reachability",
-        "em_gaussian_mixture", "trigram_name_match", "rmst_fulfillment",
-        "logistic_newton", "markov_entropy_rate", "did_estimator",
-        "woe_iv_binning", "target_encode_oof", "expectation_suite",
-        "calibration_report", "clustering_coefficient", "dbscan_spatial",
-        "readability_ari", "abc_classification", "cox_ph_newton",
-        "auc_return_score",
-        # new in round 11, never driver-checked
-        "trigram_match_scaled", "quality_classifier_gate",
-        "holt_winters_forecast", "curation_pipeline_learned",
-        "levenshtein_linkage", "pii_incidence_audit",
-        # the oldest r5-stale refresh rows
-        "topk_orders", "cohort_retention", "benford_audit",
-        "argmax_latest",
+        # new in round 12, never driver-checked
+        # (uncommented one-by-one as each round-12 query lands)
+        # the r5-era staleness-ceiling rows (spot sample; all 32 are in
+        # the priority prefix, implied by the prefix==window check above)
+        "zipf_slope", "vocab_stats", "triangle_counts",
+        "tpch_q12_ship_priority_classes", "safe_corr_qty_price",
+        "source_overlap_matrix", "minhash_lsh_pairs", "psi_drift",
+        "audio_stats_real", "image_stats_real", "funnel_conversion",
+        "latest_per_group", "pack_token_budget", "bigram_logprob",
+        # the oldest r6-era refresh rows (alphabetical head)
+        "anti_join", "asof_join", "corpus_curation_pipeline",
+        "cosine_topk", "dedup_exact",
         # pinned sentinel
         "flagship_revenue_by_nation",
     } <= window
