@@ -652,7 +652,10 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.to_date("o_orderdate").alias("t"), "o_totalprice")
     )
     d0 = o.groupBy("t").agg(ops.dsum(F.col("o_totalprice")).alias("y"))
-    m = d0.agg(F.min("t").alias("a"), F.max("t").alias("b"))
+    m = d0.agg(F.min("t").alias("a"), F.max("t").alias("b")).localCheckpoint(
+        eager=False
+    )  # 1-row min/max with THREE consumers (spine explode, bm, nxt) —
+    # pinned so the orders scan + daily aggregate runs once, not thrice
     sp = m.select(F.explode(F.sequence("a", "b")).alias("d"))
     s = (
         sp.join(d0, sp["d"] == d0["t"], "left")

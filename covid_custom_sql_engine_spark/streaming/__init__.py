@@ -11,6 +11,7 @@ from covid_custom_sql_engine_spark.streaming.windows import (
 )
 from covid_custom_sql_engine_spark.streaming.monitor import (
     psi_row,
+    start_adaptive_psi_monitor,
     start_psi_monitor,
     value_bins,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "running_totals_stream",
     "running_totals_tws",
     "psi_row",
+    "start_adaptive_psi_monitor",
     "start_psi_monitor",
     "value_bins",
 ]

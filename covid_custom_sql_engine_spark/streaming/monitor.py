@@ -1,16 +1,39 @@
-"""Streaming data-drift monitoring: per-micro-batch PSI against a
-static baseline via foreachBatch — the ingest-time alarm that pairs
-with the batch `psi_drift` registry query (same 0.5-Laplace-smoothed
-formula, same fixed-width binning).
+"""Streaming data-drift monitoring: per-micro-batch PSI via
+foreachBatch — the ingest-time alarm that pairs with the batch
+`psi_drift` registry query (same 0.5-Laplace-smoothed formula, same
+fixed-width binning).
 
-The monitor answers "is the data arriving RIGHT NOW distributed like
-what the model trained on" without waiting for a nightly batch job:
-each micro-batch is reduced to a bin histogram (one hash aggregate),
-joined full-outer against the precomputed baseline histogram (a
-broadcast — the baseline is a bounded bin table, not the baseline
-DATA), and collapsed to one (batch_id, n_rows, psi) row appended to
-the monitoring sink. State is O(bins); nothing about the stream is
-buffered across batches.
+Two monitors share the same per-batch reduction:
+
+- ``start_psi_monitor``: PSI against a STATIC baseline histogram —
+  "is the data arriving right now distributed like what the model
+  trained on".
+- ``start_adaptive_psi_monitor`` (round 12): PSI against a SLOWLY
+  DECAYING baseline — after each batch the baseline bin counts are
+  multiplied by ``decay`` and the batch's histogram is added, so the
+  baseline tracks a permanent regime change (its PSI decays back
+  toward 0 over subsequent batches) while a transient drift spike
+  still fires. Closed form after batches 0..k-1 with initial
+  histogram H and per-batch histograms B_i:
+
+      baseline_k(bin) = decay^k * H(bin)
+                        + sum_i decay^(k-1-i) * B_i(bin)
+
+  which the batch-twin test reproduces exactly. State is O(bins) —
+  one bounded (bin, weight) table pinned on the driver's session,
+  re-pinned per batch; nothing about the stream is buffered.
+
+Each micro-batch is reduced to a bin histogram (one hash aggregate),
+joined full-outer against the baseline histogram (a broadcast — the
+baseline is a bounded bin table, not the baseline DATA), and collapsed
+to one (batch_id, n_rows, psi) row written to the monitoring sink.
+The sink is partitioned by batch_id and written with dynamic partition
+overwrite, so a retried micro-batch replaces its own row instead of
+appending a duplicate (foreachBatch offers at-least-once delivery;
+idempotent-by-batch_id is the documented upgrade path). The adaptive
+monitor's decay state is in-memory per run: a restart from the
+checkpoint replays unprocessed batches against the initial baseline,
+and the idempotent sink keeps the output table consistent.
 """
 
 from __future__ import annotations
@@ -33,14 +56,17 @@ def value_bins(events: DataFrame, bin_width: float = 50.0) -> DataFrame:
 def psi_row(batch_bins: DataFrame, baseline_bins: DataFrame) -> DataFrame:
     """One-row PSI of a batch histogram against the baseline histogram
     (0.5-Laplace smoothing over the union of bins, the psi_drift
-    formula — empty-on-one-side bins stay finite)."""
+    formula — empty-on-one-side bins stay finite). Accepts integer or
+    decayed-float baseline counts. n_rows/psi coalesce to 0/0.0 when
+    both histograms are empty (sum over zero rows is NULL otherwise —
+    an empty micro-batch must not write a null record)."""
     b = batch_bins.select(F.col("bin"), F.col("n").alias("n_new"))
     r = baseline_bins.select(F.col("bin"), F.col("n").alias("n_base"))
     j = (
         b.join(F.broadcast(r), "bin", "full_outer")
         .select(
             F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
-            F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base"),
+            F.coalesce(F.col("n_base").cast("double"), F.lit(0.0)).alias("n_base"),
         )
         .localCheckpoint(eager=False)  # totals + contribution pass
     )
@@ -57,11 +83,24 @@ def psi_row(batch_bins: DataFrame, baseline_bins: DataFrame) -> DataFrame:
     return (
         j.crossJoin(t)
         .agg(
-            F.sum("n_new").cast("bigint").alias("n_rows"),
-            F.round(
-                F.sum((pn - pb) * F.log(pn / pb)), 6
+            F.coalesce(F.sum("n_new"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.round(F.sum((pn - pb) * F.log(pn / pb)), 6), F.lit(0.0)
             ).alias("psi"),
         )
+    )
+
+
+def _write_idempotent(out: DataFrame, batch_id: int, target_path: str) -> None:
+    """Write one (batch_id, n_rows, psi) row, replacing any prior row
+    for the same batch_id (retried micro-batches must not duplicate)."""
+    (
+        out.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        .select("batch_id", "n_rows", "psi")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(target_path)
     )
 
 
@@ -74,22 +113,76 @@ def start_psi_monitor(
     available_now: bool = True,
 ):
     """Attach the PSI monitor to a streaming events frame: per
-    micro-batch, append ONE (batch_id, n_rows, psi) row to
-    ``target_path``. The baseline histogram is computed once from the
-    static ``baseline_events`` and pinned — the per-batch work is one
-    aggregate over the batch plus a broadcast join against the bounded
-    bin table. Returns the started StreamingQuery."""
+    micro-batch, write ONE (batch_id, n_rows, psi) row to
+    ``target_path`` (idempotent by batch_id). The baseline histogram is
+    computed once from the static ``baseline_events`` and pinned — the
+    per-batch work is one aggregate over the batch plus a broadcast
+    join against the bounded bin table. Returns the started
+    StreamingQuery."""
     baseline = value_bins(baseline_events, bin_width).localCheckpoint(
         eager=True
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        out = psi_row(value_bins(batch_df, bin_width), baseline).select(
-            F.lit(batch_id).cast("bigint").alias("batch_id"),
-            "n_rows",
-            "psi",
+        out = psi_row(value_bins(batch_df, bin_width), baseline)
+        _write_idempotent(out, batch_id, target_path)
+
+    writer = stream_events.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_adaptive_psi_monitor(
+    stream_events: DataFrame,
+    baseline_events: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    bin_width: float = 50.0,
+    decay: float = 0.9,
+    available_now: bool = True,
+):
+    """PSI monitor with a slowly-updating baseline: each micro-batch is
+    scored against the CURRENT baseline, then folded into it —
+
+        baseline <- decay * baseline + batch_histogram
+
+    so a one-off drifted batch spikes and washes out, while a regime
+    change spikes once and then decays toward 0 as the new regime
+    becomes the baseline (geometric at rate ``decay``). The update is
+    one full-outer join of two bounded bin tables, eagerly pinned
+    (flat plan across batches — the iterative-state discipline); the
+    batch histogram is pinned lazily because it has two consumers
+    (the PSI row and the fold). Returns the started StreamingQuery."""
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    state = {
+        "baseline": value_bins(baseline_events, bin_width)
+        .select("bin", F.col("n").cast("double").alias("n"))
+        .localCheckpoint(eager=True)
+    }
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bins = value_bins(batch_df, bin_width).localCheckpoint(eager=False)
+        out = psi_row(bins, state["baseline"])
+        _write_idempotent(out, batch_id, target_path)
+        old = state["baseline"].select(
+            "bin", F.col("n").alias("n_old")
         )
-        out.write.mode("append").parquet(target_path)
+        new = bins.select("bin", F.col("n").alias("n_batch"))
+        state["baseline"] = (
+            old.join(new, "bin", "full_outer")
+            .select(
+                "bin",
+                (
+                    F.lit(decay) * F.coalesce(F.col("n_old"), F.lit(0.0))
+                    + F.coalesce(F.col("n_batch").cast("double"), F.lit(0.0))
+                ).alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
     writer = stream_events.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path

@@ -490,8 +490,11 @@ EXPECT = {
     # intended
     "quality_classifier_gate": (1, False, True),
     # checkpoint-leaf daily spine; 28 broadcast 1-row recurrence
-    # crosses (the unrolled Holt-Winters state chain): intended
-    "holt_winters_forecast": (2, True, True),
+    # crosses (the unrolled Holt-Winters state chain): intended. r12:
+    # the 1-row min/max frame is now pinned too (ADVICE — three
+    # consumers), so the last visible parquet scan became a checkpoint
+    # leaf and PushedFilters is structurally absent (mmr_topk rule)
+    "holt_winters_forecast": (2, False, True),
     # checkpoint-leaf feature/survivor frames (training chain + the
     # unchanged dedup stages); final frame is checkpoint-leaf-only —
     # no parquet scan survives in the executed plan (mmr_topk
