@@ -133,6 +133,10 @@ HEADLINE = [
     # the deliberately-degenerate audit, not steady-state throughput)
     "quality_classifier_gate",
     "holt_winters_forecast",
+    # round 12 additions: one-level Louvain (degree-aware community
+    # ascent — the label_propagation shuffle profile plus one Σ_tot
+    # aggregate per round)
+    "louvain_communities",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):

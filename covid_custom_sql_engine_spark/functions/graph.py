@@ -1002,3 +1002,117 @@ def temporal_reachability(
             .localCheckpoint(eager=True)
         )
     return state
+
+
+def louvain_one_level(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One-level Louvain modularity ascent (Blondel et al. 2008, the
+    local-move phase), synchronous + deterministic: every node starts
+    as its own community; each round every node moves to the candidate
+    community (its neighbors' communities ∪ its own) with the maximum
+    modularity gain, ties toward the smaller community label. Unlike
+    :func:`label_propagation` (most-frequent neighbor label), the vote
+    is degree-aware — a high-degree hub's community is penalized by its
+    Σ_tot mass, which is what keeps bridges from gluing two dense
+    communities together. ``rounds`` is a fixed hyper-parameter, so a
+    SQL oracle unrolls the identical rounds (the label_propagation /
+    pagerank convention); the full multi-level Louvain stacks this
+    phase with graph coarsening.
+
+    The gain of moving node i (degree k_i) into community c is
+    ΔQ(i→c) = k_{i,c}/m − Σ'_tot(c)·k_i/(2m²), with Σ'_tot(c) the
+    community's total degree EXCLUDING i itself. Rather than compare
+    float gains (cross-engine tie hazard), both engines compare
+    ΔQ·2m² = 2m·k_{i,c} − Σ'_tot(c)·k_i — EXACT bigint arithmetic
+    (bounded by 2m·max_deg ≤ 2m², fine in int64 up to ~10⁹ edges;
+    cast the two products to decimal(38,0) past that). The stay option
+    (c = current community) is always a candidate with k_{i,c} ≥ 0, so
+    argmax-over-candidates subsumes the "move only if it improves"
+    rule up to exact ties, which break to the smaller label — the
+    deterministic variant, same design choice as the id-seeded k-means
+    family.
+
+    Per-round plan: ONE equi-join of the O(nodes) label vector against
+    the edge list on the NEIGHBOR side + a (node, community) hash
+    aggregate for k_{i,c} (map-side combinable); Σ_tot is an O(nodes)
+    label⋈degree aggregate reused via broadcast-sized equi-join; the
+    argmax is the two-phase max-score + min-label-at-max pair of
+    combinable aggregates (never a window, never float equality);
+    labels eagerly pinned per round — flat lineage, the
+    iterative-state convention.
+
+    ``edges`` must hold BOTH orientations of each undirected edge (the
+    label_propagation input convention); m is half the row count.
+    Returns (node, label) — nodes sharing a label share a community.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=False)
+    deg = (
+        e.groupBy(F.col("_s").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_k"))
+        .localCheckpoint(eager=True)  # reused every round (sigma + gain)
+    )
+    # E2 = 2m: the directed row count, as a 1-row broadcast scalar
+    e2 = F.broadcast(e.agg(F.count(F.lit(1)).cast("bigint").alias("_e2")))
+    labels = deg.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        # Σ_tot per community: O(nodes) aggregate of the label vector
+        sigma = (
+            labels.join(deg, "node")
+            .groupBy("label")
+            .agg(F.sum("_k").alias("_sig"))
+        )
+        # k_{i,c}: edges with the NEIGHBOR's community label, one hash
+        # aggregate; the stay option rides along as a 0-count row so
+        # isolated-from-own-community nodes still have their current
+        # community in the candidate set
+        nbr = (
+            e.join(labels.select(F.col("node").alias("_d"), "label"), "_d")
+            .select(F.col("_s").alias("node"), "label")
+            .withColumn("_1", F.lit(1).cast("bigint"))
+        )
+        stay = labels.select("node", "label").withColumn(
+            "_1", F.lit(0).cast("bigint")
+        )
+        cand = (
+            nbr.unionByName(stay)
+            .groupBy("node", "label")
+            .agg(F.sum("_1").alias("_kic"))
+        )
+        # exact-integer gain: 2m·k_{i,c} − (Σ_tot(c) − k_i·[i ∈ c])·k_i
+        cur = labels.select("node", F.col("label").alias("_cur"))
+        scored = (
+            cand.join(sigma, "label")
+            .join(deg, "node")
+            .join(cur, "node")
+            .crossJoin(e2)
+            .select(
+                "node",
+                "label",
+                (
+                    F.col("_e2") * F.col("_kic")
+                    - (
+                        F.col("_sig")
+                        - F.when(
+                            F.col("label") == F.col("_cur"), F.col("_k")
+                        ).otherwise(F.lit(0).cast("bigint"))
+                    )
+                    * F.col("_k")
+                ).alias("_score"),
+            )
+            .localCheckpoint(eager=False)  # max + argmin branches, one eval
+        )
+        top = scored.groupBy("node").agg(F.max("_score").alias("_m"))
+        labels = (
+            scored.join(top, "node")
+            .filter(F.col("_score") == F.col("_m"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

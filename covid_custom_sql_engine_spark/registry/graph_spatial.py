@@ -831,3 +831,92 @@ def dbscan_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_core").cast("bigint").alias("n_core"),
         F.col("n_border").cast("bigint").alias("n_border"),
     ).unionByName(noise)
+
+
+# ---------------------------------------------------------------------------
+# Graph: one-level Louvain modularity ascent (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _louvain_oracle(rounds: int = 2) -> str:
+    """Unrolled one-level Louvain rounds over the bipartite trading
+    graph — each round is the same Σ_tot → k_{i,c} → exact-integer
+    score → max-score → min-label-at-max block the engine runs
+    (graph.louvain_one_level). All-integer arithmetic, so the
+    cross-engine comparison is exact with no decimal folds."""
+    ctes = [
+        """WITH pairs AS (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+            FROM edges GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM edges),
+    l0 AS (SELECT node, node AS label FROM deg)"""
+    ]
+    final = 0
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""sg{r} AS (SELECT l.label, sum(d.k) AS sig
+           FROM l{p} l JOIN deg d ON d.node = l.node GROUP BY 1),
+    cd{r} AS (SELECT node, label, sum(one) AS kic FROM (
+          SELECT e.src AS node, l.label, CAST(1 AS BIGINT) AS one
+          FROM edges e JOIN l{p} l ON l.node = e.dst
+          UNION ALL
+          SELECT node, label, CAST(0 AS BIGINT) FROM l{p}) u
+       GROUP BY 1, 2),
+    sc{r} AS (SELECT c.node, c.label,
+          tot.e2 * c.kic
+          - (s.sig - CASE WHEN c.label = cur.label THEN d.k
+                          ELSE CAST(0 AS BIGINT) END) * d.k AS score
+       FROM cd{r} c
+       JOIN sg{r} s ON s.label = c.label
+       JOIN deg d ON d.node = c.node
+       JOIN l{p} cur ON cur.node = c.node
+       CROSS JOIN tot),
+    tp{r} AS (SELECT node, max(score) AS m FROM sc{r} GROUP BY 1),
+    l{r} AS (SELECT s.node, min(s.label) AS label
+       FROM sc{r} s JOIN tp{r} t ON t.node = s.node AND s.score = t.m
+       GROUP BY 1)"""
+        )
+        final = r
+    return ",\n    ".join(ctes) + f"\nSELECT node, label FROM l{final}"
+
+
+@query("louvain_communities", oracle=_louvain_oracle(2))
+def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by one-level Louvain modularity ascent over
+    the customer↔supplier trading graph (graph.louvain_one_level, 2
+    rounds) — label_propagation's degree-aware sibling: each node moves
+    to the candidate community with maximum modularity gain ΔQ, where a
+    community is penalized by its total-degree mass Σ_tot, so a
+    high-degree hub cannot glue two dense communities the way LPA's
+    most-frequent-label vote does (tested head-to-head on the planted
+    two-clique fixture in test_graph). Gains are compared as the EXACT
+    integer 2m·k_{i,c} − Σ'_tot(c)·k_i (= ΔQ·2m²) — no float ties to
+    diverge across engines. Per round: one O(nodes) Σ_tot aggregate,
+    one edges⋈labels join + (node, community) hash aggregate for
+    k_{i,c}, and the two-phase combinable argmax (max score, then min
+    label at max — never a window); labels eagerly pinned per round.
+    The oracle unrolls the identical rounds (the label_propagation /
+    pagerank convention)."""
+    from covid_custom_sql_engine_spark.functions import graph as gr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return gr.louvain_one_level(edges, rounds=2)

@@ -532,3 +532,77 @@ def test_temporal_reachability_respects_time(spark):
         for r in temporal_reachability(ok, srcs, rounds=3).collect()
     }
     assert got[2] == "2024-01-05"
+
+
+def test_louvain_beats_lpa_on_bridged_cliques(spark):
+    """Two planted K4s joined by TWO bridges, 3 rounds: Louvain's
+    degree-aware gain recovers the planted cliques exactly (2
+    communities), while LPA's most-frequent-label vote lets the bridges
+    glue everything into ONE community — the head-to-head the
+    one-level ascent exists for. Modularity confirms the ordering
+    (planted partition Q > single-blob Q = 0). Deterministic: exact
+    unrolled labels asserted, repartitioned input agrees."""
+    import itertools
+
+    from covid_custom_sql_engine_spark.functions.graph import (
+        label_propagation,
+        louvain_one_level,
+        modularity,
+    )
+
+    a = [f"a{i}" for i in range(4)]
+    b = [f"b{i}" for i in range(4)]
+    und = (
+        list(itertools.combinations(a, 2))
+        + list(itertools.combinations(b, 2))
+        + [("a0", "b0"), ("a1", "b1")]
+    )
+    rows = [(x, y) for x, y in und] + [(y, x) for x, y in und]
+    df = spark.createDataFrame(rows, "src string, dst string")
+
+    lou = {r.node: r.label for r in louvain_one_level(df, rounds=3).collect()}
+    lpa = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+    # Louvain: the planted partition, exact unrolled labels
+    assert lou == {**{n: "a2" for n in a}, **{n: "b2" for n in b}}
+    # LPA glued the cliques into one community
+    assert len(set(lpa.values())) == 1
+    assert len(set(lou.values())) == 2
+
+    # modularity grades the two partitions in the same order
+    und_df = spark.createDataFrame(und, "src string, dst string")
+    def part(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in d.items()], "node string, community string"
+        )
+    q_lou = modularity(und_df, part(lou)).collect()[0].modularity
+    q_lpa = modularity(und_df, part(lpa)).collect()[0].modularity
+    assert q_lou > q_lpa
+    assert q_lpa == 0.0  # single community is the chance baseline
+
+    again = {
+        r.node: r.label
+        for r in louvain_one_level(df.repartition(7), rounds=3).collect()
+    }
+    assert again == lou
+
+
+def test_louvain_stay_option_and_isolated_pair(spark):
+    """A disconnected 2-path {p, q} OSCILLATES under synchronous
+    updates (each round the move gain E2·1 − k·k = 8−1 = 7 beats the
+    stay gain 0, so the pair swap labels every round — the same
+    2-cycle property the LPA test pins down): assert the exact
+    unrolled values per round, never convergence. The triangle merges
+    to its min label by round 2 and stays put (its stay gain wins once
+    unified), with no cross-component leakage — candidates come only
+    from edges."""
+    from covid_custom_sql_engine_spark.functions.graph import louvain_one_level
+
+    und = [("p", "q"), ("t1", "t2"), ("t2", "t3"), ("t3", "t1")]
+    rows = [(x, y) for x, y in und] + [(y, x) for x, y in und]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    r2 = {r.node: r.label for r in louvain_one_level(df, rounds=2).collect()}
+    assert (r2["p"], r2["q"]) == ("p", "q")  # swapped and swapped back
+    assert r2["t1"] == r2["t2"] == r2["t3"] == "t1"
+    r3 = {r.node: r.label for r in louvain_one_level(df, rounds=3).collect()}
+    assert (r3["p"], r3["q"]) == ("q", "p")  # the odd-round half-swap
+    assert r3["t1"] == r3["t2"] == r3["t3"] == "t1"  # stay gain holds

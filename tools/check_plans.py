@@ -319,6 +319,10 @@ EXPECT = {
     # per-round labels are eagerly pinned; the final frame IS the
     # last checkpoint leaf — no parquet scan in the plan
     "label_propagation_communities": (2, False, False),
+    # same discipline (eager-pinned labels, checkpoint-leaf final
+    # frame); the 1-row E2 scalar rides a broadcast cross inside the
+    # rounds, behind the pin — not in the final plan
+    "louvain_communities": (2, False, False),
     # customer 3-col scan (QI pair + sensitive band), one hash agg
     "l_diversity_audit": (3, False, False),
     # events 4-col scan; sessionize + truncate on one user_id exchange,
