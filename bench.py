@@ -157,6 +157,9 @@ SCALE_REHEARSAL = [
     # round 11: the uncapped 20k-name record-linkage row (PPJoin on a
     # synthesized high-entropy universe — SF-independent by design)
     "trigram_match_scaled",
+    # round 12: the OPQ rotation audit (runs BOTH quantizers plus the
+    # exact float baseline on the synthesized corpus — audit cost)
+    "opq_topk_recall",
 ]
 
 

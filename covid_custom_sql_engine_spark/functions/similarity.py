@@ -2220,3 +2220,83 @@ def ivfpq_rerank_topk(
         .filter(F.col("_rn") <= k)
         .select(query_id_col, id_col, "cos_sim", F.col("_rn").alias("rank"))
     )
+
+
+def opq_householder_direction(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ONE-ROW frame (`_u` array<double>) carrying the Householder
+    reflector that maps the corpus's (one-power-step) top principal
+    direction onto e₁ — the deterministic single-reflection slice of
+    OPQ's learned rotation (Ge et al. 2013): when the corpus has one
+    dominant correlated component smeared across subspaces, reflecting
+    it onto the first coordinate confines its quantization error to
+    subspace 0 and frees every other subspace's codeword budget for
+    the discriminative residual (audited head-to-head by
+    `opq_topk_recall`). The full OPQ alternation (SVD of the
+    code-covariance) needs a dense dim×dim solve per iteration; one
+    data-derived reflection H = I − 2uuᵀ keeps the rotation APPLICABLE
+    AS AN EXPRESSION — rotating a vector is v − 2u(uᵀv), O(dim) per
+    row with no matrix multiply and no shuffle — and keeps the
+    cross-engine contract exact (the direction comes from
+    :func:`pca_power_step`'s rounded components, so both engines build
+    the identical reflector).
+
+    Shape: one corpus scan (the power step) + two 1-row projections;
+    u = (w − e₁)/‖w − e₁‖, with the ‖·‖² < 1e-12 guard collapsing to
+    the zero reflector (H = I) when the top direction already IS e₁.
+    """
+    w = pca_power_step(embeddings, vec_col=vec_col, dim=dim)
+    # reassemble the (dim, component) rows into an array in dim order —
+    # the pq_codebooks_refined collect_list(struct) reassembly pattern
+    warr = w.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "component"))),
+            lambda t: t["component"],
+        ).alias("_w")
+    )
+    d = warr.select(
+        F.transform(
+            "_w",
+            lambda x, i: x
+            - F.when(i == F.lit(0), F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("_d")
+    )
+    n2 = dot(F.col("_d"), F.col("_d"))
+    return d.select(
+        F.when(n2 < F.lit(1e-12), F.transform("_d", lambda _: F.lit(0.0)))
+        .otherwise(F.transform("_d", lambda x: x / F.sqrt(n2)))
+        .alias("_u")
+    )
+
+
+def opq_rotate(
+    df: DataFrame,
+    u_frame: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Apply the Householder reflection v ← v − 2·(uᵀv)·u from a 1-row
+    `_u` frame (:func:`opq_householder_direction`) to every vector —
+    a pure map-side projection against ONE broadcast row (the
+    `_codebook_frame` shape): uᵀv is hoisted once per row, the update
+    is a zip_with, no shuffle, O(1) plan size in dim. Orthogonal, so
+    norms, dots, and the exact cosine ranking are preserved up to
+    float rounding — only the PQ subspace decomposition sees the
+    difference, which is the point."""
+    v = as_double(vec_col)
+    return (
+        df.crossJoin(F.broadcast(u_frame))
+        .withColumn("_uv", dot(v, F.col("_u")))
+        .select(
+            id_col,
+            F.zip_with(
+                v,
+                F.col("_u"),
+                lambda x, uj: x - F.lit(2.0) * F.col("_uv") * uj,
+            ).alias(out_col),
+        )
+    )

@@ -41,27 +41,38 @@ _PQ_SUB = _PQ_DIM // _PQ_M
 # ivfpq_rerank_recall so the oracles cannot drift. The ADC fragments
 # expect the query rows aliased `q` (with normalized vector `v`) and the
 # wide code row aliased `cw`.
-def _pq_codes_sql(m: int, k: int, sub: int) -> str:
+def _pq_codes_sql(
+    m: int,
+    k: int,
+    sub: int,
+    src: str = "embeddings",
+    vec: str = "embedding::DOUBLE[]",
+    p: str = "",
+) -> str:
+    # src/vec/p parameterize the source table, raw-vector expression and
+    # a CTE-name prefix (so two quantizers can coexist in one oracle —
+    # opq_topk_recall); the DEFAULTS generate byte-identical text to the
+    # round-10 fragment, so the existing PQ oracles do not move.
     code_cols = ",\n             ".join(
         f"max(CASE WHEN s={s} THEN code END) AS c{s}" for s in range(m)
     )
-    return f"""nc AS (SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings),
-    nv AS (SELECT vec_id,
+    return f"""{p}nc AS (SELECT vec_id, {vec} AS vd FROM {src}),
+    {p}nv AS (SELECT vec_id,
              CASE WHEN list_dot_product(vd, vd) = 0
                   THEN list_transform(vd, x -> 0.0::DOUBLE)
                   ELSE list_transform(vd, x -> x / sqrt(list_dot_product(vd, vd))) END AS v
-           FROM nc),
-    cb AS (SELECT s, vec_id AS j, list_slice(v, s*{sub} + 1, (s+1)*{sub}) AS c
-           FROM nv, (SELECT unnest(range(0, {m})) AS s) WHERE vec_id < {k}),
-    enc AS (SELECT nv.vec_id, cb.s, cb.j,
-              -2 * list_dot_product(list_slice(nv.v, cb.s*{sub} + 1, (cb.s+1)*{sub}), cb.c)
-              + list_dot_product(cb.c, cb.c) AS d
-            FROM nv CROSS JOIN cb),
-    codes AS (SELECT vec_id, s, j AS code FROM enc
+           FROM {p}nc),
+    {p}cb AS (SELECT s, vec_id AS j, list_slice(v, s*{sub} + 1, (s+1)*{sub}) AS c
+           FROM {p}nv, (SELECT unnest(range(0, {m})) AS s) WHERE vec_id < {k}),
+    {p}enc AS (SELECT {p}nv.vec_id, {p}cb.s, {p}cb.j,
+              -2 * list_dot_product(list_slice({p}nv.v, {p}cb.s*{sub} + 1, ({p}cb.s+1)*{sub}), {p}cb.c)
+              + list_dot_product({p}cb.c, {p}cb.c) AS d
+            FROM {p}nv CROSS JOIN {p}cb),
+    {p}codes AS (SELECT vec_id, s, j AS code FROM {p}enc
               QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1),
-    cw AS (SELECT vec_id,
+    {p}cw AS (SELECT vec_id,
              {code_cols}
-           FROM codes GROUP BY vec_id)"""
+           FROM {p}codes GROUP BY vec_id)"""
 
 
 def _pq_adc_terms_sql(m: int, sub: int) -> str:
@@ -75,9 +86,10 @@ def _pq_adc_terms_sql(m: int, sub: int) -> str:
     )
 
 
-def _pq_adc_joins_sql(m: int) -> str:
+def _pq_adc_joins_sql(m: int, p: str = "") -> str:
     return "\n            ".join(
-        f"JOIN cb b{s} ON b{s}.s = {s} AND b{s}.j = cw.c{s}" for s in range(m)
+        f"JOIN {p}cb b{s} ON b{s}.s = {s} AND b{s}.j = {p}cw.c{s}"
+        for s in range(m)
     )
 
 
@@ -1809,3 +1821,171 @@ def ann_join_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin=_AJ_MARGIN,
     ).select("id_a", "id_b")
     return dd.near_dup_keep(e, pairs, id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# OPQ: Householder rotation before PQ (round 12)
+# ---------------------------------------------------------------------------
+
+# The OPQ audit runs on a SYNTHESIZED correlated corpus (the
+# dbscan/trigram convention: generated from vec_id arithmetic inside
+# BOTH engines, SF-independent): v_i[j] = s_i + ε_ij with the dominant
+# component s_i = (i % 9) − 4 smeared across ALL coordinates (the
+# worst case for subspace decomposition) and the discriminative noise
+# ε_ij = (((i·31 + j·17) % 7) − 3)·0.1. On this fixture plain seed-PQ
+# recall@5 is 0.56 and the Householder-rotated PQ is 1.00 (numpy
+# prototype, reproduced by the driver row) — the regime OPQ exists for.
+_OPQ_N, _OPQ_DIM, _OPQ_M, _OPQ_K = 512, 8, 4, 16
+_OPQ_SUB = _OPQ_DIM // _OPQ_M
+_OPQ_W0 = repr(1.0 / _OPQ_DIM**0.5)  # pca_power_step's fixed init, verbatim
+
+_SQL_OPQ_SYN = f"""syn AS (
+      SELECT i AS vec_id,
+             list_transform(range(0, {_OPQ_DIM}), j ->
+               CAST((i % 9) - 4 AS DOUBLE)
+               + CAST(((i * 31 + j * 17) % 7) - 3 AS DOUBLE) * 0.1) AS v0
+      FROM range(0, {_OPQ_N}) t(i))"""
+
+# the power step + Householder reflector + rotation, mirroring
+# similarity.pca_power_step / opq_householder_direction / opq_rotate
+# expression-for-expression (decimal folds on the aggregates, round(6)
+# on the direction components, float chains identical elsewhere)
+_SQL_OPQ_ROT = f"""con AS (
+      SELECT j AS dim,
+             v0[j + 1] * list_dot_product(v0,
+               list_transform(range(0, {_OPQ_DIM}), x -> {_OPQ_W0})) AS t
+      FROM syn, range(0, {_OPQ_DIM}) r(j)),
+    pw AS (SELECT dim, {_sql_dsum('t')} AS s FROM con GROUP BY dim),
+    pn AS (SELECT sqrt({_sql_dsum('s * s')}) AS nrm FROM pw),
+    wv AS (SELECT dim, round(CASE WHEN nrm > 0 THEN s / nrm END, 6) AS c
+           FROM pw, pn),
+    wa AS (SELECT list(c ORDER BY dim) AS w FROM wv),
+    hd AS (SELECT list_transform(range(0, {_OPQ_DIM}),
+                    k -> w[k + 1] - CASE WHEN k = 0 THEN 1.0 ELSE 0.0 END) AS d
+           FROM wa),
+    hu AS (SELECT CASE WHEN list_dot_product(d, d) < 1e-12
+                       THEN list_transform(d, x -> 0.0)
+                       ELSE list_transform(d, x -> x / sqrt(list_dot_product(d, d)))
+                  END AS u
+           FROM hd),
+    rsyn AS (SELECT vec_id,
+               list_transform(range(0, {_OPQ_DIM}),
+                 k -> v0[k + 1] - 2.0 * list_dot_product(v0, u) * u[k + 1]) AS v0
+             FROM syn, hu)"""
+
+
+@query(
+    "opq_topk_recall",
+    oracle=f"""
+    WITH {_SQL_OPQ_SYN},
+    {_SQL_OPQ_ROT},
+    {_pq_codes_sql(_OPQ_M, _OPQ_K, _OPQ_SUB, src="syn", vec="v0", p="p")},
+    {_pq_codes_sql(_OPQ_M, _OPQ_K, _OPQ_SUB, src="rsyn", vec="v0", p="r")},
+    pqs AS (SELECT vec_id AS query_id, v FROM pnv WHERE vec_id <= 4),
+    rqs AS (SELECT vec_id AS query_id, v FROM rnv WHERE vec_id <= 4),
+    padc AS (SELECT q.query_id, pcw.vec_id,
+              {_pq_adc_terms_sql(_OPQ_M, _OPQ_SUB)}
+            FROM pqs q CROSS JOIN pcw
+            {_pq_adc_joins_sql(_OPQ_M, p="p")}
+            WHERE pcw.vec_id != q.query_id),
+    radc AS (SELECT q.query_id, rcw.vec_id,
+              {_pq_adc_terms_sql(_OPQ_M, _OPQ_SUB)}
+            FROM rqs q CROSS JOIN rcw
+            {_pq_adc_joins_sql(_OPQ_M, p="r")}
+            WHERE rcw.vec_id != q.query_id),
+    ap_pq AS (SELECT query_id, vec_id FROM padc
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
+    ap_opq AS (SELECT query_id, vec_id FROM radc
+           QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id) <= 5),
+    ex AS (SELECT q.vec_id AS query_id, c.vec_id
+           FROM syn q CROSS JOIN syn c
+           WHERE q.vec_id <= 4 AND c.vec_id != q.vec_id
+           QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v0, c.v0)
+               / (sqrt(list_dot_product(q.v0, q.v0)) * sqrt(list_dot_product(c.v0, c.v0))) DESC,
+             c.vec_id) <= 5),
+    h1 AS (SELECT ex.query_id, count(*) AS n
+           FROM ex JOIN ap_opq ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+           GROUP BY ex.query_id),
+    h2 AS (SELECT ex.query_id, count(*) AS n
+           FROM ex JOIN ap_pq ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+           GROUP BY ex.query_id),
+    per AS (SELECT query_id, count(*) AS k FROM ex GROUP BY query_id)
+    SELECT per.query_id, per.k,
+           CAST(coalesce(h1.n, 0) AS BIGINT) AS n_hits_opq,
+           round(coalesce(h1.n, 0)::DOUBLE / per.k, 6) AS recall_opq,
+           CAST(coalesce(h2.n, 0) AS BIGINT) AS n_hits_pq,
+           round(coalesce(h2.n, 0)::DOUBLE / per.k, 6) AS recall_pq
+    FROM per
+    LEFT JOIN h1 ON per.query_id = h1.query_id
+    LEFT JOIN h2 ON per.query_id = h2.query_id
+    """,
+)
+def opq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ audit — recall@5 of Householder-rotated PQ vs UNROTATED PQ,
+    side by side per query, against the exact float-cosine baseline
+    (rotation-invariant, computed on the raw vectors). The corpus is
+    the synthesized correlated fixture above: one dominant component
+    smeared across every coordinate — exactly what product
+    quantization decomposes WORST (each subspace burns its codeword
+    budget re-encoding the same global component; the low-id seed
+    codewords only cover the seeds' range of it). The learned
+    reflection (similarity.opq_householder_direction: one
+    pca_power_step + the Householder map w → e₁) confines that
+    component to subspace 0 and frees the rest for the discriminative
+    noise: recall_opq = 1.00 vs recall_pq = 0.56 on this fixture. The
+    oracle derives the identical direction (decimal-fold power step,
+    round(6) components), reflector, rotation, seed codebooks, codes,
+    and fixed-order ADC — exact, not statistical (the pq_topk_recall
+    discipline; the shared `_pq_codes_sql` fragments instantiate twice
+    under `p`/`r` prefixes, defaults untouched)."""
+    from covid_custom_sql_engine_spark.registry.corpus_prep import (
+        _recall_vs_exact,
+    )
+
+    i = F.col("id")
+    syn = (
+        spark.range(_OPQ_N)
+        .select(
+            i.alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_OPQ_DIM - 1)),
+                lambda j: ((i % 9) - 4).cast("double")
+                + (((i * 31 + j * 17) % 7) - 3).cast("double") * F.lit(0.1),
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=False)  # power step + rotate + PQ + exact
+    )
+    u = sim.opq_householder_direction(syn, vec_col="embedding", dim=_OPQ_DIM)
+    rot = sim.opq_rotate(syn, u).localCheckpoint(
+        eager=False
+    )  # codebook seeds + encode + query slice
+    qs_raw = syn.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qs_rot = rot.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ap_pq = sim.pq_topk(
+        syn, qs_raw, m=_OPQ_M, k_codes=_OPQ_K, k=5
+    ).select("query_id", "vec_id")
+    ap_opq = sim.pq_topk(
+        rot, qs_rot, m=_OPQ_M, k_codes=_OPQ_K, k=5
+    ).select("query_id", "vec_id")
+    ex = (
+        sim.brute_force_topk(syn, qs_raw, k=5)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)  # two recall scaffolds read it
+    )
+    r_opq = _recall_vs_exact(ex, ap_opq).select(
+        "query_id",
+        "k",
+        F.col("n_hits").alias("n_hits_opq"),
+        F.col("recall").alias("recall_opq"),
+    )
+    r_pq = _recall_vs_exact(ex, ap_pq).select(
+        "query_id",
+        F.col("n_hits").alias("n_hits_pq"),
+        F.col("recall").alias("recall_pq"),
+    )
+    return r_opq.join(r_pq, "query_id")

@@ -211,6 +211,10 @@ EXPECT = {
     # ADC scan = codes crossJoin broadcast 5-row query set (the
     # cosine_topk baseline convention) + the exact-baseline subtree
     "pq_topk_recall": (2, True, True),
+    # synthesized spark.range corpus (no parquet scan at all — the
+    # dbscan convention) + two PQ ADC broadcast crosses + the exact
+    # baseline's broadcast NLJ: intended
+    "opq_topk_recall": (2, False, True),
     # IVF centroid/probe broadcast crosses of tiny sides (the ivf_topk
     # convention) + the PQ ADC scan + the exact-baseline subtree
     "ivfpq_topk_recall": (2, True, True),
