@@ -1051,3 +1051,196 @@ def curation_pipeline_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", F.expr(_QCG_P).alias("_p"))
     )
     return cp.curation_pipeline(scored, q_threshold=0.5, score_col="_p")
+
+
+# ---------------------------------------------------------------------------
+# The learned gate's LEXICAL features, proven (round 12)
+# ---------------------------------------------------------------------------
+
+# The round-11 gate documented that hashed-BOW bucket shares sit at the
+# majority-class ceiling on the uniform-vocabulary synthetic corpus.
+# This query supplies the missing existence proof on a corpus where
+# vocabulary DOES separate quality (the verdict's advice #3): documents
+# are synthesized inside BOTH engines from doc_id arithmetic — two
+# 7-token pools ('g0'..'g6' vs 'z0'..'z6') mixed at ratio (i % 11)/10,
+# planted label y = [i % 11 >= 6], constant length, no punctuation, no
+# stopwords — so the scalar feature block is CONSTANT by construction
+# and its model can only predict the majority class, while the
+# 3-bucket hashed-BOW shares carry the mix ratio. The md5 % 3 bucketing
+# collides good and bad tokens within buckets (the honest hashed-BOW
+# property), so lexical accuracy lands near 0.80, not 1.0.
+_QCL_N, _QCL_T, _QCL_B = 2000, 20, 3
+
+
+def _qcl_train_ctes(p: str, src: str) -> list[str]:
+    """The unrolled IRLS chain of `_qcg_train_sql_ctes`, parameterized
+    by CTE-name prefix and feature source (columns f1/f2/f3/y), so two
+    independently-trained models (lexical vs scalar) coexist in one
+    oracle. Same generated 4×4 adjugate updates, same 12-digit folds."""
+    upds = _qcg_updates()
+    sums = ",\n                    ".join(
+        f"CAST(sum(CAST(({e}) AS DECIMAL(38,12))) AS DOUBLE) AS {k}"
+        for k, e in _QCG_HG.items()
+    )
+    ctes = [f"{p}p0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3)"]
+    for r in range(1, _QCG_STEPS + 1):
+        q = r - 1
+        ctes.append(
+            f"""{p}e{r} AS (SELECT xy.*, wt0 * (1 - wt0) AS wt, wt0 AS pr
+           FROM (SELECT xy.*, {_QCG_P} AS wt0 FROM {src} xy, {p}p{q}) xy),
+    {p}s{r} AS (SELECT max({p}p{q}.b0) AS b0, max({p}p{q}.b1) AS b1,
+                    max({p}p{q}.b2) AS b2, max({p}p{q}.b3) AS b3,
+                    {sums}
+             FROM {p}e{r}, {p}p{q}),
+    {p}p{r} AS (SELECT {upds[0]} AS b0, {upds[1]} AS b1,
+                    {upds[2]} AS b2, {upds[3]} AS b3 FROM {p}s{r})"""
+        )
+    return ctes
+
+
+_QCL_BUCKET = "('0x' || substr(md5(t), 1, 15))::BIGINT % {b_mod}"
+
+
+def _qcl_oracle() -> str:
+    last = f"p{_QCG_STEPS}"
+    bexpr = _QCL_BUCKET.format(b_mod=_QCL_B)
+    shares = ",\n           ".join(
+        f"len(list_filter(toks, t -> {bexpr} = {b})) / {float(_QCL_T)} AS f{b + 1}"
+        for b in range(_QCL_B)
+    )
+    acc = (
+        "CAST(sum(CASE WHEN (CASE WHEN {z} >= 0 THEN 1.0 ELSE 0.0 END) = y"
+        " THEN 1 ELSE 0 END) AS BIGINT)"
+    ).format(z=_QCG_Z)
+    return (
+        f"""WITH syn AS (
+      SELECT i AS doc_id,
+             list_transform(range(0, {_QCL_T}), j ->
+               (CASE WHEN ((i * 7 + j * 13) % 10) < (i % 11)
+                     THEN 'g' ELSE 'z' END)
+               || CAST((i * 3 + j * 5) % 7 AS VARCHAR)) AS toks,
+             CASE WHEN (i % 11) >= 6 THEN 1.0 ELSE 0.0 END AS y
+      FROM range(0, {_QCL_N}) t(i)),
+    lex AS (SELECT y,
+           {shares}
+           FROM syn),
+    txt AS (SELECT y, array_to_string(toks, ' ') AS text FROM syn),
+    {_qcg_sql_feat_ctes("sxf", "txt", id_cols="y")},
+    """
+        + ",\n    ".join(_qcl_train_ctes("l", "lex"))
+        + ",\n    "
+        + ",\n    ".join(_qcl_train_ctes("s", "sxf"))
+        + f""",
+    finl AS (SELECT count(*) AS n, {acc} AS n_right FROM lex, l{last}),
+    fins AS (SELECT {acc} AS n_right FROM sxf, s{last})
+    SELECT CAST(finl.n AS BIGINT) AS n_docs,
+           round(l{last}.b0, 6) AS b0, round(l{last}.b1, 6) AS b1,
+           round(l{last}.b2, 6) AS b2, round(l{last}.b3, 6) AS b3,
+           round(CAST(finl.n_right AS DOUBLE) / finl.n, 6) AS train_acc_lexical,
+           round(CAST(fins.n_right AS DOUBLE) / finl.n, 6) AS train_acc_scalar,
+           round(CAST(finl.n_right AS DOUBLE) / finl.n
+                 - CAST(fins.n_right AS DOUBLE) / finl.n, 6) AS acc_gain
+    FROM finl, fins, l{last}"""
+    )
+
+
+def _qcl_corpus(spark: SparkSession) -> DataFrame:
+    """The two-pool synthesized corpus: (doc_id, toks, y) from doc_id
+    arithmetic (the dbscan/trigram synthesized-universe convention)."""
+    i = F.col("id")
+    tok = lambda j: F.concat(  # noqa: E731
+        F.when(((i * 7 + j * 13) % 10) < (i % 11), F.lit("g")).otherwise(
+            F.lit("z")
+        ),
+        ((i * 3 + j * 5) % 7).cast("string"),
+    )
+    return spark.range(_QCL_N).select(
+        i.alias("doc_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(_QCL_T - 1)), tok).alias(
+            "toks"
+        ),
+        F.when((i % 11) >= 6, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+def _qcl_bucket_share(b: int) -> F.Column:
+    """Hashed-BOW share of bucket ``b``: the fraction of the doc's
+    tokens whose md5 % B lands in the bucket — one HOF filter per
+    bucket, map-side, no explode/shuffle (the split-hash md5 parity
+    pattern, analytics.dataset_split)."""
+    return (
+        F.size(
+            F.filter(
+                "toks",
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                    "bigint"
+                )
+                % _QCL_B
+                == b,
+            )
+        )
+        / F.lit(float(_QCL_T))
+    )
+
+
+@query("quality_classifier_lexical", oracle=_qcl_oracle())
+def quality_classifier_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned gate's LEXICAL feature block, proven: on a corpus
+    whose vocabulary separates quality (two token pools mixed by a
+    deterministic doc_id ratio; scalar statistics constant by
+    construction), the SAME 4×4 IRLS machinery as
+    `quality_classifier_gate` trains (1) on 3 hashed-BOW bucket shares
+    (md5 % 3 — real collisions included) and (2) on the gate's scalar
+    statistics, side by side. Lexical train_acc ≈ 0.80 with bucket
+    weights ~±20; scalar train_acc = the 0.546 majority ceiling —
+    acc_gain ≈ +0.25 is the existence proof the round-11 verdict asked
+    for (glm_survival.py's documented majority-ceiling finding is the
+    control). Scale shape unchanged: the shares are per-row HOF
+    filters (no shuffle), then ONE combinable 14-term aggregate per
+    Newton step + a 1-row solve, per model."""
+    syn = _qcl_corpus(spark).localCheckpoint(
+        eager=False
+    )  # lexical features + text reconstruction + two scoring passes
+    lex = syn.select(
+        "y",
+        *[_qcl_bucket_share(b).alias(f"f{b + 1}") for b in range(_QCL_B)],
+    ).localCheckpoint(eager=False)  # 3 Newton steps + scoring
+    txt = syn.select("y", F.array_join("toks", " ").alias("text"))
+    sxf = (
+        _qcg_features(txt.select("text", F.col("y").alias("_y")))
+        .select(
+            F.col("_y").alias("y"), "f1", "f2", "f3"
+        )  # planted label, not the heuristic one
+        .localCheckpoint(eager=False)
+    )
+    b_lex = _qcg_train(spark, lex)
+    b_scl = _qcg_train(spark, sxf)
+    right = F.sum(
+        F.when(
+            F.when(F.expr(_QCG_Z) >= 0, 1.0).otherwise(0.0) == F.col("y"), 1
+        ).otherwise(0)
+    ).cast("bigint")
+    finl = lex.crossJoin(F.broadcast(b_lex)).agg(
+        F.count(F.lit(1)).alias("n"),
+        right.alias("n_right"),
+        *[F.max(f"b{i}").alias(f"b{i}") for i in range(4)],
+    )
+    fins = sxf.crossJoin(F.broadcast(b_scl)).agg(right.alias("s_right"))
+    return (
+        finl.crossJoin(F.broadcast(fins))
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            *[F.round(F.col(f"b{i}"), 6).alias(f"b{i}") for i in range(4)],
+            F.round(F.col("n_right").cast("double") / F.col("n"), 6).alias(
+                "train_acc_lexical"
+            ),
+            F.round(F.col("s_right").cast("double") / F.col("n"), 6).alias(
+                "train_acc_scalar"
+            ),
+            F.round(
+                F.col("n_right").cast("double") / F.col("n")
+                - F.col("s_right").cast("double") / F.col("n"),
+                6,
+            ).alias("acc_gain"),
+        )
+    )

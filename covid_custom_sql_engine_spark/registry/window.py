@@ -21,6 +21,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # (uncommented one-by-one as each round-12 query lands)
     "louvain_communities",
     "opq_topk_recall",
+    "quality_classifier_lexical",
     # --- the r5-stale refresh: ALL 32 remaining rows whose official
     # record dates to round 5 (age 7 = the new hard staleness ceiling in
     # tools/check_window_debt.py — every one of these would fail the

@@ -958,3 +958,55 @@ def test_pii_incidence_matches_pure_python(spark):
             a["n"], a["de"], a["dp"], a["di"], a["ne"], a["np"], a["ni"]
         ), src
         assert g["pii_doc_rate"] == pytest.approx(a["any"] / a["n"], abs=1e-6)
+
+
+def test_quality_classifier_lexical_buckets_beat_scalars(spark):
+    """The round-12 lexical proof: numpy IRLS twin from the same
+    synthesized two-pool corpus reproduces the bucket coefficients;
+    the bucket weights are provably nonzero (the advice-#3 done
+    condition); lexical train_acc clears the scalar model's
+    majority-class ceiling by a wide margin."""
+    import hashlib
+
+    row = QUERIES["quality_classifier_lexical"](spark, SF).collect()[0]
+
+    N, T, B = 2000, 20, 3
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+
+    X, Y = [], []
+    for i in range(N):
+        r = i % 11
+        Y.append(1.0 if r >= 6 else 0.0)
+        counts = [0] * B
+        for j in range(T):
+            pool = "g" if ((i * 7 + j * 13) % 10) < r else "z"
+            counts[bucket(f"{pool}{(i * 3 + j * 5) % 7}")] += 1
+        X.append([c / T for c in counts])
+    X3, y = np.array(X), np.array(Y)
+    X = np.hstack([np.ones((N, 1)), X3])
+    b = np.zeros(4)
+    for _ in range(3):
+        z = X @ b
+        p = 1 / (1 + np.exp(-z))
+        w = p * (1 - p)
+        H = (X * w[:, None]).T @ X + 0.1 * np.eye(4)
+        b = b + np.linalg.solve(H, X.T @ (y - p))
+    z = X @ b
+    assert row["n_docs"] == N
+    for i in range(4):
+        assert row[f"b{i}"] == pytest.approx(b[i], abs=2e-4), i
+    assert row["train_acc_lexical"] == pytest.approx(
+        ((z >= 0).astype(float) == y).mean(), abs=1e-6
+    )
+    # bucket weights provably nonzero — the features carry the signal
+    assert min(abs(row["b1"]), abs(row["b2"]), abs(row["b3"])) > 0.3
+    # the scalar model is pinned at the majority ceiling by construction
+    maj = max(y.mean(), 1 - y.mean())
+    assert row["train_acc_scalar"] == pytest.approx(maj, abs=1e-6)
+    # and the lexical model beats it decisively
+    assert row["train_acc_lexical"] > row["train_acc_scalar"] + 0.2
+    assert row["acc_gain"] == pytest.approx(
+        row["train_acc_lexical"] - row["train_acc_scalar"], abs=1e-6
+    )

@@ -497,6 +497,10 @@ EXPECT = {
     # checkpoint-leaf feature frame (the logistic_newton shape):
     # intended
     "quality_classifier_gate": (1, False, True),
+    # synthesized spark.range corpus (no parquet scan); two IRLS chains
+    # of 1-row broadcast crosses + the final 1-row readout cross:
+    # intended
+    "quality_classifier_lexical": (1, False, True),
     # checkpoint-leaf daily spine; 28 broadcast 1-row recurrence
     # crosses (the unrolled Holt-Winters state chain): intended. r12:
     # the 1-row min/max frame is now pinned too (ADVICE — three
