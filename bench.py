@@ -137,6 +137,9 @@ HEADLINE = [
     # ascent — the label_propagation shuffle profile plus one Σ_tot
     # aggregate per round)
     "louvain_communities",
+    # round 12: the compressed-video decode path (AVI walk + per-frame
+    # JFIF entropy decode in the Arrow-batched Python stage)
+    "mjpeg_stats_real",
 ]
 
 # Scale-rehearsal suite (round 7 split, the r6 verdict's hygiene item):

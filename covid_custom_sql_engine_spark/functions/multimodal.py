@@ -756,3 +756,265 @@ def documents_as_media(df: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI: real compressed video (round 12)
+# ---------------------------------------------------------------------------
+# Composes the two decoders that already exist — the RIFF chunk walker
+# (decode_wav_pcm's format family) and the baseline JPEG decoder
+# (functions/jpeg_codec) — into a REAL compressed-video path: AVI is a
+# RIFF container whose 'movi' LIST carries one complete JFIF JPEG per
+# '00dc' chunk (the Motion-JPEG layout cameras and capture cards
+# actually emit). Zero new dependencies; inter-frame codecs (H.264,
+# VP9) remain the documented ffmpeg integration point — MJPEG is the
+# honest last rung reachable with intra-frame machinery.
+
+
+def _avi_chunk(fourcc: bytes, body: bytes) -> bytes:
+    """One RIFF chunk with the trailing pad byte RIFF requires after
+    odd-sized bodies (the pad is not counted in the size field)."""
+    import struct
+
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _avi_list(list_type: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", list_type + body)
+
+
+def encode_mjpeg_avi(
+    jpeg_frames: list[bytes], w: int, h: int, rate: int = 4, scale: int = 1
+) -> bytes:
+    """Assemble complete JFIF payloads into a REAL RIFF/AVI MJPEG file:
+    LIST hdrl (avih main header + LIST strl with a 'vids'/'MJPG' strh
+    and a BITMAPINFOHEADER strf), LIST movi with one '00dc' chunk per
+    frame, and a standard idx1 index. fps = rate/scale."""
+    import struct
+
+    n = len(jpeg_frames)
+    usec = 1_000_000 * scale // rate
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec,  # dwMicroSecPerFrame
+        max_bytes * rate // max(scale, 1),  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_bytes,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids",
+        b"MJPG",
+        0,  # dwFlags
+        0,  # wPriority
+        0,  # wLanguage
+        0,  # dwInitialFrames
+        scale,  # dwScale
+        rate,  # dwRate
+        0,  # dwStart
+        n,  # dwLength (frames)
+        max_bytes,  # dwSuggestedBufferSize
+        0xFFFFFFFF,  # dwQuality (default)
+        0,  # dwSampleSize (0: one sample per chunk)
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        w,
+        h,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        w * h * 3,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(
+            b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)
+        ),
+    )
+    movi_chunks, idx, off = [], [], 4  # offsets relative to 'movi' fourcc
+    for f in jpeg_frames:
+        ck = _avi_chunk(b"00dc", f)
+        movi_chunks.append(ck)
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += len(ck)
+    movi = _avi_list(b"movi", b"".join(movi_chunks))
+    idx1 = _avi_chunk(b"idx1", b"".join(idx))
+    return _avi_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _riff_subchunks(payload: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) walking a RIFF chunk run,
+    honoring the even-byte chunk alignment rule."""
+    import struct
+
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(
+                f"truncated RIFF chunk {fourcc!r}: {size} bytes declared, "
+                f"{end - body} available"
+            )
+        yield fourcc, body, size
+        pos = body + size + (size % 2)
+
+
+def decode_mjpeg_avi(payload: bytes) -> tuple["np.ndarray", int]:
+    """REAL decoder for MJPEG-in-AVI: verifies the RIFF/'AVI ' frame,
+    walks LIST hdrl for the main header (µs/frame, frame count, w, h),
+    walks LIST movi decoding every video chunk ('##dc'/'##db') with the
+    pure-numpy baseline JPEG decoder, validates each frame against the
+    declared geometry and the count against dwTotalFrames. Returns
+    (frames as (n, h, w, 3) RGB uint8, µs_per_frame). Non-MJPEG
+    streams, missing headers, truncated chunks and geometry mismatches
+    raise — same contract as decode_y4m."""
+    import struct
+
+    from covid_custom_sql_engine_spark.functions.jpeg_codec import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(8 + riff_size, len(payload))
+    usec = total = w = h = None
+    frames: list[np.ndarray] = []
+    for fourcc, body, size in _riff_subchunks(payload, 12, end):
+        if fourcc != b"LIST":
+            continue
+        list_type = payload[body : body + 4]
+        if list_type == b"hdrl":
+            for cc2, b2, s2 in _riff_subchunks(payload, body + 4, body + size):
+                if cc2 == b"avih":
+                    if s2 < 40:
+                        raise ValueError("avih header too short")
+                    vals = struct.unpack_from("<10I", payload, b2)
+                    usec, total, w, h = vals[0], vals[4], vals[8], vals[9]
+        elif list_type == b"movi":
+            for cc2, b2, s2 in _riff_subchunks(payload, body + 4, body + size):
+                if cc2[2:4] in (b"dc", b"db"):
+                    frames.append(decode_jpeg(payload[b2 : b2 + s2]))
+    if usec is None:
+        raise ValueError("AVI stream has no avih main header")
+    if not frames:
+        raise ValueError("AVI movi list has no video chunks")
+    if total not in (0, len(frames)):
+        raise ValueError(
+            f"avih declares {total} frames, movi carries {len(frames)}"
+        )
+    for t, f in enumerate(frames):
+        if f.shape[0] != h or f.shape[1] != w:
+            raise ValueError(
+                f"frame {t} is {f.shape[1]}x{f.shape[0]}, header says {w}x{h}"
+            )
+    return np.stack(frames), usec
+
+
+def synth_mjpeg_avi_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    w: int = 16,
+    h: int = 8,
+    n_frames: int = 6,
+) -> DataFrame:
+    """Deterministic MJPEG-AVI payload per id: frame t is the
+    constant-color RGB image (r, g, b) = ((id·7 + 97·(t//3)) mod 256,
+    (id·11 + 97·(t//3)) mod 256, (id·13 + 97·(t//3)) mod 256) — the
+    synth_jpeg_media constants with the y4m two-scene +97 shift at
+    frame 3 — each encoded as a real baseline JFIF (all-8 quant
+    tables, so the constant-block round-trip stays closed-form), then
+    boxed into the RIFF/AVI MJPEG container at 4 fps. The decode side
+    runs the genuine entropy decoder per frame; nothing knows the
+    frames are constant."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions.jpeg_codec import encode_jpeg
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q8 = np.full((8, 8), 8, np.int32)
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                i = int(mid)
+                jpegs = []
+                for t in range(n_frames):
+                    shift = 97 * (t // 3)
+                    img = np.empty((h, w, 3), np.uint8)
+                    img[..., 0] = (i * 7 + shift) % 256
+                    img[..., 1] = (i * 11 + shift) % 256
+                    img[..., 2] = (i * 13 + shift) % 256
+                    jpegs.append(
+                        encode_jpeg(img, luma_quant=q8, chroma_quant=q8)
+                    )
+                rows.append(
+                    {
+                        "media_id": i,
+                        "payload": encode_mjpeg_avi(jpegs, w, h, rate=4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(_enc, "media_id long, payload binary")
+
+
+MJPEG_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, mean_r double, "
+    "mean_g double, mean_b double, frame_diff double"
+)
+
+
+def mjpeg_frame_features(df: DataFrame) -> DataFrame:
+    """Per-frame features from MJPEG-AVI payloads via mapInPandas:
+    decode the container + every JFIF frame, emit one row per frame
+    with per-channel RGB means, the timestamp from the container's
+    µs/frame, and the mean-absolute-difference shot-boundary signal
+    (0.0 for frame 0) — video_frame_features' RGB sibling for the
+    compressed path. State per document is one frame pair, never the
+    whole video; only (media_id, payload) crosses into Python."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, usec = decode_mjpeg_avi(bytes(payload))
+                n, fh, fw, _ = frames.shape
+                px = fh * fw
+                prev = None
+                for t in range(n):
+                    f = frames[t].astype(np.int64)
+                    diff = (
+                        0.0
+                        if prev is None
+                        else float(np.abs(f - prev).sum() / (3 * px))
+                    )
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": t,
+                            "ts_ms": t * usec // 1000,
+                            "mean_r": float(f[:, :, 0].sum() / px),
+                            "mean_g": float(f[:, :, 1].sum() / px),
+                            "mean_b": float(f[:, :, 2].sum() / px),
+                            "frame_diff": diff,
+                        }
+                    )
+                    prev = f
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(
+        _extract, schema=MJPEG_FRAME_SCHEMA
+    )

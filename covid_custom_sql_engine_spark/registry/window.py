@@ -18,7 +18,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # --- NEW in round 12 (never driver-checked — the standing rule:
     # never-checked beats stale) slot here as they land, displacing the
     # tail of the r6 refresh slice below ---
-    # (uncommented one-by-one as each round-12 query lands)
+    "mjpeg_stats_real",
     "louvain_communities",
     "opq_topk_recall",
     "quality_classifier_lexical",

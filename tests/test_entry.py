@@ -35,7 +35,7 @@ def test_driver_window_priority_ordering():
     # enforces) + the oldest r6-era refresh rows
     assert {
         # new in round 12, never driver-checked
-        # (uncommented one-by-one as each round-12 query lands)
+        "mjpeg_stats_real",
         "louvain_communities", "opq_topk_recall",
         "quality_classifier_lexical",
         # the r5-era staleness-ceiling rows (spot sample; all 32 are in

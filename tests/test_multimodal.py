@@ -533,3 +533,104 @@ def test_short_wav_null_spectrum(spark):
     df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
     r = mm.audio_spectrum_features(df).collect()[0]
     assert (r.n_samples, r.dominant_bin, r.dominant_hz) == (1, 0, 0.0)
+
+
+def _mk_avi(ids=(5,), n_frames=6, w=16, h=8):
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions.jpeg_codec import encode_jpeg
+
+    q8 = np.full((8, 8), 8, np.int32)
+    out = {}
+    for i in ids:
+        jpegs = []
+        for t in range(n_frames):
+            s = 97 * (t // 3)
+            img = np.empty((h, w, 3), np.uint8)
+            img[..., 0] = (i * 7 + s) % 256
+            img[..., 1] = (i * 11 + s) % 256
+            img[..., 2] = (i * 13 + s) % 256
+            jpegs.append(encode_jpeg(img, luma_quant=q8, chroma_quant=q8))
+        out[i] = (jpegs, mm.encode_mjpeg_avi(jpegs, w, h, rate=4))
+    return out
+
+
+def test_mjpeg_avi_roundtrip_and_pad_bytes():
+    """Container round-trip: every decoded frame equals the JPEG-alone
+    decode of its chunk (byte-for-byte through the same entropy
+    decoder), timing comes from avih, and odd-length JPEG chunks are
+    pad-aligned per the RIFF rule (the synth set contains both
+    parities, asserted so the pad path can't silently stop being
+    exercised)."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions.jpeg_codec import decode_jpeg
+
+    jpegs, avi = _mk_avi()[5]
+    assert {len(j) % 2 for j in jpegs} == {0, 1}  # both parities present
+    frames, usec = mm.decode_mjpeg_avi(avi)
+    assert frames.shape == (6, 8, 16, 3)
+    assert usec == 250_000
+    for t, j in enumerate(jpegs):
+        assert np.array_equal(frames[t], decode_jpeg(j)), t
+    # two scenes: frames 0-2 identical, 3-5 identical, 2->3 differs
+    assert np.array_equal(frames[0], frames[2])
+    assert np.array_equal(frames[3], frames[5])
+    assert not np.array_equal(frames[2], frames[3])
+
+
+def test_mjpeg_avi_rejects_malformed():
+    """Structural contract: bad magic, truncated chunks, missing avih,
+    frame-count and geometry mismatches all raise with a reason."""
+    import struct
+
+    jpegs, avi = _mk_avi()[5]
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        mm.decode_mjpeg_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated RIFF chunk"):
+        mm.decode_mjpeg_avi(avi[:100] )
+    # count mismatch: avih says 6 frames, movi carries 3
+    half = mm.encode_mjpeg_avi(jpegs[:3], 16, 8, rate=4)
+    tampered = bytearray(half)
+    # dwTotalFrames lives 16 bytes into the avih body; find it and bump
+    pos = bytes(tampered).index(b"avih") + 8
+    struct.pack_into("<I", tampered, pos + 16, 6)
+    with pytest.raises(ValueError, match="declares 6 frames"):
+        mm.decode_mjpeg_avi(bytes(tampered))
+    # geometry mismatch: header says 32x8, frames are 16x8
+    wrong = mm.encode_mjpeg_avi(jpegs, 32, 8, rate=4)
+    with pytest.raises(ValueError, match="header says 32x8"):
+        mm.decode_mjpeg_avi(wrong)
+    # no avih at all
+    with pytest.raises(ValueError, match="no avih"):
+        mm.decode_mjpeg_avi(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_mjpeg_frame_features_and_scene_cut(spark):
+    """The mapInPandas reducer: one row per frame, constant-frame RGB
+    means equal the decoded constants, frame_diff is 0 within a scene
+    and jumps only at the 2->3 scene cut, timestamps follow 4 fps."""
+    import numpy as np
+
+    ids = spark.createDataFrame([(3,), (11,)], "doc_id long")
+    rows = (
+        mm.mjpeg_frame_features(mm.synth_mjpeg_avi_media(ids))
+        .orderBy("media_id", "frame_idx")
+        .collect()
+    )
+    assert len(rows) == 12
+    for i in (3, 11):
+        sub = [r for r in rows if r.media_id == i]
+        assert [r.frame_idx for r in sub] == list(range(6))
+        assert [r.ts_ms for r in sub] == [0, 250, 500, 750, 1000, 1250]
+        frames, _ = mm.decode_mjpeg_avi(
+            bytes(_mk_avi(ids=(i,))[i][1])
+        )
+        for t, r in enumerate(sub):
+            assert r.mean_r == float(frames[t][..., 0].mean())
+            assert r.mean_g == float(frames[t][..., 1].mean())
+            assert r.mean_b == float(frames[t][..., 2].mean())
+        diffs = [r.frame_diff for r in sub]
+        assert diffs[0] == 0.0 and diffs[1] == 0.0 and diffs[2] == 0.0
+        assert diffs[3] > 48.0  # the cut
+        assert diffs[4] == 0.0 and diffs[5] == 0.0

@@ -327,6 +327,9 @@ EXPECT = {
     # frame); the 1-row E2 scalar rides a broadcast cross inside the
     # rounds, behind the pin — not in the final plan
     "louvain_communities": (2, False, False),
+    # mapInPandas codec fan-out over the documents id scan (the
+    # video_stats_real shape); Python stage is the decode, by design
+    "mjpeg_stats_real": (1, False, False),
     # customer 3-col scan (QI pair + sensitive band), one hash agg
     "l_diversity_audit": (3, False, False),
     # events 4-col scan; sessionize + truncate on one user_id exchange,
