@@ -23,7 +23,11 @@ from covid_custom_sql_engine_spark.registry import bm25_spans as _bm25_spans  # 
 from covid_custom_sql_engine_spark.registry import layout_quality as _layout_quality  # noqa: F401
 from covid_custom_sql_engine_spark.registry import sketches as _sketches  # noqa: F401
 from covid_custom_sql_engine_spark.registry import ann_pq as _ann_pq  # noqa: F401
-from covid_custom_sql_engine_spark.registry import analytics as _analytics  # noqa: F401
+from covid_custom_sql_engine_spark.registry import profile_stats as _profile_stats  # noqa: F401
+from covid_custom_sql_engine_spark.registry import media_codecs as _media_codecs  # noqa: F401
+from covid_custom_sql_engine_spark.registry import corpus_graph_mining as _corpus_graph_mining  # noqa: F401
+from covid_custom_sql_engine_spark.registry import attribution_drift as _attribution_drift  # noqa: F401
+from covid_custom_sql_engine_spark.registry import stats_experiments as _stats_experiments  # noqa: F401
 from covid_custom_sql_engine_spark.registry import epi as _epi  # noqa: F401
 from covid_custom_sql_engine_spark.registry import rank_inference as _rank_inference  # noqa: F401
 from covid_custom_sql_engine_spark.registry import timeseries_stats as _timeseries_stats  # noqa: F401

@@ -230,7 +230,7 @@ def test_shapley_attribution_unanimity_decomposition(spark, tmp_path):
     view = 0.5, others 0; post-purchase touches never earn credit."""
     import datetime as dt
 
-    from covid_custom_sql_engine_spark.registry import analytics as an
+    from covid_custom_sql_engine_spark.registry import attribution_drift as an
 
     t0 = dt.datetime(2024, 1, 1)
 
@@ -277,7 +277,7 @@ def test_t_closeness_exact_tv_distance(spark, tmp_path):
         "c_custkey bigint, c_nationkey int, c_mktsegment string, c_acctbal double",
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
-    from covid_custom_sql_engine_spark.registry import analytics as an
+    from covid_custom_sql_engine_spark.registry import attribution_drift as an
 
     out = an.t_closeness_audit(spark, str(tmp_path)).collect()[0]
     assert out.n_groups == 2
@@ -313,7 +313,7 @@ def test_wilson_and_ztest_hand_formula(spark, tmp_path):
         "event_type string, value double, props string",
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
-    from covid_custom_sql_engine_spark.registry import analytics as an
+    from covid_custom_sql_engine_spark.registry import attribution_drift as an
 
     w = {r.arm: r for r in an.ab_wilson_bounds(spark, str(tmp_path)).collect()}
     assert (w[0].n_users, w[0].n_converted) == (3, 2)
@@ -352,7 +352,7 @@ def test_theil_sen_ignores_outlier_where_ols_moves(spark, tmp_path):
         rows, "o_orderkey bigint, o_orderdate date, o_totalprice double"
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
-    from covid_custom_sql_engine_spark.registry import analytics as an
+    from covid_custom_sql_engine_spark.registry import attribution_drift as an
 
     out = an.theil_sen_trend(spark, str(tmp_path)).collect()[0]
     assert out.n_days == 31
