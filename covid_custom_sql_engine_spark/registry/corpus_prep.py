@@ -813,3 +813,140 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling weights (round 12)
+# ---------------------------------------------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al. 2023): score a
+# RAW corpus against a small TARGET-domain sample with hashed-n-gram
+# bag-of-words importance weights — the standard "make the pretraining
+# mix look like the domain" selection pass. Per hashed bigram bucket b,
+# λ_b = ln(p̂_target(b)) − ln(p̂_raw(b)) (0.5-Laplace smoothed); a
+# document's weight is its mean bucket log-likelihood ratio. Runs on
+# the vocabulary-separated two-pool corpus that also powers
+# quality_classifier_lexical (same doc_id-arithmetic formula — the
+# only registry fixture whose lexical statistics carry signal), with
+# the pure-good mix (i % 11 == 10) as the target sample, so the
+# planted mix ratio gives a closed-form monotonicity ground truth.
+_DSIR_B = 16  # hashed bigram buckets
+_DSIR_N, _DSIR_T = 2000, 20  # the quality_classifier_lexical corpus
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH syn AS (
+      SELECT i AS doc_id, i % 11 AS mix,
+             list_transform(range(0, {_DSIR_T}), j ->
+               (CASE WHEN ((i * 7 + j * 13) % 10) < (i % 11)
+                     THEN 'g' ELSE 'z' END)
+               || CAST((i * 3 + j * 5) % 7 AS VARCHAR)) AS toks
+      FROM range(0, {_DSIR_N}) t(i)),
+    bg AS (SELECT doc_id, mix,
+                  ('0x' || substr(md5(toks[j + 1] || ' ' || toks[j + 2]), 1, 15))::BIGINT
+                    % {_DSIR_B} AS b
+           FROM syn, range(0, {_DSIR_T - 1}) r(j)),
+    tc AS (SELECT b, count(*) AS t FROM bg WHERE mix = 10 GROUP BY b),
+    rc AS (SELECT b, count(*) AS r FROM bg GROUP BY b),
+    sp AS (SELECT unnest(range(0, {_DSIR_B})) AS b),
+    lam0 AS (SELECT sp.b,
+                    coalesce(tc.t, 0) + 0.5 AS ts,
+                    coalesce(rc.r, 0) + 0.5 AS rs
+             FROM sp LEFT JOIN tc ON tc.b = sp.b LEFT JOIN rc ON rc.b = sp.b),
+    tot AS (SELECT {_sql_dsum('ts')} AS st, {_sql_dsum('rs')} AS sr FROM lam0),
+    lam AS (SELECT b, ln(ts / st) - ln(rs / sr) AS lam FROM lam0, tot),
+    ds AS (SELECT bg.doc_id, bg.mix,
+                  {_sql_dsum('lam.lam')} / count(*) AS w
+           FROM bg JOIN lam ON lam.b = bg.b
+           GROUP BY bg.doc_id, bg.mix)
+    SELECT CAST(mix AS BIGINT) AS mix_ratio,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round({_sql_dsum('w')} / count(*), 6) AS avg_weight
+    FROM ds GROUP BY mix
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023), the curation stage
+    between quality filtering and mixture resampling: hashed-bigram
+    bag-of-words log-likelihood ratios of a target-domain sample (the
+    pure-good mix) against the raw corpus, averaged per document, then
+    read out per planted mix ratio — avg_weight must increase with the
+    ratio, the closed-form ground truth the pytest asserts (plus a
+    numpy twin). Scale shape: the bucket table is O(B) (two hash
+    aggregates over the exploded bigrams with map-side combine), λ
+    rides a B-row broadcast join onto the bigram stream, and per-doc
+    weights are one decimal-fold hash aggregate — one corpus scan
+    end-to-end, no all-pairs, no vocabulary table (the hash IS the
+    vocabulary, the point of DSIR at 100 TB). Resampling the weighted
+    corpus is the existing `mixture_resample` / top-k machinery
+    downstream."""
+    from covid_custom_sql_engine_spark.registry.glm_survival import (
+        _qcl_corpus,  # body-level import: keeps registry import order
+    )
+
+    syn = (
+        _qcl_corpus(spark)
+        .select("doc_id", (F.col("doc_id") % 11).alias("mix"), "toks")
+        .localCheckpoint(eager=False)  # bigrams read twice (tc + scoring)
+    )
+    bucket = (
+        lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+        % _DSIR_B
+    )
+    bg = (
+        syn.select(
+            "doc_id",
+            "mix",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_DSIR_T - 2)),
+                    lambda j: bucket(
+                        F.concat(
+                            F.element_at("toks", j + 1),
+                            F.lit(" "),
+                            F.element_at("toks", j + 2),
+                        )
+                    ),
+                )
+            ).alias("_j", "b"),
+        )
+        .select("doc_id", "mix", "b")
+        .localCheckpoint(eager=False)  # target counts + raw counts + scoring
+    )
+    tc = bg.filter(F.col("mix") == 10).groupBy("b").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    rc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    sp = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    lam0 = (
+        sp.join(tc, "b", "left")
+        .join(rc, "b", "left")
+        .select(
+            "b",
+            (F.coalesce("t", F.lit(0)) + 0.5).alias("ts"),
+            (F.coalesce("r", F.lit(0)) + 0.5).alias("rs"),
+        )
+        .localCheckpoint(eager=False)  # totals + λ
+    )
+    tot = F.broadcast(
+        lam0.agg(ops.dsum(F.col("ts")).alias("st"), ops.dsum(F.col("rs")).alias("sr"))
+    )
+    lam = lam0.crossJoin(tot).select(
+        "b",
+        (
+            F.log(F.col("ts") / F.col("st")) - F.log(F.col("rs") / F.col("sr"))
+        ).alias("lam"),
+    )
+    ds = (
+        bg.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "mix")
+        .agg((ops.dsum(F.col("lam")) / F.count(F.lit(1))).alias("w"))
+    )
+    return ds.groupBy("mix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(ops.dsum(F.col("w")) / F.count(F.lit(1)), 6).alias(
+            "avg_weight"
+        ),
+    ).select(F.col("mix").cast("bigint").alias("mix_ratio"), "n_docs", "avg_weight")

@@ -22,6 +22,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "louvain_communities",
     "opq_topk_recall",
     "quality_classifier_lexical",
+    "dsir_importance_weights",
     # --- the r5-stale refresh: ALL 32 remaining rows whose official
     # record dates to round 5 (age 7 = the new hard staleness ceiling in
     # tools/check_window_debt.py — every one of these would fail the
@@ -58,8 +59,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "user_entropy_histogram",
     "vocab_stats",
     "zipf_slope",
-    # --- the r6-stale refresh, the first 13 of the 43 age-6 rows
-    # (alphabetical; the remaining 30 lead the round-13 refresh) ---
+    # --- the r6-stale refresh, the oldest age-6 rows (alphabetical;
+    # the tail spills past slot 50 as round-12 queries land — spilled
+    # rows stay age-6, under the ceiling, and lead the r13 refresh) ---
     "anti_join",
     "asof_join",
     "asof_join_forward_tol",

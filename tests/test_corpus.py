@@ -431,3 +431,63 @@ def test_bpe_apply_greedy_overlap(spark):
     assert rows[0].m == ["b_b", "b_b"]
     assert rows[1].m == ["b_b", "b"]
     assert rows[2].m == ["x", "b_b"]
+
+
+def test_dsir_weights_monotone_and_numpy_twin(spark):
+    """DSIR importance weights: numpy twin (hashed bigram buckets,
+    0.5-smoothed log-ratios, per-doc means) reproduces every per-mix
+    average to 1e-6; weights rise strictly with the planted good-token
+    ratio wherever good tokens exist (mix >= 3), the target mix scores
+    highest, and the quality classes separate cleanly."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
+    import __spark_entry__ as entrymod
+
+    rows = {
+        int(r.mix_ratio): (int(r.n_docs), float(r.avg_weight))
+        for r in entrymod.queries()["dsir_importance_weights"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    N, T, B = 2000, 20, 16
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % B
+
+    docs = []
+    for i in range(N):
+        r = i % 11
+        toks = [
+            ("g" if ((i * 7 + j * 13) % 10) < r else "z")
+            + str((i * 3 + j * 5) % 7)
+            for j in range(T)
+        ]
+        bs = [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        docs.append((r, bs))
+    tc = np.zeros(B)
+    rc = np.zeros(B)
+    for r, bs in docs:
+        for b in bs:
+            rc[b] += 1
+            if r == 10:
+                tc[b] += 1
+    ts, rs = tc + 0.5, rc + 0.5
+    lam = np.log(ts / ts.sum()) - np.log(rs / rs.sum())
+    per_mix = {}
+    for r, bs in docs:
+        per_mix.setdefault(r, []).append(np.mean([lam[b] for b in bs]))
+    assert set(rows) == set(range(11))
+    for r in range(11):
+        n, w = rows[r]
+        assert n == len(per_mix[r])
+        assert w == pytest.approx(np.mean(per_mix[r]), abs=1e-6), r
+    ws = [rows[r][1] for r in range(11)]
+    # strictly increasing wherever good tokens actually appear
+    for r in range(3, 10):
+        assert ws[r + 1] > ws[r], r
+    assert max(ws) == ws[10]  # the target domain scores highest
+    # the planted quality classes separate by a wide margin
+    assert min(ws[6:]) > max(ws[:4]) + 1.0

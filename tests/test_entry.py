@@ -37,7 +37,7 @@ def test_driver_window_priority_ordering():
         # new in round 12, never driver-checked
         "mjpeg_stats_real",
         "louvain_communities", "opq_topk_recall",
-        "quality_classifier_lexical",
+        "quality_classifier_lexical", "dsir_importance_weights",
         # the r5-era staleness-ceiling rows (spot sample; all 32 are in
         # the priority prefix, implied by the prefix==window check above)
         "zipf_slope", "vocab_stats", "triangle_counts",

@@ -504,6 +504,9 @@ EXPECT = {
     # of 1-row broadcast crosses + the final 1-row readout cross:
     # intended
     "quality_classifier_lexical": (1, False, True),
+    # synthesized spark.range corpus; 16-row lambda broadcast join onto
+    # the bigram stream + the 1-row totals cross: intended
+    "dsir_importance_weights": (1, False, True),
     # checkpoint-leaf daily spine; 28 broadcast 1-row recurrence
     # crosses (the unrolled Holt-Winters state chain): intended. r12:
     # the 1-row min/max frame is now pinned too (ADVICE — three
