@@ -330,9 +330,18 @@ def encode_jpeg(
     img: np.ndarray,
     luma_quant: np.ndarray | None = None,
     chroma_quant: np.ndarray | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline 4:4:4 JFIF stream with the Annex-K Huffman tables."""
+    baseline JFIF stream with the Annex-K Huffman tables.
+    ``subsampling``: "444" (one block per component per MCU — the
+    original path, bit-identical), "420" (2×2 luma blocks + one
+    half-resolution chroma block per 16×16 MCU — the layout most
+    real-world JPEGs use) or "422" (2×1). Chroma is box-averaged with
+    round-half-up (deterministic); planes are edge-replicated to MCU
+    multiples before the DCT."""
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError(f"subsampling must be 444/420/422, got {subsampling}")
     lq = (STD_LUMA_QUANT if luma_quant is None else np.asarray(luma_quant)).astype(
         np.int32
     )
@@ -341,11 +350,34 @@ def encode_jpeg(
     ).astype(np.int32)
     gray = img.ndim == 2
     h, w = img.shape[:2]
-    planes = (
-        [img.astype(np.int32)]
-        if gray
-        else [rgb_to_ycbcr(img)[..., c] for c in range(3)]
-    )
+    hh, vv = (1, 1) if (gray or subsampling == "444") else {
+        "420": (2, 2),
+        "422": (2, 1),
+    }[subsampling]
+    if gray:
+        planes = [img.astype(np.int32)]
+    elif (hh, vv) == (1, 1):
+        planes = [rgb_to_ycbcr(img)[..., c] for c in range(3)]
+    else:
+        # pad to MCU multiples first (edge replicate), then box-average
+        # the chroma onto the subsampled grid with round-half-up
+        ycc = rgb_to_ycbcr(img)
+        mh, mw = 8 * vv, 8 * hh
+        H2, W2 = -(-h // mh) * mh, -(-w // mw) * mw
+        pads = [
+            np.pad(ycc[..., c], ((0, H2 - h), (0, W2 - w)), mode="edge")
+            for c in range(3)
+        ]
+
+        def _sub(p: np.ndarray) -> np.ndarray:
+            m = (
+                p.astype(np.float64)
+                .reshape(H2 // vv, vv, W2 // hh, hh)
+                .mean(axis=(1, 3))
+            )
+            return _round_half_up(m).astype(np.int32)
+
+        planes = [pads[0], _sub(pads[1]), _sub(pads[2])]
     ncomp = len(planes)
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -356,7 +388,8 @@ def encode_jpeg(
     sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof.append(ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1×1 sampling
+        samp = ((hh << 4) | vv) if ci == 0 else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += _seg(0xC0, bytes(sof))
     for tc_th, bits, vals in (
         ((0x00, DC_LUMA_BITS, DC_LUMA_VALS)),
@@ -382,18 +415,28 @@ def encode_jpeg(
         blocks, by, bx = _plane_blocks(plane)
         q = lq if ci == 0 else cq
         f = _A @ (blocks.astype(np.float64) - 128.0) @ _A.T
-        comp_blocks.append(_round_half_up(f / q).astype(np.int32))
+        comp_blocks.append(
+            (_round_half_up(f / q).astype(np.int32), by, bx)
+        )
     bw = _BitWriter()
     preds = [0] * ncomp
-    for b in range(comp_blocks[0].shape[0]):  # 4:4:4 MCU = one block per comp
+    mcuy = comp_blocks[0][1] // vv
+    mcux = comp_blocks[0][2] // hh
+    for m in range(mcuy * mcux):  # MCU raster; 4:4:4 MCU = one block/comp
+        r, c = divmod(m, mcux)
         for ci in range(ncomp):
-            preds[ci] = _encode_block(
-                bw,
-                comp_blocks[ci][b],
-                preds[ci],
-                dc_l if ci == 0 else dc_c,
-                ac_l if ci == 0 else ac_c,
-            )
+            chh, cvv = (hh, vv) if ci == 0 else (1, 1)
+            blocks, _, bx = comp_blocks[ci]
+            for dy in range(cvv):
+                for dx in range(chh):
+                    bi = (r * cvv + dy) * bx + (c * chh + dx)
+                    preds[ci] = _encode_block(
+                        bw,
+                        blocks[bi],
+                        preds[ci],
+                        dc_l if ci == 0 else dc_c,
+                        ac_l if ci == 0 else ac_c,
+                    )
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -455,8 +498,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             n = body[5]
             for ci in range(n):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG needs libjpeg")
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hi}x{vi} beyond the 4:4:4 / "
+                        f"4:2:2 / 4:2:0 subset need libjpeg"
+                    )
                 comps.append((cid, tq, samp))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0) decodes")
@@ -480,38 +527,63 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan.append((by_id[cid], tbls >> 4, tbls & 0xF))
             br = _BitReader(payload, pos)
             ncomp = len(comps)
-            by, bx = -(-h // 8), -(-w // 8)
-            planes = [np.zeros((by * 8, bx * 8), np.float64) for _ in range(ncomp)]
+            hs = [s >> 4 for _, _, s in comps]
+            vs = [s & 0xF for _, _, s in comps]
+            hmax, vmax = max(hs), max(vs)
+            if any(hmax % hi or vmax % vi for hi, vi in zip(hs, vs)):
+                raise NotImplementedError(
+                    "non-integral sampling-factor ratios need libjpeg"
+                )
+            mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+            # each component's plane on its own (possibly subsampled)
+            # grid, padded to whole MCUs; 4:4:4 degenerates to the
+            # one-block-per-component raster this loop always had
+            planes = [
+                np.zeros((mcuy * 8 * vs[ci], mcux * 8 * hs[ci]), np.float64)
+                for ci in range(ncomp)
+            ]
             preds = [0] * ncomp
-            for blk in range(by * bx):
-                r, c = divmod(blk, bx)
+            for m in range(mcuy * mcux):
+                r, c = divmod(m, mcux)
                 for ci, dct, act in scan:
-                    zz = np.zeros(64, np.int64)
-                    cat = _read_symbol(br, dc_maps[dct])
-                    preds[ci] += _extend(br.read_bits(cat), cat)
-                    zz[0] = preds[ci]
-                    i = 1
-                    while i < 64:
-                        sym = _read_symbol(br, ac_maps[act])
-                        if sym == 0x00:  # EOB
-                            break
-                        run, cat = sym >> 4, sym & 0xF
-                        if cat == 0:
-                            if run != 15:
-                                raise ValueError("bad AC symbol")
-                            i += 16  # ZRL
-                            continue
-                        i += run
-                        if i > 63:
-                            raise ValueError("AC run overflow")
-                        zz[i] = _extend(br.read_bits(cat), cat)
-                        i += 1
-                    q = qtables[comps[ci][1]]
-                    f = (zz[UNZIGZAG].reshape(8, 8) * q).astype(np.float64)
-                    pix = _A.T @ f @ _A + 128.0
-                    planes[ci][r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = pix
+                    for dy in range(vs[ci]):
+                        for dx in range(hs[ci]):
+                            zz = np.zeros(64, np.int64)
+                            cat = _read_symbol(br, dc_maps[dct])
+                            preds[ci] += _extend(br.read_bits(cat), cat)
+                            zz[0] = preds[ci]
+                            i = 1
+                            while i < 64:
+                                sym = _read_symbol(br, ac_maps[act])
+                                if sym == 0x00:  # EOB
+                                    break
+                                run, cat = sym >> 4, sym & 0xF
+                                if cat == 0:
+                                    if run != 15:
+                                        raise ValueError("bad AC symbol")
+                                    i += 16  # ZRL
+                                    continue
+                                i += run
+                                if i > 63:
+                                    raise ValueError("AC run overflow")
+                                zz[i] = _extend(br.read_bits(cat), cat)
+                                i += 1
+                            q = qtables[comps[ci][1]]
+                            f = (zz[UNZIGZAG].reshape(8, 8) * q).astype(
+                                np.float64
+                            )
+                            pix = _A.T @ f @ _A + 128.0
+                            py = (r * vs[ci] + dy) * 8
+                            px = (c * hs[ci] + dx) * 8
+                            planes[ci][py : py + 8, px : px + 8] = pix
+            # nearest-neighbor chroma upsample onto the luma grid (the
+            # decode_y4m convention), then crop the MCU padding
+            full = [
+                p.repeat(vmax // vs[ci], axis=0).repeat(hmax // hs[ci], axis=1)
+                for ci, p in enumerate(planes)
+            ]
             out = np.clip(
-                _round_half_up(np.stack(planes, axis=-1)[:h, :w]), 0, 255
+                _round_half_up(np.stack(full, axis=-1)[:h, :w]), 0, 255
             ).astype(np.int32)
             if ncomp == 1:
                 return out[..., 0].astype(np.uint8)

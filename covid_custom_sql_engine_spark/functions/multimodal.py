@@ -353,7 +353,11 @@ def synth_wav_media(
 
 
 def synth_jpeg_media(
-    df: DataFrame, id_col: str = "doc_id", w: int = 16, h: int = 8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    w: int = 16,
+    h: int = 8,
+    subsampling: str = "444",
 ) -> DataFrame:
     """Deterministic baseline-JPEG payload per id — a constant-color
     RGB image (``r = id·7 mod 256``, ``g = id·11 mod 256``,
@@ -383,7 +387,12 @@ def synth_jpeg_media(
                 rows.append(
                     {
                         "media_id": i,
-                        "payload": encode_jpeg(img, luma_quant=q8, chroma_quant=q8),
+                        "payload": encode_jpeg(
+                            img,
+                            luma_quant=q8,
+                            chroma_quant=q8,
+                            subsampling=subsampling,
+                        ),
                     }
                 )
             yield pd.DataFrame(rows)

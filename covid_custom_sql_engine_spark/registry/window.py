@@ -23,6 +23,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "opq_topk_recall",
     "quality_classifier_lexical",
     "dsir_importance_weights",
+    "jpeg420_stats_real",
     # --- the r5-stale refresh: ALL 32 remaining rows whose official
     # record dates to round 5 (age 7 = the new hard staleness ceiling in
     # tools/check_window_debt.py — every one of these would fail the

@@ -38,6 +38,7 @@ def test_driver_window_priority_ordering():
         "mjpeg_stats_real",
         "louvain_communities", "opq_topk_recall",
         "quality_classifier_lexical", "dsir_importance_weights",
+        "jpeg420_stats_real",
         # the r5-era staleness-ceiling rows (spot sample; all 32 are in
         # the priority prefix, implied by the prefix==window check above)
         "zipf_slope", "vocab_stats", "triangle_counts",

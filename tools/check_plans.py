@@ -507,6 +507,9 @@ EXPECT = {
     # synthesized spark.range corpus; 16-row lambda broadcast join onto
     # the bigram stream + the 1-row totals cross: intended
     "dsir_importance_weights": (1, False, True),
+    # mapInPandas codec round-trip over the documents id scan (the
+    # jpeg_stats_real shape)
+    "jpeg420_stats_real": (1, False, False),
     # checkpoint-leaf daily spine; 28 broadcast 1-row recurrence
     # crosses (the unrolled Holt-Winters state chain): intended. r12:
     # the 1-row min/max frame is now pinned too (ADVICE — three
