@@ -10,6 +10,7 @@ from covid_custom_sql_engine_spark.streaming.windows import (
     with_event_time_watermark,
 )
 from covid_custom_sql_engine_spark.streaming.monitor import (
+    decay_fold,
     psi_row,
     start_adaptive_psi_monitor,
     start_psi_monitor,
@@ -34,6 +35,7 @@ __all__ = [
     "running_totals_batch",
     "running_totals_stream",
     "running_totals_tws",
+    "decay_fold",
     "psi_row",
     "start_adaptive_psi_monitor",
     "start_psi_monitor",

@@ -135,6 +135,38 @@ def start_psi_monitor(
     return writer.start()
 
 
+def decay_fold(
+    baseline_bins: DataFrame,
+    batch_bins: DataFrame,
+    decay: float,
+    prune_below: float = 0.0,
+) -> DataFrame:
+    """One decayed-baseline update: decay·baseline + batch histogram
+    over the union of bins (full-outer join of two bounded bin
+    tables). With ``prune_below`` > 0, bins whose decayed weight falls
+    below the threshold AND received nothing from the batch are
+    dropped — without pruning, state is O(distinct bins EVER seen),
+    which grows without bound on a stream whose value range drifts
+    forever; with it, a bin that stops receiving data is forgotten
+    after log(prune_below/weight)/log(decay) batches and state is
+    O(bins active in the recent window). Pruning removes only
+    negligible mass but does change the PSI's union-of-bins smoothing
+    denominator, so the zero-default keeps the closed-form batch-twin
+    parity exact."""
+    old = baseline_bins.select("bin", F.col("n").alias("n_old"))
+    new = batch_bins.select("bin", F.col("n").alias("n_batch"))
+    folded = old.join(new, "bin", "full_outer").select(
+        "bin",
+        (
+            F.lit(decay) * F.coalesce(F.col("n_old"), F.lit(0.0))
+            + F.coalesce(F.col("n_batch").cast("double"), F.lit(0.0))
+        ).alias("n"),
+    )
+    if prune_below > 0.0:
+        folded = folded.filter(F.col("n") >= prune_below)
+    return folded
+
+
 def start_adaptive_psi_monitor(
     stream_events: DataFrame,
     baseline_events: DataFrame,
@@ -142,6 +174,7 @@ def start_adaptive_psi_monitor(
     checkpoint_path: str,
     bin_width: float = 50.0,
     decay: float = 0.9,
+    prune_below: float = 0.0,
     available_now: bool = True,
 ):
     """PSI monitor with a slowly-updating baseline: each micro-batch is
@@ -168,21 +201,9 @@ def start_adaptive_psi_monitor(
         bins = value_bins(batch_df, bin_width).localCheckpoint(eager=False)
         out = psi_row(bins, state["baseline"])
         _write_idempotent(out, batch_id, target_path)
-        old = state["baseline"].select(
-            "bin", F.col("n").alias("n_old")
-        )
-        new = bins.select("bin", F.col("n").alias("n_batch"))
-        state["baseline"] = (
-            old.join(new, "bin", "full_outer")
-            .select(
-                "bin",
-                (
-                    F.lit(decay) * F.coalesce(F.col("n_old"), F.lit(0.0))
-                    + F.coalesce(F.col("n_batch").cast("double"), F.lit(0.0))
-                ).alias("n"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        state["baseline"] = decay_fold(
+            state["baseline"], bins, decay, prune_below
+        ).localCheckpoint(eager=True)
 
     writer = stream_events.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_path

@@ -1105,3 +1105,27 @@ def test_adaptive_psi_monitor_decay_parity_and_regime_change(spark):
     assert psis[1] > 1.0
     assert psis[1] > psis[2] > psis[3]
     assert psis[3] < psis[1] / 2  # decays fast enough to matter
+
+
+def test_decay_fold_prunes_abandoned_bins(spark):
+    """decay_fold with prune_below: a bin that stops receiving data is
+    forgotten once its decayed weight falls under the threshold, while
+    active bins persist; with the zero default nothing is ever dropped
+    (the closed-form parity contract)."""
+    from covid_custom_sql_engine_spark.streaming import decay_fold
+
+    base = spark.createDataFrame([(1, 100.0), (2, 100.0)], "bin long, n double")
+    active = spark.createDataFrame([(2, 50)], "bin long, n long")
+    empty = spark.createDataFrame([], "bin long, n long")
+    cur = base
+    for _ in range(10):  # bin 1 decays 100 -> 100*0.5^10 ≈ 0.098
+        cur = decay_fold(cur, active, decay=0.5, prune_below=0.2)
+    got = {r.bin: r.n for r in cur.collect()}
+    assert 1 not in got  # abandoned bin pruned
+    assert got[2] > 99.0  # active bin converges to 50/(1-0.5)
+    # zero default: nothing pruned even at negligible weight
+    cur = base
+    for _ in range(10):
+        cur = decay_fold(cur, empty, decay=0.5)
+    got = {r.bin: r.n for r in cur.collect()}
+    assert set(got) == {1, 2} and abs(got[1] - 100 * 0.5**10) < 1e-9
