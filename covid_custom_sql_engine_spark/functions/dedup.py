@@ -961,3 +961,142 @@ def prefix_filter_pairs_sets(
         .filter(j >= F.lit(threshold))
         .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
     )
+
+
+def prefix_filter_pairs_sets_rs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    set_col: str = "_t",
+) -> DataFrame:
+    """BIPARTITE (R-S) variant of :func:`prefix_filter_pairs_sets`:
+    every (a ∈ df_a, b ∈ df_b) pair with set-Jaccard ≥ τ. Identical
+    rarity-ordered prefixes (document frequency taken over the UNION
+    of both frames — one total order shared by both sides, exactly as
+    if the self-join ran on the union), identical length/positional
+    prunes and epsilon discipline, identical exact verify. LOSSLESS by
+    the same pigeonhole argument — the prefix guarantee is a property
+    of the two prefix SETS, not of which side each set lives on.
+
+    Why it exists (optimization round 12, guide §2.3 "shuffle fewer
+    bytes"): record-linkage queries (`trigram_name_match`,
+    `trigram_match_scaled`) only ever keep ORIGINAL×CORRUPTED pairs,
+    but the self-join on the union materializes A×A, B×B and both
+    orientations of A×B before the caller's side filter discards ~75%
+    of them. Joining the two posting sides directly generates exactly
+    the cross pairs — 4× fewer joined rows into the candidate
+    aggregate at equal halves — with byte-identical surviving pairs
+    (caller contract: ids unique ACROSS both frames, as with the
+    self-join's unique-id contract).
+
+    Returns (id_a from df_a, id_b from df_b, jaccard) — no id_a < id_b
+    constraint; the side split replaces it.
+    """
+
+    def _tk(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col), F.array_distinct(F.col(set_col)).alias("_t")
+            )
+            .filter(F.size("_t") > 0)
+            .localCheckpoint(eager=False)  # postings + verify side
+        )
+
+    tka, tkb = _tk(df_a), _tk(df_b)
+    post_a = tka.select(F.col(id_col), F.explode("_t").alias("_tok"))
+    post_b = tkb.select(F.col(id_col), F.explode("_t").alias("_tok"))
+    # document frequency over BOTH sides: the same global rarity order
+    # the self-join on the union would use; consumed by both prefix
+    # builds, so pinned once
+    df_tok = (
+        post_a.unionAll(post_b)
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _pp(tk: DataFrame, posting: DataFrame) -> DataFrame:
+        pre = (
+            posting.join(df_tok, "_tok")
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_df", "_tok"))
+                ).alias("_s")
+            )
+            .select(
+                F.col(id_col),
+                # same safe-side epsilon as the self-join (see there)
+                F.expr(
+                    "slice(transform(_s, s -> s._tok), 1, "
+                    f"size(_s) - cast(ceil({threshold!r} * size(_s) - 1e-9)"
+                    " as int) + 1)"
+                ).alias("_pre"),
+            )
+        )
+        return pre.join(
+            tk.select(F.col(id_col), F.size("_t").alias("_n")), id_col
+        ).select(
+            F.col(id_col),
+            F.col("_n"),
+            F.posexplode("_pre").alias("_pos", "_tok"),
+        )
+
+    ppa, ppb = _pp(tka, post_a), _pp(tkb, post_b)
+    alpha = (F.col("_na") + F.col("_nb")) * F.lit(
+        float(threshold) / (1.0 + float(threshold))
+    ) - F.lit(1e-9)
+    cand = (
+        ppa.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_n").alias("_na"),
+            F.col("_pos").alias("_ia"),
+            "_tok",
+        )
+        .join(
+            ppb.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_n").alias("_nb"),
+                F.col("_pos").alias("_jb"),
+                "_tok",
+            ),
+            "_tok",
+        )
+        # length filter, both directions, same epsilon as the self-join
+        .filter(
+            (
+                F.col("_nb") * F.lit(float(threshold)) - F.lit(1e-9)
+                <= F.col("_na")
+            )
+            & (
+                F.col("_na") * F.lit(float(threshold)) - F.lit(1e-9)
+                <= F.col("_nb")
+            )
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
+            F.min("_ia").alias("_i0"),
+            F.min("_jb").alias("_j0"),
+        )
+        .filter(
+            F.least(
+                F.col("_na") - F.col("_i0"), F.col("_nb") - F.col("_j0")
+            )
+            >= alpha
+        )
+        .select("id_a", "id_b")
+    )
+    a = tka.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
+    b = tkb.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size(F.array_union("_ta", "_tb"))
+    j = inter.cast("double") / union
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(j >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )

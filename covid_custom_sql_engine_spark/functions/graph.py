@@ -323,8 +323,9 @@ def label_propagation(
 
     Per-round plan: ONE equi-join of the O(nodes) label vector against
     the edge list on src, ONE (dst, label) hash aggregate with
-    map-side combine, ONE per-dst argmax via max-of-struct (count
-    desc, label asc — no window), and a LEFT join back to the node
+    map-side combine, ONE per-dst argmax via min-of-struct
+    (−count, label) — a single combinable aggregate, no window, no
+    max/join/filter re-aggregate — and a LEFT join back to the node
     list so isolated-in-degree nodes persist. Labels are pinned per
     round (eager localCheckpoint) — flat lineage, single evaluation,
     the iterative-state convention. String labels order
@@ -344,27 +345,30 @@ def label_propagation(
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(rounds):
-        # pinned (lazy localCheckpoint) so the two argmax branches
-        # below — max-count and min-label-at-max — evaluate the
-        # label⋈edge join ONCE per round instead of twice; at scale
-        # that halves the per-round join work.
         votes = (
             labels.join(e, labels.node == F.col("_s"))
             .groupBy(F.col("_d").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .localCheckpoint(eager=False)
         )
-        # per-node argmax: max of (count, inverted-label) structs —
-        # a combinable aggregate, never a single-partition window.
-        # Lexicographic max on a descending string isn't expressible
-        # with struct max alone, so invert via a second aggregate:
-        # min label among those sharing the max count.
-        top = votes.groupBy("node").agg(F.max("_n").alias("_m"))
+        # per-node argmax: ONE combinable min aggregate over
+        # (−count, label) structs — lexicographic struct comparison
+        # gives max count first, then MIN label among ties (counts are
+        # positive bigints, so the negation is exact), replacing the
+        # former max-count aggregate + equi-join + min-at-max
+        # re-aggregate (optimization r12: one shuffle and one join
+        # fewer per round; votes now has a single consumer, so its
+        # pin is gone too). Never a window, never float equality.
         best = (
-            votes.join(top, "node")
-            .filter(F.col("_n") == F.col("_m"))
-            .groupBy("node")
-            .agg(F.min("label").alias("_new"))
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_n")).alias("_nn"),
+                        F.col("label").alias("_l"),
+                    )
+                ).alias("_b")
+            )
+            .select("node", F.col("_b._l").alias("_new"))
         )
         labels = (
             labels.join(best, "node", "left")
@@ -1040,8 +1044,8 @@ def louvain_one_level(
     the edge list on the NEIGHBOR side + a (node, community) hash
     aggregate for k_{i,c} (map-side combinable); Σ_tot is an O(nodes)
     label⋈degree aggregate reused via broadcast-sized equi-join; the
-    argmax is the two-phase max-score + min-label-at-max pair of
-    combinable aggregates (never a window, never float equality);
+    argmax is ONE combinable min-of-struct (−score, label) aggregate
+    (never a window, never float equality);
     labels eagerly pinned per round — flat lineage, the
     iterative-state convention.
 
@@ -1105,14 +1109,23 @@ def louvain_one_level(
                     * F.col("_k")
                 ).alias("_score"),
             )
-            .localCheckpoint(eager=False)  # max + argmin branches, one eval
         )
-        top = scored.groupBy("node").agg(F.max("_score").alias("_m"))
+        # argmax via ONE combinable min over (−score, label) structs:
+        # max score first, min label among exact-integer ties — the
+        # same collapse as label_propagation (optimization r12); the
+        # former max + join + filter + re-aggregate pair (and the pin
+        # its two consumers needed) is gone.
         labels = (
-            scored.join(top, "node")
-            .filter(F.col("_score") == F.col("_m"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            scored.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_score")).alias("_ns"),
+                        F.col("label").alias("_l"),
+                    )
+                ).alias("_b")
+            )
+            .select("node", F.col("_b._l").alias("label"))
             .localCheckpoint(eager=True)
         )
     return labels

@@ -90,19 +90,32 @@ def brute_force_topk(
     never funnels the corpus through |queries| reducer tasks.
     Self-matches excluded. Deterministic tie-break on neighbor id.
     """
+    # norms HOISTED to one per row before the cross (optimization r12,
+    # guide §4.1 built-ins/§1.2 per-task work): the interpreted
+    # zip_with/aggregate norm lambda used to re-run per PAIR —
+    # |corpus|·|queries| times per side — inside cosine(); computing it
+    # once per query row and once per corpus row cuts the per-pair
+    # arithmetic to the dot alone (~3×). Same expressions, same
+    # operand order (norm(q)·norm(c)), so every double — and the NULL
+    # gate on zero denominators — is bit-identical to cosine().
     q = F.broadcast(
         queries.select(
             F.col(query_id_col), as_double(vec_col).alias("_qv")
-        )
+        ).withColumn("_qn", norm(F.col("_qv")))
     )
-    c = embeddings.select(F.col(id_col), as_double(vec_col).alias("_cv"))
+    c = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("_cv")
+    ).withColumn("_cn", norm(F.col("_cv")))
+    denom = F.col("_qn") * F.col("_cn")
     scored = (
         c.crossJoin(q)
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+            F.when(
+                denom > 0, dot(F.col("_qv"), F.col("_cv")) / denom
+            ).alias("cos_sim"),
         )
     )
     return _two_phase_topk(
@@ -491,15 +504,37 @@ def ann_join(
         .filter(F.col("_qa") != F.col("_rb"))
         .select("_qa", "_rb")
     )
-    qn = nv.select(F.col(id_col).alias("_qa"), F.col("_nv").alias("_qn"))
-    screened = (
-        cand.join(qn, "_qa")
-        .join(codes, "_rb")
+    # ADC LUT hoisted to ONE row per query (optimization r12, measured:
+    # the screen stage was 24 s executor CPU at sf0.1 — §1.2 per-task
+    # work): lut[s][j] = ⟨q_subvec_s, codeword_{s,j}⟩, the exact same
+    # dot() fold _adc_dot evaluated inline, computed once per QUERY
+    # (m·k_codes dots) instead of once per CANDIDATE (~300× more).
+    # The screen becomes m LUT lookups summed in the same fixed
+    # subspace order, so every double — and the margin compare — is
+    # bit-identical; the oracle doesn't move.
+    qlut = (
+        nv.select(F.col(id_col).alias("_qa"), F.col("_nv").alias("_qn"))
         .crossJoin(_codebook_frame(embeddings.sparkSession, cbs))
-        .filter(
-            _adc_dot(F.col("_qn"), m, sub)
-            >= F.lit(float(threshold) - float(margin))
+        .select(
+            "_qa",
+            F.expr(
+                "transform(_cb, (scb, s) -> transform(scb, cw -> "
+                f"aggregate(zip_with(slice(_qn, s * {sub} + 1, {sub}), cw,"
+                " (x, y) -> x * y), cast(0.0 as double),"
+                " (acc, v) -> acc + v)))"
+            ).alias("_lut"),
         )
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at("_lut", s + 1), F.col(f"code_{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    screened = (
+        cand.join(qlut, "_qa")
+        .join(codes, "_rb")
+        .filter(adc >= F.lit(float(threshold) - float(margin)))
         .select(
             F.least("_qa", "_rb").alias("_ia"),
             F.greatest("_qa", "_rb").alias("_ib"),
@@ -1113,6 +1148,114 @@ def unit_norm_frame(
     )
 
 
+def exact_threshold_pairs(
+    nv: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "_nv",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs dot-product threshold join — every unordered
+    pair (id_a < id_b) whose sequential-fold :func:`dot` ≥ threshold —
+    computed as blocked numpy GEMM candidate generation plus an exact
+    JVM verify, instead of a row-level cross join evaluating the
+    interpreted zip_with/aggregate lambda N²·dim times (guide §4.2:
+    hand whole batches to vectorized native code; the candidate
+    screen is where 99.9% of the arithmetic lives).
+
+    Losslessness: the float64 GEMM dot differs from the sequential
+    fold by at most ~dim·ε·Σ|xᵢyᵢ| ≈ 1e-14 for unit vectors, so every
+    pair with fold-dot ≥ threshold has GEMM-dot ≥ threshold − 1e-9;
+    candidates pass through the exact fold-ordered dot ≥ threshold
+    filter (the same expression the naive cross join applies), so the
+    surviving pair set — and every reported value — is bit-identical.
+
+    Scale shape: vectors land in ``n_blocks`` deterministic id-hash
+    blocks; each of the (n_blocks+1)·n_blocks/2 unordered block pairs
+    is ONE Arrow row processed by one GEMM — constant memory per task
+    (size n_blocks ∝ N/block_budget at real scale), the exact-audit
+    analogue of the chunked shapes everywhere else. Requires a numeric
+    unique ``id_col`` (block routing hashes it; candidate emission
+    orders each pair by id).
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    g = nv.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+        F.col(id_col).alias("_bid"),
+        as_double(vec_col).alias("_bv"),
+    )
+    packed = (
+        g.groupBy("_blk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_bid"), F.col("_bv")))
+            ).alias("_s")
+        )
+        .select(
+            "_blk",
+            F.expr("transform(_s, s -> s._bid)").alias("_ids"),
+            F.flatten(F.expr("transform(_s, s -> s._bv)")).alias("_flat"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the block cross
+    )
+    pa = packed.select(
+        F.col("_blk").alias("_ba"),
+        F.col("_ids").alias("_idsa"),
+        F.col("_flat").alias("_fa"),
+    )
+    pb = packed.select(
+        F.col("_blk").alias("_bb"),
+        F.col("_ids").alias("_idsb"),
+        F.col("_flat").alias("_fb"),
+    )
+    blk_pairs = pa.crossJoin(pb).filter(F.col("_ba") <= F.col("_bb"))
+    cut = float(threshold) - 1e-9
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b = [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["_idsa"], dtype=np.int64)
+                ids_b = np.asarray(row["_idsb"], dtype=np.int64)
+                a = np.asarray(row["_fa"], dtype=np.float64).reshape(
+                    len(ids_a), -1
+                )
+                b = np.asarray(row["_fb"], dtype=np.float64).reshape(
+                    len(ids_b), -1
+                )
+                mask = (a @ b.T) >= cut
+                if row["_ba"] == row["_bb"]:
+                    # intra-block: ids are sorted ascending, so the
+                    # strict upper triangle IS id_a < id_b (boolean
+                    # triu — robust even for cut ≤ 0)
+                    mask = np.triu(mask, k=1)
+                ii, jj = np.nonzero(mask)
+                la, lb = ids_a[ii], ids_b[jj]
+                out_a.append(np.minimum(la, lb))
+                out_b.append(np.maximum(la, lb))
+            empty = np.array([], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "_ca": np.concatenate(out_a) if out_a else empty,
+                    "_cb": np.concatenate(out_b) if out_b else empty,
+                }
+            )
+
+    cand = blk_pairs.mapInPandas(_gen, "_ca long, _cb long")
+    va = nv.select(F.col(id_col).alias("_ca"), F.col(vec_col).alias("_vva"))
+    vb = nv.select(F.col(id_col).alias("_cb"), F.col(vec_col).alias("_vvb"))
+    return (
+        cand.join(va, "_ca")
+        .join(vb, "_cb")
+        .filter(dot(F.col("_vva"), F.col("_vvb")) >= F.lit(float(threshold)))
+        .select(F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b"))
+    )
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     m: int = 4,
@@ -1282,7 +1425,12 @@ def _adc_distance(qvec: Column, m: int, sub: int) -> Column:
     query's subvector to the ASSIGNED codeword, summed in fixed
     subspace order 0..m-1 so both engines fold identically. One
     ``element_at`` chain per subspace against broadcast DATA — no
-    literals, O(1) plan size in the quantizer configuration."""
+    literals, O(1) plan size in the quantizer configuration.
+
+    Hot scans should prefer the hoisted LUT pair
+    (:func:`_adc_dist_lut` on the per-query side +
+    :func:`_adc_lut_sum` in the scan) — identical doubles, ~sub×
+    less per-candidate arithmetic."""
     dist = None
     for s in range(m):
         sel = F.element_at(
@@ -1291,6 +1439,37 @@ def _adc_distance(qvec: Column, m: int, sub: int) -> Column:
         term = _pq_dist(F.slice(qvec, s * sub + 1, sub), sel)
         dist = term if dist is None else dist + term
     return dist
+
+
+def _adc_dist_lut(qvec: Column, sub: int) -> Column:
+    """The classic ADC lookup table (Jégou et al. 2011), hoisted to the
+    QUERY side: ``lut[s][j] = _pq_dist(q_subvec_s, codeword_{s,j})`` —
+    the exact same two-term expression :func:`_adc_distance` evaluated
+    inline per CANDIDATE, now computed once per query/probe row
+    (m·k_codes folds) so the per-candidate scan cost drops from
+    m·O(sub) interpreted-lambda arithmetic to m array lookups
+    (optimization r12, guide §1.2 per-task work). Values are the
+    identical doubles, so distances, ranks, and ties are unchanged and
+    the SQL oracles don't move. Must be projected with the broadcast
+    ``_cb`` column in scope; pair with :func:`_adc_lut_sum`."""
+    return F.transform(
+        F.col("_cb"),
+        lambda scb, s: F.transform(
+            scb, lambda cw: _pq_dist(F.slice(qvec, s * sub + 1, sub), cw)
+        ),
+    )
+
+
+def _adc_lut_sum(m: int) -> Column:
+    """Scan-side pair of :func:`_adc_dist_lut`: Σ_s lut[s][code_s] in
+    the same fixed subspace order 0..m-1 (bit-identical fold)."""
+    out = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at("_lut", s + 1), F.col(f"code_{s}") + 1
+        )
+        out = term if out is None else out + term
+    return out
 
 
 def _pq_encode_nv(
@@ -1384,17 +1563,22 @@ def pq_topk(
         cbs = pq_codebooks(embeddings, m, k_codes, id_col, vec_col)
     sub = len(cbs[0][0])
     codes = pq_encode(embeddings, cbs, id_col, vec_col)
+    # ADC LUT hoisted to the broadcast query side (see _adc_dist_lut):
+    # the corpus scan pays m lookups per code row instead of m
+    # interpreted subvector folds — identical doubles
     qn = F.broadcast(
         queries.select(
             F.col(query_id_col), unit(as_double(vec_col)).alias("_qn")
         )
-    )
-    joined = (
-        codes.crossJoin(qn)
         .crossJoin(_codebook_frame(embeddings.sparkSession, cbs))
-        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, _adc_dist_lut(F.col("_qn"), sub).alias("_lut")
+        )
     )
-    dist = _adc_distance(F.col("_qn"), m, sub)
+    joined = codes.crossJoin(qn).filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    dist = _adc_lut_sum(m)
     # flat ADC scans the whole corpus per query → two-phase top-k, the
     # same no-single-partition-sort discipline as brute_force_topk
     return _two_phase_topk(
@@ -1477,15 +1661,22 @@ def ivfpq_topk(
         .withColumn("_rn", F.row_number().over(wqa))
         .filter(F.col("_rn") <= n_probe)
         .select(query_id_col, "cell", "_qn")
+        # ADC LUT hoisted per probe row (see _adc_dist_lut): the cell
+        # scan pays m lookups per code row — identical doubles
+        .crossJoin(_codebook_frame(embeddings.sparkSession, cbs))
+        .select(
+            query_id_col,
+            "cell",
+            _adc_dist_lut(F.col("_qn"), sub).alias("_lut"),
+        )
     )
     codes = pq_encode(scan_src, cbs, id_col, vec_col)
     scan = (
         codes.join(corpus_cells, id_col)
         .join(F.broadcast(probes), "cell")
-        .crossJoin(_codebook_frame(embeddings.sparkSession, cbs))
         .filter(F.col(id_col) != F.col(query_id_col))
     )
-    dist = _adc_distance(F.col("_qn"), m, sub)
+    dist = _adc_lut_sum(m)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_dist").asc(), F.col(id_col).asc()
     )
@@ -1596,16 +1787,23 @@ def ivfpq_residual_topk(
             "cell",
             F.zip_with("_qn", "_cn", lambda x, y: x - y).alias("_qr"),
         )
+        # residual ADC LUT + the ‖qr‖² term, both hoisted per probe
+        # row (see _adc_dist_lut) — the cell scan pays m lookups and
+        # one add per code row; identical doubles
+        .crossJoin(_codebook_frame(embeddings.sparkSession, rcbs))
+        .select(
+            query_id_col,
+            "cell",
+            _adc_dist_lut(F.col("_qr"), sub).alias("_lut"),
+            dot(F.col("_qr"), F.col("_qr")).alias("_qrr"),
+        )
     )
     scan = (
         codes.join(corpus_cells, id_col)
         .join(F.broadcast(probes), "cell")
-        .crossJoin(_codebook_frame(embeddings.sparkSession, rcbs))
         .filter(F.col(id_col) != F.col(query_id_col))
     )
-    dist = dot(F.col("_qr"), F.col("_qr")) + _adc_distance(
-        F.col("_qr"), m, sub
-    )
+    dist = F.col("_qrr") + _adc_lut_sum(m)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_dist").asc(), F.col(id_col).asc()
     )
@@ -1919,14 +2117,20 @@ def query_ivfpq_index(
         .withColumn("_rn", F.row_number().over(wqa))
         .filter(F.col("_rn") <= n_probe)
         .select(query_id_col, "cell", "_qn")
+        # ADC LUT hoisted per probe row (see _adc_dist_lut)
+        .crossJoin(_codebook_frame(spark, cbs))
+        .select(
+            query_id_col,
+            "cell",
+            _adc_dist_lut(F.col("_qn"), sub).alias("_lut"),
+        )
     )
     scan = (
         index["postings"]
         .join(F.broadcast(probes), "cell")
-        .crossJoin(_codebook_frame(spark, cbs))
         .filter(F.col(id_col) != F.col(query_id_col))
     )
-    dist = _adc_distance(F.col("_qn"), m, sub)
+    dist = _adc_lut_sum(m)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_dist").asc(), F.col(id_col).asc()
     )

@@ -1743,13 +1743,12 @@ def ann_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nv = sim.unit_norm_frame(e, "vec_id", "embedding", "_nv").localCheckpoint(
         eager=False
     )
-    a = nv.select(F.col("vec_id").alias("_xa"), F.col("_nv").alias("_va"))
-    b = nv.select(F.col("vec_id").alias("_xb"), F.col("_nv").alias("_vb"))
-    ex = (
-        a.crossJoin(b)
-        .filter(F.col("_xa") < F.col("_xb"))
-        .filter(sim.dot(F.col("_va"), F.col("_vb")) >= F.lit(_AJ_TAU))
-        .select("_xa", "_xb")
+    # exact all-pairs baseline via blocked-GEMM candidates + the same
+    # sequential-fold dot ≥ τ verify the old row-level cross join
+    # applied — bit-identical pair set (see exact_threshold_pairs),
+    # ~dim× less interpreted-lambda arithmetic (optimization r12)
+    ex = sim.exact_threshold_pairs(
+        nv, _AJ_TAU, id_col="vec_id", vec_col="_nv"
     )
     nt = ex.agg(F.count(F.lit(1)).alias("n_true"))
     nf = ap.agg(F.count(F.lit(1)).alias("n_found"))

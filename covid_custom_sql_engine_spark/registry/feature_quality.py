@@ -116,29 +116,40 @@ def _trigram_match_summary(orig: DataFrame, tau: float = _TRI_TAU) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # match join + truth join
     )
-    both = orig.select(
-        F.col("id").alias("nid"), _trigrams("name").alias("tg")
-    ).unionByName(
-        corr.select(F.col("cid").alias("nid"), _trigrams("cname").alias("tg"))
-    )
     from covid_custom_sql_engine_spark.functions import dedup as dd
 
-    pairs = dd.prefix_filter_pairs_sets(
-        both, threshold=tau, id_col="nid", set_col="tg"
+    # Bipartite PPJoin (optimization r12): only ORIGINAL×CORRUPTED
+    # pairs are ever kept (id_a < 1000000 ≤ id_b in the old self-join
+    # formulation), so generate exactly those — the R-S prefix join
+    # produces the identical surviving pair set (ids disjoint across
+    # sides) with ~4× fewer candidate-join rows than the union
+    # self-join whose A×A / B×B combinations a post-filter discarded.
+    pairs = dd.prefix_filter_pairs_sets_rs(
+        orig.select(F.col("id").alias("nid"), _trigrams("name").alias("tg")),
+        corr.select(
+            F.col("cid").alias("nid"), _trigrams("cname").alias("tg")
+        ),
+        threshold=tau,
+        id_col="nid",
+        set_col="tg",
     )
-    # id_a < id_b, originals < 1000000 < corrupted: keep cross pairs
-    m = pairs.filter(
-        (F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000)
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id_b").orderBy(
-        F.desc("jaccard"), F.asc("id_a")
-    )
+    # per-corruption argmax: ONE combinable aggregate — min over
+    # (−jaccard, id_a) structs ≡ max jaccard then min id_a (the window
+    # ordering it replaces: desc jaccard, asc id_a, row_number = 1).
+    # jaccard values are small-integer ratios (|∆| ≥ 1/1600 between
+    # distinct values, so round(6) never merges two) and > 0, so the
+    # negation is exact and the orderings coincide bit-for-bit.
     best = (
-        m.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("id_b").alias("cid"), F.col("id_a").alias("mid"))
+        pairs.groupBy(F.col("id_b").alias("cid"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("jaccard")).alias("_nj"),
+                    F.col("id_a").alias("_i"),
+                )
+            ).alias("_b")
+        )
+        .select("cid", F.col("_b._i").alias("mid"))
     )
     n_names = F.broadcast(corr.agg(F.count(F.lit(1)).alias("n_names")))
     return (

@@ -898,8 +898,8 @@ def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer 2m·k_{i,c} − Σ'_tot(c)·k_i (= ΔQ·2m²) — no float ties to
     diverge across engines. Per round: one O(nodes) Σ_tot aggregate,
     one edges⋈labels join + (node, community) hash aggregate for
-    k_{i,c}, and the two-phase combinable argmax (max score, then min
-    label at max — never a window); labels eagerly pinned per round.
+    k_{i,c}, and ONE combinable min-of-struct (−score, label) argmax
+    aggregate (never a window); labels eagerly pinned per round.
     The oracle unrolls the identical rounds (the label_propagation /
     pagerank convention)."""
     from covid_custom_sql_engine_spark.functions import graph as gr

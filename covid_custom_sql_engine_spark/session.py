@@ -34,7 +34,10 @@ def get_spark(app_name: str = "covid_custom_sql_engine_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # dev knob (profiling only): SPARK_GRAFT_UI=true exposes the UI
+        # REST API so tools/profile_query.py can read noise-robust task
+        # metrics (executor CPU time, shuffle bytes); default off
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert in the catalog (Spark has no nanos timestamp type)
