@@ -685,12 +685,25 @@ def ppr_trusted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
+        # distinct on the INTEGER key pair, concat after (optimization
+        # r12): bijective prefixes make the two orders identical, and
+        # the distinct's exchange/hash run on 16-byte long pairs
+        # instead of two strings
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
         )
-        .distinct()
     )
+    # EAGER pin (optimization r12): both union orientations below (and
+    # every per-round pin a graph function takes internally) read ONE
+    # evaluation of the orders-x-lineitem distinct. Lazy pinning is not
+    # enough here - the union puts both branches in one job, whose
+    # concurrent tasks each compute the unmaterialized subtree (the
+    # measured double lineitem scan + 'Block rdd already exists' race);
+    # the eager pin materializes once, before the consumers plan.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))

@@ -721,17 +721,54 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"s{d}" for d in range(1, 8)],
         )
     )
-    upd = (
-        [F.expr(_HW_NL).alias("l"), F.expr(_HW_NB).alias("b"),
-         F.expr(f"sae + abs(y - {_HW_FC})").alias("sae")]
-        + [F.expr(_hw_ns(d)).alias(f"s{d}") for d in range(1, 8)]
-    )
-    for r in range(1, _HW_K + 1):
-        p = (
-            p.crossJoin(F.broadcast(tl.filter(F.col("i") == r)))
-            .select(*upd)
-            .localCheckpoint(eager=False)  # flat 1-row chain
+    # Optimization r12 (measured: 0.5 s executor CPU vs 4.2 s wall —
+    # driver-latency-bound): the 28 rounds each built a
+    # broadcast(tl.filter(i == r)) — 28 separate broadcast-exchange
+    # jobs and driver round-trips. The 28-day tail now pivots into ONE
+    # 1-row broadcast (y_r/dow_r columns — values pass through
+    # max-of-single-row unchanged), and each round is a pure 1-row
+    # projection consuming its own y_r/dow_r via a word-boundary
+    # textual substitution into the SAME generated update expressions
+    # the oracle evaluates — identical opcode order, identical doubles.
+    import re as _re
+
+    tlw = F.broadcast(
+        tl.groupBy().agg(
+            *[
+                F.max(F.when(F.col("i") == r, F.col("y"))).alias(f"y_{r}")
+                for r in range(1, _HW_K + 1)
+            ],
+            *[
+                F.max(F.when(F.col("i") == r, F.col("dow"))).alias(
+                    f"dow_{r}"
+                )
+                for r in range(1, _HW_K + 1)
+            ],
         )
+    )
+
+    def _per_round(text: str, r: int) -> str:
+        return _re.sub(
+            r"\bdow\b", f"dow_{r}", _re.sub(r"\by\b", f"y_{r}", text)
+        )
+
+    p = p.crossJoin(tlw)
+    for r in range(1, _HW_K + 1):
+        upd_r = (
+            [
+                F.expr(_per_round(_HW_NL, r)).alias("l"),
+                F.expr(_per_round(_HW_NB, r)).alias("b"),
+                F.expr(_per_round(f"sae + abs(y - {_HW_FC})", r)).alias(
+                    "sae"
+                ),
+            ]
+            + [
+                F.expr(_per_round(_hw_ns(d), r)).alias(f"s{d}")
+                for d in range(1, 8)
+            ]
+            + [F.col(c) for j in range(r + 1, _HW_K + 1) for c in (f"y_{j}", f"dow_{j}")]
+        )
+        p = p.select(*upd_r).localCheckpoint(eager=False)  # flat 1-row chain
     nxt = F.broadcast(
         m.select(
             F.dayofweek(F.col("b")).alias("ndow")
