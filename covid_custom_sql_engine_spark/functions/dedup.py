@@ -953,7 +953,9 @@ def prefix_filter_pairs_sets(
     a = tk.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
     b = tk.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.size(F.array_union("_ta", "_tb"))
+    # |A∪B| = |A| + |B| − |A∩B| — exact on the array_distinct'd sets,
+    # replacing the second per-pair hash-set build (optimization r12)
+    union = F.size("_ta") + F.size("_tb") - inter
     j = inter.cast("double") / union
     return (
         cand.join(a, "id_a")
@@ -1047,6 +1049,17 @@ def prefix_filter_pairs_sets_rs(
     alpha = (F.col("_na") + F.col("_nb")) * F.lit(
         float(threshold) / (1.0 + float(threshold))
     ) - F.lit(1e-9)
+    # EXPLICIT keyed repartition of both posting sides (optimization
+    # r12): the prefix frames are tiny relative to their join OUTPUT
+    # (measured: AQE coalesced the exchange to ONE task which then
+    # exploded 5.7M candidate rows at 20k names), and AQE's coalescing
+    # sees only map-output bytes. An explicit partition count is
+    # honored by AQE; the value is the session's shuffle-partition
+    # setting, so it stays scale-adaptive (cluster-tuned), not a local
+    # constant. The join reuses these exchanges — no extra shuffle.
+    nparts = int(
+        df_a.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     cand = (
         ppa.select(
             F.col(id_col).alias("id_a"),
@@ -1054,13 +1067,14 @@ def prefix_filter_pairs_sets_rs(
             F.col("_pos").alias("_ia"),
             "_tok",
         )
+        .repartition(nparts, "_tok")
         .join(
             ppb.select(
                 F.col(id_col).alias("id_b"),
                 F.col("_n").alias("_nb"),
                 F.col("_pos").alias("_jb"),
                 "_tok",
-            ),
+            ).repartition(nparts, "_tok"),
             "_tok",
         )
         # length filter, both directions, same epsilon as the self-join
@@ -1092,7 +1106,9 @@ def prefix_filter_pairs_sets_rs(
     a = tka.select(F.col(id_col).alias("id_a"), F.col("_t").alias("_ta"))
     b = tkb.select(F.col(id_col).alias("id_b"), F.col("_t").alias("_tb"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
-    union = F.size(F.array_union("_ta", "_tb"))
+    # |A∪B| = |A| + |B| − |A∩B| — exact on the array_distinct'd sets,
+    # replacing the second per-pair hash-set build (optimization r12)
+    union = F.size("_ta") + F.size("_tb") - inter
     j = inter.cast("double") / union
     return (
         cand.join(a, "id_a")
