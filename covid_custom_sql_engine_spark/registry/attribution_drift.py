@@ -980,20 +980,14 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("xb") - F.col("xa")).cast("double"),
         ).alias("sl")
     )
-    # Optimization r12 (measured: 1.9 s executor CPU vs 9.5 s wall —
-    # the query was DRIVER-latency-bound): the eager exact_median()
-    # drove three sequential collect actions, each re-planning and —
-    # unpinned — re-running the quadratic days×days slope join, plus a
-    # fourth action for the output. The median is now the DECLARATIVE
-    # exact_medians_plan (same two order statistics, same (v1+v2)/2
-    # arithmetic, no driver action) composed into the single output
-    # plan — ONE action total. The slope frame is lazily pinned: the
-    # median plan consumes it from three branches (stats, bucket
-    # counts, sliver), and it is calendar-bounded (n_days²/2 doubles,
-    # ~23 MB at the full TPC-H calendar, independent of fact-table
-    # scale), so the pin is safe at any SF.
-    slopes = slopes.localCheckpoint(eager=False)
-    med = sel.exact_medians_plan(slopes, ["sl"])
+    # Optimization r12 note: a declarative exact_medians_plan variant
+    # (one action instead of exact_median's three) was built and
+    # A/B-measured — it LOST (best-of-4 wall 3.8 s eager vs 6.4 s
+    # declarative; executor CPU 1.9 s vs 4.2 s): the plan-side median
+    # explodes (metric, value) structs and joins broadcast bounds per
+    # row, costing more than the three cheap bounded actions it
+    # saves. Kept the eager two-phase selection deliberately.
+    med = sel.exact_median(slopes, "sl")
     ols = dx.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -1001,8 +995,8 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops.dsum(F.col("y")).alias("sy"),
         ops.dsum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    return ols.crossJoin(F.broadcast(med)).select(
-        F.round(F.col("median_sl"), 6).alias("slope_theil_sen"),
+    return ols.select(
+        F.round(F.lit(float(med)), 6).alias("slope_theil_sen"),
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
             / (
