@@ -1057,9 +1057,14 @@ def prefix_filter_pairs_sets_rs(
     # honored by AQE; the value is the session's shuffle-partition
     # setting, so it stays scale-adaptive (cluster-tuned), not a local
     # constant. The join reuses these exchanges — no extra shuffle.
-    nparts = int(
-        df_a.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    try:
+        nparts = int(
+            df_a.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        # platforms that set the conf to a non-integer (e.g. "auto")
+        # still get a scale-adaptive count from the scheduler
+        nparts = df_a.sparkSession.sparkContext.defaultParallelism
     cand = (
         ppa.select(
             F.col(id_col).alias("id_a"),

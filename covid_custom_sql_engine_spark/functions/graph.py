@@ -21,9 +21,77 @@ DuckDB oracle unrolls the same iterations and hash-matches exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 PR_DECIMAL = "decimal(38,18)"
+
+# ---------------------------------------------------------------------------
+# Order-preserving typed-node codec (optimization r13, guide §2.3)
+#
+# The trading-graph queries decorate integer keys as 'c:<custkey>' /
+# 's:<suppkey>' strings so the two key spaces can never alias. Those
+# strings used to ride EVERY per-round exchange of the iterative
+# algorithms (~150 MB of key bytes per query at sf0.1; string hashing +
+# comparison on every shuffle). The codec below packs the decorated id
+# into ONE bigint whose numeric order equals the decorated string's
+# lexicographic order, so the rounds shuffle/hash/compare 8-byte longs
+# and the string is rebuilt ONCE in the final projection:
+#
+#   enc(side, k) = side·2^50 + pad(k)·16 + digits(k)
+#   pad(k)       = k · 10^(12 − digits(k))      (k right-padded to 12
+#                                                decimal digits)
+#
+# Order proof: (a) 'c:…' < 's:…' for every key pair, and side 0 < 1
+# dominates the encoding. (b) Within a side, comparing decimal strings
+# lexicographically equals comparing them right-padded with zeros to a
+# common width — except when the padded forms tie, where the SHORTER
+# string sorts first ('2' < '20' but both pad to '20'); pad() is the
+# padded form as an integer and the digit count breaks exactly those
+# ties (digits < 16, so it never disturbs the pad·16 ordering).
+# Injectivity follows from (pad, digits) ⇒ k. MIN/MAX aggregates and
+# lexicographic struct tie-breaks over encoded ids therefore pick the
+# same winners as over the decorated strings, and decode(encode(k)) is
+# the identity — results are bit-identical.
+#
+# Preconditions (asserted by the key domain, not checked per row):
+# keys are non-negative integers < 10^12 (TPC-H custkey at that bound
+# is scale factor ~6.6M ≈ 660 PB) — pad < 10^12, pad·16 < 2^44 < 2^50.
+# ---------------------------------------------------------------------------
+
+_NODE_MAXD = 12
+_SIDE_BASE = 1 << 50
+# element_at is 1-based: element_at(_POW10, i) == 10^(i-1)
+_POW10 = [10**i for i in range(_NODE_MAXD + 1)]
+
+
+def encode_typed_key(key: Column | str, side: int) -> Column:
+    """Encode integer ``key`` of key-space ``side`` (0 = 'c:', 1 = 's:')
+    into the order-preserving bigint described above. NULL keys encode
+    to NULL (matching ``concat('c:', NULL)``)."""
+    c = F.col(key) if isinstance(key, str) else key
+    k = c.cast("bigint")
+    d = F.length(k.cast("string"))
+    pow10 = F.array(*[F.lit(p).cast("bigint") for p in _POW10])
+    pad = k * F.element_at(pow10, (F.lit(_NODE_MAXD + 1) - d).cast("int"))
+    return F.shiftleft(pad, 4) + d.cast("bigint") + F.lit(side * _SIDE_BASE)
+
+
+def decode_typed_node(
+    enc: Column | str, prefixes: tuple[str, str] = ("c:", "s:")
+) -> Column:
+    """Inverse of :func:`encode_typed_key`: rebuild the decorated
+    '<prefix><key>' string from an encoded node id (NULL → NULL). The
+    digit count recovers the key as the first ``d`` characters of the
+    padded integer's decimal string — no division, pure projection."""
+    c = F.col(enc) if isinstance(enc, str) else enc
+    f = c.bitwiseAND(F.lit(_SIDE_BASE - 1))
+    d = f.bitwiseAND(F.lit(15)).cast("int")
+    pad = F.shiftright(f, 4)
+    key_str = F.left(pad.cast("string"), d)
+    pfx = F.when(
+        c.bitwiseAND(F.lit(_SIDE_BASE)) != 0, F.lit(prefixes[1])
+    ).otherwise(F.lit(prefixes[0]))
+    return F.concat(pfx, key_str)
 
 
 def _dsum18(c) -> F.Column:
@@ -328,9 +396,11 @@ def label_propagation(
     max/join/filter re-aggregate — and a LEFT join back to the node
     list so isolated-in-degree nodes persist. Labels are pinned per
     round (eager localCheckpoint) — flat lineage, single evaluation,
-    the iterative-state convention. String labels order
-    lexicographically identically in Spark and the oracle (plain
-    ASCII node ids), so the comparison is exact.
+    the iterative-state convention. Tie-breaks compare label order:
+    string labels order lexicographically identically in Spark and the
+    oracle (plain ASCII node ids), and the r13 encoded-long ids
+    (:func:`encode_typed_key`) preserve exactly that order by
+    construction, so the comparison is exact either way.
 
     Returns (node, label) — nodes sharing a label share a community.
     """
@@ -453,11 +523,16 @@ def bfs_tree(
     e = edges.select(
         F.col(src_col).alias("_esrc"), F.col(dst_col).alias("_edst")
     ).localCheckpoint(eager=False)
+    # the NULL source-parent takes the NODE column's own type (string
+    # ids and the r13 encoded-long ids both work)
+    node_type = sources.select(F.col(node_col).alias("node")).schema[
+        "node"
+    ].dataType
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("bigint"))
-        .withColumn("parent", F.lit(None).cast("string"))
+        .withColumn("parent", F.lit(None).cast(node_type))
         .localCheckpoint(eager=True)
     )
     frontier = visited.select("node")

@@ -233,34 +233,37 @@ def ivf_topk(
 
     cents = label_centroids(embeddings, label_col, vec_col)
 
-    def nearest_cells(df, vcol, n):
-        # query-side top-n probe: the window is fine here — it only ever
-        # sees |queries|×cells rows (the tiny side)
-        w = Window.partitionBy("_rid").orderBy(F.col("_d").asc(), F.col("cell").asc())
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("_d", -cosine(F.col(vcol), F.col("_cv")))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .drop("_cv", "_d", "_rn")
-        )
-
     # corpus-side cell assignment: the zero-shuffle HOF argmax over the
     # 1-row broadcast centroid array (r7 — previously an N×cells
-    # crossJoin funneled through a per-vector row_number window). The
-    # `-cosine ASC` ordering above equals `sim DESC NULLS FIRST`
-    # (Spark ASC default is NULLS FIRST), which is nulls_first=True in
-    # similarity space — the oracle's exact wording.
+    # crossJoin funneled through a per-vector row_number window).
+    # nulls_first=True mirrors `sim DESC NULLS FIRST` — the oracle's
+    # exact wording.
     corpus_cells = _assign_nearest(
         embeddings.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")),
         cents,
         nulls_first=True,
     ).select(F.col("_id").alias(id_col), F.col("_v").alias("_cvec"), "cell")
 
+    # query-side top-n probe: the zero-window HOF top-n over the same
+    # broadcast centroid array (optimization r13 — previously a
+    # crossJoin + row_number window, one exchange + sort of
+    # |queries|×cells rows; _probe_cells' (is-null, sim, −cell)
+    # reverse-sort is exactly the window's `−cosine ASC, cell ASC`
+    # order, and the hoisted-norm similarity is bit-equal to cosine())
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
-    ).withColumn("_rid", F.col(query_id_col))
-    probe = nearest_cells(q, "_qv", n_probe).drop("_rid")
+    )
+    probe = (
+        _probe_cells(
+            q.select(
+                F.col(query_id_col).alias("_id"), F.col("_qv").alias("_v")
+            ),
+            cents,
+            n_probe,
+        )
+        .select(F.col("_id").alias(query_id_col), "cell")
+        .join(q, query_id_col)
+    )
 
     scored = (
         corpus_cells.join(F.broadcast(probe), "cell")
@@ -274,6 +277,83 @@ def ivf_topk(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(query_id_col, id_col, "cos_sim", F.col("_rn").alias("rank"))
+    )
+
+
+def _assign_candidates_gemm(
+    vecs: DataFrame,
+    cent_rows: list,
+    nulls_first: bool,
+    eps: float = 2e-9,
+) -> DataFrame:
+    """GEMM candidate screen for :func:`_assign_nearest` (optimization
+    r13, guide §4.2 — the exact_threshold_pairs discipline): one numpy
+    float64 GEMM per Arrow batch scores every (vector, centroid) pair
+    and keeps, per row, ONLY the cells whose exact-fold argmax could
+    still win — everything within ``eps`` of the batch max (float64
+    GEMM vs sequential fold differ by ≤ ~dim·ε·Σ|xᵢyᵢ| ≈ 1e-13 on
+    unit-scale similarities, so the true winner is always inside the
+    2e-9 band; ties at the exact level are within 0 of each other and
+    are all kept). The EXACT argmax is then re-derived in the JVM by
+    the same higher-order fold expression as before, restricted to the
+    candidate cells — bit-identical winners, ~k× less interpreted
+    arithmetic.
+
+    NULL-similarity handling mirrors the fold exactly: the gate
+    ``norm(v)·norm(c) > 0`` is sign-exact in both engines (a norm is 0
+    iff the vector is all-zero), so the null masks agree bit-for-bit;
+    ``nulls_first`` rows with any null-sim cell keep exactly the
+    null-sim cells (the flag-prefixed struct order makes them all
+    outrank every scored cell), default rows with ALL cells null keep
+    every cell. Any NaN in a row's scores falls back to keeping every
+    cell (the exact verify decides — Spark orders NaN greatest, numpy
+    propagates, so the screen never guesses).
+
+    Returns (_id, _v, _cand array<long>). ``cent_rows`` is the
+    collected ≤k-row (cell, _cv) table — the same data the 1-row
+    broadcast carries, shipped once per task in the closure.
+    """
+    import numpy as np
+
+    cells_np = np.asarray([int(r[0]) for r in cent_rows], dtype=np.int64)
+    C = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+
+    def _screen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            denom = vn[:, None] * cn[None, :]
+            ok = denom > 0  # sign-exact gate, identical to the fold
+            sims = np.full((n, len(cells_np)), np.nan)
+            np.divide(V @ C.T, denom, out=sims, where=ok)
+            cands = []
+            for i in range(n):
+                row_ok = ok[i]
+                s = sims[i]
+                if nulls_first and (~row_ok).any():
+                    keep = ~row_ok  # null sims outrank every score
+                elif not row_ok.any():
+                    keep = np.ones_like(row_ok)  # all null: verify all
+                elif np.isnan(s[row_ok]).any():
+                    keep = np.ones_like(row_ok)  # NaN: verify decides
+                else:
+                    best = s[row_ok].max()
+                    keep = row_ok & (s >= best - eps)
+                cands.append(cells_np[keep])
+            out = pdf[["_id", "_v"]].copy()
+            out["_cand"] = cands
+            yield out
+
+    return vecs.select("_id", "_v").mapInPandas(
+        _screen, "_id long, _v array<double>, _cand array<long>"
     )
 
 
@@ -311,7 +391,25 @@ def _assign_nearest(
     pair stage). The arithmetic stays ``dot / (n_v · n_c)`` with the
     identical sqrt(sequential-fold) operands, so every similarity is
     bit-equal to the unhoisted expression and the oracles don't change.
+
+    Optimization r13 (guide §4.2, the exact_threshold_pairs
+    discipline): a numpy GEMM candidate screen
+    (:func:`_assign_candidates_gemm`) first narrows each row to the
+    cells that can still win the exact argmax (usually ONE), and the
+    higher-order fold expression above — unchanged — re-derives the
+    exact winner over just those candidates, so the interpreted
+    per-(vector, centroid) arithmetic drops ~k× while every winner,
+    tie-break, and NULL placement is decided by the same expressions
+    as before (bit-identical; the oracles don't move). The centroid
+    table is pinned once and collected (≤ k rows — the same data the
+    1-row broadcast already materializes) to feed the screen.
     """
+    cents = cents.localCheckpoint(eager=True)  # one evaluation: the
+    # GEMM screen's collect below + the verify broadcast read the pin
+    cent_rows = [
+        (r[0], list(r[1])) for r in cents.select("cell", "_cv").collect()
+    ]
+    cand = _assign_candidates_gemm(vecs, cent_rows, nulls_first)
     cents_arr = F.broadcast(
         cents.select(
             F.col("cell"), F.col("_cv"), norm(F.col("_cv")).alias("_cn")
@@ -325,10 +423,17 @@ def _assign_nearest(
     sim = lambda c: F.when(  # noqa: E731
         denom(c) > 0, dot(F.col("_v"), c["_cv"]) / denom(c)
     )
+    # exact verify over the candidate cells only: filter BEFORE scoring
+    # (so only candidates pay the dot fold), then the same struct
+    # expressions as the full argmax
+    cand_cents = F.filter(
+        F.col("_cents"),
+        lambda c: F.array_contains(F.col("_cand"), c["cell"].cast("long")),
+    )
     # score once per candidate (one dot fold each), THEN optionally wrap
     # with the is-null flag — keeps the expensive fold single-evaluated
     scored = F.transform(
-        "_cents",
+        cand_cents,
         lambda c: F.struct(
             sim(c).alias("_sim"), (-c["cell"]).cast("long").alias("_negc")
         ),
@@ -344,7 +449,7 @@ def _assign_nearest(
         )
     best = F.array_max(scored)
     return (
-        vecs.withColumn("_vn", norm(F.col("_v")))
+        cand.withColumn("_vn", norm(F.col("_v")))
         .crossJoin(cents_arr)
         .select(F.col("_id"), (-best["_negc"]).alias("cell"), F.col("_v"))
     )
@@ -516,21 +621,10 @@ def ann_join(
         nv.select(F.col(id_col).alias("_qa"), F.col("_nv").alias("_qn"))
         .crossJoin(_codebook_frame(embeddings.sparkSession, cbs))
         .select(
-            "_qa",
-            F.expr(
-                "transform(_cb, (scb, s) -> transform(scb, cw -> "
-                f"aggregate(zip_with(slice(_qn, s * {sub} + 1, {sub}), cw,"
-                " (x, y) -> x * y), cast(0.0 as double),"
-                " (acc, v) -> acc + v)))"
-            ).alias("_lut"),
+            "_qa", _adc_dot_lut(F.col("_qn"), sub).alias("_lut")
         )
     )
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.element_at("_lut", s + 1), F.col(f"code_{s}") + 1
-        )
-        adc = term if adc is None else adc + term
+    adc = _adc_lut_sum(m)
     screened = (
         cand.join(qlut, "_qa")
         .join(codes, "_rb")
@@ -1153,7 +1247,8 @@ def exact_threshold_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "_nv",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    block_budget_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """EXACT all-pairs dot-product threshold join — every unordered
     pair (id_a < id_b) whose sequential-fold :func:`dot` ≥ threshold —
@@ -1172,13 +1267,28 @@ def exact_threshold_pairs(
 
     Scale shape: vectors land in ``n_blocks`` deterministic id-hash
     blocks; each of the (n_blocks+1)·n_blocks/2 unordered block pairs
-    is ONE Arrow row processed by one GEMM — constant memory per task
-    (size n_blocks ∝ N/block_budget at real scale), the exact-audit
-    analogue of the chunked shapes everywhere else. Requires a numeric
+    is ONE Arrow row processed by one GEMM — constant memory per task,
+    the exact-audit analogue of the chunked shapes everywhere else.
+    ``n_blocks=None`` (the default) DERIVES the count from the actual
+    corpus — ceil(N·dim·8 / block_budget_bytes), floored at 8 — via one
+    cheap (count, dim) aggregate, so a block row can never outgrow the
+    Arrow/JVM single-value limits at any scale (optimization r13: the
+    fixed default the r12 advice flagged would have packed N/8 vectors
+    into one collect_list row regardless of N). Requires a numeric
     unique ``id_col`` (block routing hashes it; candidate emission
     orders each pair by id).
     """
+    import math
+
     import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    if n_blocks is None:
+        szrow = nv.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(F.size(as_double(vec_col))).alias("_dim"),
+        ).first()
+        n_vecs, dim = szrow["_n"] or 0, szrow["_dim"] or 0
+        n_blocks = max(8, math.ceil(n_vecs * dim * 8 / block_budget_bytes))
 
     g = nv.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
@@ -1197,7 +1307,11 @@ def exact_threshold_pairs(
             F.expr("transform(_s, s -> s._bid)").alias("_ids"),
             F.flatten(F.expr("transform(_s, s -> s._bv)")).alias("_flat"),
         )
-        .localCheckpoint(eager=False)  # both sides of the block cross
+        # EAGER pin: both sides of the same-job block crossJoin read
+        # this subtree — the dual-consumer-one-job pattern whose lazy
+        # pin lets concurrent tasks race the unmaterialized subtree
+        # (the r12 graph-edge 'Block rdd already exists' case)
+        .localCheckpoint(eager=True)
     )
     pa = packed.select(
         F.col("_blk").alias("_ba"),
@@ -1246,8 +1360,16 @@ def exact_threshold_pairs(
             )
 
     cand = blk_pairs.mapInPandas(_gen, "_ca long, _cb long")
-    va = nv.select(F.col(id_col).alias("_ca"), F.col(vec_col).alias("_vva"))
-    vb = nv.select(F.col(id_col).alias("_cb"), F.col(vec_col).alias("_vvb"))
+    # as_double on the verify side too: the GEMM screen casts via
+    # as_double, so for an array<float> caller the verify must fold in
+    # double as well or the 1e-9 losslessness bound stops covering it
+    # (r12 advice; a no-op cast for the current array<double> caller)
+    va = nv.select(
+        F.col(id_col).alias("_ca"), as_double(vec_col).alias("_vva")
+    )
+    vb = nv.select(
+        F.col(id_col).alias("_cb"), as_double(vec_col).alias("_vvb")
+    )
     return (
         cand.join(va, "_ca")
         .join(vb, "_cb")
@@ -1460,6 +1582,24 @@ def _adc_dist_lut(qvec: Column, sub: int) -> Column:
     )
 
 
+def _adc_dot_lut(qvec: Column, sub: int) -> Column:
+    """MIPS-form twin of :func:`_adc_dist_lut`: ``lut[s][j] =
+    dot(q_subvec_s, codeword_{s,j})`` — the exact inner-product term
+    :func:`_adc_dot` evaluates inline per candidate, hoisted once per
+    query row (r12 advice: ann_join used to hand-inline this as an
+    F.expr SQL string next to the Column-API distance twin; one
+    builder now serves both forms). Values are the identical doubles
+    (same zip_with/aggregate fold, same 0.0 seed), so screens and the
+    oracles don't move. Project with the broadcast ``_cb`` column in
+    scope; pair with :func:`_adc_lut_sum`."""
+    return F.transform(
+        F.col("_cb"),
+        lambda scb, s: F.transform(
+            scb, lambda cw: dot(F.slice(qvec, s * sub + 1, sub), cw)
+        ),
+    )
+
+
 def _adc_lut_sum(m: int) -> Column:
     """Scan-side pair of :func:`_adc_dist_lut`: Σ_s lut[s][code_s] in
     the same fixed subspace order 0..m-1 (bit-identical fold)."""
@@ -1470,6 +1610,57 @@ def _adc_lut_sum(m: int) -> Column:
         )
         out = term if out is None else out + term
     return out
+
+
+def _pq_encode_candidates_gemm(
+    nv_frame: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    eps: float = 2e-9,
+) -> DataFrame:
+    """GEMM candidate screen for :func:`_pq_encode_nv` (optimization
+    r13, guide §4.2 — the same discipline as
+    :func:`_assign_candidates_gemm`): per subspace, one numpy float64
+    GEMM computes the ``−2⟨a,c⟩ + ⟨c,c⟩`` distance surrogate of every
+    (vector, codeword) pair and keeps only the codeword indices within
+    ``eps`` of the row minimum (float64 GEMM vs the sequential
+    :func:`_pq_dist` fold differ by ≤ ~dim·ε on unit-scale terms, far
+    inside 2e-9, so the exact argmin — and every exact tie — is always
+    kept; a NaN row falls back to keeping every index). The exact
+    argmin is re-derived by the unchanged fold expression over just
+    the candidates. Returns (id, _nv, _cand_0.._cand_{m-1})."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    C = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    CC = [np.einsum("ij,ij->i", c, c) for c in C]
+
+    def _screen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_nv"]]
+            )
+            out = pdf[[id_col, "_nv"]].copy()
+            for s in range(m):
+                Vs = V[:, s * sub : (s + 1) * sub]
+                D = -2.0 * (Vs @ C[s].T) + CC[s][None, :]
+                dmin = np.nanmin(D, axis=1)
+                keep = D <= (dmin + eps)[:, None]
+                keep |= np.isnan(D).any(axis=1)[:, None]  # NaN: verify all
+                out[f"_cand_{s}"] = [
+                    np.nonzero(keep[i])[0].astype(np.int32)
+                    for i in range(n)
+                ]
+            yield out
+
+    schema = f"{id_col} long, _nv array<double>, " + ", ".join(
+        f"_cand_{s} array<int>" for s in range(m)
+    )
+    return nv_frame.select(id_col, "_nv").mapInPandas(_screen, schema)
 
 
 def _pq_encode_nv(
@@ -1487,19 +1678,36 @@ def _pq_encode_nv(
     per-subspace argmin runs inside one higher-order expression over
     the broadcast codeword array (index lambda → struct(d, j) →
     array_min), the exact ordering of the oracle's
-    ``ORDER BY d ASC, j ASC``."""
+    ``ORDER BY d ASC, j ASC``.
+
+    Optimization r13 (guide §4.2): a numpy GEMM screen
+    (:func:`_pq_encode_candidates_gemm`) first narrows each subspace to
+    the codeword indices that can still win the exact argmin (usually
+    ONE), and the fold expression — unchanged — re-derives the exact
+    winner over just those candidates: ~k_codes× less interpreted
+    per-row arithmetic, bit-identical codes (candidates are filtered
+    BEFORE the distance fold evaluates, so only they pay it)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    out = nv_frame.crossJoin(
+    out = _pq_encode_candidates_gemm(nv_frame, codebooks, id_col).crossJoin(
         _codebook_frame(nv_frame.sparkSession, codebooks)
     )
 
     def _argmin(s: int) -> Column:
         ssub = F.slice("_nv", s * sub + 1, sub)
-        cands = F.transform(
+        idx = F.transform(
             F.element_at("_cb", s + 1),
             lambda cw, j: F.struct(
-                _pq_dist(ssub, cw).alias("d"), j.cast("int").alias("j")
+                cw.alias("cw"), j.cast("int").alias("j")
+            ),
+        )
+        flt = F.filter(
+            idx, lambda t: F.array_contains(F.col(f"_cand_{s}"), t["j"])
+        )
+        cands = F.transform(
+            flt,
+            lambda t: F.struct(
+                _pq_dist(ssub, t["cw"]).alias("d"), t["j"].alias("j")
             ),
         )
         return F.array_min(cands)["j"].alias(f"code_{s}")
@@ -1652,14 +1860,21 @@ def ivfpq_topk(
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
     ).join(qn, query_id_col)
-    wqa = Window.partitionBy(query_id_col).orderBy(
-        F.col("_d").asc(), F.col("cell").asc()
-    )
+    # query-side top-n_probe via the zero-window HOF top-n over the
+    # broadcast centroid array (optimization r13 — replaces the
+    # crossJoin + row_number window; _probe_cells' reverse-sorted
+    # (is-null, sim, −cell) structs ARE the window's `−cosine ASC,
+    # cell ASC` order with bit-equal similarities)
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("_d", -cosine(F.col("_qv"), F.col("_cv")))
-        .withColumn("_rn", F.row_number().over(wqa))
-        .filter(F.col("_rn") <= n_probe)
+        _probe_cells(
+            q.select(
+                F.col(query_id_col).alias("_id"), F.col("_qv").alias("_v")
+            ),
+            cents,
+            n_probe,
+        )
+        .select(F.col("_id").alias(query_id_col), "cell")
+        .join(qn, query_id_col)
         .select(query_id_col, "cell", "_qn")
         # ADC LUT hoisted per probe row (see _adc_dist_lut): the cell
         # scan pays m lookups per code row — identical doubles
@@ -1772,14 +1987,17 @@ def ivfpq_residual_topk(
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
     ).join(qn, query_id_col)
-    wqa = Window.partitionBy(query_id_col).orderBy(
-        F.col("_d").asc(), F.col("cell").asc()
-    )
+    # zero-window HOF top-n_probe (optimization r13; see ivfpq_topk)
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("_d", -cosine(F.col("_qv"), F.col("_cv")))
-        .withColumn("_rn", F.row_number().over(wqa))
-        .filter(F.col("_rn") <= n_probe)
+        _probe_cells(
+            q.select(
+                F.col(query_id_col).alias("_id"), F.col("_qv").alias("_v")
+            ),
+            cents,
+            n_probe,
+        )
+        .select(F.col("_id").alias(query_id_col), "cell")
+        .join(qn, query_id_col)
         .select(query_id_col, "cell", "_qn")
         .join(cn, "cell")
         .select(
@@ -2108,14 +2326,18 @@ def query_ivfpq_index(
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("_qv")
     ).join(qn, query_id_col)
-    wqa = Window.partitionBy(query_id_col).orderBy(
-        F.col("_d").asc(), F.col("cell").asc()
-    )
+    # zero-window HOF top-n_probe (optimization r13; see ivfpq_topk —
+    # keeps the serve path row-identical to it)
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("_d", -cosine(F.col("_qv"), F.col("_cv")))
-        .withColumn("_rn", F.row_number().over(wqa))
-        .filter(F.col("_rn") <= n_probe)
+        _probe_cells(
+            q.select(
+                F.col(query_id_col).alias("_id"), F.col("_qv").alias("_v")
+            ),
+            cents,
+            n_probe,
+        )
+        .select(F.col("_id").alias(query_id_col), "cell")
+        .join(qn, query_id_col)
         .select(query_id_col, "cell", "_qn")
         # ADC LUT hoisted per probe row (see _adc_dist_lut)
         .crossJoin(_codebook_frame(spark, cbs))

@@ -226,6 +226,7 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     exclude_self: bool = False,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query under Okapi BM25.
 
@@ -255,10 +256,21 @@ def bm25_topk(
       selection of operators/selection.py.
 
     Output: (query_id, doc_id, score, rk), score rounded to 6.
+
+    ``tokens_df`` (optional) is a precomputed ``(id_col, _tk)`` token
+    frame — pass it when the CALLER already tokenized the same corpus
+    (optimization r13: rocchio_prf runs bm25_topk twice plus its own
+    expansion pass over one documents frame; a single eagerly-pinned
+    token frame threaded through all three replaces three full
+    tokenize+explode corpus scans with one).
     """
     # tokenize ONCE per document per scan: the token array feeds both
     # the doc length and the exploded postings from the same projection
-    tk = docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    tk = (
+        tokens_df
+        if tokens_df is not None
+        else docs.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    )
     toks = tk.select(
         F.col(id_col),
         F.size("_tk").alias("dl"),

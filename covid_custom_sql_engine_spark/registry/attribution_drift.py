@@ -274,15 +274,14 @@ def sssp_bounded_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        # aggregate on the INTEGER key pair, concat after (optimization
-        # r12): bijective prefixes make the groupings identical, and
-        # the exchange/hash run on 16-byte long pairs instead of two
-        # strings
+        # aggregate on the INTEGER key pair; typed ids packed into
+        # order-preserving bigints (optimization r13, guide §2.3 —
+        # graph.encode_typed_key; decoded once at the end)
         .groupBy("o_custkey", "l_suppkey")
         .agg(F.min("l_quantity").cast("bigint").alias("w"))
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            gr.encode_typed_key(F.col("o_custkey"), 0).alias("c"),
+            gr.encode_typed_key(F.col("l_suppkey"), 1).alias("s"),
             "w",
         )
     )
@@ -302,9 +301,11 @@ def sssp_bounded_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 3)
-        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+        .select(gr.encode_typed_key(F.col("c_custkey"), 0).alias("node"))
     )
-    return gr.sssp_bounded(edges, srcs, rounds=3)
+    return gr.sssp_bounded(edges, srcs, rounds=3).select(
+        gr.decode_typed_node("node").alias("node"), "dist"
+    )
 
 
 @query(
@@ -394,15 +395,18 @@ def kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        # distinct on the INTEGER key pair, concat after (optimization
-        # r12): bijective prefixes make the two orders identical, and
-        # the distinct's exchange/hash run on 16-byte long pairs
-        # instead of two strings
+        # distinct on the INTEGER key pair; the typed 'c:'/'s:' ids are
+        # then packed into ONE order-preserving bigint (optimization
+        # r13, guide §2.3 — graph.encode_typed_key): every per-round
+        # exchange of the iterative algorithm shuffles/hashes 8-byte
+        # longs instead of strings, and the decorated string is rebuilt
+        # once in the final projection (decode_typed_node) — same
+        # min/tie-break winners by the codec's order proof
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            gr.encode_typed_key(F.col("o_custkey"), 0).alias("c"),
+            gr.encode_typed_key(F.col("l_suppkey"), 1).alias("s"),
         )
     )
     # EAGER pin (optimization r12): both union orientations below (and
@@ -416,7 +420,9 @@ def kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    return gr.kcore_peel(edges, k=4, rounds=3)
+    return gr.kcore_peel(edges, k=4, rounds=3).select(
+        gr.decode_typed_node("node").alias("node"), "degree"
+    )
 
 
 @query(

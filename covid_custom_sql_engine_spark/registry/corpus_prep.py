@@ -336,15 +336,20 @@ def hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
         o.join(l, o.o_orderkey == l.l_orderkey)
+        # typed ids packed into order-preserving bigints (optimization
+        # r13, guide §2.3): the distinct and all 6 per-round exchanges
+        # hash longs; the decorated string is rebuilt once at the end
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+            gr.encode_typed_key(F.col("o_custkey"), 0).alias("src"),
+            gr.encode_typed_key(F.col("l_suppkey"), 1).alias("dst"),
         )
         .distinct()
     )
     out = gr.hits(edges, iterations=3)
     return out.select(
-        "node", "side", F.round(F.col("score"), 10).alias("score")
+        gr.decode_typed_node("node").alias("node"),
+        "side",
+        F.round(F.col("score"), 10).alias("score"),
     )
 
 
@@ -366,15 +371,18 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        # distinct on the INTEGER key pair, concat after (optimization
-        # r12): bijective prefixes make the two orders identical, and
-        # the distinct's exchange/hash run on 16-byte long pairs
-        # instead of two strings
+        # distinct on the INTEGER key pair; the typed 'c:'/'s:' ids are
+        # then packed into ONE order-preserving bigint (optimization
+        # r13, guide §2.3 — graph.encode_typed_key): every per-round
+        # exchange of the iterative algorithm shuffles/hashes 8-byte
+        # longs instead of strings, and the decorated string is rebuilt
+        # once in the final projection (decode_typed_node) — same
+        # min/tie-break winners by the codec's order proof
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            gr.encode_typed_key(F.col("o_custkey"), 0).alias("c"),
+            gr.encode_typed_key(F.col("l_suppkey"), 1).alias("s"),
         )
     )
     # EAGER pin (optimization r12): both union orientations below (and
@@ -389,7 +397,8 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     return gr.pagerank(edges, iterations=3, damping=0.85).select(
-        "node", F.round(F.col("rank"), 10).alias("pr")
+        gr.decode_typed_node("node").alias("node"),
+        F.round(F.col("rank"), 10).alias("pr"),
     )
 
 

@@ -65,15 +65,18 @@ def bfs_path_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        # distinct on the INTEGER key pair, concat after (optimization
-        # r12): bijective prefixes make the two orders identical, and
-        # the distinct's exchange/hash run on 16-byte long pairs
-        # instead of two strings
+        # distinct on the INTEGER key pair; the typed 'c:'/'s:' ids are
+        # then packed into ONE order-preserving bigint (optimization
+        # r13, guide §2.3 — graph.encode_typed_key): every per-round
+        # exchange of the iterative algorithm shuffles/hashes 8-byte
+        # longs instead of strings, and the decorated string is rebuilt
+        # once in the final projection (decode_typed_node) — same
+        # min/tie-break winners by the codec's order proof
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            gr.encode_typed_key(F.col("o_custkey"), 0).alias("c"),
+            gr.encode_typed_key(F.col("l_suppkey"), 1).alias("s"),
         )
     )
     # EAGER pin (optimization r12): both union orientations below (and
@@ -90,9 +93,11 @@ def bfs_path_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 3)
-        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+        .select(gr.encode_typed_key(F.col("c_custkey"), 0).alias("node"))
     )
-    return gr.bfs_path_counts(edges, srcs, max_depth=3)
+    return gr.bfs_path_counts(edges, srcs, max_depth=3).select(
+        gr.decode_typed_node("node").alias("node"), "dist", "n_paths"
+    )
 
 
 def _ktruss_oracle(k: int, rounds: int) -> str:
@@ -232,15 +237,18 @@ def seed_betweenness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        # distinct on the INTEGER key pair, concat after (optimization
-        # r12): bijective prefixes make the two orders identical, and
-        # the distinct's exchange/hash run on 16-byte long pairs
-        # instead of two strings
+        # distinct on the INTEGER key pair; the typed 'c:'/'s:' ids are
+        # then packed into ONE order-preserving bigint (optimization
+        # r13, guide §2.3 — graph.encode_typed_key): every per-round
+        # exchange of the iterative algorithm shuffles/hashes 8-byte
+        # longs instead of strings, and the decorated string is rebuilt
+        # once in the final projection (decode_typed_node) — same
+        # min/tie-break winners by the codec's order proof
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            gr.encode_typed_key(F.col("o_custkey"), 0).alias("c"),
+            gr.encode_typed_key(F.col("l_suppkey"), 1).alias("s"),
         )
     )
     # EAGER pin (optimization r12): both union orientations below (and
@@ -257,11 +265,13 @@ def seed_betweenness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 3)
-        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+        .select(gr.encode_typed_key(F.col("c_custkey"), 0).alias("node"))
     )
     out = gr.seed_betweenness(edges, srcs, max_depth=3)
     return out.select(
-        "node", "dist", F.round(F.col("delta"), 6).alias("dependency")
+        gr.decode_typed_node("node").alias("node"),
+        "dist",
+        F.round(F.col("delta"), 6).alias("dependency"),
     )
 
 
@@ -321,14 +331,14 @@ def temporal_reachability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        # distinct on the INTEGER key pair + date, concat after
-        # (optimization r12): bijective prefixes make the two orders
-        # identical with a cheaper exchange/hash
+        # distinct on the INTEGER key pair + date; typed ids packed
+        # into order-preserving bigints (optimization r13, guide §2.3 —
+        # see bfs_path_counts above)
         .select("o_custkey", "l_suppkey", "d")
         .distinct()
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            gr.encode_typed_key(F.col("o_custkey"), 0).alias("c"),
+            gr.encode_typed_key(F.col("l_suppkey"), 1).alias("s"),
             "d",
         )
     )
@@ -350,11 +360,12 @@ def temporal_reachability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 3)
-        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+        .select(gr.encode_typed_key(F.col("c_custkey"), 0).alias("node"))
     )
     out = gr.temporal_reachability(edges, srcs, rounds=3)
     return out.select(
-        "node", F.date_format("earliest", "yyyy-MM-dd").alias("earliest")
+        gr.decode_typed_node("node").alias("node"),
+        F.date_format("earliest", "yyyy-MM-dd").alias("earliest"),
     )
 
 
@@ -948,15 +959,18 @@ def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        # distinct on the INTEGER key pair, concat after (optimization
-        # r12): bijective prefixes make the two orders identical, and
-        # the distinct's exchange/hash run on 16-byte long pairs
-        # instead of two strings
+        # distinct on the INTEGER key pair; the typed 'c:'/'s:' ids are
+        # then packed into ONE order-preserving bigint (optimization
+        # r13, guide §2.3 — graph.encode_typed_key): every per-round
+        # exchange of the iterative algorithm shuffles/hashes 8-byte
+        # longs instead of strings, and the decorated string is rebuilt
+        # once in the final projection (decode_typed_node) — same
+        # min/tie-break winners by the codec's order proof
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            gr.encode_typed_key(F.col("o_custkey"), 0).alias("c"),
+            gr.encode_typed_key(F.col("l_suppkey"), 1).alias("s"),
         )
     )
     # EAGER pin (optimization r12): both union orientations below (and
@@ -970,4 +984,7 @@ def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    return gr.louvain_one_level(edges, rounds=2)
+    return gr.louvain_one_level(edges, rounds=2).select(
+        gr.decode_typed_node("node").alias("node"),
+        gr.decode_typed_node("label").alias("label"),
+    )

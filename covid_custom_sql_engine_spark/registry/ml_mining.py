@@ -332,8 +332,16 @@ def rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = parallelize_small(load_table(spark, sf_dir, "documents"))
     qdf = spark.createDataFrame(BM25_QUERIES, ["query_id", "term"])
-    r1 = tx.bm25_topk(d, qdf, k=3)
-    tk = d.select("doc_id", tx.tokens("text").alias("_tk"))
+    # ONE tokenization of the documents frame, eagerly pinned, threaded
+    # through BOTH bm25_topk rounds and the expansion pass below
+    # (optimization r13 — this query used to tokenize the same corpus
+    # THREE times, once per bm25_topk call plus once here; eager
+    # because the frame feeds several same-job consumers, the r12
+    # double-evaluation case)
+    tk = d.select(
+        "doc_id", tx.tokens("text").alias("_tk")
+    ).localCheckpoint(eager=True)
+    r1 = tx.bm25_topk(d, qdf, k=3, tokens_df=tk)
     toks = tk.select(
         "doc_id", F.explode("_tk").alias("term")
     ).localCheckpoint(eager=False)  # feedback join + df join
@@ -373,7 +381,7 @@ def rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # q2 + expansion-string reuse
     )
     q2 = qdf.unionByName(exp)
-    r2 = tx.bm25_topk(d, q2, k=5)
+    r2 = tx.bm25_topk(d, q2, k=5, tokens_df=tk)
     estr = exp.groupBy("query_id").agg(
         F.concat_ws(",", F.array_sort(F.collect_list("term"))).alias(
             "expansion_terms"

@@ -685,15 +685,18 @@ def ppr_trusted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        # distinct on the INTEGER key pair, concat after (optimization
-        # r12): bijective prefixes make the two orders identical, and
-        # the distinct's exchange/hash run on 16-byte long pairs
-        # instead of two strings
+        # distinct on the INTEGER key pair; the typed 'c:'/'s:' ids are
+        # then packed into ONE order-preserving bigint (optimization
+        # r13, guide §2.3 — graph.encode_typed_key): every per-round
+        # exchange of the iterative algorithm shuffles/hashes 8-byte
+        # longs instead of strings, and the decorated string is rebuilt
+        # once in the final projection (decode_typed_node) — same
+        # min/tie-break winners by the codec's order proof
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            gr.encode_typed_key(F.col("o_custkey"), 0).alias("c"),
+            gr.encode_typed_key(F.col("l_suppkey"), 1).alias("s"),
         )
     )
     # EAGER pin (optimization r12): both union orientations below (and
@@ -712,10 +715,13 @@ def ppr_trusted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_acctbal")
         .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
         .limit(5)
-        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+        .select(gr.encode_typed_key(F.col("c_custkey"), 0).alias("node"))
     )
     pr = gr.personalized_pagerank(edges, seeds, iterations=3)
-    return pr.select("node", F.round("rank", 10).alias("pr"))
+    return pr.select(
+        gr.decode_typed_node("node").alias("node"),
+        F.round("rank", 10).alias("pr"),
+    )
 
 
 @query(

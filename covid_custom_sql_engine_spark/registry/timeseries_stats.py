@@ -721,54 +721,60 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"s{d}" for d in range(1, 8)],
         )
     )
-    # Optimization r12 (measured: 0.5 s executor CPU vs 4.2 s wall —
-    # driver-latency-bound): the 28 rounds each built a
-    # broadcast(tl.filter(i == r)) — 28 separate broadcast-exchange
-    # jobs and driver round-trips. The 28-day tail now pivots into ONE
-    # 1-row broadcast (y_r/dow_r columns — values pass through
-    # max-of-single-row unchanged), and each round is a pure 1-row
-    # projection consuming its own y_r/dow_r via a word-boundary
-    # textual substitution into the SAME generated update expressions
-    # the oracle evaluates — identical opcode order, identical doubles.
+    # Optimization r13 (the r12 pivot kept 28 chained 1-row
+    # localCheckpoint projections — 28 driver plan-compile round trips
+    # — and the builder's own bench floors showed it REGRESSING
+    # 3.3 → 5.2 s; the r13 verdict's item 2): the whole 28-round
+    # recurrence is now ONE sequential ``aggregate()`` fold over the
+    # 28-day tail collected into a single sorted array-of-structs row.
+    # The fold's lambda evaluates the SAME generated update texts the
+    # oracle unrolls — state fields rewritten onto the accumulator
+    # struct (l → acc.l, …), the day's observation onto the element
+    # (y → e.y, dow → e.dow) in one word-boundary pass — so every
+    # double is produced by the identical opcode sequence in the
+    # identical order and the oracle does not move. One projection,
+    # no per-round pins, no broadcast-per-round: the plan is O(1) in
+    # the round count.
     import re as _re
 
-    tlw = F.broadcast(
+    tarr = F.broadcast(
         tl.groupBy().agg(
-            *[
-                F.max(F.when(F.col("i") == r, F.col("y"))).alias(f"y_{r}")
-                for r in range(1, _HW_K + 1)
-            ],
-            *[
-                F.max(F.when(F.col("i") == r, F.col("dow"))).alias(
-                    f"dow_{r}"
-                )
-                for r in range(1, _HW_K + 1)
-            ],
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("y"), F.col("dow")))
+            ).alias("_tl")
         )
     )
 
-    def _per_round(text: str, r: int) -> str:
+    def _on_fold(text: str) -> str:
         return _re.sub(
-            r"\bdow\b", f"dow_{r}", _re.sub(r"\by\b", f"y_{r}", text)
+            r"\b(sae|dow|s[1-7]|l|b|y)\b",
+            lambda mm: (
+                f"e.{mm.group(1)}"
+                if mm.group(1) in ("y", "dow")
+                else f"acc.{mm.group(1)}"
+            ),
+            text,
         )
 
-    p = p.crossJoin(tlw)
-    for r in range(1, _HW_K + 1):
-        upd_r = (
-            [
-                F.expr(_per_round(_HW_NL, r)).alias("l"),
-                F.expr(_per_round(_HW_NB, r)).alias("b"),
-                F.expr(_per_round(f"sae + abs(y - {_HW_FC})", r)).alias(
-                    "sae"
-                ),
-            ]
-            + [
-                F.expr(_per_round(_hw_ns(d), r)).alias(f"s{d}")
-                for d in range(1, 8)
-            ]
-            + [F.col(c) for j in range(r + 1, _HW_K + 1) for c in (f"y_{j}", f"dow_{j}")]
+    state0 = "named_struct(" + ", ".join(
+        f"'{c}', {c}" for c in ["l", "b", "sae"] + [f"s{d}" for d in range(1, 8)]
+    ) + ")"
+    upd = "named_struct(" + ", ".join(
+        [
+            f"'l', {_on_fold(_HW_NL)}",
+            f"'b', {_on_fold(_HW_NB)}",
+            f"'sae', {_on_fold(f'sae + abs(y - {_HW_FC})')}",
+        ]
+        + [f"'s{d}', {_on_fold(_hw_ns(d))}" for d in range(1, 8)]
+    ) + ")"
+    p = (
+        p.crossJoin(tarr)
+        .select(F.expr(f"aggregate(_tl, {state0}, (acc, e) -> {upd})").alias("_st"))
+        .select(
+            *[F.col(f"_st.{c}").alias(c) for c in ["l", "b", "sae"]],
+            *[F.col(f"_st.s{d}").alias(f"s{d}") for d in range(1, 8)],
         )
-        p = p.select(*upd_r).localCheckpoint(eager=False)  # flat 1-row chain
+    )
     nxt = F.broadcast(
         m.select(
             F.dayofweek(F.col("b")).alias("ndow")

@@ -606,3 +606,42 @@ def test_louvain_stay_option_and_isolated_pair(spark):
     r3 = {r.node: r.label for r in louvain_one_level(df, rounds=3).collect()}
     assert (r3["p"], r3["q"]) == ("q", "p")  # the odd-round half-swap
     assert r3["t1"] == r3["t2"] == r3["t3"] == "t1"  # stay gain holds
+
+
+def test_typed_node_codec_roundtrip_and_order(spark):
+    """The r13 order-preserving codec: decode(encode(k, side)) equals
+    the decorated 'c:<k>'/'s:<k>' string, and sorting by the encoded
+    bigint equals sorting by the decorated string — including the
+    prefix-tie cases ('2' vs '20' vs '200') and the digit-boundary
+    cases ('9' vs '10', '99' vs '100') that a naive numeric encoding
+    gets wrong, up to the documented 10^12 − 1 key bound."""
+    from covid_custom_sql_engine_spark.functions.graph import (
+        decode_typed_node,
+        encode_typed_key,
+    )
+    from pyspark.sql import functions as F
+
+    keys = [0, 1, 2, 9, 10, 11, 19, 20, 21, 99, 100, 101, 199, 200,
+            999, 1000, 2000000, 123456789, 999999999999]
+    rows = [(k, s) for k in keys for s in (0, 1)]
+    df = spark.createDataFrame(rows, "k long, side long")
+    enc = df.select(
+        "k",
+        "side",
+        F.when(F.col("side") == 0, encode_typed_key(F.col("k"), 0))
+        .otherwise(encode_typed_key(F.col("k"), 1))
+        .alias("enc"),
+    )
+    out = enc.select(
+        "enc", decode_typed_node("enc").alias("node"), "k", "side"
+    ).collect()
+    for r in out:
+        assert r.node == ("c:" if r.side == 0 else "s:") + str(r.k)
+    by_enc = [r.node for r in sorted(out, key=lambda r: r.enc)]
+    by_str = sorted((r.node for r in out))
+    assert by_enc == by_str
+    # NULL keys encode to NULL and decode to NULL (concat semantics)
+    nl = spark.createDataFrame([(None,)], "k long").select(
+        encode_typed_key(F.col("k"), 1).alias("enc")
+    ).select(decode_typed_node("enc").alias("node")).collect()
+    assert nl[0].node is None

@@ -810,3 +810,29 @@ def test_opq_beats_plain_pq_on_correlated_fixture(spark):
     avg_pq = sum(r.recall_pq for r in rows) / len(rows)
     assert avg_opq > avg_pq + 0.2
     assert avg_opq == 1.0  # the rotation fully recovers exact recall here
+
+
+def test_exact_threshold_pairs_multiblock_budget(spark, sf_dir):
+    """The r13 scale guard: with a tiny block budget the block count is
+    derived >> 8 (many small GEMM block pairs), and the pair set is
+    identical to the single-default-shape run — multi-block routing
+    changes the work layout, never the result."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nv = sim.unit_norm_frame(e, "vec_id", "embedding", "_nv")
+    wide = {
+        (r.id_a, r.id_b)
+        for r in sim.exact_threshold_pairs(
+            nv, 0.35, id_col="vec_id", vec_col="_nv", n_blocks=8
+        ).collect()
+    }
+    # ~200 vectors x 64 dims x 8 B ≈ 100 KB; a 4 KB budget forces ~26
+    # blocks, so every intra/inter block-pair branch is exercised
+    tiny = {
+        (r.id_a, r.id_b)
+        for r in sim.exact_threshold_pairs(
+            nv, 0.35, id_col="vec_id", vec_col="_nv",
+            block_budget_bytes=4096,
+        ).collect()
+    }
+    assert wide, "fixture must contain qualifying pairs"
+    assert tiny == wide
