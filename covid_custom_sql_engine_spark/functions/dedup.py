@@ -94,6 +94,7 @@ def minhash_signatures(
     sh_df: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) MinHash signatures from a shingle-set frame.
 
@@ -121,6 +122,19 @@ def minhash_signatures(
       row that already holds the shingle array. At cluster scale the
       signature stage disappears from the shuffle profile; only the
       downstream band-bucket aggregate moves data.
+
+    Optimization r13 (``vectorized=True``, the default — guide §4.2):
+    the md5 + hex-split + mod stay in the JVM (codegen string/conv
+    work), and ONLY the k-min Kirsch–Mitzenmacher fold moves to one
+    numpy pass per Arrow batch — ``min_i over shingles of
+    (h1 + i·h2) mod m`` vectorized as a (Σ shingles × k) int64
+    broadcast + ``minimum.reduceat``. Every operand is a non-negative
+    int64 < 2^44 (m ≈ 2^40, k ≤ 12 ⇒ h1 + i·h2 < 2^44), so the numpy
+    arithmetic is EXACT integer arithmetic — provably bit-identical to
+    the fold expression, with no float-rounding caveat at all (unlike
+    the GEMM screens elsewhere, which therefore keep an exact JVM
+    verify). ``vectorized=False`` keeps the pure-expression fold; a
+    pytest pins the two paths equal on the corpus plus edge cases.
     """
     m = F.lit(KM_MODULUS)
     hexes = F.transform("sh", lambda s: F.md5(s))
@@ -131,6 +145,47 @@ def minhash_signatures(
             (F.conv(F.substring(hx, 16, 15), 16, 10).cast("bigint") % m).alias("h2"),
         ),
     )
+    if vectorized:
+        nz = sh_df.where(F.col("sh").isNotNull() & (F.size("sh") > 0))
+        # two chained Projects: _hp (one md5 per shingle) materializes
+        # in the first, and the h1/h2 extraction reads the materialized
+        # column — CollapseProject cannot inline the non-cheap,
+        # twice-referenced _hp, so md5 runs ONCE per shingle, exactly
+        # like the fold shape
+        hp = nz.select(F.col(id_col), pairs.alias("_hp")).select(
+            F.col(id_col),
+            F.transform("_hp", lambda p: p["h1"]).alias("_h1"),
+            F.transform("_hp", lambda p: p["h2"]).alias("_h2"),
+        )
+        id_type = sh_df.select(F.col(id_col)).schema[0].dataType.simpleString()
+
+        def _fold(batches):
+            import numpy as np
+
+            ks = np.arange(num_hashes, dtype=np.int64)
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                lens = pdf["_h1"].map(len).to_numpy(dtype=np.int64)
+                h1 = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in pdf["_h1"]]
+                )
+                h2 = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in pdf["_h2"]]
+                )
+                hk = (h1[:, None] + h2[:, None] * ks[None, :]) % KM_MODULUS
+                offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                mins = np.minimum.reduceat(hk, offs, axis=0)
+                out = pdf[[id_col]].copy()
+                for i in range(num_hashes):
+                    out[f"mh_{i}"] = mins[:, i]
+                yield out
+
+        schema = f"{id_col} {id_type}, " + ", ".join(
+            f"mh_{i} long" for i in range(num_hashes)
+        )
+        return hp.mapInPandas(_fold, schema)
     # init = KM_MODULUS (> any h_i): the fold's neutral element. Empty
     # arrays never reach the fold (filtered below), so no row can carry
     # the bare init as a signature.

@@ -72,6 +72,104 @@ def _two_phase_topk(
     )
 
 
+def _topk_candidates_gemm(
+    corpus: DataFrame,
+    q_rows: list,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    qid_type: str,
+    id_type: str,
+    eps: float = 2e-9,
+) -> DataFrame:
+    """GEMM candidate screen for :func:`brute_force_topk` (optimization
+    r13, guide §4.2 — the exact_threshold_pairs discipline): per Arrow
+    batch, one numpy float64 GEMM scores every (corpus row, query)
+    pair and keeps, per query, only the rows that can still reach the
+    exact top-k — everything within ``eps`` of the batch's (k+1)-th
+    best non-null similarity (k+1, not k, because the screen does NOT
+    apply the self-match exclusion: query ids may compare to corpus
+    ids under Spark's own cast rules, so the exclusion stays in the
+    JVM, and at most ONE self row per query can displace the band).
+    The exact stage then re-scores only candidates with the identical
+    fold expressions and re-ranks with the unchanged two-phase top-k —
+    bit-identical results for ANY partitioning, since the global exact
+    top-k is a subset of the union of per-batch (k+1)-bands under the
+    same total order.
+
+    NULL placement mirrors the fold exactly (``norm·norm > 0`` is
+    sign-exact); null-sim rows rank last by id, so they are kept only
+    when a batch has fewer than k+1 non-null rows — then the k+1
+    smallest-id nulls (any null row in the global top-k is among the
+    k+1 smallest-id nulls of its own batch). Any NaN for a query in a
+    batch keeps the whole batch for that query (the verify decides).
+    Emits candidate rows as (query_id, id, _cv) — the vector rides
+    along so the corpus is scanned exactly once.
+    """
+    import numpy as np
+
+    qids = [r[0] for r in q_rows]
+    qvecs = [r[1] for r in q_rows]
+
+    def _screen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or not qids:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_cv"]]
+            )
+            # a NULL or dimension-mismatched query vector scores NULL
+            # against every row in the fold (zip_with null-pads); a
+            # zero row reproduces exactly that via the denom>0 gate
+            Q = np.asarray(
+                [
+                    v
+                    if v is not None and len(v) == V.shape[1]
+                    else np.zeros(V.shape[1])
+                    for v in qvecs
+                ],
+                dtype=np.float64,
+            )
+            qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            denom = vn[:, None] * qn[None, :]
+            ok = denom > 0
+            sims = np.full((n, len(qids)), np.nan)
+            np.divide(V @ Q.T, denom, out=sims, where=ok)
+            out_q, out_i, out_v = [], [], []
+            order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+            for j, qid in enumerate(qids):
+                col_ok = ok[:, j]
+                s = sims[:, j]
+                if np.isnan(s[col_ok]).any():
+                    keep = np.ones(n, dtype=bool)  # NaN: verify decides
+                else:
+                    keep = np.zeros(n, dtype=bool)
+                    nn = int(col_ok.sum())
+                    if nn > k + 1:
+                        vals = s[col_ok]
+                        thr = np.partition(vals, nn - (k + 1))[nn - (k + 1)]
+                        keep = col_ok & (s >= thr - eps)
+                    else:
+                        keep = col_ok.copy()
+                    if nn < k + 1:
+                        null_idx = order[~col_ok[order]][: k + 1]
+                        keep[null_idx] = True
+                idx = np.nonzero(keep)[0]
+                out_q.extend([qid] * len(idx))
+                out_i.extend(pdf[id_col].iloc[idx])
+                out_v.extend(pdf["_cv"].iloc[idx])
+            yield __import__("pandas").DataFrame(
+                {query_id_col: out_q, id_col: out_i, "_cv": out_v}
+            )
+
+    return corpus.select(id_col, "_cv").mapInPandas(
+        _screen,
+        f"{query_id_col} {qid_type}, {id_col} {id_type}, _cv array<double>",
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -82,33 +180,47 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    The (broadcast) query side crosses the corpus once — a
-    BroadcastNestedLoopJoin scanning the corpus a single time for ALL
-    queries — then the per-query top-k runs as a TWO-PHASE ranking
-    (:func:`_two_phase_topk`): per-input-partition top-k first, global
-    top-k over the k·P survivors second, so the exact baseline itself
-    never funnels the corpus through |queries| reducer tasks.
-    Self-matches excluded. Deterministic tie-break on neighbor id.
+    The corpus is scanned once; a GEMM candidate screen
+    (:func:`_topk_candidates_gemm`, optimization r13 — guide §4.2)
+    narrows each query to the ~k rows that can reach the exact top-k,
+    and the exact cosine fold + TWO-PHASE ranking
+    (:func:`_two_phase_topk`) — both unchanged — decide over just the
+    candidates, so the baseline never funnels the corpus through
+    |queries| reducer tasks nor pays |corpus|·|queries| interpreted
+    folds. Self-matches excluded (in the JVM, after the screen).
+    Deterministic tie-break on neighbor id; results bit-identical to
+    the full cross for any partitioning.
     """
-    # norms HOISTED to one per row before the cross (optimization r12,
-    # guide §4.1 built-ins/§1.2 per-task work): the interpreted
-    # zip_with/aggregate norm lambda used to re-run per PAIR —
-    # |corpus|·|queries| times per side — inside cosine(); computing it
-    # once per query row and once per corpus row cuts the per-pair
-    # arithmetic to the dot alone (~3×). Same expressions, same
-    # operand order (norm(q)·norm(c)), so every double — and the NULL
-    # gate on zero denominators — is bit-identical to cosine().
+    # norms HOISTED to one per row (optimization r12): the exact stage
+    # computes norm(q) once per query row and norm(c) once per
+    # CANDIDATE row — same expressions, same operand order
+    # (norm(q)·norm(c)), so every double — and the NULL gate on zero
+    # denominators — is bit-identical to cosine().
     q = F.broadcast(
         queries.select(
             F.col(query_id_col), as_double(vec_col).alias("_qv")
         ).withColumn("_qn", norm(F.col("_qv")))
     )
-    c = embeddings.select(
-        F.col(id_col), as_double(vec_col).alias("_cv")
+    qid_type = queries.select(F.col(query_id_col)).schema[0].dataType.simpleString()
+    id_type = embeddings.select(F.col(id_col)).schema[0].dataType.simpleString()
+    q_rows = [
+        (r[0], [float(x) for x in r[1]] if r[1] is not None else [])
+        for r in queries.select(
+            F.col(query_id_col), as_double(vec_col)
+        ).collect()
+    ]
+    cand = _topk_candidates_gemm(
+        embeddings.select(F.col(id_col), as_double(vec_col).alias("_cv")),
+        q_rows,
+        k,
+        id_col,
+        query_id_col,
+        qid_type,
+        id_type,
     ).withColumn("_cn", norm(F.col("_cv")))
     denom = F.col("_qn") * F.col("_cn")
     scored = (
-        c.crossJoin(q)
+        cand.join(q, query_id_col)
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,

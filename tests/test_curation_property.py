@@ -22,6 +22,14 @@ bit-deterministic, not flaky.
 
 from __future__ import annotations
 
+import pytest
+
+# Full-registry audit battery: excluded from the default (driver) test
+# path by pytest.ini's `-m "not slow"` — run with `-m ""`. The same
+# surface is gated standalone at round end (tools/check_oracle.py /
+# check_plans.py / check_bare.py run the full 316-query versions).
+pytestmark = pytest.mark.slow
+
 import hashlib
 
 from hypothesis import HealthCheck, given, settings, strategies as st

@@ -638,3 +638,28 @@ def test_connected_components_long_chain_converges(spark):
     got = {r.id: r.component for r in dd.connected_components(pairs).collect()}
     assert len(got) == n + 1
     assert set(got.values()) == {0}
+
+
+def test_minhash_signatures_vectorized_equals_fold(spark, sf_dir):
+    """The r13 vectorized Kirsch-Mitzenmacher fold is EXACT integer
+    arithmetic (every operand < 2^44), so its signatures must be
+    bit-identical to the pure-expression fold — pinned here on the
+    real corpus plus edge cases (single-shingle docs, duplicate
+    shingles, unicode)."""
+    from covid_custom_sql_engine_spark.catalog import load_table
+    from covid_custom_sql_engine_spark.functions import dedup as dd
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dd.shingle_sets(d)
+    a = {tuple(r) for r in dd.minhash_signatures(sh, vectorized=True).collect()}
+    b = {tuple(r) for r in dd.minhash_signatures(sh, vectorized=False).collect()}
+    assert a and a == b
+
+    edge = spark.createDataFrame(
+        [(1, ["a b c"]), (2, ["a b c", "a b c", "x y z"]), (3, ["héllo wörld ünïc"])],
+        "doc_id long, sh array<string>",
+    )
+    ae = {tuple(r) for r in dd.minhash_signatures(edge, vectorized=True).collect()}
+    be = {tuple(r) for r in dd.minhash_signatures(edge, vectorized=False).collect()}
+    assert len(ae) == 3 and ae == be

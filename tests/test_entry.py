@@ -54,6 +54,11 @@ def test_driver_window_priority_ordering():
     } <= window
 
 
+# slow: the 316-query execution sweep (~6 min) is excluded from the
+# default (driver) path by pytest.ini — run with `-m ""`. Execution of
+# every registered query is independently gated at round end by
+# tools/check_oracle.py / check_bare.py (full 316-query oracle runs).
+@pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_runs(spark, sf_dir, name):
     df = entrymod.queries()[name](spark, sf_dir)

@@ -18,6 +18,14 @@ cleaned corpus finds zero spans when surroundings are unique.
 
 from __future__ import annotations
 
+import pytest
+
+# Full-registry audit battery: excluded from the default (driver) test
+# path by pytest.ini's `-m "not slow"` — run with `-m ""`. The same
+# surface is gated standalone at round end (tools/check_oracle.py /
+# check_plans.py / check_bare.py run the full 316-query versions).
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from covid_custom_sql_engine_spark.functions.corpus import (
